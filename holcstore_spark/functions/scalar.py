@@ -1,0 +1,67 @@
+"""Scalar column helpers.
+
+All timestamps inside the engine are UTC instants (session tz pinned to
+UTC); the store timezone only enters when deriving *calendar* notions —
+chunk indexes, year/month boundaries — which the reference computes in
+STORE_TZ local time (reference: hostore/models/chunk_timeserie_store.py:756-762).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def local_ts(ts: Column | str, tz: str) -> Column:
+    """Render a UTC-instant timestamp as wall-clock time in ``tz``
+    (the result is a naive timestamp whose fields are local)."""
+    return F.from_utc_timestamp(F.col(ts) if isinstance(ts, str) else ts, tz)
+
+
+def to_utc_instant(local: Column, tz: str) -> Column:
+    """Interpret a naive local wall-clock timestamp in ``tz`` as an instant."""
+    return F.to_utc_timestamp(local, tz)
+
+
+def chunk_index_col(ts: Column | str, chunk_axis: tuple[str, ...], tz: str) -> Column:
+    """Calendar chunk index of a timestamp.
+
+    ('year',)          → local year
+    ('year', 'month')  → local year*12 + month - 1
+
+    Same arithmetic as the reference (chunk_timeserie_store.py:756-762) so a
+    migrated dataset keeps identical partition ids.
+    """
+    lt = local_ts(ts, tz)
+    if chunk_axis == ("year",):
+        return F.year(lt).cast("int")
+    return (F.year(lt) * 12 + F.month(lt) - 1).cast("int")
+
+
+def chunk_index_of(ts: pd.Timestamp, chunk_axis: tuple[str, ...], tz: str) -> int:
+    """Driver-side twin of :func:`chunk_index_col` for pruning arithmetic."""
+    local = ts.tz_convert(tz) if ts.tzinfo is not None else ts.tz_localize(tz)
+    if chunk_axis == ("year",):
+        return int(local.year)
+    return int(local.year) * 12 + int(local.month) - 1
+
+
+def eq_null_safe(a: Column, b: Column) -> Column:
+    """NaN-aware equality of the reference's ``equalp``
+    (hostore/utils/timeseries.py:68-72): equal, or both missing.
+    In the long layout pandas NaN ≡ SQL NULL, so this is ``<=>``."""
+    return a.eqNullSafe(b)
+
+
+def nan_to_null(df, *cols: str):
+    """Map float NaN to SQL NULL.
+
+    The engine's contract is pandas NaN ≡ SQL NULL, but Arrow-backed
+    ``createDataFrame`` keeps NaN as a (non-null) float — every pandas
+    ingest point must pass through this."""
+    for c in cols:
+        df = df.withColumn(
+            c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+        )
+    return df

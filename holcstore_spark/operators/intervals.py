@@ -1,0 +1,106 @@
+"""Interval algebra over sets of ranges.
+
+The reference's ``Range`` type (hostore/utils/range/range.py:1-80) provides
+union-merge (``combine``), intersection with a minimum-duration threshold,
+and requested−available difference. Driver-side scalars stay a tiny Python
+class (:class:`Range`); the *set* operations are DataFrame operators using
+the islands idiom so they distribute over millions of intervals.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: tuple[str, ...] = (),
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Union of overlapping-or-touching intervals per key (W4,
+    reference: range.py:30-45 ``Range.combine``).
+
+    Islands idiom: an interval starts a new island iff its start exceeds the
+    running max end of all earlier intervals; islands collapse via groupBy.
+    One shuffle on ``keys`` (or a single partition when keys are empty —
+    callers at scale always pass keys).
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(start, end)
+    prev_max_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+    ).otherwise(0)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("__island", F.sum(new_island).over(run_w))
+        .groupBy(*keys, "__island")
+        .agg(F.min(start).alias(start), F.max(end).alias(end))
+        .drop("__island")
+    )
+
+
+@dataclass(frozen=True)
+class Range:
+    """Driver-side closed interval [sd, ed] mirroring the reference's
+    ``Range`` semantics (hostore/utils/range/range.py)."""
+
+    sd: object
+    ed: object
+
+    def __post_init__(self):
+        if self.sd > self.ed:
+            raise ValueError(f"start {self.sd} after end {self.ed}")
+
+    def overlap(self, other: "Range") -> bool:
+        return self.sd <= other.ed and other.sd <= self.ed
+
+    def includes(self, other: "Range") -> bool:
+        return self.sd <= other.sd and other.ed <= self.ed
+
+    def check_date(self, x) -> bool:
+        return self.sd <= x <= self.ed
+
+    def intersection(self, other: "Range", min_delta=None) -> "Range | None":
+        lo = max(self.sd, other.sd)
+        hi = min(self.ed, other.ed)
+        if lo > hi:
+            return None
+        if min_delta is not None and (hi - lo) < min_delta:
+            return None
+        return Range(lo, hi)
+
+    def difference_missing(self, available: "Range | None", min_delta=None) -> list["Range"]:
+        """Parts of ``self`` (the requested range) not covered by
+        ``available`` — 0, 1 or 2 head/tail ranges; pieces shorter than
+        ``min_delta`` are dropped (reference: range.py:59-80)."""
+        if available is None or not self.overlap(available):
+            return [self]
+        out: list[Range] = []
+        if available.sd > self.sd:
+            head = Range(self.sd, min(available.sd, self.ed))
+            if min_delta is None or (head.ed - head.sd) >= min_delta:
+                out.append(head)
+        if available.ed < self.ed:
+            tail = Range(max(available.ed, self.sd), self.ed)
+            if min_delta is None or (tail.ed - tail.sd) >= min_delta:
+                out.append(tail)
+        return out
+
+    @staticmethod
+    def combine(ranges: list["Range"]) -> list["Range"]:
+        """Sort by start and merge overlapping (reference: range.py:30-45)."""
+        if not ranges:
+            return []
+        rs = sorted(ranges, key=lambda r: (r.sd, r.ed))
+        out = [rs[0]]
+        for r in rs[1:]:
+            if r.sd <= out[-1].ed:
+                if r.ed > out[-1].ed:
+                    out[-1] = Range(out[-1].sd, r.ed)
+            else:
+                out.append(r)
+        return out

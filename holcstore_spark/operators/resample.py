@@ -1,0 +1,91 @@
+"""Resampling-adjacent operators: ffill, min-max normalize, min step,
+proportional disaggregation.
+
+All are single-window or single-agg expressions — no UDFs, fully
+whole-stage-codegen, one shuffle on the group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ffill(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    cols: tuple[str, ...],
+    order: str = "ts",
+) -> DataFrame:
+    """Forward-fill ``cols`` within each key, ordered by ``order``
+    (reference: df['feat'].ffill() inside upsample,
+    hostore/utils/timeseries.py:183-184)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def normalize_minmax(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value: str = "value",
+    out: str = "value_norm",
+) -> DataFrame:
+    """(x - min) / (max - min) per key (reference ``ts_normalize``,
+    hostore/utils/timeseries.py:263-266). Degenerate max==min → NULL."""
+    w = Window.partitionBy(*keys)
+    mn, mx = F.min(value).over(w), F.max(value).over(w)
+    return df.withColumn(
+        out, F.when(mx != mn, (F.col(value) - mn) / (mx - mn))
+    )
+
+
+def min_step(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts: str = "ts",
+    out: str = "min_step_seconds",
+) -> DataFrame:
+    """Minimum successive index step per key, in seconds (reference
+    ``pd_min_freq``, hostore/utils/timeseries.py:249-260)."""
+    w = Window.partitionBy(*keys).orderBy(ts)
+    diff = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    return (
+        df.withColumn("__d", diff)
+        .groupBy(*keys)
+        .agg(F.min("__d").alias(out))
+    )
+
+
+def disaggregate_by_reference(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    bucket,
+    ref: str = "ref",
+    feat: str = "feat",
+    ts: str = "ts",
+    out: str = "value",
+) -> DataFrame:
+    """Proportional disaggregation (reference
+    ``upsample_using_reference_serie``, hostore/utils/timeseries.py:166-225):
+    a coarse feature series is spread over a fine reference series's shape.
+
+    Per (keys, bucket): ``out = feat_ffilled * ref / mean(ref over bucket)``
+    — the bucket mean preserves the coarse total's level while the reference
+    provides the intra-bucket profile. ``bucket`` is a Column (e.g.
+    ``F.date_trunc('day', 'ts')``).
+    """
+    d = df.withColumn("__bucket", bucket)
+    d = ffill(d, keys, (feat,), order=ts)
+    wb = Window.partitionBy(*keys, "__bucket")
+    mean_ref = F.avg(ref).over(wb)
+    return d.withColumn(
+        out,
+        F.when(mean_ref != 0, F.col(feat) * F.col(ref) / mean_ref),
+    ).drop("__bucket")

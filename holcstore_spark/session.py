@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Conventions that every operator in this package relies on:
+
+- ``spark.sql.session.timeZone = UTC``: timestamps are stored and compared
+  as UTC instants; store-timezone rendering happens only at the pandas edge
+  (mirrors the reference's STORE_TZ contract,
+  reference: hostore/models/chunk_timeserie_store.py:196).
+- AQE on: runtime coalescing of shuffle partitions and skew-join handling,
+  which matters at the 100 TB target scale.
+- Arrow on: the pandas edge (toPandas / applyInPandas / mapInPandas) moves
+  columnar batches, not rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "holcstore-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's conventions.
+
+    Local default: ``local[$SPARK_GRAFT_CPUS]`` (env, default all cores) and
+    ``spark.sql.shuffle.partitions`` sized to the core count — on a real
+    cluster callers pass their own master/conf and AQE right-sizes shuffles.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus) if cpus != "*" else (os.cpu_count() or 8)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # dynamic mode: `INSERT OVERWRITE` / mode("overwrite") with
+        # partitionBy only replaces the partitions present in the incoming
+        # frame — this is how the stores do chunk-scoped rewrites without
+        # Delta MERGE.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,717 @@
+"""ChunkStore — the scale-path store (reference ``TimeseriesChunkStore``,
+hostore/models/chunk_timeserie_store.py:180-899, re-architected for Spark).
+
+Physical layout (no blobs, no hand-rolled compression — Parquet does both):
+
+- ``<path>/data``  — long table ``(keys…, ts TIMESTAMP, value DOUBLE)``
+  **partitioned by** ``chunk_index`` (local-calendar year or year-month,
+  same arithmetic as the reference so partition ids line up). A time-bounded
+  read touches only the matching partition directories; within a partition,
+  Parquet row-group min/max stats on the key columns skip other series'
+  row groups.
+- ``<path>/meta``  — append-only changelog ``(keys…, chunk_index, start_ts,
+  n_points, updated_at, op_id, is_deleted)``. The *latest state* per
+  ``(keys…, chunk_index)`` (max op_id) is the chunk directory: it carries
+  the tombstone flag (reference: is_deleted soft delete,
+  chunk_timeserie_store.py:30-52) and the sync watermark ``updated_at``
+  (:288-307). The log IS the change feed — ``updates(since)`` is a filter,
+  no CDC machinery needed.
+
+Write semantics mirror the reference exactly: plain insert refuses existing
+keys; ``update`` is per-timestamp ``new.combine_first(existing)``;
+``replace`` overwrites the new span and tombstones the key's chunks outside
+it (:357-370). Deletes are tombstones unless ``keep_tracking=False``.
+
+Concurrency: single-writer per store (the reference relies on DB row locks,
+:786-789; a Delta/Iceberg-backed variant would use MERGE + optimistic
+concurrency — this Parquet build keeps the layout identical so that swap is
+mechanical).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from holcstore_spark.config import DEFAULT_WATERMARK, ChunkStoreConfig
+from holcstore_spark.edge.pandas_bridge import (
+    long_to_series,
+    normalize_series,
+    series_to_long,
+)
+from holcstore_spark.functions.scalar import chunk_index_col, nan_to_null
+from holcstore_spark.operators.grid import reindex_to_chunk_grid
+from holcstore_spark.operators.overlay import combine_first
+from holcstore_spark.operators.slicing import drop_bounds_na as _drop_bounds_na
+from holcstore_spark.operators.slicing import time_slice
+from holcstore_spark.plans.predicates import attrs_filter, validate_filter_keys
+from holcstore_spark.plans.pruning import chunk_bounds_filter, normalize_bound
+
+
+class KeyExistsError(Exception):
+    """Blind overwrite of an existing series (reference: DB IntegrityError
+    from the unique (keys…, chunk_index) constraint)."""
+
+
+class SyncGuardError(Exception):
+    """Operation forbidden on a sync-enabled store
+    (reference: chunk_timeserie_store.py:44-47,337-339,439-441)."""
+
+
+_META_EXTRA = [
+    ("chunk_index", T.IntegerType()),
+    ("start_ts", T.TimestampType()),
+    ("n_points", T.LongType()),
+    ("updated_at", T.TimestampType()),
+    ("op_id", T.LongType()),
+    ("is_deleted", T.BooleanType()),
+]
+
+
+class ChunkStore:
+    def __init__(self, spark: SparkSession, path: str, config: ChunkStoreConfig):
+        self.spark = spark
+        self.path = path
+        self.config = config
+        config.check_compatible(path)
+        config.save(path)
+        self._data_path = os.path.join(path, "data")
+        self._meta_path = os.path.join(path, "meta")
+
+    # ------------------------------------------------------------------
+    # schema helpers
+    # ------------------------------------------------------------------
+    def _key_schema(self, pdf: pd.DataFrame | None = None) -> list[tuple[str, T.DataType]]:
+        mapping = {"str": T.StringType(), "int": T.LongType(), "float": T.DoubleType()}
+        out = []
+        for k in self.config.keys:
+            declared = self.config.key_types.get(k)
+            if declared:
+                out.append((k, mapping[declared]))
+            elif pdf is not None:
+                dt = pdf[k].dtype
+                if dt == object:
+                    out.append((k, T.StringType()))
+                elif str(dt).startswith("int"):
+                    out.append((k, T.LongType()))
+                else:
+                    out.append((k, T.DoubleType()))
+            else:
+                out.append((k, T.StringType()))
+        return out
+
+    def _data_schema(self, pdf=None) -> T.StructType:
+        fields = [T.StructField(k, t) for k, t in self._key_schema(pdf)]
+        fields += [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("chunk_index", T.IntegerType()),
+        ]
+        return T.StructType(fields)
+
+    def _meta_schema(self, pdf=None) -> T.StructType:
+        fields = [T.StructField(k, t) for k, t in self._key_schema(pdf)]
+        fields += [T.StructField(n, t) for n, t in _META_EXTRA]
+        return T.StructType(fields)
+
+    # ------------------------------------------------------------------
+    # table access
+    # ------------------------------------------------------------------
+    def _exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    def data(self) -> DataFrame:
+        if not os.path.exists(self._data_path):
+            return self.spark.createDataFrame([], self._data_schema())
+        return self.spark.read.parquet(self._data_path)
+
+    def meta(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], self._meta_schema())
+        return self.spark.read.parquet(self._meta_path)
+
+    def latest_meta(self, filters: dict | None = None) -> DataFrame:
+        """Latest state per (keys…, chunk_index): tombstone flag + watermark.
+        Filters are applied *before* the window so a keyed lookup reduces to
+        a few meta rows."""
+        m = self.meta().filter(attrs_filter(filters))
+        w = Window.partitionBy(*self.config.keys, "chunk_index").orderBy(F.desc("op_id"))
+        return (
+            m.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def alive_chunks(self, filters: dict | None = None) -> DataFrame:
+        return self.latest_meta(filters).filter(~F.col("is_deleted"))
+
+    def alive_data(
+        self,
+        filters: dict | None = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Data rows of non-tombstoned chunks, partition-pruned by bounds.
+
+        The tombstone check is a broadcast semi-join against the (filtered,
+        tiny) latest-meta — physical data of deleted chunks lingers until
+        :meth:`compact` but is never visible.
+        """
+        tz, axis = self.config.tz, self.config.chunk_axis
+        s = normalize_bound(start, tz)
+        e = normalize_bound(end, tz)
+        d = self.data().filter(attrs_filter(filters))
+        d = d.filter(chunk_bounds_filter(s, e, axis, tz))
+        alive = self.alive_chunks(filters).select(*self.config.keys, "chunk_index")
+        d = d.join(F.broadcast(alive), on=[*self.config.keys, "chunk_index"], how="left_semi")
+        return time_slice(d, s, e)
+
+    # ------------------------------------------------------------------
+    # validation
+    # ------------------------------------------------------------------
+    def _ensure_all_attrs(self, attrs: dict) -> None:
+        missing = set(self.config.keys) - set(attrs)
+        extra = set(attrs) - set(self.config.keys)
+        if missing or extra:
+            raise ValueError(
+                f"attrs must specify exactly the store keys {list(self.config.keys)}; "
+                f"missing={sorted(missing)} unknown={sorted(extra)}"
+            )
+
+    def _now_stamp(self) -> tuple[datetime, int]:
+        return datetime.now(timezone.utc), time.time_ns()
+
+    # ------------------------------------------------------------------
+    # normalization (driver-side, one series)
+    # ------------------------------------------------------------------
+    def _chunk_start_local(self, ts: pd.Timestamp) -> pd.Timestamp:
+        local = ts.tz_convert(self.config.tz)
+        if self.config.chunk_axis == ("year",):
+            return pd.Timestamp(year=local.year, month=1, day=1, tz=self.config.tz)
+        return pd.Timestamp(year=local.year, month=local.month, day=1, tz=self.config.tz)
+
+    def _next_chunk_start_local(self, ts: pd.Timestamp) -> pd.Timestamp:
+        local = ts.tz_convert(self.config.tz)
+        if self.config.chunk_axis == ("year",):
+            return pd.Timestamp(year=local.year + 1, month=1, day=1, tz=self.config.tz)
+        y, m = (local.year + 1, 1) if local.month == 12 else (local.year, local.month + 1)
+        return pd.Timestamp(year=y, month=m, day=1, tz=self.config.tz)
+
+    def _normalize_to_grid(self, serie: pd.Series) -> pd.Series:
+        """tz-normalize + dense chunk-aligned reindex
+        (reference: chunk_timeserie_store.py:699-743). Off-grid input labels
+        drop out (the store reindexes, never resamples, README.md:196)."""
+        s = normalize_series(serie, self.config.tz)
+        lo = self._chunk_start_local(s.index.min()).tz_convert("UTC")
+        hi = self._next_chunk_start_local(s.index.max()).tz_convert("UTC")
+        grid = pd.date_range(lo, hi, freq=self.config.freq_timedelta, tz="UTC",
+                             inclusive="left")
+        return s.reindex(grid)
+
+    def _chunk_index_pd(self, idx: pd.DatetimeIndex) -> pd.Index:
+        local = idx.tz_convert(self.config.tz)
+        if self.config.chunk_axis == ("year",):
+            return pd.Index(local.year, dtype="int32")
+        return pd.Index(local.year * 12 + local.month - 1, dtype="int32")
+
+    def _series_to_sdf(self, attrs: dict, serie: pd.Series) -> DataFrame:
+        pdf = series_to_long(serie, attrs)
+        pdf["chunk_index"] = self._chunk_index_pd(
+            pd.DatetimeIndex(pdf["ts"])
+        ).to_numpy()
+        sdf = self.spark.createDataFrame(pdf, schema=self._data_schema(pdf))
+        return nan_to_null(sdf, "value")
+
+    # ------------------------------------------------------------------
+    # write paths
+    # ------------------------------------------------------------------
+    def _append_data(self, sdf: DataFrame) -> None:
+        (
+            sdf.repartition("chunk_index")
+            .write.mode("append")
+            .partitionBy("chunk_index")
+            .parquet(self._data_path)
+        )
+
+    def _rewrite_partitions(self, sdf_new: DataFrame, drop_pred) -> None:
+        """Replace the partitions present in ``sdf_new``: keep other rows of
+        those partitions, drop rows matching ``drop_pred``, union the new
+        rows, dynamic-partition-overwrite. (With Delta this is one MERGE.)"""
+        chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
+        existing = self.data().filter(F.col("chunk_index").isin(chunks))
+        keep = existing.filter(~drop_pred).select(*[f.name for f in self._data_schema()])
+        combined = keep.unionByName(sdf_new.select(*[f.name for f in self._data_schema()]))
+        # materialize before overwriting the files the plan reads from
+        combined = combined.localCheckpoint(eager=True)
+        (
+            combined.repartition("chunk_index")
+            .write.mode("overwrite")
+            .partitionBy("chunk_index")
+            .parquet(self._data_path)
+        )
+
+    def _append_meta(self, rows: list[dict], pdf_like: pd.DataFrame | None = None) -> None:
+        schema = self._meta_schema(pdf_like)
+        # createDataFrame(pandas, schema) matches positionally — align order
+        pdf = pd.DataFrame(rows)[[f.name for f in schema.fields]]
+        sdf = self.spark.createDataFrame(pdf, schema=schema)
+        sdf.coalesce(1).write.mode("append").parquet(self._meta_path)
+
+    def _meta_rows_for(
+        self, sdf: DataFrame, updated_at: datetime, op_id: int, is_deleted: bool = False
+    ) -> list[dict]:
+        agg = (
+            sdf.groupBy(*self.config.keys, "chunk_index")
+            .agg(F.min("ts").alias("start_ts"), F.count("ts").alias("n_points"))
+            .collect()
+        )
+        return [
+            {
+                **{k: r[k] for k in self.config.keys},
+                "chunk_index": r["chunk_index"],
+                "start_ts": r["start_ts"],
+                "n_points": r["n_points"],
+                "updated_at": updated_at,
+                "op_id": op_id,
+                "is_deleted": is_deleted,
+            }
+            for r in agg
+        ]
+
+    def _key_pred(self, attrs: dict):
+        return attrs_filter(attrs)
+
+    def _physical_chunks(self, attrs: dict) -> set[int]:
+        """chunk_index values with any physical rows or meta entry for key."""
+        m = {r[0] for r in self.meta().filter(attrs_filter(attrs))
+             .select("chunk_index").distinct().collect()}
+        return m
+
+    # -- public write API ----------------------------------------------
+    def set_ts(
+        self,
+        attrs: dict,
+        serie: pd.Series,
+        update: bool = False,
+        replace: bool = False,
+    ) -> None:
+        """Write one series (reference set_ts, chunk_timeserie_store.py:309-373)."""
+        if update and replace:
+            raise ValueError("update and replace are mutually exclusive")
+        if self.config.allow_sync and not (update or replace):
+            raise SyncGuardError(
+                "plain set_ts is forbidden on a sync-enabled store; use update/replace"
+            )
+        self._ensure_all_attrs(attrs)
+        dense = self._normalize_to_grid(serie)
+        sdf = self._series_to_sdf(attrs, dense)
+
+        alive = {
+            r[0]
+            for r in self.alive_chunks(attrs).select("chunk_index").collect()
+        }
+        physical = self._physical_chunks(attrs)
+        updated_at, op_id = self._now_stamp()
+
+        if not update and not replace:
+            if alive:
+                raise KeyExistsError(
+                    f"series {attrs} already exists; pass update=True or replace=True"
+                )
+
+        if update:
+            new_chunks = [
+                r[0] for r in sdf.select("chunk_index").distinct().collect()
+            ]
+            overlap = [c for c in new_chunks if c in alive]
+            if overlap:
+                existing = self.alive_data(attrs).filter(
+                    F.col("chunk_index").isin(overlap)
+                )
+                merged = combine_first(
+                    [sdf.filter(F.col("chunk_index").isin(overlap)), existing],
+                    keys=self.config.keys,
+                )
+                merged = merged.withColumn(
+                    "chunk_index",
+                    chunk_index_col("ts", self.config.chunk_axis, self.config.tz),
+                )
+                sdf = merged.unionByName(
+                    sdf.filter(~F.col("chunk_index").isin(overlap))
+                    .select(*self.config.keys, "ts", "value", "chunk_index")
+                )
+
+        if replace:
+            stale = sorted(alive - {r[0] for r in sdf.select("chunk_index").distinct().collect()})
+        else:
+            stale = []
+
+        # cut lineage: sdf may read the very files the rewrite replaces,
+        # and the meta aggregation below runs after the rewrite
+        sdf = sdf.localCheckpoint(eager=True)
+        touched_physical = physical & {
+            r[0] for r in sdf.select("chunk_index").distinct().collect()
+        }
+        if touched_physical:
+            self._rewrite_partitions(sdf, self._key_pred(attrs))
+        else:
+            self._append_data(sdf)
+
+        meta_rows = self._meta_rows_for(sdf, updated_at, op_id)
+        for c in stale:
+            meta_rows.append(
+                {
+                    **attrs,
+                    "chunk_index": c,
+                    "start_ts": None,
+                    "n_points": 0,
+                    "updated_at": updated_at,
+                    "op_id": op_id,
+                    "is_deleted": True,
+                }
+            )
+        self._append_meta(meta_rows)
+
+    def set_many_ts(self, mapping: dict[tuple, pd.Series], keys: tuple[str, ...] | None = None) -> None:
+        """Mass insert, error if any key already exists
+        (reference: chunk_timeserie_store.py:418-455)."""
+        if self.config.allow_sync:
+            raise SyncGuardError("set_many_ts is forbidden on a sync-enabled store")
+        keys = tuple(keys or self.config.keys)
+        if keys != self.config.keys:
+            raise ValueError(f"keys must be {self.config.keys}")
+        frames = []
+        for key_tuple, serie in mapping.items():
+            attrs = dict(zip(keys, key_tuple if isinstance(key_tuple, tuple) else (key_tuple,)))
+            self._ensure_all_attrs(attrs)
+            alive = self.alive_chunks(attrs).limit(1).count()
+            if alive:
+                raise KeyExistsError(f"series {attrs} already exists")
+            dense = self._normalize_to_grid(serie)
+            pdf = series_to_long(dense, attrs)
+            pdf["chunk_index"] = self._chunk_index_pd(pd.DatetimeIndex(pdf["ts"])).to_numpy()
+            frames.append(pdf)
+        if not frames:
+            return
+        pdf_all = pd.concat(frames, ignore_index=True)
+        sdf = nan_to_null(
+            self.spark.createDataFrame(pdf_all, schema=self._data_schema(pdf_all)),
+            "value",
+        )
+        updated_at, op_id = self._now_stamp()
+        physical_any = bool(
+            self.meta()
+            .join(
+                sdf.select(*self.config.keys, "chunk_index").distinct(),
+                on=[*self.config.keys, "chunk_index"],
+                how="left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if physical_any:
+            self._rewrite_partitions_multi(sdf)
+        else:
+            self._append_data(sdf)
+        self._append_meta(self._meta_rows_for(sdf, updated_at, op_id), pdf_all)
+
+    def _rewrite_partitions_multi(self, sdf_new: DataFrame) -> None:
+        """Partition rewrite where the dropped rows are every (key-tuple,
+        chunk) present in the new frame (anti-join instead of a predicate)."""
+        cols = [f.name for f in self._data_schema()]
+        chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
+        existing = self.data().filter(F.col("chunk_index").isin(chunks))
+        keep = existing.join(
+            sdf_new.select(*self.config.keys).distinct(),
+            on=list(self.config.keys),
+            how="left_anti",
+        ).select(*cols)
+        combined = keep.unionByName(sdf_new.select(*cols)).localCheckpoint(eager=True)
+        (
+            combined.repartition("chunk_index")
+            .write.mode("overwrite")
+            .partitionBy("chunk_index")
+            .parquet(self._data_path)
+        )
+
+    def ingest_long(self, sdf: DataFrame, mode: str = "insert") -> None:
+        """Distributed bulk write — the 100 TB path.
+
+        ``sdf``: long frame ``(keys…, ts, value)`` (UTC instants). The dense
+        chunk-aligned grid, chunk indexes and write semantics are computed
+        entirely in Spark; no driver-side series loop.
+
+        mode: 'insert' (error on existing keys) | 'update' (new wins,
+        existing fills holes) | 'replace' (span overwrite + tombstones).
+        """
+        if self.config.allow_sync and mode == "insert":
+            raise SyncGuardError("plain ingest is forbidden on a sync-enabled store")
+        keys = self.config.keys
+        dense = reindex_to_chunk_grid(
+            sdf, keys, self.config.chunk_axis, self.config.tz, self.config.freq_seconds
+        )
+        dense = dense.withColumn(
+            "chunk_index", chunk_index_col("ts", self.config.chunk_axis, self.config.tz)
+        )
+        updated_at, op_id = self._now_stamp()
+        new_keys = sdf.select(*keys).distinct()
+        existing_alive = self.alive_chunks().join(new_keys, on=list(keys), how="left_semi")
+        n_existing = existing_alive.limit(1).count()
+
+        if mode == "insert":
+            if n_existing:
+                raise KeyExistsError("ingest_long(insert): some keys already exist")
+            dense = dense.localCheckpoint(eager=True)
+            self._append_data(dense)
+            self._append_meta(self._meta_rows_for(dense, updated_at, op_id))
+            return
+
+        if mode == "update" and n_existing:
+            new_chunk_keys = dense.select(*keys, "chunk_index").distinct()
+            existing_rows = (
+                self.alive_data()
+                .join(new_chunk_keys, on=[*keys, "chunk_index"], how="left_semi")
+            )
+            dense = combine_first([dense, existing_rows], keys=keys).withColumn(
+                "chunk_index",
+                chunk_index_col("ts", self.config.chunk_axis, self.config.tz),
+            )
+
+        stale_meta: list[dict] = []
+        if mode == "replace" and n_existing:
+            new_chunk_keys = dense.select(*keys, "chunk_index").distinct()
+            stale = existing_alive.join(
+                new_chunk_keys, on=[*keys, "chunk_index"], how="left_anti"
+            ).select(*keys, "chunk_index")
+            for r in stale.collect():
+                stale_meta.append(
+                    {
+                        **{k: r[k] for k in keys},
+                        "chunk_index": r["chunk_index"],
+                        "start_ts": None,
+                        "n_points": 0,
+                        "updated_at": updated_at,
+                        "op_id": op_id,
+                        "is_deleted": True,
+                    }
+                )
+
+        dense = dense.localCheckpoint(eager=True)
+        self._rewrite_partitions_multi(dense)
+        self._append_meta(self._meta_rows_for(dense, updated_at, op_id) + stale_meta)
+
+    # ------------------------------------------------------------------
+    # read paths
+    # ------------------------------------------------------------------
+    def get_ts(
+        self,
+        attrs: dict,
+        start=None,
+        end=None,
+        drop_bounds_na: bool = True,
+    ) -> pd.Series | None:
+        """Keyed range read (reference: chunk_timeserie_store.py:375-416).
+        Full key required; None when absent."""
+        self._ensure_all_attrs(attrs)
+        d = self.alive_data(attrs, start, end)
+        if drop_bounds_na:
+            d = _drop_bounds_na(d, self.config.keys)
+        pdf = d.select("ts", "value").orderBy("ts").toPandas()
+        s = long_to_series(pdf, self.config.tz)
+        if s is not None and drop_bounds_na and s.isna().all():
+            return None
+        return s
+
+    def yield_many_ts(
+        self,
+        filters: dict | None = None,
+        start=None,
+        end=None,
+        drop_bounds_na: bool = True,
+    ):
+        """Ordered streaming read: yields ``(pd.Series, key_dict)`` per key
+        with bounded driver memory (reference: chunk_timeserie_store.py:457-517).
+
+        ``orderBy(keys…, ts)`` range-partitions the scan; ``toLocalIterator``
+        pulls one partition at a time, so the driver holds one series plus
+        one partition buffer, never the whole result.
+        """
+        validate_filter_keys(filters, self.config.keys)
+        keys = list(self.config.keys)
+        d = self.alive_data(filters, start, end)
+        if drop_bounds_na:
+            d = _drop_bounds_na(d, self.config.keys)
+        rows = d.select(*keys, "ts", "value").orderBy(*keys, "ts").toLocalIterator()
+        cur_key, ts_buf, val_buf = None, [], []
+        for r in rows:
+            k = tuple(r[c] for c in keys)
+            if cur_key is not None and k != cur_key:
+                yield self._flush(ts_buf, val_buf), dict(zip(keys, cur_key))
+                ts_buf, val_buf = [], []
+            cur_key = k
+            ts_buf.append(r["ts"])
+            val_buf.append(r["value"])
+        if cur_key is not None:
+            yield self._flush(ts_buf, val_buf), dict(zip(keys, cur_key))
+
+    def _flush(self, ts_buf, val_buf) -> pd.Series:
+        pdf = pd.DataFrame({"ts": ts_buf, "value": val_buf})
+        return long_to_series(pdf, self.config.tz)
+
+    def get_many_ts(self, filters: dict | None = None, start=None, end=None):
+        return list(self.yield_many_ts(filters, start, end))
+
+    # ------------------------------------------------------------------
+    # aggregates / metadata
+    # ------------------------------------------------------------------
+    def count_chunks(self, filters: dict | None = None) -> int:
+        validate_filter_keys(filters, self.config.keys)
+        return self.alive_chunks(filters).count()
+
+    def count_keys(self, filters: dict | None = None) -> int:
+        validate_filter_keys(filters, self.config.keys)
+        return self.alive_chunks(filters).select(*self.config.keys).distinct().count()
+
+    def last_updated_at(self, filters: dict | None = None) -> pd.Timestamp:
+        """Sync watermark: max updated_at (tombstones included) else the
+        2000-01-01 epoch default (reference: chunk_timeserie_store.py:288-307)."""
+        validate_filter_keys(filters, self.config.keys)
+        row = self.meta().filter(attrs_filter(filters)).agg(F.max("updated_at")).first()
+        mx = row[0] if row else None
+        if mx is None:
+            return pd.Timestamp(DEFAULT_WATERMARK)
+        return pd.Timestamp(mx, tz="UTC")
+
+    def get_max_horodate(self, filters: dict | None = None) -> pd.Timestamp | None:
+        """Latest non-NaN timestamp across matching series
+        (reference: chunk_timeserie_store.py:519-539) — in the long layout a
+        one-line agg instead of a decompress-and-scan."""
+        validate_filter_keys(filters, self.config.keys)
+        row = (
+            self.alive_data(filters)
+            .filter(F.col("value").isNotNull())
+            .agg(F.max("ts"))
+            .first()
+        )
+        mx = row[0] if row else None
+        return None if mx is None else pd.Timestamp(mx, tz="UTC").tz_convert(self.config.tz)
+
+    # ------------------------------------------------------------------
+    # delete / compact
+    # ------------------------------------------------------------------
+    def delete(self, filters: dict | None = None, keep_tracking: bool = True) -> int:
+        """Tombstone matching chunks (reference soft delete,
+        chunk_timeserie_store.py:30-52). ``keep_tracking=False`` erases all
+        trace (physical rewrite) and is forbidden on sync-enabled stores."""
+        validate_filter_keys(filters, self.config.keys)
+        if not keep_tracking and self.config.allow_sync:
+            raise SyncGuardError("untracked delete is forbidden on a sync-enabled store")
+        victims = self.alive_chunks(filters).select(*self.config.keys, "chunk_index").collect()
+        if not victims and keep_tracking:
+            return 0
+        updated_at, op_id = self._now_stamp()
+        if keep_tracking:
+            rows = [
+                {
+                    **{k: r[k] for k in self.config.keys},
+                    "chunk_index": r["chunk_index"],
+                    "start_ts": None,
+                    "n_points": 0,
+                    "updated_at": updated_at,
+                    "op_id": op_id,
+                    "is_deleted": True,
+                }
+                for r in victims
+            ]
+            self._append_meta(rows)
+            return len(rows)
+        # untracked: physically drop data rows and meta entries
+        pred = attrs_filter(filters)
+        n = len(victims)
+        remaining_data = self.data().filter(~pred).localCheckpoint(eager=True)
+        remaining_meta = self.meta().filter(~pred).localCheckpoint(eager=True)
+        (
+            remaining_data.repartition("chunk_index")
+            .write.mode("overwrite")
+            .partitionBy("chunk_index")
+            .parquet(self._data_path)
+        )
+        remaining_meta.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+        return n
+
+    def compact(self) -> None:
+        """Physically drop tombstoned data and collapse the meta log to its
+        latest state (the Parquet analogue of VACUUM + log checkpoint)."""
+        latest = self.latest_meta().localCheckpoint(eager=True)
+        alive = latest.filter(~F.col("is_deleted")).select(*self.config.keys, "chunk_index")
+        data = self.data().join(
+            F.broadcast(alive), on=[*self.config.keys, "chunk_index"], how="left_semi"
+        ).localCheckpoint(eager=True)
+        (
+            data.repartition("chunk_index")
+            .write.mode("overwrite")
+            .partitionBy("chunk_index")
+            .parquet(self._data_path)
+        )
+        latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+
+    # ------------------------------------------------------------------
+    # sync surface (change feed / export / import)
+    # ------------------------------------------------------------------
+    def updates(self, since=None, filters: dict | None = None) -> DataFrame:
+        """Change feed: latest chunk states with updated_at >= since, in
+        deterministic (updated_at, keys, chunk) order
+        (reference: chunk_timeserie_store.py:545-565)."""
+        validate_filter_keys(filters, self.config.keys)
+        m = self.latest_meta(filters)
+        if since is not None:
+            s = pd.Timestamp(since)
+            s = s.tz_localize("UTC") if s.tzinfo is None else s.tz_convert("UTC")
+            m = m.filter(F.col("updated_at") >= F.lit(s.to_pydatetime()))
+        return m.orderBy("updated_at", *self.config.keys, "chunk_index")
+
+    def export_chunks(self, spec: DataFrame | list[dict]) -> pd.DataFrame:
+        """Raw long rows for the given (keys…, chunk_index) spec — the sync
+        pack endpoint (reference: chunk_timeserie_store.py:609-631). No
+        tombstone filter: the caller ships exactly what updates() listed."""
+        if isinstance(spec, list):
+            spec_df = self.spark.createDataFrame(
+                pd.DataFrame(spec),
+                schema=T.StructType(
+                    [T.StructField(k, t) for k, t in self._key_schema(pd.DataFrame(spec))]
+                    + [T.StructField("chunk_index", T.IntegerType())]
+                ),
+            )
+        else:
+            spec_df = spec
+        rows = self.data().join(
+            F.broadcast(spec_df.select(*self.config.keys, "chunk_index")),
+            on=[*self.config.keys, "chunk_index"],
+            how="left_semi",
+        )
+        return rows.toPandas()
+
+    def import_chunks(self, meta_rows: pd.DataFrame, data_rows: pd.DataFrame) -> None:
+        """Atomically apply exported chunks with the *server's* stamps
+        (reference: chunk_timeserie_store.py:633-695). Data lands first,
+        meta (the watermark carrier) last — a crash in between re-imports
+        idempotently on the next pull."""
+        if len(meta_rows) == 0:
+            return
+        for col in ("updated_at",):
+            meta_rows[col] = pd.to_datetime(meta_rows[col], utc=True)
+        alive_meta = meta_rows[~meta_rows["is_deleted"]]
+        if len(data_rows):
+            schema = self._data_schema(data_rows)
+            data_rows = data_rows[[f.name for f in schema.fields]]
+            sdf = nan_to_null(
+                self.spark.createDataFrame(data_rows, schema=schema), "value"
+            )
+            self._rewrite_partitions_multi(sdf)
+        self._append_meta(meta_rows.to_dict("records"), meta_rows)

@@ -1,0 +1,323 @@
+"""KeyValueStore — versioned key→series store (reference ``Store``,
+hostore/models/hostore.py:23-432).
+
+Long layout: ``(client_id, prm, version, created_at, ts, ts_num, value,
+extra attrs…)``. A series index may be a DatetimeIndex (→ ``ts``) or any
+numeric index (→ ``ts_num``; reference tests store integer-indexed series,
+tests_basics.py:29). Versions are explicit rows; combine-on-read is the
+overlay-window operator (latest version wins, earlier versions fill holes,
+hostore.py:257-268).
+
+This store targets modest catalogs (the reference's use) — writes that must
+remove rows rewrite the table through the driver; the scale path is
+ChunkStore. Partitioned by ``client_id`` so tenant reads prune.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from holcstore_spark.functions.scalar import nan_to_null
+from holcstore_spark.operators.grid import completeness_holes
+from holcstore_spark.operators.intervals import Range
+from holcstore_spark.operators.overlay import delayed, overlay_merge
+from holcstore_spark.plans.predicates import attrs_filter, order_cols
+
+
+_BASE_FIELDS = [
+    ("client_id", T.LongType()),
+    ("prm", T.StringType()),
+    ("version", T.IntegerType()),
+    ("created_at", T.TimestampType()),
+    ("ts", T.TimestampType()),
+    ("ts_num", T.DoubleType()),
+    ("value", T.DoubleType()),
+]
+
+
+class KeyValueStore:
+    def __init__(self, spark: SparkSession, path: str, attr_cols: tuple[str, ...] = ()):
+        """``attr_cols``: optional extra indexation columns (reference:
+        ``attributes_to_set`` / subclassed model fields, README.md:199-204).
+        They are string-typed."""
+        self.spark = spark
+        self.path = path
+        self.attr_cols = tuple(attr_cols)
+
+    # ------------------------------------------------------------------
+    def _schema(self) -> T.StructType:
+        fields = [T.StructField(n, t) for n, t in _BASE_FIELDS]
+        fields += [T.StructField(a, T.StringType()) for a in self.attr_cols]
+        return T.StructType(fields)
+
+    def df(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.parquet(self.path)
+
+    def _overwrite(self, df: DataFrame) -> None:
+        df = df.localCheckpoint(eager=True)
+        (
+            df.repartition("client_id")
+            .write.mode("overwrite")
+            .partitionBy("client_id")
+            .parquet(self.path)
+        )
+
+    def _append(self, df: DataFrame) -> None:
+        df.repartition("client_id").write.mode("append").partitionBy("client_id").parquet(self.path)
+
+    # ------------------------------------------------------------------
+    def _series_to_pdf(self, prm, serie: pd.Series, client_id, version, attrs) -> pd.DataFrame:
+        if not isinstance(serie, pd.Series):
+            raise ValueError(f"expected pd.Series, got {type(serie).__name__}")
+        if len(serie) == 0 or pd.isna(serie).all():
+            raise ValueError("refusing to store an empty or all-NaN series")
+        is_dt = isinstance(serie.index, pd.DatetimeIndex)
+        if is_dt:
+            idx = serie.index
+            idx = idx.tz_localize("UTC") if idx.tz is None else idx.tz_convert("UTC")
+            ts, ts_num = idx, np.full(len(serie), np.nan)
+        else:
+            ts = pd.Series([pd.NaT] * len(serie), dtype="datetime64[ns, UTC]")
+            ts_num = pd.Index(serie.index).to_numpy(dtype="float64")
+        pdf = pd.DataFrame(
+            {
+                "client_id": int(client_id),
+                "prm": str(prm),
+                "version": int(version),
+                "created_at": datetime.now(timezone.utc),
+                "ts": ts,
+                "ts_num": ts_num,
+                "value": serie.to_numpy(dtype="float64"),
+            }
+        )
+        for a in self.attr_cols:
+            pdf[a] = str(attrs[a]) if attrs and a in attrs else None
+        return pdf
+
+    def _next_version(self, scope: dict) -> int:
+        row = self.df().filter(attrs_filter(scope)).agg(F.max("version")).first()
+        mx = row[0] if row else None
+        return 0 if mx is None else int(mx) + 1
+
+    # ------------------------------------------------------------------
+    def set_lc(
+        self,
+        prm,
+        serie: pd.Series,
+        client_id: int,
+        versionning: bool = False,
+        versionning_by: tuple[str, ...] = ("prm",),
+        attributes_to_set: dict | None = None,
+    ) -> None:
+        """Write one series (reference: hostore.py:321-370). Non-versioned
+        writes replace the key's version-0 row set; versioned writes append
+        with version = max(scope)+1."""
+        attrs = attributes_to_set or {}
+        if versionning:
+            scope = {"client_id": client_id}
+            for k in versionning_by:
+                scope[k] = prm if k == "prm" else attrs.get(k)
+            version = self._next_version(scope)
+            pdf = self._series_to_pdf(prm, serie, client_id, version, attrs)
+            self._append(nan_to_null(self.spark.createDataFrame(pdf, self._schema()), "value"))
+        else:
+            pdf = self._series_to_pdf(prm, serie, client_id, 0, attrs)
+            new = nan_to_null(self.spark.createDataFrame(pdf, self._schema()), "value")
+            old = self.df().filter(
+                ~((F.col("prm") == str(prm)) & (F.col("client_id") == int(client_id)) & (F.col("version") == 0))
+            )
+            self._overwrite(old.unionByName(new))
+
+    def set_many_lc(
+        self,
+        dataseries: dict[str, pd.Series],
+        client_id: int,
+        versionning: bool = False,
+        versionning_by: tuple[str, ...] = ("prm",),
+        attributes_to_set: dict | None = None,
+    ) -> None:
+        """Bulk write (reference: hostore.py:372-394)."""
+        for prm, serie in dataseries.items():
+            self.set_lc(prm, serie, client_id, versionning, versionning_by, attributes_to_set)
+
+    # ------------------------------------------------------------------
+    def _decode_groups(self, pdf: pd.DataFrame, group_cols: list[str]) -> list[dict]:
+        out = []
+        for gkey, gdf in pdf.groupby(group_cols, dropna=False, sort=False):
+            gkey = gkey if isinstance(gkey, tuple) else (gkey,)
+            meta = dict(zip(group_cols, gkey))
+            s = self._rows_to_series(gdf)
+            out.append({**meta, "data": s})
+        return out
+
+    @staticmethod
+    def _rows_to_series(gdf: pd.DataFrame) -> pd.Series:
+        if gdf["ts"].notna().any():
+            idx = pd.DatetimeIndex(pd.to_datetime(gdf["ts"], utc=True))
+            s = pd.Series(gdf["value"].to_numpy(dtype="float64"), index=idx)
+        else:
+            s = pd.Series(
+                gdf["value"].to_numpy(dtype="float64"),
+                index=pd.Index(gdf["ts_num"].to_numpy()),
+            )
+        return s.sort_index()
+
+    def get_lc(
+        self,
+        prm,
+        client_id: int,
+        combined_versions: bool = True,
+        version: int | None = None,
+        custom_filters: dict | None = None,
+        combined_by: tuple[str, ...] = ("prm",),
+        order_by: tuple[str, ...] = ("-version",),
+        combined_delay=None,
+    ) -> list[dict]:
+        """Keyed read with optional version overlay (reference:
+        hostore.py:218-269). Combined mode folds ``combine_first`` across
+        versions in ``order_by`` priority (latest first by default) and
+        reports the max version present (tests_basics.py:107)."""
+        return self.get_many_lc(
+            [prm], client_id, combined_versions, version, custom_filters,
+            combined_by, order_by, combined_delay,
+        ).get(str(prm), [])
+
+    def get_many_lc(
+        self,
+        prms: list,
+        client_id: int,
+        combined_versions: bool = True,
+        version: int | None = None,
+        custom_filters: dict | None = None,
+        combined_by: tuple[str, ...] = ("prm",),
+        order_by: tuple[str, ...] = ("-version",),
+        combined_delay=None,
+    ) -> dict[str, list[dict]]:
+        """Multi-key read grouped per prm (reference: hostore.py:271-319)."""
+        d = self.df().filter(
+            (F.col("client_id") == int(client_id))
+            & F.col("prm").isin([str(p) for p in prms])
+            & attrs_filter(custom_filters)
+        )
+        if version is not None:
+            d = d.filter(F.col("version") == int(version))
+
+        if not combined_versions:
+            pdf = d.orderBy(*order_cols(order_by), "ts", "ts_num").toPandas()
+            out: dict[str, list[dict]] = {}
+            for entry in self._decode_groups(pdf, ["prm", "version"]):
+                out.setdefault(entry["prm"], []).append(entry)
+            return out
+
+        if combined_delay is not None:
+            secs = int(pd.to_timedelta(combined_delay).total_seconds())
+            d = delayed(d, ("client_id", "prm", "version", *self.attr_cols), secs)
+
+        idx_col = F.when(F.col("ts").isNotNull(), F.col("ts").cast("double")).otherwise(F.col("ts_num"))
+        d = d.withColumn("__idx", idx_col)
+        combined = overlay_merge(
+            d,
+            combined_by=tuple(combined_by),
+            order_by=tuple(order_by),
+            ts="__idx",
+            keep=("ts", "ts_num"),
+        )
+        # max version present per combined group (reference reports latest)
+        vmax = d.groupBy(*combined_by).agg(F.max("version").alias("version"))
+        combined = combined.join(vmax, on=list(combined_by), how="left")
+        pdf = combined.orderBy("__idx").toPandas()
+        out = {}
+        group_cols = list(dict.fromkeys(["prm", *combined_by, "version"]))
+        for entry in self._decode_groups(pdf, group_cols):
+            out.setdefault(entry["prm"], []).append(entry)
+        return out
+
+    # ------------------------------------------------------------------
+    def count(self, client_id: int | None = None, custom_filters: dict | None = None) -> int:
+        """Number of stored series rows (reference: hostore.py:39-43)."""
+        d = self.df()
+        if client_id is not None:
+            d = d.filter(F.col("client_id") == int(client_id))
+        d = d.filter(attrs_filter(custom_filters))
+        return d.select("client_id", "prm", "version", *self.attr_cols).distinct().count()
+
+    def clear(
+        self,
+        prms: list,
+        client_id: int,
+        version: int | None = None,
+        custom_filters: dict | None = None,
+    ) -> None:
+        """Delete by prm list (reference: hostore.py:396-418)."""
+        pred = (F.col("client_id") == int(client_id)) & F.col("prm").isin(
+            [str(p) for p in prms]
+        ) & attrs_filter(custom_filters)
+        if version is not None:
+            pred = pred & (F.col("version") == int(version))
+        self._overwrite(self.df().filter(~pred))
+
+    def clear_all(self, client_id: int | None = None, custom_filters: dict | None = None) -> None:
+        pred = attrs_filter(custom_filters)
+        if client_id is not None:
+            pred = pred & (F.col("client_id") == int(client_id))
+        self._overwrite(self.df().filter(~pred))
+
+    # ------------------------------------------------------------------
+    def find_holes(
+        self,
+        prms: list,
+        client_id: int,
+        sd,
+        ed,
+        freq: str = "1D",
+        chunk_size: int = 50,
+    ):
+        """Generator of (prm, [Range…]) missing ranges vs [sd, ed]
+        (reference: hostore.py:162-216). Absent prm → the whole range.
+        Works on the *combined* view so holes are post-overlay."""
+        sd = pd.Timestamp(sd).tz_localize("UTC") if pd.Timestamp(sd).tzinfo is None else pd.Timestamp(sd).tz_convert("UTC")
+        ed = pd.Timestamp(ed).tz_localize("UTC") if pd.Timestamp(ed).tzinfo is None else pd.Timestamp(ed).tz_convert("UTC")
+        freq_s = int(pd.to_timedelta(freq).total_seconds())
+        for i in range(0, len(prms), chunk_size):
+            batch = [str(p) for p in prms[i : i + chunk_size]]
+            d = self.df().filter(
+                (F.col("client_id") == int(client_id)) & F.col("prm").isin(batch)
+            )
+            combined = overlay_merge(d, combined_by=("prm",), order_by=("-version",))
+            holes = completeness_holes(
+                combined, ("prm",), freq_s, start=sd, end=ed
+            ).collect()
+            by_prm: dict[str, list[Range]] = {p: [] for p in batch}
+            present = {
+                r[0] for r in combined.select("prm").distinct().collect()
+            }
+            for r in holes:
+                by_prm[r["prm"]].append(
+                    Range(pd.Timestamp(r["hole_start"], tz="UTC"), pd.Timestamp(r["hole_end"], tz="UTC"))
+                )
+            for p in batch:
+                if p not in present:
+                    yield p, [Range(sd, ed)]
+                else:
+                    yield p, by_prm[p]
+
+    def find_groups(self, prms: list, client_id: int, sd, ed, freq: str = "1D"):
+        """Missing-range → [prms] grouping plus the combined data
+        (reference: hostore.py:45-160): per prm compute missing ranges vs the
+        requested range, merge overlaps, then invert into {Range: [prms]}."""
+        data = self.get_many_lc(prms, client_id)
+        groups: dict[Range, list[str]] = {}
+        for prm, ranges in self.find_holes(prms, client_id, sd, ed, freq):
+            for r in Range.combine(ranges):
+                groups.setdefault(r, []).append(prm)
+        data = {p: v for p, v in data.items() if v}
+        return data, groups

@@ -1,0 +1,70 @@
+"""Incremental store-to-store sync — the reference's client↔server CDC
+protocol (hostore/utils/ts_sync.py:204-261) re-expressed table-to-table.
+
+Protocol (identical semantics, no HTTP required — a REST shim can wrap the
+same three calls):
+
+1. client computes ``since = last_updated_at(filters)`` locally — a
+   *per-filter* watermark (reference: ts_sync.py:219; proven per-filter by
+   test_chunk_timeserie_sync.py:263-282);
+2. server lists chunk states with ``updated_at >= since`` in deterministic
+   order, paginated (reference: chunk_timeserie_store.py:545-607);
+3. per page: tombstones apply locally first (delete + stamp the *server's*
+   updated_at so the watermark advances, ts_sync.py:241-246), then alive
+   chunks are fetched in batches and imported atomically;
+4. crash-resume is idempotent: the watermark only advances through imported
+   rows, and ``>=`` re-fetches the boundary (reference:
+   test_chunk_timeserie_sync.py:223-261).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from holcstore_spark.sources.chunk_store import ChunkStore
+
+
+class SyncCrash(Exception):
+    """Injected mid-pull failure for crash-resume tests."""
+
+
+class SyncClient:
+    def __init__(self, server: ChunkStore, client: ChunkStore):
+        if server.config.keys != client.config.keys:
+            raise ValueError("server and client stores must share key columns")
+        if not server.config.allow_sync or not client.config.allow_sync:
+            raise ValueError("both stores must be created with allow_sync=True")
+        self.server = server
+        self.client = client
+
+    def pull(
+        self,
+        filters: dict | None = None,
+        page_size: int = 200,
+        batch_size: int = 50,
+        crash_after_pages: int | None = None,
+    ) -> int:
+        """Pull server changes since the client's watermark. Returns the
+        number of chunk states applied."""
+        since = self.client.last_updated_at(filters)
+        updates = self.server.updates(since=since, filters=filters).toPandas()
+        applied = 0
+        keys = list(self.server.config.keys)
+        for page_no, off in enumerate(range(0, len(updates), page_size)):
+            if crash_after_pages is not None and page_no >= crash_after_pages:
+                raise SyncCrash(f"injected crash before page {page_no}")
+            page = updates.iloc[off : off + page_size]
+            tombs = page[page["is_deleted"]]
+            alive = page[~page["is_deleted"]]
+            if len(tombs):
+                # apply tombstones with the server's stamps so the watermark
+                # advances even when a page is deletes-only
+                self.client.import_chunks(tombs.copy(), pd.DataFrame())
+                applied += len(tombs)
+            for boff in range(0, len(alive), batch_size):
+                batch = alive.iloc[boff : boff + batch_size]
+                spec = batch[[*keys, "chunk_index"]].to_dict("records")
+                data = self.server.export_chunks(spec)
+                self.client.import_chunks(batch.copy(), data)
+                applied += len(batch)
+        return applied
