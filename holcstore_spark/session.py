@@ -61,3 +61,31 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_engine_conf(spark: SparkSession) -> None:
+    """Enforce the two session configs store correctness depends on.
+
+    Under Spark's default *static* partitionOverwriteMode, a chunk-scoped
+    rewrite would delete every other partition of the table (catastrophic
+    data loss from an ordinary update); non-UTC session time zones skew the
+    instant arithmetic. Both are runtime-settable SQL confs, so the store
+    constructors set them rather than failing: sessions built by
+    :func:`get_spark` already comply and are untouched.
+    """
+    import warnings
+
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        warnings.warn(
+            f"holcstore_spark requires spark.sql.session.timeZone=UTC; "
+            f"overriding session value {tz!r}"
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if str(mode).lower() != "dynamic":
+        warnings.warn(
+            "holcstore_spark requires spark.sql.sources.partitionOverwriteMode="
+            f"dynamic (partition-scoped rewrites); overriding {mode!r}"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

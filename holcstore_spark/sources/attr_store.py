@@ -30,6 +30,9 @@ class AttrStore:
         keys: tuple[str, ...],
         tz: str = "UTC",
     ):
+        from holcstore_spark.session import ensure_engine_conf
+
+        ensure_engine_conf(spark)
         self.spark = spark
         self.path = path
         self.keys = tuple(keys)
@@ -49,7 +52,10 @@ class AttrStore:
         return T.StructType(fields)
 
     def df(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        from holcstore_spark.sources.kv_store import _has_parquet
+
+        # emptied stores keep their directory with no parquet footers
+        if not _has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
 

@@ -54,6 +54,14 @@ from holcstore_spark.plans.predicates import attrs_filter, validate_filter_keys
 from holcstore_spark.plans.pruning import chunk_bounds_filter, normalize_bound
 
 
+def _has_parquet(path: str) -> bool:
+    """True when ``path`` holds at least one parquet data file."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 class KeyExistsError(Exception):
     """Blind overwrite of an existing series (reference: DB IntegrityError
     from the unique (keys…, chunk_index) constraint)."""
@@ -76,6 +84,9 @@ _META_EXTRA = [
 
 class ChunkStore:
     def __init__(self, spark: SparkSession, path: str, config: ChunkStoreConfig):
+        from holcstore_spark.session import ensure_engine_conf
+
+        ensure_engine_conf(spark)
         self.spark = spark
         self.path = path
         self.config = config
@@ -127,12 +138,14 @@ class ChunkStore:
         return os.path.exists(self._meta_path)
 
     def data(self) -> DataFrame:
-        if not os.path.exists(self._data_path):
+        # emptied-by-rewrite tables keep their directory with no parquet
+        # footers — read them as the empty frame instead of failing inference
+        if not _has_parquet(self._data_path):
             return self.spark.createDataFrame([], self._data_schema())
         return self.spark.read.parquet(self._data_path)
 
     def meta(self) -> DataFrame:
-        if not self._exists():
+        if not _has_parquet(self._meta_path):
             return self.spark.createDataFrame([], self._meta_schema())
         return self.spark.read.parquet(self._meta_path)
 
@@ -225,7 +238,12 @@ class ChunkStore:
         pdf["chunk_index"] = self._chunk_index_pd(
             pd.DatetimeIndex(pdf["ts"])
         ).to_numpy()
-        sdf = self.spark.createDataFrame(pdf, schema=self._data_schema(pdf))
+        schema = self._data_schema(pdf)
+        # createDataFrame(pandas, schema) matches positionally: reorder the
+        # frame to schema field order so attrs={'b':..,'a':..} cannot write
+        # swapped key values on a keys=('a','b') store
+        pdf = pdf[[f.name for f in schema.fields]]
+        sdf = self.spark.createDataFrame(pdf, schema=schema)
         return nan_to_null(sdf, "value")
 
     # ------------------------------------------------------------------
@@ -256,12 +274,35 @@ class ChunkStore:
             .parquet(self._data_path)
         )
 
+    #: meta-log files above which _append_meta self-compacts. Every write
+    #: appends one file and every read windows the whole log, so an
+    #: unbounded log would make the 10^5-th write pay a 10^5-file scan.
+    META_COMPACT_THRESHOLD = 64
+
     def _append_meta(self, rows: list[dict], pdf_like: pd.DataFrame | None = None) -> None:
         schema = self._meta_schema(pdf_like)
         # createDataFrame(pandas, schema) matches positionally — align order
         pdf = pd.DataFrame(rows)[[f.name for f in schema.fields]]
         sdf = self.spark.createDataFrame(pdf, schema=schema)
         sdf.coalesce(1).write.mode("append").parquet(self._meta_path)
+        self._maybe_compact_meta()
+
+    def _meta_file_count(self) -> int:
+        try:
+            return sum(
+                1 for f in os.listdir(self._meta_path) if f.endswith(".parquet")
+            )
+        except FileNotFoundError:
+            return 0
+
+    def _maybe_compact_meta(self) -> None:
+        """Collapse the meta changelog to its latest state once the log
+        grows past META_COMPACT_THRESHOLD files (log checkpoint; tombstone
+        rows survive so the change feed and watermarks stay correct)."""
+        if self._meta_file_count() <= self.META_COMPACT_THRESHOLD:
+            return
+        latest = self.latest_meta().localCheckpoint(eager=True)
+        latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
 
     def _meta_rows_for(
         self, sdf: DataFrame, updated_at: datetime, op_id: int, is_deleted: bool = False
@@ -390,9 +431,6 @@ class ChunkStore:
         for key_tuple, serie in mapping.items():
             attrs = dict(zip(keys, key_tuple if isinstance(key_tuple, tuple) else (key_tuple,)))
             self._ensure_all_attrs(attrs)
-            alive = self.alive_chunks(attrs).limit(1).count()
-            if alive:
-                raise KeyExistsError(f"series {attrs} already exists")
             dense = self._normalize_to_grid(serie)
             pdf = series_to_long(dense, attrs)
             pdf["chunk_index"] = self._chunk_index_pd(pd.DatetimeIndex(pdf["ts"])).to_numpy()
@@ -400,10 +438,19 @@ class ChunkStore:
         if not frames:
             return
         pdf_all = pd.concat(frames, ignore_index=True)
-        sdf = nan_to_null(
-            self.spark.createDataFrame(pdf_all, schema=self._data_schema(pdf_all)),
-            "value",
+        schema = self._data_schema(pdf_all)
+        pdf_all = pdf_all[[f.name for f in schema.fields]]
+        sdf = nan_to_null(self.spark.createDataFrame(pdf_all, schema=schema), "value")
+        # ONE existence check for the whole batch (left-semi against the
+        # incoming key set), not a Spark job per key
+        clash = (
+            self.alive_chunks()
+            .join(sdf.select(*keys).distinct(), on=list(keys), how="left_semi")
+            .limit(1)
+            .count()
         )
+        if clash:
+            raise KeyExistsError("set_many_ts: some keys already exist")
         updated_at, op_id = self._now_stamp()
         physical_any = bool(
             self.meta()
@@ -423,13 +470,16 @@ class ChunkStore:
 
     def _rewrite_partitions_multi(self, sdf_new: DataFrame) -> None:
         """Partition rewrite where the dropped rows are every (key-tuple,
-        chunk) present in the new frame (anti-join instead of a predicate)."""
+        chunk_index) *pair* present in the new frame. Anti-joining on keys
+        alone would erase a key's rows in every touched partition even for
+        chunks the new frame doesn't cover for that key (silent data loss
+        when a batch mixes keys across chunks)."""
         cols = [f.name for f in self._data_schema()]
         chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
         existing = self.data().filter(F.col("chunk_index").isin(chunks))
         keep = existing.join(
-            sdf_new.select(*self.config.keys).distinct(),
-            on=list(self.config.keys),
+            sdf_new.select(*self.config.keys, "chunk_index").distinct(),
+            on=[*self.config.keys, "chunk_index"],
             how="left_anti",
         ).select(*cols)
         combined = keep.unionByName(sdf_new.select(*cols)).localCheckpoint(eager=True)
@@ -631,7 +681,9 @@ class ChunkStore:
             ]
             self._append_meta(rows)
             return len(rows)
-        # untracked: physically drop data rows and meta entries
+        # untracked: physically drop data rows and meta entries. This is a
+        # FULL-table rewrite: static overwrite mode so partitions that became
+        # empty are removed (dynamic mode would leave their files visible).
         pred = attrs_filter(filters)
         n = len(victims)
         remaining_data = self.data().filter(~pred).localCheckpoint(eager=True)
@@ -639,6 +691,7 @@ class ChunkStore:
         (
             remaining_data.repartition("chunk_index")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("chunk_index")
             .parquet(self._data_path)
         )
@@ -656,6 +709,7 @@ class ChunkStore:
         (
             data.repartition("chunk_index")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")  # full rewrite: drop emptied partitions
             .partitionBy("chunk_index")
             .parquet(self._data_path)
         )

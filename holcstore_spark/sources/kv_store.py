@@ -31,6 +31,14 @@ from holcstore_spark.operators.overlay import delayed, overlay_merge
 from holcstore_spark.plans.predicates import attrs_filter, order_cols
 
 
+def _has_parquet(path: str) -> bool:
+    """True when ``path`` holds at least one parquet data file."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 _BASE_FIELDS = [
     ("client_id", T.LongType()),
     ("prm", T.StringType()),
@@ -47,6 +55,9 @@ class KeyValueStore:
         """``attr_cols``: optional extra indexation columns (reference:
         ``attributes_to_set`` / subclassed model fields, README.md:199-204).
         They are string-typed."""
+        from holcstore_spark.session import ensure_engine_conf
+
+        ensure_engine_conf(spark)
         self.spark = spark
         self.path = path
         self.attr_cols = tuple(attr_cols)
@@ -58,15 +69,22 @@ class KeyValueStore:
         return T.StructType(fields)
 
     def df(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        # a store fully emptied by clear_all() keeps its directory but has no
+        # parquet footers to infer from — treat it as the empty frame
+        if not _has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
 
     def _overwrite(self, df: DataFrame) -> None:
+        # full-table rewrite: static overwrite mode so a client_id partition
+        # emptied by clear()/clear_all() is actually removed (dynamic mode
+        # only replaces partitions present in the written frame, leaving the
+        # "deleted" rows visible)
         df = df.localCheckpoint(eager=True)
         (
             df.repartition("client_id")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("client_id")
             .parquet(self.path)
         )
@@ -145,9 +163,53 @@ class KeyValueStore:
         versionning_by: tuple[str, ...] = ("prm",),
         attributes_to_set: dict | None = None,
     ) -> None:
-        """Bulk write (reference: hostore.py:372-394)."""
-        for prm, serie in dataseries.items():
-            self.set_lc(prm, serie, client_id, versionning, versionning_by, attributes_to_set)
+        """Bulk write (reference: hostore.py:372-394) as ONE Spark write.
+
+        All series union into a single frame; versions are assigned with a
+        window over the existing max per scope (mirrors the looped set_lc:
+        successive series in the same scope get successive versions), and
+        non-versioned mode replaces all incoming keys' version-0 rows in one
+        anti-join + overwrite. N keys → O(1) Spark jobs, not O(N) rewrites.
+        """
+        if not dataseries:
+            return
+        attrs = attributes_to_set or {}
+        frames = []
+        for ord_, (prm, serie) in enumerate(dataseries.items()):
+            pdf = self._series_to_pdf(prm, serie, client_id, 0, attrs)
+            pdf["__series_ord"] = ord_
+            frames.append(pdf)
+        pdf_all = pd.concat(frames, ignore_index=True)
+        schema = T.StructType(
+            [*self._schema().fields, T.StructField("__series_ord", T.LongType())]
+        )
+        pdf_all = pdf_all[[f.name for f in schema.fields]]
+        new = nan_to_null(self.spark.createDataFrame(pdf_all, schema), "value")
+
+        if versionning:
+            scope_keys = tuple(dict.fromkeys(("client_id", *versionning_by)))
+            base = self.df().groupBy(*scope_keys).agg(F.max("version").alias("__maxv"))
+            w = Window.partitionBy(*scope_keys).orderBy("__series_ord")
+            out = (
+                new.join(F.broadcast(base), on=list(scope_keys), how="left")
+                .withColumn(
+                    "version",
+                    (F.coalesce(F.col("__maxv") + 1, F.lit(0))
+                     + F.dense_rank().over(w) - 1).cast("int"),
+                )
+                .drop("__maxv", "__series_ord")
+            )
+            self._append(out)
+        else:
+            prms = [str(p) for p in dataseries]
+            old = self.df().filter(
+                ~(
+                    (F.col("client_id") == int(client_id))
+                    & F.col("prm").isin(prms)
+                    & (F.col("version") == 0)
+                )
+            )
+            self._overwrite(old.unionByName(new.drop("__series_ord")))
 
     # ------------------------------------------------------------------
     def _decode_groups(self, pdf: pd.DataFrame, group_cols: list[str]) -> list[dict]:

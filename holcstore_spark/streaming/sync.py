@@ -47,13 +47,19 @@ class SyncClient:
         """Pull server changes since the client's watermark. Returns the
         number of chunk states applied."""
         since = self.client.last_updated_at(filters)
-        updates = self.server.updates(since=since, filters=filters).toPandas()
+        feed = self.server.updates(since=since, filters=filters)
         applied = 0
         keys = list(self.server.config.keys)
-        for page_no, off in enumerate(range(0, len(updates), page_size)):
+        page_no = 0
+        while True:
+            # Spark-side pagination over the deterministic ordering: driver
+            # memory is bounded by page_size, matching the reference's
+            # server-side pagination (chunk_timeserie_store.py:545-607)
+            page = feed.offset(page_no * page_size).limit(page_size).toPandas()
+            if len(page) == 0:
+                break
             if crash_after_pages is not None and page_no >= crash_after_pages:
                 raise SyncCrash(f"injected crash before page {page_no}")
-            page = updates.iloc[off : off + page_size]
             tombs = page[page["is_deleted"]]
             alive = page[~page["is_deleted"]]
             if len(tombs):
@@ -67,4 +73,5 @@ class SyncClient:
                 data = self.server.export_chunks(spec)
                 self.client.import_chunks(batch.copy(), data)
                 applied += len(batch)
+            page_no += 1
         return applied
