@@ -1,38 +1,865 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` declares one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL. The driver
+runs both at sf=0.01 and compares row-count + schema + value-hash.
+
+Determinism rules used throughout (so Spark and DuckDB hash identically):
+- timestamps leave the engine as formatted strings (UTC wall clock);
+- per-row float arithmetic is bit-deterministic (same IEEE ops both sides)
+  and is emitted unrounded;
+- every SUM/AVG over doubles goes through an exact DECIMAL cast first
+  (aggregation order then cannot perturb the result), and is cast back to
+  DOUBLE at the end;
+- ties in window orderings always carry a unique tiebreak column.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    # reader rejects — read nanos as long and convert (lossless here: the
+    # generator wrote microsecond-resolution values)
+    if name == "events" and dict(df.dtypes).get("ts") != "timestamp":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def _events_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + synthetic version/holes: version = event_id % 3, value2 is
+    NULL for every 7th event (injects the NaN-hole patterns the reference's
+    test matrix exercises, test_chunk_timeserie_store.py:368-400)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("version", (F.col("event_id") % 3).cast("int"))
+        .withColumn(
+            "value2",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")),
+        )
+        .withColumn("hts", F.date_trunc("hour", F.col("ts")))
+    )
+
+
+_EVENTS_VERSIONED_SQL = """
+    SELECT *,
+           CAST(event_id % 3 AS INT) AS version,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value2,
+           date_trunc('hour', ts) AS hts
+    FROM events
+"""
+
+_FMT = "yyyy-MM-dd HH:mm:ss"          # Spark date_format pattern
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"       # DuckDB strftime pattern
+
+
+def _fmt(c) -> F.Column:
+    return F.date_format(c, _FMT)
+
+
+def _dec_sum(c, scale: int = 6) -> F.Column:
+    """Exact aggregation of doubles: per-row DECIMAL cast (deterministic
+    rounding of identical doubles) → exact SUM → DOUBLE."""
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# query implementations (operator families cite SURVEY.md §2 ids)
+# ---------------------------------------------------------------------------
+
+def q_overlay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2: versioned overlay — first non-null value per (key, ts) in
+    priority order (latest version first, event_id tiebreak)."""
+    from holcstore_spark.operators.overlay import overlay_merge
+
+    d = _events_versioned(spark, sf_dir).select(
+        "user_id", "hts", "version", "event_id", "value2"
+    )
+    merged = overlay_merge(
+        d,
+        combined_by=("user_id",),
+        order_by=("-version", "event_id"),
+        ts="hts",
+        value="value2",
+    )
+    return merged.select(
+        "user_id", _fmt("hts").alias("ts_str"), F.col("value2").alias("val")
+    )
+
+
+def q_combined_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/P11: drop the first 6h of each (user, version) series, then
+    overlay (the reference's combined_delay knob, hostore.py:262-263)."""
+    from holcstore_spark.operators.overlay import delayed, overlay_merge
+
+    d = _events_versioned(spark, sf_dir).select(
+        "user_id", "version", "event_id", "hts", "value2"
+    )
+    cut = delayed(d, ("user_id", "version"), 6 * 3600, ts="hts")
+    merged = overlay_merge(
+        cut,
+        combined_by=("user_id",),
+        order_by=("-version", "event_id"),
+        ts="hts",
+        value="value2",
+    )
+    return merged.select(
+        "user_id", _fmt("hts").alias("ts_str"), F.col("value2").alias("val")
+    )
+
+
+def q_completeness_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: dense hourly grid over [2024-01-01, 2024-01-08) per user, null
+    runs → missing ranges."""
+    from holcstore_spark.operators.grid import completeness_holes
+
+    e = _t(spark, sf_dir, "events")
+    p = (
+        e.filter((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08"))
+        .select("user_id", F.date_trunc("hour", "ts").alias("ts"))
+        .distinct()
+        .withColumn("value", F.lit(1.0))
+    )
+    holes = completeness_holes(
+        p, ("user_id",), 3600,
+        start="2024-01-01 00:00:00", end="2024-01-07 23:00:00",
+    )
+    return holes.select(
+        "user_id",
+        _fmt("hole_start").alias("hole_start"),
+        _fmt("hole_end").alias("hole_end"),
+    )
+
+
+def q_constant_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: maximal runs of equal (NaN-aware) bucketed value per user."""
+    from holcstore_spark.operators.islands import constant_runs
+
+    d = _events_versioned(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("value2").isNotNull(), F.floor(F.col("value2") / 50)
+        ).alias("bucket"),
+    )
+    runs = constant_runs(
+        d, ("user_id",), order=("ts", "event_id"), value="bucket"
+    )
+    return runs.select(
+        "user_id",
+        _fmt("run_start").alias("run_start"),
+        _fmt("run_end").alias("run_end"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("run_len").cast("long").alias("run_len"),
+    )
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: union-merge of overlapping intervals per user (Range.combine)."""
+    from holcstore_spark.operators.intervals import merge_intervals
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.make_interval(hours=F.floor(F.col("value") / 10).cast("int")))
+        .alias("end"),
+    )
+    merged = merge_intervals(iv, keys=("user_id",))
+    return merged.select(
+        "user_id",
+        _fmt("start").alias("start_str"),
+        _fmt("end").alias("end_str"),
+    )
+
+
+def q_drop_bounds_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: trim each user's hourly grid series to [first_valid, last_valid];
+    interior NULLs survive."""
+    from holcstore_spark.operators.grid import reindex_to_grid
+    from holcstore_spark.operators.slicing import drop_bounds_na
+
+    hourly = (
+        _events_versioned(spark, sf_dir)
+        .groupBy("user_id", "hts")
+        .agg(F.max("value2").alias("value"))
+        .withColumnRenamed("hts", "ts")
+    )
+    grid = reindex_to_grid(
+        hourly, ("user_id",), 3600,
+        start="2024-01-01 00:00:00", end="2024-01-30 23:00:00",
+    )
+    trimmed = drop_bounds_na(grid, ("user_id",))
+    return trimmed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_valid"),
+        _dec_sum(F.col("value")).alias("total"),
+    )
+
+
+def q_slice_with_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: cut the first 6h of each user's event stream."""
+    from holcstore_spark.operators.slicing import slice_with_delay
+
+    e = _t(spark, sf_dir, "events")
+    cut = slice_with_delay(e, ("user_id",), 6 * 3600)
+    return cut.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum(F.col("value"), 2).alias("total"),
+    )
+
+
+def q_split_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: split at a timestamp (point belongs to both sides)."""
+    from holcstore_spark.operators.slicing import split_at
+
+    e = _t(spark, sf_dir, "events")
+    before, after = split_at(e, "2024-01-15 12:00:00")
+    b = before.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_before"))
+    a = after.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_after"))
+    return b.join(a, on="user_id", how="full").fillna(
+        0, subset=["n_before", "n_after"]
+    )
+
+
+def q_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: half-open [start, end) slice (the reference's slice_ts)."""
+    from holcstore_spark.operators.slicing import time_slice
+
+    e = _t(spark, sf_dir, "events")
+    s = time_slice(e, "2024-01-10 00:00:00", "2024-01-20 00:00:00", closed="left")
+    return s.select("event_id", "user_id", _fmt("ts").alias("ts_str"))
+
+
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: forward-fill nulls per user in event order."""
+    from holcstore_spark.operators.resample import ffill
+
+    d = _events_versioned(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.col("value2").alias("filled")
+    )
+    out = ffill(d, ("user_id",), ("filled",), order="event_id")
+    return out.select("event_id", "user_id", "filled")
+
+
+def q_normalize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-user min-max normalization (per-row IEEE arithmetic)."""
+    from holcstore_spark.operators.resample import normalize_minmax
+
+    e = _t(spark, sf_dir, "events")
+    out = normalize_minmax(e, ("user_id",))
+    return out.select("event_id", "user_id", "value_norm")
+
+
+def q_min_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: minimum successive timestamp step per user, in seconds."""
+    from holcstore_spark.operators.resample import min_step
+
+    e = _t(spark, sf_dir, "events")
+    return min_step(e, ("user_id",)).select("user_id", "min_step_seconds")
+
+
+def q_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: proportional disaggregation — daily totals spread over the hourly
+    event-count profile (upsample_using_reference_serie)."""
+    from holcstore_spark.operators.resample import disaggregate_by_reference
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.count(F.lit(1)).cast("double").alias("ref"))
+    w_day = Window.partitionBy("user_id", F.date_trunc("day", "ts"))
+    w_first = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts")
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(_dec_sum(F.col("value"), 2).alias("day_total"))
+    )
+    base = (
+        hourly.withColumn("day", F.date_trunc("day", "ts"))
+        .join(daily, on=["user_id", "day"], how="left")
+        .withColumn("__rn", F.row_number().over(w_first))
+        .withColumn(
+            "feat", F.when(F.col("__rn") == 1, F.col("day_total"))
+        )
+        .drop("__rn", "day_total", "day")
+    )
+    out = disaggregate_by_reference(
+        base, ("user_id",), bucket=F.date_trunc("day", "ts"),
+        ref="ref", feat="feat", out="val",
+    )
+    return out.select("user_id", _fmt("ts").alias("ts_str"), "val")
+
+
+def q_next_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: bulk next-version assignment (max existing per scope + 1)."""
+    from holcstore_spark.operators.versioning import with_next_version
+
+    d = _events_versioned(spark, sf_dir)
+    existing = d.select("user_id", "version")
+    new = d.select("user_id").distinct()
+    out = with_next_version(new, existing, scope_keys=("user_id",))
+    return out.select("user_id", F.col("version").cast("int").alias("version"))
+
+
+def q_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F1: calendar chunk index in store-local (Europe/Paris) time of a
+    UTC-instant timestamp, both chunk axes."""
+    from holcstore_spark.functions.scalar import chunk_index_col
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        chunk_index_col("ts", ("year",), "Europe/Paris").alias("ci_year"),
+        chunk_index_col("ts", ("year", "month"), "Europe/Paris").alias("ci_ym"),
+    )
+
+
+def q_lookup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P6/O1/O4: Django-lookup dialect → pushed-down predicates, the
+    '-col' ordering dialect, and offset/limit pagination."""
+    from holcstore_spark.plans.predicates import attrs_filter, order_cols
+
+    e = _t(spark, sf_dir, "events")
+    filt = {
+        "event_type__in": ["click", "view", "purchase"],
+        "value__gte": 25.0,
+        "user_id__lt": 12,
+        "event_type__ne": "view",
+    }
+    out = (
+        e.filter(attrs_filter(filt))
+        .orderBy(*order_cols(("-value", "event_id")))
+        .offset(5)
+        .limit(50)
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S9/P3/P8 end-to-end: hourly series per user ingested into a real
+    ChunkStore (dense grid, partitioned parquet), read back alive with
+    bounds — per-user count and exact total must equal the source."""
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.max("value").alias("value"))
+
+    path = tempfile.mkdtemp(prefix="holc_rt_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        store = ChunkStore(
+            spark, path,
+            ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
+                             chunk_axis=("year", "month"),
+                             key_types={"user_id": "int"}),
+        )
+        store.ingest_long(hourly, mode="insert")
+        got = store.alive_data(
+            start="2024-01-05 00:00:00", end="2024-01-25 00:00:00"
+        ).filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_kv_store_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S6/M2 end-to-end: hourly per-(user, version) series written to
+    a real KeyValueStore with explicit versions, combined-on-read — the
+    result must equal the pure overlay query."""
+    import pandas as pd
+
+    from holcstore_spark.sources.kv_store import KeyValueStore
+
+    d = _events_versioned(spark, sf_dir)
+    # one series per (user, version): max value2 per hour (exact, no sums)
+    pdf = (
+        d.groupBy("user_id", "version", "hts")
+        .agg(F.max("value2").alias("v"))
+        .toPandas()
+    )
+    path = tempfile.mkdtemp(prefix="holc_kv_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        kv = KeyValueStore(spark, path)
+        for (uid, ver), g in pdf.groupby(["user_id", "version"]):
+            s = pd.Series(
+                g["v"].to_numpy(),
+                index=pd.DatetimeIndex(pd.to_datetime(g["hts"], utc=True)),
+            )
+            # version order == insertion order: v0 first … v2 last, so
+            # auto-versioning reproduces the explicit version numbers
+            kv.set_lc(str(uid), s, client_id=1, versionning=True)
+        prms = sorted(pdf["user_id"].astype(str).unique())
+        got = kv.get_many_lc(prms, client_id=1)
+        rows = []
+        for prm, entries in got.items():
+            s = entries[0]["data"]
+            for ts, v in s.items():
+                rows.append((int(prm), ts.strftime("%Y-%m-%d %H:%M:%S"), None if pd.isna(v) else float(v)))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts_str", "val"]),
+            schema="user_id long, ts_str string, val double",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline scan-agg (bench q1): grouped pricing summary with exact
+    decimal aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        l.filter(F.col("l_shipdate") <= "2024-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline join (bench q3-ish): revenue per order over a broadcast
+    customer dim, deterministic top-20."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("revenue_dec")
+        )
+    )
+    out = (
+        o.join(rev, o.o_orderkey == rev.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .orderBy(F.col("revenue_dec").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+    return out.select(
+        "o_orderkey", "c_name", F.col("revenue_dec").cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: versioned overlay + gap report (SURVEY §7.5) on sf0.001 —
+    per user the combined series size and the number of missing hourly
+    slots vs the requested window."""
+    sf_dir = "/root/testdata/sf0.001"
+    merged = q_overlay_merge(spark, sf_dir)
+    holes = q_completeness_holes(spark, sf_dir)
+    n_pts = merged.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_points"))
+    n_holes = holes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_holes"))
+    return n_pts.join(n_holes, on="user_id", how="left").fillna(0, subset=["n_holes"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "overlay_merge": q_overlay_merge,
+        "combined_delay": q_combined_delay,
+        "completeness_holes": q_completeness_holes,
+        "constant_runs": q_constant_runs,
+        "merge_intervals": q_merge_intervals,
+        "drop_bounds_na": q_drop_bounds_na,
+        "slice_with_delay": q_slice_with_delay,
+        "split_at": q_split_at,
+        "time_slice": q_time_slice,
+        "ffill": q_ffill,
+        "normalize_minmax": q_normalize_minmax,
+        "min_step": q_min_step,
+        "disaggregate": q_disaggregate,
+        "next_version": q_next_version,
+        "chunk_index": q_chunk_index,
+        "lookup_filter": q_lookup_filter,
+        "store_roundtrip": q_store_roundtrip,
+        "kv_store_overlay": q_kv_store_overlay,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    ev = _EVENTS_VERSIONED_SQL
+    overlay = f"""
+        WITH e AS ({ev}),
+        r AS (
+            SELECT user_id, hts, value2,
+                   row_number() OVER (
+                       PARTITION BY user_id, hts
+                       ORDER BY (value2 IS NULL) ASC, version DESC, event_id ASC
+                   ) AS rn
+            FROM e
+        )
+        SELECT user_id, strftime(hts, '{_FMT_DUCK}') AS ts_str, value2 AS val
+        FROM r WHERE rn = 1
     """
-    return {}
+    combined_delay = f"""
+        WITH e AS ({ev}),
+        cut AS (
+            SELECT * FROM (
+                SELECT *, min(hts) OVER (PARTITION BY user_id, version) AS mn
+                FROM e
+            ) WHERE hts >= mn + INTERVAL 6 HOUR
+        ),
+        r AS (
+            SELECT user_id, hts, value2,
+                   row_number() OVER (
+                       PARTITION BY user_id, hts
+                       ORDER BY (value2 IS NULL) ASC, version DESC, event_id ASC
+                   ) AS rn
+            FROM cut
+        )
+        SELECT user_id, strftime(hts, '{_FMT_DUCK}') AS ts_str, value2 AS val
+        FROM r WHERE rn = 1
+    """
+    holes = f"""
+        WITH p AS (
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS hts
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        ),
+        users AS (SELECT DISTINCT user_id FROM p),
+        grid AS (
+            SELECT u.user_id, g.ts
+            FROM users u
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-01',
+                    TIMESTAMP '2024-01-07 23:00:00',
+                    INTERVAL 1 HOUR)) AS ts
+            ) g
+        ),
+        j AS (
+            SELECT g.user_id, g.ts, (p.hts IS NOT NULL) AS present
+            FROM grid g LEFT JOIN p
+              ON p.user_id = g.user_id AND p.hts = g.ts
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN lag(present) OVER w IS DISTINCT FROM present
+                           THEN 1 ELSE 0 END AS flag
+            FROM j
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        runs AS (
+            SELECT *, sum(flag) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '{_FMT_DUCK}') AS hole_start,
+               strftime(max(ts), '{_FMT_DUCK}') AS hole_end
+        FROM runs WHERE NOT present
+        GROUP BY user_id, run_id
+    """
+    constant_runs = f"""
+        WITH e AS ({ev}),
+        d AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value2 IS NOT NULL
+                        THEN CAST(floor(value2 / 50) AS BIGINT) END AS bucket
+            FROM e
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1
+                           WHEN bucket IS DISTINCT FROM lag(bucket) OVER w
+                           THEN 1 ELSE 0 END AS flag
+            FROM d
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT *, sum(flag) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '{_FMT_DUCK}') AS run_start,
+               strftime(max(ts), '{_FMT_DUCK}') AS run_end,
+               min(bucket) AS bucket,
+               count(*) AS run_len
+        FROM runs
+        GROUP BY user_id, run_id
+    """
+    merge_intervals = f"""
+        WITH iv AS (
+            SELECT user_id, ts AS s,
+                   ts + to_hours(CAST(floor(value / 10) AS BIGINT)) AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN max_prev IS NULL OR s > max_prev THEN 1 ELSE 0 END AS new_island
+            FROM (
+                SELECT *, max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
+                FROM iv
+            )
+        ),
+        runs AS (
+            SELECT *, sum(new_island) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(s), '{_FMT_DUCK}') AS start_str,
+               strftime(max(e), '{_FMT_DUCK}') AS end_str
+        FROM runs GROUP BY user_id, island
+    """
+    drop_bounds_na = f"""
+        WITH e AS ({ev}),
+        hourly AS (
+            SELECT user_id, hts AS ts, max(value2) AS value
+            FROM e GROUP BY user_id, hts
+        ),
+        grid AS (
+            SELECT u.user_id, g.ts
+            FROM (SELECT DISTINCT user_id FROM hourly) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-01',
+                    TIMESTAMP '2024-01-30 23:00:00',
+                    INTERVAL 1 HOUR)) AS ts
+            ) g
+        ),
+        j AS (
+            SELECT g.user_id, g.ts, h.value
+            FROM grid g LEFT JOIN hourly h
+              ON h.user_id = g.user_id AND h.ts = g.ts
+        ),
+        bounds AS (
+            SELECT user_id,
+                   min(ts) FILTER (value IS NOT NULL) AS fv,
+                   max(ts) FILTER (value IS NOT NULL) AS lv
+            FROM j GROUP BY user_id
+        )
+        SELECT j.user_id,
+               count(*) AS n_rows,
+               count(j.value) AS n_valid,
+               CAST(sum(CAST(j.value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM j JOIN bounds b ON j.user_id = b.user_id
+        WHERE j.ts BETWEEN b.fv AND b.lv
+        GROUP BY j.user_id
+    """
+    slice_with_delay = """
+        WITH cut AS (
+            SELECT * FROM (
+                SELECT *, min(ts) OVER (PARTITION BY user_id) AS mn FROM events
+            ) WHERE ts >= mn + INTERVAL 6 HOUR
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM cut GROUP BY user_id
+    """
+    split_at = """
+        WITH b AS (
+            SELECT user_id, count(*) AS n_before FROM events
+            WHERE ts <= TIMESTAMP '2024-01-15 12:00:00' GROUP BY user_id
+        ),
+        a AS (
+            SELECT user_id, count(*) AS n_after FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 12:00:00' GROUP BY user_id
+        )
+        SELECT coalesce(b.user_id, a.user_id) AS user_id,
+               coalesce(n_before, 0) AS n_before,
+               coalesce(n_after, 0) AS n_after
+        FROM b FULL JOIN a ON b.user_id = a.user_id
+    """
+    time_slice = f"""
+        SELECT event_id, user_id, strftime(ts, '{_FMT_DUCK}') AS ts_str
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """
+    ffill = f"""
+        WITH e AS ({ev})
+        SELECT event_id, user_id,
+               last_value(value2 IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM e
+    """
+    normalize_minmax = """
+        SELECT event_id, user_id,
+               CASE WHEN mx <> mn THEN (value - mn) / (mx - mn) END AS value_norm
+        FROM (
+            SELECT *, min(value) OVER (PARTITION BY user_id) AS mn,
+                      max(value) OVER (PARTITION BY user_id) AS mx
+            FROM events
+        )
+    """
+    min_step = """
+        SELECT user_id,
+               min(epoch_us(ts) // 1000000 - epoch_us(prev) // 1000000) AS min_step_seconds
+        FROM (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM events
+        )
+        GROUP BY user_id
+    """
+    disaggregate = f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts,
+                   CAST(count(*) AS DOUBLE) AS ref
+            FROM events GROUP BY 1, 2
+        ),
+        daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS day_total
+            FROM events GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT h.user_id, h.ts, h.ref,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY h.user_id, date_trunc('day', h.ts)
+                            ORDER BY h.ts) = 1
+                        THEN d.day_total END AS feat
+            FROM hourly h
+            LEFT JOIN daily d
+              ON d.user_id = h.user_id AND d.day = date_trunc('day', h.ts)
+        ),
+        filled AS (
+            SELECT *, last_value(feat IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS featf
+            FROM base
+        )
+        SELECT user_id, strftime(ts, '{_FMT_DUCK}') AS ts_str,
+               CASE WHEN mean_ref <> 0 THEN featf * ref / mean_ref END AS val
+        FROM (
+            SELECT *, avg(ref) OVER (
+                PARTITION BY user_id, date_trunc('day', ts)) AS mean_ref
+            FROM filled
+        )
+    """
+    next_version = f"""
+        WITH e AS ({ev})
+        SELECT user_id, CAST(max(version) + 1 AS INT) AS version
+        FROM e GROUP BY user_id
+    """
+    chunk_index = """
+        SELECT event_id,
+               CAST(year(timezone('Europe/Paris', timezone('UTC', ts))) AS INT) AS ci_year,
+               CAST(year(timezone('Europe/Paris', timezone('UTC', ts))) * 12
+                    + month(timezone('Europe/Paris', timezone('UTC', ts))) - 1 AS INT) AS ci_ym
+        FROM events
+    """
+    lookup_filter = """
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+          AND value >= 25.0 AND user_id < 12 AND event_type <> 'view'
+        ORDER BY value DESC, event_id ASC
+        LIMIT 50 OFFSET 5
+    """
+    store_roundtrip = """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_points,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM hourly
+        WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-25'
+        GROUP BY user_id
+    """
+    kv_store_overlay = f"""
+        WITH e AS ({ev}),
+        hourly AS (
+            SELECT user_id, version, hts, max(value2) AS v
+            FROM e GROUP BY 1, 2, 3
+        ),
+        r AS (
+            SELECT user_id, hts, v,
+                   row_number() OVER (
+                       PARTITION BY user_id, hts
+                       ORDER BY (v IS NULL) ASC, version DESC
+                   ) AS rn
+            FROM hourly
+        )
+        SELECT user_id, strftime(hts, '{_FMT_DUCK}') AS ts_str, v AS val
+        FROM r WHERE rn = 1
+    """
+    pricing_summary = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    top_revenue = """
+        WITH rev AS (
+            SELECT l_orderkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue_dec
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o_orderkey, c_name, CAST(revenue_dec AS DOUBLE) AS revenue
+        FROM orders
+        JOIN rev ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue_dec DESC, o_orderkey ASC
+        LIMIT 20
+    """
+    return {
+        "overlay_merge": overlay,
+        "combined_delay": combined_delay,
+        "completeness_holes": holes,
+        "constant_runs": constant_runs,
+        "merge_intervals": merge_intervals,
+        "drop_bounds_na": drop_bounds_na,
+        "slice_with_delay": slice_with_delay,
+        "split_at": split_at,
+        "time_slice": time_slice,
+        "ffill": ffill,
+        "normalize_minmax": normalize_minmax,
+        "min_step": min_step,
+        "disaggregate": disaggregate,
+        "next_version": next_version,
+        "chunk_index": chunk_index,
+        "lookup_filter": lookup_filter,
+        "store_roundtrip": store_roundtrip,
+        "kv_store_overlay": kv_store_overlay,
+        "pricing_summary": pricing_summary,
+        "top_revenue": top_revenue,
+    }
