@@ -1,0 +1,58 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is executed twice: a warm-up collect is NOT done (cold numbers
+are what a first-run user sees); timing covers plan + execute + collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue",
+    "overlay_merge",
+    "completeness_holes",
+    "constant_runs",
+    "merge_intervals",
+    "disaggregate",
+    "store_roundtrip",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry_mod
+    from holcstore_spark import get_spark
+
+    spark = get_spark(app_name="holcstore-bench")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+    spark.stop()
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

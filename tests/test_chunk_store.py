@@ -1,0 +1,297 @@
+"""ChunkStore semantics matrix.
+
+Ports the reference's parameterized scenarios
+(hostore/tests/test_chunk_timeserie_store.py:73-401): chunk axis ×
+store tz × input tz × NaN-hole patterns; round-trip equality, range
+filters incl. NaT/None/mixed-tz bounds, update/replace chains ≡
+ts_combine_first folds, set_many/yield_many, blind-overwrite and
+partial-attrs errors, max horodate, tombstones.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from holcstore_spark import ChunkStoreConfig
+from holcstore_spark.sources.chunk_store import ChunkStore, KeyExistsError, SyncGuardError
+
+
+def make_store(spark, tmpdir, tz="Europe/Paris", axis=("year", "month"), freq="1h",
+               allow_sync=False):
+    path = os.path.join(tmpdir, f"store_{tz.replace('/', '_')}_{'_'.join(axis)}")
+    cfg = ChunkStoreConfig(
+        keys=("site", "meter"), freq=freq, tz=tz, chunk_axis=axis,
+        allow_sync=allow_sync,
+        key_types={"site": "str", "meter": "str"},
+    )
+    return ChunkStore(spark, path, cfg)
+
+
+def hourly(start, periods, tz="Europe/Paris", value=None, seed=0):
+    idx = pd.date_range(start, periods=periods, freq="1h", tz=tz)
+    rng = np.random.RandomState(seed)
+    vals = rng.rand(periods) if value is None else np.full(periods, float(value))
+    return pd.Series(vals, index=idx)
+
+
+ATTRS = {"site": "s1", "meter": "m1"}
+
+
+def assert_series_equal_on_grid(got: pd.Series, expected: pd.Series, store_tz: str):
+    exp = expected.tz_convert(store_tz).sort_index()
+    sub = got.reindex(exp.index)
+    pd.testing.assert_series_equal(
+        sub.dropna(), exp.dropna(), check_freq=False, check_names=False
+    )
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="holc_cs_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("store_tz", ["Europe/Paris", "UTC"])
+@pytest.mark.parametrize("axis", [("year",), ("year", "month")])
+class TestRoundTripMatrix:
+    def test_roundtrip(self, spark, tmpdir, store_tz, axis):
+        st = make_store(spark, tmpdir, tz=store_tz, axis=axis)
+        s = hourly("2024-11-20", 24 * 50, tz="Europe/Paris", seed=1)
+        st.set_ts(ATTRS, s)
+        got = st.get_ts(ATTRS)
+        assert got is not None
+        assert str(got.index.tz) == store_tz
+        assert_series_equal_on_grid(got, s, store_tz)
+        # bounds trimmed to data extent (drop_bounds_na)
+        assert got.index.min() == s.index.min().tz_convert(store_tz)
+        assert got.index.max() == s.index.max().tz_convert(store_tz)
+
+    def test_chunk_counts(self, spark, tmpdir, store_tz, axis):
+        st = make_store(spark, tmpdir, tz=store_tz, axis=axis)
+        # span Nov 20 → ~Jan 8: 2 years; 3 months
+        s = hourly("2024-11-20", 24 * 50, tz=store_tz, value=1.0)
+        st.set_ts(ATTRS, s)
+        expected = 2 if axis == ("year",) else 3
+        assert st.count_chunks(dict(ATTRS)) == expected
+        assert st.count_keys() == 1
+
+    def test_naive_input_localized(self, spark, tmpdir, store_tz, axis):
+        st = make_store(spark, tmpdir, tz=store_tz, axis=axis)
+        idx = pd.date_range("2024-03-01", periods=48, freq="1h")  # naive
+        with pytest.warns(UserWarning):
+            st.set_ts(ATTRS, pd.Series(2.0, index=idx))
+        got = st.get_ts(ATTRS)
+        assert got.index.min() == pd.Timestamp("2024-03-01", tz=store_tz)
+
+
+class TestRangeReads:
+    def test_mixed_tz_bounds(self, spark, tmpdir):
+        # reference: test_chunk_timeserie_store.py:178-209 — str / NaT /
+        # None / aware bounds in any tz
+        st = make_store(spark, tmpdir)
+        s = hourly("2024-01-01", 24 * 30, value=3.0)
+        st.set_ts(ATTRS, s)
+        full = st.get_ts(ATTRS)
+        assert st.get_ts(ATTRS, start=None, end=None).equals(full)
+        assert st.get_ts(ATTRS, start=pd.NaT, end=pd.NaT).equals(full)
+        a = st.get_ts(ATTRS, start="2024-01-10", end="2024-01-20")
+        b = st.get_ts(
+            ATTRS,
+            start=pd.Timestamp("2024-01-10", tz="Europe/Paris").tz_convert("Asia/Tokyo"),
+            end=pd.Timestamp("2024-01-20", tz="Europe/Paris"),
+        )
+        assert a.equals(b)
+        assert a.index.min() == pd.Timestamp("2024-01-10", tz="Europe/Paris")
+        assert a.index.max() == pd.Timestamp("2024-01-20", tz="Europe/Paris")
+
+    def test_absent_key_returns_none(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-01", 24))
+        assert st.get_ts({"site": "zz", "meter": "m1"}) is None
+
+    def test_partial_attrs_raises(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        with pytest.raises(ValueError):
+            st.get_ts({"site": "s1"})
+        with pytest.raises(ValueError):
+            st.set_ts({"site": "s1"}, hourly("2024-01-01", 24))
+
+    def test_nan_holes_preserved_and_trimmed(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        s = hourly("2024-01-01", 48, value=1.0)
+        s.iloc[10:20] = np.nan
+        st.set_ts(ATTRS, s)
+        got = st.get_ts(ATTRS)
+        assert got.isna().sum() == 10
+        # all-NaN series refused
+        with pytest.raises(ValueError):
+            st.set_ts({"site": "x", "meter": "y"}, s * np.nan)
+
+
+class TestWriteSemantics:
+    def test_blind_overwrite_raises(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-01", 24))
+        with pytest.raises(KeyExistsError):
+            st.set_ts(ATTRS, hourly("2024-01-01", 24))
+
+    def test_update_and_replace_mutually_exclusive(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        with pytest.raises(ValueError):
+            st.set_ts(ATTRS, hourly("2024-01-01", 24), update=True, replace=True)
+
+    def test_update_chain_is_combine_first_fold(self, spark, tmpdir):
+        # reference: test_chunk_timeserie_store.py:262-281 — chained updates
+        # ≡ ts_combine_first([s3, s2, s1])
+        st = make_store(spark, tmpdir)
+        s1 = hourly("2024-01-01", 72, value=1.0)
+        s2 = hourly("2024-01-02", 72, value=2.0)
+        s2.iloc[5:10] = np.nan
+        s3 = hourly("2024-01-03", 72, value=3.0)
+        st.set_ts(ATTRS, s1)
+        st.set_ts(ATTRS, s2, update=True)
+        st.set_ts(ATTRS, s3, update=True)
+        got = st.get_ts(ATTRS)
+        expected = s3.combine_first(s2).combine_first(s1)
+        assert_series_equal_on_grid(got, expected.dropna(), "Europe/Paris")
+
+    def test_replace_overwrites_span_and_tombstones_rest(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        jan = hourly("2024-01-01", 24 * 20, value=1.0)
+        feb = hourly("2024-02-01", 24 * 10, value=2.0)
+        both = pd.concat([jan, feb])
+        st.set_ts(ATTRS, both)
+        assert st.count_chunks(dict(ATTRS)) == 2
+        st.set_ts(ATTRS, feb * 2, replace=True)
+        got = st.get_ts(ATTRS)
+        # january chunk tombstoned, feb replaced
+        assert got.index.min() >= pd.Timestamp("2024-02-01", tz="Europe/Paris")
+        assert (got.dropna() == 4.0).all()
+        assert st.count_chunks(dict(ATTRS)) == 1
+
+    def test_set_many_and_yield_many(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        mapping = {
+            ("s1", "m1"): hourly("2024-01-01", 48, value=1.0),
+            ("s1", "m2"): hourly("2024-01-01", 48, value=2.0),
+            ("s2", "m1"): hourly("2024-02-01", 48, value=3.0),
+        }
+        st.set_many_ts(mapping)
+        out = list(st.yield_many_ts())
+        assert len(out) == 3
+        got = {tuple(k[c] for c in ("site", "meter")): s for s, k in out}
+        for k, src in mapping.items():
+            assert (got[k].dropna() == src.iloc[0]).all()
+        # duplicate keys in a second bulk → error, nothing written
+        with pytest.raises(KeyExistsError):
+            st.set_many_ts({("s1", "m1"): hourly("2024-03-01", 24)})
+        # filtered yield
+        only_s1 = list(st.yield_many_ts({"site": "s1"}))
+        assert len(only_s1) == 2
+
+    def test_mixed_key_batch_preserves_uncovered_chunks(self, spark, tmpdir):
+        # regression for the (keys, chunk_index) anti-join fix
+        st = make_store(spark, tmpdir, tz="UTC")
+        may = hourly("2024-05-01", 48, tz="UTC", value=5.0)
+        jun = hourly("2024-06-01", 48, tz="UTC", value=6.0)
+        st.set_ts(ATTRS, pd.concat([may, jun]))
+        batch = pd.concat([
+            pd.DataFrame({"site": "s1", "meter": "m1", "ts": may.index.tz_convert("UTC"), "value": 7.0}),
+            pd.DataFrame({"site": "other", "meter": "m9", "ts": jun.index.tz_convert("UTC"), "value": 8.0}),
+        ])
+        st.ingest_long(spark.createDataFrame(batch), mode="update")
+        got = st.get_ts(ATTRS)
+        jun_part = got[got.index >= pd.Timestamp("2024-06-01", tz="UTC")].dropna()
+        assert (jun_part == 6.0).all() and len(jun_part) == 48
+
+
+class TestAggregates:
+    def test_max_horodate_ignores_nan_tail(self, spark, tmpdir):
+        # reference: test_chunk_timeserie_store.py:244-254
+        st = make_store(spark, tmpdir)
+        s = hourly("2024-01-01", 48, value=1.0)
+        s.iloc[-5:] = np.nan
+        st.set_ts(ATTRS, s)
+        assert st.get_max_horodate(dict(ATTRS)) == s.index[-6].tz_convert("Europe/Paris")
+        assert st.get_max_horodate({"site": "none"}) is None
+
+    def test_last_updated_at_default_epoch(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        assert st.last_updated_at() == pd.Timestamp("2000-01-01", tz="UTC")
+        st.set_ts(ATTRS, hourly("2024-01-01", 24))
+        assert st.last_updated_at() > pd.Timestamp("2020-01-01", tz="UTC")
+
+
+class TestDelete:
+    def test_tombstone_delete_and_compact(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-01", 48))
+        st.set_ts({"site": "s2", "meter": "m1"}, hourly("2024-01-01", 48))
+        n = st.delete({"site": "s1"})
+        assert n == 1
+        assert st.get_ts(ATTRS) is None
+        assert st.count_keys() == 1
+        # tombstones remain in the change feed
+        feed = st.updates().collect()
+        assert any(r["is_deleted"] for r in feed)
+        st.compact()
+        assert st.get_ts(ATTRS) is None
+        assert st.get_ts({"site": "s2", "meter": "m1"}) is not None
+
+    def test_untracked_delete_erases_all_trace(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-01", 48))
+        st.delete({"site": "s1"}, keep_tracking=False)
+        assert st.meta().count() == 0
+        assert st.data().count() == 0
+        # a later set_ts takes the clean insert path — no duplicates
+        st.set_ts(ATTRS, hourly("2024-01-01", 48, value=9.0))
+        got = st.get_ts(ATTRS)
+        assert (got.dropna() == 9.0).all()
+        dup = (
+            st.alive_data(dict(ATTRS))
+            .groupBy("ts").agg(F.count("*").alias("n")).filter("n > 1").count()
+        )
+        assert dup == 0
+
+
+class TestSyncGuards:
+    def test_guards(self, spark, tmpdir):
+        st = make_store(spark, tmpdir, allow_sync=True)
+        with pytest.raises(SyncGuardError):
+            st.set_ts(ATTRS, hourly("2024-01-01", 24))
+        with pytest.raises(SyncGuardError):
+            st.set_many_ts({("a", "b"): hourly("2024-01-01", 24)})
+        st.set_ts(ATTRS, hourly("2024-01-01", 24), update=True)
+        with pytest.raises(SyncGuardError):
+            st.delete({"site": "s1"}, keep_tracking=False)
+
+
+class TestConfig:
+    def test_frozen_config_mismatch_raises(self, spark, tmpdir):
+        make_store(spark, tmpdir, freq="1h")
+        with pytest.raises(ValueError):
+            make_store(spark, tmpdir, freq="15min")
+
+    def test_attrs_dict_order_irrelevant(self, spark, tmpdir):
+        # regression: positional createDataFrame must not swap key values
+        st = make_store(spark, tmpdir)
+        st.set_ts({"meter": "mm", "site": "ss"}, hourly("2024-01-01", 24, value=1.0))
+        assert st.get_ts({"site": "ss", "meter": "mm"}) is not None
+        assert st.get_ts({"site": "mm", "meter": "ss"}) is None
+
+    def test_meta_autocompact(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        st.META_COMPACT_THRESHOLD = 5
+        for i in range(8):
+            st.set_ts({"site": f"s{i}", "meter": "m"}, hourly("2024-01-01", 4, value=1.0))
+        assert st._meta_file_count() <= 6
+        assert st.count_keys() == 8

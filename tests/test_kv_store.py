@@ -1,0 +1,162 @@
+"""KeyValueStore semantics (reference Store tests: tests_basics.py,
+tests_with_attributes.py, tests_slice_with_delay.py, tests_find_groups.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from holcstore_spark.operators.intervals import Range
+from holcstore_spark.sources.kv_store import KeyValueStore
+
+
+def dt_series(vals, start="2024-01-01", freq="1D"):
+    idx = pd.date_range(start, periods=len(vals), freq=freq, tz="UTC")
+    return pd.Series([float(v) if v is not None else np.nan for v in vals], index=idx)
+
+
+@pytest.fixture()
+def kv(spark, tmp_store_path):
+    return KeyValueStore(spark, tmp_store_path)
+
+
+class TestCrud:
+    def test_roundtrip_datetime_index(self, kv):
+        s = dt_series([1, 2, 3])
+        kv.set_lc("p1", s, client_id=7)
+        got = kv.get_lc("p1", 7)
+        assert len(got) == 1
+        pd.testing.assert_series_equal(got[0]["data"], s, check_names=False, check_freq=False)
+
+    def test_roundtrip_integer_index(self, kv):
+        # reference stores integer-indexed series (tests_basics.py:29)
+        s = pd.Series([1.0, 2.0, 3.0], index=[0, 1, 2])
+        kv.set_lc("p1", s, client_id=1)
+        got = kv.get_lc("p1", 1)[0]["data"]
+        assert list(got.index) == [0, 1, 2]
+        assert list(got.values) == [1.0, 2.0, 3.0]
+
+    def test_replace_non_versioned(self, kv):
+        kv.set_lc("p1", dt_series([1, 2]), client_id=1)
+        kv.set_lc("p1", dt_series([9, 9]), client_id=1)
+        got = kv.get_lc("p1", 1)
+        assert len(got) == 1
+        assert (got[0]["data"] == 9.0).all()
+
+    def test_rejections(self, kv):
+        with pytest.raises(ValueError):
+            kv.set_lc("p1", dt_series([None, None]), client_id=1)
+        with pytest.raises(ValueError):
+            kv.set_lc("p1", "not a series", client_id=1)
+
+    def test_count_clear(self, kv):
+        kv.set_lc("p1", dt_series([1]), client_id=1)
+        kv.set_lc("p2", dt_series([1]), client_id=1)
+        kv.set_lc("p1", dt_series([1]), client_id=2)
+        assert kv.count() == 3
+        assert kv.count(client_id=1) == 2
+        kv.clear(["p1"], client_id=1)
+        assert kv.count(client_id=1) == 1
+        kv.clear_all(client_id=2)
+        assert kv.count() == 1
+        kv.clear_all()
+        assert kv.count() == 0
+        assert kv.get_lc("p1", 1) == []
+
+
+class TestVersioning:
+    def test_auto_increment_and_combined_read(self, kv):
+        # reference tests_basics.py:86-137
+        v0 = dt_series([1, 1, 1, None])
+        v1 = dt_series([None, 2, 2, 2])
+        kv.set_lc("p1", v0, client_id=1, versionning=True)
+        kv.set_lc("p1", v1, client_id=1, versionning=True)
+        raw = kv.get_lc("p1", 1, combined_versions=False)
+        assert [e["version"] for e in raw] == [1, 0]
+        comb = kv.get_lc("p1", 1)
+        assert len(comb) == 1
+        assert comb[0]["version"] == 1  # reports latest version
+        expected = v1.combine_first(v0)
+        pd.testing.assert_series_equal(
+            comb[0]["data"], expected, check_names=False, check_freq=False
+        )
+
+    def test_specific_version_read(self, kv):
+        kv.set_lc("p1", dt_series([1]), client_id=1, versionning=True)
+        kv.set_lc("p1", dt_series([2]), client_id=1, versionning=True)
+        got = kv.get_lc("p1", 1, combined_versions=False, version=0)
+        assert len(got) == 1 and got[0]["data"].iloc[0] == 1.0
+
+    def test_combined_by_custom_attrs(self, kv, spark, tmp_store_path):
+        # reference tests_with_attributes.py:35-85: overlay per (prm, year)
+        kv2 = KeyValueStore(spark, tmp_store_path + "_attrs", attr_cols=("year",))
+        kv2.set_lc("p1", dt_series([1, 1]), client_id=1, versionning=True,
+                   attributes_to_set={"year": "2023"})
+        kv2.set_lc("p1", dt_series([2, 2]), client_id=1, versionning=True,
+                   attributes_to_set={"year": "2024"})
+        comb = kv2.get_lc("p1", 1, combined_by=("prm", "year"))
+        assert len(comb) == 2
+        years = sorted(e["year"] for e in comb)
+        assert years == ["2023", "2024"]
+
+    def test_combined_delay(self, kv):
+        # reference tests_slice_with_delay.py:31-54 — each version loses its
+        # first `delay` before the overlay
+        v0 = dt_series([10, 10, 10, 10], start="2024-01-01")
+        v1 = dt_series([2, 2], start="2024-01-01")
+        kv.set_lc("p1", v0, client_id=1, versionning=True)
+        kv.set_lc("p1", v1, client_id=1, versionning=True)
+        comb = kv.get_lc("p1", 1, combined_delay="1D")[0]["data"]
+        # v1 contributes only Jan 2 (its first day cut); v0 only Jan 2-4
+        assert comb.loc[pd.Timestamp("2024-01-02", tz="UTC")] == 2.0
+        assert comb.loc[pd.Timestamp("2024-01-03", tz="UTC")] == 10.0
+        assert pd.Timestamp("2024-01-01", tz="UTC") not in comb.index
+
+
+class TestBulk:
+    def test_set_many_versioned_single_write(self, kv):
+        kv.set_lc("a", dt_series([0]), client_id=1, versionning=True)
+        kv.set_many_lc({"a": dt_series([1]), "b": dt_series([2])},
+                       client_id=1, versionning=True)
+        raw = kv.df().select("prm", "version").distinct().collect()
+        got = sorted((r["prm"], r["version"]) for r in raw)
+        assert got == [("a", 0), ("a", 1), ("b", 0)]
+
+    def test_get_many(self, kv):
+        kv.set_many_lc({"a": dt_series([1]), "b": dt_series([2])}, client_id=1)
+        out = kv.get_many_lc(["a", "b", "absent"], client_id=1)
+        assert set(out) == {"a", "b"}
+
+
+class TestHoles:
+    def test_find_holes_patterns(self, kv):
+        # reference tests_basics.py:197-243: 0, 1, 2 holes + absent prm
+        full = dt_series([1] * 10)
+        one_hole = dt_series([1, 1, None, None, 1, 1, 1, 1, 1, 1])
+        two_holes = dt_series([1, None, 1, 1, None, None, 1, 1, 1, 1])
+        kv.set_lc("full", full, client_id=1)
+        kv.set_lc("one", one_hole, client_id=1)
+        kv.set_lc("two", two_holes, client_id=1)
+        sd, ed = "2024-01-01", "2024-01-10"
+        holes = dict(kv.find_holes(["full", "one", "two", "absent"], 1, sd, ed))
+        assert holes["full"] == []
+        assert len(holes["one"]) == 1
+        assert len(holes["two"]) == 2
+        assert holes["absent"] == [
+            Range(pd.Timestamp(sd, tz="UTC"), pd.Timestamp(ed, tz="UTC"))
+        ]
+        h = holes["one"][0]
+        assert h.sd == pd.Timestamp("2024-01-03", tz="UTC")
+        assert h.ed == pd.Timestamp("2024-01-04", tz="UTC")
+
+    def test_find_groups(self, kv):
+        kv.set_lc("a", dt_series([1] * 5), client_id=1)
+        kv.set_lc("b", dt_series([1, 1, None, 1, 1]), client_id=1)
+        data, groups = kv.find_groups(["a", "b", "c"], 1, "2024-01-01", "2024-01-05")
+        assert set(data) == {"a", "b"}
+        # c missing everywhere; b has the middle hole
+        all_ranges = {r for rs in groups for r in [rs]}
+        assert any("c" in prms for prms in groups.values())
+        assert any("b" in prms for prms in groups.values())

@@ -1,0 +1,237 @@
+"""Operator-level tests (pure DataFrame → DataFrame).
+
+Mirrors the reference's helper tests: islands/constant runs
+(hostore/utils/timeseries.py:75-102), completeness
+(timeseries.py:11-65), interval algebra (utils/range/tests.py),
+combine_first (timeseries.py:136-163), disaggregation
+(timeseries.py:166-225).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from holcstore_spark.operators.grid import completeness_holes, reindex_to_grid
+from holcstore_spark.operators.intervals import Range, merge_intervals
+from holcstore_spark.operators.islands import constant_runs, null_runs
+from holcstore_spark.operators.overlay import combine_first, overlay_merge
+from holcstore_spark.operators.resample import (
+    disaggregate_by_reference,
+    ffill,
+    min_step,
+    normalize_minmax,
+)
+from holcstore_spark.operators.slicing import (
+    drop_bounds_na,
+    slice_with_delay,
+    split_at,
+    time_slice,
+)
+from holcstore_spark.operators.versioning import next_version, with_next_version
+
+
+def _ts(h):
+    return pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(hours=h)
+
+
+def _long(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+    return spark.createDataFrame(pdf, schema="k string, ts timestamp, value double")
+
+
+class TestIslands:
+    def test_constant_runs_basic(self, spark):
+        # reference find_constant_sequences: runs of equal value, NaN-aware
+        vals = [1.0, 1.0, 2.0, None, None, 2.0]
+        df = _long(spark, [("a", _ts(i), v) for i, v in enumerate(vals)])
+        runs = constant_runs(df, ("k",)).orderBy("run_start").collect()
+        assert [(r["value"], r["run_len"]) for r in runs] == [
+            (1.0, 2), (2.0, 1), (None, 2), (2.0, 1),
+        ]
+        assert runs[0]["run_start"] == _ts(0).tz_localize(None)
+        assert runs[0]["run_end"] == _ts(1).tz_localize(None)
+
+    def test_null_runs(self, spark):
+        vals = [None, 1.0, None, None, 1.0]
+        df = _long(spark, [("a", _ts(i), v) for i, v in enumerate(vals)])
+        runs = null_runs(df, ("k",)).orderBy("run_start").collect()
+        assert [(r["run_len"]) for r in runs] == [1, 2]
+
+
+class TestGrid:
+    def test_holes_with_margin(self, spark):
+        # hole at hours 2-3 of a 0..5 grid; margin widens by one step
+        rows = [("a", _ts(h), 1.0) for h in [0, 1, 4, 5]]
+        df = _long(spark, rows)
+        holes = completeness_holes(
+            df, ("k",), 3600, start=_ts(0), end=_ts(5)
+        ).collect()
+        assert len(holes) == 1
+        assert holes[0]["hole_start"] == _ts(2).tz_localize(None)
+        assert holes[0]["hole_end"] == _ts(3).tz_localize(None)
+        wide = completeness_holes(
+            df, ("k",), 3600, start=_ts(0), end=_ts(5), margin_seconds=3600
+        ).collect()
+        assert wide[0]["hole_start"] == _ts(1).tz_localize(None)
+        assert wide[0]["hole_end"] == _ts(4).tz_localize(None)
+
+    def test_absent_range_is_full_hole(self, spark):
+        rows = [("a", _ts(h), 1.0) for h in [10, 11]]
+        holes = completeness_holes(
+            _long(spark, rows), ("k",), 3600, start=_ts(0), end=_ts(5)
+        ).collect()
+        assert len(holes) == 1
+        assert holes[0]["hole_start"] == _ts(0).tz_localize(None)
+        assert holes[0]["hole_end"] == _ts(5).tz_localize(None)
+
+    def test_reindex_bounds_default_per_key(self, spark):
+        rows = [("a", _ts(0), 1.0), ("a", _ts(3), 2.0), ("b", _ts(1), 3.0)]
+        grid = reindex_to_grid(_long(spark, rows), ("k",), 3600)
+        counts = {r["k"]: r["n"] for r in grid.groupBy("k").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"a": 4, "b": 1}
+
+
+class TestIntervals:
+    def test_merge_intervals_df(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "k": ["a"] * 3 + ["b"],
+                "start": [_ts(0), _ts(1), _ts(5), _ts(0)],
+                "end": [_ts(2), _ts(3), _ts(6), _ts(1)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = merge_intervals(df, keys=("k",)).orderBy("k", "start").collect()
+        assert [(r["k"], r["start"], r["end"]) for r in out] == [
+            ("a", _ts(0).tz_localize(None), _ts(3).tz_localize(None)),
+            ("a", _ts(5).tz_localize(None), _ts(6).tz_localize(None)),
+            ("b", _ts(0).tz_localize(None), _ts(1).tz_localize(None)),
+        ]
+
+    # Range scalar algebra (reference: hostore/utils/range/tests.py)
+    def test_range_difference_cases(self):
+        r = Range(10, 20)
+        assert r.difference_missing(None) == [r]
+        assert r.difference_missing(Range(0, 5)) == [r]        # disjoint
+        assert r.difference_missing(Range(0, 30)) == []        # covered
+        assert r.difference_missing(Range(0, 15)) == [Range(15, 20)]
+        assert r.difference_missing(Range(15, 30)) == [Range(10, 15)]
+        assert r.difference_missing(Range(12, 18)) == [Range(10, 12), Range(18, 20)]
+        # min_delta drops slivers
+        assert r.difference_missing(Range(11, 30), min_delta=2) == []
+        assert r.difference_missing(Range(13, 30), min_delta=2) == [Range(10, 13)]
+
+    def test_range_intersection(self):
+        assert Range(0, 10).intersection(Range(5, 20)) == Range(5, 10)
+        assert Range(0, 10).intersection(Range(20, 30)) is None
+        assert Range(0, 10).intersection(Range(9, 20), min_delta=5) is None
+
+    def test_range_combine_and_predicates(self):
+        merged = Range.combine([Range(5, 6), Range(0, 2), Range(1, 3)])
+        assert merged == [Range(0, 3), Range(5, 6)]
+        assert Range(0, 10).overlap(Range(10, 20))
+        assert Range(0, 10).includes(Range(2, 3))
+        assert Range(0, 10).check_date(10)
+        with pytest.raises(ValueError):
+            Range(5, 1)
+
+
+class TestOverlay:
+    def test_combine_first_priority(self, spark):
+        # list order = priority (reference ts_combine_first)
+        a = _long(spark, [("k", _ts(0), 1.0), ("k", _ts(1), None)])
+        b = _long(spark, [("k", _ts(0), 9.0), ("k", _ts(1), 2.0), ("k", _ts(2), 3.0)])
+        out = combine_first([a, b], keys=("k",)).orderBy("ts").collect()
+        assert [r["value"] for r in out] == [1.0, 2.0, 3.0]
+
+    def test_overlay_merge_latest_version_wins(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "k": ["k"] * 4,
+                "version": [0, 0, 1, 1],
+                "ts": [_ts(0), _ts(1), _ts(0), _ts(2)],
+                "value": [1.0, 2.0, 10.0, None],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = overlay_merge(df, combined_by=("k",), order_by=("-version",)).orderBy("ts").collect()
+        # v1 wins at ts0; v0 fills ts1; all-null ts2 stays null
+        assert [r["value"] for r in out] == [10.0, 2.0, None]
+
+
+class TestSlicing:
+    def test_time_slice_modes(self, spark):
+        df = _long(spark, [("a", _ts(h), float(h)) for h in range(4)])
+        assert time_slice(df, _ts(1), _ts(2)).count() == 2
+        assert time_slice(df, _ts(1), _ts(3), closed="left").count() == 2
+        assert time_slice(df, None, _ts(1)).count() == 2
+
+    def test_drop_bounds_na(self, spark):
+        vals = [None, 1.0, None, 2.0, None]
+        df = _long(spark, [("a", _ts(i), v) for i, v in enumerate(vals)])
+        out = drop_bounds_na(df, ("k",)).orderBy("ts").collect()
+        assert [r["value"] for r in out] == [1.0, None, 2.0]
+
+    def test_slice_with_delay_and_split(self, spark):
+        df = _long(spark, [("a", _ts(h), float(h)) for h in range(5)])
+        assert slice_with_delay(df, ("k",), 2 * 3600).count() == 3
+        before, after = split_at(df, _ts(2))
+        assert (before.count(), after.count()) == (3, 3)
+
+
+class TestResample:
+    def test_ffill(self, spark):
+        vals = [1.0, None, None, 4.0]
+        df = _long(spark, [("a", _ts(i), v) for i, v in enumerate(vals)])
+        out = ffill(df, ("k",), ("value",)).orderBy("ts").collect()
+        assert [r["value"] for r in out] == [1.0, 1.0, 1.0, 4.0]
+
+    def test_normalize_minmax(self, spark):
+        df = _long(spark, [("a", _ts(i), v) for i, v in enumerate([0.0, 5.0, 10.0])])
+        out = normalize_minmax(df, ("k",)).orderBy("ts").collect()
+        assert [r["value_norm"] for r in out] == [0.0, 0.5, 1.0]
+
+    def test_min_step(self, spark):
+        df = _long(spark, [("a", _ts(0), 1.0), ("a", _ts(1), 1.0), ("a", _ts(5), 1.0)])
+        assert min_step(df, ("k",)).collect()[0]["min_step_seconds"] == 3600
+
+    def test_disaggregate_preserves_profile(self, spark):
+        # feat=24 at first hour of day, ref constant → flat 24/24=1 per slot? No:
+        # out = feat * ref / mean(ref); ref constant c → out = feat. Use
+        # varying ref to check proportionality.
+        pdf = pd.DataFrame(
+            {
+                "k": ["a"] * 4,
+                "ts": [_ts(h) for h in range(4)],
+                "ref": [1.0, 3.0, 1.0, 3.0],
+                "feat": [8.0, None, None, None],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = disaggregate_by_reference(
+            df, ("k",), bucket=F.date_trunc("day", "ts")
+        ).orderBy("ts").collect()
+        # mean ref = 2 → out = 8*ref/2 = [4, 12, 4, 12]
+        assert [r["value"] for r in out] == [4.0, 12.0, 4.0, 12.0]
+
+
+class TestVersioning:
+    def test_next_version(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "a", "b"], "version": [0, 3, 1]})
+        )
+        assert next_version(df, {"k": "a"}) == 4
+        assert next_version(df, {"k": "zzz"}) == 0
+
+    def test_with_next_version_bulk(self, spark):
+        existing = spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "a", "b"], "version": [0, 3, 1]})
+        )
+        new = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "c"]}))
+        out = {
+            r["k"]: r["version"]
+            for r in with_next_version(new, existing, ("k",)).collect()
+        }
+        assert out == {"a": 4, "b": 2, "c": 0}

@@ -1,0 +1,130 @@
+"""Store-to-store sync protocol (reference
+tests/test_chunk_timeserie_sync.py): full/filtered pull, update overlay,
+tombstone propagation, crash-resume idempotency, per-filter watermark.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from holcstore_spark import ChunkStoreConfig
+from holcstore_spark.sources.chunk_store import ChunkStore
+from holcstore_spark.streaming.sync import SyncClient, SyncCrash
+
+
+def hourly(start, periods, value=1.0):
+    idx = pd.date_range(start, periods=periods, freq="1h", tz="UTC")
+    return pd.Series(float(value), index=idx)
+
+
+@pytest.fixture()
+def pair(spark, tmp_store_path):
+    cfg = ChunkStoreConfig(
+        keys=("site",), freq="1h", tz="UTC", chunk_axis=("year", "month"),
+        allow_sync=True, key_types={"site": "str"},
+    )
+    server = ChunkStore(spark, os.path.join(tmp_store_path, "server"), cfg)
+    client = ChunkStore(spark, os.path.join(tmp_store_path, "client"), cfg)
+    return server, client
+
+
+class TestSync:
+    def test_full_pull(self, pair):
+        server, client = pair
+        server.set_ts({"site": "a"}, hourly("2024-01-01", 48, 1.0), update=True)
+        server.set_ts({"site": "b"}, hourly("2024-02-01", 48, 2.0), update=True)
+        n = SyncClient(server, client).pull()
+        assert n > 0
+        pd.testing.assert_series_equal(
+            client.get_ts({"site": "a"}), server.get_ts({"site": "a"}),
+            check_freq=False,
+        )
+        # idempotent: a re-pull re-fetches only the >= boundary row(s) and
+        # re-applying them changes nothing (reference resumes via __gte)
+        assert SyncClient(server, client).pull() <= 2
+        pd.testing.assert_series_equal(
+            client.get_ts({"site": "b"}), server.get_ts({"site": "b"}),
+            check_freq=False,
+        )
+
+    def test_filtered_pull_and_per_filter_watermark(self, pair):
+        # reference test_chunk_timeserie_sync.py:263-282
+        server, client = pair
+        server.set_ts({"site": "a"}, hourly("2024-01-01", 24, 1.0), update=True)
+        server.set_ts({"site": "b"}, hourly("2024-01-01", 24, 2.0), update=True)
+        sc = SyncClient(server, client)
+        assert sc.pull(filters={"site": "a"}) > 0
+        assert client.get_ts({"site": "a"}) is not None
+        assert client.get_ts({"site": "b"}) is None
+        # the a-pull must not advance b's watermark: pulling b still works
+        assert sc.pull(filters={"site": "b"}) > 0
+        assert client.get_ts({"site": "b"}) is not None
+
+    def test_update_overlay_propagates(self, pair):
+        server, client = pair
+        base = hourly("2024-01-01", 48, 1.0)
+        server.set_ts({"site": "a"}, base, update=True)
+        SyncClient(server, client).pull()
+        patch = hourly("2024-01-02", 24, 9.0)
+        server.set_ts({"site": "a"}, patch, update=True)
+        SyncClient(server, client).pull()
+        got = client.get_ts({"site": "a"})
+        expected = patch.combine_first(base)
+        pd.testing.assert_series_equal(
+            got.dropna(), expected.dropna(), check_freq=False, check_names=False
+        )
+
+    def test_tombstone_propagation(self, pair):
+        # reference :133-158 — deletes replicate
+        server, client = pair
+        server.set_ts({"site": "a"}, hourly("2024-01-01", 24), update=True)
+        SyncClient(server, client).pull()
+        assert client.get_ts({"site": "a"}) is not None
+        server.delete({"site": "a"})
+        SyncClient(server, client).pull()
+        assert client.get_ts({"site": "a"}) is None
+
+    def test_replace_propagates_chunk_tombstones(self, pair):
+        server, client = pair
+        jan = hourly("2024-01-01", 24 * 10, 1.0)
+        feb = hourly("2024-02-01", 24 * 5, 2.0)
+        server.set_ts({"site": "a"}, pd.concat([jan, feb]), update=True)
+        SyncClient(server, client).pull()
+        server.set_ts({"site": "a"}, feb * 2, replace=True)
+        SyncClient(server, client).pull()
+        got = client.get_ts({"site": "a"})
+        assert got.index.min() >= pd.Timestamp("2024-02-01", tz="UTC")
+        assert (got.dropna() == 4.0).all()
+
+    def test_crash_resume_idempotent(self, pair):
+        # reference :223-261 — crash mid-pull, resume completes, result
+        # identical to an uninterrupted sync
+        server, client = pair
+        for i in range(6):
+            server.set_ts({"site": f"s{i}"}, hourly("2024-01-01", 24, i + 1.0),
+                          update=True)
+        sc = SyncClient(server, client)
+        with pytest.raises(SyncCrash):
+            sc.pull(page_size=2, crash_after_pages=1)
+        applied_before = client.count_keys()
+        assert applied_before < 6
+        # resume: watermark advanced only through imported rows
+        sc.pull(page_size=2)
+        assert client.count_keys() == 6
+        for i in range(6):
+            pd.testing.assert_series_equal(
+                client.get_ts({"site": f"s{i}"}), server.get_ts({"site": f"s{i}"}),
+                check_freq=False,
+            )
+
+    def test_requires_sync_flag(self, spark, tmp_store_path):
+        cfg_off = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                                   chunk_axis=("year",), key_types={"site": "str"})
+        a = ChunkStore(spark, os.path.join(tmp_store_path, "x"), cfg_off)
+        b = ChunkStore(spark, os.path.join(tmp_store_path, "y"), cfg_off)
+        with pytest.raises(ValueError):
+            SyncClient(a, b)
