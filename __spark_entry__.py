@@ -475,6 +475,174 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline queries (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + injected duplicates: every 10th doc gets an exact copy,
+    every 20th a near-copy (one appended token), both with id+1_000_000."""
+    d = _t(spark, sf_dir, "documents")
+    exact = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    near = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzduplicate")))
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_DOCS_WITH_DUPS_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || ' zzduplicate' AS text,
+           lang, source, n_chars
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+#: shingle construction shared by the minhash oracles (3-token shingles,
+#: short docs collapse to one shingle) — mirrors operators.dedup.token_shingles
+_SHINGLES_SQL = """
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> concat_ws(' ',
+                        string_split(text, ' ')[i],
+                        string_split(text, ' ')[i+1],
+                        string_split(text, ' ')[i+2])
+               ) AS sh
+        FROM src
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per content hash;
+    per-source counts before/after."""
+    from holcstore_spark.operators.dedup import exact_dedup
+
+    d = _docs_with_dups(spark, sf_dir)
+    kept = exact_dedup(d, content="text", id_col="doc_id")
+    before = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_after"))
+    return before.join(after, on="source")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 hashes, 4 bands, 3-token shingles):
+    banded signature buckets → equi-join, never all-pairs."""
+    from holcstore_spark.operators.dedup import minhash_candidate_pairs
+
+    d = _docs_with_dups(spark, sf_dir)
+    return minhash_candidate_pairs(
+        d, text="text", id_col="doc_id", n_hashes=16, bands=4, shingle_k=3
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over the LSH candidates only."""
+    from holcstore_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_candidate_pairs,
+    )
+
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_candidate_pairs(d, n_hashes=16, bands=4, shingle_k=3)
+    return jaccard_verify(pairs, d, shingle_k=3, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters (rows-only check: 60-bit sign hash is not
+    practical to replicate in the SQL oracle)."""
+    from holcstore_spark.operators.dedup import simhash_groups
+
+    d = _docs_with_dups(spark, sf_dir)
+    g = simhash_groups(d)
+    return g.filter(F.col("group_size") > 1).select("doc_id", "simhash", "group_size")
+
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbours for every 500th vector; integer-
+    quantized arithmetic makes scores bit-identical across engines."""
+    from holcstore_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(e, q, k=3)
+
+
+def _lsh_sign_vectors(n_planes: int, dim: int) -> list[list[int]]:
+    """Python twin of similarity.hyperplane_sign's md5-derived ±1 vectors
+    (component d of plane p is +1 when md5('p|d') starts with an even hex
+    digit) — embedded as literals in the DuckDB oracle."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-3: neighbours searched only inside the
+    query's sign bucket (the 100 TB candidate-generation path)."""
+    from holcstore_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk(e, q, k=3, n_planes=4, dim=64)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, tokens, punctuation, stopwords,
+    fingerprint."""
+    from holcstore_spark.operators.text import text_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return text_stats(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "n_punct",
+        "n_stopwords", "stopword_ratio", "fingerprint",
+    )
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + composite quality score per document."""
+    from holcstore_spark.operators.text import lang_id, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = lang_id(quality_score(d))
+    return out.select("doc_id", "lang_pred", "quality")
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (word runs + standalone symbols)."""
+    from holcstore_spark.operators.text import token_count_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return token_count_bpe(d).select("doc_id", "n_bpe_tokens")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the real mapInPandas
+    plumbing (Arrow batches); decode itself is stubbed per environment."""
+    from holcstore_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_media_meta,
+    )
+
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    meta = extract_media_meta(d)
+    return meta.select("doc_id", "n_bytes", "digest")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -512,6 +680,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_store_overlay": q_kv_store_overlay,
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "text_stats": q_text_stats,
+        "lang_quality": q_lang_quality,
+        "token_bpe": q_token_bpe,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -841,6 +1019,170 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY revenue_dec DESC, o_orderkey ASC
         LIMIT 20
     """
+    # ---- LLM-pipeline oracles (generated where repetitive) ----
+    dedup_exact = f"""
+        WITH src AS ({_DOCS_WITH_DUPS_SQL}),
+        kept AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+                FROM src
+            ) WHERE rn = 1
+        )
+        SELECT b.source, b.n_before, a.n_after
+        FROM (SELECT source, count(*) AS n_before FROM src GROUP BY source) b
+        JOIN (SELECT source, count(*) AS n_after FROM kept GROUP BY source) a
+          ON b.source = a.source
+    """
+    # 16 minhash slices, 4 bands of 4 — mirrors operators.dedup exactly
+    mh_exprs = ",\n               ".join(
+        f"list_aggregate(list_transform(sh, s -> substr(md5(concat('{j}|', s)), 1, 8)), 'min') AS mh_{j}"
+        for j in range(16)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat_ws('|', {', '.join(f'mh_{j}' for j in range(b * 4, b * 4 + 4))}) AS band_key "
+        f"FROM sigs"
+        for b in range(4)
+    )
+    dedup_minhash = f"""
+        WITH src AS ({_DOCS_WITH_DUPS_SQL}),
+        shingled AS ({_SHINGLES_SQL}),
+        sigs AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM shingled
+        ),
+        bands AS ({band_rows})
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_key = r.band_key
+        WHERE l.doc_id < r.doc_id
+    """
+    dedup_jaccard = f"""
+        WITH src AS ({_DOCS_WITH_DUPS_SQL}),
+        shingled AS ({_SHINGLES_SQL}),
+        sigs AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM shingled
+        ),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_key = r.band_key
+            WHERE l.doc_id < r.doc_id
+        ),
+        sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled)
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shd, b.shd))) AS jaccard
+        FROM pairs p
+        JOIN sets a ON a.doc_id = p.id_a
+        JOIN sets b ON b.doc_id = p.id_b
+        WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shd, b.shd))) >= 0.5
+    """
+    quant = "list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT))"
+    similarity_bruteforce = f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, {quant} AS qq
+            FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS (SELECT vec_id AS neighbor_id, {quant} AS cq FROM embeddings),
+        scored AS (
+            SELECT q.q_id, c.neighbor_id,
+                   list_dot_product(qq::DOUBLE[], cq::DOUBLE[])
+                     / (sqrt(list_dot_product(qq::DOUBLE[], qq::DOUBLE[]))
+                        * sqrt(list_dot_product(cq::DOUBLE[], cq::DOUBLE[]))) AS score
+            FROM q CROSS JOIN c
+            WHERE c.neighbor_id <> q.q_id
+        )
+        SELECT q_id, neighbor_id, score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """
+    signs = _lsh_sign_vectors(4, 64)
+    bucket_bits = " || ".join(
+        f"(CASE WHEN list_dot_product(vq::DOUBLE[], "
+        f"[{', '.join(f'{s}.0' for s in signs[p])}]::DOUBLE[]) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(4)
+    )
+    similarity_lsh = f"""
+        WITH v AS (
+            SELECT vec_id, {quant} AS vq FROM embeddings
+        ),
+        b AS (SELECT vec_id, vq, {bucket_bits} AS bucket FROM v),
+        q AS (SELECT vec_id AS q_id, vq AS qq, bucket FROM b WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q.q_id, c.vec_id AS neighbor_id,
+                   list_dot_product(qq::DOUBLE[], vq::DOUBLE[])
+                     / (sqrt(list_dot_product(qq::DOUBLE[], qq::DOUBLE[]))
+                        * sqrt(list_dot_product(vq::DOUBLE[], vq::DOUBLE[]))) AS score
+            FROM q JOIN b c USING (bucket)
+            WHERE c.vec_id <> q.q_id
+        )
+        SELECT q_id, neighbor_id, score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """
+    stopwords = "('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it')"
+    text_stats_sql = f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_token_len,
+               length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(text, ' '), t -> t IN {stopwords})) AS n_stopwords,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN {stopwords})) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+               substr(md5(text), 1, 16) AS fingerprint
+        FROM documents
+    """
+    lang_quality = f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','of','and','to','in'))) AS s_en,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('le','la','de','et','les'))) AS s_fr,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('der','die','und','das','ist'))) AS s_de,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS n_punct,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN {stopwords})) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                    WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+                    WHEN s_de > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred,
+               (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 5.0, 1.0))
+                + least(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0 AS quality
+        FROM s
+    """
+    token_bpe = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens
+        FROM documents
+    """
+    multimodal_meta = """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+    """
     return {
         "overlay_merge": overlay,
         "combined_delay": combined_delay,
@@ -862,4 +1204,14 @@ def oracle_sql() -> dict[str, str]:
         "kv_store_overlay": kv_store_overlay,
         "pricing_summary": pricing_summary,
         "top_revenue": top_revenue,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_jaccard": dedup_jaccard,
+        # dedup_simhash: rows-only (60-bit sign hash impractical in SQL)
+        "similarity_bruteforce": similarity_bruteforce,
+        "similarity_lsh": similarity_lsh,
+        "text_stats": text_stats_sql,
+        "lang_quality": lang_quality,
+        "token_bpe": token_bpe,
+        "multimodal_meta": multimodal_meta,
     }

@@ -17,12 +17,17 @@ Layout
 - ``operators``  — pure DataFrame→DataFrame operators: overlay merge,
                    gaps-and-islands, dense grid/completeness, interval
                    algebra, slicing, resample/disaggregate, versioning,
-                   dedup, similarity search, text analysis, multimodal
+                   dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+                   similarity search (brute-force + hyperplane-LSH ANN),
+                   text analysis (stats, lang-id, quality, BPE-ish
+                   tokens), multimodal binary-column plumbing
 - ``sources``    — the three store classes (KeyValueStore, AttrStore,
                    ChunkStore) over partitioned Parquet
 - ``streaming``  — incremental sync (change feed / pull client) and
-                   Structured Streaming ingestion
-- ``edge``       — pandas bridge (pd.Series ⇄ long DataFrame)
+                   Structured Streaming ingestion (foreachBatch →
+                   ingest_long; watermarked windowed rollups)
+- ``edge``       — pandas bridge (pd.Series ⇄ long DataFrame) and the
+                   CSV/ZIP admin export sink
 """
 
 from holcstore_spark.config import ChunkStoreConfig

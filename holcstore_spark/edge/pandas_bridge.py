@@ -69,6 +69,7 @@ def long_to_series(
     if len(pdf) == 0:
         return None
     idx = pd.DatetimeIndex(pd.to_datetime(pdf[ts], utc=True)).tz_convert(tz)
+    idx.name = None  # reference indexes are unnamed (rebuilt from scratch)
     s = pd.Series(pdf[value].to_numpy(dtype="float64"), index=idx, name=name)
     s = s.sort_index()
     if len(s) > 2:

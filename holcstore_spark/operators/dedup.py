@@ -1,0 +1,223 @@
+"""Deduplication for large-scale training-data pipelines.
+
+Four strategies, all shaped for 100 TB (never all-pairs):
+
+- exact:   hash-groupBy on a content fingerprint — one shuffle on the hash.
+- MinHash+LSH: shingle → minhash signature → band buckets → candidate pairs
+  only within buckets (band-bucket equi-join, the classic
+  Broder/LSH construction). Pair count is bounded by bucket sizes,
+  not n².
+- SimHash: 64-bit sign hash; near-dups share the exact simhash (or a
+  banded prefix) — again an equi-join, not a cross join.
+- embedding cosine: delegated to operators.similarity (bucketed ANN).
+
+Hashes are md5-hex (portable) so the DuckDB oracle can replicate minhash
+signatures bit-for-bit; hex-string min ≡ numeric min because the slices are
+fixed-width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per distinct content hash.
+
+    One shuffle on the md5 hash; at 100 TB the hash column is 16 bytes/row
+    and AQE handles the (rare) skew of a massively duplicated document.
+    """
+    h = F.md5(F.col(content)).alias("__h")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", F.md5(F.col(content)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def token_shingles(text: Column | str, k: int = 3, sep: str = " ") -> Column:
+    """k-token shingles of a document (portable construction: split on
+    ``sep``, join k consecutive tokens). Documents shorter than k tokens
+    yield the whole document as a single shingle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, sep)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    # try_element_at: out-of-range → NULL → concat_ws skips it (ANSI-safe,
+    # and identical to the SQL oracle's list-index semantics)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            sep, *[F.try_element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signature(
+    shingles: Column,
+    n_hashes: int = 16,
+) -> list[Column]:
+    """n portable min-hashes of a shingle array: seed-prefixed md5, first 8
+    hex chars. Fixed-width hex strings order like their numeric value, so
+    ``array_min`` over hex ≡ numeric minhash.
+
+    NB: the per-seed lambda must take exactly ONE parameter — a second
+    parameter makes pyspark pass the element *index* into it."""
+
+    def one(j: int) -> Column:
+        prefix = f"{j}|"
+        return F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8),
+            )
+        ).alias(f"mh_{j}")
+
+    return [one(j) for j in range(n_hashes)]
+
+
+def minhash_bands(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_id, band_key) — one row per document per band; documents
+    sharing a band_key in a band are near-dup candidates."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(token_shingles(text, k=shingle_k), n_hashes)
+    d = df.select(F.col(id_col), *sig)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_rows.append(
+            d.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    out = band_rows[0]
+    for b in band_rows[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from LSH band buckets.
+
+    The join is an equi-join on (band_id, band_key) — candidate generation
+    cost is Σ bucket² per band, never n². At 100 TB pathological buckets
+    (boilerplate documents) should be capped upstream via exact_dedup first.
+    """
+    b = minhash_bands(df, text, id_col, n_hashes, bands, shingle_k)
+    left = b.select(
+        "band_id", "band_key", F.col(id_col).alias("id_a")
+    )
+    right = b.select(
+        "band_id", "band_key", F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, on=["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs only (never all-pairs).
+
+    Output: id_a, id_b, jaccard (double) filtered to >= threshold.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(token_shingles(text, k=shingle_k)).alias("__sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    joined = pairs.join(a, on="id_a").join(b, on="id_b")
+    inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+    union = F.size(F.array_union("__sha", "__shb")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column | str, sep: str = " ") -> Column:
+    """64-bit SimHash from token md5s: per bit, sign of Σ±1 across tokens.
+
+    Pure Column expressions: token → 16-hex md5 prefix → long; bit b of
+    the simhash is 1 when Σ_tokens ((h >> b) & 1 ? 1 : -1) > 0.
+    Near-duplicates differ in few bits; grouping on the full value (or a
+    prefix band) gives an equi-join candidate structure like MinHash.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, sep)
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    def vote_bit(b: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+
+    # 15 hex chars = 60 bits, keeps conv() exact
+    bits = [vote_bit(b) for b in range(60)]
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out.cast("long")
+
+
+def simhash_groups(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents sharing an identical 60-bit simhash (id, simhash,
+    group_size) — exact-ish near-dup clusters via one shuffle."""
+    d = df.select(F.col(id_col), simhash64(text).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return d.withColumn("group_size", F.count(F.lit(1)).over(w))

@@ -1,0 +1,123 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path computation is built-in Column expressions (JVM-side,
+whole-stage codegen) — no Python UDFs. Functions are engine-portable on
+purpose: hashes are md5-hex (not Spark's murmur ``hash()``), so a DuckDB
+oracle can replicate every result bit-for-bit.
+
+Design for 100 TB: every function is a narrow map over the documents table
+(no shuffle at all); downstream aggregations group on low-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword profiles for the n-gram/stopword language
+#: heuristic. Deliberately small and fixed so the scoring is cheap and
+#: portable to the SQL oracle.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+)
+
+#: BPE-ish token pattern: runs of word chars, or single non-space symbols —
+#: approximates subword splitting on punctuation boundaries.
+BPE_REGEX = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def text_stats(
+    df: DataFrame,
+    text: str = "text",
+) -> DataFrame:
+    """Per-document quality/statistics columns.
+
+    Adds: n_chars, n_tokens, avg_token_len, n_punct, punct_ratio,
+    n_stopwords, stopword_ratio, fingerprint (md5-based document
+    fingerprint usable as an exact-dup key).
+    """
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(F.col(text), "[A-Za-z0-9_ ]", ""))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len",
+            # spaces removed: (chars - (tokens-1)) / tokens
+            (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens,
+        )
+        .withColumn("n_punct", n_punct)
+        .withColumn("punct_ratio", n_punct.cast("double") / n_chars)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("stopword_ratio", n_stop.cast("double") / n_tokens)
+        .withColumn("fingerprint", F.substring(F.md5(F.col(text)), 1, 16))
+    )
+
+
+def token_count_bpe(df: DataFrame, text: str = "text",
+                    out: str = "n_bpe_tokens") -> DataFrame:
+    """Approximate BPE token count: word runs + standalone symbols."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text), F.lit(BPE_REGEX), F.lit(0)))
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-profile hit count per candidate language."""
+    toks = tokens(text)
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(df: DataFrame, text: str = "text",
+            out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-profile scores with a
+    fixed tiebreak order (profile declaration order); 'und' when all
+    scores are zero."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    for lang in langs:
+        df = df.withColumn(f"__s_{lang}", scores[lang])
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in declaration order: strictly-greater wins → earlier
+    # profiles win ties
+    for lang in langs:
+        s = F.col(f"__s_{lang}")
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    df = df.withColumn(out, best)
+    return df.drop(*[f"__s_{lang}" for lang in langs])
+
+
+def quality_score(df: DataFrame, text: str = "text",
+                  out: str = "quality") -> DataFrame:
+    """Composite [0, 1] quality heuristic: longer docs with moderate
+    punctuation and a natural stopword rate score higher. Deterministic
+    per-row double arithmetic."""
+    d = text_stats(df, text)
+    length_term = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    return d.withColumn(
+        out, (length_term + punct_term + stop_term) / F.lit(3.0)
+    )

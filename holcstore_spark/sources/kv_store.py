@@ -225,6 +225,7 @@ class KeyValueStore:
     def _rows_to_series(gdf: pd.DataFrame) -> pd.Series:
         if gdf["ts"].notna().any():
             idx = pd.DatetimeIndex(pd.to_datetime(gdf["ts"], utc=True))
+            idx.name = None  # reference indexes are unnamed
             s = pd.Series(gdf["value"].to_numpy(dtype="float64"), index=idx)
         else:
             s = pd.Series(

@@ -1,0 +1,81 @@
+"""Structured Streaming ingestion into a ChunkStore.
+
+The reference's only streaming surface is replication (ts_sync.py); real
+event-at-a-time ingestion is a natural extension on the long layout
+(SURVEY §7.6): a ``readStream`` of ``(keys…, ts, value)`` rows lands in the
+store via ``foreachBatch`` → :meth:`ChunkStore.ingest_long`, which
+normalizes to the dense chunk grid and merges with ``update`` semantics.
+Exactly-once per micro-batch comes from the checkpoint + the idempotent
+combine-first merge (replaying a batch reproduces the same state).
+
+Also provides event-time windowed rollups with watermarked late-data
+handling — the streaming analogue of the reference's per-chunk aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from holcstore_spark.sources.chunk_store import ChunkStore
+
+
+def stream_ingest(
+    store: ChunkStore,
+    stream: DataFrame,
+    checkpoint: str,
+    mode: str = "update",
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Ingest a streaming long frame ``(keys…, ts, value)`` into the store.
+
+    Each micro-batch routes through the distributed bulk-write path
+    (ingest_long): dense-grid reindex + combine-first merge, no driver
+    loops. ``trigger_once`` processes the available backlog then stops
+    (batch-over-stream operation for tests and scheduled jobs).
+    """
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        store.ingest_long(batch, mode=mode)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Event-time windowed aggregate with late-data watermark: per key and
+    window, count / mean / min / max of ``value``. Late rows beyond
+    ``watermark`` are dropped by the engine (state is bounded — the
+    property that keeps this runnable forever at scale)."""
+    win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(*keys, win.alias("win"))
+        .agg(
+            F.count(value).alias("n"),
+            F.avg(value).alias("mean_value"),
+            F.min(value).alias("min_value"),
+            F.max(value).alias("max_value"),
+        )
+        .select(
+            *keys,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n", "mean_value", "min_value", "max_value",
+        )
+    )

@@ -1,0 +1,184 @@
+"""LLM-data-pipeline operators: dedup, similarity search, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from holcstore_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_candidate_pairs,
+    simhash_groups,
+    token_shingles,
+)
+from holcstore_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_strict,
+    decode_stub,
+    extract_media_meta,
+)
+from holcstore_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+from holcstore_spark.operators.text import (
+    lang_id,
+    quality_score,
+    text_stats,
+    token_count_bpe,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, DOC),
+        (2, DOC),                                # exact dup of 1
+        (3, DOC + " extra"),                     # near dup of 1
+        (4, "completely different words here about spark engines and joins"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, docs):
+        kept = exact_dedup(docs).orderBy("doc_id").collect()
+        assert [r["doc_id"] for r in kept] == [1, 3, 4]
+
+    def test_minhash_finds_near_dups_not_distinct(self, docs):
+        pairs = minhash_candidate_pairs(docs, n_hashes=16, bands=8, shingle_k=3)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got           # identical docs always collide
+        assert (1, 3) in got           # near dup shares most shingles
+        assert (1, 4) not in got and (3, 4) not in got
+
+    def test_jaccard_verify_exact_values(self, spark, docs):
+        pairs = spark.createDataFrame(
+            pd.DataFrame([(1, 2), (1, 3), (1, 4)], columns=["id_a", "id_b"])
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_verify(pairs, docs, threshold=0.0).collect()
+        }
+        assert out[(1, 2)] == 1.0
+        assert 0.8 < out[(1, 3)] < 1.0
+        assert out[(1, 4)] == 0.0
+
+    def test_simhash_groups_identical_docs(self, docs):
+        g = simhash_groups(docs).filter(F.col("group_size") > 1).collect()
+        ids = sorted(r["doc_id"] for r in g)
+        assert 1 in ids and 2 in ids
+
+    def test_shingles_shorter_than_k(self, spark):
+        d = spark.createDataFrame(pd.DataFrame([(1, "only two")], columns=["doc_id", "text"]))
+        sh = d.select(token_shingles("text", k=3).alias("s")).collect()[0]["s"]
+        assert sh == ["only two"]
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),    # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+        (4, [0.8, 0.2, 0.0, 0.0]),    # close to 0 and 1
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+
+
+class TestSimilarity:
+    def test_brute_force_topk_ordering(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        out = brute_force_topk(vectors, q, k=2).collect()
+        assert [r["neighbor_id"] for r in out] == [1, 4]
+        assert out[0]["score"] > 0.98
+
+    def test_lsh_topk_subset_of_bruteforce_scores(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        bf = {r["neighbor_id"]: r["score"]
+              for r in brute_force_topk(vectors, q, k=4).collect()}
+        out = lsh_topk(vectors, q, k=4, n_planes=2, dim=4).collect()
+        # LSH returns a subset of candidates with identical exact scores
+        for r in out:
+            assert r["score"] == pytest.approx(bf[r["neighbor_id"]])
+
+    def test_cosine_near_dup_pairs(self, vectors):
+        pairs = cosine_near_dup_pairs(vectors, threshold=0.95, n_planes=2, dim=4)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # 0-1 and 1-4 are >0.95 cosine; opposite/orthogonal pairs are not
+        assert all(a < b for a, b in got)
+        assert (0, 3) not in got and (0, 2) not in got
+
+
+class TestText:
+    def test_text_stats_crafted(self, spark):
+        d = spark.createDataFrame(
+            pd.DataFrame([(1, "the cat, the dog!")], columns=["doc_id", "text"])
+        )
+        r = text_stats(d).collect()[0]
+        assert r["n_chars"] == 17
+        assert r["n_tokens"] == 4
+        assert r["n_punct"] == 2          # ',' and '!'
+        assert r["n_stopwords"] == 2      # 'the' twice ('cat,'/'dog!' don't match)
+        assert len(r["fingerprint"]) == 16
+
+    def test_token_count_bpe(self, spark):
+        d = spark.createDataFrame(
+            pd.DataFrame([(1, "ab, cd! xy")], columns=["doc_id", "text"])
+        )
+        assert token_count_bpe(d).collect()[0]["n_bpe_tokens"] == 5
+
+    def test_lang_id(self, spark):
+        rows = [
+            (1, "the cat of the house and friends"),
+            (2, "le chat de la maison et les amis"),
+            (3, "der hund und die katze ist hier"),
+            (4, "xyzzy qwerty asdf"),
+        ]
+        d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        out = {r["doc_id"]: r["lang_pred"] for r in lang_id(d).collect()}
+        assert out == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+    def test_quality_score_bounds(self, spark):
+        rows = [(1, "the of and to in " * 30), (2, "!!!! ???? ,,,,")]
+        d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        out = {r["doc_id"]: r["quality"] for r in quality_score(d).collect()}
+        assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+class TestMultimodal:
+    def test_meta_extraction(self, spark):
+        d = spark.createDataFrame(
+            pd.DataFrame([(1, "abc"), (2, "hello")], columns=["doc_id", "text"])
+        )
+        with_payload = attach_binary_payload(d)
+        meta = {r["doc_id"]: r for r in extract_media_meta(with_payload).collect()}
+        assert meta[1]["n_bytes"] == 3
+        assert meta[1]["digest"] == "900150983cd24fb0d6963f7d28e17f72"
+        assert meta[2]["media_type"] == "image"
+
+    def test_decode_stub_deterministic_shape(self, spark):
+        d = attach_binary_payload(
+            spark.createDataFrame(pd.DataFrame([(1, "abc")], columns=["doc_id", "text"]))
+        )
+        r1 = decode_stub(d).collect()[0]
+        r2 = decode_stub(d).collect()[0]
+        assert r1["features"] == r2["features"]
+        assert len(r1["features"]) == 4
+        assert 64 <= r1["width"] < 128
+
+    def test_decode_strict_raises(self, spark):
+        d = attach_binary_payload(
+            spark.createDataFrame(pd.DataFrame([(1, "x")], columns=["doc_id", "text"]))
+        )
+        with pytest.raises(NotImplementedError):
+            decode_strict(d)
