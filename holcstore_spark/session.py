@@ -56,6 +56,9 @@ def get_spark(
         # Delta MERGE.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode localCheckpoint ships block data through task results;
+        # the 1g default kills large ingests
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -233,11 +233,7 @@ class ChunkStore:
             return pd.Index(local.year, dtype="int32")
         return pd.Index(local.year * 12 + local.month - 1, dtype="int32")
 
-    def _series_to_sdf(self, attrs: dict, serie: pd.Series) -> DataFrame:
-        pdf = series_to_long(serie, attrs)
-        pdf["chunk_index"] = self._chunk_index_pd(
-            pd.DatetimeIndex(pdf["ts"])
-        ).to_numpy()
+    def _pdf_to_sdf(self, pdf: pd.DataFrame) -> DataFrame:
         schema = self._data_schema(pdf)
         # createDataFrame(pandas, schema) matches positionally: reorder the
         # frame to schema field order so attrs={'b':..,'a':..} cannot write
@@ -245,6 +241,13 @@ class ChunkStore:
         pdf = pdf[[f.name for f in schema.fields]]
         sdf = self.spark.createDataFrame(pdf, schema=schema)
         return nan_to_null(sdf, "value")
+
+    def _series_to_sdf(self, attrs: dict, serie: pd.Series) -> DataFrame:
+        pdf = series_to_long(serie, attrs)
+        pdf["chunk_index"] = self._chunk_index_pd(
+            pd.DatetimeIndex(pdf["ts"])
+        ).to_numpy()
+        return self._pdf_to_sdf(pdf)
 
     # ------------------------------------------------------------------
     # write paths
@@ -257,11 +260,12 @@ class ChunkStore:
             .parquet(self._data_path)
         )
 
-    def _rewrite_partitions(self, sdf_new: DataFrame, drop_pred) -> None:
+    def _rewrite_partitions(self, sdf_new: DataFrame, drop_pred, chunks=None) -> None:
         """Replace the partitions present in ``sdf_new``: keep other rows of
         those partitions, drop rows matching ``drop_pred``, union the new
         rows, dynamic-partition-overwrite. (With Delta this is one MERGE.)"""
-        chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
+        if chunks is None:
+            chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
         existing = self.data().filter(F.col("chunk_index").isin(chunks))
         keep = existing.filter(~drop_pred).select(*[f.name for f in self._data_schema()])
         combined = keep.unionByName(sdf_new.select(*[f.name for f in self._data_schema()]))
@@ -325,6 +329,25 @@ class ChunkStore:
             for r in agg
         ]
 
+    def _meta_rows_pandas(
+        self, pdf: pd.DataFrame, attrs: dict, updated_at: datetime, op_id: int
+    ) -> list[dict]:
+        """Driver-side twin of _meta_rows_for when the long frame is already
+        pandas (single-series writes) — zero extra Spark jobs."""
+        agg = pdf.groupby("chunk_index")["ts"].agg(["min", "count"])
+        return [
+            {
+                **attrs,
+                "chunk_index": int(ci),
+                "start_ts": row["min"].to_pydatetime(),
+                "n_points": int(row["count"]),
+                "updated_at": updated_at,
+                "op_id": op_id,
+                "is_deleted": False,
+            }
+            for ci, row in agg.iterrows()
+        ]
+
     def _key_pred(self, attrs: dict):
         return attrs_filter(attrs)
 
@@ -351,13 +374,19 @@ class ChunkStore:
             )
         self._ensure_all_attrs(attrs)
         dense = self._normalize_to_grid(serie)
-        sdf = self._series_to_sdf(attrs, dense)
+        pdf = series_to_long(dense, attrs)
+        pdf["chunk_index"] = self._chunk_index_pd(
+            pd.DatetimeIndex(pdf["ts"])
+        ).to_numpy()
+        new_chunks = set(int(c) for c in pdf["chunk_index"].unique())
+        sdf = self._pdf_to_sdf(pdf)
 
-        alive = {
-            r[0]
-            for r in self.alive_chunks(attrs).select("chunk_index").collect()
-        }
-        physical = self._physical_chunks(attrs)
+        # ONE meta collect yields both the alive and the physical chunk sets
+        meta_rows_now = self.latest_meta(attrs).select(
+            "chunk_index", "is_deleted"
+        ).collect()
+        alive = {r["chunk_index"] for r in meta_rows_now if not r["is_deleted"]}
+        physical = {r["chunk_index"] for r in meta_rows_now}
         updated_at, op_id = self._now_stamp()
 
         if not update and not replace:
@@ -366,11 +395,9 @@ class ChunkStore:
                     f"series {attrs} already exists; pass update=True or replace=True"
                 )
 
+        merged_spark_side = False
         if update:
-            new_chunks = [
-                r[0] for r in sdf.select("chunk_index").distinct().collect()
-            ]
-            overlap = [c for c in new_chunks if c in alive]
+            overlap = sorted(new_chunks & alive)
             if overlap:
                 existing = self.alive_data(attrs).filter(
                     F.col("chunk_index").isin(overlap)
@@ -387,24 +414,26 @@ class ChunkStore:
                     sdf.filter(~F.col("chunk_index").isin(overlap))
                     .select(*self.config.keys, "ts", "value", "chunk_index")
                 )
+                merged_spark_side = True
 
-        if replace:
-            stale = sorted(alive - {r[0] for r in sdf.select("chunk_index").distinct().collect()})
-        else:
-            stale = []
+        # a merge never moves rows outside the input's chunk span, so the
+        # written chunk set is known driver-side — no Spark distinct jobs
+        stale = sorted(alive - new_chunks) if replace else []
 
-        # cut lineage: sdf may read the very files the rewrite replaces,
-        # and the meta aggregation below runs after the rewrite
-        sdf = sdf.localCheckpoint(eager=True)
-        touched_physical = physical & {
-            r[0] for r in sdf.select("chunk_index").distinct().collect()
-        }
+        touched_physical = physical & new_chunks
+        if merged_spark_side or touched_physical:
+            # cut lineage: sdf may read the very files the rewrite replaces,
+            # and the meta aggregation below runs after the rewrite
+            sdf = sdf.localCheckpoint(eager=True)
         if touched_physical:
-            self._rewrite_partitions(sdf, self._key_pred(attrs))
+            self._rewrite_partitions(sdf, self._key_pred(attrs), chunks=sorted(new_chunks))
         else:
             self._append_data(sdf)
 
-        meta_rows = self._meta_rows_for(sdf, updated_at, op_id)
+        if merged_spark_side:
+            meta_rows = self._meta_rows_for(sdf, updated_at, op_id)
+        else:
+            meta_rows = self._meta_rows_pandas(pdf, attrs, updated_at, op_id)
         for c in stale:
             meta_rows.append(
                 {
@@ -517,9 +546,14 @@ class ChunkStore:
         if mode == "insert":
             if n_existing:
                 raise KeyExistsError("ingest_long(insert): some keys already exist")
-            dense = dense.localCheckpoint(eager=True)
+            # pure append: no files are overwritten, so no lineage cut is
+            # needed — persist (executor-local blocks) instead of
+            # localCheckpoint, which in local mode ships every block through
+            # task results and breaks on ~100M-row ingests
+            dense = dense.persist()
             self._append_data(dense)
             self._append_meta(self._meta_rows_for(dense, updated_at, op_id))
+            dense.unpersist()
             return
 
         if mode == "update" and n_existing:

@@ -1,0 +1,93 @@
+"""Replicate the reference's two load-harness shapes
+(hostore/tests/test_chunk_timeserie_store_perf.py:130-148) against the
+ChunkStore and print wall-times for BASELINE.md.
+
+- H1 "heavy": 1000 keys x 105,120 pts @ 15 min (3 years)  ~= 105M rows
+- H2 "light":   20 keys x  43,800 pts @ 1 h   (5 years)   ~= 876k rows
+
+The insert goes through ingest_long (the distributed path): the source
+frame is generated IN SPARK (sequence/explode), not driver-side pandas.
+
+Usage: python scripts/perf_load.py [h1|h2]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def run(shape: str) -> None:
+    from holcstore_spark import ChunkStoreConfig, get_spark
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    spark = get_spark(app_name=f"holc-perf-{shape}")
+    if shape == "h1":
+        n_keys, periods, freq, axis = 1000, 105_120, "15min", ("year", "month")
+        start = "2021-01-01"
+    else:
+        n_keys, periods, freq, axis = 20, 43_800, "1h", ("year",)
+        start = "2020-01-01"
+    step = {"15min": 900, "1h": 3600}[freq]
+
+    path = tempfile.mkdtemp(prefix=f"holc_perf_{shape}_")
+    shutil.rmtree(path, ignore_errors=True)
+    cfg = ChunkStoreConfig(keys=("key",), freq=freq, tz="Europe/Paris",
+                           chunk_axis=axis, key_types={"key": "str"})
+    store = ChunkStore(spark, path, cfg)
+
+    keys = spark.range(n_keys).select(
+        F.concat(F.lit("serie_"), F.col("id")).alias("key")
+    )
+    src = keys.withColumn(
+        "ts",
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("timestamp"),
+                F.lit(start).cast("timestamp")
+                + F.expr(f"INTERVAL {step * (periods - 1)} SECOND"),
+                F.expr(f"INTERVAL {step} SECOND"),
+            )
+        ),
+    ).withColumn("value", F.rand(seed=42))
+
+    t0 = time.perf_counter()
+    store.ingest_long(src, mode="insert")
+    t_insert = time.perf_counter() - t0
+    n_rows = n_keys * periods
+
+    # read-back: every key sequentially for h2; a 50-key sample for h1
+    read_keys = [f"serie_{i}" for i in range(n_keys if shape == "h2" else 50)]
+    t0 = time.perf_counter()
+    for k in read_keys:
+        s = store.get_ts({"key": k})
+        assert s is not None and len(s) >= periods - 1
+    t_read = time.perf_counter() - t0
+
+    # full scan (yield_many equivalent volume): distributed agg over all rows
+    t0 = time.perf_counter()
+    got = store.alive_data().groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    ).collect()[0]
+    t_scan = time.perf_counter() - t0
+
+    print(
+        f"{shape}: rows={n_rows:,} scanned={got['n']:,} "
+        f"insert={t_insert:.1f}s ({n_rows / t_insert / 1e6:.2f}M rows/s) "
+        f"read[{len(read_keys)} keys]={t_read:.1f}s "
+        f"({t_read / len(read_keys) * 1000:.0f}ms/key) "
+        f"scan_all={t_scan:.1f}s ({got['n'] / t_scan / 1e6:.1f}M rows/s)"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    run(sys.argv[1] if len(sys.argv) > 1 else "h2")
