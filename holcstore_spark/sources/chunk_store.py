@@ -662,6 +662,30 @@ class ChunkStore:
         validate_filter_keys(filters, self.config.keys)
         return self.alive_chunks(filters).select(*self.config.keys).distinct().count()
 
+    def last_chunk_index(self, filters: dict | None = None) -> int | None:
+        """Max alive chunk_index (reference A2: aggregate(Max('chunk_index')),
+        chunk_timeserie_store.py:531) — a metadata-only aggregate."""
+        validate_filter_keys(filters, self.config.keys)
+        row = self.alive_chunks(filters).agg(F.max("chunk_index")).first()
+        return None if row is None or row[0] is None else int(row[0])
+
+    def list_updates(
+        self,
+        since=None,
+        filters: dict | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+    ) -> pd.DataFrame:
+        """Paginated page of the change feed (reference list_updates,
+        chunk_timeserie_store.py:567-607): deterministic order, Spark-side
+        offset/limit so driver memory is bounded by the page size."""
+        feed = self.updates(since=since, filters=filters)
+        if offset:
+            feed = feed.offset(int(offset))
+        if limit is not None:
+            feed = feed.limit(int(limit))
+        return feed.toPandas()
+
     def last_updated_at(self, filters: dict | None = None) -> pd.Timestamp:
         """Sync watermark: max updated_at (tombstones included) else the
         2000-01-01 epoch default (reference: chunk_timeserie_store.py:288-307)."""

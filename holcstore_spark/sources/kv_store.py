@@ -337,27 +337,44 @@ class KeyValueStore:
     # ------------------------------------------------------------------
     def find_holes(
         self,
-        prms: list,
+        prms: list | None,
         client_id: int,
         sd,
         ed,
         freq: str = "1D",
         chunk_size: int = 50,
+        freq_margin=None,
+        custom_filters: dict | None = None,
+        combined_by: tuple[str, ...] = ("prm",),
+        order_by: tuple[str, ...] = ("-version",),
     ):
         """Generator of (prm, [Range…]) missing ranges vs [sd, ed]
-        (reference: hostore.py:162-216). Absent prm → the whole range.
+        (reference: hostore.py:162-216). Absent prm → the whole range;
+        ``prms=None`` → every prm of the client; ``freq_margin`` widens each
+        hole on both sides (reference check_ts_completeness,
+        utils/timeseries.py:42-64; find_holes defaults it to 0).
         Works on the *combined* view so holes are post-overlay."""
         sd = pd.Timestamp(sd).tz_localize("UTC") if pd.Timestamp(sd).tzinfo is None else pd.Timestamp(sd).tz_convert("UTC")
         ed = pd.Timestamp(ed).tz_localize("UTC") if pd.Timestamp(ed).tzinfo is None else pd.Timestamp(ed).tz_convert("UTC")
         freq_s = int(pd.to_timedelta(freq).total_seconds())
+        margin_s = 0 if freq_margin is None else int(pd.to_timedelta(freq_margin).total_seconds())
+        if prms is None:
+            prms = [
+                r[0]
+                for r in self.df()
+                .filter((F.col("client_id") == int(client_id)) & attrs_filter(custom_filters))
+                .select("prm").distinct().orderBy("prm").collect()
+            ]
         for i in range(0, len(prms), chunk_size):
             batch = [str(p) for p in prms[i : i + chunk_size]]
             d = self.df().filter(
                 (F.col("client_id") == int(client_id)) & F.col("prm").isin(batch)
+                & attrs_filter(custom_filters)
             )
-            combined = overlay_merge(d, combined_by=("prm",), order_by=("-version",))
+            combined = overlay_merge(d, combined_by=tuple(combined_by), order_by=tuple(order_by))
             holes = completeness_holes(
-                combined, ("prm",), freq_s, start=sd, end=ed
+                combined, ("prm",), freq_s, start=sd, end=ed,
+                margin_seconds=margin_s,
             ).collect()
             by_prm: dict[str, list[Range]] = {p: [] for p in batch}
             present = {

@@ -223,6 +223,17 @@ class TestAggregates:
         assert st.get_max_horodate(dict(ATTRS)) == s.index[-6].tz_convert("Europe/Paris")
         assert st.get_max_horodate({"site": "none"}) is None
 
+    def test_last_chunk_index_and_list_updates(self, spark, tmpdir):
+        st = make_store(spark, tmpdir, tz="UTC")
+        s = hourly("2024-01-15", 24 * 40, tz="UTC", value=1.0)  # jan+feb
+        st.set_ts(ATTRS, s)
+        assert st.last_chunk_index(dict(ATTRS)) == 2024 * 12 + 2 - 1
+        assert st.last_chunk_index({"site": "none"}) is None
+        page = st.list_updates(limit=1)
+        assert len(page) == 1
+        rest = st.list_updates(limit=10, offset=1)
+        assert len(rest) == 1  # two chunks total
+
     def test_last_updated_at_default_epoch(self, spark, tmpdir):
         st = make_store(spark, tmpdir)
         assert st.last_updated_at() == pd.Timestamp("2000-01-01", tz="UTC")

@@ -151,6 +151,17 @@ class TestHoles:
         assert h.sd == pd.Timestamp("2024-01-03", tz="UTC")
         assert h.ed == pd.Timestamp("2024-01-04", tz="UTC")
 
+    def test_find_holes_margin_and_all_prms(self, kv):
+        # freq_margin widens holes (reference utils/timeseries.py:42-64);
+        # prms=None scans every prm of the client
+        kv.set_lc("m", dt_series([1, 1, None, 1, 1]), client_id=1)
+        holes = dict(kv.find_holes(None, 1, "2024-01-01", "2024-01-05",
+                                   freq_margin="1D"))
+        assert set(holes) == {"m"}
+        h = holes["m"][0]
+        assert h.sd == pd.Timestamp("2024-01-02", tz="UTC")
+        assert h.ed == pd.Timestamp("2024-01-04", tz="UTC")
+
     def test_find_groups(self, kv):
         kv.set_lc("a", dt_series([1] * 5), client_id=1)
         kv.set_lc("b", dt_series([1, 1, None, 1, 1]), client_id=1)
