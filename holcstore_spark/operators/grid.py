@@ -64,7 +64,12 @@ def reindex_to_grid(
         agg_start.alias("grid_start"), agg_end.alias("grid_end")
     )
     grid = time_grid(bounds, freq_seconds, ts=ts)
-    return grid.join(df.select(*keys, ts, value), on=[*keys, ts], how="left")
+    # merge hint: Catalyst's size estimate of the exploded grid is the tiny
+    # pre-explode bounds frame, so it would happily "broadcast" a grid of
+    # billions of rows; sort-merge on (keys, ts) is the plan that scales
+    return grid.hint("merge").join(
+        df.select(*keys, ts, value), on=[*keys, ts], how="left"
+    )
 
 
 def completeness_holes(
@@ -131,4 +136,8 @@ def reindex_to_chunk_grid(
     chunk-aligned grid per key, values left-joined, holes as NULL rows."""
     bounds = chunk_aligned_bounds(df, keys, chunk_axis, tz, freq_seconds, ts=ts)
     grid = time_grid(bounds, freq_seconds, ts=ts)
-    return grid.join(df.select(*keys, ts, value), on=[*keys, ts], how="left")
+    # merge hint: see reindex_to_grid — the exploded grid's size estimate is
+    # wrong by orders of magnitude, which can turn into a giant broadcast
+    return grid.hint("merge").join(
+        df.select(*keys, ts, value), on=[*keys, ts], how="left"
+    )

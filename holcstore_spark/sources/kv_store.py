@@ -294,9 +294,10 @@ class KeyValueStore:
             ts="__idx",
             keep=("ts", "ts_num"),
         )
-        # max version present per combined group (reference reports latest)
+        # max version present per combined group (reference reports latest);
+        # one row per group — always broadcastable
         vmax = d.groupBy(*combined_by).agg(F.max("version").alias("version"))
-        combined = combined.join(vmax, on=list(combined_by), how="left")
+        combined = combined.join(F.broadcast(vmax), on=list(combined_by), how="left")
         pdf = combined.orderBy("__idx").toPandas()
         out = {}
         group_cols = list(dict.fromkeys(["prm", *combined_by, "version"]))
