@@ -35,6 +35,7 @@ def main() -> None:
     from holcstore_spark import get_spark
 
     spark = get_spark(app_name="holcstore-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warm-up
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
