@@ -94,6 +94,7 @@ class ChunkStore:
         config.save(path)
         self._data_path = os.path.join(path, "data")
         self._meta_path = os.path.join(path, "meta")
+        self._meta_cache: DataFrame | None = None
 
     # ------------------------------------------------------------------
     # schema helpers
@@ -151,15 +152,31 @@ class ChunkStore:
 
     def latest_meta(self, filters: dict | None = None) -> DataFrame:
         """Latest state per (keys…, chunk_index): tombstone flag + watermark.
-        Filters are applied *before* the window so a keyed lookup reduces to
-        a few meta rows."""
-        m = self.meta().filter(attrs_filter(filters))
-        w = Window.partitionBy(*self.config.keys, "chunk_index").orderBy(F.desc("op_id"))
-        return (
-            m.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+
+        The collapsed state is metadata-sized (keys × chunks), so it is
+        cached per store instance and invalidated on every write — repeated
+        keyed reads then filter the cached frame instead of re-windowing
+        the log (the reference's CACHED_INDEX_SIZE analogue,
+        chunk_timeserie_store.py:199). Cross-process writers are not seen
+        until a new store instance is opened (same caveat as the reference's
+        per-class cache)."""
+        if self._meta_cache is None:
+            w = Window.partitionBy(*self.config.keys, "chunk_index").orderBy(
+                F.desc("op_id")
+            )
+            self._meta_cache = (
+                self.meta()
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .cache()
+            )
+        return self._meta_cache.filter(attrs_filter(filters))
+
+    def _invalidate_meta_cache(self) -> None:
+        if self._meta_cache is not None:
+            self._meta_cache.unpersist()
+            self._meta_cache = None
 
     def alive_chunks(self, filters: dict | None = None) -> DataFrame:
         return self.latest_meta(filters).filter(~F.col("is_deleted"))
@@ -289,6 +306,7 @@ class ChunkStore:
         pdf = pd.DataFrame(rows)[[f.name for f in schema.fields]]
         sdf = self.spark.createDataFrame(pdf, schema=schema)
         sdf.coalesce(1).write.mode("append").parquet(self._meta_path)
+        self._invalidate_meta_cache()
         self._maybe_compact_meta()
 
     def _meta_file_count(self) -> int:
@@ -307,6 +325,7 @@ class ChunkStore:
             return
         latest = self.latest_meta().localCheckpoint(eager=True)
         latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+        self._invalidate_meta_cache()
 
     def _meta_rows_for(
         self, sdf: DataFrame, updated_at: datetime, op_id: int, is_deleted: bool = False
@@ -601,15 +620,23 @@ class ChunkStore:
         drop_bounds_na: bool = True,
     ) -> pd.Series | None:
         """Keyed range read (reference: chunk_timeserie_store.py:375-416).
-        Full key required; None when absent."""
+        Full key required; None when absent.
+
+        The Spark side does only what must be distributed (pruned scan +
+        tombstone check); ordering and NaN-bound trimming happen on the
+        collected single series at the pandas edge — two fewer shuffle
+        stages per point read."""
         self._ensure_all_attrs(attrs)
         d = self.alive_data(attrs, start, end)
-        if drop_bounds_na:
-            d = _drop_bounds_na(d, self.config.keys)
-        pdf = d.select("ts", "value").orderBy("ts").toPandas()
+        pdf = d.select("ts", "value").toPandas()
         s = long_to_series(pdf, self.config.tz)
-        if s is not None and drop_bounds_na and s.isna().all():
+        if s is None:
             return None
+        if drop_bounds_na:
+            valid = s.notna()
+            if not valid.any():
+                return None
+            s = s.loc[valid.idxmax(): valid[::-1].idxmax()]
         return s
 
     def yield_many_ts(
@@ -754,6 +781,7 @@ class ChunkStore:
             .parquet(self._data_path)
         )
         remaining_meta.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+        self._invalidate_meta_cache()
         return n
 
     def compact(self) -> None:
@@ -772,6 +800,7 @@ class ChunkStore:
             .parquet(self._data_path)
         )
         latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+        self._invalidate_meta_cache()
 
     # ------------------------------------------------------------------
     # sync surface (change feed / export / import)
