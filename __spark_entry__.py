@@ -600,6 +600,15 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=3, n_planes=4, dim=64)
 
 
+def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets (all-pairs
+    only within buckets); exact integer-quantized scores."""
+    from holcstore_spark.operators.similarity import cosine_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.2, n_planes=6, dim=64)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats: chars, tokens, punctuation, stopwords,
     fingerprint."""
@@ -686,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_neardup": q_similarity_neardup,
         "text_stats": q_text_stats,
         "lang_quality": q_lang_quality,
         "token_bpe": q_token_bpe,
@@ -1134,6 +1144,26 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rk <= 3
     """
+    signs6 = _lsh_sign_vectors(6, 64)
+    bucket_bits6 = " || ".join(
+        f"(CASE WHEN list_dot_product(vq::DOUBLE[], "
+        f"[{', '.join(f'{s}.0' for s in signs6[p])}]::DOUBLE[]) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(6)
+    )
+    similarity_neardup = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        b AS (SELECT vec_id, vq, {bucket_bits6} AS bucket FROM v),
+        pairs AS (
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   list_dot_product(a.vq::DOUBLE[], c.vq::DOUBLE[])
+                     / (sqrt(list_dot_product(a.vq::DOUBLE[], a.vq::DOUBLE[]))
+                        * sqrt(list_dot_product(c.vq::DOUBLE[], c.vq::DOUBLE[]))) AS score
+            FROM b a JOIN b c USING (bucket)
+            WHERE a.vec_id < c.vec_id
+        )
+        SELECT id_a, id_b, score FROM pairs WHERE score >= 0.2
+    """
     stopwords = "('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it')"
     text_stats_sql = f"""
         SELECT doc_id,
@@ -1210,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash: rows-only (60-bit sign hash impractical in SQL)
         "similarity_bruteforce": similarity_bruteforce,
         "similarity_lsh": similarity_lsh,
+        "similarity_neardup": similarity_neardup,
         "text_stats": text_stats_sql,
         "lang_quality": lang_quality,
         "token_bpe": token_bpe,

@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator: per-key gap (hole) detection.
+
+The batch engine finds holes by grid-reindexing history (operators.grid);
+on an infinite stream that would need unbounded state. This operator keeps
+ONE value per key — the last timestamp seen — via
+``applyInPandasWithState`` and emits a hole record whenever consecutive
+events are further apart than the expected cadence. State is O(keys),
+batches arrive Arrow-encoded, and the grouping shuffle is on the store's
+business keys — the same partitioning every other operator uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_gap_detect(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    freq_seconds: int,
+    watermark: str = "2 hours",
+    ts: str = "ts",
+) -> DataFrame:
+    """(keys…, hole_start, hole_end, gap_seconds) for every inter-event gap
+    larger than ``freq_seconds``.
+
+    hole_start/hole_end are the first/last *missing* grid slots, matching
+    the batch ``completeness_holes`` convention. Late data beyond
+    ``watermark`` is dropped by the engine before it reaches the state
+    function, so state never has to handle out-of-order rewrites.
+    """
+    key_fields = [stream.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("hole_start", T.TimestampType()),
+            T.StructField("hole_end", T.TimestampType()),
+            T.StructField("gap_seconds", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_ts_us", T.LongType())])
+    step_us = freq_seconds * 1_000_000
+
+    def detect(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_us = state.get[0] if state.exists else None
+        holes: list[tuple] = []
+        for pdf in pdfs:
+            times = pd.to_datetime(pdf[ts]).sort_values()
+            for t in times.astype("int64") // 1000:  # ns → µs
+                if last_us is not None and t - last_us > step_us:
+                    holes.append(
+                        (
+                            *key,
+                            pd.Timestamp((last_us + step_us) * 1000),
+                            pd.Timestamp((t - step_us) * 1000),
+                            (t - last_us) // 1_000_000,
+                        )
+                    )
+                last_us = t if last_us is None else max(last_us, t)
+        if last_us is not None:
+            state.update((int(last_us),))
+        cols = [f.name for f in out_schema.fields]
+        yield pd.DataFrame(holes, columns=cols)
+
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -89,6 +89,38 @@ class TestStreamingIngest:
         got = st.get_ts({"site": "a"})
         assert (got.dropna() == 1.0).all() and len(got.dropna()) == 24
 
+    def test_stateful_gap_detect(self, spark, tmp_store_path):
+        # two files -> two micro-batches; the gap spans the batch boundary,
+        # so detection must come from the persisted per-key state
+        from holcstore_spark.streaming.stateful import stream_gap_detect
+
+        src = os.path.join(tmp_store_path, "gap_src")
+        ckpt = os.path.join(tmp_store_path, "gap_ckpt")
+        os.makedirs(src)
+        h1 = pd.date_range("2024-01-01 00:00", periods=3, freq="1h")
+        h2 = pd.date_range("2024-01-01 08:00", periods=2, freq="1h")  # 5h gap
+        for name, idx in [("a.parquet", h1), ("b.parquet", h2)]:
+            pd.DataFrame(
+                {"site": "s", "ts": idx.astype("datetime64[us]"), "value": 1.0}
+            ).to_parquet(os.path.join(src, name))
+        stream = spark.readStream.schema(
+            "site string, ts timestamp, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        holes = stream_gap_detect(stream, ("site",), 3600)
+        q = (
+            holes.writeStream.format("memory").queryName("gaps")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).outputMode("append").start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM gaps").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["site"] == "s"
+        assert r["hole_start"] == pd.Timestamp("2024-01-01 03:00")
+        assert r["hole_end"] == pd.Timestamp("2024-01-01 07:00")
+        assert r["gap_seconds"] == 6 * 3600
+
     def test_windowed_rollup_plan(self, spark):
         # static-frame check of the rollup expression (same code path the
         # stream uses; watermark is a no-op on batch frames)
