@@ -100,24 +100,32 @@ def minhash_bands(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, band_id, band_key) — one row per document per band; documents
-    sharing a band_key in a band are near-dup candidates."""
+    sharing a band_key in a band are near-dup candidates.
+
+    The signature is computed ONCE per document and exploded into band
+    rows (a union of per-band branches would recompute the n_hashes md5
+    sweeps once per band — 4× the hash work at 100 TB)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature(token_shingles(text, k=shingle_k), n_hashes)
     d = df.select(F.col(id_col), *sig)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_rows.append(
-            d.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.concat_ws("|", *cols).alias("band_key"),
-            )
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{j}")
+                  for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("band_key"),
         )
-    out = band_rows[0]
-    for b in band_rows[1:]:
-        out = out.unionByName(b)
-    return out
+        for b in range(bands)
+    ])
+    return d.select(
+        F.col(id_col), F.explode(bands_arr).alias("__band")
+    ).select(
+        id_col,
+        F.col("__band.band_id").alias("band_id"),
+        F.col("__band.band_key").alias("band_key"),
+    )
 
 
 def minhash_candidate_pairs(
