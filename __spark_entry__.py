@@ -404,14 +404,17 @@ def q_kv_store_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     try:
         kv = KeyValueStore(spark, path)
-        for (uid, ver), g in pdf.groupby(["user_id", "version"]):
-            s = pd.Series(
-                g["v"].to_numpy(),
-                index=pd.DatetimeIndex(pd.to_datetime(g["hts"], utc=True)),
-            )
-            # version order == insertion order: v0 first … v2 last, so
-            # auto-versioning reproduces the explicit version numbers
-            kv.set_lc(str(uid), s, client_id=1, versionning=True)
+        # one bulk write per version (ascending): set_many_lc assigns each
+        # scope max+1, so every user ends with versions 0..2 in order —
+        # 3 Spark writes instead of one per (user, version)
+        for ver in sorted(pdf["version"].unique()):
+            batch = {}
+            for uid, g in pdf[pdf["version"] == ver].groupby("user_id"):
+                batch[str(uid)] = pd.Series(
+                    g["v"].to_numpy(),
+                    index=pd.DatetimeIndex(pd.to_datetime(g["hts"], utc=True)),
+                )
+            kv.set_many_lc(batch, client_id=1, versionning=True)
         prms = sorted(pdf["user_id"].astype(str).unique())
         got = kv.get_many_lc(prms, client_id=1)
         rows = []

@@ -1,0 +1,42 @@
+"""SQL surface: expose stores as temp views so any engine operation can be
+written (and verified) in plain ``spark.sql`` (SURVEY §7.1 ``sql/``).
+
+The views are thin names over the same DataFrames the Python API uses —
+Catalyst sees one plan either way, so pruning/pushdown behave identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from holcstore_spark.sources.attr_store import AttrStore
+from holcstore_spark.sources.chunk_store import ChunkStore
+from holcstore_spark.sources.kv_store import KeyValueStore
+
+
+def register_chunk_store(store: ChunkStore, prefix: str) -> list[str]:
+    """Create ``{prefix}_data``, ``{prefix}_meta``, ``{prefix}_alive``
+    temp views. Returns the view names."""
+    views = {
+        f"{prefix}_data": store.data(),
+        f"{prefix}_meta": store.latest_meta(),
+        f"{prefix}_alive": store.alive_data(),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return list(views)
+
+
+def register_kv_store(store: KeyValueStore, prefix: str) -> list[str]:
+    store.df().createOrReplaceTempView(f"{prefix}_rows")
+    return [f"{prefix}_rows"]
+
+
+def register_attr_store(store: AttrStore, prefix: str) -> list[str]:
+    store.df().createOrReplaceTempView(f"{prefix}_rows")
+    return [f"{prefix}_rows"]
+
+
+def sql(spark: SparkSession, query: str):
+    """Convenience passthrough (kept for symmetry/discoverability)."""
+    return spark.sql(query)

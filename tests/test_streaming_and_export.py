@@ -62,6 +62,24 @@ class TestAdminExport:
             assert "export_serie_0.csv" in zf.namelist()
 
 
+class TestSqlSurface:
+    def test_chunk_store_views(self, spark, tmp_store_path):
+        from holcstore_spark.sql import register_chunk_store
+
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year",), key_types={"site": "str"})
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "sqlv"), cfg)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 5, 3.0))
+        views = register_chunk_store(st, "demo")
+        assert set(views) == {"demo_data", "demo_meta", "demo_alive"}
+        n = spark.sql(
+            "SELECT count(*) AS n FROM demo_alive WHERE value IS NOT NULL"
+        ).collect()[0]["n"]
+        assert n == 5
+        meta = spark.sql("SELECT n_points FROM demo_meta").collect()
+        assert len(meta) == 1
+
+
 class TestStreamingIngest:
     def test_file_stream_lands_in_store(self, spark, tmp_store_path):
         src = os.path.join(tmp_store_path, "incoming")
