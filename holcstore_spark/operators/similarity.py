@@ -145,6 +145,123 @@ def lsh_topk(
     )
 
 
+def _assign_to_centroid(vec_q: Column, centroids: list[list[int]]) -> Column:
+    """Index of the nearest centroid by exact integer squared-euclidean
+    distance (deterministic: all arithmetic on quantized longs)."""
+    best_idx = F.lit(0)
+    best_d = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        d = F.aggregate(
+            F.zip_with(vec_q, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d, best_idx = d, F.lit(0)
+        else:
+            take = d < best_d
+            best_idx = F.when(take, F.lit(i)).otherwise(best_idx)
+            best_d = F.when(take, d).otherwise(best_d)
+    return best_idx
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[int]]:
+    """Deterministic k-means-lite in quantized integer space.
+
+    Init: the n_lists lowest-id vectors. Each Lloyd iteration assigns every
+    vector to its nearest centroid (exact int distance) and recomputes the
+    mean per (list, dimension) with exact decimal sums, re-quantized to
+    longs — so the trained centroids are bit-reproducible run to run.
+    Centroids are tiny (n_lists × dim) and travel as broadcast literals.
+    """
+    q = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
+    seed_rows = q.orderBy(id_col).limit(n_lists).collect()
+    centroids = [list(r["__q"]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = q.withColumn("__list", _assign_to_centroid(F.col("__q"), centroids))
+        per_dim = (
+            assigned.select(
+                "__list", F.posexplode("__q").alias("__d", "__v")
+            )
+            .groupBy("__list", "__d")
+            .agg(
+                (F.sum(F.col("__v").cast("decimal(38,0)"))
+                 / F.count(F.lit(1))).cast("long").alias("__m")
+            )
+            .collect()
+        )
+        new = {i: list(c) for i, c in enumerate(centroids)}
+        for r in per_dim:
+            new[r["__list"]][r["__d"]] = int(r["__m"])
+        centroids = [new[i] for i in range(n_lists)]
+    return centroids
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "q_id",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are inverted-file-partitioned by
+    nearest centroid; each query probes its ``n_probe`` closest lists and
+    searches only there — candidate generation is an equi-join on the list
+    id (the scale path; at 100 TB the assignment column is written once and
+    the probe join prunes to ~n_probe/n_lists of the data).
+    """
+    centroids = train_ivf_centroids(
+        candidates, n_lists=n_lists, iters=iters, id_col=id_col,
+        vec_col=vec_col,
+    )
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
+    ).withColumn("__list", _assign_to_centroid(F.col("__cq"), centroids))
+
+    qry = queries.select(
+        F.col(id_col).alias(query_id), quantized(vec_col).alias("__qq")
+    )
+    # probe lists: the n_probe nearest centroids per query
+    probes = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("__qq"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        probes.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    qry = qry.withColumn(
+        "__probe",
+        F.slice(F.array_sort(F.array(*probes)), 1, n_probe),
+    ).withColumn("__list", F.explode(F.transform("__probe", lambda s: s["i"])))
+
+    scored = cand.join(F.broadcast(qry.drop("__probe")), on="__list").filter(
+        F.col("neighbor_id") != F.col(query_id)
+    )
+    scored = scored.withColumn("score", cosine_q(F.col("__qq"), F.col("__cq")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id, "neighbor_id", "score")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

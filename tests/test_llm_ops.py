@@ -111,6 +111,17 @@ class TestSimilarity:
         for r in out:
             assert r["score"] == pytest.approx(bf[r["neighbor_id"]])
 
+    def test_ivf_topk_exact_scores_and_recall(self, vectors):
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        q = vectors.filter(F.col("vec_id") == 0)
+        bf = {r["neighbor_id"]: r["score"]
+              for r in brute_force_topk(vectors, q, k=4).collect()}
+        out = ivf_topk(vectors, q, k=4, n_lists=2, n_probe=2, iters=1, )
+        rows = out.collect()
+        # probing every list == exhaustive: scores match brute force exactly
+        assert {r["neighbor_id"]: r["score"] for r in rows} == bf
+
     def test_cosine_near_dup_pairs(self, vectors):
         pairs = cosine_near_dup_pairs(vectors, threshold=0.95, n_planes=2, dim=4)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
