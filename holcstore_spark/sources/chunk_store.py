@@ -271,7 +271,7 @@ class ChunkStore:
     # ------------------------------------------------------------------
     def _append_data(self, sdf: DataFrame) -> None:
         (
-            sdf.repartition("chunk_index")
+            sdf.repartition("chunk_index", *self.config.keys)
             .write.mode("append")
             .partitionBy("chunk_index")
             .parquet(self._data_path)
@@ -289,7 +289,7 @@ class ChunkStore:
         # materialize before overwriting the files the plan reads from
         combined = combined.localCheckpoint(eager=True)
         (
-            combined.repartition("chunk_index")
+            combined.repartition("chunk_index", *self.config.keys)
             .write.mode("overwrite")
             .partitionBy("chunk_index")
             .parquet(self._data_path)
@@ -532,7 +532,7 @@ class ChunkStore:
         ).select(*cols)
         combined = keep.unionByName(sdf_new.select(*cols)).localCheckpoint(eager=True)
         (
-            combined.repartition("chunk_index")
+            combined.repartition("chunk_index", *self.config.keys)
             .write.mode("overwrite")
             .partitionBy("chunk_index")
             .parquet(self._data_path)
@@ -551,6 +551,10 @@ class ChunkStore:
         if self.config.allow_sync and mode == "insert":
             raise SyncGuardError("plain ingest is forbidden on a sync-enabled store")
         keys = self.config.keys
+        # NB: the plan references the source three times (bounds agg, grid
+        # join, key-set check). Callers whose source is expensive to
+        # recompute (a heavy upstream pipeline) should persist it themselves;
+        # measured here, a blanket persist costs more than the recompute.
         dense = reindex_to_chunk_grid(
             sdf, keys, self.config.chunk_axis, self.config.tz, self.config.freq_seconds
         )
@@ -774,7 +778,7 @@ class ChunkStore:
         remaining_data = self.data().filter(~pred).localCheckpoint(eager=True)
         remaining_meta = self.meta().filter(~pred).localCheckpoint(eager=True)
         (
-            remaining_data.repartition("chunk_index")
+            remaining_data.repartition("chunk_index", *self.config.keys)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy("chunk_index")
@@ -793,7 +797,7 @@ class ChunkStore:
             F.broadcast(alive), on=[*self.config.keys, "chunk_index"], how="left_semi"
         ).localCheckpoint(eager=True)
         (
-            data.repartition("chunk_index")
+            data.repartition("chunk_index", *self.config.keys)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")  # full rewrite: drop emptied partitions
             .partitionBy("chunk_index")
