@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may hand us a session with different defaults: pin the two
+    # runtime confs result determinism depends on (UTC rendering must match
+    # DuckDB's naive timestamps; events.parquet needs the nanos fallback)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
