@@ -40,9 +40,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # reader rejects — read nanos as long and convert (lossless here: the
     # generator wrote microsecond-resolution values)
     if name == "events" and dict(df.dtypes).get("ts") != "timestamp":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: ts/1000 in double arithmetic loses the low bits
+        # of the 61-bit nanosecond value and lands ~1.6% of rows 1µs early
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -287,7 +287,6 @@ def q_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("ts")
     ).agg(F.count(F.lit(1)).cast("double").alias("ref"))
-    w_day = Window.partitionBy("user_id", F.date_trunc("day", "ts"))
     w_first = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts")
     daily = (
         e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))

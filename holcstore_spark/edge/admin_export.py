@@ -19,8 +19,9 @@ import zipfile
 import pandas as pd
 
 
-def make_zip(entries: list[tuple[pd.Series, dict]]) -> bytes:
-    """entries: [(series, attrs), …] → zip bytes."""
+def make_zip(entries) -> bytes:
+    """entries: iterable of (series, attrs) → zip bytes. Accepts a
+    generator so only one decoded series is live at a time."""
     buf = io.BytesIO()
     summary = []
     with zipfile.ZipFile(buf, "a", zipfile.ZIP_DEFLATED, False) as zf:
@@ -38,9 +39,10 @@ def make_zip(entries: list[tuple[pd.Series, dict]]) -> bytes:
 def export_chunk_store(store, filters: dict | None = None,
                        start=None, end=None) -> bytes:
     """ChunkStore → zip (reference download_timeseries_from_chunkstore,
-    admin_actions.py:83-124). Streams series via yield_many_ts."""
-    entries = [(ds, attrs) for ds, attrs in store.yield_many_ts(filters, start, end)]
-    return make_zip(entries)
+    admin_actions.py:83-124). Streams series via yield_many_ts — the
+    generator goes straight into the zip writer, one series in memory at
+    a time (the zip buffer itself is the only accumulating state)."""
+    return make_zip(store.yield_many_ts(filters, start, end))
 
 
 def export_attr_store(store, ts_attributes: dict | None = None) -> bytes:

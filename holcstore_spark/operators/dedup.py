@@ -36,7 +36,6 @@ def exact_dedup(
     One shuffle on the md5 hash; at 100 TB the hash column is 16 bytes/row
     and AQE handles the (rare) skew of a massively duplicated document.
     """
-    h = F.md5(F.col(content)).alias("__h")
     w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__h", F.md5(F.col(content)))
@@ -54,8 +53,12 @@ def token_shingles(text: Column | str, k: int = 3, sep: str = " ") -> Column:
     """k-token shingles of a document (portable construction: split on
     ``sep``, join k consecutive tokens). Documents shorter than k tokens
     yield the whole document as a single shingle."""
+    import re
+
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(c, sep)
+    # F.split takes a regex while concat_ws (and the SQL oracle's
+    # string_split) use sep literally — escape so e.g. sep='.' works
+    toks = F.split(c, re.escape(sep))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     # try_element_at: out-of-range → NULL → concat_ws skips it (ANSI-safe,
@@ -105,6 +108,8 @@ def minhash_bands(
     The signature is computed ONCE per document and exploded into band
     rows (a union of per-band branches would recompute the n_hashes md5
     sweeps once per band — 4× the hash work at 100 TB)."""
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes ({n_hashes}) must be divisible by bands ({bands})")
     rows_per_band = n_hashes // bands
     sig = minhash_signature(token_shingles(text, k=shingle_k), n_hashes)
     d = df.select(F.col(id_col), *sig)

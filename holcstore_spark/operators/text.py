@@ -33,8 +33,11 @@ BPE_REGEX = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
 
 
 def tokens(text: Column | str, sep: str = " ") -> Column:
+    import re
+
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, sep)
+    # F.split takes a regex; sep is a literal separator, so escape it
+    return F.split(c, re.escape(sep))
 
 
 def text_stats(

@@ -52,10 +52,10 @@ class AttrStore:
         return T.StructType(fields)
 
     def df(self) -> DataFrame:
-        from holcstore_spark.sources.kv_store import _has_parquet
+        from holcstore_spark.sources.io_util import has_parquet
 
         # emptied stores keep their directory with no parquet footers
-        if not _has_parquet(self.path):
+        if not has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
 

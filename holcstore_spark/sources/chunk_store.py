@@ -52,14 +52,7 @@ from holcstore_spark.operators.slicing import drop_bounds_na as _drop_bounds_na
 from holcstore_spark.operators.slicing import time_slice
 from holcstore_spark.plans.predicates import attrs_filter, validate_filter_keys
 from holcstore_spark.plans.pruning import chunk_bounds_filter, normalize_bound
-
-
-def _has_parquet(path: str) -> bool:
-    """True when ``path`` holds at least one parquet data file."""
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+from holcstore_spark.sources.io_util import has_parquet
 
 
 class KeyExistsError(Exception):
@@ -141,12 +134,12 @@ class ChunkStore:
     def data(self) -> DataFrame:
         # emptied-by-rewrite tables keep their directory with no parquet
         # footers — read them as the empty frame instead of failing inference
-        if not _has_parquet(self._data_path):
+        if not has_parquet(self._data_path):
             return self.spark.createDataFrame([], self._data_schema())
         return self.spark.read.parquet(self._data_path)
 
     def meta(self) -> DataFrame:
-        if not _has_parquet(self._meta_path):
+        if not has_parquet(self._meta_path):
             return self.spark.createDataFrame([], self._meta_schema())
         return self.spark.read.parquet(self._meta_path)
 

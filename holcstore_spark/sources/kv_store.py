@@ -29,14 +29,7 @@ from holcstore_spark.operators.grid import completeness_holes
 from holcstore_spark.operators.intervals import Range
 from holcstore_spark.operators.overlay import delayed, overlay_merge
 from holcstore_spark.plans.predicates import attrs_filter, order_cols
-
-
-def _has_parquet(path: str) -> bool:
-    """True when ``path`` holds at least one parquet data file."""
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+from holcstore_spark.sources.io_util import has_parquet
 
 
 _BASE_FIELDS = [
@@ -71,7 +64,7 @@ class KeyValueStore:
     def df(self) -> DataFrame:
         # a store fully emptied by clear_all() keeps its directory but has no
         # parquet footers to infer from — treat it as the empty frame
-        if not _has_parquet(self.path):
+        if not has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
 
@@ -359,6 +352,9 @@ class KeyValueStore:
         ed = pd.Timestamp(ed).tz_localize("UTC") if pd.Timestamp(ed).tzinfo is None else pd.Timestamp(ed).tz_convert("UTC")
         freq_s = int(pd.to_timedelta(freq).total_seconds())
         margin_s = 0 if freq_margin is None else int(pd.to_timedelta(freq_margin).total_seconds())
+        combined_by = tuple(combined_by)
+        if "prm" not in combined_by:
+            raise ValueError("combined_by must include 'prm' (holes are reported per prm)")
         if prms is None:
             prms = [
                 r[0]
@@ -372,9 +368,12 @@ class KeyValueStore:
                 (F.col("client_id") == int(client_id)) & F.col("prm").isin(batch)
                 & attrs_filter(custom_filters)
             )
-            combined = overlay_merge(d, combined_by=tuple(combined_by), order_by=tuple(order_by))
+            combined = overlay_merge(d, combined_by=combined_by, order_by=tuple(order_by))
+            # grid/holes per full combined_by group (a prm split across
+            # groups, e.g. combined_by=('prm','year'), reports the union of
+            # each group's holes rather than corrupting one shared grid)
             holes = completeness_holes(
-                combined, ("prm",), freq_s, start=sd, end=ed,
+                combined, combined_by, freq_s, start=sd, end=ed,
                 margin_seconds=margin_s,
             ).collect()
             by_prm: dict[str, list[Range]] = {p: [] for p in batch}

@@ -1,8 +1,12 @@
 """SQL surface: expose stores as temp views so any engine operation can be
 written (and verified) in plain ``spark.sql`` (SURVEY §7.1 ``sql/``).
 
-The views are thin names over the same DataFrames the Python API uses —
-Catalyst sees one plan either way, so pruning/pushdown behave identically.
+The views carry the same plans the Python API builds, so pruning/pushdown
+behave identically — but a temp view is a POINT-IN-TIME snapshot: it pins
+the file listing (and cached meta state) resolved at registration. After
+any store write, call ``register_*`` again to refresh; querying a stale
+view of a rewritten table can fail on deleted files. (The Python API
+re-resolves per call and has no such staleness.)
 """
 
 from __future__ import annotations

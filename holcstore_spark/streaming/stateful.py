@@ -30,9 +30,15 @@ def stream_gap_detect(
     larger than ``freq_seconds``.
 
     hole_start/hole_end are the first/last *missing* grid slots, matching
-    the batch ``completeness_holes`` convention. Late data beyond
-    ``watermark`` is dropped by the engine before it reaches the state
-    function, so state never has to handle out-of-order rewrites.
+    the batch ``completeness_holes`` convention. Rows later than the
+    ``watermark`` delay are dropped by the engine; rows that are merely
+    out-of-order *within* a micro-batch are handled by sorting the whole
+    group before scanning. A row that arrives in a LATER micro-batch but
+    timestamps before the key's high-water mark cannot retract an
+    already-emitted hole (append-mode streaming has no retractions) — it
+    is counted but produces no correction, the inherent streaming/batch
+    trade captured by the batch ``completeness_holes`` being the source of
+    truth for history.
     """
     key_fields = [stream.schema[k] for k in keys]
     out_schema = T.StructType(
@@ -51,19 +57,20 @@ def stream_gap_detect(
     ) -> Iterator[pd.DataFrame]:
         last_us = state.get[0] if state.exists else None
         holes: list[tuple] = []
-        for pdf in pdfs:
-            times = pd.to_datetime(pdf[ts]).sort_values()
-            for t in times.astype("int64") // 1000:  # ns → µs
-                if last_us is not None and t - last_us > step_us:
-                    holes.append(
-                        (
-                            *key,
-                            pd.Timestamp((last_us + step_us) * 1000),
-                            pd.Timestamp((t - step_us) * 1000),
-                            (t - last_us) // 1_000_000,
-                        )
+        # a large group arrives as MULTIPLE Arrow chunks with no ordering
+        # guarantee — concatenate and sort once, then scan
+        all_times = pd.concat([pd.to_datetime(p[ts]) for p in pdfs])
+        for t in all_times.sort_values().astype("int64") // 1000:  # ns → µs
+            if last_us is not None and t - last_us > step_us:
+                holes.append(
+                    (
+                        *key,
+                        pd.Timestamp((last_us + step_us) * 1000),
+                        pd.Timestamp((t - step_us) * 1000),
+                        (t - last_us) // 1_000_000,
                     )
-                last_us = t if last_us is None else max(last_us, t)
+                )
+            last_us = t if last_us is None else max(last_us, t)
         if last_us is not None:
             state.update((int(last_us),))
         cols = [f.name for f in out_schema.fields]

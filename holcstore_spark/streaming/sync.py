@@ -47,7 +47,12 @@ class SyncClient:
         """Pull server changes since the client's watermark. Returns the
         number of chunk states applied."""
         since = self.client.last_updated_at(filters)
-        feed = self.server.updates(since=since, filters=filters)
+        # materialize the ordered feed once (checkpoint cuts the plan to the
+        # sorted result) so each page is a cheap slice — offset/limit over
+        # the raw plan would re-window and re-sort the whole feed per page
+        feed = self.server.updates(since=since, filters=filters).localCheckpoint(
+            eager=True
+        )
         applied = 0
         keys = list(self.server.config.keys)
         page_no = 0
