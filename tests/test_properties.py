@@ -1,0 +1,91 @@
+"""Property-based oracles: the Spark operators must agree with the pandas
+semantics they re-express, on randomized inputs (hypothesis drives the
+shapes; pandas is the executable spec, exactly the reference's substrate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from holcstore_spark.operators.islands import constant_runs
+from holcstore_spark.operators.overlay import combine_first
+from holcstore_spark.operators.slicing import drop_bounds_na
+
+# one value per hour starting here; None → NULL/NaN
+values = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+    min_size=1, max_size=24,
+)
+
+SETTINGS = settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def to_series(vals):
+    idx = pd.date_range("2024-01-01", periods=len(vals), freq="1h", tz="UTC")
+    return pd.Series([np.nan if v is None else float(v) for v in vals], index=idx)
+
+
+def to_sdf(spark, vals, key="k"):
+    s = to_series(vals)
+    pdf = pd.DataFrame({"k": key, "ts": s.index, "value": s.to_numpy()})
+    df = spark.createDataFrame(pdf, schema="k string, ts timestamp, value double")
+    return df.withColumn(
+        "value", F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value"))
+    )
+
+
+class TestProperties:
+    @SETTINGS
+    @given(a=values, b=values, c=values)
+    def test_combine_first_matches_pandas_fold(self, spark, a, b, c):
+        # Spark combine_first over long frames ≡ pandas combine_first fold
+        # (the reference's ts_combine_first, utils/timeseries.py:136-163)
+        sa, sb, sc = to_series(a), to_series(b), to_series(c)
+        expected = sa.combine_first(sb).combine_first(sc)
+        out = combine_first(
+            [to_sdf(spark, a), to_sdf(spark, b), to_sdf(spark, c)], keys=("k",)
+        ).orderBy("ts").collect()
+        got = pd.Series(
+            [r["value"] if r["value"] is not None else np.nan for r in out],
+            index=pd.DatetimeIndex([r["ts"] for r in out]).tz_localize("UTC"),
+        )
+        pd.testing.assert_series_equal(got, expected, check_names=False, check_freq=False)
+
+    @SETTINGS
+    @given(vals=values)
+    def test_constant_runs_reconstruct(self, spark, vals):
+        # runs must tile the series exactly: lengths sum to n, boundaries
+        # are value changes under NaN-aware equality
+        runs = (
+            constant_runs(to_sdf(spark, vals), ("k",))
+            .orderBy("run_start").collect()
+        )
+        assert sum(r["run_len"] for r in runs) == len(vals)
+        # reconstruct and compare
+        rebuilt = []
+        for r in runs:
+            rebuilt += [r["value"]] * r["run_len"]
+        orig = [None if v is None else float(v) for v in vals]
+        assert rebuilt == orig
+
+    @SETTINGS
+    @given(vals=values)
+    def test_drop_bounds_na_matches_pandas(self, spark, vals):
+        s = to_series(vals)
+        out = drop_bounds_na(to_sdf(spark, vals), ("k",)).orderBy("ts").collect()
+        first, last = s.first_valid_index(), s.last_valid_index()
+        if first is None:
+            assert out == []
+        else:
+            expected = s.loc[first:last]
+            assert len(out) == len(expected)
+            assert out[0]["ts"] == first.tz_localize(None)
+            assert out[-1]["ts"] == last.tz_localize(None)
