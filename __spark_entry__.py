@@ -434,6 +434,114 @@ def q_kv_store_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hourly series per user (max aggregation — no sums)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.max("value").alias("value"))
+
+
+def _make_event_store(spark: SparkSession, sf_dir: str):
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    path = tempfile.mkdtemp(prefix="holc_life_")
+    shutil.rmtree(path, ignore_errors=True)
+    store = ChunkStore(
+        spark, path,
+        ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
+                         chunk_axis=("year", "month"),
+                         key_types={"user_id": "int"}),
+    )
+    store.ingest_long(_hourly_events(spark, sf_dir), mode="insert")
+    return store, path
+
+
+def q_store_update_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/S9 via ingest_long(update): a doubled mid-January patch wins over
+    the original; original fills everything else — per-user exact totals."""
+    store, path = _make_event_store(spark, sf_dir)
+    try:
+        patch = _hourly_events(spark, sf_dir).filter(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-15")
+        ).withColumn("value", F.col("value") * 2)
+        store.ingest_long(patch, mode="update")
+        got = store.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_store_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/P4: tombstone every 5th user; deleted series must disappear from
+    reads while the remaining per-user counts are untouched."""
+    store, path = _make_event_store(spark, sf_dir)
+    try:
+        store.delete({"user_id__in": [
+            r[0] for r in
+            store.alive_chunks().select("user_id").distinct().collect()
+            if r[0] % 5 == 0
+        ]})
+        got = store.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_points"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_store_max_horodate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: latest non-NaN timestamp per user through the store (grid
+    padding NULLs must be ignored)."""
+    import pandas as pd
+
+    store, path = _make_event_store(spark, sf_dir)
+    try:
+        users = sorted(
+            r[0] for r in store.alive_chunks().select("user_id").distinct().collect()
+        )
+        rows = []
+        for u in users[:20]:  # bounded: one aggregate job per user
+            hd = store.get_max_horodate({"user_id": u})
+            rows.append((u, hd.tz_convert("UTC").strftime("%Y-%m-%d %H:%M:%S")))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "max_ts"]),
+            schema="user_id long, max_ts string",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_store_yield_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the ordered streaming read — every yielded series re-aggregated
+    must reproduce the source exactly."""
+    import pandas as pd
+
+    store, path = _make_event_store(spark, sf_dir)
+    try:
+        rows = []
+        for s, key in store.yield_many_ts():
+            valid = s.dropna()
+            rows.append((
+                int(key["user_id"]),
+                int(len(valid)),
+                valid.index.min().tz_convert("UTC").strftime("%Y-%m-%d %H:%M:%S"),
+                valid.index.max().tz_convert("UTC").strftime("%Y-%m-%d %H:%M:%S"),
+            ))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "n_points", "first_ts", "last_ts"]),
+            schema="user_id long, n_points long, first_ts string, last_ts string",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline scan-agg (bench q1): grouped pricing summary with exact
     decimal aggregation."""
@@ -692,6 +800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_index": q_chunk_index,
         "lookup_filter": q_lookup_filter,
         "store_roundtrip": q_store_roundtrip,
+        "store_update_overlay": q_store_update_overlay,
+        "store_delete_tombstone": q_store_delete_tombstone,
+        "store_max_horodate": q_store_max_horodate,
+        "store_yield_many": q_store_yield_many,
         "kv_store_overlay": q_kv_store_overlay,
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -995,6 +1107,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-25'
         GROUP BY user_id
     """
+    store_update_overlay = """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+            FROM events GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                         AND ts < TIMESTAMP '2024-01-15'
+                        THEN value * 2 ELSE value END AS value
+            FROM hourly
+        )
+        SELECT user_id, count(*) AS n_points,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM merged GROUP BY user_id
+    """
+    store_delete_tombstone = """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_points
+        FROM hourly WHERE user_id % 5 <> 0
+        GROUP BY user_id
+    """
+    store_max_horodate = f"""
+        SELECT user_id,
+               strftime(max(date_trunc('hour', ts)), '{_FMT_DUCK}') AS max_ts
+        FROM events
+        WHERE user_id IN (
+            SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 20
+        )
+        GROUP BY user_id
+    """
+    store_yield_many = f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_points,
+               strftime(min(ts), '{_FMT_DUCK}') AS first_ts,
+               strftime(max(ts), '{_FMT_DUCK}') AS last_ts
+        FROM hourly GROUP BY user_id
+    """
     kv_store_overlay = f"""
         WITH e AS ({ev}),
         hourly AS (
@@ -1237,6 +1393,10 @@ def oracle_sql() -> dict[str, str]:
         "chunk_index": chunk_index,
         "lookup_filter": lookup_filter,
         "store_roundtrip": store_roundtrip,
+        "store_update_overlay": store_update_overlay,
+        "store_delete_tombstone": store_delete_tombstone,
+        "store_max_horodate": store_max_horodate,
+        "store_yield_many": store_yield_many,
         "kv_store_overlay": kv_store_overlay,
         "pricing_summary": pricing_summary,
         "top_revenue": top_revenue,
