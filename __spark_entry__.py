@@ -542,6 +542,33 @@ def q_store_yield_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_sync_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2/C4/S14/S15 end-to-end: server→client pull over the change
+    feed; the client replica must reproduce the server's data exactly."""
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+    from holcstore_spark.streaming.sync import SyncClient
+
+    base = tempfile.mkdtemp(prefix="holc_sync_")
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
+                           chunk_axis=("year", "month"), allow_sync=True,
+                           key_types={"user_id": "int"})
+    try:
+        server = ChunkStore(spark, os.path.join(base, "server"), cfg)
+        client = ChunkStore(spark, os.path.join(base, "client"), cfg)
+        server.ingest_long(_hourly_events(spark, sf_dir), mode="update")
+        SyncClient(server, client).pull(page_size=500)
+        got = client.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline scan-agg (bench q1): grouped pricing summary with exact
     decimal aggregation."""
@@ -804,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_delete_tombstone": q_store_delete_tombstone,
         "store_max_horodate": q_store_max_horodate,
         "store_yield_many": q_store_yield_many,
+        "sync_pull": q_sync_pull,
         "kv_store_overlay": q_kv_store_overlay,
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -1397,6 +1425,16 @@ def oracle_sql() -> dict[str, str]:
         "store_delete_tombstone": store_delete_tombstone,
         "store_max_horodate": store_max_horodate,
         "store_yield_many": store_yield_many,
+        # sync_pull: client replica equals the server's hourly data
+        "sync_pull": """
+            WITH hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_points,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+            FROM hourly GROUP BY user_id
+        """,
         "kv_store_overlay": kv_store_overlay,
         "pricing_summary": pricing_summary,
         "top_revenue": top_revenue,
