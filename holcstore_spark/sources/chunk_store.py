@@ -263,8 +263,13 @@ class ChunkStore:
     # write paths
     # ------------------------------------------------------------------
     def _append_data(self, sdf: DataFrame) -> None:
+        # every data write sorts within tasks by (keys, ts): parquet
+        # row-group min/max stats on the key columns then become tight, so
+        # a keyed read skips other series' row groups inside the partition
+        # (the property that replaces the reference's (keys, chunk) b-tree)
         (
             sdf.repartition("chunk_index", *self.config.keys)
+            .sortWithinPartitions(*self.config.keys, "ts")
             .write.mode("append")
             .partitionBy("chunk_index")
             .parquet(self._data_path)
@@ -283,6 +288,7 @@ class ChunkStore:
         combined = combined.localCheckpoint(eager=True)
         (
             combined.repartition("chunk_index", *self.config.keys)
+            .sortWithinPartitions(*self.config.keys, "ts")
             .write.mode("overwrite")
             .partitionBy("chunk_index")
             .parquet(self._data_path)
@@ -526,6 +532,7 @@ class ChunkStore:
         combined = keep.unionByName(sdf_new.select(*cols)).localCheckpoint(eager=True)
         (
             combined.repartition("chunk_index", *self.config.keys)
+            .sortWithinPartitions(*self.config.keys, "ts")
             .write.mode("overwrite")
             .partitionBy("chunk_index")
             .parquet(self._data_path)
@@ -772,6 +779,7 @@ class ChunkStore:
         remaining_meta = self.meta().filter(~pred).localCheckpoint(eager=True)
         (
             remaining_data.repartition("chunk_index", *self.config.keys)
+            .sortWithinPartitions(*self.config.keys, "ts")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy("chunk_index")
@@ -791,6 +799,7 @@ class ChunkStore:
         ).localCheckpoint(eager=True)
         (
             data.repartition("chunk_index", *self.config.keys)
+            .sortWithinPartitions(*self.config.keys, "ts")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")  # full rewrite: drop emptied partitions
             .partitionBy("chunk_index")
