@@ -643,6 +643,70 @@ class ChunkStore:
             s = s.loc[valid.idxmax(): valid[::-1].idxmax()]
         return s
 
+    def get_ts_local(
+        self,
+        attrs: dict,
+        start=None,
+        end=None,
+        drop_bounds_na: bool = True,
+    ) -> pd.Series | None:
+        """Low-latency point read served directly by pyarrow — no Spark job.
+
+        Same layout, same semantics as :meth:`get_ts` (tombstone check via
+        the meta log, partition pruning via the hive chunk_index dirs, key
+        equality and ts bounds pushed into the arrow scan). Spark remains
+        the engine for every analytical path; this is the serving-side
+        mitigation for SURVEY §7.4's "small-read latency" trade — the
+        reference answers point reads from a b-tree in ms, a Spark job
+        costs hundreds of ms regardless of data size.
+        """
+        import pyarrow.dataset as pads
+
+        self._ensure_all_attrs(attrs)
+        if not has_parquet(self._meta_path):
+            return None
+        # latest meta state in pandas (metadata-sized)
+        meta = pads.dataset(self._meta_path).to_table().to_pandas()
+        for k, v in attrs.items():
+            meta = meta[meta[k] == v]
+        if len(meta) == 0:
+            return None
+        latest = (
+            meta.sort_values("op_id")
+            .groupby("chunk_index", as_index=False)
+            .tail(1)
+        )
+        alive = sorted(latest.loc[~latest["is_deleted"], "chunk_index"].tolist())
+        if not alive:
+            return None
+
+        tz = self.config.tz
+        s_bound = normalize_bound(start, tz)
+        e_bound = normalize_bound(end, tz)
+        data = pads.dataset(self._data_path, partitioning="hive")
+        filt = pads.field("chunk_index").isin([int(c) for c in alive])
+        for k, v in attrs.items():
+            filt = filt & (pads.field(k) == v)
+        # the files hold naive UTC wall-clock instants (Spark session=UTC):
+        # strip tz from the bounds so arrow compares like with like
+        if s_bound is not None:
+            filt = filt & (pads.field("ts") >= s_bound.tz_localize(None).to_pydatetime())
+        if e_bound is not None:
+            filt = filt & (pads.field("ts") <= e_bound.tz_localize(None).to_pydatetime())
+        pdf = data.to_table(filter=filt, columns=["ts", "value"]).to_pandas()
+        if len(pdf):
+            ts_col = pd.to_datetime(pdf["ts"], utc=True)
+            pdf = pd.DataFrame({"ts": ts_col, "value": pdf["value"]})
+        s = long_to_series(pdf, tz)
+        if s is None:
+            return None
+        if drop_bounds_na:
+            valid = s.notna()
+            if not valid.any():
+                return None
+            s = s.loc[valid.idxmax(): valid[::-1].idxmax()]
+        return s
+
     def yield_many_ts(
         self,
         filters: dict | None = None,

@@ -213,6 +213,33 @@ class TestWriteSemantics:
         assert (jun_part == 6.0).all() and len(jun_part) == 48
 
 
+class TestLocalRead:
+    def test_get_ts_local_equals_spark_path(self, spark, tmpdir):
+        import time
+
+        st = make_store(spark, tmpdir)
+        s = hourly("2024-01-01", 24 * 30, seed=3)
+        s.iloc[50:60] = np.nan
+        st.set_ts(ATTRS, s)
+        st.set_ts(ATTRS, hourly("2024-01-20", 24 * 5, value=7.0), update=True)
+        st.set_ts({"site": "zz", "meter": "q"}, hourly("2024-01-01", 24))
+        st.delete({"site": "zz"})
+        for kw in [
+            {},
+            {"start": "2024-01-10", "end": "2024-01-25"},
+            {"drop_bounds_na": False},
+        ]:
+            a = st.get_ts(ATTRS, **kw)
+            b = st.get_ts_local(ATTRS, **kw)
+            pd.testing.assert_series_equal(a, b, check_freq=False)
+        # tombstoned key is invisible locally too
+        assert st.get_ts_local({"site": "zz", "meter": "q"}) is None
+        # and it is actually fast (no Spark job)
+        t0 = time.perf_counter()
+        st.get_ts_local(ATTRS)
+        assert time.perf_counter() - t0 < 0.5
+
+
 class TestAggregates:
     def test_max_horodate_ignores_nan_tail(self, spark, tmpdir):
         # reference: test_chunk_timeserie_store.py:244-254
