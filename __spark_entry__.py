@@ -705,6 +705,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("group_size") > 1).select("doc_id", "simhash", "group_size")
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline: quality filter → exact dedup → LSH +
+    Jaccard near-dup removal; per-source survivor counts."""
+    from holcstore_spark.operators.pipeline import clean_corpus
+
+    d = _docs_with_dups(spark, sf_dir)
+    out = clean_corpus(d, min_quality=0.5, jaccard_threshold=0.5)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 neighbours for every 500th vector; integer-
     quantized arithmetic makes scores bit-identical across engines."""
@@ -839,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "clean_corpus": q_clean_corpus,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
         "similarity_neardup": q_similarity_neardup,
@@ -1393,6 +1408,55 @@ def oracle_sql() -> dict[str, str]:
                 + least(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0 AS quality
         FROM s
     """
+    clean_corpus = f"""
+        WITH src0 AS ({_DOCS_WITH_DUPS_SQL}),
+        qual AS (
+            SELECT * FROM (
+                SELECT *,
+                       (least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+                        + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS DOUBLE)
+                                       / length(text) * 5.0, 1.0))
+                        + least(CAST(len(list_filter(string_split(text, ' '),
+                                         t -> t IN {stopwords})) AS DOUBLE)
+                                / len(string_split(text, ' ')) * 4.0, 1.0)) / 3.0 AS q
+                FROM src0
+            ) WHERE q >= 0.5
+        ),
+        src AS (
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+                FROM qual
+            ) WHERE rn = 1
+        ),
+        shingled AS ({_SHINGLES_SQL}),
+        sigs AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM shingled
+        ),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_key = r.band_key
+            WHERE l.doc_id < r.doc_id
+        ),
+        sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM shingled),
+        losers AS (
+            SELECT DISTINCT p.id_b AS doc_id
+            FROM pairs p
+            JOIN sets a ON a.doc_id = p.id_a
+            JOIN sets b ON b.doc_id = p.id_b
+            WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.shd, b.shd))) >= 0.5
+        )
+        SELECT source, count(*) AS n_clean,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM src
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY source
+    """
     token_bpe = r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens
@@ -1442,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup_minhash,
         "dedup_jaccard": dedup_jaccard,
         # dedup_simhash: rows-only (60-bit sign hash impractical in SQL)
+        "clean_corpus": clean_corpus,
         "similarity_bruteforce": similarity_bruteforce,
         "similarity_lsh": similarity_lsh,
         "similarity_neardup": similarity_neardup,
