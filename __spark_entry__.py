@@ -542,6 +542,100 @@ def q_store_yield_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_attr_store_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S8/M3 end-to-end: AttrStore set + update(combine_first) + partial-
+    attrs read. Users bucket into 10 groups; each group's hourly max series
+    is written, then a doubled mid-month patch is applied with update=True
+    (new wins, old fills holes)."""
+    import pandas as pd
+
+    from holcstore_spark.sources.attr_store import AttrStore
+
+    d = _t(spark, sf_dir, "events").withColumn(
+        "grp", (F.col("user_id") % 10).cast("long")
+    )
+    hourly = d.groupBy("grp", F.date_trunc("hour", "ts").alias("hts")).agg(
+        F.max("value").alias("v")
+    )
+    pdf = hourly.toPandas()
+    path = tempfile.mkdtemp(prefix="holc_attr_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        store = AttrStore(spark, path, keys=("grp", "kind"), tz="UTC")
+        for grp, g in pdf.groupby("grp"):
+            s = pd.Series(
+                g["v"].to_numpy(),
+                index=pd.DatetimeIndex(pd.to_datetime(g["hts"], utc=True)),
+            ).sort_index()
+            store.set_ts({"grp": str(int(grp)), "kind": "load"}, s)
+            patch = (s[(s.index >= "2024-01-10") & (s.index < "2024-01-15")] * 2)
+            if len(patch):
+                store.set_ts({"grp": str(int(grp)), "kind": "load"}, patch, update=True)
+        rows = []
+        for entry in store.get_ts({"kind": "load"}):  # partial attrs: all groups
+            s = entry["data"]
+            rows.append((
+                int(entry["grp"]),
+                int(s.notna().sum()),
+                float(s.index.min().timestamp()),
+                float(s.index.max().timestamp()),
+            ))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["grp", "n_points", "first_epoch", "last_epoch"]),
+            schema="grp long, n_points long, first_epoch double, last_epoch double",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_kv_find_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 through the real KeyValueStore: daily series per user (missing
+    days = holes) written via one bulk set_many_lc, then find_holes over a
+    fixed window."""
+    import pandas as pd
+
+    from holcstore_spark.sources.kv_store import KeyValueStore
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max("value").alias("v")).toPandas()
+    path = tempfile.mkdtemp(prefix="holc_kvh_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        kv = KeyValueStore(spark, path)
+        batch = {}
+        for uid, g in daily.groupby("user_id"):
+            # keep only even-valued days? no — drop days where floor(v) % 3 == 0
+            # to guarantee some holes, deterministically
+            keep = g[(g["v"].astype(int) % 3) != 0]
+            if len(keep) == 0:
+                continue
+            batch[str(uid)] = pd.Series(
+                keep["v"].to_numpy(),
+                index=pd.DatetimeIndex(pd.to_datetime(keep["day"], utc=True)),
+            ).sort_index()
+        kv.set_many_lc(batch, client_id=1)
+        rows = []
+        for prm, holes in kv.find_holes(
+            sorted(batch), 1, "2024-01-01", "2024-01-30", freq="1D"
+        ):
+            for r in holes:
+                rows.append((
+                    int(prm),
+                    r.sd.strftime("%Y-%m-%d %H:%M:%S"),
+                    r.ed.strftime("%Y-%m-%d %H:%M:%S"),
+                ))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "hole_start", "hole_end"]),
+            schema="user_id long, hole_start string, hole_end string",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_sync_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C2/C4/S14/S15 end-to-end: server→client pull over the change
     feed; the client replica must reproduce the server's data exactly."""
@@ -841,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_index": q_chunk_index,
         "lookup_filter": q_lookup_filter,
         "store_roundtrip": q_store_roundtrip,
+        "attr_store_update": q_attr_store_update,
+        "kv_find_holes": q_kv_find_holes,
         "store_update_overlay": q_store_update_overlay,
         "store_delete_tombstone": q_store_delete_tombstone,
         "store_max_horodate": q_store_max_horodate,
@@ -1149,6 +1245,57 @@ def oracle_sql() -> dict[str, str]:
         FROM hourly
         WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-25'
         GROUP BY user_id
+    """
+    attr_store_update = """
+        WITH hourly AS (
+            SELECT user_id % 10 AS grp, date_trunc('hour', ts) AS hts
+            FROM events GROUP BY 1, 2
+        )
+        SELECT grp, count(*) AS n_points,
+               CAST(epoch(min(hts)) AS DOUBLE) AS first_epoch,
+               CAST(epoch(max(hts)) AS DOUBLE) AS last_epoch
+        FROM hourly GROUP BY grp
+    """
+    kv_find_holes = f"""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day, max(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        kept AS (
+            SELECT user_id, day FROM daily
+            WHERE CAST(trunc(v) AS BIGINT) % 3 <> 0
+        ),
+        users AS (SELECT DISTINCT user_id FROM kept),
+        grid AS (
+            SELECT u.user_id, g.ts
+            FROM users u CROSS JOIN (
+                SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                    INTERVAL 1 DAY)) AS ts
+            ) g
+        ),
+        j AS (
+            SELECT g.user_id, g.ts, (k.day IS NOT NULL) AS present
+            FROM grid g LEFT JOIN kept k
+              ON k.user_id = g.user_id AND k.day = g.ts
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN lag(present) OVER w IS DISTINCT FROM present
+                           THEN 1 ELSE 0 END AS flag
+            FROM j
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        runs AS (
+            SELECT *, sum(flag) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '{_FMT_DUCK}') AS hole_start,
+               strftime(max(ts), '{_FMT_DUCK}') AS hole_end
+        FROM runs WHERE NOT present
+        GROUP BY user_id, run_id
     """
     store_update_overlay = """
         WITH hourly AS (
@@ -1485,6 +1632,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_index": chunk_index,
         "lookup_filter": lookup_filter,
         "store_roundtrip": store_roundtrip,
+        "attr_store_update": attr_store_update,
+        "kv_find_holes": kv_find_holes,
         "store_update_overlay": store_update_overlay,
         "store_delete_tombstone": store_delete_tombstone,
         "store_max_horodate": store_max_horodate,
