@@ -709,6 +709,48 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join scan (q5-ish): revenue per region/nation through the
+    full dimension chain, small dims broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (event_type, day) — grouping-sets analytics the
+    reference has no counterpart for (SURVEY §2.4 notes Spark's cube/rollup
+    strictly supersede its aggregation surface)."""
+    e = _t(spark, sf_dir, "events")
+    d = e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), _FMT))
+    return (
+        d.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n", "total",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline queries (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -945,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_store_overlay": q_kv_store_overlay,
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
+        "regional_revenue": q_regional_revenue,
+        "event_rollup": q_event_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1651,6 +1695,25 @@ def oracle_sql() -> dict[str, str]:
         "kv_store_overlay": kv_store_overlay,
         "pricing_summary": pricing_summary,
         "top_revenue": top_revenue,
+        "regional_revenue": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "event_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS day,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+            FROM events
+            GROUP BY CUBE (event_type, date_trunc('day', ts))
+        """,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_jaccard": dedup_jaccard,
