@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "pricing_summary",
     "top_revenue",
+    "regional_revenue",
     "overlay_merge",
     "completeness_holes",
     "constant_runs",
