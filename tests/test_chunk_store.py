@@ -92,6 +92,47 @@ class TestRoundTripMatrix:
         assert got.index.min() == pd.Timestamp("2024-03-01", tz=store_tz)
 
 
+class TestDstAndFreq:
+    def test_roundtrip_across_dst_spring_forward(self, spark, tmpdir):
+        # Europe/Paris 2024-03-31: 02:00→03:00 skipped; the local calendar
+        # chunk boundaries must stay DST-aware (reference normalizes in
+        # STORE_TZ, chunk_timeserie_store.py:731-742)
+        st = make_store(spark, tmpdir, tz="Europe/Paris", axis=("year", "month"))
+        idx = pd.date_range("2024-03-30 20:00", periods=24, freq="1h", tz="Europe/Paris")
+        s = pd.Series(np.arange(24, dtype=float), index=idx)
+        st.set_ts(ATTRS, s)
+        got = st.get_ts(ATTRS)
+        pd.testing.assert_series_equal(
+            got.dropna(), s, check_freq=False, check_names=False
+        )
+        # the DST-transition day is 23 hours long in the grid: count the
+        # stored slots falling on 2024-03-31 local
+        day = got[(got.index >= pd.Timestamp("2024-03-31 00:00", tz="Europe/Paris"))
+                  & (got.index < pd.Timestamp("2024-04-01 00:00", tz="Europe/Paris"))]
+        assert len(day) <= 23
+
+    def test_15min_freq_roundtrip(self, spark, tmpdir):
+        # the reference's heavy load shape uses 15-min cadence
+        st = make_store(spark, tmpdir, freq="15min")
+        idx = pd.date_range("2024-06-01", periods=4 * 48, freq="15min",
+                            tz="Europe/Paris")
+        s = pd.Series(np.random.RandomState(7).rand(len(idx)), index=idx)
+        st.set_ts(ATTRS, s)
+        got = st.get_ts(ATTRS)
+        pd.testing.assert_series_equal(
+            got.dropna(), s, check_freq=False, check_names=False
+        )
+        # off-grid labels drop out (reindex, never resample)
+        st2_attrs = {"site": "x", "meter": "y"}
+        off = pd.Series([1.0, 2.0], index=pd.DatetimeIndex([
+            pd.Timestamp("2024-06-01 00:07", tz="Europe/Paris"),
+            pd.Timestamp("2024-06-01 00:15", tz="Europe/Paris"),
+        ]))
+        st.set_ts(st2_attrs, off)
+        got2 = st.get_ts(st2_attrs)
+        assert len(got2.dropna()) == 1  # only the on-grid label survives
+
+
 class TestRangeReads:
     def test_mixed_tz_bounds(self, spark, tmpdir):
         # reference: test_chunk_timeserie_store.py:178-209 — str / NaT /
