@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 from holcstore_spark.edge.pandas_bridge import long_to_series
 from holcstore_spark.functions.scalar import nan_to_null
 from holcstore_spark.plans.predicates import attrs_filter, validate_filter_keys
+from holcstore_spark.sources.io_util import safe_local_checkpoint
 
 
 class AttrStore:
@@ -60,7 +61,7 @@ class AttrStore:
         return self.spark.read.parquet(self.path)
 
     def _overwrite(self, df: DataFrame) -> None:
-        df = df.localCheckpoint(eager=True)
+        df = safe_local_checkpoint(df)
         df.write.mode("overwrite").parquet(self.path)
 
     # ------------------------------------------------------------------

@@ -52,7 +52,7 @@ from holcstore_spark.operators.slicing import drop_bounds_na as _drop_bounds_na
 from holcstore_spark.operators.slicing import time_slice
 from holcstore_spark.plans.predicates import attrs_filter, validate_filter_keys
 from holcstore_spark.plans.pruning import chunk_bounds_filter, normalize_bound
-from holcstore_spark.sources.io_util import has_parquet
+from holcstore_spark.sources.io_util import has_parquet, safe_local_checkpoint
 
 
 class KeyExistsError(Exception):
@@ -285,7 +285,7 @@ class ChunkStore:
         keep = existing.filter(~drop_pred).select(*[f.name for f in self._data_schema()])
         combined = keep.unionByName(sdf_new.select(*[f.name for f in self._data_schema()]))
         # materialize before overwriting the files the plan reads from
-        combined = combined.localCheckpoint(eager=True)
+        combined = safe_local_checkpoint(combined)
         (
             combined.repartition("chunk_index", *self.config.keys)
             .sortWithinPartitions(*self.config.keys, "ts")
@@ -322,13 +322,59 @@ class ChunkStore:
         rows survive so the change feed and watermarks stay correct)."""
         if self._meta_file_count() <= self.META_COMPACT_THRESHOLD:
             return
-        latest = self.latest_meta().localCheckpoint(eager=True)
+        latest = safe_local_checkpoint(self.latest_meta())
         latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
         self._invalidate_meta_cache()
 
-    def _meta_rows_for(
-        self, sdf: DataFrame, updated_at: datetime, op_id: int, is_deleted: bool = False
+    _META_COLS = property(
+        lambda self: [*self.config.keys, "chunk_index", "start_ts", "n_points",
+                      "updated_at", "op_id", "is_deleted"]
+    )
+
+    def _meta_sdf_for(
+        self, sdf: DataFrame, updated_at: datetime, op_id: int
+    ) -> DataFrame:
+        """Distributed meta rows for a data frame: one aggregate, never a
+        driver collect — a 10M-key ingest produces its changelog rows with
+        the same parallelism as the data write (reference analogue:
+        bulk_create batching, chunk_timeserie_store.py:815-824)."""
+        return (
+            sdf.groupBy(*self.config.keys, "chunk_index")
+            .agg(F.min("ts").alias("start_ts"), F.count("ts").alias("n_points"))
+            .withColumn("updated_at", F.lit(updated_at))
+            .withColumn("op_id", F.lit(op_id).cast("long"))
+            .withColumn("is_deleted", F.lit(False))
+            .select(*self._META_COLS)
+        )
+
+    def _tombstone_sdf(
+        self, chunk_keys: DataFrame, updated_at: datetime, op_id: int
+    ) -> DataFrame:
+        """Distributed tombstone rows for a (keys…, chunk_index) frame."""
+        return (
+            chunk_keys.select(*self.config.keys, "chunk_index")
+            .withColumn("start_ts", F.lit(None).cast("timestamp"))
+            .withColumn("n_points", F.lit(0).cast("long"))
+            .withColumn("updated_at", F.lit(updated_at))
+            .withColumn("op_id", F.lit(op_id).cast("long"))
+            .withColumn("is_deleted", F.lit(True))
+            .select(*self._META_COLS)
+        )
+
+    def _append_meta_sdf(self, meta_sdf: DataFrame) -> None:
+        """Append a Spark-built meta frame. AQE coalesces the (metadata-
+        sized) aggregate to few files; the log self-compacts past the
+        threshold like the driver path."""
+        meta_sdf.select(*self._META_COLS).write.mode("append").parquet(self._meta_path)
+        self._invalidate_meta_cache()
+        self._maybe_compact_meta()
+
+    def _meta_rows_single_series(
+        self, sdf: DataFrame, updated_at: datetime, op_id: int
     ) -> list[dict]:
+        """Driver-side meta rows — ONLY for single-series writes, where the
+        result is bounded by that series' chunk count (a few dozen rows).
+        Bulk paths use :meth:`_meta_sdf_for` (distributed, no collect)."""
         agg = (
             sdf.groupBy(*self.config.keys, "chunk_index")
             .agg(F.min("ts").alias("start_ts"), F.count("ts").alias("n_points"))
@@ -342,7 +388,7 @@ class ChunkStore:
                 "n_points": r["n_points"],
                 "updated_at": updated_at,
                 "op_id": op_id,
-                "is_deleted": is_deleted,
+                "is_deleted": False,
             }
             for r in agg
         ]
@@ -350,7 +396,7 @@ class ChunkStore:
     def _meta_rows_pandas(
         self, pdf: pd.DataFrame, attrs: dict, updated_at: datetime, op_id: int
     ) -> list[dict]:
-        """Driver-side twin of _meta_rows_for when the long frame is already
+        """Driver-side twin of _meta_rows_single_series when the long frame is already
         pandas (single-series writes) — zero extra Spark jobs."""
         agg = pdf.groupby("chunk_index")["ts"].agg(["min", "count"])
         return [
@@ -442,14 +488,14 @@ class ChunkStore:
         if merged_spark_side or touched_physical:
             # cut lineage: sdf may read the very files the rewrite replaces,
             # and the meta aggregation below runs after the rewrite
-            sdf = sdf.localCheckpoint(eager=True)
+            sdf = safe_local_checkpoint(sdf)
         if touched_physical:
             self._rewrite_partitions(sdf, self._key_pred(attrs), chunks=sorted(new_chunks))
         else:
             self._append_data(sdf)
 
         if merged_spark_side:
-            meta_rows = self._meta_rows_for(sdf, updated_at, op_id)
+            meta_rows = self._meta_rows_single_series(sdf, updated_at, op_id)
         else:
             meta_rows = self._meta_rows_pandas(pdf, attrs, updated_at, op_id)
         for c in stale:
@@ -513,7 +559,7 @@ class ChunkStore:
             self._rewrite_partitions_multi(sdf)
         else:
             self._append_data(sdf)
-        self._append_meta(self._meta_rows_for(sdf, updated_at, op_id), pdf_all)
+        self._append_meta_sdf(self._meta_sdf_for(sdf, updated_at, op_id))
 
     def _rewrite_partitions_multi(self, sdf_new: DataFrame) -> None:
         """Partition rewrite where the dropped rows are every (key-tuple,
@@ -529,7 +575,7 @@ class ChunkStore:
             on=[*self.config.keys, "chunk_index"],
             how="left_anti",
         ).select(*cols)
-        combined = keep.unionByName(sdf_new.select(*cols)).localCheckpoint(eager=True)
+        combined = safe_local_checkpoint(keep.unionByName(sdf_new.select(*cols)))
         (
             combined.repartition("chunk_index", *self.config.keys)
             .sortWithinPartitions(*self.config.keys, "ts")
@@ -575,7 +621,7 @@ class ChunkStore:
             # task results and breaks on ~100M-row ingests
             dense = dense.persist()
             self._append_data(dense)
-            self._append_meta(self._meta_rows_for(dense, updated_at, op_id))
+            self._append_meta_sdf(self._meta_sdf_for(dense, updated_at, op_id))
             dense.unpersist()
             return
 
@@ -590,28 +636,25 @@ class ChunkStore:
                 chunk_index_col("ts", self.config.chunk_axis, self.config.tz),
             )
 
-        stale_meta: list[dict] = []
+        stale_sdf: DataFrame | None = None
         if mode == "replace" and n_existing:
             new_chunk_keys = dense.select(*keys, "chunk_index").distinct()
             stale = existing_alive.join(
                 new_chunk_keys, on=[*keys, "chunk_index"], how="left_anti"
             ).select(*keys, "chunk_index")
-            for r in stale.collect():
-                stale_meta.append(
-                    {
-                        **{k: r[k] for k in keys},
-                        "chunk_index": r["chunk_index"],
-                        "start_ts": None,
-                        "n_points": 0,
-                        "updated_at": updated_at,
-                        "op_id": op_id,
-                        "is_deleted": True,
-                    }
-                )
+            # materialize (metadata-sized) BEFORE the rewrite: the plan
+            # references `dense`, whose lineage reads the files the rewrite
+            # replaces. No driver collect — tombstones stay distributed.
+            stale_sdf = safe_local_checkpoint(
+                self._tombstone_sdf(stale, updated_at, op_id)
+            )
 
-        dense = dense.localCheckpoint(eager=True)
+        dense = safe_local_checkpoint(dense)
         self._rewrite_partitions_multi(dense)
-        self._append_meta(self._meta_rows_for(dense, updated_at, op_id) + stale_meta)
+        meta_sdf = self._meta_sdf_for(dense, updated_at, op_id)
+        if stale_sdf is not None:
+            meta_sdf = meta_sdf.unionByName(stale_sdf)
+        self._append_meta_sdf(meta_sdf)
 
     # ------------------------------------------------------------------
     # read paths
@@ -815,32 +858,27 @@ class ChunkStore:
         validate_filter_keys(filters, self.config.keys)
         if not keep_tracking and self.config.allow_sync:
             raise SyncGuardError("untracked delete is forbidden on a sync-enabled store")
-        victims = self.alive_chunks(filters).select(*self.config.keys, "chunk_index").collect()
-        if not victims and keep_tracking:
-            return 0
+        victims = self.alive_chunks(filters).select(*self.config.keys, "chunk_index")
         updated_at, op_id = self._now_stamp()
         if keep_tracking:
-            rows = [
-                {
-                    **{k: r[k] for k in self.config.keys},
-                    "chunk_index": r["chunk_index"],
-                    "start_ts": None,
-                    "n_points": 0,
-                    "updated_at": updated_at,
-                    "op_id": op_id,
-                    "is_deleted": True,
-                }
-                for r in victims
-            ]
-            self._append_meta(rows)
-            return len(rows)
+            # distributed tombstoning: a million-chunk delete writes its
+            # changelog rows without materializing them on the driver.
+            # Checkpoint (metadata-sized) so count + write evaluate once.
+            tomb = safe_local_checkpoint(
+                self._tombstone_sdf(victims, updated_at, op_id)
+            )
+            n = tomb.count()
+            if n == 0:
+                return 0
+            self._append_meta_sdf(tomb)
+            return n
         # untracked: physically drop data rows and meta entries. This is a
         # FULL-table rewrite: static overwrite mode so partitions that became
         # empty are removed (dynamic mode would leave their files visible).
         pred = attrs_filter(filters)
-        n = len(victims)
-        remaining_data = self.data().filter(~pred).localCheckpoint(eager=True)
-        remaining_meta = self.meta().filter(~pred).localCheckpoint(eager=True)
+        n = victims.count()
+        remaining_data = safe_local_checkpoint(self.data().filter(~pred))
+        remaining_meta = safe_local_checkpoint(self.meta().filter(~pred))
         (
             remaining_data.repartition("chunk_index", *self.config.keys)
             .sortWithinPartitions(*self.config.keys, "ts")
@@ -856,11 +894,12 @@ class ChunkStore:
     def compact(self) -> None:
         """Physically drop tombstoned data and collapse the meta log to its
         latest state (the Parquet analogue of VACUUM + log checkpoint)."""
-        latest = self.latest_meta().localCheckpoint(eager=True)
+        latest = safe_local_checkpoint(self.latest_meta())
         alive = latest.filter(~F.col("is_deleted")).select(*self.config.keys, "chunk_index")
         data = self.data().join(
             F.broadcast(alive), on=[*self.config.keys, "chunk_index"], how="left_semi"
-        ).localCheckpoint(eager=True)
+        )
+        data = safe_local_checkpoint(data)
         (
             data.repartition("chunk_index", *self.config.keys)
             .sortWithinPartitions(*self.config.keys, "ts")

@@ -4,6 +4,38 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import DataFrame
+
+
+def safe_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` with a fallback for a Spark 4 analyzer bug.
+
+    Checkpointing a plan whose ``Union`` children share source attribute
+    ids (e.g. both branches derive from one crossJoin-built frame) can
+    crash in ``UnionBase.rewriteConstraints`` with
+    ``NoSuchElementException: key not found: <attr>`` while
+    ``LogicalRDD.rewriteStatsAndConstraints`` rebuilds the constraint set.
+    Retrying with constraint propagation disabled skips that rewrite; the
+    conf is restored immediately, so only the single materialization loses
+    the (optional) inferred-constraint optimizations.
+    """
+    try:
+        return df.localCheckpoint(eager=eager)
+    except Exception as e:  # Py4JJavaError, match on the Scala message
+        if "key not found" not in str(e):
+            raise
+        spark = df.sparkSession
+        key = "spark.sql.constraintPropagation.enabled"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "false")
+        try:
+            return df.localCheckpoint(eager=eager)
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
 
 def has_parquet(path: str) -> bool:
     """True when ``path`` holds at least one parquet data file.

@@ -29,7 +29,7 @@ from holcstore_spark.operators.grid import completeness_holes
 from holcstore_spark.operators.intervals import Range
 from holcstore_spark.operators.overlay import delayed, overlay_merge
 from holcstore_spark.plans.predicates import attrs_filter, order_cols
-from holcstore_spark.sources.io_util import has_parquet
+from holcstore_spark.sources.io_util import has_parquet, safe_local_checkpoint
 
 
 _BASE_FIELDS = [
@@ -73,7 +73,7 @@ class KeyValueStore:
         # emptied by clear()/clear_all() is actually removed (dynamic mode
         # only replaces partitions present in the written frame, leaving the
         # "deleted" rows visible)
-        df = df.localCheckpoint(eager=True)
+        df = safe_local_checkpoint(df)
         (
             df.repartition("client_id")
             .write.mode("overwrite")

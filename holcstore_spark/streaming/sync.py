@@ -22,6 +22,7 @@ from __future__ import annotations
 import pandas as pd
 
 from holcstore_spark.sources.chunk_store import ChunkStore
+from holcstore_spark.sources.io_util import safe_local_checkpoint
 
 
 class SyncCrash(Exception):
@@ -50,8 +51,8 @@ class SyncClient:
         # materialize the ordered feed once (checkpoint cuts the plan to the
         # sorted result) so each page is a cheap slice — offset/limit over
         # the raw plan would re-window and re-sort the whole feed per page
-        feed = self.server.updates(since=since, filters=filters).localCheckpoint(
-            eager=True
+        feed = safe_local_checkpoint(
+            self.server.updates(since=since, filters=filters)
         )
         applied = 0
         keys = list(self.server.config.keys)

@@ -374,3 +374,41 @@ class TestConfig:
             st.set_ts({"site": f"s{i}", "meter": "m"}, hourly("2024-01-01", 4, value=1.0))
         assert st._meta_file_count() <= 6
         assert st.count_keys() == 8
+
+
+class TestDistributedMeta:
+    def test_bulk_ingest_meta_stays_distributed(self, spark, tmpdir):
+        """ingest_long at 100k+ keys: the meta changelog is written as a
+        Spark aggregate — no per-(key, chunk) driver collect (VERDICT r2 #1).
+        Guarded by monkeypatching the single-series driver helper to raise."""
+        path = os.path.join(tmpdir, "bulk")
+        cfg = ChunkStoreConfig(
+            keys=("k",), freq="1D", tz="UTC", chunk_axis=("year", "month"),
+            key_types={"k": "int"},
+        )
+        st = ChunkStore(spark, path, cfg)
+
+        def boom(*a, **k):  # any driver-side meta path in a bulk write is a bug
+            raise AssertionError("driver-side meta materialization in bulk path")
+
+        st._meta_rows_single_series = boom
+        n_keys = 120_000
+        src = (
+            spark.range(n_keys)
+            .select(
+                F.col("id").alias("k"),
+                F.to_timestamp(F.lit("2024-03-05")).alias("ts"),
+                (F.col("id") % 97).cast("double").alias("value"),
+            )
+        )
+        st.ingest_long(src, mode="insert")
+        meta = st.latest_meta()
+        assert meta.count() == n_keys           # one chunk per key
+        assert st.count_keys() == n_keys
+        # the dense grid padded each key to the full March chunk
+        assert st.data().count() == n_keys * 31
+
+        # distributed tombstoning: delete half the keys, still no collect
+        n = st.delete({"k__lt": 60_000})
+        assert n == 60_000
+        assert st.count_keys() == 60_000
