@@ -832,8 +832,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clusters (rows-only check: 60-bit sign hash is not
-    practical to replicate in the SQL oracle)."""
+    """SimHash near-dup clusters; the oracle replicates the 60-bit sign
+    hash nibble-by-nibble from the same md5 prefixes."""
     from holcstore_spark.operators.dedup import simhash_groups
 
     d = _docs_with_dups(spark, sf_dir)
@@ -1648,6 +1648,37 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         GROUP BY source
     """
+    # ---- simhash oracle: mirrors operators.dedup.simhash64 exactly ----
+    # per token: first 15 hex chars of md5 -> 15 nibble values (60 bits);
+    # bit b lives in nibble 15 - b//4 (1-based from the left), shift b%4.
+    # vote_b = sum over tokens of (bit ? +1 : -1); simhash = sum 2^b [vote>0]
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(dgs, d -> "
+        f"CASE WHEN (d[{15 - b // 4}] // {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
+        f")) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(60)
+    )
+    dedup_simhash = f"""
+        WITH src AS ({_DOCS_WITH_DUPS_SQL}),
+        toks AS (
+            SELECT doc_id,
+                   list_transform(
+                       string_split(text, ' '),
+                       t -> list_transform(
+                            range(1, 16),
+                            i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+                   ) AS dgs
+            FROM src
+        ),
+        sims AS (
+            SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM toks
+        )
+        SELECT doc_id, simhash, group_size FROM (
+            SELECT doc_id, simhash,
+                   count(*) OVER (PARTITION BY simhash) AS group_size
+            FROM sims
+        ) WHERE group_size > 1
+    """
     token_bpe = r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens
@@ -1717,7 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_jaccard": dedup_jaccard,
-        # dedup_simhash: rows-only (60-bit sign hash impractical in SQL)
+        "dedup_simhash": dedup_simhash,
         "clean_corpus": clean_corpus,
         "similarity_bruteforce": similarity_bruteforce,
         "similarity_lsh": similarity_lsh,

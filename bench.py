@@ -2,8 +2,8 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
-Each query is executed twice: a warm-up collect is NOT done (cold numbers
-are what a first-run user sees); timing covers plan + execute + collect.
+After one session warm-up job, each query is executed once; timing covers
+plan + execute + collect.
 """
 
 from __future__ import annotations

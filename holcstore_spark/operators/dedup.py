@@ -202,8 +202,12 @@ def simhash64(text: Column | str, sep: str = " ") -> Column:
     Near-duplicates differ in few bits; grouping on the full value (or a
     prefix band) gives an equi-join candidate structure like MinHash.
     """
+    import re
+
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(c, sep)
+    # F.split takes a regex — escape so sep='.' or '|' splits literally,
+    # consistent with tokens()/token_shingles() and the SQL oracle
+    toks = F.split(c, re.escape(sep))
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )

@@ -183,8 +183,15 @@ class KeyValueStore:
             scope_keys = tuple(dict.fromkeys(("client_id", *versionning_by)))
             base = self.df().groupBy(*scope_keys).agg(F.max("version").alias("__maxv"))
             w = Window.partitionBy(*scope_keys).orderBy("__series_ord")
+            # null-safe join: a scope attr the caller left unset is NULL in
+            # `new`; an equi-join would miss existing NULL rows and silently
+            # restart versions at 0 (set_lc maps None -> isNull — match it)
+            cond = new["client_id"].eqNullSafe(base["client_id"])
+            for k in scope_keys[1:]:
+                cond = cond & new[k].eqNullSafe(base[k])
             out = (
-                new.join(F.broadcast(base), on=list(scope_keys), how="left")
+                new.join(F.broadcast(base), on=cond, how="left")
+                .drop(*[base[k] for k in scope_keys])
                 .withColumn(
                     "version",
                     (F.coalesce(F.col("__maxv") + 1, F.lit(0))
@@ -353,8 +360,15 @@ class KeyValueStore:
         freq_s = int(pd.to_timedelta(freq).total_seconds())
         margin_s = 0 if freq_margin is None else int(pd.to_timedelta(freq_margin).total_seconds())
         combined_by = tuple(combined_by)
-        if "prm" not in combined_by:
-            raise ValueError("combined_by must include 'prm' (holes are reported per prm)")
+        if combined_by != ("prm",):
+            # The reference computes holes on ONE combined series per prm and
+            # asserts a single combined dataset (hostore.py:205-214); any
+            # other grouping would report each subgroup's uncovered span as a
+            # hole and massively over-report. Refuse rather than mis-answer.
+            raise ValueError(
+                "find_holes supports combined_by=('prm',) only: holes are "
+                "computed on one combined series per prm"
+            )
         if prms is None:
             prms = [
                 r[0]

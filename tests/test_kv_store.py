@@ -129,6 +129,28 @@ class TestBulk:
         out = kv.get_many_lc(["a", "b", "absent"], client_id=1)
         assert set(out) == {"a", "b"}
 
+    def test_set_many_versioned_null_scope_attr(self, kv, spark, tmp_store_path):
+        """ADVICE r2: versionning_by includes an attr the caller leaves unset
+        (NULL). The bulk path must null-safe-join against existing NULL rows
+        like set_lc does, not silently restart versions at 0."""
+        kv2 = KeyValueStore(spark, tmp_store_path + "_nullscope", attr_cols=("year",))
+        kv2.set_many_lc({"p1": dt_series([1])}, client_id=1, versionning=True,
+                        versionning_by=("prm", "year"))          # year unset -> NULL
+        kv2.set_many_lc({"p1": dt_series([2])}, client_id=1, versionning=True,
+                        versionning_by=("prm", "year"))
+        raw = kv2.df().select("prm", "version").distinct().collect()
+        assert sorted((r["prm"], r["version"]) for r in raw) == [("p1", 0), ("p1", 1)]
+        # overlay read is deterministic: latest version wins
+        got = kv2.get_lc("p1", 1)
+        assert len(got) == 1 and got[0]["version"] == 1
+        assert got[0]["data"].iloc[0] == 2.0
+
+    def test_find_holes_rejects_extra_combined_by(self, kv):
+        kv.set_lc("p1", dt_series([1, 2]), client_id=1)
+        with pytest.raises(ValueError, match="combined_by"):
+            list(kv.find_holes(["p1"], 1, "2024-01-01", "2024-01-05",
+                               combined_by=("prm", "version")))
+
 
 class TestHoles:
     def test_find_holes_patterns(self, kv):
