@@ -663,6 +663,359 @@ def q_sync_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _daily_events_pdf(spark: SparkSession, sf_dir: str):
+    """Deterministic daily series per user (max aggregation) as pandas."""
+    import pandas as pd
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max("value").alias("v"))
+        .toPandas()
+    )
+    daily["day"] = pd.to_datetime(daily["day"], utc=True)
+    return daily
+
+
+def q_store_set_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: mass insert via set_many_ts (single batched write, one
+    existence check for the whole batch) — per-key counts and exact totals
+    read back through the tombstone-aware reader."""
+    import pandas as pd
+
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    daily = _daily_events_pdf(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="holc_smany_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        store = ChunkStore(
+            spark, path,
+            ChunkStoreConfig(keys=("user_id",), freq="1D", tz="UTC",
+                             chunk_axis=("year", "month"),
+                             key_types={"user_id": "int"}),
+        )
+        mapping = {}
+        for uid, g in daily.groupby("user_id"):
+            mapping[(int(uid),)] = pd.Series(
+                g["v"].to_numpy(), index=pd.DatetimeIndex(g["day"])
+            ).sort_index()
+        store.set_many_ts(mapping)
+        got = store.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_kv_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/A1: clear by prm list + clear_all by client; survivors re-read
+    and the public count() (A1) embedded per row
+    (reference: hostore.py:39-43, 396-432)."""
+    import pandas as pd
+
+    from holcstore_spark.sources.kv_store import KeyValueStore
+
+    daily = _daily_events_pdf(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="holc_kvclear_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        kv = KeyValueStore(spark, path)
+        batch = {}
+        for uid, g in daily.groupby("user_id"):
+            batch[str(int(uid))] = pd.Series(
+                g["v"].to_numpy(), index=pd.DatetimeIndex(g["day"])
+            ).sort_index()
+        kv.set_many_lc(batch, client_id=1)
+        kv.set_many_lc(batch, client_id=2)
+        kv.clear([p for p in batch if int(p) % 3 == 0], client_id=1)
+        kv.clear_all(client_id=2)
+        per_prm = (
+            kv.df()
+            .groupBy("client_id", "prm")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("user_id", F.col("prm").cast("long"))
+            .drop("prm")
+        )
+        counts = spark.createDataFrame(
+            pd.DataFrame({"client_id": [1, 2],
+                          "n_series": [kv.count(client_id=1), kv.count(client_id=2)]}),
+            schema="client_id long, n_series long",
+        )
+        out = per_prm.join(F.broadcast(counts), on="client_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_sync_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: tombstones born from replace() propagate through sync — for every
+    third user the server replaces a 2-chunk history with its second chunk
+    only; after pull the client must show exactly the surviving span
+    (reference: chunk_timeserie_store.py:357-370 + ts_sync tombstone path)."""
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+    from holcstore_spark.streaming.sync import SyncClient
+
+    base = tempfile.mkdtemp(prefix="holc_synctomb_")
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
+                           chunk_axis=("year", "month"), allow_sync=True,
+                           key_types={"user_id": "int"})
+    try:
+        server = ChunkStore(spark, os.path.join(base, "server"), cfg)
+        client = ChunkStore(spark, os.path.join(base, "client"), cfg)
+        jan = _hourly_events(spark, sf_dir)
+        feb = jan.withColumn("ts", F.col("ts") + F.expr("INTERVAL 31 DAYS"))
+        server.ingest_long(jan.unionByName(feb), mode="update")
+        rep = (
+            feb.filter(F.col("user_id") % 3 == 0)
+            .withColumn("value", F.col("value") * 3)
+        )
+        server.ingest_long(rep, mode="replace")
+        SyncClient(server, client).pull(page_size=500)
+        got = client.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _make_imported_store(spark: SparkSession, sf_dir: str):
+    """Store built via import_chunks with DETERMINISTIC updated_at/op_id
+    stamps (import applies the caller's stamps, so the sync watermark and
+    change-feed become oracle-checkable; Jan chunk per user, plus a +31-day
+    second chunk for even users)."""
+    import pandas as pd
+
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    path = tempfile.mkdtemp(prefix="holc_import_")
+    shutil.rmtree(path, ignore_errors=True)
+    store = ChunkStore(
+        spark, path,
+        ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
+                         chunk_axis=("year", "month"),
+                         key_types={"user_id": "int"}),
+    )
+    hourly = _hourly_events(spark, sf_dir).toPandas()
+    hourly["ts"] = pd.to_datetime(hourly["ts"], utc=True)
+    feb = hourly[hourly["user_id"] % 2 == 0].copy()
+    feb["ts"] = feb["ts"] + pd.Timedelta(days=31)
+    data = pd.concat([hourly, feb], ignore_index=True)
+    local = data["ts"]
+    data["chunk_index"] = (local.dt.year * 12 + local.dt.month - 1).astype("int32")
+    meta = (
+        data.groupby(["user_id", "chunk_index"], as_index=False)
+        .agg(start_ts=("ts", "min"), n_points=("ts", "count"))
+    )
+    meta["updated_at"] = (
+        pd.Timestamp("2024-06-01", tz="UTC")
+        + pd.to_timedelta(meta["user_id"] % 7, unit="D")
+    )
+    meta["op_id"] = meta["user_id"] * 1000 + meta["chunk_index"]
+    meta["is_deleted"] = False
+    store.import_chunks(meta, data[["user_id", "ts", "value", "chunk_index"]])
+    return store, path
+
+
+def q_store_meta_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3: count per filter, max alive chunk_index, max watermark —
+    the three metadata aggregates through their public APIs, oracle-checked
+    via deterministic import stamps (reference: hostore.py:39-43,
+    chunk_timeserie_store.py:288-307, 531)."""
+    import pandas as pd
+
+    store, path = _make_imported_store(spark, sf_dir)
+    try:
+        users = sorted(
+            r[0] for r in store.alive_chunks().select("user_id").distinct().collect()
+        )
+        n_keys = store.count_keys()
+        rows = []
+        for u in users[:20]:
+            rows.append((
+                int(u),
+                store.count_chunks({"user_id": u}),
+                int(store.last_chunk_index({"user_id": u})),
+                store.last_updated_at({"user_id": u}).strftime("%Y-%m-%d %H:%M:%S"),
+                n_keys,
+            ))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "n_chunks", "last_chunk",
+                                        "last_up", "n_keys"]),
+            schema="user_id long, n_chunks long, last_chunk long, "
+                   "last_up string, n_keys long",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_store_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P7/O3: watermark-filtered change feed, metadata-only projection,
+    deterministic order with Spark-side offset/limit pagination
+    (reference: chunk_timeserie_store.py:545-607)."""
+    import pandas as pd
+
+    store, path = _make_imported_store(spark, sf_dir)
+    try:
+        page = store.list_updates(since="2024-06-04", limit=40, offset=10)
+        page["start_ts"] = pd.to_datetime(page["start_ts"], utc=True)
+        page["updated_at"] = pd.to_datetime(page["updated_at"], utc=True)
+        rows = [
+            (
+                int(r.user_id),
+                int(r.chunk_index),
+                int(r.n_points),
+                r.start_ts.strftime("%Y-%m-%d %H:%M:%S"),
+                r.updated_at.strftime("%Y-%m-%d %H:%M:%S"),
+            )
+            for r in page.itertuples()
+        ]
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "chunk_index", "n_points",
+                                        "start_ts", "updated_at"]),
+            schema="user_id long, chunk_index long, n_points long, "
+                   "start_ts string, updated_at string",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6: Range intersection (min_delta), overlap/includes and
+    requested-minus-available difference over per-user event coverage in
+    two probe windows (reference: hostore/utils/range/range.py:17-80)."""
+    import pandas as pd
+
+    from holcstore_spark.operators.intervals import Range
+
+    e = _t(spark, sf_dir, "events")
+    windows = [
+        ("a", "2024-01-08", "2024-01-12"),
+        ("b", "2024-01-13", "2024-01-18"),
+    ]
+    req = Range(pd.Timestamp("2024-01-10 06:00:00", tz="UTC"),
+                pd.Timestamp("2024-01-20 00:00:00", tz="UTC"))
+    fmt = "%Y-%m-%d %H:%M:%S"
+    rows = []
+    for wname, lo, hi in windows:
+        cov = (
+            e.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .toPandas()
+        )
+        for r in cov.itertuples():
+            avail = Range(pd.Timestamp(r.lo, tz="UTC"), pd.Timestamp(r.hi, tz="UTC"))
+            inter = req.intersection(avail, min_delta=pd.Timedelta("1D"))
+            miss = req.difference_missing(avail, min_delta=pd.Timedelta("12h"))
+            rows.append((
+                int(r.user_id), wname,
+                req.overlap(avail), req.includes(avail),
+                inter.sd.strftime(fmt) if inter else None,
+                inter.ed.strftime(fmt) if inter else None,
+                len(miss),
+                miss[0].sd.strftime(fmt) if len(miss) > 0 else None,
+                miss[0].ed.strftime(fmt) if len(miss) > 0 else None,
+                miss[1].sd.strftime(fmt) if len(miss) > 1 else None,
+                miss[1].ed.strftime(fmt) if len(miss) > 1 else None,
+            ))
+    out = spark.createDataFrame(
+        __import__("pandas").DataFrame(
+            rows,
+            columns=["user_id", "w", "overlaps", "includes", "inter_start",
+                     "inter_end", "n_miss", "m1_start", "m1_end", "m2_start",
+                     "m2_end"],
+        ),
+        schema="user_id long, w string, overlaps boolean, includes boolean, "
+               "inter_start string, inter_end string, n_miss long, "
+               "m1_start string, m1_end string, m2_start string, m2_end string",
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def q_freq_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: pandas-frequency normalization (bare alias -> '1'-prefixed) and
+    the engine's grid-step arithmetic (reference pd_freq_fix,
+    hostore/utils/timeseries.py). Expected values are literals in the
+    oracle — the semantic under test IS the mapping."""
+    import pandas as pd
+
+    from holcstore_spark.config import _fix_freq
+
+    freqs = ["h", "1h", "15min", "min", "30min", "D", "2D", "W"]
+    rows = [
+        (f, _fix_freq(f),
+         float(pd.to_timedelta(_fix_freq(f)).total_seconds()))
+        for f in freqs
+    ]
+    out = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["freq", "fixed", "seconds"]),
+        schema="freq string, fixed string, seconds double",
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def q_sync_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: sync-safety guards — mutations that would break watermark
+    semantics must raise on a sync-enabled store while stamped paths pass
+    (reference: chunk_timeserie_store.py:44-47, 337-339, 439-441)."""
+    import pandas as pd
+
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore, SyncGuardError
+
+    path = tempfile.mkdtemp(prefix="holc_guard_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        store = ChunkStore(
+            spark, path,
+            ChunkStoreConfig(keys=("k",), freq="1h", tz="UTC",
+                             chunk_axis=("year", "month"), allow_sync=True,
+                             key_types={"k": "str"}),
+        )
+        s = pd.Series([1.0, 2.0],
+                      index=pd.date_range("2024-01-01", periods=2, freq="1h",
+                                          tz="UTC"))
+        rows = []
+
+        def attempt(op, fn):
+            try:
+                fn()
+                rows.append((op, "ok"))
+            except SyncGuardError:
+                rows.append((op, "SyncGuardError"))
+
+        attempt("set_ts_plain", lambda: store.set_ts({"k": "a"}, s))
+        attempt("set_many_ts", lambda: store.set_many_ts({("a",): s}))
+        attempt("ingest_insert", lambda: store.ingest_long(
+            spark.createDataFrame(pd.DataFrame(
+                {"k": ["a"], "ts": [pd.Timestamp("2024-01-01", tz="UTC")],
+                 "value": [1.0]})), mode="insert"))
+        attempt("set_ts_update", lambda: store.set_ts({"k": "a"}, s, update=True))
+        attempt("delete_untracked", lambda: store.delete({"k": "a"},
+                                                         keep_tracking=False))
+        attempt("delete_tracked", lambda: store.delete({"k": "a"}))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["op", "outcome"]),
+            schema="op string, outcome string",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline scan-agg (bench q1): grouped pricing summary with exact
     decimal aggregation."""
@@ -1001,6 +1354,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": q_lang_quality,
         "token_bpe": q_token_bpe,
         "multimodal_meta": q_multimodal_meta,
+        "store_set_many": q_store_set_many,
+        "kv_clear": q_kv_clear,
+        "sync_tombstone": q_sync_tombstone,
+        "store_meta_aggregates": q_store_meta_aggregates,
+        "store_changefeed": q_store_changefeed,
+        "interval_algebra": q_interval_algebra,
+        "freq_fix": q_freq_fix,
+        "sync_guards": q_sync_guards,
     }
 
 
@@ -1689,6 +2050,174 @@ def oracle_sql() -> dict[str, str]:
                md5(text) AS digest
         FROM documents
     """
+    store_set_many = """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day, max(value) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_points,
+               CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM daily GROUP BY user_id
+    """
+    # clear() removed every prm with user_id % 3 = 0 for client 1;
+    # clear_all() emptied client 2 (so the per-prm join yields no rows there)
+    kv_clear = """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day
+            FROM events GROUP BY 1, 2
+        ),
+        surv AS (
+            SELECT user_id, count(*) AS n_rows FROM daily
+            WHERE user_id % 3 <> 0 GROUP BY user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS client_id, n_rows, user_id,
+               (SELECT count(*) FROM surv) AS n_series
+        FROM surv
+    """
+    # server: jan + (jan shifted +31d); replace() for user_id % 3 = 0 keeps
+    # only the shifted month at 3x value and tombstones the rest; the pulled
+    # client replica must equal exactly that
+    sync_tombstone = """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+            FROM events GROUP BY 1, 2
+        ),
+        final AS (
+            SELECT user_id, value FROM hourly WHERE user_id % 3 <> 0
+            UNION ALL
+            SELECT user_id, value FROM hourly WHERE user_id % 3 <> 0
+            UNION ALL
+            SELECT user_id, value * 3 AS value FROM hourly WHERE user_id % 3 = 0
+        )
+        SELECT user_id, count(*) AS n_points,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM final GROUP BY user_id
+    """
+    # import stamps: updated_at = 2024-06-01 + (user_id % 7) days,
+    # op_id = user_id*1000 + chunk_index; chunk_index = year*12 + month - 1
+    _IMPORTED_META_SQL = """
+        WITH hourly AS (
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS ts FROM events
+        ),
+        un AS (
+            SELECT user_id, ts FROM hourly
+            UNION ALL
+            SELECT user_id, ts + INTERVAL 31 DAY AS ts FROM hourly
+            WHERE user_id % 2 = 0
+        ),
+        meta AS (
+            SELECT user_id,
+                   CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS chunk_index,
+                   min(ts) AS start_ts, count(*) AS n_points,
+                   TIMESTAMP '2024-06-01' + INTERVAL 1 DAY * (user_id % 7)
+                       AS updated_at
+            FROM un GROUP BY 1, 2
+        )
+    """
+    store_meta_aggregates = f"""
+        {_IMPORTED_META_SQL}
+        , top20 AS (
+            SELECT DISTINCT user_id FROM meta ORDER BY user_id LIMIT 20
+        )
+        SELECT m.user_id, count(*) AS n_chunks,
+               max(m.chunk_index) AS last_chunk,
+               strftime(max(m.updated_at), '{_FMT_DUCK}') AS last_up,
+               (SELECT count(DISTINCT user_id) FROM meta) AS n_keys
+        FROM meta m JOIN top20 USING (user_id)
+        GROUP BY m.user_id
+    """
+    store_changefeed = f"""
+        {_IMPORTED_META_SQL}
+        SELECT user_id, chunk_index, n_points,
+               strftime(start_ts, '{_FMT_DUCK}') AS start_ts,
+               strftime(updated_at, '{_FMT_DUCK}') AS updated_at
+        FROM meta
+        WHERE updated_at >= TIMESTAMP '2024-06-04'
+        ORDER BY updated_at, user_id, chunk_index
+        LIMIT 40 OFFSET 10
+    """
+    # req = [2024-01-10 06:00, 2024-01-20]; intersection min_delta 1 day,
+    # difference_missing min_delta 12 h — mirrors operators/intervals.Range
+    interval_algebra = f"""
+        WITH cov AS (
+            SELECT user_id, 'a' AS w, min(ts) AS lo, max(ts) AS hi FROM events
+            WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-12'
+            GROUP BY user_id
+            UNION ALL
+            SELECT user_id, 'b' AS w, min(ts) AS lo, max(ts) AS hi FROM events
+            WHERE ts >= TIMESTAMP '2024-01-13' AND ts < TIMESTAMP '2024-01-18'
+            GROUP BY user_id
+        ),
+        calc AS (
+            SELECT *, TIMESTAMP '2024-01-10 06:00:00' AS rs,
+                   TIMESTAMP '2024-01-20 00:00:00' AS re
+            FROM cov
+        ),
+        flags AS (
+            SELECT *,
+                   (rs <= hi AND lo <= re) AS ov,
+                   (rs <= lo AND hi <= re) AS inc,
+                   greatest(lo, rs) AS i_s, least(hi, re) AS i_e,
+                   least(lo, re) AS head_e, greatest(hi, rs) AS tail_s
+            FROM calc
+        ),
+        pieces AS (
+            SELECT *,
+                   (ov AND i_s <= i_e AND (i_e - i_s) >= INTERVAL 1 DAY)
+                       AS int_ok,
+                   (ov AND lo > rs AND (head_e - rs) >= INTERVAL 12 HOUR)
+                       AS head_ok,
+                   (ov AND hi < re AND (re - tail_s) >= INTERVAL 12 HOUR)
+                       AS tail_ok
+            FROM flags
+        )
+        SELECT user_id, w, ov AS overlaps, inc AS includes,
+               CASE WHEN int_ok THEN strftime(i_s, '{_FMT_DUCK}') END
+                   AS inter_start,
+               CASE WHEN int_ok THEN strftime(i_e, '{_FMT_DUCK}') END
+                   AS inter_end,
+               CAST(CASE WHEN NOT ov THEN 1
+                         ELSE CAST(head_ok AS INT) + CAST(tail_ok AS INT)
+                    END AS BIGINT) AS n_miss,
+               CASE WHEN NOT ov THEN strftime(rs, '{_FMT_DUCK}')
+                    WHEN head_ok THEN strftime(rs, '{_FMT_DUCK}')
+                    WHEN tail_ok THEN strftime(tail_s, '{_FMT_DUCK}')
+               END AS m1_start,
+               CASE WHEN NOT ov THEN strftime(re, '{_FMT_DUCK}')
+                    WHEN head_ok THEN strftime(head_e, '{_FMT_DUCK}')
+                    WHEN tail_ok THEN strftime(re, '{_FMT_DUCK}')
+               END AS m1_end,
+               CASE WHEN ov AND head_ok AND tail_ok
+                    THEN strftime(tail_s, '{_FMT_DUCK}') END AS m2_start,
+               CASE WHEN ov AND head_ok AND tail_ok
+                    THEN strftime(re, '{_FMT_DUCK}') END AS m2_end
+        FROM pieces
+    """
+    # literal expectations: the semantic under test IS the alias mapping
+    freq_fix = """
+        SELECT * FROM (VALUES
+            ('h',     '1h',    3600.0),
+            ('1h',    '1h',    3600.0),
+            ('15min', '15min',  900.0),
+            ('min',   '1min',    60.0),
+            ('30min', '30min', 1800.0),
+            ('D',     '1D',   86400.0),
+            ('2D',    '2D',  172800.0),
+            ('W',     '1W',  604800.0)
+        ) AS t(freq, fixed, seconds)
+    """
+    # guard matrix: unstamped mutations raise on a sync-enabled store
+    # (chunk_store.py:435, 518, 597, 859); stamped/tracked paths pass
+    sync_guards = """
+        SELECT * FROM (VALUES
+            ('set_ts_plain',     'SyncGuardError'),
+            ('set_many_ts',      'SyncGuardError'),
+            ('ingest_insert',    'SyncGuardError'),
+            ('set_ts_update',    'ok'),
+            ('delete_untracked', 'SyncGuardError'),
+            ('delete_tracked',   'ok')
+        ) AS t(op, outcome)
+    """
     return {
         "overlay_merge": overlay,
         "combined_delay": combined_delay,
@@ -1757,4 +2286,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": lang_quality,
         "token_bpe": token_bpe,
         "multimodal_meta": multimodal_meta,
+        "store_set_many": store_set_many,
+        "kv_clear": kv_clear,
+        "sync_tombstone": sync_tombstone,
+        "store_meta_aggregates": store_meta_aggregates,
+        "store_changefeed": store_changefeed,
+        "interval_algebra": interval_algebra,
+        "freq_fix": freq_fix,
+        "sync_guards": sync_guards,
     }
