@@ -836,17 +836,33 @@ class ChunkStore:
 
     def get_max_horodate(self, filters: dict | None = None) -> pd.Timestamp | None:
         """Latest non-NaN timestamp across matching series
-        (reference: chunk_timeserie_store.py:519-539) — in the long layout a
-        one-line agg instead of a decompress-and-scan."""
+        (reference: chunk_timeserie_store.py:519-539).
+
+        Pruned like the reference: the max alive chunk comes from the cached
+        metadata-sized ``latest_meta``, then only the last two chunk
+        partitions are scanned (``chunk_index`` is the partition column, so
+        the scan reads two directories regardless of history length). The
+        full-history scan only runs in the pathological case where both tail
+        chunks hold nothing but NaN padding."""
         validate_filter_keys(filters, self.config.keys)
         row = (
-            self.alive_data(filters)
-            .filter(F.col("value").isNotNull())
-            .agg(F.max("ts"))
+            self.alive_chunks(filters)
+            .filter(F.col("n_points") > 0)
+            .agg(F.max("chunk_index"))
             .first()
         )
-        mx = row[0] if row else None
-        return None if mx is None else pd.Timestamp(mx, tz="UTC").tz_convert(self.config.tz)
+        mx_chunk = row[0] if row else None
+        if mx_chunk is None:
+            return None
+        for lo in (int(mx_chunk) - 1, None):
+            d = self.alive_data(filters)
+            if lo is not None:
+                d = d.filter(F.col("chunk_index") >= lo)
+            row = d.filter(F.col("value").isNotNull()).agg(F.max("ts")).first()
+            mx = row[0] if row else None
+            if mx is not None:
+                return pd.Timestamp(mx, tz="UTC").tz_convert(self.config.tz)
+        return None
 
     # ------------------------------------------------------------------
     # delete / compact

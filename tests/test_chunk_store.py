@@ -291,6 +291,16 @@ class TestAggregates:
         assert st.get_max_horodate(dict(ATTRS)) == s.index[-6].tz_convert("Europe/Paris")
         assert st.get_max_horodate({"site": "none"}) is None
 
+    def test_max_horodate_all_nan_tail_chunks(self, spark, tmpdir):
+        # the tail-chunk-pruned scan must fall back to the full history when
+        # BOTH tail chunks hold only NaN (pathological, but must stay correct)
+        st = make_store(spark, tmpdir)
+        s = hourly("2024-01-30", 24 * 35, value=1.0)  # spans Jan..Mar chunks
+        s[s.index >= pd.Timestamp("2024-01-31 12:00", tz="Europe/Paris")] = np.nan
+        st.set_ts(ATTRS, s)
+        expect = s[s.notna()].index[-1].tz_convert("Europe/Paris")
+        assert st.get_max_horodate(dict(ATTRS)) == expect
+
     def test_last_chunk_index_and_list_updates(self, spark, tmpdir):
         st = make_store(spark, tmpdir, tz="UTC")
         s = hourly("2024-01-15", 24 * 40, tz="UTC", value=1.0)  # jan+feb
