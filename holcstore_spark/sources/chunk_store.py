@@ -942,10 +942,11 @@ class ChunkStore:
             m = m.filter(F.col("updated_at") >= F.lit(s.to_pydatetime()))
         return m.orderBy("updated_at", *self.config.keys, "chunk_index")
 
-    def export_chunks(self, spec: DataFrame | list[dict]) -> pd.DataFrame:
-        """Raw long rows for the given (keys…, chunk_index) spec — the sync
-        pack endpoint (reference: chunk_timeserie_store.py:609-631). No
-        tombstone filter: the caller ships exactly what updates() listed."""
+    def export_chunks_sdf(self, spec: DataFrame | list[dict]) -> DataFrame:
+        """Raw long rows for the given (keys…, chunk_index) spec as a Spark
+        frame — the scale path for table-to-table sync: the data never
+        materializes on a driver. No tombstone filter: the caller ships
+        exactly what updates() listed."""
         if isinstance(spec, list):
             spec_df = self.spark.createDataFrame(
                 pd.DataFrame(spec),
@@ -956,28 +957,42 @@ class ChunkStore:
             )
         else:
             spec_df = spec
-        rows = self.data().join(
+        return self.data().join(
             F.broadcast(spec_df.select(*self.config.keys, "chunk_index")),
             on=[*self.config.keys, "chunk_index"],
             how="left_semi",
         )
-        return rows.toPandas()
 
-    def import_chunks(self, meta_rows: pd.DataFrame, data_rows: pd.DataFrame) -> None:
+    def export_chunks(self, spec: DataFrame | list[dict]) -> pd.DataFrame:
+        """Driver-materialized :meth:`export_chunks_sdf` — the wire-format
+        sync pack endpoint a REST shim would serialize
+        (reference: chunk_timeserie_store.py:609-631)."""
+        return self.export_chunks_sdf(spec).toPandas()
+
+    def import_chunks_sdf(self, meta_rows: pd.DataFrame, data_sdf: DataFrame | None) -> None:
         """Atomically apply exported chunks with the *server's* stamps
         (reference: chunk_timeserie_store.py:633-695). Data lands first,
         meta (the watermark carrier) last — a crash in between re-imports
-        idempotently on the next pull."""
+        idempotently on the next pull. ``meta_rows`` is page-sized (driver
+        pandas is fine); the data frame stays distributed end-to-end."""
         if len(meta_rows) == 0:
             return
         for col in ("updated_at",):
             meta_rows[col] = pd.to_datetime(meta_rows[col], utc=True)
-        alive_meta = meta_rows[~meta_rows["is_deleted"]]
+        if data_sdf is not None:
+            self._rewrite_partitions_multi(data_sdf)
+        self._append_meta(meta_rows.to_dict("records"), meta_rows)
+
+    def import_chunks(self, meta_rows: pd.DataFrame, data_rows: pd.DataFrame) -> None:
+        """Pandas-frame twin of :meth:`import_chunks_sdf` — the wire-format
+        endpoint for callers holding serialized rows."""
+        if len(meta_rows) == 0:
+            return
+        sdf = None
         if len(data_rows):
             schema = self._data_schema(data_rows)
             data_rows = data_rows[[f.name for f in schema.fields]]
             sdf = nan_to_null(
                 self.spark.createDataFrame(data_rows, schema=schema), "value"
             )
-            self._rewrite_partitions_multi(sdf)
-        self._append_meta(meta_rows.to_dict("records"), meta_rows)
+        self.import_chunks_sdf(meta_rows, sdf)

@@ -42,11 +42,16 @@ class SyncClient:
         self,
         filters: dict | None = None,
         page_size: int = 200,
-        batch_size: int = 50,
         crash_after_pages: int | None = None,
     ) -> int:
         """Pull server changes since the client's watermark. Returns the
-        number of chunk states applied."""
+        number of chunk states applied.
+
+        Only chunk *states* (page_size meta rows) ever reach the driver;
+        the data rows travel server→client as one Spark frame per page
+        (export semi-join → partition rewrite), so a bootstrap pull does
+        O(pages) partition rewrites and the per-page transfer scales with
+        the cluster, not the driver."""
         since = self.client.last_updated_at(filters)
         # materialize the ordered feed once (checkpoint cuts the plan to the
         # sorted result) so each page is a cheap slice — offset/limit over
@@ -73,11 +78,10 @@ class SyncClient:
                 # advances even when a page is deletes-only
                 self.client.import_chunks(tombs.copy(), pd.DataFrame())
                 applied += len(tombs)
-            for boff in range(0, len(alive), batch_size):
-                batch = alive.iloc[boff : boff + batch_size]
-                spec = batch[[*keys, "chunk_index"]].to_dict("records")
-                data = self.server.export_chunks(spec)
-                self.client.import_chunks(batch.copy(), data)
-                applied += len(batch)
+            if len(alive):
+                spec = alive[[*keys, "chunk_index"]].to_dict("records")
+                data_sdf = self.server.export_chunks_sdf(spec)
+                self.client.import_chunks_sdf(alive.copy(), data_sdf)
+                applied += len(alive)
             page_no += 1
         return applied
