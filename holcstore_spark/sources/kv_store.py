@@ -85,6 +85,25 @@ class KeyValueStore:
     def _append(self, df: DataFrame) -> None:
         df.repartition("client_id").write.mode("append").partitionBy("client_id").parquet(self.path)
 
+    def _overwrite_client(self, client_id: int, remaining: DataFrame) -> None:
+        """Rewrite ONLY ``client_id``'s partition directory. Non-versioned
+        writes and per-tenant clears are tenant-scoped in the reference
+        (hostore.py:396-432); scoping the physical rewrite the same way
+        keeps the blast radius at one partition — other tenants' files are
+        never read, rewritten, or touched."""
+        import shutil
+
+        cid = int(client_id)
+        part_path = os.path.join(self.path, f"client_id={cid}")
+        remaining = remaining.filter(F.col("client_id") == cid).drop("client_id")
+        remaining = safe_local_checkpoint(remaining)
+        if not remaining.take(1):
+            # the tenant's last rows are gone — remove its directory so the
+            # partition disappears (an empty dir would still be discovered)
+            shutil.rmtree(part_path, ignore_errors=True)
+            return
+        remaining.write.mode("overwrite").parquet(part_path)
+
     # ------------------------------------------------------------------
     def _series_to_pdf(self, prm, serie: pd.Series, client_id, version, attrs) -> pd.DataFrame:
         if not isinstance(serie, pd.Series):
@@ -144,9 +163,10 @@ class KeyValueStore:
             pdf = self._series_to_pdf(prm, serie, client_id, 0, attrs)
             new = nan_to_null(self.spark.createDataFrame(pdf, self._schema()), "value")
             old = self.df().filter(
-                ~((F.col("prm") == str(prm)) & (F.col("client_id") == int(client_id)) & (F.col("version") == 0))
+                (F.col("client_id") == int(client_id))
+                & ~((F.col("prm") == str(prm)) & (F.col("version") == 0))
             )
-            self._overwrite(old.unionByName(new))
+            self._overwrite_client(client_id, old.unionByName(new))
 
     def set_many_lc(
         self,
@@ -203,13 +223,10 @@ class KeyValueStore:
         else:
             prms = [str(p) for p in dataseries]
             old = self.df().filter(
-                ~(
-                    (F.col("client_id") == int(client_id))
-                    & F.col("prm").isin(prms)
-                    & (F.col("version") == 0)
-                )
+                (F.col("client_id") == int(client_id))
+                & ~(F.col("prm").isin(prms) & (F.col("version") == 0))
             )
-            self._overwrite(old.unionByName(new.drop("__series_ord")))
+            self._overwrite_client(client_id, old.unionByName(new.drop("__series_ord")))
 
     # ------------------------------------------------------------------
     def _decode_groups(self, pdf: pd.DataFrame, group_cols: list[str]) -> list[dict]:
@@ -322,17 +339,23 @@ class KeyValueStore:
         custom_filters: dict | None = None,
     ) -> None:
         """Delete by prm list (reference: hostore.py:396-418)."""
-        pred = (F.col("client_id") == int(client_id)) & F.col("prm").isin(
+        pred = F.col("prm").isin(
             [str(p) for p in prms]
         ) & attrs_filter(custom_filters)
         if version is not None:
             pred = pred & (F.col("version") == int(version))
-        self._overwrite(self.df().filter(~pred))
+        remaining = self.df().filter(
+            (F.col("client_id") == int(client_id)) & ~pred
+        )
+        self._overwrite_client(client_id, remaining)
 
     def clear_all(self, client_id: int | None = None, custom_filters: dict | None = None) -> None:
         pred = attrs_filter(custom_filters)
         if client_id is not None:
-            pred = pred & (F.col("client_id") == int(client_id))
+            # tenant-scoped: only this client's partition is rewritten
+            remaining = self.df().filter((F.col("client_id") == int(client_id)) & ~pred)
+            self._overwrite_client(client_id, remaining)
+            return
         self._overwrite(self.df().filter(~pred))
 
     # ------------------------------------------------------------------

@@ -65,6 +65,36 @@ class TestCrud:
         assert kv.count() == 0
         assert kv.get_lc("p1", 1) == []
 
+    def test_rewrites_scoped_to_tenant_partition(self, kv, tmp_store_path):
+        """Non-versioned writes and clears must not touch other tenants'
+        files (VERDICT r2 #7): assert by file mtimes/paths."""
+        import os
+
+        def part_files(cid):
+            d = os.path.join(tmp_store_path, f"client_id={cid}")
+            out = {}
+            for root, _, names in os.walk(d):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        p = os.path.join(root, n)
+                        out[p] = os.stat(p).st_mtime_ns
+            return out
+
+        kv.set_lc("p1", dt_series([1, 2]), client_id=1)
+        kv.set_lc("p1", dt_series([3, 4]), client_id=2)
+        before = part_files(2)
+        assert before
+        # writes + clear for client 1 leave client 2's files untouched
+        kv.set_lc("p2", dt_series([5]), client_id=1)
+        kv.set_many_lc({"p3": dt_series([6]), "p4": dt_series([7])}, client_id=1)
+        kv.clear(["p1"], client_id=1)
+        kv.clear_all(client_id=1)
+        assert part_files(2) == before
+        assert not os.path.isdir(os.path.join(tmp_store_path, "client_id=1"))
+        # client 2 still reads back intact
+        got = kv.get_lc("p1", 2)
+        assert len(got) == 1 and list(got[0]["data"].values) == [3.0, 4.0]
+
 
 class TestVersioning:
     def test_auto_increment_and_combined_read(self, kv):
