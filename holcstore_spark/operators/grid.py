@@ -131,10 +131,16 @@ def reindex_to_chunk_grid(
     freq_seconds: int,
     ts: str = "ts",
     value: str = "value",
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed form of the reference's write-path normalization: dense
-    chunk-aligned grid per key, values left-joined, holes as NULL rows."""
-    bounds = chunk_aligned_bounds(df, keys, chunk_axis, tz, freq_seconds, ts=ts)
+    chunk-aligned grid per key, values left-joined, holes as NULL rows.
+
+    ``bounds``: optionally a precomputed (ideally materialized)
+    ``chunk_aligned_bounds`` frame — callers that also need the key set
+    (``ingest_long``) pass it so the source is scanned once, not per use."""
+    if bounds is None:
+        bounds = chunk_aligned_bounds(df, keys, chunk_axis, tz, freq_seconds, ts=ts)
     grid = time_grid(bounds, freq_seconds, ts=ts)
     # merge hint: see reindex_to_grid — the exploded grid's size estimate is
     # wrong by orders of magnitude, which can turn into a giant broadcast

@@ -46,7 +46,7 @@ from holcstore_spark.edge.pandas_bridge import (
     series_to_long,
 )
 from holcstore_spark.functions.scalar import chunk_index_col, nan_to_null
-from holcstore_spark.operators.grid import reindex_to_chunk_grid
+from holcstore_spark.operators.grid import chunk_aligned_bounds, reindex_to_chunk_grid
 from holcstore_spark.operators.overlay import combine_first
 from holcstore_spark.operators.slicing import drop_bounds_na as _drop_bounds_na
 from holcstore_spark.operators.slicing import time_slice
@@ -597,20 +597,35 @@ class ChunkStore:
         if self.config.allow_sync and mode == "insert":
             raise SyncGuardError("plain ingest is forbidden on a sync-enabled store")
         keys = self.config.keys
-        # NB: the plan references the source three times (bounds agg, grid
-        # join, key-set check). Callers whose source is expensive to
-        # recompute (a heavy upstream pipeline) should persist it themselves;
-        # measured here, a blanket persist costs more than the recompute.
+        # The per-key bounds frame is tiny (one row per key) — materialize it
+        # once and derive BOTH the dense grid and the key set from it, so the
+        # source is scanned exactly twice (bounds agg + grid join), never a
+        # third time for the existence check. Callers whose source is
+        # expensive to recompute (a heavy upstream pipeline) should persist
+        # it themselves; a blanket persist measured slower than one recompute.
+        bounds = safe_local_checkpoint(
+            chunk_aligned_bounds(
+                sdf, keys, self.config.chunk_axis, self.config.tz,
+                self.config.freq_seconds,
+            )
+        )
         dense = reindex_to_chunk_grid(
-            sdf, keys, self.config.chunk_axis, self.config.tz, self.config.freq_seconds
+            sdf, keys, self.config.chunk_axis, self.config.tz,
+            self.config.freq_seconds, bounds=bounds,
         )
         dense = dense.withColumn(
             "chunk_index", chunk_index_col("ts", self.config.chunk_axis, self.config.tz)
         )
         updated_at, op_id = self._now_stamp()
-        new_keys = sdf.select(*keys).distinct()
-        existing_alive = self.alive_chunks().join(new_keys, on=list(keys), how="left_semi")
-        n_existing = existing_alive.limit(1).count()
+        new_keys = bounds.select(*keys)
+        if not has_parquet(self._meta_path):
+            # empty store: nothing can pre-exist — skip the meta join
+            existing_alive, n_existing = None, 0
+        else:
+            existing_alive = self.alive_chunks().join(
+                new_keys, on=list(keys), how="left_semi"
+            )
+            n_existing = existing_alive.limit(1).count()
 
         if mode == "insert":
             if n_existing:
