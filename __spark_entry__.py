@@ -663,6 +663,43 @@ def q_sync_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_rest_sync_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C5: the HTTP shim end-to-end — server store behind a local REST
+    endpoint, client pulls over urllib with retry/backoff; the replica must
+    reproduce the server's data exactly (reference:
+    hostore/utils/ts_sync.py:60-165, 264-296)."""
+    import threading
+
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+    from holcstore_spark.streaming.rest_sync import RestSyncClient, make_sync_server
+
+    base = tempfile.mkdtemp(prefix="holc_rest_")
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
+                           chunk_axis=("year", "month"), allow_sync=True,
+                           key_types={"user_id": "int"})
+    srv = None
+    try:
+        server = ChunkStore(spark, os.path.join(base, "server"), cfg)
+        client = ChunkStore(spark, os.path.join(base, "client"), cfg)
+        server.ingest_long(_hourly_events(spark, sf_dir), mode="update")
+        srv = make_sync_server(server)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        RestSyncClient(endpoint, client).pull(page_size=100)
+        got = client.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if srv is not None:
+            srv.shutdown()
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _daily_events_pdf(spark: SparkSession, sf_dir: str):
     """Deterministic daily series per user (max aggregation) as pandas."""
     import pandas as pd
@@ -1362,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_algebra": q_interval_algebra,
         "freq_fix": q_freq_fix,
         "sync_guards": q_sync_guards,
+        "rest_sync_pull": q_rest_sync_pull,
     }
 
 
@@ -2294,4 +2332,14 @@ def oracle_sql() -> dict[str, str]:
         "interval_algebra": interval_algebra,
         "freq_fix": freq_fix,
         "sync_guards": sync_guards,
+        # REST replica must equal the server's hourly data, same as sync_pull
+        "rest_sync_pull": """
+            WITH hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_points,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+            FROM hourly GROUP BY user_id
+        """,
     }

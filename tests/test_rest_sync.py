@@ -1,0 +1,162 @@
+"""REST sync shim (C3) + retry/backoff (C5).
+
+Reference behaviors: paginated /updates with next links, pack export,
+tombstone propagation, 429 Retry-After honoured without consuming a retry,
+exponential backoff on transient failures
+(hostore/utils/ts_sync.py:60-165, 264-296).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from holcstore_spark import ChunkStoreConfig
+from holcstore_spark.sources.chunk_store import ChunkStore
+from holcstore_spark.streaming.rest_sync import (
+    RestSyncClient,
+    RestSyncError,
+    make_sync_server,
+)
+
+CFG = dict(keys=("site",), freq="1h", tz="UTC", chunk_axis=("year", "month"),
+           allow_sync=True, key_types={"site": "str"})
+
+
+def hourly(start, n, value=1.0):
+    idx = pd.date_range(start, periods=n, freq="1h", tz="UTC")
+    return pd.Series(np.full(n, float(value)), index=idx)
+
+
+@pytest.fixture()
+def pair(spark, tmp_store_path):
+    server_store = ChunkStore(spark, os.path.join(tmp_store_path, "srv"),
+                              ChunkStoreConfig(**CFG))
+    client_store = ChunkStore(spark, os.path.join(tmp_store_path, "cli"),
+                              ChunkStoreConfig(**CFG))
+    srv = make_sync_server(server_store)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield server_store, client_store, endpoint
+    srv.shutdown()
+
+
+def seed(server_store, n_keys=6, n_hours=60):  # Jan 30 + 60h crosses into Feb
+    for i in range(n_keys):
+        server_store.set_ts({"site": f"s{i}"}, hourly("2024-01-30", n_hours, i + 1),
+                            update=True)
+
+
+class TestRestPull:
+    def test_roundtrip_and_pagination(self, pair):
+        server_store, client_store, endpoint = pair
+        seed(server_store)  # 6 keys x 2 chunks (Jan/Feb) = 12 chunk states
+        cli = RestSyncClient(endpoint, client_store)
+        n_fetch, n_del = cli.pull(page_size=5, batch=3)  # forces 3 pages
+        assert (n_fetch, n_del) == (12, 0)
+        for i in range(6):
+            a = server_store.get_ts({"site": f"s{i}"})
+            b = client_store.get_ts({"site": f"s{i}"})
+            pd.testing.assert_series_equal(a, b, check_freq=False)
+        # idempotent re-pull: only the >= watermark boundary states are
+        # re-fetched (the last write's two chunks), and content is unchanged
+        n_fetch2, n_del2 = cli.pull(page_size=5)
+        assert n_fetch2 == 2 and n_del2 == 0
+        pd.testing.assert_series_equal(
+            server_store.get_ts({"site": "s5"}),
+            client_store.get_ts({"site": "s5"}),
+            check_freq=False,
+        )
+
+    def test_tombstone_propagates(self, pair):
+        server_store, client_store, endpoint = pair
+        seed(server_store, n_keys=3)
+        cli = RestSyncClient(endpoint, client_store)
+        cli.pull()
+        server_store.delete({"site": "s1"})
+        n_fetch, n_del = cli.pull()
+        # both chunks of s1 tombstoned; the >= boundary re-fetches the
+        # previous max-watermark alive states (s2's two chunks)
+        assert n_del == 2 and n_fetch == 2
+        assert client_store.get_ts({"site": "s1"}) is None
+        assert client_store.get_ts({"site": "s0"}) is not None
+
+    def test_filtered_pull(self, pair):
+        server_store, client_store, endpoint = pair
+        seed(server_store, n_keys=4)
+        cli = RestSyncClient(endpoint, client_store)
+        n_fetch, _ = cli.pull(filters={"site": "s2"})
+        assert n_fetch == 2
+        assert client_store.get_ts({"site": "s2"}) is not None
+        assert client_store.get_ts({"site": "s0"}) is None
+
+    def test_requires_allow_sync(self, spark, tmp_store_path):
+        plain = ChunkStore(
+            spark, os.path.join(tmp_store_path, "plain"),
+            ChunkStoreConfig(**{**CFG, "allow_sync": False}),
+        )
+        with pytest.raises(ValueError):
+            make_sync_server(plain)
+        with pytest.raises(ValueError):
+            RestSyncClient("http://x", plain)
+
+
+class _Flaky:
+    """urlopen wrapper: fail the first ``n_fail`` calls, then delegate."""
+
+    def __init__(self, n_fail, code=500):
+        self.n_fail, self.code, self.calls = n_fail, code, 0
+        self._real = urllib.request.urlopen
+
+    def __call__(self, req, timeout=None):
+        self.calls += 1
+        if self.calls <= self.n_fail:
+            import email.message
+            import urllib.error
+
+            url = req if isinstance(req, str) else req.full_url
+            hdrs = email.message.Message()
+            if self.code == 429:
+                hdrs["Retry-After"] = "0"
+            raise urllib.error.HTTPError(url, self.code, "boom", hdrs, None)
+        return self._real(req, timeout=timeout)
+
+
+class TestRetryBackoff:
+    def test_transient_500_retried(self, pair, monkeypatch):
+        server_store, client_store, endpoint = pair
+        seed(server_store, n_keys=2)
+        flaky = _Flaky(n_fail=2)
+        monkeypatch.setattr(urllib.request, "urlopen", flaky)
+        cli = RestSyncClient(endpoint, client_store, retry_base_delay=0.01)
+        n_fetch, _ = cli.pull()
+        assert n_fetch == 4
+        assert flaky.calls > 2  # failures were retried, not fatal
+
+    def test_429_does_not_consume_retries(self, pair, monkeypatch):
+        server_store, client_store, endpoint = pair
+        seed(server_store, n_keys=1)
+        # more 429s than retry_max_tries: must still succeed
+        flaky = _Flaky(n_fail=4, code=429)
+        monkeypatch.setattr(urllib.request, "urlopen", flaky)
+        cli = RestSyncClient(endpoint, client_store, retry_max_tries=2,
+                             retry_base_delay=0.01)
+        n_fetch, _ = cli.pull()
+        assert n_fetch == 2
+
+    def test_retries_exhausted_raises(self, pair, monkeypatch):
+        server_store, client_store, endpoint = pair
+        flaky = _Flaky(n_fail=99)
+        monkeypatch.setattr(urllib.request, "urlopen", flaky)
+        cli = RestSyncClient(endpoint, client_store, retry_max_tries=3,
+                             retry_base_delay=0.01)
+        with pytest.raises(RestSyncError):
+            cli.pull()
+        assert flaky.calls == 3
