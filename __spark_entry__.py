@@ -700,6 +700,44 @@ def q_rest_sync_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_admin_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: the CSV/ZIP admin sink — export a filtered store to the golden
+    zip format (one export_serie_{i}.csv per series + content_summary.csv,
+    ';'-separated, reference: hostore/admin_actions.py:39-124), then parse
+    the ZIP BACK and re-aggregate: filename↔key mapping, per-file row
+    counts and exact totals must all match the source events."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from holcstore_spark.edge.admin_export import export_chunk_store
+
+    store, path = _make_event_store(spark, sf_dir)
+    try:
+        blob = export_chunk_store(store, filters={"user_id__lt": 40})
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        summary = pd.read_csv(
+            io.BytesIO(zf.read("content_summary.csv")), sep=";", index_col=0
+        )
+        rows = []
+        for r in summary.itertuples():
+            csv = pd.read_csv(io.BytesIO(zf.read(r.filename)), sep=";", index_col=0)
+            for v in csv["data"].dropna():
+                rows.append((r.filename, int(r.user_id), float(v)))
+        long = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["filename", "user_id", "value"]),
+            schema="filename string, user_id long, value double",
+        )
+        out = long.groupBy("filename", "user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _daily_events_pdf(spark: SparkSession, sf_dir: str):
     """Deterministic daily series per user (max aggregation) as pandas."""
     import pandas as pd
@@ -1400,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_fix": q_freq_fix,
         "sync_guards": q_sync_guards,
         "rest_sync_pull": q_rest_sync_pull,
+        "admin_export": q_admin_export,
     }
 
 
@@ -2341,5 +2380,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_points,
                    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
             FROM hourly GROUP BY user_id
+        """,
+        # export files are named in yield order (keys ascending), so the
+        # filename index is the user's rank among exported users
+        "admin_export": """
+            WITH hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+                FROM events WHERE user_id < 40 GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT user_id, count(*) AS n_points,
+                       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+                FROM hourly GROUP BY user_id
+            )
+            SELECT 'export_serie_' ||
+                   CAST(row_number() OVER (ORDER BY user_id) - 1 AS VARCHAR)
+                   || '.csv' AS filename,
+                   user_id, n_points, total
+            FROM agg
         """,
     }
