@@ -1247,6 +1247,31 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash candidate pairs resolved to connected
+    components (transitive closure — A~B~C is ONE cluster even when A and
+    C don't collide directly), with cluster sizes."""
+    from holcstore_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_candidate_pairs(
+        d, text="text", id_col="doc_id", n_hashes=16, bands=4, shingle_k=3
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), on="comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification over the LSH candidates only."""
     from holcstore_spark.operators.dedup import (
@@ -1419,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "clean_corpus": q_clean_corpus,
@@ -1903,6 +1929,42 @@ def oracle_sql() -> dict[str, str]:
           ON l.band_id = r.band_id AND l.band_key = r.band_key
         WHERE l.doc_id < r.doc_id
     """
+    # transitive closure of the pair graph via recursive CTE: every node's
+    # cluster id is the minimum node id it can reach
+    dedup_clusters = f"""
+        WITH RECURSIVE src AS ({_DOCS_WITH_DUPS_SQL}),
+        shingled AS ({_SHINGLES_SQL}),
+        sigs AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM shingled
+        ),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_key = r.band_key
+            WHERE l.doc_id < r.doc_id
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, comp) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(comp) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT c.doc_id, c.cluster_id, s.cluster_size
+        FROM comp c
+        JOIN (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id) s USING (cluster_id)
+    """
     dedup_jaccard = f"""
         WITH src AS ({_DOCS_WITH_DUPS_SQL}),
         shingled AS ({_SHINGLES_SQL}),
@@ -2353,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
+        "dedup_clusters": dedup_clusters,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "clean_corpus": clean_corpus,

@@ -238,3 +238,66 @@ def simhash_groups(
     d = df.select(F.col(id_col), simhash64(text).alias("simhash"))
     w = Window.partitionBy("simhash")
     return d.withColumn("group_size", F.count(F.lit(1)).over(w))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components of the candidate
+    pair graph, as ``(node, comp)`` with ``comp`` = the cluster's minimum
+    node id.
+
+    A corpus-scale dedup pipeline needs this step between candidate pairs
+    (MinHash/SimHash) and the keep-one-per-cluster decision — pairs alone
+    over-delete when A~B and B~C but A!~C. Distributed min-label
+    propagation: each round every node adopts the minimum label among its
+    neighbours (one equi-join + one groupBy per round); rounds needed =
+    graph diameter, and near-dup clusters are shallow (2-4 rounds in
+    practice, the alternating-algorithm literature's motivating case).
+    The label frame holds only nodes that appear in some pair — tiny next
+    to the corpus — and is checkpointed per round to cut lineage. Raises
+    after ``max_iter`` non-converged rounds rather than looping forever.
+    """
+    from holcstore_spark.sources.io_util import safe_local_checkpoint
+
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = safe_local_checkpoint(sym)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    labels = safe_local_checkpoint(labels)
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nmin"))
+            .withColumnRenamed("a", "node")
+        )
+        new = labels.join(nmin, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+            ).alias("comp"),
+        )
+        new = safe_local_checkpoint(new)
+        changed = (
+            new.withColumnRenamed("comp", "comp_new")
+            .join(labels, on="node")
+            .filter(F.col("comp_new") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no convergence after {max_iter} rounds "
+        "(pathological chain — raise max_iter or pre-partition the graph)"
+    )

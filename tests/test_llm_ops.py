@@ -80,6 +80,33 @@ class TestDedup:
         sh = d.select(token_shingles("text", k=3).alias("s")).collect()[0]["s"]
         assert sh == ["only two"]
 
+    def test_connected_components_transitive(self, spark):
+        # A~B, B~C, C!~A must land in ONE cluster; D-E separate; chain 10..13
+        from holcstore_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, 2), (2, 3), (4, 5), (11, 10), (11, 12), (12, 13)],
+                columns=["id_a", "id_b"],
+            )
+        )
+        comp = {
+            r["node"]: r["comp"] for r in connected_components(pairs).collect()
+        }
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[4] == comp[5] == 4
+        assert comp[10] == comp[11] == comp[12] == comp[13] == 10
+        assert len(comp) == 9
+
+    def test_connected_components_max_iter_raises(self, spark):
+        from holcstore_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame(
+            pd.DataFrame([(i, i + 1) for i in range(8)], columns=["id_a", "id_b"])
+        )
+        with pytest.raises(RuntimeError):
+            connected_components(chain, max_iter=2)
+
 
 @pytest.fixture()
 def vectors(spark):
