@@ -738,6 +738,58 @@ def q_admin_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end, oracle-checked: events flow through
+    a real readStream (availableNow) into the watermarked windowed-rollup
+    operator; the streamed result must equal the batch GROUP BY exactly.
+    Only order-independent aggregates are emitted (count/min/max +
+    DECIMAL-exact total) so the comparison is bit-stable."""
+    from holcstore_spark.streaming.ingest import windowed_rollup
+
+    src = tempfile.mkdtemp(prefix="holc_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_stream_ckpt_")
+    name = "stream_rollup_sink"
+    try:
+        # re-materialize with micro timestamps: the streaming reader has no
+        # nanos fallback
+        (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "ts", "value")
+            .write.mode("overwrite").parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        roll = windowed_rollup(
+            stream, ("user_id",), window="1 hour", watermark="2 hours",
+            exact_total=True,
+        )
+        q = (
+            roll.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "user_id",
+            _fmt("window_start").alias("window_start"),
+            _fmt("window_end").alias("window_end"),
+            "n",
+            F.col("sum_value").alias("total"),
+            F.col("min_value").alias("vmin"),
+            F.col("max_value").alias("vmax"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _daily_events_pdf(spark: SparkSession, sf_dir: str):
     """Deterministic daily series per user (max aggregation) as pandas."""
     import pandas as pd
@@ -1465,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_guards": q_sync_guards,
         "rest_sync_pull": q_rest_sync_pull,
         "admin_export": q_admin_export,
+        "stream_rollup": q_stream_rollup,
     }
 
 
@@ -2461,5 +2514,17 @@ def oracle_sql() -> dict[str, str]:
                    || '.csv' AS filename,
                    user_id, n_points, total
             FROM agg
+        """,
+        # the streamed rollup must equal the batch GROUP BY (epoch-aligned
+        # 1h tumbling windows = date_trunc)
+        "stream_rollup": f"""
+            SELECT user_id,
+                   strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS window_start,
+                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                            '{_FMT_DUCK}') AS window_end,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+                   min(value) AS vmin, max(value) AS vmax
+            FROM events GROUP BY 1, 2, 3
         """,
     }

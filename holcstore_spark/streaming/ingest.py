@@ -57,25 +57,37 @@ def windowed_rollup(
     watermark: str = "2 hours",
     ts: str = "ts",
     value: str = "value",
+    exact_total: bool = False,
 ) -> DataFrame:
     """Event-time windowed aggregate with late-data watermark: per key and
     window, count / mean / min / max of ``value``. Late rows beyond
     ``watermark`` are dropped by the engine (state is bounded — the
-    property that keeps this runnable forever at scale)."""
+    property that keeps this runnable forever at scale).
+
+    ``exact_total`` adds a ``sum_value`` column summed in DECIMAL(28,6) —
+    order-independent (billing-grade) totals, since a float sum's low bits
+    depend on reduction order and change run to run."""
     win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
+    aggs = [
+        F.count(value).alias("n"),
+        F.avg(value).alias("mean_value"),
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+    ]
+    extra = []
+    if exact_total:
+        aggs.append(
+            F.sum(F.col(value).cast("decimal(28,6)")).cast("double").alias("sum_value")
+        )
+        extra = ["sum_value"]
     return (
         stream.withWatermark(ts, watermark)
         .groupBy(*keys, win.alias("win"))
-        .agg(
-            F.count(value).alias("n"),
-            F.avg(value).alias("mean_value"),
-            F.min(value).alias("min_value"),
-            F.max(value).alias("max_value"),
-        )
+        .agg(*aggs)
         .select(
             *keys,
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
-            "n", "mean_value", "min_value", "max_value",
+            "n", "mean_value", "min_value", "max_value", *extra,
         )
     )
