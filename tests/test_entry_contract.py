@@ -5,8 +5,9 @@ from __future__ import annotations
 
 import __spark_entry__ as entry_mod
 
-#: entries intentionally without SQL oracles (non-SQL-expressible)
-ROWS_ONLY = {"dedup_simhash"}
+#: entries intentionally without SQL oracles (non-SQL-expressible) —
+#: empty since round 3: every declared query has a DuckDB oracle twin
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_oracle_has_a_query():
