@@ -1360,6 +1360,23 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pipeline with cluster-resolved near-dup removal: one
+    survivor (min id) per connected component of verified pairs, instead
+    of the legacy pairwise drop."""
+    from holcstore_spark.operators.pipeline import clean_corpus
+
+    d = _docs_with_dups(spark, sf_dir)
+    out = clean_corpus(
+        d, min_quality=0.5, jaccard_threshold=0.5, resolve_clusters=True
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 neighbours for every 500th vector; integer-
     quantized arithmetic makes scores bit-identical across engines."""
@@ -1500,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "clean_corpus": q_clean_corpus,
+        "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
         "similarity_neardup": q_similarity_neardup,
@@ -2201,6 +2219,42 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         GROUP BY source
     """
+    # cluster-resolved variant: survivors are the min reachable node of the
+    # VERIFIED pair graph (recursive transitive closure)
+    clean_corpus_cc = clean_corpus.replace(
+        """losers AS (
+            SELECT DISTINCT p.id_b AS doc_id""",
+        """vpairs AS (
+            SELECT p.id_a, p.id_b""",
+    ).replace(
+        """        SELECT source, count(*) AS n_clean,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM src
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY source
+    """,
+        """        ,
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM vpairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM vpairs
+        ),
+        reach(node, comp) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+        ),
+        losers AS (
+            SELECT node AS doc_id FROM reach
+            GROUP BY node HAVING min(comp) <> node
+        )
+        SELECT source, count(*) AS n_clean,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM src
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY source
+    """,
+    ).replace("WITH src0 AS", "WITH RECURSIVE src0 AS")
     # ---- simhash oracle: mirrors operators.dedup.simhash64 exactly ----
     # per token: first 15 hex chars of md5 -> 15 nibble values (60 bits);
     # bit b lives in nibble 15 - b//4 (1-based from the left), shift b%4.
@@ -2472,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "clean_corpus": clean_corpus,
+        "clean_corpus_cc": clean_corpus_cc,
         "similarity_bruteforce": similarity_bruteforce,
         "similarity_lsh": similarity_lsh,
         "similarity_neardup": similarity_neardup,

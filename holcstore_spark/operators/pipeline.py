@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from holcstore_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_verify,
     minhash_candidate_pairs,
@@ -37,8 +38,15 @@ def clean_corpus(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    resolve_clusters: bool = False,
 ) -> DataFrame:
-    """Return the cleaned corpus (original columns of surviving docs)."""
+    """Return the cleaned corpus (original columns of surviving docs).
+
+    ``resolve_clusters``: when True, verified pairs are resolved to
+    connected components and one doc (min id) survives per cluster —
+    the principled treatment of transitive similarity ((1,3) and (2,3)
+    verified means {1,2,3} is ONE cluster; the pairwise drop would keep
+    both 1 and 2). Default False preserves the legacy pairwise drop."""
     qualified = quality_score(df, text).filter(
         F.col("quality") >= min_quality
     ).select(*df.columns)
@@ -51,6 +59,13 @@ def clean_corpus(
         pairs, unique, text=text, id_col=id_col,
         shingle_k=shingle_k, threshold=jaccard_threshold,
     )
-    # drop the higher id of each verified near-dup pair
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if resolve_clusters:
+        # one survivor (min id) per connected near-dup cluster
+        comp = connected_components(verified.select("id_a", "id_b"))
+        losers = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        # drop the higher id of each verified near-dup pair
+        losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return unique.join(losers, on=id_col, how="left_anti")

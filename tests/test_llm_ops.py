@@ -98,6 +98,32 @@ class TestDedup:
         assert comp[10] == comp[11] == comp[12] == comp[13] == 10
         assert len(comp) == 9
 
+    def test_clean_corpus_cluster_resolution(self, spark):
+        # doc3 is near both doc1 and doc2, but doc1~doc2 falls below the
+        # threshold: pairwise drop keeps {1, 2}; cluster mode keeps only 1
+        from holcstore_spark.operators.pipeline import clean_corpus
+
+        base = [f"w{i}" for i in range(20)]
+        t1 = " ".join(base)
+        mid = base.copy(); mid[10] = "CHANGED3"
+        t3 = " ".join(mid)
+        far = mid.copy(); far[3] = "CHANGED2"
+        t2 = " ".join(far)
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": [t1, t2, t3]})
+        )
+        kw = dict(min_quality=0.0, jaccard_threshold=0.6,
+                  n_hashes=16, bands=16, shingle_k=3)
+        pairwise = sorted(
+            r["doc_id"] for r in clean_corpus(docs, **kw).collect()
+        )
+        clustered = sorted(
+            r["doc_id"]
+            for r in clean_corpus(docs, resolve_clusters=True, **kw).collect()
+        )
+        assert pairwise == [1, 2]
+        assert clustered == [1]
+
     def test_connected_components_max_iter_raises(self, spark):
         from holcstore_spark.operators.dedup import connected_components
 
