@@ -88,6 +88,7 @@ class ChunkStore:
         self._data_path = os.path.join(path, "data")
         self._meta_path = os.path.join(path, "meta")
         self._meta_cache: DataFrame | None = None
+        self._has_tombstones: bool | None = None
 
     # ------------------------------------------------------------------
     # schema helpers
@@ -170,6 +171,18 @@ class ChunkStore:
         if self._meta_cache is not None:
             self._meta_cache.unpersist()
             self._meta_cache = None
+        self._has_tombstones = None
+
+    def _any_tombstones(self) -> bool:
+        """Whether ANY chunk is currently tombstoned — one cheap aggregate
+        over the cached latest_meta, remembered until the next write. The
+        common store has none, and every keyed read can then skip its
+        tombstone semi-join entirely."""
+        if self._has_tombstones is None:
+            self._has_tombstones = bool(
+                self.latest_meta().filter(F.col("is_deleted")).limit(1).count()
+            )
+        return self._has_tombstones
 
     def alive_chunks(self, filters: dict | None = None) -> DataFrame:
         return self.latest_meta(filters).filter(~F.col("is_deleted"))
@@ -191,8 +204,15 @@ class ChunkStore:
         e = normalize_bound(end, tz)
         d = self.data().filter(attrs_filter(filters))
         d = d.filter(chunk_bounds_filter(s, e, axis, tz))
-        alive = self.alive_chunks(filters).select(*self.config.keys, "chunk_index")
-        d = d.join(F.broadcast(alive), on=[*self.config.keys, "chunk_index"], how="left_semi")
+        # tombstone-free NON-SYNC store (the common case): physical rows ARE
+        # the alive rows — skip building/broadcasting the semi-join side.
+        # Sync replicas keep the join unconditionally: it also hides data
+        # landed by a mid-import crash until the next pull re-imports it.
+        if self.config.allow_sync or self._any_tombstones():
+            alive = self.alive_chunks(filters).select(*self.config.keys, "chunk_index")
+            d = d.join(
+                F.broadcast(alive), on=[*self.config.keys, "chunk_index"], how="left_semi"
+            )
         return time_slice(d, s, e)
 
     # ------------------------------------------------------------------
