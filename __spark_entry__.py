@@ -1360,6 +1360,26 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 char grams, window 4): per
+    document the fingerprint-set size, min/max fingerprint, and an md5
+    digest of the full sorted set — the whole set is oracle-checked, not
+    just its summary stats."""
+    from holcstore_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints("text", k=8, w=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        F.md5(
+            F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+        ).alias("fp_digest"),
+    )
+
+
 def q_clean_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaning pipeline with cluster-resolved near-dup removal: one
     survivor (min id) per connected component of verified pairs, instead
@@ -1522,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_neardup": q_similarity_neardup,
         "text_stats": q_text_stats,
+        "doc_fingerprints": q_doc_fingerprints,
         "lang_quality": q_lang_quality,
         "token_bpe": q_token_bpe,
         "multimodal_meta": q_multimodal_meta,
@@ -2286,6 +2307,38 @@ def oracle_sql() -> dict[str, str]:
             FROM sims
         ) WHERE group_size > 1
     """
+    # winnowing: hex15 -> 60-bit int via list_reduce (exact BIGINT folding —
+    # power(16, i) in double would lose low bits past 2^53)
+    hex15 = (
+        "list_reduce(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5({g}), i, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    doc_fingerprints = f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(text) - 7, 1) + 1),
+                       i -> substr(text, i, 8)) AS gs
+            FROM documents
+        ),
+        hashes AS (
+            SELECT doc_id, list_transform(gs, g -> {hex15.format(g='g')}) AS hs
+            FROM grams
+        ),
+        fps AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       j -> list_min(hs[j:j+3])))) AS fp
+            FROM hashes
+        )
+        SELECT doc_id, len(fp) AS n_fp,
+               fp[1] AS fp_min, fp[len(fp)] AS fp_max,
+               md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ','))
+                   AS fp_digest
+        FROM fps
+    """
     token_bpe = r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens
@@ -2531,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": similarity_lsh,
         "similarity_neardup": similarity_neardup,
         "text_stats": text_stats_sql,
+        "doc_fingerprints": doc_fingerprints,
         "lang_quality": lang_quality,
         "token_bpe": token_bpe,
         "multimodal_meta": multimodal_meta,

@@ -124,3 +124,34 @@ def quality_score(df: DataFrame, text: str = "text",
     return d.withColumn(
         out, (length_term + punct_term + stop_term) / F.lit(3.0)
     )
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, w: int = 4
+) -> Column:
+    """Winnowing rolling-hash fingerprints (the MOSS document-fingerprint
+    scheme): hash every ``k``-char gram, then keep the minimum hash of each
+    ``w``-gram window; the sorted distinct mins are the document's
+    fingerprint set. Two documents sharing any sufficiently long substring
+    share fingerprints regardless of position — the robust complement to
+    the exact md5 fingerprint in :func:`text_stats`.
+
+    Pure Column expressions (no UDF): the gram hash is the first 15 md5 hex
+    chars as a 60-bit integer, so the construction is engine-portable and
+    oracle-checkable. Documents shorter than ``k`` hash as one gram.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: c.substr(i, F.lit(k))
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    n_windows = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -218,6 +218,36 @@ class TestText:
         out = {r["doc_id"]: r["quality"] for r in quality_score(d).collect()}
         assert 0.0 <= out[2] < out[1] <= 1.0
 
+    def test_winnow_fingerprints_shared_substring(self, spark):
+        from holcstore_spark.operators.text import winnow_fingerprints
+
+        shared = "a long shared passage that winnowing must anchor on"
+        rows = [
+            (1, "PREFIX ONE " + shared),
+            (2, shared + " SUFFIX TWO ENTIRELY DIFFERENT"),
+            (3, "nothing in common with the others at all here"),
+            (4, "tiny"),  # shorter than k → single gram
+        ]
+        d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        out = {
+            r["doc_id"]: set(r["fps"])
+            for r in d.select(
+                "doc_id", winnow_fingerprints("text").alias("fps")
+            ).collect()
+        }
+        # position-shifted shared substring → overlapping fingerprints
+        assert out[1] & out[2]
+        assert not (out[1] & out[3])
+        assert len(out[4]) == 1
+        # deterministic across evaluations
+        again = {
+            r["doc_id"]: set(r["fps"])
+            for r in d.select(
+                "doc_id", winnow_fingerprints("text").alias("fps")
+            ).collect()
+        }
+        assert again == out
+
 
 class TestMultimodal:
     def test_meta_extraction(self, spark):
