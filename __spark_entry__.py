@@ -1433,6 +1433,19 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=3, n_planes=4, dim=64)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: deterministic integer k-means (16 lists, 2
+    Lloyd iterations, lowest-id seeds), candidates partitioned by nearest
+    centroid, each query probes its 2 closest lists. Every step is exact
+    integer arithmetic, so the DuckDB oracle unrolls the same two
+    iterations and matches bit-for-bit."""
+    from holcstore_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(e, q, k=3, n_lists=16, n_probe=2, iters=2)
+
+
 def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (all-pairs
     only within buckets); exact integer-quantized scores."""
@@ -1540,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "similarity_neardup": q_similarity_neardup,
         "text_stats": q_text_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2132,6 +2146,78 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rk <= 3
     """
+    # IVF oracle: the same deterministic integer k-means, unrolled. Spark's
+    # centroid update is (decimal sum / count) cast to long = truncation
+    # toward zero — trunc(sum/count) here. Assignment ties go to the lowest
+    # centroid index in both engines (ORDER BY dist, i).
+    def _ivf_dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d])))"
+        )
+
+    def _ivf_assign(cents: str) -> str:
+        """Nearest-centroid assignment of every vector in v against
+        centroid table `cents`(i, cv)."""
+        return f"""
+            SELECT vec_id, vq, i AS list FROM (
+                SELECT v.vec_id, v.vq, s.i,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_ivf_dist('v.vq', 's.cv')}, s.i) AS rk
+                FROM v CROSS JOIN {cents} s
+            ) WHERE rk = 1
+        """
+
+    def _ivf_update(assigned: str, prev: str) -> str:
+        """Truncated-mean centroid update; empty lists keep prev values."""
+        return f"""
+            SELECT s.i, coalesce(u.cv, s.cv) AS cv
+            FROM {prev} s LEFT JOIN (
+                SELECT list, list(m ORDER BY d) AS cv FROM (
+                    SELECT list, d,
+                           CAST(trunc(CAST(sum(vq[d]) AS DOUBLE) / count(*))
+                                AS BIGINT) AS m
+                    FROM {assigned}, range(1, 65) t(d)
+                    GROUP BY list, d
+                ) GROUP BY list
+            ) u ON u.list = s.i
+        """
+
+    similarity_ivf = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vq AS cv
+            FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT 16)
+        ),
+        a1 AS ({_ivf_assign('seeds')}),
+        c1 AS ({_ivf_update('a1', 'seeds')}),
+        a2 AS ({_ivf_assign('c1')}),
+        c2 AS ({_ivf_update('a2', 'c1')}),
+        cand AS ({_ivf_assign('c2')}),
+        probes AS (
+            SELECT vec_id AS q_id, vq AS qq, i AS list FROM (
+                SELECT v.vec_id, v.vq, s.i,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_ivf_dist('v.vq', 's.cv')}, s.i) AS rk
+                FROM v CROSS JOIN c2 s
+                WHERE v.vec_id % 100 = 0
+            ) WHERE rk <= 2
+        ),
+        scored AS (
+            SELECT p.q_id, c.vec_id AS neighbor_id,
+                   list_dot_product(p.qq::DOUBLE[], c.vq::DOUBLE[])
+                     / (sqrt(list_dot_product(p.qq::DOUBLE[], p.qq::DOUBLE[]))
+                        * sqrt(list_dot_product(c.vq::DOUBLE[], c.vq::DOUBLE[]))) AS score
+            FROM probes p JOIN cand c USING (list)
+            WHERE c.vec_id <> p.q_id
+        )
+        SELECT q_id, neighbor_id, score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """
     signs6 = _lsh_sign_vectors(6, 64)
     bucket_bits6 = " || ".join(
         f"(CASE WHEN list_dot_product(vq::DOUBLE[], "
@@ -2582,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_cc": clean_corpus_cc,
         "similarity_bruteforce": similarity_bruteforce,
         "similarity_lsh": similarity_lsh,
+        "similarity_ivf": similarity_ivf,
         "similarity_neardup": similarity_neardup,
         "text_stats": text_stats_sql,
         "doc_fingerprints": doc_fingerprints,

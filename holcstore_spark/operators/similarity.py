@@ -145,25 +145,26 @@ def lsh_topk(
     )
 
 
+def _centroid_dist(vec_q: Column, c: list[int]) -> Column:
+    """Exact integer squared-euclidean distance to one centroid literal."""
+    carr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+    return F.aggregate(
+        F.zip_with(vec_q, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def _assign_to_centroid(vec_q: Column, centroids: list[list[int]]) -> Column:
     """Index of the nearest centroid by exact integer squared-euclidean
-    distance (deterministic: all arithmetic on quantized longs)."""
-    best_idx = F.lit(0)
-    best_d = None
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(int(x)).cast("long") for x in c])
-        d = F.aggregate(
-            F.zip_with(vec_q, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        if best_d is None:
-            best_d, best_idx = d, F.lit(0)
-        else:
-            take = d < best_d
-            best_idx = F.when(take, F.lit(i)).otherwise(best_idx)
-            best_d = F.when(take, d).otherwise(best_d)
-    return best_idx
+    distance (deterministic: all arithmetic on quantized longs; ties go to
+    the lowest index via first-occurrence array_position).
+
+    Built as ONE distance array + argmin — a chained when(d < best_d)
+    fold would nest best_d inside itself and double the unshared
+    expression tree per centroid (2^n_lists nodes by n_lists=16)."""
+    dists = F.array(*[_centroid_dist(vec_q, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def train_ivf_centroids(
@@ -234,15 +235,12 @@ def ivf_topk(
         F.col(id_col).alias(query_id), quantized(vec_col).alias("__qq")
     )
     # probe lists: the n_probe nearest centroids per query
-    probes = []
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(int(x)).cast("long") for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col("__qq"), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+    probes = [
+        F.struct(
+            _centroid_dist(F.col("__qq"), c).alias("d"), F.lit(i).alias("i")
         )
-        probes.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+        for i, c in enumerate(centroids)
+    ]
     qry = qry.withColumn(
         "__probe",
         F.slice(F.array_sort(F.array(*probes)), 1, n_probe),
