@@ -1397,6 +1397,87 @@ def q_clean_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase event picks up the user's most recent
+    click within 2 h (backward, inclusive). Single-shuffle union+window
+    construction — no non-equi join (operators/asof.py)."""
+    from holcstore_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id",
+        tolerance_seconds=7200, suffix="_click",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "value",
+        F.unix_micros("ts_click").alias("click_ts_us"),
+        F.col("value_click").alias("click_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization of the event stream (30-min inactivity
+    gap) folded to per-session stats — one window shuffle + one agg."""
+    from holcstore_spark.operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    s = session_stats(
+        e, key="user_id", ts="ts", gap_seconds=1800, tiebreak=("event_id",)
+    )
+    return s.select(
+        "user_id", "session_idx",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events", "duration_sec",
+    )
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup per event type: count, DECIMAL-
+    exact sum, min/max, deterministic first/last by timestamp."""
+    from holcstore_spark.operators.resample import time_bucket_rollup
+
+    e = _t(spark, sf_dir, "events")
+    r = time_bucket_rollup(e, ("event_type",), 3600.0, ts="ts", value="value")
+    return r.select(
+        "event_type", F.unix_micros("bucket_ts").alias("bucket_us"),
+        "n", "v_sum", "v_min", "v_max", "v_first", "v_last",
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval join: activity within 15 min after
+    each error event, aggregated per error. Candidate generation is an
+    equi-join on (user, time bucket) — no nested-loop range join."""
+    from holcstore_spark.operators.intervals import point_in_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+    )
+    points = e.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "value"
+    )
+    j = point_in_interval_join(
+        points, errors, on="user_id", bucket_seconds=900
+    )
+    return j.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        _dec_sum(F.col("value")).alias("v_sum"),
+        F.min(F.unix_micros("ts")).alias("first_pt_us"),
+    )
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 neighbours for every 500th vector; integer-
     quantized arithmetic makes scores bit-identical across engines."""
@@ -1571,6 +1652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_sync_pull": q_rest_sync_pull,
         "admin_export": q_admin_export,
         "stream_rollup": q_stream_rollup,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
+        "range_join": q_range_join,
     }
 
 
@@ -2722,5 +2807,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
                    min(value) AS vmin, max(value) AS vmax
             FROM events GROUP BY 1, 2, 3
+        """,
+        # DuckDB's native ASOF JOIN (greatest click ts <= purchase ts);
+        # the 2 h tolerance is applied as a post-filter that NULLs the
+        # matched columns, mirroring asof_join(tolerance_seconds=7200)
+        "asof_join": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+                   CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR
+                        THEN epoch_us(c.ts) END AS click_ts_us,
+                   CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR
+                        THEN c.value END AS click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # 30-min-gap sessionization via lag + running sum, then per-session
+        # aggregates; event_id tiebreak matches the Spark window ordering
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                           AS session_idx
+                FROM o
+            )
+            SELECT user_id, session_idx,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                       AS duration_sec
+            FROM s GROUP BY user_id, session_idx
+        """,
+        # epoch-aligned hourly buckets (integer floor-div on micros, same
+        # as time_bucket's pmod flooring for these positive epochs);
+        # first/last = arg_min/arg_max on the globally-unique event ts
+        "time_rollup": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v_sum,
+                   min(value) AS v_min, max(value) AS v_max,
+                   arg_min(value, ts) AS v_first,
+                   arg_max(value, ts) AS v_last
+            FROM events GROUP BY 1, 2
+        """,
+        # plain inequality range join — the bucketed equi-join must return
+        # exactly these pairs
+        "range_join": """
+            WITH err AS (
+                SELECT event_id AS iv_id, user_id, ts AS start_ts,
+                       ts + INTERVAL 15 MINUTE AS end_ts
+                FROM events WHERE event_type = 'error'
+            ),
+            p AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type <> 'error'
+            )
+            SELECT e.iv_id, count(*) AS n_pts,
+                   CAST(sum(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE) AS v_sum,
+                   min(epoch_us(p.ts)) AS first_pt_us
+            FROM err e JOIN p
+              ON p.user_id = e.user_id
+             AND p.ts BETWEEN e.start_ts AND e.end_ts
+            GROUP BY e.iv_id
         """,
     }

@@ -104,3 +104,45 @@ class Range:
             else:
                 out.append(r)
         return out
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on,
+    point_ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_seconds: float = 900.0,
+) -> DataFrame:
+    """Range (point-in-interval) join: every (point, interval) pair with
+    the same keys and ``start <= point_ts <= end`` — a primitive Spark
+    only plans as broadcast-nested-loop or a key-equi sort-merge with a
+    residual range filter.
+
+    Scale design (the bucketed range-join trick): both sides map their
+    timestamps to fixed ``bucket_seconds`` buckets; intervals explode to
+    the buckets they cover, points carry their single bucket, and the
+    join is a plain equi-join on (keys, bucket) + a range filter. Each
+    qualifying pair meets in exactly one bucket (the point's), so no
+    dedup is needed. Per-task work is bounded by bucket population, not
+    key history length — pick ``bucket_seconds`` near the typical
+    interval length so intervals explode to O(1) buckets.
+
+    Inner-join semantics: intervals with no points drop out.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    us = int(round(bucket_seconds * 1_000_000))
+
+    def bidx(c):
+        e = F.unix_micros(F.col(c) if isinstance(c, str) else c)
+        return ((e - F.pmod(e, F.lit(us))) / F.lit(us)).cast("long")
+
+    p = points.withColumn("__b", bidx(point_ts))
+    i = intervals.withColumn(
+        "__b", F.explode(F.sequence(bidx(start), bidx(end)))
+    )
+    joined = i.join(p, on=keys + ["__b"]).filter(
+        F.col(point_ts).between(F.col(start), F.col(end))
+    )
+    return joined.drop("__b")

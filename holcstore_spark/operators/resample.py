@@ -89,3 +89,51 @@ def disaggregate_by_reference(
         out,
         F.when(mean_ref != 0, F.col(feat) * F.col(ref) / mean_ref),
     ).drop("__bucket")
+
+
+def time_bucket(ts, width_seconds: float):
+    """Epoch-aligned floor of a timestamp to ``width_seconds`` buckets
+    (hypertable-rollup style downsampling bucket; works for any width,
+    not just calendar units like ``date_trunc``).
+
+    Sign-correct flooring via pmod (exact long arithmetic, no doubles),
+    so pre-1970 timestamps bucket correctly too.
+    """
+    us = int(round(width_seconds * 1_000_000))
+    c = F.col(ts) if isinstance(ts, str) else ts
+    e = F.unix_micros(c)
+    return F.timestamp_micros(e - F.pmod(e, F.lit(us)))
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    width_seconds: float,
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: downsample a long
+    series to fixed-width buckets with count / exact sum / min / max /
+    first / last per (keys, bucket).
+
+    One shuffle on (keys, bucket); partial aggregation is map-side, so
+    at 100 TB each executor pre-folds its scan share and only bucket
+    subtotals move. The sum is DECIMAL-exact (reduction-order-free);
+    first/last are ``min_by``/``max_by`` on the timestamp — deterministic
+    when (keys, ts) is unique, else pass ``tiebreak`` to order ties.
+    """
+    order = F.col(ts) if tiebreak is None else F.struct(ts, tiebreak)
+    v = F.col(value)
+    return (
+        df.withColumn("bucket_ts", time_bucket(ts, width_seconds))
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v.cast("decimal(28,6)")).cast("double").alias("v_sum"),
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+            F.min_by(v, order).alias("v_first"),
+            F.max_by(v, order).alias("v_last"),
+        )
+    )
