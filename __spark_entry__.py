@@ -1578,6 +1578,23 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "n_bytes", "digest")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads: the row-exploding
+    mapInPandas shape (one payload row → many frame rows). Frames are
+    256-byte strides, every 4th kept; digests hash the frame's hex so the
+    DuckDB oracle can reproduce them without blob functions."""
+    from holcstore_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    d = attach_binary_payload(
+        _t(spark, sf_dir, "documents"), media_type="video"
+    )
+    frames = frame_sample(d, frame_bytes=64, every=2)
+    return frames.select("doc_id", "frame_idx", "n_bytes", "digest")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1641,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": q_lang_quality,
         "token_bpe": q_token_bpe,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "store_set_many": q_store_set_many,
         "kv_clear": q_kv_clear,
         "sync_tombstone": q_sync_tombstone,
@@ -2760,6 +2778,29 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": lang_quality,
         "token_bpe": token_bpe,
         "multimodal_meta": multimodal_meta,
+        # frame boundaries on the hex string (2 hex chars per byte; 64-byte
+        # frames = 128 hex chars), digest = md5 of the frame's hex — the
+        # portable formulation frame_sample uses on purpose
+        "multimodal_frames": """
+            WITH b AS (
+                SELECT doc_id, hex(encode(text)) AS hx FROM documents
+            ),
+            f AS (
+                SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                       substring(hx, 1 + CAST(i AS BIGINT) * 128, 128) AS fh
+                FROM (
+                    SELECT doc_id, hx,
+                           unnest(range(0, CAST(ceil(length(hx) / 128.0)
+                                                AS BIGINT))) AS i
+                    FROM b
+                )
+                WHERE i % 2 = 0
+            )
+            SELECT doc_id, frame_idx,
+                   CAST(length(fh) / 2 AS BIGINT) AS n_bytes,
+                   md5(fh) AS digest
+            FROM f
+        """,
         "store_set_many": store_set_many,
         "kv_clear": kv_clear,
         "sync_tombstone": sync_tombstone,

@@ -127,3 +127,102 @@ def decode_stub(
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 256,
+    every: int = 4,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: split each binary payload
+    into fixed-size frames and keep every ``every``-th one — the row-
+    EXPLODING mapInPandas shape (one input row → many output rows), which
+    is the part a real frame sampler needs from Spark: Arrow batches in,
+    a differently-sized frame batch out, downstream repartition free to
+    spread frames across executors.
+
+    The frame boundary rule (fixed byte stride) stands in for codec
+    keyframe parsing; the digest is md5 over the frame's uppercase hex so
+    an engine without blob hashing can reproduce it (the DuckDB oracle
+    slices ``hex(payload)``).
+
+    Output: id, frame_idx (absolute index, 0/every/2·every…), n_bytes,
+    digest, frame (binary). Empty payloads contribute no rows.
+    """
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, digests, frames = [], [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[payload]):
+                b = bytes(b)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    fr = b[i * frame_bytes:(i + 1) * frame_bytes]
+                    ids.append(rid)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    digests.append(
+                        hashlib.md5(fr.hex().upper().encode()).hexdigest()
+                    )
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype=pdf[id_col].dtype),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                    "digest": digests,
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
+
+
+def resize_stub(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    factor: int = 2,
+) -> DataFrame:
+    """Deterministic stand-in for image resize: keeps every ``factor``-th
+    byte of the payload and scales the fake decode dimensions — real
+    plumbing (binary in, smaller binary out through Arrow batches), fake
+    pixels. Swap the body for a PIL/ffmpeg call when codecs exist.
+
+    Output: id, width, height (post-resize), payload (resized binary).
+    """
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField(payload, T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            widths, heights, outs = [], [], []
+            for b in pdf[payload]:
+                b = bytes(b)
+                dig = hashlib.md5(b).digest()
+                widths.append((64 + dig[0] % 64) // factor)
+                heights.append((64 + dig[1] % 64) // factor)
+                outs.append(b[::factor])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    payload: outs,
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)

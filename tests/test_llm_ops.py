@@ -276,3 +276,47 @@ class TestMultimodal:
         )
         with pytest.raises(NotImplementedError):
             decode_strict(d)
+
+    def test_frame_sample_explodes_and_strides(self, spark):
+        import hashlib
+
+        from holcstore_spark.operators.multimodal import frame_sample
+
+        # 1000 bytes → 10 frames of 100 (last short: 1000 = 10×100 exactly);
+        # 950 bytes → frames 0..9, last is 50 bytes; every=3 keeps 0,3,6,9
+        d = attach_binary_payload(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [(1, "a" * 950), (2, "xy")], columns=["doc_id", "text"]
+                )
+            ),
+            media_type="video",
+        )
+        out = frame_sample(d, frame_bytes=100, every=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        f1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in f1] == [0, 3, 6, 9]
+        assert [r["n_bytes"] for r in f1] == [100, 100, 100, 50]
+        fr0 = b"a" * 100
+        assert f1[0]["digest"] == hashlib.md5(
+            fr0.hex().upper().encode()
+        ).hexdigest()
+        assert bytes(f1[0]["frame"]) == fr0
+        # tiny payload: one short frame
+        assert [(r["frame_idx"], r["n_bytes"]) for r in by_doc[2]] == [(0, 2)]
+
+    def test_resize_stub_strides_bytes(self, spark):
+        from holcstore_spark.operators.multimodal import decode_stub, resize_stub
+
+        d = attach_binary_payload(
+            spark.createDataFrame(
+                pd.DataFrame([(1, "abcdefgh")], columns=["doc_id", "text"])
+            )
+        )
+        full = decode_stub(d).collect()[0]
+        half = resize_stub(d, factor=2).collect()[0]
+        assert bytes(half["payload"]) == b"aceg"
+        assert half["width"] == full["width"] // 2
+        assert half["height"] == full["height"] // 2
