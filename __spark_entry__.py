@@ -790,6 +790,51 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-checked: per-user gap
+    detection through a real applyInPandasWithState stream (availableNow,
+    O(keys) state = last-seen timestamp). The source is a single parquet
+    file so the run is one micro-batch and the emitted holes must equal
+    the batch lag-window SQL exactly."""
+    from holcstore_spark.streaming.stateful import stream_gap_detect
+
+    src = tempfile.mkdtemp(prefix="holc_gaps_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_gaps_ckpt_")
+    name = "stream_gaps_sink"
+    try:
+        (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "ts")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(src)
+        )
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        gaps = stream_gap_detect(
+            stream, ("user_id",), freq_seconds=3600, watermark="2 hours"
+        )
+        q = (
+            gaps.writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "user_id",
+            F.unix_micros("hole_start").alias("hole_start_us"),
+            F.unix_micros("hole_end").alias("hole_end_us"),
+            "gap_seconds",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _daily_events_pdf(spark: SparkSession, sf_dir: str):
     """Deterministic daily series per user (max aggregation) as pandas."""
     import pandas as pd
@@ -1670,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_sync_pull": q_rest_sync_pull,
         "admin_export": q_admin_export,
         "stream_rollup": q_stream_rollup,
+        "stream_gaps": q_stream_gaps,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
@@ -2848,6 +2894,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
                    min(value) AS vmin, max(value) AS vmax
             FROM events GROUP BY 1, 2, 3
+        """,
+        # batch twin of the stateful stream: a gap > 1h between consecutive
+        # events of a user is a hole spanning the missing grid slots
+        "stream_gaps": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   epoch_us(prev) + 3600000000 AS hole_start_us,
+                   epoch_us(ts) - 3600000000 AS hole_end_us,
+                   (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_seconds
+            FROM o
+            WHERE prev IS NOT NULL
+              AND epoch_us(ts) - epoch_us(prev) > 3600000000
         """,
         # DuckDB's native ASOF JOIN (greatest click ts <= purchase ts);
         # the 2 h tolerance is applied as a post-filter that NULLs the

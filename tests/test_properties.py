@@ -89,3 +89,44 @@ class TestProperties:
             assert len(out) == len(expected)
             assert out[0]["ts"] == first.tz_localize(None)
             assert out[-1]["ts"] == last.tz_localize(None)
+
+
+# distinct random timestamps (minutes offsets) per side; keys from a pool
+asof_times = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=1, max_size=20,
+    unique=True,
+)
+
+
+class TestAsofProperties:
+    @SETTINGS
+    @given(lt=asof_times, rt=asof_times, tol=st.one_of(
+        st.none(), st.integers(min_value=1, max_value=120)))
+    def test_asof_matches_pandas_merge_asof(self, spark, lt, rt, tol):
+        from holcstore_spark.operators.asof import asof_join
+
+        base = pd.Timestamp("2024-01-01", tz="UTC")
+        left = pd.DataFrame({
+            "k": "a",
+            "ts": [base + pd.Timedelta(minutes=m) for m in lt],
+            "lv": range(len(lt)),
+        })
+        right = pd.DataFrame({
+            "k": "a",
+            "ts": [base + pd.Timedelta(minutes=m) for m in rt],
+            "rv": [m * 10 for m in rt],
+        })
+        expected = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+            tolerance=None if tol is None else pd.Timedelta(minutes=tol),
+            suffixes=("", "_r"),
+        )
+        out = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="k",
+            tolerance_seconds=None if tol is None else tol * 60,
+        ).orderBy("ts").toPandas()
+        exp = expected["rv"].astype("float64").reset_index(drop=True)
+        got = out["rv_r"].astype("float64").reset_index(drop=True)
+        pd.testing.assert_series_equal(got, exp, check_names=False)
