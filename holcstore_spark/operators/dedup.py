@@ -18,6 +18,7 @@ fixed-width.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,6 +95,44 @@ def minhash_signature(
     return [one(j) for j in range(n_hashes)]
 
 
+def _minhash_signature_udf(
+    text: str, n_hashes: int, shingle_k: int, sep: str = " "
+) -> "F.Column":
+    """The full minhash signature as ONE vectorized pandas UDF call —
+    bit-identical to :func:`minhash_signature` over
+    :func:`token_shingles` (same literal split, same k-token shingles
+    with short-doc collapse, same seed-prefixed md5 / first-8-hex / min,
+    so the DuckDB oracles are untouched).
+
+    Why not the Column formulation: each of the n_hashes mins embeds the
+    whole shingle expression, and interpreted higher-order functions
+    evaluate it n_hashes times per row — ~16 md5 sweeps over every
+    shingle per document per join side (observed: the sf0.1 band
+    self-join spent 94 s evaluating signatures, vs ~3 s here). One
+    hashlib pass per (seed, distinct shingle) in an Arrow batch is the
+    scale path; min over the distinct set equals min over the multiset.
+    """
+    import hashlib
+
+    @F.pandas_udf("array<string>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split(sep)
+            n = max(len(toks) - (shingle_k - 1), 1)
+            shingles = {sep.join(toks[i:i + shingle_k]) for i in range(n)}
+            out.append([
+                min(
+                    hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:8]
+                    for s in shingles
+                )
+                for j in range(n_hashes)
+            ])
+        return pd.Series(out)
+
+    return sig(F.col(text))
+
+
 def minhash_bands(
     df: DataFrame,
     text: str = "text",
@@ -111,8 +150,11 @@ def minhash_bands(
     if n_hashes % bands:
         raise ValueError(f"n_hashes ({n_hashes}) must be divisible by bands ({bands})")
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(token_shingles(text, k=shingle_k), n_hashes)
-    d = df.select(F.col(id_col), *sig)
+    sig = _minhash_signature_udf(text, n_hashes, shingle_k)
+    d = df.select(
+        F.col(id_col),
+        *[sig[j].alias(f"mh_{j}") for j in range(n_hashes)],
+    )
     bands_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -148,16 +190,28 @@ def minhash_candidate_pairs(
     (boilerplate documents) should be capped upstream via exact_dedup first.
     """
     b = minhash_bands(df, text, id_col, n_hashes, bands, shingle_k)
-    left = b.select(
-        "band_id", "band_key", F.col(id_col).alias("id_a")
+    # pairs via per-bucket collect_list, NOT a band self-join: a self-join
+    # evaluates the signature lineage on BOTH sides (2× the dominant cost)
+    # and shuffles the band rows twice. One groupBy shuffles once, and the
+    # in-bucket pair explosion is over tiny id lists (bucket sizes, which
+    # the LSH construction keeps small by design).
+    buckets = (
+        b.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
-    right = b.select(
-        "band_id", "band_key", F.col(id_col).alias("id_b")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda bb: F.struct(a.alias("id_a"), bb.alias("id_b")),
+            ),
+        )
     )
     return (
-        left.join(right, on=["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
     )
 
