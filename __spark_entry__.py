@@ -1610,6 +1610,75 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(d).select("doc_id", "n_bpe_tokens")
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment + nested 25% sample by
+    md5-hex-prefix comparison (operators/sampling.py) — reproducible,
+    partition-stable, zero-shuffle."""
+    from holcstore_spark.operators.sampling import (
+        _frac_to_hex, hash_hex8, hash_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d = hash_split(d, ["doc_id"], {"train": 0.8, "valid": 0.1, "test": 0.1},
+                   salt="split")
+    # nested-sample flag (sample_fraction's predicate, kept as a column so
+    # the oracle can check membership row-by-row): same hash, smaller cut
+    d = d.withColumn(
+        "in_quarter",
+        (hash_hex8(["doc_id"], "split") < F.lit(_frac_to_hex(0.25))).cast("int"),
+    )
+    return d.select("doc_id", "split", "in_quarter")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(lang, source) top-5 sample ordered by content
+    hash (operators/sampling.py stratified_sample)."""
+    from holcstore_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, ["lang", "source"], 5, ["doc_id"],
+                            salt="strat", out_rank="rk")
+    return out.select("lang", "source", "rk", "doc_id")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate word/bigram/trigram
+    fractions + most-common-bigram share, all within-row Column folds."""
+    from holcstore_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id", "n_tokens", "dup_word_frac", "dup_bigram_frac",
+        "dup_trigram_frac", "top_bigram_frac",
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (email/IPv4/phone). Synthetic PII is injected
+    deterministically per doc_id (the corpus itself is PII-free), then
+    counted and redacted; the digest proves byte-identical redaction."""
+    from holcstore_spark.operators.scrub import pii_stats, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" mail u"), did, F.lit("@ex.org now")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit(" ip 10."),
+                       (F.col("doc_id") % 256).cast("string"), F.lit(".3.7 up")))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" call +1-555-01"),
+                     F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")))
+    )
+    d = d.withColumn("doc", injected)
+    out = redact_pii(pii_stats(d, "doc"), "doc")
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("redacted").alias("digest"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata extraction through the real mapInPandas
     plumbing (Arrow batches); decode itself is stubbed per environment."""
@@ -1702,6 +1771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "lang_quality": q_lang_quality,
         "token_bpe": q_token_bpe,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "store_set_many": q_store_set_many,
@@ -2579,6 +2652,94 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens
         FROM documents
     """
+    # thresholds must replicate hash_split's float accumulation exactly
+    from holcstore_spark.operators.sampling import _frac_to_hex
+
+    _w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    _tot = float(sum(_w.values()))
+    _cum, _thr = 0.0, {}
+    for _name in list(_w)[:-1]:
+        _cum += _w[_name] / _tot
+        _thr[_name] = _frac_to_hex(_cum)
+    hash_split_sql = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN hx < '{_thr["train"]}' THEN 'train'
+                    WHEN hx < '{_thr["valid"]}' THEN 'valid'
+                    ELSE 'test' END AS split,
+               CASE WHEN hx < '{_frac_to_hex(0.25)}' THEN 1 ELSE 0 END AS in_quarter
+        FROM h
+    """
+    stratified_sample_sql = """
+        WITH r AS (
+            SELECT lang, source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+                                doc_id ASC
+                   ) AS rk
+            FROM documents
+        )
+        SELECT lang, source, rk, doc_id FROM r WHERE rk <= 5
+    """
+    # bigram/trigram lists mirror token_shingles (short docs -> one
+    # whole-doc shingle; OOB list index -> NULL, skipped by concat_ws)
+    repetition_stats_sql = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, t, len(t) AS n,
+                   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                  i -> concat_ws(' ', t[i], t[i+1])) AS bi,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS tri
+            FROM toks
+        ),
+        top AS (
+            SELECT doc_id, max(c) AS top_bi FROM (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(bi) AS g FROM grams)
+                GROUP BY doc_id, g
+            ) GROUP BY doc_id
+        )
+        SELECT g.doc_id, g.n AS n_tokens,
+               CAST(g.n - len(list_distinct(g.t)) AS DOUBLE) / g.n AS dup_word_frac,
+               CAST(len(g.bi) - len(list_distinct(g.bi)) AS DOUBLE) / len(g.bi)
+                   AS dup_bigram_frac,
+               CAST(len(g.tri) - len(list_distinct(g.tri)) AS DOUBLE) / len(g.tri)
+                   AS dup_trigram_frac,
+               CAST(t.top_bi AS DOUBLE) / len(g.bi) AS top_bigram_frac
+        FROM grams g JOIN top t ON g.doc_id = t.doc_id
+    """
+    pii_redact_sql = r"""
+        WITH injected AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                            text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org now'
+                        WHEN doc_id % 3 = 1 THEN
+                            text || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.3.7 up'
+                        ELSE text || ' call +1-555-01'
+                             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   END AS doc
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(doc,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(doc,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+               len(regexp_extract_all(doc, '\+?\d[\d\- ]{7,}\d')) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(doc,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS digest
+        FROM injected
+    """
     multimodal_meta = """
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                md5(text) AS digest
@@ -2823,6 +2984,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": doc_fingerprints,
         "lang_quality": lang_quality,
         "token_bpe": token_bpe,
+        "hash_split": hash_split_sql,
+        "stratified_sample": stratified_sample_sql,
+        "repetition_stats": repetition_stats_sql,
+        "pii_redact": pii_redact_sql,
         "multimodal_meta": multimodal_meta,
         # frame boundaries on the hex string (2 hex chars per byte; 64-byte
         # frames = 128 hex chars), digest = md5 of the frame's hex — the

@@ -1,0 +1,113 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+A 100 TB corpus is split into train/valid/test and down-sampled per
+stratum *by content hash*, never by ``rand()``: the assignment must be
+reproducible run-to-run, stable under re-partitioning, and identical on
+every engine that processes the corpus. All functions here hash with
+md5-hex (portable) and decide buckets by *lexicographic comparison of hex
+prefixes* — md5 prefixes are uniform, and hex-string order equals numeric
+order, so a fraction ``f`` maps to the threshold ``hex(floor(f * 16^8))``
+zero-padded to 8 digits. No int conversion is needed on either engine.
+
+Scale design: ``hash_split`` / ``sample_fraction`` are narrow maps (zero
+shuffle, whole-stage codegen). ``stratified_sample`` shuffles once on the
+strata columns (window top-k); AQE handles skewed strata.
+
+Reference parity: the reference has no sampling surface — this module is
+part of the beyond-reference LLM-pipeline layer (brief: training-data ops
+are first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_hex8", "hash_split", "sample_fraction", "stratified_sample"]
+
+_HEX_SPAN = 16 ** 8  # 8 hex digits = 32 bits of the md5 prefix
+
+
+def _frac_to_hex(frac: float) -> str:
+    """Cumulative fraction -> 8-hex-digit threshold (lexicographic cut)."""
+    v = min(max(int(frac * _HEX_SPAN), 0), _HEX_SPAN - 1)
+    return format(v, "08x")
+
+
+def hash_hex8(id_cols: list[Column | str], salt: str) -> Column:
+    """First 8 md5 hex chars of ``salt|id1|id2|...`` — the portable,
+    uniformly-distributed sort/bucket key used by every sampler here."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in id_cols]
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), *[c.cast("string") for c in cols])),
+        1, 8,
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_cols: list[str],
+    weights: dict[str, float],
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (e.g. train/valid/test) by content
+    hash. Deterministic, partition-stable, engine-portable; weights are
+    normalized. Zero shuffle — a pure projection.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("hash_split: weights must sum to > 0")
+    h = hash_hex8(list(id_cols), salt)
+    cum = 0.0
+    expr: Column | None = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = h < F.lit(_frac_to_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out_col = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, out_col)
+
+
+def sample_fraction(
+    df: DataFrame,
+    id_cols: list[str],
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by content hash. Unlike
+    ``df.sample()``, re-runs and re-partitions select the SAME rows, and a
+    smaller fraction selects a subset of a larger one (nested samples).
+    Zero shuffle — a pushdown-friendly filter."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("sample_fraction: fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        return df
+    return df.filter(hash_hex8(list(id_cols), salt) < F.lit(_frac_to_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    id_cols: list[str],
+    salt: str = "strat",
+    out_rank: str | None = None,
+) -> DataFrame:
+    """Deterministic top-``n`` rows per stratum, ordered by content hash
+    (uniform ⇒ an unbiased without-replacement sample per group).
+
+    One shuffle on the strata columns; ties on the 32-bit hex prefix break
+    on the id columns so the result is total-ordered and reproducible.
+    """
+    h = hash_hex8(list(id_cols), salt)
+    w = Window.partitionBy(*strata).orderBy(
+        h.asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    ranked = ranked.filter(F.col("__rk") <= n_per_stratum)
+    if out_rank:
+        return ranked.withColumnRenamed("__rk", out_rank)
+    return ranked.drop("__rk")

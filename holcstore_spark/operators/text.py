@@ -126,6 +126,64 @@ def quality_score(df: DataFrame, text: str = "text",
     )
 
 
+def repetition_stats(
+    df: DataFrame, text: str = "text", sep: str = " "
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters):
+
+    - ``dup_word_frac``:   fraction of tokens that are repeats of an
+      earlier token (``(n - n_distinct) / n``).
+    - ``dup_bigram_frac`` / ``dup_trigram_frac``: same for 2-/3-token
+      shingles — boilerplate and spam score high here.
+    - ``top_bigram_frac``: share of all bigrams taken by the single most
+      frequent bigram (the "most common n-gram" filter).
+
+    All pure Column expressions *within one row*: the top-bigram count is
+    a longest-equal-run fold over the sorted shingle array
+    (``F.aggregate`` with a (prev, run, best) struct accumulator), so the
+    whole thing is a narrow map — zero shuffle at any corpus size.
+    """
+    from .dedup import token_shingles
+
+    toks = tokens(text, sep)
+    n = F.size(toks)
+
+    def dup_frac(arr: Column) -> Column:
+        sz = F.size(arr)
+        return (sz - F.size(F.array_distinct(arr))).cast("double") / sz
+
+    def top_run_frac(arr: Column) -> Column:
+        # longest run of equal values in the sorted array == max multiplicity
+        srt = F.array_sort(arr)
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+        folded = F.aggregate(
+            srt,
+            acc0,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+        )
+        return folded["best"].cast("double") / F.size(arr)
+
+    bi = token_shingles(text, k=2, sep=sep)
+    tri = token_shingles(text, k=3, sep=sep)
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("dup_word_frac", dup_frac(toks))
+        .withColumn("dup_bigram_frac", dup_frac(bi))
+        .withColumn("dup_trigram_frac", dup_frac(tri))
+        .withColumn("top_bigram_frac", top_run_frac(bi))
+    )
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 8, w: int = 4
 ) -> Column:

@@ -1,0 +1,137 @@
+"""Tests for the sampling / PII-scrub / repetition operators
+(beyond-reference LLM-pipeline layer; no reference analogue)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from holcstore_spark.operators.sampling import (
+    _frac_to_hex,
+    hash_split,
+    sample_fraction,
+    stratified_sample,
+)
+from holcstore_spark.operators.scrub import pii_stats, redact_pii
+from holcstore_spark.operators.text import repetition_stats
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(2000).withColumnRenamed("id", "doc_id")
+
+
+class TestHashSplit:
+    def test_partition_and_proportions(self, ids):
+        d = hash_split(ids, ["doc_id"], {"train": 0.8, "valid": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  d.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000
+        assert counts["train"] > 1400  # ~1600 expected
+        assert 100 < counts["valid"] + counts["test"] < 600
+
+    def test_deterministic_and_repartition_stable(self, ids):
+        a = hash_split(ids, ["doc_id"], {"a": 0.5, "b": 0.5}).collect()
+        b = hash_split(ids.repartition(7), ["doc_id"], {"a": 0.5, "b": 0.5}).collect()
+        assert {(r["doc_id"], r["split"]) for r in a} == \
+               {(r["doc_id"], r["split"]) for r in b}
+
+    def test_weights_normalized(self, ids):
+        a = hash_split(ids, ["doc_id"], {"x": 2.0, "y": 2.0})
+        b = hash_split(ids, ["doc_id"], {"x": 0.5, "y": 0.5})
+        assert a.collect() == b.collect()
+
+    def test_zero_weights_raise(self, ids):
+        with pytest.raises(ValueError):
+            hash_split(ids, ["doc_id"], {"x": 0.0, "y": 0.0})
+
+
+class TestSampleFraction:
+    def test_nested_samples(self, ids):
+        small = {r["doc_id"] for r in
+                 sample_fraction(ids, ["doc_id"], 0.1).collect()}
+        big = {r["doc_id"] for r in
+               sample_fraction(ids, ["doc_id"], 0.5).collect()}
+        assert small <= big  # smaller fraction is a subset of the larger
+        assert 100 < len(big) < 1400
+
+    def test_bounds(self, ids):
+        assert sample_fraction(ids, ["doc_id"], 1.0).count() == 2000
+        assert sample_fraction(ids, ["doc_id"], 0.0).count() == 0
+        with pytest.raises(ValueError):
+            sample_fraction(ids, ["doc_id"], 1.5)
+
+    def test_frac_to_hex_order(self):
+        assert _frac_to_hex(0.25) == "40000000"
+        assert _frac_to_hex(0.0) == "00000000"
+        assert _frac_to_hex(1.0) == "ffffffff"
+
+
+class TestStratifiedSample:
+    def test_exact_n_per_stratum(self, spark):
+        df = spark.range(300).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("g")
+        )
+        out = stratified_sample(df, ["g"], 10, ["doc_id"], out_rank="rk")
+        per = out.groupBy("g").count().collect()
+        assert all(r["count"] == 10 for r in per)
+        assert out.agg(F.max("rk")).first()[0] == 10
+
+    def test_small_stratum_keeps_all(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "g"]
+        )
+        out = stratified_sample(df, ["g"], 5, ["doc_id"])
+        assert out.count() == 3
+        assert "__rk" not in out.columns
+
+
+class TestScrub:
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "write to a.b+c@mail.example.org or j@x.io today"),
+                (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+                (3, "call +1-555-0123 45 or 06 12 34 56 78 now"),
+                (4, "no pii here at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = redact_pii(pii_stats(df), "text").orderBy("doc_id").collect()
+        assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (2, 0, 0)
+        assert "<EMAIL>" in out[0]["redacted"] and "@" not in out[0]["redacted"]
+        assert out[1]["n_ipv4"] == 2 and out[1]["redacted"].count("<IP>") == 2
+        assert out[2]["n_phone"] >= 1 and "<PHONE>" in out[2]["redacted"]
+        assert out[3]["redacted"] == "no pii here at all"
+
+    def test_email_redacted_before_phone_can_eat_digits(self, spark):
+        df = spark.createDataFrame([(1, "mail 123456789a@d.com end")],
+                                   ["doc_id", "text"])
+        row = redact_pii(df).first()
+        assert row["redacted"] == "mail <EMAIL> end"
+
+
+class TestRepetition:
+    def test_crafted_fractions(self, spark):
+        # "a b a b": words 4, distinct 2 -> dup 0.5; bigrams [a b, b a, a b]
+        # -> dup 1/3, top 2/3; trigrams [a b a, b a b] -> dup 0
+        df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+        r = repetition_stats(df).first()
+        assert r["n_tokens"] == 4
+        assert r["dup_word_frac"] == pytest.approx(0.5)
+        assert r["dup_bigram_frac"] == pytest.approx(1 / 3)
+        assert r["top_bigram_frac"] == pytest.approx(2 / 3)
+        assert r["dup_trigram_frac"] == 0.0
+
+    def test_all_same_token(self, spark):
+        df = spark.createDataFrame([(1, "x x x x x")], ["doc_id", "text"])
+        r = repetition_stats(df).first()
+        assert r["dup_word_frac"] == pytest.approx(4 / 5)
+        assert r["top_bigram_frac"] == 1.0
+
+    def test_no_repetition(self, spark):
+        df = spark.createDataFrame([(1, "q w e r t y")], ["doc_id", "text"])
+        r = repetition_stats(df).first()
+        assert r["dup_word_frac"] == 0.0
+        assert r["dup_bigram_frac"] == 0.0
+        assert r["top_bigram_frac"] == pytest.approx(1 / 5)
