@@ -1679,6 +1679,16 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by total frequency with document
+    frequency — the vocab/TF-IDF building block (within-row distinct
+    before the df explode keeps the shuffle narrow)."""
+    from holcstore_spark.operators.text import vocab_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_topk(d, k=100).select("token", "tf", "df")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata extraction through the real mapInPandas
     plumbing (Arrow batches); decode itself is stubbed per environment."""
@@ -1775,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
+        "vocab_topk": q_vocab_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "store_set_many": q_store_set_many,
@@ -2716,6 +2727,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(t.top_bi AS DOUBLE) / len(g.bi) AS top_bigram_frac
         FROM grams g JOIN top t ON g.doc_id = t.doc_id
     """
+    vocab_topk_sql = """
+        WITH tf AS (
+            SELECT g AS token, count(*) AS tf
+            FROM (SELECT unnest(string_split(text, ' ')) AS g FROM documents)
+            GROUP BY g
+        ),
+        dfq AS (
+            SELECT g AS token, count(*) AS df
+            FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS g
+                  FROM documents)
+            GROUP BY g
+        )
+        SELECT tf.token, tf.tf, dfq.df
+        FROM tf JOIN dfq USING (token)
+        ORDER BY tf.tf DESC, tf.token ASC
+        LIMIT 100
+    """
     pii_redact_sql = r"""
         WITH injected AS (
             SELECT doc_id,
@@ -2988,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_sql,
         "repetition_stats": repetition_stats_sql,
         "pii_redact": pii_redact_sql,
+        "vocab_topk": vocab_topk_sql,
         "multimodal_meta": multimodal_meta,
         # frame boundaries on the hex string (2 hex chars per byte; 64-byte
         # frames = 128 hex chars), digest = md5 of the frame's hex — the

@@ -184,6 +184,48 @@ def repetition_stats(
     )
 
 
+def vocab(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus vocabulary: per-token total frequency (``tf``) and document
+    frequency (``df``) — the building block for vocab files, TF-IDF and
+    rare-token filters.
+
+    Scale design: tokens are deduplicated *within the row first*
+    (``array_distinct`` before the explode for ``df``), so the shuffle for
+    document frequency carries at most |vocab per doc| rows, and both
+    aggregates are map-side-combinable hash aggregations on the token key.
+    One shuffle each; AQE coalesces the skewed head (stopwords).
+    """
+    toks = tokens(text, sep)
+    tf = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        df.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    return tf.join(dfreq, on="token")
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Top-``k`` vocabulary by total frequency (ties break on the token
+    string, so the cut is deterministic). The global sort is only over the
+    aggregated vocab — corpus-size-independent."""
+    v = vocab(df, text=text, id_col=id_col, sep=sep)
+    return v.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 8, w: int = 4
 ) -> Column:

@@ -111,6 +111,26 @@ class TestScrub:
         assert row["redacted"] == "mail <EMAIL> end"
 
 
+class TestVocab:
+    def test_tf_and_df(self, spark):
+        from holcstore_spark.operators.text import vocab, vocab_topk
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c"), (3, "a")], ["doc_id", "text"]
+        )
+        v = {r["token"]: (r["tf"], r["df"]) for r in vocab(df).collect()}
+        assert v == {"a": (3, 2), "b": (2, 2), "c": (1, 1)}
+        top = vocab_topk(df, k=2).collect()
+        assert [r["token"] for r in top] == ["a", "b"]
+
+    def test_topk_tiebreak_on_token(self, spark):
+        from holcstore_spark.operators.text import vocab_topk
+
+        df = spark.createDataFrame([(1, "z y x")], ["doc_id", "text"])
+        top = vocab_topk(df, k=2).collect()
+        assert [r["token"] for r in top] == ["x", "y"]
+
+
 class TestRepetition:
     def test_crafted_fractions(self, spark):
         # "a b a b": words 4, distinct 2 -> dup 0.5; bigrams [a b, b a, a b]
