@@ -361,9 +361,12 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from holcstore_spark.sources.chunk_store import ChunkStore
 
     e = _t(spark, sf_dir, "events")
+    # the source is a shuffle agg: persist it so ingest_long's two passes
+    # (bounds + grid) reuse the blocks instead of re-shuffling events —
+    # exactly the caller-side contract ingest_long documents
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("ts")
-    ).agg(F.max("value").alias("value"))
+    ).agg(F.max("value").alias("value")).persist()
 
     path = tempfile.mkdtemp(prefix="holc_rt_")
     shutil.rmtree(path, ignore_errors=True)
@@ -385,6 +388,7 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.localCheckpoint(eager=True)  # materialize before rmtree
         return out
     finally:
+        hourly.unpersist()
         shutil.rmtree(path, ignore_errors=True)
 
 
