@@ -36,13 +36,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    # reader rejects — read nanos as long and convert (lossless here: the
-    # generator wrote microsecond-resolution values)
-    if name == "events" and dict(df.dtypes).get("ts") != "timestamp":
-        # integer division: ts/1000 in double arithmetic loses the low bits
-        # of the 61-bit nanosecond value and lands ~1.6% of rows 1µs early
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.parquet stores TIMESTAMP(NANOS). Depending on the PySpark
+    # build, that surfaces as one of three dtypes — branch on what we
+    # actually got, never on which conf we *asked* for (some builds accept
+    # spark.sql.legacy.parquet.nanosAsLong but ignore it):
+    #   bigint        -> nanosAsLong honored: integer-divide to micros
+    #                    (integer div, not /1000.0: double arithmetic loses
+    #                    the low bits of the 61-bit nano value)
+    #   timestamp_ntz -> native nanos read, no session tz attached: cast to
+    #                    timestamp (session tz is pinned UTC above, so the
+    #                    instant is identical)
+    #   timestamp     -> already what we want
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -1740,7 +1750,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the round-3 driver evaluated only the FIRST 50
+    # entries, leaving the rest unchecked. Slots 1-43 are the queries that
+    # most need fresh driver evidence (the 26 that failed on the round-3
+    # harness bug + the 17 the driver never reached); 44-50 are the
+    # flagship queries; the tail is per-dimension LLM variants that were
+    # already oracle-green in CORRECTNESS_r03.json.
     return {
+        # -- failed in r3 on the _t() dtype bug (fixed) -----------------
         "overlay_merge": q_overlay_merge,
         "combined_delay": q_combined_delay,
         "completeness_holes": q_completeness_holes,
@@ -1766,32 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_yield_many": q_store_yield_many,
         "sync_pull": q_sync_pull,
         "kv_store_overlay": q_kv_store_overlay,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue": q_top_revenue,
-        "regional_revenue": q_regional_revenue,
         "event_rollup": q_event_rollup,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "clean_corpus": q_clean_corpus,
-        "clean_corpus_cc": q_clean_corpus_cc,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "similarity_neardup": q_similarity_neardup,
-        "text_stats": q_text_stats,
-        "doc_fingerprints": q_doc_fingerprints,
-        "lang_quality": q_lang_quality,
-        "token_bpe": q_token_bpe,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "repetition_stats": q_repetition_stats,
-        "pii_redact": q_pii_redact,
-        "vocab_topk": q_vocab_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
+        # -- declared in r3 but never reached by the driver -------------
         "store_set_many": q_store_set_many,
         "kv_clear": q_kv_clear,
         "sync_tombstone": q_sync_tombstone,
@@ -1808,6 +1801,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
         "range_join": q_range_join,
+        "multimodal_frames": q_multimodal_frames,
+        # -- flagship (green in r3) -------------------------------------
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "regional_revenue": q_regional_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "clean_corpus": q_clean_corpus,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        # -- per-dimension LLM variants, all green in CORRECTNESS_r03 ---
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "clean_corpus_cc": q_clean_corpus_cc,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "similarity_neardup": q_similarity_neardup,
+        "text_stats": q_text_stats,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lang_quality": q_lang_quality,
+        "token_bpe": q_token_bpe,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "vocab_topk": q_vocab_topk,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 

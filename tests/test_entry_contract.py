@@ -1,13 +1,27 @@
-"""Driver-contract consistency: every oracle has a query, and the set of
-deliberately rows-only entries is explicit."""
+"""Driver-contract consistency: every oracle has a query, the set of
+deliberately rows-only entries is explicit, and — the class of bug that
+cost round 3 — the entry harness must load the REAL driver testdata in a
+fresh session regardless of which dtype the installed PySpark build gives
+``events.ts`` (bigint / timestamp_ntz / timestamp).
+"""
 
 from __future__ import annotations
+
+import os
+
+import pytest
 
 import __spark_entry__ as entry_mod
 
 #: entries intentionally without SQL oracles (non-SQL-expressible) —
 #: empty since round 3: every declared query has a DuckDB oracle twin
 ROWS_ONLY: set[str] = set()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
 
 
 def test_every_oracle_has_a_query():
@@ -25,3 +39,47 @@ def test_rows_only_set_is_exactly_declared():
 def test_queries_are_callables():
     for name, fn in entry_mod.queries().items():
         assert callable(fn), name
+
+
+@needs_testdata
+def test_t_loads_real_events_as_utc_timestamp(spark):
+    """Round-3 regression: PySpark 4.1.2 accepts but ignores
+    spark.sql.legacy.parquet.nanosAsLong, so events.ts reads as
+    timestamp_ntz and the old guard applied `ts div 1000` to a timestamp.
+    _t must end at dtype `timestamp` with microsecond precision intact,
+    no matter which of the three dtypes the build hands back."""
+    df = entry_mod._t(spark, SF_DIR, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    row = df.selectExpr(
+        "count(*) AS n",
+        # micros survive iff some fraction is non-zero across the table
+        "max(unix_micros(ts) % 1000000) AS frac",
+        "min(year(ts)) AS y0",
+    ).first()
+    assert row["n"] > 0
+    assert row["frac"] > 0, "sub-second precision lost in ts conversion"
+    assert row["y0"] >= 2000, "ts decoded to a nonsense epoch"
+
+
+@needs_testdata
+def test_every_table_loads(spark):
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        df = entry_mod._t(spark, SF_DIR, name)
+        assert len(df.columns) > 0, name
+
+
+@needs_testdata
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_builds_plan_on_real_testdata(spark, name):
+    """Every declared query must at least ANALYZE against the real driver
+    parquet (catches dtype drift before the driver does). Touching
+    .schema forces full analysis without executing the job — except for
+    store-backed queries whose body performs writes, which is fine: they
+    run at sf0.001."""
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    assert df.schema is not None
+    assert len(df.columns) > 0
