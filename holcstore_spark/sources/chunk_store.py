@@ -977,11 +977,17 @@ class ChunkStore:
             m = m.filter(F.col("updated_at") >= F.lit(s.to_pydatetime()))
         return m.orderBy("updated_at", *self.config.keys, "chunk_index")
 
-    def export_chunks_sdf(self, spec: DataFrame | list[dict]) -> DataFrame:
+    def export_chunks_sdf(
+        self, spec: DataFrame | list[dict], hint_broadcast: bool = True
+    ) -> DataFrame:
         """Raw long rows for the given (keys…, chunk_index) spec as a Spark
         frame — the scale path for table-to-table sync: the data never
         materializes on a driver. No tombstone filter: the caller ships
-        exactly what updates() listed."""
+        exactly what updates() listed.
+
+        ``hint_broadcast=False`` for specs that may be store-sized (a
+        bootstrap pull's full alive-chunk list): AQE then picks the join
+        strategy instead of forcing a driver-sized broadcast."""
         if isinstance(spec, list):
             spec_df = self.spark.createDataFrame(
                 pd.DataFrame(spec),
@@ -992,8 +998,11 @@ class ChunkStore:
             )
         else:
             spec_df = spec
+        spec_df = spec_df.select(*self.config.keys, "chunk_index")
+        if hint_broadcast:
+            spec_df = F.broadcast(spec_df)
         return self.data().join(
-            F.broadcast(spec_df.select(*self.config.keys, "chunk_index")),
+            spec_df,
             on=[*self.config.keys, "chunk_index"],
             how="left_semi",
         )

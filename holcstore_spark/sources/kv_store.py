@@ -377,7 +377,12 @@ class KeyValueStore:
         ``prms=None`` → every prm of the client; ``freq_margin`` widens each
         hole on both sides (reference check_ts_completeness,
         utils/timeseries.py:42-64; find_holes defaults it to 0).
-        Works on the *combined* view so holes are post-overlay."""
+        Works on the *combined* view so holes are post-overlay.
+
+        ``chunk_size`` is accepted for reference-API parity
+        (hostore.py:168) but ignored: holes for all prms are computed in
+        ONE distributed job and streamed out, not in driver-paced
+        batches."""
         sd = pd.Timestamp(sd).tz_localize("UTC") if pd.Timestamp(sd).tzinfo is None else pd.Timestamp(sd).tz_convert("UTC")
         ed = pd.Timestamp(ed).tz_localize("UTC") if pd.Timestamp(ed).tzinfo is None else pd.Timestamp(ed).tz_convert("UTC")
         freq_s = int(pd.to_timedelta(freq).total_seconds())
@@ -392,40 +397,58 @@ class KeyValueStore:
                 "find_holes supports combined_by=('prm',) only: holes are "
                 "computed on one combined series per prm"
             )
-        if prms is None:
-            prms = [
-                r[0]
-                for r in self.df()
-                .filter((F.col("client_id") == int(client_id)) & attrs_filter(custom_filters))
-                .select("prm").distinct().orderBy("prm").collect()
-            ]
-        for i in range(0, len(prms), chunk_size):
-            batch = [str(p) for p in prms[i : i + chunk_size]]
-            d = self.df().filter(
-                (F.col("client_id") == int(client_id)) & F.col("prm").isin(batch)
-                & attrs_filter(custom_filters)
+        # ONE distributed job for every requested prm (no driver-side prm
+        # batching: at catalog scale — 100k+ prms — a per-chunk_size loop
+        # makes the driver the scheduler bottleneck). overlay_merge and
+        # completeness_holes both partition by prm internally, so the
+        # combined job parallelizes exactly as well as the old batches did.
+        d = self.df().filter(
+            (F.col("client_id") == int(client_id)) & attrs_filter(custom_filters)
+        )
+        if prms is not None:
+            prms = [str(p) for p in prms]
+            d = d.filter(F.col("prm").isin(prms))
+        combined = overlay_merge(d, combined_by=combined_by, order_by=tuple(order_by))
+        holes = completeness_holes(
+            combined, combined_by, freq_s, start=sd, end=ed,
+            margin_seconds=margin_s,
+        )
+        # per-prm hole lists: sorted struct array per prm, one shuffle;
+        # result frame is metadata-sized (one row per present prm)
+        per_prm = (
+            combined.select("prm").distinct()
+            .join(
+                holes.groupBy("prm").agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("hole_start", "hole_end"))
+                    ).alias("holes")
+                ),
+                on="prm",
+                how="left",
             )
-            combined = overlay_merge(d, combined_by=combined_by, order_by=tuple(order_by))
-            # grid/holes per full combined_by group (a prm split across
-            # groups, e.g. combined_by=('prm','year'), reports the union of
-            # each group's holes rather than corrupting one shared grid)
-            holes = completeness_holes(
-                combined, combined_by, freq_s, start=sd, end=ed,
-                margin_seconds=margin_s,
-            ).collect()
-            by_prm: dict[str, list[Range]] = {p: [] for p in batch}
-            present = {
-                r[0] for r in combined.select("prm").distinct().collect()
-            }
-            for r in holes:
-                by_prm[r["prm"]].append(
-                    Range(pd.Timestamp(r["hole_start"], tz="UTC"), pd.Timestamp(r["hole_end"], tz="UTC"))
+            .orderBy("prm")
+        )
+
+        def _ranges(hs) -> list[Range]:
+            return [
+                Range(
+                    pd.Timestamp(h["hole_start"], tz="UTC"),
+                    pd.Timestamp(h["hole_end"], tz="UTC"),
                 )
-            for p in batch:
-                if p not in present:
-                    yield p, [Range(sd, ed)]
-                else:
-                    yield p, by_prm[p]
+                for h in (hs or [])
+            ]
+
+        if prms is None:
+            # generator edge: stream the sorted per-prm rows out without
+            # materializing the prm catalog on the driver
+            for row in per_prm.toLocalIterator():
+                yield row["prm"], _ranges(row["holes"])
+            return
+        # explicit prm list (already driver-sized): preserve input order,
+        # absent prms report the whole requested range
+        by_prm = {row["prm"]: _ranges(row["holes"]) for row in per_prm.toLocalIterator()}
+        for p in prms:
+            yield p, by_prm.get(p, [Range(sd, ed)])
 
     def find_groups(self, prms: list, client_id: int, sd, ed, freq: str = "1D"):
         """Missing-range → [prms] grouping plus the combined data

@@ -15,14 +15,32 @@ same three calls):
 4. crash-resume is idempotent: the watermark only advances through imported
    rows, and ``>=`` re-fetches the boundary (reference:
    test_chunk_timeserie_sync.py:223-261).
+
+Two physical strategies, picked automatically:
+
+- **bulk bootstrap** — when the client holds no physical data rows yet
+  (first sync of a replica), every page's partition-rewrite would be a
+  pure append anyway, so the whole backlog lands as ONE distributed data
+  append + ONE meta append. A crash between the two writes is safe: data
+  without meta is invisible on a sync store (``alive_data`` keeps its
+  meta semi-join), and the resume pull sees physical rows present and
+  falls back to the rewrite path, which dedupes by (keys, chunk).
+- **paged incremental** — the general path. The ordered feed is
+  checkpointed once and streamed through ``toLocalIterator`` (one linear
+  pass; driver memory bounded by ``page_size``), instead of one
+  ``offset(n·p).limit(p)`` job per page, which re-skipped the whole feed
+  every page.
 """
 
 from __future__ import annotations
 
+from itertools import islice
+
 import pandas as pd
+from pyspark.sql import functions as F
 
 from holcstore_spark.sources.chunk_store import ChunkStore
-from holcstore_spark.sources.io_util import safe_local_checkpoint
+from holcstore_spark.sources.io_util import has_parquet, safe_local_checkpoint
 
 
 class SyncCrash(Exception):
@@ -48,27 +66,55 @@ class SyncClient:
         number of chunk states applied.
 
         Only chunk *states* (page_size meta rows) ever reach the driver;
-        the data rows travel server→client as one Spark frame per page
-        (export semi-join → partition rewrite), so a bootstrap pull does
-        O(pages) partition rewrites and the per-page transfer scales with
-        the cluster, not the driver."""
+        the data rows travel server→client as Spark frames (export
+        semi-join → append/rewrite), so the transfer scales with the
+        cluster, not the driver."""
         since = self.client.last_updated_at(filters)
         # materialize the ordered feed once (checkpoint cuts the plan to the
-        # sorted result) so each page is a cheap slice — offset/limit over
-        # the raw plan would re-window and re-sort the whole feed per page
+        # sorted result); both strategies below then read the frozen frame
         feed = safe_local_checkpoint(
             self.server.updates(since=since, filters=filters)
         )
+        # Bootstrap fast path: no physical client data ⇒ no (keys, chunk)
+        # pair can need the anti-join rewrite — import the whole backlog in
+        # one shot. Crash injection forces the paged path so the injected
+        # page boundary stays meaningful.
+        if crash_after_pages is None and not has_parquet(self.client._data_path):
+            return self._pull_bulk(feed)
+        return self._pull_paged(feed, page_size, crash_after_pages)
+
+    def _pull_bulk(self, feed) -> int:
+        """One data append + one meta append for the full backlog."""
+        keys = list(self.server.config.keys)
+        total = feed.count()
+        if total == 0:
+            return 0
+        alive_pairs = feed.filter(~F.col("is_deleted")).select(*keys, "chunk_index")
+        # no broadcast hint: a full-bootstrap spec is every alive chunk of
+        # the server — let AQE pick the join strategy for the semi-join
+        data_sdf = self.server.export_chunks_sdf(alive_pairs, hint_broadcast=False)
+        # data first, meta (the watermark carrier) last — see module doc
+        self.client._append_data(data_sdf)
+        self.client._append_meta_sdf(feed)
+        return total
+
+    def _pull_paged(
+        self, feed, page_size: int, crash_after_pages: int | None
+    ) -> int:
         applied = 0
         keys = list(self.server.config.keys)
         page_no = 0
+        # one linear pass over the checkpointed feed: toLocalIterator
+        # streams the globally-sorted result partition by partition, so
+        # driver memory stays bounded by page_size without per-page
+        # offset/limit jobs (reference's server-side pagination,
+        # chunk_timeserie_store.py:545-607)
+        rows = feed.toLocalIterator()
         while True:
-            # Spark-side pagination over the deterministic ordering: driver
-            # memory is bounded by page_size, matching the reference's
-            # server-side pagination (chunk_timeserie_store.py:545-607)
-            page = feed.offset(page_no * page_size).limit(page_size).toPandas()
-            if len(page) == 0:
+            batch = list(islice(rows, page_size))
+            if not batch:
                 break
+            page = pd.DataFrame([r.asDict() for r in batch])
             if crash_after_pages is not None and page_no >= crash_after_pages:
                 raise SyncCrash(f"injected crash before page {page_no}")
             tombs = page[page["is_deleted"]]

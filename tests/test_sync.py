@@ -121,6 +121,57 @@ class TestSync:
                 check_freq=False,
             )
 
+    def test_bulk_bootstrap_crash_between_data_and_meta(self, pair, monkeypatch):
+        # the bulk bootstrap path writes data first, meta last. A crash in
+        # between must leave the landed data invisible (alive_data keeps
+        # its meta semi-join on sync stores) and the resume pull must
+        # converge to the uninterrupted result via the rewrite path.
+        server, client = pair
+        for i in range(4):
+            server.set_ts({"site": f"s{i}"}, hourly("2024-01-01", 24, i + 1.0),
+                          update=True)
+        orig = ChunkStore._append_meta_sdf
+
+        def boom(self_store, meta_sdf):
+            raise SyncCrash("injected crash after data, before meta")
+
+        monkeypatch.setattr(ChunkStore, "_append_meta_sdf", boom)
+        with pytest.raises(SyncCrash):
+            SyncClient(server, client).pull()
+        monkeypatch.setattr(ChunkStore, "_append_meta_sdf", orig)
+        # data landed but is invisible without meta
+        assert client.count_keys() == 0
+        assert client.get_ts({"site": "s0"}) is None
+        # resume completes and dedupes the orphaned physical rows
+        SyncClient(server, client).pull()
+        assert client.count_keys() == 4
+        for i in range(4):
+            pd.testing.assert_series_equal(
+                client.get_ts({"site": f"s{i}"}), server.get_ts({"site": f"s{i}"}),
+                check_freq=False,
+            )
+        # and the physical table holds no duplicate (site, ts) rows
+        dup = (
+            client.alive_data()
+            .groupBy("site", "ts").count().filter("count > 1").count()
+        )
+        assert dup == 0
+
+    def test_bulk_bootstrap_tombstones_and_counts(self, pair):
+        # a backlog containing tombstoned chunks bootstraps correctly in
+        # the single-shot path: deletes stay deleted, count includes them
+        server, client = pair
+        server.set_ts({"site": "a"}, hourly("2024-01-01", 24, 1.0), update=True)
+        server.set_ts({"site": "b"}, hourly("2024-01-01", 24, 2.0), update=True)
+        server.delete({"site": "a"})
+        n = SyncClient(server, client).pull()
+        assert n >= 2
+        assert client.get_ts({"site": "a"}) is None
+        pd.testing.assert_series_equal(
+            client.get_ts({"site": "b"}), server.get_ts({"site": "b"}),
+            check_freq=False,
+        )
+
     def test_requires_sync_flag(self, spark, tmp_store_path):
         cfg_off = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
                                    chunk_axis=("year",), key_types={"site": "str"})
