@@ -1733,6 +1733,39 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "n_bytes", "digest")
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (no stub): each document is rendered as a binary
+    PPM (P6) whose pixel bytes are the doc's printable-ASCII text padded
+    to 3·w·h, then ``decode_strict`` parses header + pixels with numpy
+    and emits per-channel means + the raw-pixel digest. The oracle
+    reconstructs the same values from the known construction — so a
+    header-parse or channel-order bug fails the hash."""
+    from holcstore_spark.operators.multimodal import decode_strict
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn("ascii_t", F.regexp_replace("text", "[^ -~]", ""))
+        .withColumn("pix", F.expr("rpad(ascii_t, 3*w*h, 'x')"))
+        .withColumn(
+            "payload",
+            F.encode(
+                F.concat(
+                    F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+                    F.col("h").cast("string"), F.lit("\n255\n"), F.col("pix"),
+                ),
+                "UTF-8",
+            ),
+        )
+        .select("doc_id", "payload")
+    )
+    return decode_strict(base).select(
+        "doc_id", "codec", "width", "height",
+        "mean_r", "mean_g", "mean_b", "pixel_digest",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1802,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "range_join": q_range_join,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_decode": q_multimodal_decode,
         # -- flagship (green in r3) -------------------------------------
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -3064,6 +3098,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(fh) / 2 AS BIGINT) AS n_bytes,
                    md5(fh) AS digest
             FROM f
+        """,
+        # reconstruct the PPM the Spark side decodes for real: same pixel
+        # string (printable-ASCII text rpad'ed to 3wh), channel means as
+        # exact-int-sum / count, digest over the raw pixel bytes
+        "multimodal_decode": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(4 + doc_id % 5 AS INT) AS w,
+                       CAST(3 + doc_id % 4 AS INT) AS h,
+                       rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                            CAST(3 * (4 + doc_id % 5) * (3 + doc_id % 4) AS INT),
+                            'x') AS pix
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h, pix,
+                       CAST(i AS INT) AS i,
+                       ascii(substring(pix, CAST(i AS INT), 1)) AS v
+                FROM (SELECT *, unnest(range(1, CAST(length(pix) + 1 AS BIGINT))) AS i
+                      FROM base)
+            )
+            SELECT doc_id, 'ppm' AS codec, w AS width, h AS height,
+                   CAST(sum(CASE WHEN (i-1) % 3 = 0 THEN v ELSE 0 END) AS DOUBLE)
+                       / (w * h) AS mean_r,
+                   CAST(sum(CASE WHEN (i-1) % 3 = 1 THEN v ELSE 0 END) AS DOUBLE)
+                       / (w * h) AS mean_g,
+                   CAST(sum(CASE WHEN (i-1) % 3 = 2 THEN v ELSE 0 END) AS DOUBLE)
+                       / (w * h) AS mean_b,
+                   md5(pix) AS pixel_digest
+            FROM px GROUP BY doc_id, w, h, pix
         """,
         "store_set_many": store_set_many,
         "kv_clear": kv_clear,

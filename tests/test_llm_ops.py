@@ -270,12 +270,64 @@ class TestMultimodal:
         assert len(r1["features"]) == 4
         assert 64 <= r1["width"] < 128
 
-    def test_decode_strict_raises(self, spark):
+    def test_decode_strict_ppm_real_pixels(self, spark):
+        # handcrafted 2×2 P6 with a header comment; channel means and the
+        # pixel digest must come from a REAL parse of the payload
+        import hashlib as _hl
+
+        import numpy as np
+
+        pix = bytes([255, 0, 0,  0, 255, 0,
+                     0, 0, 255,  10, 20, 30])
+        ppm = b"P6\n# comment\n2 2\n255\n" + pix
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(ppm)]})
+        )
+        r = decode_strict(d).collect()[0]
+        assert (r["codec"], r["width"], r["height"]) == ("ppm", 2, 2)
+        arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 3)
+        assert r["mean_r"] == arr[:, 0].mean()
+        assert r["mean_g"] == arr[:, 1].mean()
+        assert r["mean_b"] == arr[:, 2].mean()
+        assert r["pixel_digest"] == _hl.md5(pix).hexdigest()
+
+    def test_decode_strict_bmp_real_pixels(self, spark):
+        # 3×2 uncompressed 24-bit BMP, bottom-up rows with 4-byte-aligned
+        # stride (3·3=9 → stride 12): decode must un-pad, flip, and swap
+        # BGR→RGB
+        import struct
+
+        import numpy as np
+
+        rgb = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        stride = 12
+        rows = []
+        for y in (1, 0):  # bottom-up
+            row = rgb[y][..., ::-1].tobytes()  # RGB→BGR on disk
+            rows.append(row + b"\x00" * (stride - len(row)))
+        pixel_data = b"".join(rows)
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0,
+                          len(pixel_data), 2835, 2835, 0, 0)
+        )
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [7], "payload": [bytearray(header + pixel_data)]})
+        )
+        r = decode_strict(d).collect()[0]
+        assert (r["codec"], r["width"], r["height"]) == ("bmp", 3, 2)
+        flat = rgb.reshape(-1, 3)
+        assert r["mean_r"] == flat[:, 0].mean()
+        assert r["mean_g"] == flat[:, 1].mean()
+        assert r["mean_b"] == flat[:, 2].mean()
+
+    def test_decode_strict_rejects_unknown_format(self, spark):
         d = attach_binary_payload(
             spark.createDataFrame(pd.DataFrame([(1, "x")], columns=["doc_id", "text"]))
         )
-        with pytest.raises(NotImplementedError):
-            decode_strict(d)
+        with pytest.raises(Exception, match="decode_stub|NotImplementedError"):
+            decode_strict(d).collect()
 
     def test_frame_sample_explodes_and_strides(self, spark):
         import hashlib
