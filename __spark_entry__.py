@@ -1766,6 +1766,76 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blob_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: reference binary-blob codec interop. Per user the hourly
+    series is packed into BOTH legacy formats — an LZ4-frame numpy chunk
+    blob (chunk_timeserie_store.py:255-282) carried through the base64
+    sync wire (ts_sync.py:139,252), and a Feather-v2+LZ4 KV blob
+    (hostore.py:347-353) — then decoded back by the distributed
+    migration readers and re-aggregated. Both legs must reproduce the
+    original per-user count and exact sum."""
+    import pandas as pd
+
+    from holcstore_spark.edge.blob_codec import (
+        b64_wire_encode,
+        encode_chunk_blob,
+        encode_kv_blob,
+        legacy_chunk_rows_to_long,
+        legacy_kv_rows_to_long,
+    )
+
+    hourly = _hourly_events(spark, sf_dir)
+
+    def to_chunk_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        s = pd.Series(pdf["value"].to_numpy(), index=pd.DatetimeIndex(pdf["ts"]))
+        dense = s.reindex(pd.date_range(s.index.min(), s.index.max(), freq="1h"))
+        blob, dtype = encode_chunk_blob(dense.to_numpy(dtype="float64"))
+        return pd.DataFrame([{
+            "user_id": int(pdf["user_id"].iloc[0]),
+            "start_ts": dense.index[0],
+            "dtype": dtype,
+            "wire": b64_wire_encode(blob),
+        }])
+
+    chunk_rows = hourly.groupBy("user_id").applyInPandas(
+        to_chunk_blob,
+        schema="user_id long, start_ts timestamp, dtype string, wire string",
+    ).withColumn("data", F.unbase64("wire"))
+    long_a = legacy_chunk_rows_to_long(
+        chunk_rows, keys=("user_id",), freq_seconds=3600
+    )
+    agg_a = (
+        long_a.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             _dec_sum(F.col("value"), 2).alias("total"))
+        .withColumn("codec", F.lit("lz4_numpy"))
+    )
+
+    def to_kv_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        uid = int(pdf["user_id"].iloc[0])
+        s = pd.Series(pdf["value"].to_numpy(), index=pd.DatetimeIndex(pdf["ts"]))
+        return pd.DataFrame([{
+            "client_id": 1, "prm": str(uid), "version": 0,
+            "data": encode_kv_blob(str(uid), s),
+        }])
+
+    kv_rows = hourly.groupBy("user_id").applyInPandas(
+        to_kv_blob, schema="client_id int, prm string, version int, data binary"
+    )
+    agg_b = (
+        legacy_kv_rows_to_long(kv_rows)
+        .groupBy(F.col("prm").cast("long").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             _dec_sum(F.col("value"), 2).alias("total"))
+        .withColumn("codec", F.lit("feather_lz4"))
+    )
+    return agg_a.unionByName(agg_b).select(
+        "codec", "user_id", "n_points", "total"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1836,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_decode": q_multimodal_decode,
+        "blob_interop": q_blob_interop,
         # -- flagship (green in r3) -------------------------------------
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -3128,6 +3199,21 @@ def oracle_sql() -> dict[str, str]:
                        / (w * h) AS mean_b,
                    md5(pix) AS pixel_digest
             FROM px GROUP BY doc_id, w, h, pix
+        """,
+        # both codec legs must reproduce the hourly per-user aggregates
+        "blob_interop": """
+            WITH hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+                FROM events GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT user_id, count(*) AS n_points,
+                       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+                FROM hourly GROUP BY user_id
+            )
+            SELECT c.codec, a.user_id, a.n_points, a.total
+            FROM agg a CROSS JOIN
+                 (VALUES ('lz4_numpy'), ('feather_lz4')) AS c(codec)
         """,
         "store_set_many": store_set_many,
         "kv_clear": kv_clear,
