@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from holcstore_spark.functions.naming import safe_name
 from holcstore_spark.sources.attr_store import AttrStore
 from holcstore_spark.sources.chunk_store import ChunkStore
 from holcstore_spark.sources.kv_store import KeyValueStore
@@ -20,11 +21,13 @@ from holcstore_spark.sources.kv_store import KeyValueStore
 
 def register_chunk_store(store: ChunkStore, prefix: str) -> list[str]:
     """Create ``{prefix}_data``, ``{prefix}_meta``, ``{prefix}_alive``
-    temp views. Returns the view names."""
+    temp views (over-limit names are truncated with a digest suffix —
+    F7, reference chunk_timeserie_store.py:54-91). Returns the view
+    names actually registered."""
     views = {
-        f"{prefix}_data": store.data(),
-        f"{prefix}_meta": store.latest_meta(),
-        f"{prefix}_alive": store.alive_data(),
+        safe_name(f"{prefix}_data"): store.data(),
+        safe_name(f"{prefix}_meta"): store.latest_meta(),
+        safe_name(f"{prefix}_alive"): store.alive_data(),
     }
     for name, df in views.items():
         df.createOrReplaceTempView(name)
@@ -32,13 +35,15 @@ def register_chunk_store(store: ChunkStore, prefix: str) -> list[str]:
 
 
 def register_kv_store(store: KeyValueStore, prefix: str) -> list[str]:
-    store.df().createOrReplaceTempView(f"{prefix}_rows")
-    return [f"{prefix}_rows"]
+    name = safe_name(f"{prefix}_rows")
+    store.df().createOrReplaceTempView(name)
+    return [name]
 
 
 def register_attr_store(store: AttrStore, prefix: str) -> list[str]:
-    store.df().createOrReplaceTempView(f"{prefix}_rows")
-    return [f"{prefix}_rows"]
+    name = safe_name(f"{prefix}_rows")
+    store.df().createOrReplaceTempView(name)
+    return [name]
 
 
 def sql(spark: SparkSession, query: str):

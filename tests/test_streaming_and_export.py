@@ -79,6 +79,27 @@ class TestSqlSurface:
         meta = spark.sql("SELECT n_points FROM demo_meta").collect()
         assert len(meta) == 1
 
+    def test_over_limit_view_names_truncate_with_digest(self, spark, tmp_store_path):
+        # F7: reference truncates over-limit identifiers to prefix+digest
+        # (chunk_timeserie_store.py:54-91) — view registration does the same
+        from holcstore_spark.functions.naming import DEFAULT_MAX_NAME, safe_name
+        from holcstore_spark.sql import register_chunk_store
+
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year",), key_types={"site": "str"})
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "sqlv2"), cfg)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 5, 3.0))
+        long_prefix = "p" * 150
+        views = register_chunk_store(st, long_prefix)
+        assert all(len(v) <= DEFAULT_MAX_NAME for v in views)
+        # distinct long prefixes stay distinct after truncation
+        assert safe_name(long_prefix + "_data") != safe_name("q" * 150 + "_data")
+        n = spark.sql(
+            f"SELECT count(*) AS n FROM {safe_name(long_prefix + '_alive')} "
+            "WHERE value IS NOT NULL"
+        ).collect()[0]["n"]
+        assert n == 5
+
 
 class TestStreamingIngest:
     def test_file_stream_lands_in_store(self, spark, tmp_store_path):
