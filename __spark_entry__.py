@@ -1836,6 +1836,31 @@ def q_blob_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest: per document the global token
+    offset (distributed two-phase prefix sum — per-bucket cumsum, then a
+    metadata-sized bucket-offset cumsum) and the first/last 512-token
+    training block it lands in."""
+    from holcstore_spark.operators.packing import pack_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    # bucket_size=64 exercises the multi-bucket prefix-sum path even at
+    # sf0.01's 500 docs
+    return pack_manifest(d, block_tokens=512, bucket_size=64)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing ≥2 distinct 3-token
+    shingles with the benchmark slice (doc_id % 97 == 0) via one
+    shingle-hash equi-join (benchmark side broadcast), never all-pairs."""
+    from holcstore_spark.operators.contamination import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    docs = d.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(docs, bench, k=3, min_overlap=2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1907,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_decode": q_multimodal_decode,
         "blob_interop": q_blob_interop,
+        "token_pack": q_token_pack,
+        "contamination": q_contamination,
         # -- flagship (green in r3) -------------------------------------
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -3214,6 +3241,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.codec, a.user_id, a.n_points, a.total
             FROM agg a CROSS JOIN
                  (VALUES ('lz4_numpy'), ('feather_lz4')) AS c(codec)
+        """,
+        # global concat-and-chunk token offsets: the oracle's single
+        # window cumsum must equal the engine's two-phase prefix sum
+        "token_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 512 AS start_block,
+                   (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_block
+            FROM c
+        """,
+        # 3-token shingle overlap vs the doc_id%97 benchmark slice
+        "contamination": f"""
+            WITH src AS (SELECT doc_id, text FROM documents),
+            shingled AS ({_SHINGLES_SQL}),
+            hashes AS (
+                SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS h
+                FROM (SELECT doc_id, unnest(sh) AS g FROM shingled)
+            ),
+            bench AS (SELECT DISTINCT h FROM hashes WHERE doc_id % 97 = 0)
+            SELECT doc_id, count(*) AS n_overlap
+            FROM hashes JOIN bench USING (h)
+            WHERE doc_id % 97 <> 0
+            GROUP BY doc_id
+            HAVING count(*) >= 2
         """,
         "store_set_many": store_set_many,
         "kv_clear": kv_clear,

@@ -372,3 +372,63 @@ class TestMultimodal:
         assert bytes(half["payload"]) == b"aceg"
         assert half["width"] == full["width"] // 2
         assert half["height"] == full["height"] // 2
+
+
+class TestPackingAndContamination:
+    def test_pack_manifest_matches_serial_cumsum(self, spark):
+        from holcstore_spark.operators.packing import pack_manifest
+
+        texts = {i: " ".join(["w"] * (i % 7 + 1)) for i in range(1, 21)}
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        )
+        # bucket_size=4 forces several buckets through the two-phase sum
+        out = {
+            r["doc_id"]: r
+            for r in pack_manifest(d, block_tokens=10, bucket_size=4).collect()
+        }
+        off = 0
+        for i in sorted(texts):
+            n = i % 7 + 1
+            r = out[i]
+            assert r["n_tokens"] == n
+            assert r["start_offset"] == off, i
+            assert r["start_block"] == off // 10
+            assert r["end_block"] == (off + n - 1) // 10
+            off += n
+
+    def test_pack_manifest_empty_doc_spans_one_block(self, spark):
+        from holcstore_spark.operators.packing import pack_manifest
+
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "x"]})
+        )
+        rows = {r["doc_id"]: r for r in pack_manifest(d, block_tokens=2).collect()}
+        assert rows[1]["start_block"] == 0 and rows[1]["end_block"] == 1
+        assert rows[2]["start_offset"] == 3
+
+    def test_ngram_contamination_thresholds(self, spark):
+        from holcstore_spark.operators.contamination import ngram_contamination
+
+        bench = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [100], "text": ["the quick brown fox jumps high"]})
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # shares shingles "the quick brown", "quick brown fox"
+                    "see the quick brown fox run",
+                    # shares exactly one shingle ("fox jumps high")
+                    "a fox jumps high today maybe",
+                    "completely unrelated words here now",
+                ],
+            })
+        )
+        out = {r["doc_id"]: r["n_overlap"]
+               for r in ngram_contamination(docs, bench, k=3, min_overlap=2).collect()}
+        assert out == {1: 2}
+        # min_overlap=1 admits doc 2 as well
+        out1 = {r["doc_id"]: r["n_overlap"]
+                for r in ngram_contamination(docs, bench, k=3, min_overlap=1).collect()}
+        assert out1 == {1: 2, 2: 1}
