@@ -1861,6 +1861,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, bench, k=3, min_overlap=2)
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (rational BM25-core idf — no
+    transcendentals, so scores are bit-identical across engines)."""
+    from holcstore_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1934,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_interop": q_blob_interop,
         "token_pack": q_token_pack,
         "contamination": q_contamination,
+        "tfidf_terms": q_tfidf_terms,
         # -- flagship (green in r3) -------------------------------------
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -3277,6 +3286,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 97 <> 0
             GROUP BY doc_id
             HAVING count(*) >= 2
+        """,
+        # rational idf (N - df + 0.5)/(df + 0.5): IEEE add/div/mul only,
+        # so the double scores hash identically across engines
+        "tfidf_terms": """
+            WITH per_doc AS (
+                SELECT doc_id, g AS token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+                      FROM documents)
+                GROUP BY doc_id, g
+            ),
+            dfreq AS (
+                SELECT g AS token, count(*) AS df
+                FROM (SELECT doc_id,
+                             unnest(list_distinct(string_split(text, ' '))) AS g
+                      FROM documents)
+                GROUP BY g
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+            scored AS (
+                SELECT per_doc.doc_id, per_doc.token, per_doc.tf, dfreq.df,
+                       CAST(per_doc.tf AS DOUBLE)
+                           * ((n.nd - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS score
+                FROM per_doc JOIN dfreq USING (token) CROSS JOIN n
+            ),
+            r AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token ASC
+                ) AS INT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 5
         """,
         "store_set_many": store_set_many,
         "kv_clear": kv_clear,

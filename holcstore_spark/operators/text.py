@@ -11,7 +11,7 @@ Design for 100 TB: every function is a narrow map over the documents table
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword profiles for the n-gram/stopword language
@@ -224,6 +224,57 @@ def vocab_topk(
     aggregated vocab — corpus-size-independent."""
     v = vocab(df, text=text, id_col=id_col, sep=sep)
     return v.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Per-document top-``k`` terms by a TF-IDF-style weight — the
+    keyword-extraction / relevance-feature op of a training-data
+    pipeline.
+
+    The idf factor is the *rational* variant
+    ``(N - df + 0.5) / (df + 0.5)`` (BM25's idf core without the log):
+    order-isomorphic to log-idf for fixed N, but built only from IEEE
+    add/divide/multiply — which every engine rounds identically — so
+    scores are bit-reproducible across engines (``ln``/``log`` carry no
+    such guarantee). Ties break on the token string.
+
+    Scale design: one shuffle for per-(doc, token) counts, one
+    token-keyed join against the (vocab-sized) document-frequency table,
+    one per-doc window for the top-k cut. No broadcast of the vocab —
+    at 100 TB the vocab is itself large; AQE picks the join strategy.
+    """
+    toks = tokens(text, sep)
+    n_docs = df.select(id_col).count()
+    per_doc = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        df.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = per_doc.join(dfreq, on="token").withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * (
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
 
 
 def winnow_fingerprints(

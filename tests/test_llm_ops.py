@@ -432,3 +432,27 @@ class TestPackingAndContamination:
         out1 = {r["doc_id"]: r["n_overlap"]
                 for r in ngram_contamination(docs, bench, k=3, min_overlap=1).collect()}
         assert out1 == {1: 2, 2: 1}
+
+    def test_tfidf_top_terms_ranks_rare_tokens(self, spark):
+        from holcstore_spark.operators.text import tfidf_top_terms
+
+        d = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "common common rare1",
+                    "common rare2 rare2",
+                    "common filler words",
+                ],
+            })
+        )
+        out = {(r["doc_id"], r["rank"]): r
+               for r in tfidf_top_terms(d, k=2).collect()}
+        # 'common' appears in every doc (df=3) → idf (3-3+0.5)/(3+0.5) is
+        # minimal; doc-unique tokens rank first
+        assert out[(1, 1)]["token"] == "rare1"
+        assert out[(2, 1)]["token"] == "rare2"
+        assert out[(2, 1)]["tf"] == 2 and out[(2, 1)]["df"] == 1
+        # exact rational score: tf * (N - df + 0.5)/(df + 0.5)
+        assert out[(2, 1)]["score"] == 2.0 * ((3.0 - 1 + 0.5) / (1 + 0.5))
+        assert out[(1, 2)]["token"] == "common"
