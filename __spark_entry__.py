@@ -1869,6 +1869,20 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain re-weighting: keep the largest hash-deterministic subset
+    whose language mix is 50% en / 25% de / 25% fr (other languages
+    dropped). Thresholds come from exact rational arithmetic, so the
+    integer-formula oracle reproduces the identical row set."""
+    from holcstore_spark.operators.sampling import rebalance_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = rebalance_mix(
+        d, "lang", {"en": 2, "de": 1, "fr": 1}, id_cols=["doc_id"]
+    )
+    return kept.select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1943,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack": q_token_pack,
         "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
+        "rebalance_mix": q_rebalance_mix,
         # -- flagship (green in r3) -------------------------------------
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -3317,6 +3332,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 5
+        """,
+        # weights en:2 de:1 fr:1 (W=4). M = min(count_g·W/w_g) is integral
+        # for these weights; thresholds are the exact integer formula
+        # floor(w·M·16^8 / (W·count)) the engine computes with Fractions
+        "rebalance_mix": """
+            WITH cnt AS (
+                SELECT
+                    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+                    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c_de,
+                    sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_fr
+                FROM documents
+            ),
+            m AS (
+                SELECT least(2 * c_en, 4 * c_de, 4 * c_fr) AS mm,
+                       c_en, c_de, c_fr
+                FROM cnt
+            ),
+            thr AS (
+                SELECT
+                    CASE WHEN 2 * mm >= 4 * c_en THEN NULL ELSE
+                        lower(lpad(to_hex(CAST(CAST(2 AS HUGEINT) * mm * 4294967296
+                                         // (CAST(4 AS HUGEINT) * c_en) AS BIGINT)),
+                             8, '0')) END AS t_en,
+                    CASE WHEN 1 * mm >= 4 * c_de THEN NULL ELSE
+                        lower(lpad(to_hex(CAST(CAST(1 AS HUGEINT) * mm * 4294967296
+                                         // (CAST(4 AS HUGEINT) * c_de) AS BIGINT)),
+                             8, '0')) END AS t_de,
+                    CASE WHEN 1 * mm >= 4 * c_fr THEN NULL ELSE
+                        lower(lpad(to_hex(CAST(CAST(1 AS HUGEINT) * mm * 4294967296
+                                         // (CAST(4 AS HUGEINT) * c_fr) AS BIGINT)),
+                             8, '0')) END AS t_fr
+                FROM m
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d, thr
+            WHERE (d.lang = 'en' AND (t_en IS NULL OR
+                       substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t_en))
+               OR (d.lang = 'de' AND (t_de IS NULL OR
+                       substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t_de))
+               OR (d.lang = 'fr' AND (t_fr IS NULL OR
+                       substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t_fr))
         """,
         "store_set_many": store_set_many,
         "kv_clear": kv_clear,

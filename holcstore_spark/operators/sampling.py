@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_hex8", "hash_split", "sample_fraction", "stratified_sample"]
+__all__ = [
+    "hash_hex8",
+    "hash_split",
+    "rebalance_mix",
+    "sample_fraction",
+    "stratified_sample",
+]
 
 _HEX_SPAN = 16 ** 8  # 8 hex digits = 32 bits of the md5 prefix
 
@@ -86,6 +92,61 @@ def sample_fraction(
     if fraction >= 1.0:
         return df
     return df.filter(hash_hex8(list(id_cols), salt) < F.lit(_frac_to_hex(fraction)))
+
+
+def rebalance_mix(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int | float],
+    id_cols: list[str],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically down-sample to a target group mix — the domain /
+    language re-weighting pass of a pretraining pipeline ("make the kept
+    corpus 50% en / 25% de / 25% fr").
+
+    Maximizes the kept volume: with the largest total T satisfying
+    ``share(g)·T ≤ count(g)`` for every target group, each group keeps
+    ``share(g)·T / count(g)`` of its rows by content hash (so re-runs,
+    re-partitions and other engines select the SAME rows). Groups not in
+    ``weights`` are dropped.
+
+    All threshold arithmetic is EXACT (``fractions.Fraction``): the
+    resulting 8-hex-digit cut equals
+    ``floor(w_g·M·16^8 / (W·count_g))`` with ``M = min_u count_u·W/w_u``
+    — an integer formula any SQL engine reproduces with wide-integer
+    ops, with no float-rounding drift.
+
+    One metadata-sized aggregate (group counts) plus a zero-shuffle
+    filter; the filter is a pushdown-friendly predicate on the hash.
+    """
+    from fractions import Fraction
+
+    if not weights:
+        raise ValueError("rebalance_mix: weights must be non-empty")
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(group_col).count().collect()
+    }
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"rebalance_mix: no rows for target groups {sorted(missing)}")
+    wfr = {g: Fraction(w) for g, w in weights.items()}
+    total_w = sum(wfr.values())
+    if total_w <= 0:
+        raise ValueError("rebalance_mix: weights must sum to > 0")
+    m = min(Fraction(counts[g]) * total_w / wfr[g] for g in wfr)
+    h = hash_hex8(list(id_cols), salt)
+    keep: Column | None = None
+    for g in wfr:
+        frac = wfr[g] * m / (total_w * counts[g])
+        cond = F.col(group_col) == g
+        if frac < 1:
+            thr = format(int(frac * _HEX_SPAN), "08x")
+            cond = cond & (h < F.lit(thr))
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
 
 
 def stratified_sample(

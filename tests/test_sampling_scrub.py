@@ -155,3 +155,45 @@ class TestRepetition:
         assert r["dup_word_frac"] == 0.0
         assert r["dup_bigram_frac"] == 0.0
         assert r["top_bigram_frac"] == pytest.approx(1 / 5)
+
+
+class TestRebalanceMix:
+    def test_mix_maximizes_volume_and_is_deterministic(self, spark):
+        from holcstore_spark.operators.sampling import rebalance_mix
+
+        # 300 a / 100 b / 50 c, target mix 2:1:1 → T limited by c:
+        # T = min(300·4/2, 100·4, 50·4) = 200 → want 100 a, 50 b, 50 c
+        d = (
+            spark.range(450)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn(
+                "grp",
+                F.when(F.col("doc_id") < 300, "a")
+                .when(F.col("doc_id") < 400, "b")
+                .otherwise("c"),
+            )
+        )
+        kept = rebalance_mix(d, "grp", {"a": 2, "b": 1, "c": 1}, ["doc_id"])
+        sizes = {r["grp"]: r["n"] for r in
+                 kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # the limiting group keeps everything; others land near target
+        # (hash sampling is binomial around the expected size)
+        assert sizes["c"] == 50
+        assert 85 <= sizes["a"] <= 115
+        assert 40 <= sizes["b"] <= 60
+        # deterministic: second run selects the identical rows
+        again = rebalance_mix(d, "grp", {"a": 2, "b": 1, "c": 1}, ["doc_id"])
+        assert kept.exceptAll(again).count() == 0
+        assert again.exceptAll(kept).count() == 0
+
+    def test_non_target_groups_dropped_and_missing_raises(self, spark):
+        from holcstore_spark.operators.sampling import rebalance_mix
+
+        d = (
+            spark.range(10).withColumnRenamed("id", "doc_id")
+            .withColumn("grp", F.when(F.col("doc_id") < 5, "x").otherwise("y"))
+        )
+        kept = rebalance_mix(d, "grp", {"x": 1}, ["doc_id"])
+        assert {r["grp"] for r in kept.select("grp").distinct().collect()} == {"x"}
+        with pytest.raises(ValueError, match="no rows"):
+            rebalance_mix(d, "grp", {"x": 1, "absent": 1}, ["doc_id"])
