@@ -863,6 +863,92 @@ def _daily_events_pdf(spark: SparkSession, sf_dir: str):
     return daily
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows through a real Structured Streaming run
+    (availableNow, one micro-batch): per user, events closer than 2h merge
+    into one session closing at last_event + 2h. The streamed sessions
+    must equal the batch lag/cumsum sessionization exactly."""
+    from holcstore_spark.streaming.ingest import session_rollup
+
+    src = tempfile.mkdtemp(prefix="holc_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_sess_ckpt_")
+    name = "stream_sessions_sink"
+    try:
+        (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "ts", "value")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        sess = session_rollup(
+            stream, ("user_id",), gap="2 hours", watermark="4 hours",
+            exact_total=True,
+        )
+        q = (
+            sess.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "user_id",
+            _fmt("session_start").alias("session_start"),
+            _fmt("session_end").alias("session_end"),
+            "n",
+            F.col("sum_value").alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if name in [t.name for t in spark.catalog.listTables()]:
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state: the events table is
+    doubled, streamed through dropDuplicatesWithinWatermark on event_id,
+    and the surviving rows must equal the original (un-doubled) table —
+    duplicate rows are byte-identical, so first-arrival semantics are
+    deterministic."""
+    from holcstore_spark.streaming.ingest import stream_dedup
+
+    src = tempfile.mkdtemp(prefix="holc_sdedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_sdedup_ckpt_")
+    name = "stream_dedup_sink"
+    try:
+        e = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        e.unionByName(e).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        ).parquet(src)
+        deduped = stream_dedup(stream, ("event_id",), watermark="2 hours")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "event_id", "user_id", _fmt("ts").alias("ts"), "value"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if name in [t.name for t in spark.catalog.listTables()]:
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_store_set_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: mass insert via set_many_ts (single batched write, one
     existence check for the whole batch) — per-key counts and exact totals
@@ -1958,6 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
         "rebalance_mix": q_rebalance_mix,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
         # -- flagship (green in r3) -------------------------------------
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -3412,6 +3500,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the streamed rollup must equal the batch GROUP BY (epoch-aligned
         # 1h tumbling windows = date_trunc)
+        # batch twin of the streaming session windows: lag/cumsum breaks,
+        # strict < gap (Spark's session interval is half-open)
+        "stream_sessions": f"""
+            WITH l AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts
+                            ) < INTERVAL 2 HOUR THEN 0 ELSE 1 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS sid
+                FROM l
+            )
+            SELECT user_id,
+                   strftime(min(ts), '{_FMT_DUCK}') AS session_start,
+                   strftime(max(ts) + INTERVAL 2 HOUR, '{_FMT_DUCK}') AS session_end,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+            FROM s GROUP BY user_id, sid
+        """,
+        # the doubled stream deduped on event_id must equal the original
+        "stream_dedup": f"""
+            SELECT event_id, user_id, strftime(ts, '{_FMT_DUCK}') AS ts, value
+            FROM events
+        """,
         "stream_rollup": f"""
             SELECT user_id,
                    strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS window_start,

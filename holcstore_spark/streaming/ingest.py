@@ -49,6 +49,58 @@ def stream_ingest(
     return writer.start()
 
 
+def session_rollup(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts: str = "ts",
+    value: str = "value",
+    exact_total: bool = False,
+) -> DataFrame:
+    """Event-time SESSION windows (``F.session_window``): per key, events
+    closer than ``gap`` merge into one session; the session closes at
+    ``last_event + gap`` (half-open — an event exactly at the boundary
+    starts a new session). State is bounded by the watermark; sessions
+    finalize once the watermark passes their end, so this runs forever at
+    scale with O(open sessions) state."""
+    aggs = [F.count(value).alias("n")]
+    extra: list[str] = []
+    if exact_total:
+        aggs.append(
+            F.sum(F.col(value).cast("decimal(28,6)")).cast("double").alias("sum_value")
+        )
+        extra = ["sum_value"]
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(*keys, F.session_window(F.col(ts), gap).alias("win"))
+        .agg(*aggs)
+        .select(
+            *keys,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n", *extra,
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    watermark: str = "2 hours",
+    ts: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps the first-seen row per key and
+    expires each key's state once the watermark passes it — the streaming
+    twin of the batch ``exact_dedup``, safe to run forever (a plain
+    ``dropDuplicates`` on an unbounded stream accumulates state without
+    limit)."""
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_rollup(
     stream: DataFrame,
     keys: tuple[str, ...],

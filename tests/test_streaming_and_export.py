@@ -175,3 +175,67 @@ class TestStreamingIngest:
         assert len(rows) == 2
         first = rows[pd.Timestamp("2024-01-01 00:00:00")]
         assert first["n"] == 2 and first["mean_value"] == 2.0
+
+
+class TestStreamSessionsAndDedup:
+    def test_session_rollup_merges_by_gap(self, spark, tmp_store_path):
+        from holcstore_spark.streaming.ingest import session_rollup
+
+        src = os.path.join(tmp_store_path, "sess_src")
+        ckpt = os.path.join(tmp_store_path, "sess_ckpt")
+        os.makedirs(src)
+        # one user: events at 00:00, 00:30, 01:00 (one session, 30min gaps)
+        # then 05:00 (new session). gap=1h → session ends last+1h
+        idx = pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 01:00",
+             "2024-01-01 05:00"]
+        )
+        pd.DataFrame(
+            {"user_id": 1, "ts": idx.astype("datetime64[us]"), "value": 2.0}
+        ).to_parquet(os.path.join(src, "a.parquet"))
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        sess = session_rollup(stream, ("user_id",), gap="1 hour",
+                              watermark="1 hour", exact_total=True)
+        q = (
+            sess.writeStream.outputMode("complete").format("memory")
+            .queryName("sess_t").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = sorted(
+            spark.table("sess_t").collect(), key=lambda r: r["session_start"]
+        )
+        spark.catalog.dropTempView("sess_t")
+        assert len(rows) == 2
+        assert rows[0]["n"] == 3 and rows[0]["sum_value"] == 6.0
+        assert rows[0]["session_end"] == pd.Timestamp("2024-01-01 02:00")
+        assert rows[1]["n"] == 1
+        assert rows[1]["session_start"] == pd.Timestamp("2024-01-01 05:00")
+
+    def test_stream_dedup_bounded_state(self, spark, tmp_store_path):
+        from holcstore_spark.streaming.ingest import stream_dedup
+
+        src = os.path.join(tmp_store_path, "sd_src")
+        ckpt = os.path.join(tmp_store_path, "sd_ckpt")
+        os.makedirs(src)
+        idx = pd.date_range("2024-01-01", periods=5, freq="1h")
+        df = pd.DataFrame(
+            {"event_id": range(5), "ts": idx.astype("datetime64[us]"),
+             "value": 1.0}
+        )
+        pd.concat([df, df]).to_parquet(os.path.join(src, "a.parquet"))
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, value double"
+        ).parquet(src)
+        out = stream_dedup(stream, ("event_id",), watermark="1 hour")
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName("sd_t").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("sd_t").collect()
+        spark.catalog.dropTempView("sd_t")
+        assert sorted(r["event_id"] for r in rows) == [0, 1, 2, 3, 4]
