@@ -1989,8 +1989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the round-3 driver evaluated only the FIRST 50
     # entries, leaving the rest unchecked. Slots 1-43 are the queries that
     # most need fresh driver evidence (the 26 that failed on the round-3
-    # harness bug + the 17 the driver never reached); 44-50 are the
-    # flagship queries; the tail is per-dimension LLM variants that were
+    # harness bug + the 17 the driver never reached); next come the
+    # queries NEW in round 4 (multimodal_decode … stream_dedup), then the
+    # flagship queries and the per-dimension LLM variants that were
     # already oracle-green in CORRECTNESS_r03.json.
     return {
         # -- failed in r3 on the _t() dtype bug (fixed) -----------------
