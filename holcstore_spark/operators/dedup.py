@@ -182,12 +182,21 @@ def minhash_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from LSH band buckets.
 
     The join is an equi-join on (band_id, band_key) — candidate generation
-    cost is Σ bucket² per band, never n². At 100 TB pathological buckets
-    (boilerplate documents) should be capped upstream via exact_dedup first.
+    cost is Σ bucket² per band, never n².
+
+    ``max_bucket`` is the 100 TB safety valve for pathological buckets
+    (boilerplate collapses millions of docs into one band key → bucket²
+    pairs AND a single multi-MB collect_list row): buckets larger than
+    the cap are DROPPED from candidate generation — the standard
+    large-scale practice, since such buckets are exact-or-near-identical
+    boilerplate that ``exact_dedup`` (run first, as the composed
+    ``clean_corpus`` pipeline does) already collapses. ``None`` keeps
+    every bucket (exact parity with the SQL oracle).
     """
     b = minhash_bands(df, text, id_col, n_hashes, bands, shingle_k)
     # pairs via per-bucket collect_list, NOT a band self-join: a self-join
@@ -200,6 +209,8 @@ def minhash_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket)
     pair_arr = F.flatten(
         F.transform(
             F.col("__ids"),

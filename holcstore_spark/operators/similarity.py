@@ -283,11 +283,23 @@ def cosine_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (id_a < id_b,
-    score >= threshold). All-pairs only *within* buckets."""
+    score >= threshold). All-pairs only *within* buckets.
+
+    ``max_bucket`` drops over-sized buckets (embedding-space boilerplate —
+    e.g. millions of near-empty documents hashing to one corner) before
+    the within-bucket self-join goes quadratic; ``None`` keeps every
+    bucket (exact oracle parity)."""
     d = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
     d = d.withColumn("__bucket", lsh_bucket(F.col("__q"), n_planes, dim))
+    if max_bucket is not None:
+        small = (
+            d.groupBy("__bucket").count()
+            .filter(F.col("count") <= max_bucket).select("__bucket")
+        )
+        d = d.join(F.broadcast(small), on="__bucket", how="left_semi")
     a = d.select(F.col(id_col).alias("id_a"), F.col("__q").alias("__qa"), "__bucket")
     b = d.select(F.col(id_col).alias("id_b"), F.col("__q").alias("__qb"), "__bucket")
     pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))

@@ -456,3 +456,29 @@ class TestPackingAndContamination:
         # exact rational score: tf * (N - df + 0.5)/(df + 0.5)
         assert out[(2, 1)]["score"] == 2.0 * ((3.0 - 1 + 0.5) / (1 + 0.5))
         assert out[(1, 2)]["token"] == "common"
+
+    def test_minhash_max_bucket_drops_boilerplate(self, spark):
+        # 6 identical docs form one saturated bucket per band; with the cap
+        # below the bucket size no candidate pairs emerge, without it all
+        # 15 pairs do
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(6), "text": [DOC] * 6})
+        )
+        capped = minhash_candidate_pairs(
+            d, n_hashes=16, bands=4, max_bucket=5
+        ).count()
+        uncapped = minhash_candidate_pairs(d, n_hashes=16, bands=4).count()
+        assert capped == 0
+        assert uncapped == 15
+
+    def test_cosine_near_dup_max_bucket(self, spark):
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        from holcstore_spark.operators.similarity import cosine_near_dup_pairs
+
+        assert cosine_near_dup_pairs(d, n_planes=2, dim=4).count() == 10
+        assert cosine_near_dup_pairs(
+            d, n_planes=2, dim=4, max_bucket=4
+        ).count() == 0
