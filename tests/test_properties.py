@@ -130,3 +130,37 @@ class TestAsofProperties:
         exp = expected["rv"].astype("float64").reset_index(drop=True)
         got = out["rv_r"].astype("float64").reset_index(drop=True)
         pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+class TestPackingProperties:
+    @SETTINGS
+    @given(
+        counts=st.lists(st.integers(min_value=0, max_value=9),
+                        min_size=1, max_size=40),
+        block=st.integers(min_value=1, max_value=16),
+        bucket=st.integers(min_value=1, max_value=8),
+    )
+    def test_pack_manifest_matches_serial_spec(self, spark, counts, block, bucket):
+        # the distributed two-phase prefix sum must equal the serial
+        # cumsum over doc_id order, for any bucket granularity
+        from holcstore_spark.operators.packing import pack_manifest
+
+        texts = [" ".join(["w"] * c) if c else "" for c in counts]
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(counts)), "text": texts})
+        )
+        out = {
+            r["doc_id"]: r
+            for r in pack_manifest(
+                d, block_tokens=block, bucket_size=bucket
+            ).collect()
+        }
+        off = 0
+        for i, c in enumerate(counts):
+            n = max(c, 1)  # split('') yields [''] → 1 token, like the engine
+            r = out[i]
+            assert r["n_tokens"] == n
+            assert r["start_offset"] == off
+            assert r["start_block"] == off // block
+            assert r["end_block"] == (off + max(n, 1) - 1) // block
+            off += n
