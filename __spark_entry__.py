@@ -1852,6 +1852,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no stub): each document's printable-ASCII text
+    becomes the 8-bit PCM payload of a mono WAV; ``decode_audio_strict``
+    walks the RIFF chunks and computes exact integer-sum amplitude stats
+    with numpy. The oracle reconstructs the same values from the known
+    construction — a header-walk or bias bug fails the hash."""
+    import pandas as pd
+
+    from holcstore_spark.operators.multimodal import (
+        decode_audio_strict,
+        encode_wav_pcm8,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("L", (F.lit(50) + F.col("doc_id") % 50).cast("int"))
+        .withColumn("ascii_t", F.regexp_replace("text", "[^ -~]", ""))
+        .withColumn("pcm", F.expr("rpad(ascii_t, L, 'x')"))
+        .select("doc_id", "pcm")
+    )
+
+    def encode(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode_wav_pcm8(s.encode("ascii")) for s in pdf["pcm"]
+                ],
+            })
+
+    wavs = base.mapInPandas(encode, schema="doc_id long, payload binary")
+    return decode_audio_strict(wavs).select(
+        "doc_id", "codec", "sample_rate", "n_channels", "n_samples", "mean_abs"
+    )
+
+
 def q_blob_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/F6: reference binary-blob codec interop. Per user the hourly
     series is packed into BOTH legacy formats — an LZ4-frame numpy chunk
@@ -2040,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
         "blob_interop": q_blob_interop,
         "token_pack": q_token_pack,
         "contamination": q_contamination,
@@ -3339,6 +3376,29 @@ def oracle_sql() -> dict[str, str]:
                        / (w * h) AS mean_b,
                    md5(pix) AS pixel_digest
             FROM px GROUP BY doc_id, w, h, pix
+        """,
+        # WAV 8-bit PCM: amplitude = ascii - 128 (printable ASCII < 128, so
+        # |amp| = 128 - ascii); mean_abs = exact int sum / count
+        "multimodal_audio": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(50 + doc_id % 50 AS INT) AS L,
+                       rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                            CAST(50 + doc_id % 50 AS INT), 'x') AS pcm
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, L,
+                       ascii(substring(pcm, CAST(i AS INT), 1)) AS v
+                FROM (SELECT *, unnest(range(1, CAST(L + 1 AS BIGINT))) AS i
+                      FROM base)
+            )
+            SELECT doc_id, 'wav' AS codec,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(L AS BIGINT) AS n_samples,
+                   CAST(sum(128 - v) AS DOUBLE) / L AS mean_abs
+            FROM px GROUP BY doc_id, L
         """,
         # both codec legs must reproduce the hourly per-user aggregates
         "blob_interop": """

@@ -144,6 +144,102 @@ def _parse_bmp(b: bytes) -> tuple[int, int, "np.ndarray"]:
 _DECODERS = (("ppm", b"P6", _parse_ppm), ("bmp", b"BM", _parse_bmp))
 
 
+def _parse_wav(b: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Parse a RIFF/WAVE file with uncompressed PCM samples (format 1,
+    8- or 16-bit). Walks the chunk list (fmt / data may be preceded by
+    LIST etc.). Returns (sample_rate, n_channels, bits, samples) with
+    samples as an int32 array of CENTERED amplitudes (8-bit PCM is
+    unsigned-biased by 128; 16-bit is already signed)."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int32)
+    return sample_rate, n_channels, bits, samples
+
+
+def decode_audio_strict(
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode for RIFF/WAVE PCM payloads (8/16-bit): chunk-walk
+    header parse + numpy sample math, no codec libraries. Compressed
+    audio (mp3/ogg/aac) needs external codecs — absent here — and raises.
+
+    Output per payload: id, codec, sample_rate, n_channels, n_samples
+    (frames = samples / channels) and mean_abs — the mean absolute
+    centered amplitude as an exact integer-sum / count division, so any
+    engine reproduces it bit-for-bit."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_abs", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, chans, counts, means = [], [], [], []
+            for b in pdf[payload]:
+                rate, nch, _bits, samples = _parse_wav(bytes(b))
+                rates.append(rate)
+                chans.append(nch)
+                counts.append(len(samples) // max(nch, 1))
+                total = int(np.abs(samples).sum(dtype=np.int64))
+                means.append(total / len(samples) if len(samples) else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codec": "wav",
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "n_channels": pd.array(chans, dtype="int32"),
+                    "n_samples": pd.array(counts, dtype="int64"),
+                    "mean_abs": pd.array(means, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
+
+
+def encode_wav_pcm8(data: bytes, sample_rate: int = 8000) -> bytes:
+    """Minimal mono 8-bit PCM WAV wrapper around raw sample bytes — the
+    test/fixture encoder (standard RIFF layout, what ``wave`` stdlib
+    would produce for 1 channel / 1 byte width)."""
+    import struct
+
+    n = len(data)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate, 1, 8)
+        + b"data" + struct.pack("<I", n) + data
+    )
+
+
 def decode_strict(
     df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

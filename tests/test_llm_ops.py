@@ -482,3 +482,48 @@ class TestPackingAndContamination:
         assert cosine_near_dup_pairs(
             d, n_planes=2, dim=4, max_bucket=4
         ).count() == 0
+
+    def test_decode_audio_wav16_stereo_stdlib_encoder(self, spark):
+        # encode with the stdlib wave module (independent of our parser):
+        # 16-bit stereo PCM; decode must center nothing (already signed),
+        # count frames = samples/channels, and get the exact mean |amp|
+        import io
+        import wave
+
+        import numpy as np
+
+        from holcstore_spark.operators.multimodal import decode_audio_strict
+
+        samples = np.array([100, -200, 300, -400, 500, -600], dtype="<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(samples.tobytes())
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(buf.getvalue())]})
+        )
+        r = decode_audio_strict(d).collect()[0]
+        assert (r["codec"], r["sample_rate"], r["n_channels"]) == ("wav", 44100, 2)
+        assert r["n_samples"] == 3  # frames
+        assert r["mean_abs"] == np.abs(samples.astype("int64")).mean()
+
+    def test_decode_audio_wav8_bias_and_rejects(self, spark):
+        from holcstore_spark.operators.multimodal import (
+            decode_audio_strict,
+            encode_wav_pcm8,
+        )
+
+        wav = encode_wav_pcm8(bytes([128, 0, 255]), sample_rate=8000)
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(wav)]})
+        )
+        r = decode_audio_strict(d).collect()[0]
+        # centered amplitudes: 0, -128, 127 → mean abs (0+128+127)/3
+        assert r["mean_abs"] == (0 + 128 + 127) / 3
+        bad = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(b"not audio")]})
+        )
+        with pytest.raises(Exception, match="RIFF|WAVE"):
+            decode_audio_strict(bad).collect()
