@@ -1,0 +1,136 @@
+"""Plan-shape regression tests: the physical-plan properties PLANS.md
+documents are asserted here so a refactor that silently breaks pushdown,
+adds a shuffle, or degrades a join to a nested loop fails CI — the scale
+contract, executable."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from holcstore_spark import ChunkStoreConfig
+from holcstore_spark.sources.chunk_store import ChunkStore
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_nodes(txt: str, op: str) -> int:
+    """Count physical-plan NODES of a type: formatted explain prints each
+    node twice (tree sketch + '(id) Op' detail line), so count details."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}\b", txt, flags=re.MULTILINE))
+
+
+def hourly(start, periods, value=1.0):
+    idx = pd.date_range(start, periods=periods, freq="1h", tz="UTC")
+    return pd.Series(float(value), index=idx)
+
+
+class TestStorePlans:
+    def test_keyed_bounded_read_prunes_and_pushes(self, spark, tmp_store_path):
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"})
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "p"), cfg)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24 * 60))
+        txt = plan_text(
+            st.alive_data({"site": "a"}, start="2024-02-01", end="2024-02-10")
+        )
+        # key + ts predicates must reach the parquet scan, and the chunk
+        # partition column must be filtered (static range pruning)
+        assert "PushedFilters" in txt
+        assert "EqualTo(site,a)" in txt
+        assert "PartitionFilters" in txt and "chunk_index" in txt
+
+    def test_tombstone_free_read_has_no_join(self, spark, tmp_store_path):
+        # non-sync store with zero tombstones: physical rows ARE the alive
+        # rows — no semi-join stage may appear
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year",), key_types={"site": "str"})
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "nt"), cfg)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 48))
+        assert n_nodes(plan_text(st.alive_data({"site": "a"})), r"\w*Join") == 0
+
+
+class TestOperatorPlans:
+    def test_asof_join_single_exchange_no_join(self, spark):
+        from holcstore_spark.operators.asof import asof_join
+
+        base = pd.Timestamp("2024-01-01", tz="UTC")
+        left = spark.createDataFrame(pd.DataFrame(
+            {"k": "a", "ts": [base], "lv": [1]}
+        ))
+        right = spark.createDataFrame(pd.DataFrame(
+            {"k": "a", "ts": [base], "rv": [2]}
+        ))
+        txt = plan_text(asof_join(left, right, on="k"))
+        assert n_nodes(txt, "Exchange") == 1, txt
+        assert n_nodes(txt, r"\w*Join") == 0, txt
+
+    def test_range_join_never_nested_loop(self, spark):
+        from holcstore_spark.operators.intervals import point_in_interval_join
+
+        points = spark.createDataFrame(pd.DataFrame({
+            "user_id": [1], "ts": [pd.Timestamp("2024-01-01", tz="UTC")],
+        }))
+        iv = spark.createDataFrame(pd.DataFrame({
+            "user_id": [1],
+            "start_ts": [pd.Timestamp("2024-01-01", tz="UTC")],
+            "end_ts": [pd.Timestamp("2024-01-02", tz="UTC")],
+        }))
+        txt = plan_text(point_in_interval_join(points, iv, on=("user_id",)))
+        assert "BroadcastNestedLoopJoin" not in txt
+        assert "CartesianProduct" not in txt
+
+    def test_sessionize_single_exchange(self, spark):
+        from holcstore_spark.operators.sessions import sessionize
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "user_id": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"]),
+        }))
+        txt = plan_text(sessionize(d, ("user_id",), gap_seconds=1800))
+        assert n_nodes(txt, "Exchange") == 1, txt
+
+    def test_pack_manifest_no_global_window_over_corpus(self, spark):
+        # the corpus-side cumsum must be partitioned by bucket; only the
+        # one-row-per-bucket offsets frame may carry an unpartitioned
+        # window. Verify the corpus window node carries the bucket key.
+        from holcstore_spark.operators.packing import pack_manifest
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(10), "text": ["a b"] * 10
+        }))
+        txt = plan_text(pack_manifest(d, bucket_size=4))
+        # broadcast of the bucket-offsets side keeps the big side unshuffled
+        # beyond the bucket-partitioned window exchange
+        assert "__bucket" in txt
+        assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt
+
+    def test_text_stats_zero_exchange(self, spark):
+        from holcstore_spark.operators.text import text_stats
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "text": ["hello world"]
+        }))
+        assert "Exchange" not in plan_text(text_stats(d))
+
+    def test_hash_split_zero_exchange(self, spark):
+        from holcstore_spark.operators.sampling import hash_split
+
+        d = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
+        txt = plan_text(
+            hash_split(d, ["doc_id"], {"train": 0.8, "valid": 0.1, "test": 0.1})
+        )
+        assert "Exchange" not in txt
