@@ -1991,6 +1991,15 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment (5-word "line") dedup stats — the C4 /
+    RefinedWeb line-dedup signal: per doc, how many of its distinct
+    segments appear in at least one other document."""
+    from holcstore_spark.operators.text import segment_dup_stats
+
+    return segment_dup_stats(_t(spark, sf_dir, "documents"), k_words=5)
+
+
 def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain re-weighting: keep the largest hash-deterministic subset
     whose language mix is 50% en / 25% de / 25% fr (other languages
@@ -2081,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack": q_token_pack,
         "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
+        "segment_dedup": q_segment_dedup,
         "rebalance_mix": q_rebalance_mix,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
@@ -3481,6 +3491,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 5
+        """,
+        # 5-word segments; a segment is shared when ≥2 docs contain it
+        "segment_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            segs AS (
+                SELECT DISTINCT doc_id,
+                       substr(md5(array_to_string(
+                           ws[CAST(i*5 + 1 AS INT):CAST(i*5 + 5 AS INT)], ' '
+                       )), 1, 16) AS h
+                FROM (SELECT doc_id, ws,
+                             unnest(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT))) AS i
+                      FROM toks)
+            ),
+            cnt AS (SELECT h, count(*) AS docs FROM segs GROUP BY h),
+            per AS (
+                SELECT s.doc_id, count(*) AS n_segments,
+                       sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+                FROM segs s JOIN cnt c USING (h) GROUP BY s.doc_id
+            )
+            SELECT doc_id, n_segments, n_shared,
+                   CAST(n_shared AS DOUBLE) / n_segments AS share_ratio
+            FROM per
         """,
         # weights en:2 de:1 fr:1 (W=4). M = min(count_g·W/w_g) is integral
         # for these weights; thresholds are the exact integer formula

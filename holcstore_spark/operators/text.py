@@ -277,6 +277,64 @@ def tfidf_top_terms(
     )
 
 
+def segment_dup_stats(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k_words: int = 5,
+    sep: str = " ",
+) -> DataFrame:
+    """Cross-document SEGMENT-level dedup stats — the line-dedup pass of
+    C4 / RefinedWeb-style pipelines, adapted to unpunctuated text: each
+    document splits into consecutive ``k_words``-token segments, and a
+    segment is "shared" when it also appears in at least one OTHER
+    document. Output per doc: distinct segment count, shared count, and
+    the share ratio (docs dominated by boilerplate segments score high
+    and get filtered upstream).
+
+    Scale shape: explode → distinct on (doc, segment-hash) →
+    segment-hash count aggregate (map-side combinable) → hash equi-join
+    back → per-doc aggregate. Segment hashes are md5/16 — portable to
+    any oracle engine.
+    """
+    toks = tokens(text, sep)
+    n_segs = F.ceil(F.size(toks) / float(k_words)).cast("int")
+    segs = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("__i"),
+            toks.alias("__toks"),
+        )
+        .select(
+            id_col,
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        sep, F.slice(F.col("__toks"), F.col("__i") * k_words + 1, k_words)
+                    )
+                ),
+                1, 16,
+            ).alias("__h"),
+        )
+        .distinct()
+    )
+    counts = segs.groupBy("__h").agg(F.count(F.lit(1)).alias("__docs"))
+    per_doc = (
+        segs.join(counts, on="__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("__docs") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_segments",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_segments")).alias("share_ratio"),
+    )
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 8, w: int = 4
 ) -> Column:

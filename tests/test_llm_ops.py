@@ -527,3 +527,24 @@ class TestPackingAndContamination:
         )
         with pytest.raises(Exception, match="RIFF|WAVE"):
             decode_audio_strict(bad).collect()
+
+    def test_segment_dup_stats_cross_doc_sharing(self, spark):
+        from holcstore_spark.operators.text import segment_dup_stats
+
+        # docs 1 and 2 share their first 3-word segment; doc 3 is unique;
+        # doc 1's second (short) segment is unshared
+        d = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c x y",      # segs: "a b c", "x y"
+                    "a b c",          # segs: "a b c"
+                    "q r s",          # segs: "q r s"
+                ],
+            })
+        )
+        out = {r["doc_id"]: r for r in segment_dup_stats(d, k_words=3).collect()}
+        assert out[1]["n_segments"] == 2 and out[1]["n_shared"] == 1
+        assert out[1]["share_ratio"] == 0.5
+        assert out[2]["n_segments"] == 1 and out[2]["n_shared"] == 1
+        assert out[3]["n_shared"] == 0
