@@ -18,13 +18,15 @@ same three calls):
 
 Two physical strategies, picked automatically:
 
-- **bulk bootstrap** — when the client holds no physical data rows yet
-  (first sync of a replica), every page's partition-rewrite would be a
-  pure append anyway, so the whole backlog lands as ONE distributed data
-  append + ONE meta append. A crash between the two writes is safe: data
-  without meta is invisible on a sync store (``alive_data`` keeps its
-  meta semi-join), and the resume pull sees physical rows present and
-  falls back to the rewrite path, which dedupes by (keys, chunk).
+- **bulk** — when NO incoming (keys, chunk) pair physically exists
+  client-side (bootstrap of a fresh replica, or an incremental pull of
+  brand-new chunks/keys — the daily-append case), every page's
+  partition-rewrite would be a pure append anyway, so the whole backlog
+  lands as ONE distributed data append + ONE meta append. A crash
+  between the two writes is safe: data without meta is invisible on a
+  sync store (``alive_data`` keeps its meta semi-join), and the resume
+  pull's overlap probe sees the orphaned physical rows and falls back
+  to the rewrite path, which dedupes by (keys, chunk).
 - **paged incremental** — the general path. The ordered feed is
   checkpointed once and streamed through ``toLocalIterator`` (one linear
   pass; driver memory bounded by ``page_size``), instead of one
@@ -70,18 +72,58 @@ class SyncClient:
         semi-join → append/rewrite), so the transfer scales with the
         cluster, not the driver."""
         since = self.client.last_updated_at(filters)
+        feed = self.server.updates(since=since, filters=filters)
+        # the >= watermark resume re-fetches the boundary states every
+        # pull; states the client already holds VERBATIM (same keys,
+        # chunk, op_id) need no re-import — dropping them is idempotent
+        # (their stamps are already in the client meta, so the watermark
+        # is unaffected) and is what lets a daily-append pull see only
+        # genuinely-new chunks and take the bulk path below
+        if has_parquet(self.client._meta_path):
+            applied = self.client.latest_meta(filters).select(
+                *self.server.config.keys, "chunk_index", "op_id"
+            )
+            # no broadcast hint: the client meta can be store-sized while
+            # an incremental feed is tiny (or vice versa on bootstrap) —
+            # AQE picks the side to broadcast
+            feed = feed.join(
+                applied,
+                on=[*self.server.config.keys, "chunk_index", "op_id"],
+                how="left_anti",
+            )
         # materialize the ordered feed once (checkpoint cuts the plan to the
         # sorted result); both strategies below then read the frozen frame
-        feed = safe_local_checkpoint(
-            self.server.updates(since=since, filters=filters)
-        )
-        # Bootstrap fast path: no physical client data ⇒ no (keys, chunk)
-        # pair can need the anti-join rewrite — import the whole backlog in
-        # one shot. Crash injection forces the paged path so the injected
-        # page boundary stays meaningful.
-        if crash_after_pages is None and not has_parquet(self.client._data_path):
+        feed = safe_local_checkpoint(feed)
+        # Bulk fast path: when NO incoming (keys, chunk) pair physically
+        # exists client-side, every per-page partition rewrite would be a
+        # pure append — import the whole backlog in one shot. Covers the
+        # bootstrap (no client data at all) AND the daily-append
+        # replication case (incremental pull of brand-new chunks/keys).
+        # Crash injection forces the paged path so the injected page
+        # boundary stays meaningful.
+        if crash_after_pages is None and not self._any_physical_overlap(feed):
             return self._pull_bulk(feed)
         return self._pull_paged(feed, page_size, crash_after_pages)
+
+    def _any_physical_overlap(self, feed) -> bool:
+        """Whether any incoming (keys, chunk) pair already has PHYSICAL
+        client rows (data, not meta: orphans from a crashed bulk import
+        count, so the resume takes the deduping rewrite path). The probe
+        prunes the client scan to the incoming chunk partitions first —
+        its cost scales with the touched chunks, not the client store."""
+        if not has_parquet(self.client._data_path):
+            return False
+        keys = list(self.server.config.keys)
+        pairs = feed.filter(~F.col("is_deleted")).select(*keys, "chunk_index")
+        chunks = [r[0] for r in pairs.select("chunk_index").distinct().collect()]
+        if not chunks:
+            return False
+        probe = (
+            self.client.data()
+            .filter(F.col("chunk_index").isin(chunks))
+            .join(pairs, on=[*keys, "chunk_index"], how="left_semi")
+        )
+        return bool(probe.limit(1).count())
 
     def _pull_bulk(self, feed) -> int:
         """One data append + one meta append for the full backlog."""

@@ -172,6 +172,36 @@ class TestSync:
             check_freq=False,
         )
 
+    def test_incremental_new_chunks_take_bulk_path(self, pair, monkeypatch):
+        # daily-append replication: after a bootstrap, a pull whose backlog
+        # touches only brand-new chunks must append-import (no partition
+        # rewrite), while an overlapping pull must still rewrite
+        server, client = pair
+        server.set_ts({"site": "a"}, hourly("2024-01-01", 24, 1.0), update=True)
+        SyncClient(server, client).pull()
+        rewrites = []
+        orig = ChunkStore._rewrite_partitions_multi
+        monkeypatch.setattr(
+            ChunkStore, "_rewrite_partitions_multi",
+            lambda self_store, sdf: (rewrites.append(1), orig(self_store, sdf))[1],
+        )
+        # new month + new key → no physical overlap → bulk append
+        server.set_ts({"site": "b"}, hourly("2024-02-01", 24, 2.0), update=True)
+        SyncClient(server, client).pull()
+        assert rewrites == []
+        pd.testing.assert_series_equal(
+            client.get_ts({"site": "b"}), server.get_ts({"site": "b"}),
+            check_freq=False,
+        )
+        # overlapping update to an existing chunk → rewrite path
+        server.set_ts({"site": "a"}, hourly("2024-01-01", 12, 9.0), update=True)
+        SyncClient(server, client).pull()
+        assert len(rewrites) >= 1
+        pd.testing.assert_series_equal(
+            client.get_ts({"site": "a"}), server.get_ts({"site": "a"}),
+            check_freq=False,
+        )
+
     def test_requires_sync_flag(self, spark, tmp_store_path):
         cfg_off = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
                                    chunk_axis=("year",), key_types={"site": "str"})
