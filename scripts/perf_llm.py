@@ -1,0 +1,135 @@
+"""LLM-pipeline load harness: generates a synthetic corpus of N documents
+(Spark-side, no driver loops) with a controlled near-duplicate rate plus
+random embeddings, then times the dedup / similarity / text paths at a
+scale beyond the driver's sf0.1 parquet. Usage::
+
+    python scripts/perf_llm.py [n_docs] [dim]
+
+Prints one timing line per operator and a JSON summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main(n_docs: int = 50_000, dim: int = 64) -> None:
+    from holcstore_spark import get_spark
+
+    spark = get_spark(app_name="holc-perf-llm")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    # synthetic corpus: ~60-word docs from a 500-word vocab; every 10th doc
+    # is a near-dup of its predecessor (first 50 words shared), every 25th
+    # an exact dup — all generated executor-side
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.concat(
+            F.lit("w"), ((F.xxhash64(F.col("id") * 100 + i) % 500 + 500) % 500)
+        ),
+    )
+    near_words = F.concat(
+        F.slice(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    ((F.xxhash64((F.col("id") - 1) * 100 + i) % 500 + 500) % 500),
+                ),
+            ),
+            1, 50,
+        ),
+        F.slice(words, 51, 10),
+    )
+    docs = (
+        spark.range(n_docs)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("id") % 25 == 0,
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.lit(0), F.lit(59)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        (((F.xxhash64((F.col("id") - F.col("id") % 25) * 100 + i))
+                          % 500 + 500) % 500),
+                    ),
+                )),
+            )
+            .when(F.col("id") % 10 == 0, F.concat_ws(" ", near_words))
+            .otherwise(F.concat_ws(" ", words)),
+        )
+        .withColumnRenamed("id", "doc_id")
+        .persist()
+    )
+    docs.count()
+
+    vecs = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (F.xxhash64(F.col("vec_id") * 1000 + i) % 1000) / 1000.0
+                ).cast("float"),
+            ),
+        )
+        .persist()
+    )
+    vecs.count()
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn().count()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    from holcstore_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_candidate_pairs,
+    )
+    from holcstore_spark.operators.packing import pack_manifest
+    from holcstore_spark.operators.similarity import cosine_near_dup_pairs
+    from holcstore_spark.operators.text import segment_dup_stats, text_stats
+
+    run("exact_dedup", lambda: exact_dedup(docs))
+    pairs = minhash_candidate_pairs(docs, n_hashes=16, bands=4, max_bucket=2000)
+    run("minhash_pairs", lambda: pairs)
+    pairs_c = pairs.persist()
+    pairs_c.count()
+    run("connected_components", lambda: connected_components(pairs_c))
+    run("text_stats", lambda: text_stats(docs))
+    run("segment_dup_stats", lambda: segment_dup_stats(docs))
+    run("pack_manifest", lambda: pack_manifest(docs))
+    run("cosine_near_dup", lambda: cosine_near_dup_pairs(
+        vecs, threshold=0.95, n_planes=8, dim=dim, max_bucket=5000
+    ))
+
+    print(json.dumps({
+        "metric": "llm_ops_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "n_docs": n_docs,
+        "dim": dim,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 50_000,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 64,
+    )
