@@ -1510,10 +1510,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     document the fingerprint-set size, min/max fingerprint, and an md5
     digest of the full sorted set — the whole set is oracle-checked, not
     just its summary stats."""
-    from holcstore_spark.operators.text import winnow_fingerprints
+    from holcstore_spark.operators.text import winnow_fingerprints_arrow
 
     d = _t(spark, sf_dir, "documents")
-    fps = winnow_fingerprints("text", k=8, w=4)
+    fps = winnow_fingerprints_arrow("text", k=8, w=4)
     return d.select(
         "doc_id",
         F.size(fps).alias("n_fp"),

@@ -548,3 +548,22 @@ class TestPackingAndContamination:
         assert out[1]["share_ratio"] == 0.5
         assert out[2]["n_segments"] == 1 and out[2]["n_shared"] == 1
         assert out[3]["n_shared"] == 0
+
+    def test_winnow_arrow_twin_identical(self, spark):
+        from holcstore_spark.operators.text import (
+            winnow_fingerprints,
+            winnow_fingerprints_arrow,
+        )
+
+        d = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3, 4],
+                "text": [DOC, DOC[:5], "", "x" * 100],
+            })
+        )
+        a = {r["doc_id"]: r["fp"] for r in
+             d.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()}
+        b = {r["doc_id"]: r["fp"] for r in
+             d.select("doc_id",
+                      winnow_fingerprints_arrow("text").alias("fp")).collect()}
+        assert a == b
