@@ -189,10 +189,10 @@ def lsh_topk(
     """
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
-    ).withColumn("__bucket", lsh_bucket(F.col("__cq"), n_planes, dim))
+    ).withColumn("__bucket", lsh_bucket_arrow(F.col("__cq"), n_planes, dim))
     qry = queries.select(
         F.col(id_col).alias(query_id), quantized(vec_col).alias("__qq")
-    ).withColumn("__bucket", lsh_bucket(F.col("__qq"), n_planes, dim))
+    ).withColumn("__bucket", lsh_bucket_arrow(F.col("__qq"), n_planes, dim))
     scored = cand.join(F.broadcast(qry), on="__bucket").filter(
         F.col("neighbor_id") != F.col(query_id)
     )
