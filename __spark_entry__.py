@@ -1852,6 +1852,41 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize chained into REAL decode: the per-document PPM is
+    nearest-neighbour downsampled by 2 (keeping every even row/column),
+    re-encoded as P6, and decoded again for channel means. The oracle
+    reproduces the kept-pixel means by index arithmetic over the pixel
+    string — a stride or row/col-order bug fails the hash."""
+    from holcstore_spark.operators.multimodal import (
+        decode_strict,
+        resize_strict,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn("ascii_t", F.regexp_replace("text", "[^ -~]", ""))
+        .withColumn("pix", F.expr("rpad(ascii_t, 3*w*h, 'x')"))
+        .withColumn(
+            "payload",
+            F.encode(
+                F.concat(
+                    F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+                    F.col("h").cast("string"), F.lit("\n255\n"), F.col("pix"),
+                ),
+                "UTF-8",
+            ),
+        )
+        .select("doc_id", "payload")
+    )
+    small = resize_strict(base, factor=2)
+    return decode_strict(small.select("doc_id", "payload")).select(
+        "doc_id", "codec", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (no stub): each document's printable-ASCII text
     becomes the 8-bit PCM payload of a mono WAV; ``decode_audio_strict``
@@ -2085,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
         "blob_interop": q_blob_interop,
         "token_pack": q_token_pack,
@@ -3386,6 +3422,40 @@ def oracle_sql() -> dict[str, str]:
                        / (w * h) AS mean_b,
                    md5(pix) AS pixel_digest
             FROM px GROUP BY doc_id, w, h, pix
+        """,
+        # nearest-neighbour downsample by 2: kept pixels are those whose
+        # (row, col) are both even; pixel p (0-based) of the original
+        # string sits at row p/w, col p%w, channel (i-1)%3
+        "multimodal_resize": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(4 + doc_id % 5 AS INT) AS w,
+                       CAST(3 + doc_id % 4 AS INT) AS h,
+                       rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                            CAST(3 * (4 + doc_id % 5) * (3 + doc_id % 4) AS INT),
+                            'x') AS pix
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h,
+                       CAST(((i - 1) // 3) // w AS INT) AS row,
+                       CAST(((i - 1) // 3) % w AS INT) AS col,
+                       CAST((i - 1) % 3 AS INT) AS ch,
+                       ascii(substring(pix, CAST(i AS INT), 1)) AS v
+                FROM (SELECT *, unnest(range(1, CAST(length(pix) + 1 AS BIGINT))) AS i
+                      FROM base)
+            ),
+            kept AS (SELECT * FROM px WHERE row % 2 = 0 AND col % 2 = 0)
+            SELECT doc_id, 'ppm' AS codec,
+                   CAST(ceil(w / 2.0) AS INT) AS width,
+                   CAST(ceil(h / 2.0) AS INT) AS height,
+                   CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS DOUBLE)
+                       / (CAST(ceil(w / 2.0) AS INT) * CAST(ceil(h / 2.0) AS INT)) AS mean_r,
+                   CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS DOUBLE)
+                       / (CAST(ceil(w / 2.0) AS INT) * CAST(ceil(h / 2.0) AS INT)) AS mean_g,
+                   CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS DOUBLE)
+                       / (CAST(ceil(w / 2.0) AS INT) * CAST(ceil(h / 2.0) AS INT)) AS mean_b
+            FROM kept GROUP BY doc_id, w, h
         """,
         # WAV 8-bit PCM: amplitude = ascii - 128 (printable ASCII < 128, so
         # |amp| = 128 - ascii); mean_abs = exact int sum / count

@@ -225,6 +225,59 @@ def decode_audio_strict(
     return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
 
 
+def resize_strict(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    factor: int = 2,
+) -> DataFrame:
+    """REAL image resize for the pure-python-decodable formats:
+    decode (PPM/BMP), nearest-neighbour downsample by integer ``factor``
+    (every ``factor``-th pixel in both axes), re-encode as binary PPM.
+    Output: id, width, height (post-resize), payload (valid P6 bytes —
+    feed it back through :func:`decode_strict` to verify)."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField(payload, T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            widths, heights, outs = [], [], []
+            for b in pdf[payload]:
+                b = bytes(b)
+                for _codec, magic, parse in _DECODERS:
+                    if b[: len(magic)] == magic:
+                        _w, _h, arr = parse(b)
+                        break
+                else:
+                    raise NotImplementedError(
+                        f"no pure-python decoder for payload starting "
+                        f"{b[:4]!r}; use resize_stub for opaque formats"
+                    )
+                small = np.ascontiguousarray(arr[::factor, ::factor])
+                h2, w2 = small.shape[:2]
+                widths.append(w2)
+                heights.append(h2)
+                outs.append(
+                    f"P6\n{w2} {h2}\n255\n".encode() + small.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    payload: outs,
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
+
+
 def encode_wav_pcm8(data: bytes, sample_rate: int = 8000) -> bytes:
     """Minimal mono 8-bit PCM WAV wrapper around raw sample bytes — the
     test/fixture encoder (standard RIFF layout, what ``wave`` stdlib

@@ -567,3 +567,30 @@ class TestPackingAndContamination:
              d.select("doc_id",
                       winnow_fingerprints_arrow("text").alias("fp")).collect()}
         assert a == b
+
+    def test_resize_strict_real_pixels_roundtrip(self, spark):
+        # 4×2 PPM downsampled by 2 → 2×1 keeping pixels (0,0) and (0,2);
+        # the output is a valid P6 that decode_strict parses back
+        import numpy as np
+
+        from holcstore_spark.operators.multimodal import (
+            decode_strict,
+            resize_strict,
+        )
+
+        rgb = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+        ppm = b"P6\n4 2\n255\n" + rgb.tobytes()
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(ppm)]})
+        )
+        r = resize_strict(d, factor=2).collect()[0]
+        assert (r["width"], r["height"]) == (2, 1)
+        back = decode_strict(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [1], "payload": [bytearray(bytes(r["payload"]))]})
+            )
+        ).collect()[0]
+        expected = rgb[::2, ::2].reshape(-1, 3)
+        assert (back["width"], back["height"]) == (2, 1)
+        assert back["mean_r"] == expected[:, 0].mean()
+        assert back["mean_b"] == expected[:, 2].mean()
