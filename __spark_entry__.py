@@ -2066,71 +2066,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering matters: the round-3 driver evaluated only the FIRST 50
-    # entries, leaving the rest unchecked. Slots 1-43 are the queries that
-    # most need fresh driver evidence (the 26 that failed on the round-3
-    # harness bug + the 17 the driver never reached); next come the
-    # queries NEW in round 4 (multimodal_decode … stream_dedup), then the
-    # flagship queries and the per-dimension LLM variants that were
-    # already oracle-green in CORRECTNESS_r03.json.
+    # STANDING ROTATION: the driver checks only the FIRST 50 entries
+    # against the oracle each round, so order = least-recently-verified
+    # first. Round-5 window: (a) token_pack (red in r4 on an oracle dtype
+    # bug, oracle fixed this round), (b) the 4 entries that have never had
+    # a driver row, (c) the 24 entries last driver-green in r3, (d) new
+    # round-5 queries, (e) enough r4-green heavyweights to fill slot 50.
+    # The tail (positions 51+) is all r4-green micro/flagship queries —
+    # rotate them back in next round.
     return {
-        # -- failed in r3 on the _t() dtype bug (fixed) -----------------
-        "overlay_merge": q_overlay_merge,
-        "combined_delay": q_combined_delay,
-        "completeness_holes": q_completeness_holes,
-        "constant_runs": q_constant_runs,
-        "merge_intervals": q_merge_intervals,
-        "drop_bounds_na": q_drop_bounds_na,
-        "slice_with_delay": q_slice_with_delay,
-        "split_at": q_split_at,
-        "time_slice": q_time_slice,
-        "ffill": q_ffill,
-        "normalize_minmax": q_normalize_minmax,
-        "min_step": q_min_step,
-        "disaggregate": q_disaggregate,
-        "next_version": q_next_version,
-        "chunk_index": q_chunk_index,
-        "lookup_filter": q_lookup_filter,
-        "store_roundtrip": q_store_roundtrip,
-        "attr_store_update": q_attr_store_update,
-        "kv_find_holes": q_kv_find_holes,
-        "store_update_overlay": q_store_update_overlay,
-        "store_delete_tombstone": q_store_delete_tombstone,
-        "store_max_horodate": q_store_max_horodate,
-        "store_yield_many": q_store_yield_many,
-        "sync_pull": q_sync_pull,
-        "kv_store_overlay": q_kv_store_overlay,
-        "event_rollup": q_event_rollup,
-        # -- declared in r3 but never reached by the driver -------------
-        "store_set_many": q_store_set_many,
-        "kv_clear": q_kv_clear,
-        "sync_tombstone": q_sync_tombstone,
-        "store_meta_aggregates": q_store_meta_aggregates,
-        "store_changefeed": q_store_changefeed,
-        "interval_algebra": q_interval_algebra,
-        "freq_fix": q_freq_fix,
-        "sync_guards": q_sync_guards,
-        "rest_sync_pull": q_rest_sync_pull,
-        "admin_export": q_admin_export,
-        "stream_rollup": q_stream_rollup,
-        "stream_gaps": q_stream_gaps,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "time_rollup": q_time_rollup,
-        "range_join": q_range_join,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_audio": q_multimodal_audio,
-        "blob_interop": q_blob_interop,
+        # -- (a) red in r4: oracle HUGEINT dtype bug, CAST fix applied --
         "token_pack": q_token_pack,
-        "contamination": q_contamination,
-        "tfidf_terms": q_tfidf_terms,
+        # -- (b) never driver-checked (were positions 51-54 in r4) ------
         "segment_dedup": q_segment_dedup,
         "rebalance_mix": q_rebalance_mix,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
-        # -- flagship (green in r3) -------------------------------------
+        # -- (c) last driver-green in r3 (were positions 55-78) ---------
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
         "regional_revenue": q_regional_revenue,
@@ -2138,7 +2090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "clean_corpus": q_clean_corpus,
         "similarity_bruteforce": q_similarity_bruteforce,
-        # -- per-dimension LLM variants, all green in CORRECTNESS_r03 ---
         "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -2156,6 +2107,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "vocab_topk": q_vocab_topk,
         "multimodal_meta": q_multimodal_meta,
+        # -- (d) new in round 5 -----------------------------------------
+        # (new queries are inserted here as they land)
+        # -- (e) r4-green heavyweights filling out the 50-slot window ---
+        "store_roundtrip": q_store_roundtrip,
+        "store_yield_many": q_store_yield_many,
+        "store_changefeed": q_store_changefeed,
+        "sync_pull": q_sync_pull,
+        "kv_store_overlay": q_kv_store_overlay,
+        "overlay_merge": q_overlay_merge,
+        "combined_delay": q_combined_delay,
+        "completeness_holes": q_completeness_holes,
+        "constant_runs": q_constant_runs,
+        "merge_intervals": q_merge_intervals,
+        "blob_interop": q_blob_interop,
+        "contamination": q_contamination,
+        "tfidf_terms": q_tfidf_terms,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
+        "range_join": q_range_join,
+        "stream_rollup": q_stream_rollup,
+        "stream_gaps": q_stream_gaps,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        # ====== driver 50-entry window usually ends around here ========
+        # -- tail: all r4-green, rotate back into the window next round -
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
+        "event_rollup": q_event_rollup,
+        "attr_store_update": q_attr_store_update,
+        "kv_find_holes": q_kv_find_holes,
+        "store_update_overlay": q_store_update_overlay,
+        "store_delete_tombstone": q_store_delete_tombstone,
+        "store_max_horodate": q_store_max_horodate,
+        "store_set_many": q_store_set_many,
+        "kv_clear": q_kv_clear,
+        "sync_tombstone": q_sync_tombstone,
+        "store_meta_aggregates": q_store_meta_aggregates,
+        "interval_algebra": q_interval_algebra,
+        "freq_fix": q_freq_fix,
+        "sync_guards": q_sync_guards,
+        "rest_sync_pull": q_rest_sync_pull,
+        "admin_export": q_admin_export,
+        "lookup_filter": q_lookup_filter,
+        "drop_bounds_na": q_drop_bounds_na,
+        "slice_with_delay": q_slice_with_delay,
+        "split_at": q_split_at,
+        "time_slice": q_time_slice,
+        "ffill": q_ffill,
+        "normalize_minmax": q_normalize_minmax,
+        "min_step": q_min_step,
+        "disaggregate": q_disaggregate,
+        "next_version": q_next_version,
+        "chunk_index": q_chunk_index,
     }
 
 
@@ -3511,9 +3516,11 @@ def oracle_sql() -> dict[str, str]:
                        ), 0) AS start_offset
                 FROM t
             )
-            SELECT doc_id, n_tokens, start_offset,
-                   start_offset // 512 AS start_block,
-                   (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_block
+            SELECT doc_id, n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS start_block,
+                   CAST((start_offset + greatest(n_tokens, 1) - 1) // 512
+                        AS BIGINT) AS end_block
             FROM c
         """,
         # 3-token shingle overlap vs the doc_id%97 benchmark slice
@@ -3582,7 +3589,8 @@ def oracle_sql() -> dict[str, str]:
                        sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS n_shared
                 FROM segs s JOIN cnt c USING (h) GROUP BY s.doc_id
             )
-            SELECT doc_id, n_segments, n_shared,
+            SELECT doc_id, n_segments,
+                   CAST(n_shared AS BIGINT) AS n_shared,
                    CAST(n_shared AS DOUBLE) / n_segments AS share_ratio
             FROM per
         """,

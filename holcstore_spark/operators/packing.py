@@ -33,6 +33,19 @@ def pack_manifest(
     per-bucket cumsums are parallel, and only one row per bucket reaches
     the (tiny) bucket-offset cumsum.
     """
+    # __bucket is (id_col / bucket_size) cast to long: a non-numeric key
+    # would produce NULL buckets, and the phase-2 inner equi-join on
+    # __bucket would silently drop those rows (NULL keys never match) —
+    # fail loudly instead of returning a partial manifest
+    from pyspark.sql.types import NumericType
+
+    key_type = df.schema[id_col].dataType
+    if not isinstance(key_type, NumericType):
+        raise TypeError(
+            f"pack_manifest requires a numeric ordering key: "
+            f"{id_col!r} is {key_type.simpleString()}"
+        )
+
     tok = F.split(F.col(text) if isinstance(text, str) else text, " ")
     base = df.select(
         F.col(id_col),

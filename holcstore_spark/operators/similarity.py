@@ -71,7 +71,16 @@ def cosine_q_arrow(a: Column, b: Column) -> Column:
         dot = (A * B).sum(axis=1)
         na = (A * A).sum(axis=1).astype(np.float64)
         nb = (B * B).sum(axis=1).astype(np.float64)
-        return pd.Series(dot.astype(np.float64) / (np.sqrt(na) * np.sqrt(nb)))
+        denom = np.sqrt(na) * np.sqrt(nb)
+        # zero-norm vectors: the Column twin's double divide-by-zero
+        # yields NULL (sorted last in a desc top-k window); numpy would
+        # yield NaN/Inf, which Spark sorts ABOVE every double — mask to
+        # NULL so a zero vector can never become the rank-1 neighbour
+        zero = denom == 0
+        vals = dot.astype(np.float64) / np.where(zero, 1.0, denom)
+        res = pd.array(vals, dtype="Float64")
+        res[zero] = pd.NA
+        return pd.Series(res)
 
     return cos(a, b)
 

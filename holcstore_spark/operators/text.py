@@ -364,7 +364,10 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), n_windows),
         lambda j: F.array_min(F.slice(hashes, j, w)),
     )
-    return F.array_sort(F.array_distinct(mins))
+    # NULL text yields NULL, not [NULL]: greatest() ignores the NULL
+    # length so the pipeline above would otherwise emit a 1-element
+    # array holding a null hash
+    return F.when(c.isNotNull(), F.array_sort(F.array_distinct(mins)))
 
 
 def winnow_fingerprints_arrow(
@@ -386,7 +389,11 @@ def winnow_fingerprints_arrow(
 
         out = []
         for s in texts:
-            s = s or ""
+            # NULL text propagates as NULL, matching the Column twin
+            # (coercing to "" would emit the empty string's fingerprint)
+            if s is None or (isinstance(s, float) and pd.isna(s)):
+                out.append(None)
+                continue
             n_grams = max(len(s) - (k - 1), 1)
             hashes = np.fromiter(
                 (

@@ -155,6 +155,27 @@ class TestSimilarity:
         assert [r["neighbor_id"] for r in out] == [1, 4]
         assert out[0]["score"] > 0.98
 
+    def test_brute_force_zero_vector_scores_null_and_ranks_last(self, spark):
+        # a zero-norm vector must score NULL (matching cosine_q's
+        # divide-by-zero NULL), never NaN — Spark sorts NaN above every
+        # double, which would make the zero vector the rank-1 neighbour
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        q = d.filter(F.col("vec_id") == 0)
+        out = brute_force_topk(d, q, k=1).collect()
+        assert [r["neighbor_id"] for r in out] == [1]
+        scores = {
+            r["neighbor_id"]: r["score"]
+            for r in brute_force_topk(d, q, k=2).collect()
+        }
+        assert scores[2] is None
+
     def test_lsh_topk_subset_of_bruteforce_scores(self, vectors):
         q = vectors.filter(F.col("vec_id") == 0)
         bf = {r["neighbor_id"]: r["score"]
@@ -407,6 +428,19 @@ class TestPackingAndContamination:
         assert rows[1]["start_block"] == 0 and rows[1]["end_block"] == 1
         assert rows[2]["start_offset"] == 3
 
+    def test_pack_manifest_rejects_non_numeric_key(self, spark):
+        # a string key would NULL-out __bucket and the inner bucket join
+        # would silently drop rows — must raise instead
+        import pytest
+
+        from holcstore_spark.operators.packing import pack_manifest
+
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ["a", "b"], "text": ["x", "y"]})
+        )
+        with pytest.raises(TypeError, match="numeric ordering key"):
+            pack_manifest(d)
+
     def test_ngram_contamination_thresholds(self, spark):
         from holcstore_spark.operators.contamination import ngram_contamination
 
@@ -557,8 +591,8 @@ class TestPackingAndContamination:
 
         d = spark.createDataFrame(
             pd.DataFrame({
-                "doc_id": [1, 2, 3, 4],
-                "text": [DOC, DOC[:5], "", "x" * 100],
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [DOC, DOC[:5], "", "x" * 100, None],
             })
         )
         a = {r["doc_id"]: r["fp"] for r in
@@ -567,6 +601,7 @@ class TestPackingAndContamination:
              d.select("doc_id",
                       winnow_fingerprints_arrow("text").alias("fp")).collect()}
         assert a == b
+        assert a[5] is None  # NULL text propagates, not fingerprint("")
 
     def test_resize_strict_real_pixels_roundtrip(self, spark):
         # 4×2 PPM downsampled by 2 → 2×1 keeping pixels (0,0) and (0,2);
