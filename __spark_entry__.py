@@ -1887,6 +1887,46 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (stdlib zlib, no codec library): each document's
+    printable-ASCII pixel string is encoded as a colour-type-2 PNG whose
+    scanline filters cycle y % 5 (None/Sub/Up/Average/Paeth), then
+    ``decode_strict`` inflates + unfilters it. Filters are lossless, so
+    the oracle reconstructs means/digest from the pixel string directly
+    — any inflate or unfilter bug fails the hash."""
+    from holcstore_spark.operators.multimodal import decode_strict, encode_png
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn("ascii_t", F.regexp_replace("text", "[^ -~]", ""))
+        .withColumn("pix", F.expr("rpad(ascii_t, 3*w*h, 'x')"))
+        .select("doc_id", "w", "h", "pix")
+    )
+
+    def to_png(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            outs = [
+                encode_png(
+                    np.frombuffer(p.encode("ascii"), dtype=np.uint8)
+                    .reshape(h, w, 3),
+                    filter_cycle=True,
+                )
+                for p, w, h in zip(pdf["pix"], pdf["w"], pdf["h"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
+
+    enc = base.mapInPandas(to_png, "doc_id bigint, payload binary")
+    return decode_strict(enc).select(
+        "doc_id", "codec", "width", "height",
+        "mean_r", "mean_g", "mean_b", "pixel_digest",
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (no stub): each document's printable-ASCII text
     becomes the 8-bit PCM payload of a mono WAV; ``decode_audio_strict``
@@ -2108,7 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "multimodal_meta": q_multimodal_meta,
         # -- (d) new in round 5 -----------------------------------------
-        # (new queries are inserted here as they land)
+        "multimodal_png": q_multimodal_png,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
@@ -2126,13 +2166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
-        "range_join": q_range_join,
         "stream_rollup": q_stream_rollup,
         "stream_gaps": q_stream_gaps,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         # ====== driver 50-entry window usually ends around here ========
         # -- tail: all r4-green, rotate back into the window next round -
+        "range_join": q_range_join,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_audio": q_multimodal_audio,
         "event_rollup": q_event_rollup,
@@ -3419,6 +3459,36 @@ def oracle_sql() -> dict[str, str]:
                       FROM base)
             )
             SELECT doc_id, 'ppm' AS codec, w AS width, h AS height,
+                   CAST(sum(CASE WHEN (i-1) % 3 = 0 THEN v ELSE 0 END) AS DOUBLE)
+                       / (w * h) AS mean_r,
+                   CAST(sum(CASE WHEN (i-1) % 3 = 1 THEN v ELSE 0 END) AS DOUBLE)
+                       / (w * h) AS mean_g,
+                   CAST(sum(CASE WHEN (i-1) % 3 = 2 THEN v ELSE 0 END) AS DOUBLE)
+                       / (w * h) AS mean_b,
+                   md5(pix) AS pixel_digest
+            FROM px GROUP BY doc_id, w, h, pix
+        """,
+        # PNG filters are lossless, so the decode of the filter-cycled
+        # PNG must reproduce the exact pixel-string stats — same oracle
+        # as the PPM decode, codec aside
+        "multimodal_png": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(4 + doc_id % 5 AS INT) AS w,
+                       CAST(3 + doc_id % 4 AS INT) AS h,
+                       rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                            CAST(3 * (4 + doc_id % 5) * (3 + doc_id % 4) AS INT),
+                            'x') AS pix
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h, pix,
+                       CAST(i AS INT) AS i,
+                       ascii(substring(pix, CAST(i AS INT), 1)) AS v
+                FROM (SELECT *, unnest(range(1, CAST(length(pix) + 1 AS BIGINT))) AS i
+                      FROM base)
+            )
+            SELECT doc_id, 'png' AS codec, w AS width, h AS height,
                    CAST(sum(CASE WHEN (i-1) % 3 = 0 THEN v ELSE 0 END) AS DOUBLE)
                        / (w * h) AS mean_r,
                    CAST(sum(CASE WHEN (i-1) % 3 = 1 THEN v ELSE 0 END) AS DOUBLE)

@@ -1,12 +1,12 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata.
 
-``decode_strict`` REALLY decodes the pure-python-decodable formats (PPM
-P6, uncompressed 24-bit BMP) with header parsing + numpy pixel math.
-Compressed formats (JPEG/PNG/video) need codec libraries absent in this
-environment — those stay STUBBED behind ``decode_stub`` (deterministic
-fake with the real Arrow-batched ``mapInPandas`` plumbing, batch shapes
-and partitioning).
+``decode_strict`` REALLY decodes the dependency-free formats (PPM P6,
+uncompressed 24-bit BMP, and PNG via stdlib ``zlib`` + scanline
+unfiltering) with header parsing + numpy pixel math. Formats that
+genuinely need codec libraries absent in this environment (JPEG/video)
+stay STUBBED behind ``decode_stub`` (deterministic fake with the real
+Arrow-batched ``mapInPandas`` plumbing, batch shapes and partitioning).
 
 At 100 TB the pattern is: binary payloads stay in their own column (Parquet
 keeps them out of unrelated scans via column pruning), metadata extraction
@@ -140,8 +140,166 @@ def _parse_bmp(b: bytes) -> tuple[int, int, "np.ndarray"]:
     return w, h, rows[..., ::-1]  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> "np.ndarray":
+    """Reverse the PNG per-scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Up/None are vectorized; Sub/Average/Paeth carry a
+    per-byte dependency on the already-reconstructed left neighbour, so
+    those rows run a (stride-bounded) Python loop — fixture-scale
+    images, and each Arrow batch decodes many rows in parallel tasks."""
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        line = lines[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b_up = int(prev[x])
+                p = a + b_up - c
+                pa, pb, pc = abs(p - a), abs(p - b_up), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b_up if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+def _parse_png(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse a PNG with the stdlib only: chunk walk (IHDR/PLTE/IDAT),
+    ``zlib`` inflate, per-scanline unfilter, channel mapping to RGB.
+    Supports bit depth 8, colour types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced; alpha is dropped (the
+    decode contract reports RGB stats). Returns (w, h, HxWx3 uint8)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        size, ctype = struct.unpack_from(">I4s", b, pos)
+        body = b[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[..., :3]
+    elif color in (0, 4):
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    else:  # palette lookup
+        if int(px.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[px[..., 0]]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def encode_png(arr: "np.ndarray", filter_cycle: bool = False) -> bytes:
+    """Minimal PNG encoder for fixtures (colour type 2, depth 8). With
+    ``filter_cycle`` each scanline y uses filter type y % 5, exercising
+    every unfilter branch — the filters are lossless, so a decode that
+    does not reproduce the exact input bytes is an unfilter bug."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    arr = arr.astype(np.int32)
+    lines = []
+    for y in range(h):
+        row = arr[y].reshape(-1)
+        f = (y % 5) if filter_cycle else 0
+        prev = arr[y - 1].reshape(-1) if y else np.zeros(w * 3, dtype=np.int32)
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(3, dtype=np.int32), row[:-3]])
+            enc = (row - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (row - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(3, dtype=np.int32), row[:-3]])
+            enc = (row - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            left = np.concatenate([np.zeros(3, dtype=np.int32), row[:-3]])
+            ul = np.concatenate([np.zeros(3, dtype=np.int32), prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (row - pred) & 0xFF
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 #: codec sniffers tried in order by :func:`decode_strict`
-_DECODERS = (("ppm", b"P6", _parse_ppm), ("bmp", b"BM", _parse_bmp))
+_DECODERS = (
+    ("ppm", b"P6", _parse_ppm),
+    ("bmp", b"BM", _parse_bmp),
+    ("png", _PNG_SIG, _parse_png),
+)
 
 
 def _parse_wav(b: bytes) -> tuple[int, int, int, "np.ndarray"]:
@@ -296,11 +454,11 @@ def encode_wav_pcm8(data: bytes, sample_rate: int = 8000) -> bytes:
 def decode_strict(
     df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL image decode for pure-python-decodable formats (PPM P6 and
-    uncompressed 24-bit BMP): header parse + numpy pixel math, no codec
-    libraries needed. Payloads in any other format raise — compressed
-    formats (JPEG/PNG/…) need PIL/ffmpeg, which this container lacks;
-    route those through :func:`decode_stub` instead.
+    """REAL image decode for pure-python-decodable formats (PPM P6,
+    uncompressed 24-bit BMP, and PNG — stdlib zlib inflate + unfilter):
+    header parse + numpy pixel math, no codec libraries needed. Payloads
+    in any other format raise — JPEG/video need PIL/ffmpeg, which this
+    container lacks; route those through :func:`decode_stub` instead.
 
     Output per payload: id, codec, width, height, per-channel means
     (mean_r/g/b as exact DOUBLEs) and the md5 digest of the raw RGB

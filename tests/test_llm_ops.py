@@ -343,6 +343,95 @@ class TestMultimodal:
         assert r["mean_g"] == flat[:, 1].mean()
         assert r["mean_b"] == flat[:, 2].mean()
 
+    def test_decode_strict_png_real_pixels_all_filters(self, spark):
+        # stdlib-zlib PNG decode: filter_cycle uses scanline filter y%5,
+        # so a single 6-row image exercises None/Sub/Up/Average/Paeth;
+        # filters are lossless — means + digest must equal the source
+        import hashlib as _hl
+
+        import numpy as np
+
+        from holcstore_spark.operators.multimodal import encode_png
+
+        rng = np.random.RandomState(7)
+        arr = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        png = encode_png(arr, filter_cycle=True)
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(png)]})
+        )
+        r = decode_strict(d).collect()[0]
+        assert (r["codec"], r["width"], r["height"]) == ("png", 5, 6)
+        flat = arr.reshape(-1, 3)
+        assert r["mean_r"] == flat[:, 0].mean()
+        assert r["mean_g"] == flat[:, 1].mean()
+        assert r["mean_b"] == flat[:, 2].mean()
+        assert r["pixel_digest"] == _hl.md5(arr.tobytes()).hexdigest()
+
+    def test_parse_png_color_types_and_errors(self):
+        # non-RGB colour types map to RGB (gray replicated, alpha
+        # dropped, palette looked up); malformed payloads raise
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from holcstore_spark.operators.multimodal import _PNG_SIG, _parse_png
+
+        def enc(px, color, plte=None):
+            h, w = px.shape[:2]
+            raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+            def chunk(t, body):
+                crc = zlib.crc32(t + body) & 0xFFFFFFFF
+                return (struct.pack(">I", len(body)) + t + body
+                        + struct.pack(">I", crc))
+
+            out = _PNG_SIG + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+            )
+            if plte is not None:
+                out += chunk(b"PLTE", plte.tobytes())
+            return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+        rng = np.random.RandomState(3)
+        g = rng.randint(0, 256, size=(4, 5, 1), dtype=np.uint8)
+        assert np.array_equal(_parse_png(enc(g, 0))[2], np.repeat(g, 3, axis=2))
+        ga = rng.randint(0, 256, size=(4, 5, 2), dtype=np.uint8)
+        assert np.array_equal(
+            _parse_png(enc(ga, 4))[2], np.repeat(ga[..., :1], 3, axis=2)
+        )
+        rgba = rng.randint(0, 256, size=(4, 5, 4), dtype=np.uint8)
+        assert np.array_equal(_parse_png(enc(rgba, 6))[2], rgba[..., :3])
+        plte = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+        pal = rng.randint(0, 8, size=(4, 5, 1), dtype=np.uint8)
+        assert np.array_equal(_parse_png(enc(pal, 3, plte))[2], plte[pal[..., 0]])
+        with pytest.raises(ValueError, match="not a PNG"):
+            _parse_png(b"\x89PNGxxxx")
+        with pytest.raises(ValueError, match="missing PLTE"):
+            _parse_png(enc(pal, 3))
+
+    def test_resize_strict_handles_png_input(self, spark):
+        # resize sniffs _DECODERS, so a PNG input downsamples and
+        # re-encodes to P6 just like PPM/BMP inputs
+        import numpy as np
+
+        from holcstore_spark.operators.multimodal import encode_png, resize_strict
+
+        arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1],
+                          "payload": [bytearray(encode_png(arr))]})
+        )
+        r = resize_strict(d, factor=2).collect()[0]
+        assert (r["width"], r["height"]) == (2, 2)
+        back = decode_strict(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [1], "payload": [r["payload"]]})
+            )
+        ).collect()[0]
+        kept = arr[::2, ::2].reshape(-1, 3)
+        assert back["mean_r"] == kept[:, 0].mean()
+
     def test_decode_strict_rejects_unknown_format(self, spark):
         d = attach_binary_payload(
             spark.createDataFrame(pd.DataFrame([(1, "x")], columns=["doc_id", "text"]))
