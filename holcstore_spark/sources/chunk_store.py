@@ -65,6 +65,16 @@ class SyncGuardError(Exception):
     (reference: chunk_timeserie_store.py:44-47,337-339,439-441)."""
 
 
+class ConcurrentWriteError(Exception):
+    """Another writer committed between this rewrite's read and its
+    overwrite. Plain Parquet has no row locks (the reference serializes
+    upserts with select_for_update, chunk_timeserie_store.py:786-789) —
+    the store is SINGLE-WRITER by contract, and this optimistic op_id
+    fence turns a detected violation into a loud failure instead of
+    silently-lost rows. Best-effort: a writer landing inside the final
+    check→overwrite window can still race; serialize writers externally."""
+
+
 _META_EXTRA = [
     ("chunk_index", T.IntegerType()),
     ("start_ts", T.TimestampType()),
@@ -295,10 +305,28 @@ class ChunkStore:
             .parquet(self._data_path)
         )
 
+    def _max_committed_op_id(self) -> int:
+        """Latest committed op_id from the meta log — a pyarrow
+        single-column read of a metadata-sized table, no Spark job."""
+        import pyarrow.dataset as pads
+
+        if not has_parquet(self._meta_path):
+            return -1
+        col = pads.dataset(self._meta_path).to_table(columns=["op_id"])
+        return int(col["op_id"].to_pandas().max()) if col.num_rows else -1
+
     def _rewrite_partitions(self, sdf_new: DataFrame, drop_pred, chunks=None) -> None:
         """Replace the partitions present in ``sdf_new``: keep other rows of
         those partitions, drop rows matching ``drop_pred``, union the new
-        rows, dynamic-partition-overwrite. (With Delta this is one MERGE.)"""
+        rows, dynamic-partition-overwrite. (With Delta this is one MERGE.)
+
+        SINGLE-WRITER contract: the checkpoint-then-overwrite below is not
+        transactional, so concurrent writers to the same store must be
+        serialized externally. An optimistic op_id fence detects a writer
+        that committed while our keep-set was being materialized and
+        raises :class:`ConcurrentWriteError` before the overwrite can drop
+        that writer's rows (see README §operational-constraints)."""
+        fence_op_id = self._max_committed_op_id()
         if chunks is None:
             chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
         existing = self.data().filter(F.col("chunk_index").isin(chunks))
@@ -306,6 +334,13 @@ class ChunkStore:
         combined = keep.unionByName(sdf_new.select(*[f.name for f in self._data_schema()]))
         # materialize before overwriting the files the plan reads from
         combined = safe_local_checkpoint(combined)
+        latest = self._max_committed_op_id()
+        if latest != fence_op_id:
+            raise ConcurrentWriteError(
+                f"meta op_id advanced {fence_op_id} -> {latest} during "
+                f"rewrite of chunks {chunks}; aborting before the overwrite "
+                f"could drop the concurrent writer's rows"
+            )
         (
             combined.repartition("chunk_index", *self.config.keys)
             .sortWithinPartitions(*self.config.keys, "ts")
@@ -586,7 +621,11 @@ class ChunkStore:
         chunk_index) *pair* present in the new frame. Anti-joining on keys
         alone would erase a key's rows in every touched partition even for
         chunks the new frame doesn't cover for that key (silent data loss
-        when a batch mixes keys across chunks)."""
+        when a batch mixes keys across chunks).
+
+        Same SINGLE-WRITER contract and optimistic op_id fence as
+        :meth:`_rewrite_partitions`."""
+        fence_op_id = self._max_committed_op_id()
         cols = [f.name for f in self._data_schema()]
         chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
         existing = self.data().filter(F.col("chunk_index").isin(chunks))
@@ -596,6 +635,13 @@ class ChunkStore:
             how="left_anti",
         ).select(*cols)
         combined = safe_local_checkpoint(keep.unionByName(sdf_new.select(*cols)))
+        latest = self._max_committed_op_id()
+        if latest != fence_op_id:
+            raise ConcurrentWriteError(
+                f"meta op_id advanced {fence_op_id} -> {latest} during "
+                f"rewrite of chunks {chunks}; aborting before the overwrite "
+                f"could drop the concurrent writer's rows"
+            )
         (
             combined.repartition("chunk_index", *self.config.keys)
             .sortWithinPartitions(*self.config.keys, "ts")
@@ -785,6 +831,57 @@ class ChunkStore:
             s = s.loc[valid.idxmax(): valid[::-1].idxmax()]
         return s
 
+    def get_batch_ts(
+        self,
+        attrs_list: list[dict],
+        start=None,
+        end=None,
+        drop_bounds_na: bool = True,
+    ) -> dict[tuple, pd.Series]:
+        """Batched point reads: N keyed range reads answered by ONE pruned
+        Spark job, split into per-key series at the pandas edge.
+
+        Returns ``{tuple(key values in config.keys order): pd.Series}``;
+        keys with no alive data are absent, matching :meth:`get_ts`'s
+        ``None``. Per-key semantics (tz rendering, NaN-bound trim) are
+        identical to N sequential ``get_ts`` calls — this exists because
+        each Spark job carries a fixed scheduling cost (~hundreds of ms),
+        so N point reads cost N jobs sequentially but ~1 job batched.
+
+        The key predicate is a per-column IN list, which reaches the
+        parquet scan as a pushed filter (exact for single-key stores; a
+        coarse superset for composite keys, tightened exactly at the
+        edge). Driver memory holds the N requested series — the same
+        bound as the sequential loop it replaces; for unbounded scans
+        use :meth:`yield_many_ts`.
+        """
+        keys = self.config.keys
+        for a in attrs_list:
+            self._ensure_all_attrs(a)
+        if not attrs_list:
+            return {}
+        coarse = {
+            f"{k}__in": sorted({a[k] for a in attrs_list}) for k in keys
+        }
+        wanted = {tuple(a[k] for k in keys) for a in attrs_list}
+        d = self.alive_data(coarse, start, end)
+        pdf = d.select(*keys, "ts", "value").toPandas()
+        out: dict[tuple, pd.Series] = {}
+        for kt, g in pdf.groupby(list(keys), sort=False):
+            kt = kt if isinstance(kt, tuple) else (kt,)
+            if kt not in wanted:  # composite-key cross-product residue
+                continue
+            s = long_to_series(g.reset_index(drop=True), self.config.tz)
+            if s is None:
+                continue
+            if drop_bounds_na:
+                valid = s.notna()
+                if not valid.any():
+                    continue
+                s = s.loc[valid.idxmax(): valid[::-1].idxmax()]
+            out[kt] = s
+        return out
+
     def yield_many_ts(
         self,
         filters: dict | None = None,
@@ -821,7 +918,13 @@ class ChunkStore:
         pdf = pd.DataFrame({"ts": ts_buf, "value": val_buf})
         return long_to_series(pdf, self.config.tz)
 
-    def get_many_ts(self, filters: dict | None = None, start=None, end=None):
+    def get_many_ts(self, filters=None, start=None, end=None):
+        """Multi-series read. A LIST of full-key attr dicts dispatches to
+        the batched point-read path (:meth:`get_batch_ts`, one Spark job,
+        ``{key_tuple: series}``); a dict/None filter keeps the
+        reference-parity materialized scan (list of (series, key))."""
+        if isinstance(filters, (list, tuple)):
+            return self.get_batch_ts(filters, start, end)
         return list(self.yield_many_ts(filters, start, end))
 
     # ------------------------------------------------------------------

@@ -43,7 +43,22 @@ _BASE_FIELDS = [
 ]
 
 
+class EdgeMemoryError(Exception):
+    """A combine-on-read multi-get would materialize more rows at the
+    driver than :attr:`KeyValueStore.max_edge_rows` allows. Batch the
+    prm list, tighten ``custom_filters``, or raise the bound knowingly
+    — the pandas edge buffers the full combined frame by contract
+    (reference returns in-memory series), so the cap is the only thing
+    standing between a million-prm multi-get and a driver OOM."""
+
+
 class KeyValueStore:
+    #: driver-side row cap for the pandas edge (get_lc / get_many_lc).
+    #: ~10M rows ≈ a few hundred MB buffered; override per instance for
+    #: bigger drivers. Enforced with limit(n+1), not a count() pre-pass,
+    #: so the guard costs no extra Spark job.
+    max_edge_rows: int = 10_000_000
+
     def __init__(self, spark: SparkSession, path: str, attr_cols: tuple[str, ...] = ()):
         """``attr_cols``: optional extra indexation columns (reference:
         ``attributes_to_set`` / subclassed model fields, README.md:199-204).
@@ -229,6 +244,19 @@ class KeyValueStore:
             self._overwrite_client(client_id, old.unionByName(new.drop("__series_ord")))
 
     # ------------------------------------------------------------------
+    def _edge_collect(self, ordered: DataFrame) -> pd.DataFrame:
+        """Bounded driver materialization: collect at most
+        ``max_edge_rows`` rows (+1 sentinel) and fail loudly past the cap
+        instead of OOM-ing the driver on an unbounded multi-get."""
+        pdf = ordered.limit(self.max_edge_rows + 1).toPandas()
+        if len(pdf) > self.max_edge_rows:
+            raise EdgeMemoryError(
+                f"combine-on-read result exceeds max_edge_rows="
+                f"{self.max_edge_rows}; batch the prm list, tighten "
+                f"custom_filters, or raise the bound"
+            )
+        return pdf
+
     def _decode_groups(self, pdf: pd.DataFrame, group_cols: list[str]) -> list[dict]:
         out = []
         for gkey, gdf in pdf.groupby(group_cols, dropna=False, sort=False):
@@ -292,7 +320,7 @@ class KeyValueStore:
             d = d.filter(F.col("version") == int(version))
 
         if not combined_versions:
-            pdf = d.orderBy(*order_cols(order_by), "ts", "ts_num").toPandas()
+            pdf = self._edge_collect(d.orderBy(*order_cols(order_by), "ts", "ts_num"))
             out: dict[str, list[dict]] = {}
             for entry in self._decode_groups(pdf, ["prm", "version"]):
                 out.setdefault(entry["prm"], []).append(entry)
@@ -315,7 +343,7 @@ class KeyValueStore:
         # one row per group — always broadcastable
         vmax = d.groupBy(*combined_by).agg(F.max("version").alias("version"))
         combined = combined.join(F.broadcast(vmax), on=list(combined_by), how="left")
-        pdf = combined.orderBy("__idx").toPandas()
+        pdf = self._edge_collect(combined.orderBy("__idx"))
         out = {}
         group_cols = list(dict.fromkeys(["prm", *combined_by, "version"]))
         for entry in self._decode_groups(pdf, group_cols):

@@ -71,6 +71,13 @@ def run(shape: str) -> None:
         assert s is not None and len(s) >= periods - 1
     t_read = time.perf_counter() - t0
 
+    # batched point reads: same keys, ONE Spark job via get_many_ts(list)
+    t0 = time.perf_counter()
+    batched = store.get_many_ts([{"key": k} for k in read_keys])
+    t_batch = time.perf_counter() - t0
+    assert len(batched) == len(read_keys)
+    assert all(len(s) >= periods - 1 for s in batched.values())
+
     # full scan (yield_many equivalent volume): distributed agg over all rows
     t0 = time.perf_counter()
     got = store.alive_data().groupBy().agg(
@@ -83,6 +90,8 @@ def run(shape: str) -> None:
         f"insert={t_insert:.1f}s ({n_rows / t_insert / 1e6:.2f}M rows/s) "
         f"read[{len(read_keys)} keys]={t_read:.1f}s "
         f"({t_read / len(read_keys) * 1000:.0f}ms/key) "
+        f"batch_read[{len(read_keys)} keys]={t_batch:.1f}s "
+        f"({t_batch / len(read_keys) * 1000:.0f}ms/key) "
         f"scan_all={t_scan:.1f}s ({got['n'] / t_scan / 1e6:.1f}M rows/s)"
     )
     shutil.rmtree(path, ignore_errors=True)

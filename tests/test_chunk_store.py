@@ -153,6 +153,46 @@ class TestRangeReads:
         assert a.index.min() == pd.Timestamp("2024-01-10", tz="Europe/Paris")
         assert a.index.max() == pd.Timestamp("2024-01-20", tz="Europe/Paris")
 
+    def test_get_many_ts_matches_per_key_get_ts(self, spark, tmpdir):
+        # one batched job ≡ N sequential get_ts calls, including range
+        # bounds, NaN-bound trim, deleted and absent keys (composite key
+        # store: the coarse per-column IN pushdown over-selects — e.g.
+        # requesting (s1,m1) and (s2,m2) also scans (s1,m2) — and the
+        # edge split must drop the residue)
+        st = make_store(spark, tmpdir)
+        s1 = hourly("2024-01-01", 24 * 10, seed=1)
+        s2 = hourly("2024-02-01", 24 * 10, seed=2)
+        s3 = hourly("2024-01-15", 24 * 10, value=7.0)
+        s3.iloc[:5] = np.nan  # leading NaNs -> trimmed
+        st.set_ts({"site": "s1", "meter": "m1"}, s1)
+        st.set_ts({"site": "s2", "meter": "m2"}, s2)
+        st.set_ts({"site": "s1", "meter": "m3"}, s3)
+        st.set_ts({"site": "sdel", "meter": "m1"}, s1)
+        st.delete({"site": "sdel", "meter": "m1"})
+
+        asked = [
+            {"site": "s1", "meter": "m1"},
+            {"site": "s2", "meter": "m2"},
+            {"site": "s1", "meter": "m3"},
+            {"site": "sdel", "meter": "m1"},   # deleted -> absent
+            {"site": "zz", "meter": "m9"},     # never existed -> absent
+        ]
+        got = st.get_many_ts(asked)
+        assert set(got) == {("s1", "m1"), ("s2", "m2"), ("s1", "m3")}
+        for a in asked[:3]:
+            kt = (a["site"], a["meter"])
+            pd.testing.assert_series_equal(got[kt], st.get_ts(a))
+        # cross-product residue must NOT appear even though (s1, m2)
+        # passes the coarse per-column IN filters
+        assert ("s1", "m2") not in got
+
+        bounded = st.get_many_ts(asked[:2], start="2024-01-03", end="2024-02-05")
+        pd.testing.assert_series_equal(
+            bounded[("s1", "m1")],
+            st.get_ts(asked[0], start="2024-01-03", end="2024-02-05"),
+        )
+        assert st.get_many_ts([]) == {}
+
     def test_absent_key_returns_none(self, spark, tmpdir):
         st = make_store(spark, tmpdir)
         st.set_ts(ATTRS, hourly("2024-01-01", 24))
@@ -279,6 +319,49 @@ class TestLocalRead:
         t0 = time.perf_counter()
         st.get_ts_local(ATTRS)
         assert time.perf_counter() - t0 < 0.5
+
+
+class TestConcurrentWriteFence:
+    def test_interleaved_writer_fails_loudly(self, spark, tmpdir, monkeypatch):
+        # plain Parquet has no row locks (the reference serializes upserts
+        # with select_for_update) — the store is single-writer by contract,
+        # and the op_id fence must turn a detected interleave into
+        # ConcurrentWriteError, never silently drop the other writer's rows
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-01", 48))
+        other = ChunkStore(spark, st.path, st.config)
+
+        real = cs_mod.safe_local_checkpoint
+        # set_ts checkpoints once itself (call 1) BEFORE the fence
+        # captures; the rewrite's keep-set checkpoint is call 2 — a write
+        # landing there is inside the fence window and must be detected
+        calls = {"n": 0}
+
+        def inject(df):
+            out = real(df)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                # a second writer commits while our keep-set materializes
+                other.set_ts({"site": "s9", "meter": "m9"},
+                             hourly("2024-01-01", 24))
+            return out
+
+        monkeypatch.setattr(cs_mod, "safe_local_checkpoint", inject)
+        with pytest.raises(cs_mod.ConcurrentWriteError, match="op_id advanced"):
+            st.set_ts(ATTRS, hourly("2024-01-01", 48, value=2.0), replace=True)
+        monkeypatch.setattr(cs_mod, "safe_local_checkpoint", real)
+        # the concurrent writer's rows survived the aborted rewrite
+        assert other.get_ts({"site": "s9", "meter": "m9"}) is not None
+        assert st.get_ts(ATTRS) is not None
+
+    def test_single_writer_rewrite_unaffected(self, spark, tmpdir):
+        # no interleave -> fence is silent and replace works as before
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-01", 48))
+        st.set_ts(ATTRS, hourly("2024-01-01", 48, value=2.0), replace=True)
+        assert (st.get_ts(ATTRS) == 2.0).all()
 
 
 class TestAggregates:

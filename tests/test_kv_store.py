@@ -175,6 +175,27 @@ class TestBulk:
         assert len(got) == 1 and got[0]["version"] == 1
         assert got[0]["data"].iloc[0] == 2.0
 
+    def test_edge_row_cap_fails_loudly_not_oom(self, kv):
+        # the pandas edge buffers the whole combined frame by contract; a
+        # multi-get past max_edge_rows must raise EdgeMemoryError (via a
+        # limit(n+1) sentinel, no extra count job), not OOM the driver
+        from holcstore_spark.sources.kv_store import EdgeMemoryError
+
+        kv.set_many_lc(
+            {f"p{i}": dt_series([1, 2, 3]) for i in range(4)}, client_id=1
+        )
+        kv.max_edge_rows = 5  # 4 prms x 3 rows = 12 > 5
+        with pytest.raises(EdgeMemoryError, match="max_edge_rows"):
+            kv.get_many_lc([f"p{i}" for i in range(4)], client_id=1)
+        with pytest.raises(EdgeMemoryError, match="max_edge_rows"):
+            kv.get_many_lc([f"p{i}" for i in range(4)], client_id=1,
+                           combined_versions=False)
+        # under the cap both paths still work
+        kv.max_edge_rows = 10_000_000
+        assert set(kv.get_many_lc([f"p{i}" for i in range(4)], 1)) == {
+            "p0", "p1", "p2", "p3"
+        }
+
     def test_find_holes_rejects_extra_combined_by(self, kv):
         kv.set_lc("p1", dt_series([1, 2]), client_id=1)
         with pytest.raises(ValueError, match="combined_by"):
