@@ -556,6 +556,39 @@ def q_store_yield_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_store_get_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S4 batched (round 5): ``get_many_ts(list)`` answers N keyed
+    range reads in ONE pruned Spark job (929→104 ms/key on H1); every
+    returned series re-aggregated must equal the source events inside
+    the requested range — same per-key semantics as sequential get_ts."""
+    import pandas as pd
+
+    store, path = _make_event_store(spark, sf_dir)
+    try:
+        users = sorted(
+            r[0] for r in
+            store.alive_chunks().select("user_id").distinct().collect()
+        )
+        asked = [{"user_id": int(u)} for u in users if u % 3 == 0]
+        got = store.get_many_ts(asked, start="2024-01-05", end="2024-01-20")
+        rows = []
+        for (uid,), s in sorted(got.items()):
+            valid = s.dropna()
+            rows.append((
+                int(uid),
+                int(len(valid)),
+                valid.index.min().tz_convert("UTC").strftime("%Y-%m-%d %H:%M:%S"),
+                valid.index.max().tz_convert("UTC").strftime("%Y-%m-%d %H:%M:%S"),
+            ))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "n_points", "first_ts", "last_ts"]),
+            schema="user_id long, n_points long, first_ts string, last_ts string",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_attr_store_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S8/M3 end-to-end: AttrStore set + update(combine_first) + partial-
     attrs read. Users bucket into 10 groups; each group's hourly max series
@@ -2149,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         # -- (d) new in round 5 -----------------------------------------
         "multimodal_png": q_multimodal_png,
+        "store_get_batch": q_store_get_batch,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
@@ -2167,11 +2201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
         "stream_rollup": q_stream_rollup,
-        "stream_gaps": q_stream_gaps,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         # ====== driver 50-entry window usually ends around here ========
         # -- tail: all r4-green, rotate back into the window next round -
+        "stream_gaps": q_stream_gaps,
         "range_join": q_range_join,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_audio": q_multimodal_audio,
@@ -2584,6 +2618,22 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '{_FMT_DUCK}') AS first_ts,
                strftime(max(ts), '{_FMT_DUCK}') AS last_ts
         FROM hourly GROUP BY user_id
+    """
+    # batched get_many_ts: hourly aggregates for every 3rd user inside
+    # the requested [2024-01-05, 2024-01-20] range
+    store_get_batch = f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_points,
+               strftime(min(ts), '{_FMT_DUCK}') AS first_ts,
+               strftime(max(ts), '{_FMT_DUCK}') AS last_ts
+        FROM hourly
+        WHERE user_id % 3 = 0
+          AND ts >= TIMESTAMP '2024-01-05'
+          AND ts <= TIMESTAMP '2024-01-20'
+        GROUP BY user_id
     """
     kv_store_overlay = f"""
         WITH e AS ({ev}),
@@ -3362,6 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         "store_delete_tombstone": store_delete_tombstone,
         "store_max_horodate": store_max_horodate,
         "store_yield_many": store_yield_many,
+        "store_get_batch": store_get_batch,
         # sync_pull: client replica equals the server's hourly data
         "sync_pull": """
             WITH hourly AS (
