@@ -292,13 +292,24 @@ class ChunkStore:
     # ------------------------------------------------------------------
     # write paths
     # ------------------------------------------------------------------
+    def _cast_canonical(self, sdf: DataFrame, schema: T.StructType) -> DataFrame:
+        """Coerce a frame to the store's canonical column types and order.
+        Caller-supplied bulk frames may carry narrower dtypes (e.g. int32
+        keys vs the declared LongType); parquet refuses mixed physical
+        types across files of one table, so every write funnels through
+        this cast."""
+        return sdf.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
     def _append_data(self, sdf: DataFrame) -> None:
         # every data write sorts within tasks by (keys, ts): parquet
         # row-group min/max stats on the key columns then become tight, so
         # a keyed read skips other series' row groups inside the partition
         # (the property that replaces the reference's (keys, chunk) b-tree)
         (
-            sdf.repartition("chunk_index", *self.config.keys)
+            self._cast_canonical(sdf, self._data_schema())
+            .repartition("chunk_index", *self.config.keys)
             .sortWithinPartitions(*self.config.keys, "ts")
             .write.mode("append")
             .partitionBy("chunk_index")
@@ -331,7 +342,7 @@ class ChunkStore:
             chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
         existing = self.data().filter(F.col("chunk_index").isin(chunks))
         keep = existing.filter(~drop_pred).select(*[f.name for f in self._data_schema()])
-        combined = keep.unionByName(sdf_new.select(*[f.name for f in self._data_schema()]))
+        combined = keep.unionByName(self._cast_canonical(sdf_new, self._data_schema()))
         # materialize before overwriting the files the plan reads from
         combined = safe_local_checkpoint(combined)
         latest = self._max_committed_op_id()
@@ -402,6 +413,71 @@ class ChunkStore:
             .select(*self._META_COLS)
         )
 
+    def _meta_sdf_from_bounds(
+        self, bounds: DataFrame, updated_at: datetime, op_id: int
+    ) -> DataFrame:
+        """Insert-mode twin of :meth:`_meta_sdf_for` that derives the meta
+        rows ARITHMETICALLY from the per-key ``chunk_aligned_bounds`` frame
+        instead of re-aggregating the dense grid.
+
+        The dense grid is ``sequence(grid_start, grid_end, freq)`` per key,
+        so each chunk's point count and first point follow from pure unix
+        arithmetic on the chunk boundaries — O(keys × chunks) rows computed
+        from a metadata-sized frame, never a second pass over the data.
+        (At 100 TB the meta aggregate was a full extra scan of the ingested
+        grid; this removes it.) Exactness holds for any freq, including
+        freqs that don't divide the chunk length and DST-shifted chunks:
+        grid point k sits at ``grid_start + k*freq``; chunk ``ci`` owns
+        ``k ∈ [ceil((cs-lo)/f), min(ceil((ce-lo)/f), floor((hi-lo)/f)+1))``
+        where cs/ce are the chunk's UTC bounds and hi the inclusive grid
+        end. Verified identical to the grid aggregate by
+        tests/test_chunk_store.py (odd-freq + DST matrix)."""
+        unit = "year" if self.config.chunk_axis == ("year",) else "month"
+        tz = self.config.tz
+        f = int(self.config.freq_seconds)
+        lo_l = F.from_utc_timestamp("grid_start", tz)
+        hi_l = F.from_utc_timestamp("grid_end", tz)
+        if unit == "year":
+            ci_lo, ci_hi = F.year(lo_l), F.year(hi_l)
+        else:
+            ci_lo = F.year(lo_l) * 12 + F.month(lo_l) - 1
+            ci_hi = F.year(hi_l) * 12 + F.month(hi_l) - 1
+        b = bounds.withColumn(
+            "chunk_index", F.explode(F.sequence(ci_lo, ci_hi))
+        ).withColumn("chunk_index", F.col("chunk_index").cast("int"))
+
+        def chunk_start_utc(ci):
+            if unit == "year":
+                y, m = ci, F.lit(1)
+            else:
+                y, m = F.floor(ci / 12).cast("int"), (ci % 12 + 1).cast("int")
+            local = F.to_timestamp(F.make_date(y, m, F.lit(1)))
+            return F.to_utc_timestamp(local, tz)
+
+        ci = F.col("chunk_index")
+        lo = F.unix_timestamp("grid_start")
+        hi = F.unix_timestamp("grid_end")
+        cs = F.unix_timestamp(chunk_start_utc(ci))
+        ce = F.unix_timestamp(chunk_start_utc(ci + 1))
+        k0 = F.floor((cs - lo + f - 1) / f).cast("long")
+        k1 = F.least(
+            F.floor((ce - lo + f - 1) / f).cast("long"),
+            (F.floor((hi - lo) / f) + 1).cast("long"),
+        )
+        return (
+            b.select(
+                *self.config.keys,
+                "chunk_index",
+                F.timestamp_seconds(lo + k0 * f).alias("start_ts"),
+                (k1 - k0).alias("n_points"),
+            )
+            .filter(F.col("n_points") > 0)
+            .withColumn("updated_at", F.lit(updated_at))
+            .withColumn("op_id", F.lit(op_id).cast("long"))
+            .withColumn("is_deleted", F.lit(False))
+            .select(*self._META_COLS)
+        )
+
     def _tombstone_sdf(
         self, chunk_keys: DataFrame, updated_at: datetime, op_id: int
     ) -> DataFrame:
@@ -420,7 +496,9 @@ class ChunkStore:
         """Append a Spark-built meta frame. AQE coalesces the (metadata-
         sized) aggregate to few files; the log self-compacts past the
         threshold like the driver path."""
-        meta_sdf.select(*self._META_COLS).write.mode("append").parquet(self._meta_path)
+        self._cast_canonical(meta_sdf, self._meta_schema()).write.mode(
+            "append"
+        ).parquet(self._meta_path)
         self._invalidate_meta_cache()
         self._maybe_compact_meta()
 
@@ -629,6 +707,7 @@ class ChunkStore:
         cols = [f.name for f in self._data_schema()]
         chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
         existing = self.data().filter(F.col("chunk_index").isin(chunks))
+        sdf_new = self._cast_canonical(sdf_new, self._data_schema())
         keep = existing.join(
             sdf_new.select(*self.config.keys, "chunk_index").distinct(),
             on=[*self.config.keys, "chunk_index"],
@@ -696,14 +775,14 @@ class ChunkStore:
         if mode == "insert":
             if n_existing:
                 raise KeyExistsError("ingest_long(insert): some keys already exist")
-            # pure append: no files are overwritten, so no lineage cut is
-            # needed — persist (executor-local blocks) instead of
-            # localCheckpoint, which in local mode ships every block through
-            # task results and breaks on ~100M-row ingests
-            dense = dense.persist()
+            # pure append, SINGLE data pass: no files are overwritten so no
+            # lineage cut is needed, and the meta rows come arithmetically
+            # from the (checkpointed, metadata-sized) bounds frame — the
+            # dense grid is scanned exactly once, by the write itself
             self._append_data(dense)
-            self._append_meta_sdf(self._meta_sdf_for(dense, updated_at, op_id))
-            dense.unpersist()
+            self._append_meta_sdf(
+                self._meta_sdf_from_bounds(bounds, updated_at, op_id)
+            )
             return
 
         if mode == "update" and n_existing:

@@ -505,3 +505,87 @@ class TestDistributedMeta:
         n = st.delete({"k__lt": 60_000})
         assert n == 60_000
         assert st.count_keys() == 60_000
+
+    def test_ingest_narrow_key_dtype_casts_to_canonical(self, spark, tmpdir):
+        """A caller frame with int32 keys must not poison the parquet logs:
+        the declared key type is LongType, and parquet refuses mixed
+        INT32/INT64 physical types across files of one table. Both the data
+        and meta writes funnel through _cast_canonical (regression: a
+        set_ts-then-ingest_long store raised FAILED_READ_FILE on meta)."""
+        path = os.path.join(tmpdir, "narrow")
+        cfg = ChunkStoreConfig(keys=("k",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"k": "int"})
+        st = ChunkStore(spark, path, cfg)
+        idx = pd.date_range("2024-01-10", periods=24, freq="1h", tz="UTC")
+        st.set_ts({"k": 1}, pd.Series(1.0, index=idx))  # meta/data as long
+        src = spark.createDataFrame(
+            [(7, t.to_pydatetime(), 2.0) for t in idx],
+            schema="k int, ts timestamp, value double",  # int32 keys
+        )
+        st.ingest_long(src, mode="insert")
+        # both logs stay readable and typed long
+        assert dict(st.meta().dtypes)["k"] == "bigint"
+        assert dict(st.data().dtypes)["k"] == "bigint"
+        assert st.count_keys() == 2
+        assert len(st.get_ts({"k": 7}).dropna()) == 24
+        # rewrite path (update into the existing chunk) with int32 keys too
+        src2 = spark.createDataFrame(
+            [(9, t.to_pydatetime(), 3.0) for t in idx],
+            schema="k int, ts timestamp, value double",
+        )
+        st.ingest_long(src2, mode="update")
+        assert st.count_keys() == 3
+        assert len(st.get_ts({"k": 1}).dropna()) == 24  # survived the rewrite
+
+    @pytest.mark.parametrize(
+        "freq,freq_s,tz,axis",
+        [
+            ("1h", 3600, "UTC", ("year", "month")),
+            ("7h", 7 * 3600, "Europe/Paris", ("year", "month")),   # odd freq + DST spring
+            ("30min", 1800, "America/New_York", ("year", "month")),  # DST fall
+            ("1D", 86400, "Europe/Paris", ("year", "month")),      # 1d grid over a 23h day
+            ("1h", 3600, "Asia/Kolkata", ("year",)),               # +5:30 offset, year chunks
+            ("11h", 11 * 3600, "UTC", ("year",)),                  # freq not dividing chunk
+        ],
+    )
+    def test_meta_from_bounds_matches_grid_aggregate(
+        self, spark, tmpdir, freq, freq_s, tz, axis
+    ):
+        """The arithmetic insert-path meta (_meta_sdf_from_bounds, zero data
+        passes) must be row-identical to the dense-grid aggregate
+        (_meta_sdf_for) for every freq/tz/chunk-axis combination — including
+        freqs that don't divide the chunk length and DST-shifted chunks."""
+        from datetime import datetime, timezone
+
+        from holcstore_spark.functions.scalar import chunk_index_col
+        from holcstore_spark.operators.grid import (
+            chunk_aligned_bounds,
+            reindex_to_chunk_grid,
+        )
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
+
+        cfg = ChunkStoreConfig(keys=("k",), freq=freq, tz=tz, chunk_axis=axis,
+                               key_types={"k": "int"})
+        st = ChunkStore(spark, os.path.join(tmpdir, "meq"), cfg)
+        rows = []
+        spans = [(1, ("2024-01-15", "2024-03-20")), (2, ("2024-01-15", "2024-01-20"))]
+        for k, (s, e) in spans:
+            for t in pd.date_range(s, e, freq="13h", tz="UTC"):
+                rows.append((k, t.to_pydatetime(), 1.0))
+        sdf = spark.createDataFrame(rows, schema="k int, ts timestamp, value double")
+        bounds = safe_local_checkpoint(
+            chunk_aligned_bounds(sdf, ("k",), axis, tz, freq_s)
+        )
+        dense = reindex_to_chunk_grid(
+            sdf, ("k",), axis, tz, freq_s, bounds=bounds
+        ).withColumn("chunk_index", chunk_index_col("ts", axis, tz))
+        ua = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        m_grid = st._meta_sdf_for(dense, ua, 1).orderBy("k", "chunk_index").toPandas()
+        m_arith = (
+            st._meta_sdf_from_bounds(bounds, ua, 1)
+            .orderBy("k", "chunk_index").toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            m_grid.reset_index(drop=True), m_arith.reset_index(drop=True)
+        )
