@@ -1524,6 +1524,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("group_size") > 1).select("doc_id", "simhash", "group_size")
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection: MinHash-LSH pairs → connected
+    components → one representative per cluster (max n_chars, ties to the
+    lowest doc_id), with cluster size and drop count — the keep/drop
+    decision that actually ends a dedup pipeline."""
+    from holcstore_spark.operators.dedup import (
+        cluster_representatives,
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_candidate_pairs(
+        d, text="text", id_col="doc_id", n_hashes=16, bands=4, shingle_k=3
+    )
+    comp = connected_components(pairs)
+    return cluster_representatives(comp, d, id_col="doc_id", score="n_chars")
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-half quality filter (exact rank mode — integral
+    rank semantics for the oracle; the percentile-threshold scale path of
+    the same operator is pytest-covered)."""
+    from holcstore_spark.operators.text import quality_score, quality_top_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(d).select("doc_id", "lang", "quality")
+    return quality_top_fraction(q, 0.5, by="lang", id_col="doc_id")
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed cleaning pipeline: quality filter → exact dedup → LSH +
     Jaccard near-dup removal; per-source survivor counts."""
@@ -2183,6 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (d) new in round 5 -----------------------------------------
         "multimodal_png": q_multimodal_png,
         "store_get_batch": q_store_get_batch,
+        "dedup_representatives": q_dedup_representatives,
+        "quality_filter": q_quality_filter,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
@@ -2751,6 +2783,44 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT cluster_id, count(*) AS cluster_size
               FROM comp GROUP BY cluster_id) s USING (cluster_id)
     """
+    # same CTE chain as dedup_clusters, finished with per-cluster survivor
+    # selection: rep = first doc ordered by (n_chars DESC, doc_id ASC)
+    dedup_representatives = f"""
+        WITH RECURSIVE src AS ({_DOCS_WITH_DUPS_SQL}),
+        shingled AS ({_SHINGLES_SQL}),
+        sigs AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM shingled
+        ),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_key = r.band_key
+            WHERE l.doc_id < r.doc_id
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, comp) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(comp) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT c.cluster_id,
+               first(c.doc_id ORDER BY s.n_chars DESC, c.doc_id ASC) AS rep_id,
+               count(*) AS cluster_size,
+               count(*) - 1 AS n_dropped
+        FROM comp c JOIN src s USING (doc_id)
+        GROUP BY c.cluster_id
+    """
     dedup_jaccard = f"""
         WITH src AS ({_DOCS_WITH_DUPS_SQL}),
         shingled AS ({_SHINGLES_SQL}),
@@ -2956,6 +3026,35 @@ def oracle_sql() -> dict[str, str]:
                 + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 5.0, 1.0))
                 + least(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0 AS quality
         FROM s
+    """
+    # keep top ceil(n*0.5) per language by the same quality expression,
+    # ties (and ranks generally) broken by doc_id — fully integral ranks
+    quality_filter = f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS n_punct,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN {stopwords})) AS n_stop
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, lang,
+                   (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                    + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 5.0, 1.0))
+                    + least(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0 AS quality
+            FROM s
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM q
+        )
+        SELECT doc_id, lang, quality FROM r WHERE rn <= ceil(n * 0.5)
     """
     clean_corpus = f"""
         WITH src0 AS ({_DOCS_WITH_DUPS_SQL}),
@@ -3448,6 +3547,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_clusters": dedup_clusters,
+        "dedup_representatives": dedup_representatives,
+        "quality_filter": quality_filter,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "clean_corpus": clean_corpus,

@@ -366,3 +366,43 @@ def connected_components(
         f"connected_components: no convergence after {max_iter} rounds "
         "(pathological chain — raise max_iter or pre-partition the graph)"
     )
+
+
+def cluster_representatives(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score: str = "n_chars",
+) -> DataFrame:
+    """Survivor selection — the final step of a near-dup pipeline: one
+    representative per duplicate cluster (highest ``score``, ties broken
+    by lowest id) plus cluster size and drop count.
+
+    Output: ``cluster_id, rep_id, cluster_size, n_dropped``.
+
+    Scale shape: ``components`` is the ``(node, comp)`` frame from
+    :func:`connected_components` — clustered docs only, tiny next to the
+    corpus — so the ``docs`` join ships one score per *clustered* doc and
+    the groupBy aggregates a metadata-sized frame. The argmax is a
+    ``max_by`` over a ``(score, -id)`` struct: deterministic, map-side
+    combinable, and never a window over the corpus. (No reference
+    analogue; 100 TB dedup-pipeline infrastructure.)
+    """
+    j = components.join(
+        docs.select(F.col(id_col).alias("node"), F.col(score).alias("__score")),
+        on="node",
+    )
+    tie = F.struct(F.col("__score"), (-F.col("node")).alias("neg_id"))
+    return (
+        j.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by("node", tie).alias("rep_id"),
+        )
+        .select(
+            F.col("comp").alias("cluster_id"),
+            "rep_id",
+            "cluster_size",
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+        )
+    )

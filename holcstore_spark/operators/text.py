@@ -127,6 +127,59 @@ def quality_score(df: DataFrame, text: str = "text",
     )
 
 
+def quality_top_fraction(
+    df: DataFrame,
+    frac: float,
+    by: str | None = "lang",
+    id_col: str = "doc_id",
+    quality: str = "quality",
+    mode: str = "exact",
+) -> DataFrame:
+    """Keep the top ``frac`` of documents per group by quality score — the
+    standard "train on the best half per language" corpus filter.
+
+    ``df`` must already carry the ``quality`` column (compose with
+    :func:`quality_score`).
+
+    mode='exact': rank semantics — ``row_number`` per group ordered by
+    (quality desc, id asc), keep ``rn <= ceil(n_group * frac)``. Integral
+    and tie-deterministic, but the window funnels each group through one
+    task: correct at test/moderate scale, NOT the 100 TB plan when ``by``
+    has low cardinality.
+
+    mode='threshold': the scale path — one aggregate pass computes each
+    group's approximate quality cutoff (``percentile_approx``, map-side
+    combinable sketch), broadcast back as a plain filter. No window, no
+    single-task group funnel; keeps ≈frac per group (sketch error and
+    boundary ties land on the keep side).
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    groups = [by] if by else []
+    if mode == "exact":
+        w = Window.partitionBy(*groups).orderBy(
+            F.col(quality).desc(), F.col(id_col).asc()
+        )
+        cw = Window.partitionBy(*groups)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(cw))
+            .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(frac))))
+            .drop("__rn", "__n")
+        )
+    if mode == "threshold":
+        cuts = df.groupBy(*groups).agg(
+            F.percentile_approx(quality, 1.0 - float(frac)).alias("__cut")
+        )
+        joined = (
+            df.join(F.broadcast(cuts), on=groups)
+            if groups
+            else df.crossJoin(F.broadcast(cuts))
+        )
+        return joined.filter(F.col(quality) >= F.col("__cut")).drop("__cut")
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def repetition_stats(
     df: DataFrame, text: str = "text", sep: str = " "
 ) -> DataFrame:

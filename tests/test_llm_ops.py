@@ -98,6 +98,61 @@ class TestDedup:
         assert comp[10] == comp[11] == comp[12] == comp[13] == 10
         assert len(comp) == 9
 
+    def test_cluster_representatives_argmax_and_ties(self, spark):
+        from holcstore_spark.operators.dedup import (
+            cluster_representatives,
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame([(1, 2), (2, 3), (4, 5)], columns=["id_a", "id_b"])
+        )
+        comp = connected_components(pairs)
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                # cluster {1,2,3}: 2 has max n_chars -> rep; cluster {4,5}:
+                # tie on n_chars -> lowest id (4) wins
+                [(1, 10), (2, 50), (3, 50 - 1), (4, 7), (5, 7), (9, 99)],
+                columns=["doc_id", "n_chars"],
+            )
+        )
+        reps = {
+            r["cluster_id"]: (r["rep_id"], r["cluster_size"], r["n_dropped"])
+            for r in cluster_representatives(comp, docs).collect()
+        }
+        assert reps == {1: (2, 3, 2), 4: (4, 2, 1)}  # doc 9 unclustered — absent
+
+    def test_quality_top_fraction_exact_and_threshold(self, spark):
+        from holcstore_spark.operators.text import quality_top_fraction
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(10),
+                "lang": ["en"] * 6 + ["fr"] * 4,
+                "quality": [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.95, 0.85, 0.75, 0.65],
+            }
+        )
+        d = spark.createDataFrame(pdf)
+        kept = quality_top_fraction(d, 0.5, by="lang").collect()
+        ids = sorted(r["doc_id"] for r in kept)
+        assert ids == [0, 1, 2, 6, 7]  # ceil(6*0.5)=3 en, ceil(4*0.5)=2 fr
+        # threshold mode (scale path): approximate — everything the exact
+        # rank keeps survives, plus at most the sketch's one boundary doc
+        # per group (percentile_approx lands the cutoff ON a data value)
+        thr = sorted(
+            r["doc_id"]
+            for r in quality_top_fraction(d, 0.5, by="lang", mode="threshold").collect()
+        )
+        assert set(ids) <= set(thr)
+        assert len(thr) <= len(ids) + 2  # one boundary doc per group max
+        # ungrouped + bad args
+        allkept = quality_top_fraction(d, 1.0, by=None).count()
+        assert allkept == 10
+        with pytest.raises(ValueError):
+            quality_top_fraction(d, 0.0)
+        with pytest.raises(ValueError):
+            quality_top_fraction(d, 0.5, mode="nope")
+
     def test_clean_corpus_cluster_resolution(self, spark):
         # doc3 is near both doc1 and doc2, but doc1~doc2 falls below the
         # threshold: pairwise drop keeps {1, 2}; cluster mode keeps only 1
