@@ -61,6 +61,17 @@ def get_spark(
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/scratch files on tmpfs when available: on this VM the backing
+    # disk's write throughput swings ~4x run-to-run, and shuffle spill files
+    # are transient by definition. Cluster analogue: fast local NVMe for
+    # spark.local.dir, never the durable data volume. Store parquet stays
+    # wherever the caller puts it — only Spark-internal scratch moves.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-scratch"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
