@@ -126,6 +126,33 @@ class TestOperatorPlans:
         }))
         assert "Exchange" not in plan_text(text_stats(d))
 
+    def test_quality_threshold_mode_no_window_broadcast_cuts(self, spark):
+        # the scale path must be window-free (a per-lang window funnels the
+        # corpus through len(langs) tasks) with the cutoffs broadcast
+        from holcstore_spark.operators.text import quality_top_fraction
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(8), "lang": ["en"] * 8,
+            "quality": [i / 10 for i in range(8)],
+        }))
+        txt = plan_text(quality_top_fraction(d, 0.5, by="lang", mode="threshold"))
+        assert n_nodes(txt, "Window") == 0, txt
+        assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt
+
+    def test_cluster_representatives_no_window(self, spark):
+        # argmax via max_by aggregate (map-side combinable), never a window
+        from holcstore_spark.operators.dedup import cluster_representatives
+
+        comp = spark.createDataFrame(pd.DataFrame({
+            "node": [1, 2], "comp": [1, 1]
+        }))
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2], "n_chars": [5, 9]
+        }))
+        txt = plan_text(cluster_representatives(comp, docs))
+        assert n_nodes(txt, "Window") == 0, txt
+        assert "max_by" in txt or "maxby" in txt.lower(), txt
+
     def test_hash_split_zero_exchange(self, spark):
         from holcstore_spark.operators.sampling import hash_split
 
