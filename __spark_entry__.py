@@ -1990,6 +1990,44 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (pure stdlib+numpy Huffman/IDCT, no codec
+    library): each document's printable-ASCII chars become the gray values
+    of uniform 8×8 blocks, forced even — a uniform block with even
+    (value-128) survives Annex-K quantization EXACTLY (DC = 8d, q=16 →
+    round(d/2) lossless), so encode→decode is bit-exact and the oracle
+    reconstructs means + md5 pixel digest from the construction. Any
+    entropy-decode, dequant or IDCT bug fails the hash."""
+    from holcstore_spark.operators.jpeg import encode_jpeg
+    from holcstore_spark.operators.multimodal import decode_strict
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("k", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn("ascii_t", F.regexp_replace("text", "[^ -~]", ""))
+        .withColumn("s", F.expr("rpad(ascii_t, k, 'x')"))
+        .select("doc_id", "k", "s")
+    )
+
+    def to_jpeg(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            outs = []
+            for s, k in zip(pdf["s"], pdf["k"]):
+                vs = np.frombuffer(s.encode("ascii"), dtype=np.uint8) & 0xFE
+                img = np.repeat(vs, 64).reshape(int(k) * 8, 8)
+                outs.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
+
+    enc = base.mapInPandas(to_jpeg, "doc_id bigint, payload binary")
+    return decode_strict(enc).select(
+        "doc_id", "codec", "width", "height",
+        "mean_r", "mean_g", "mean_b", "pixel_digest",
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (no stub): each document's printable-ASCII text
     becomes the 8-bit PCM payload of a mono WAV; ``decode_audio_strict``
@@ -2215,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_get_batch": q_store_get_batch,
         "dedup_representatives": q_dedup_representatives,
         "quality_filter": q_quality_filter,
+        "multimodal_jpeg": q_multimodal_jpeg,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
@@ -3649,6 +3688,33 @@ def oracle_sql() -> dict[str, str]:
                        / (w * h) AS mean_b,
                    md5(pix) AS pixel_digest
             FROM px GROUP BY doc_id, w, h, pix
+        """,
+        # uniform even-valued 8x8 gray blocks survive JPEG quantization
+        # exactly (see q_multimodal_jpeg): block i of doc = even(ascii of
+        # char i); the RGB buffer is 192 consecutive bytes of each value
+        "multimodal_jpeg": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(3 + doc_id % 4 AS INT) AS k,
+                       rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                            CAST(3 + doc_id % 4 AS INT), 'x') AS s
+                FROM documents
+            ),
+            blocks AS (
+                SELECT doc_id, k,
+                       list_transform(range(1, k + 1),
+                           i -> ascii(s[i]) - (ascii(s[i]) % 2)) AS vs
+                FROM base
+            )
+            SELECT doc_id, 'jpeg' AS codec,
+                   CAST(8 AS INT) AS width, CAST(8 * k AS INT) AS height,
+                   CAST(list_sum(vs) AS DOUBLE) / k AS mean_r,
+                   CAST(list_sum(vs) AS DOUBLE) / k AS mean_g,
+                   CAST(list_sum(vs) AS DOUBLE) / k AS mean_b,
+                   md5(array_to_string(
+                       list_transform(vs, v -> repeat(chr(CAST(v AS INT)), 192)),
+                       '')) AS pixel_digest
+            FROM blocks
         """,
         # nearest-neighbour downsample by 2: kept pixels are those whose
         # (row, col) are both even; pixel p (0-based) of the original

@@ -294,11 +294,21 @@ def encode_png(arr: "np.ndarray", filter_cycle: bool = False) -> bytes:
     )
 
 
+def _parse_jpeg(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Baseline JPEG via :mod:`holcstore_spark.operators.jpeg` (pure
+    stdlib + numpy: Huffman entropy decode, dequant, IDCT, chroma
+    upsample, YCbCr→RGB). Progressive/arithmetic raise ValueError."""
+    from holcstore_spark.operators.jpeg import parse_jpeg
+
+    return parse_jpeg(b)
+
+
 #: codec sniffers tried in order by :func:`decode_strict`
 _DECODERS = (
     ("ppm", b"P6", _parse_ppm),
     ("bmp", b"BM", _parse_bmp),
     ("png", _PNG_SIG, _parse_png),
+    ("jpeg", b"\xff\xd8\xff", _parse_jpeg),
 )
 
 
@@ -454,11 +464,12 @@ def encode_wav_pcm8(data: bytes, sample_rate: int = 8000) -> bytes:
 def decode_strict(
     df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL image decode for pure-python-decodable formats (PPM P6,
-    uncompressed 24-bit BMP, and PNG — stdlib zlib inflate + unfilter):
-    header parse + numpy pixel math, no codec libraries needed. Payloads
-    in any other format raise — JPEG/video need PIL/ffmpeg, which this
-    container lacks; route those through :func:`decode_stub` instead.
+    """REAL image decode, no codec libraries: PPM P6, uncompressed 24-bit
+    BMP, PNG (stdlib zlib inflate + unfilter) and baseline sequential
+    JPEG (pure-numpy Huffman + IDCT pipeline, operators/jpeg.py) — header
+    parse plus numpy pixel math. Payloads in any other format (video,
+    progressive JPEG) raise — those need ffmpeg/PIL, absent here; route
+    them through :func:`decode_stub` instead.
 
     Output per payload: id, codec, width, height, per-channel means
     (mean_r/g/b as exact DOUBLEs) and the md5 digest of the raw RGB

@@ -422,6 +422,60 @@ class TestMultimodal:
         assert r["mean_b"] == flat[:, 2].mean()
         assert r["pixel_digest"] == _hl.md5(arr.tobytes()).hexdigest()
 
+    def test_jpeg_uniform_even_blocks_bit_exact(self, spark):
+        # the exactness property the oracle relies on: uniform 8x8 blocks
+        # with even values survive quantization exactly (DC=8d, q=16,
+        # d even -> round(d/2) lossless; all AC zero)
+        import hashlib as _hl
+
+        import numpy as np
+
+        from holcstore_spark.operators.jpeg import encode_jpeg
+
+        vals = [32, 64, 100, 126, 90, 54]
+        img = np.repeat(np.array(vals, dtype=np.uint8), 64).reshape(-1, 8)
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(encode_jpeg(img))]})
+        )
+        r = decode_strict(d).collect()[0]
+        assert (r["codec"], r["width"], r["height"]) == ("jpeg", 8, 48)
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"] == sum(vals) / len(vals)
+        rgb = np.repeat(img[..., None], 3, axis=2)
+        assert r["pixel_digest"] == _hl.md5(rgb.tobytes()).hexdigest()
+
+    def test_jpeg_sampling_and_restart_matrix(self):
+        # 4:4:4 / 4:2:0, with and without restart markers, odd dims
+        # (pad/crop): decode error bounded by quantization loss
+        import numpy as np
+
+        from holcstore_spark.operators.jpeg import encode_jpeg, parse_jpeg
+
+        xs = np.linspace(40, 200, 37)
+        ys = np.linspace(60, 180, 21)
+        gx, gy = np.meshgrid(xs, ys)
+        img = np.stack([gx, gy, (gx + gy) / 2], axis=-1).astype(np.uint8)
+        for kw in ({}, {"subsample": True}, {"restart_interval": 3},
+                   {"subsample": True, "restart_interval": 2}):
+            w, h, rgb = parse_jpeg(encode_jpeg(img, **kw))
+            assert (w, h) == (37, 21)
+            err = np.abs(rgb.astype(int) - img.astype(int)).max()
+            assert err <= 16, (kw, err)
+
+    def test_jpeg_rejects_progressive_and_truncated(self):
+        import numpy as np
+
+        from holcstore_spark.operators.jpeg import encode_jpeg, parse_jpeg
+
+        jp = bytearray(encode_jpeg(np.full((8, 8), 100, dtype=np.uint8)))
+        bad = bytearray(jp)
+        bad[bad.index(b"\xc0", 2)] = 0xC2           # SOF0 -> SOF2
+        with pytest.raises(ValueError, match="progressive|baseline"):
+            parse_jpeg(bytes(bad))
+        with pytest.raises((ValueError, IndexError)):
+            parse_jpeg(bytes(jp[:40]))
+        with pytest.raises(ValueError):
+            parse_jpeg(b"\x00\x01\x02\x03")
+
     def test_parse_png_color_types_and_errors(self):
         # non-RGB colour types map to RGB (gray replicated, alpha
         # dropped, palette looked up); malformed payloads raise
