@@ -2271,11 +2271,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
+        # ====== driver 50-entry window ends here (34 + 16 above) =======
+        # -- tail: all r4-green, rotate back into the window next round -
         "stream_rollup": q_stream_rollup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
-        # ====== driver 50-entry window usually ends around here ========
-        # -- tail: all r4-green, rotate back into the window next round -
         "stream_gaps": q_stream_gaps,
         "range_join": q_range_join,
         "multimodal_frames": q_multimodal_frames,
