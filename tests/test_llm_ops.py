@@ -461,6 +461,36 @@ class TestMultimodal:
             err = np.abs(rgb.astype(int) - img.astype(int)).max()
             assert err <= 16, (kw, err)
 
+    def test_jpeg_16bit_dqt_and_merged_dht_segments(self):
+        # real-world encoders emit 16-bit quant tables and multi-table DHT
+        # segments; rewrite our 8-bit stream into both forms and re-decode
+        import struct
+
+        import numpy as np
+
+        from holcstore_spark.operators.jpeg import encode_jpeg, parse_jpeg
+
+        jp = bytearray(encode_jpeg(np.full((8, 8), 100, dtype=np.uint8)))
+        i = jp.index(b"\xff\xdb")
+        size = struct.unpack_from(">H", jp, i + 2)[0]
+        qt_zz = bytes(jp[i + 5 : i + 5 + 64])
+        body16 = bytes([0x10]) + b"".join(
+            struct.pack(">H", v) for v in qt_zz
+        )
+        seg16 = b"\xff\xdb" + struct.pack(">H", len(body16) + 2) + body16
+        jp16 = bytes(jp[:i]) + seg16 + bytes(jp[i + 2 + size :])
+        _, _, rgb = parse_jpeg(jp16)
+        assert (rgb == 100).all()
+
+        i1 = jp16.index(b"\xff\xc4")
+        s1 = struct.unpack_from(">H", jp16, i1 + 2)[0]
+        i2 = jp16.index(b"\xff\xc4", i1 + 2)
+        s2 = struct.unpack_from(">H", jp16, i2 + 2)[0]
+        b1, b2 = jp16[i1 + 4 : i1 + 2 + s1], jp16[i2 + 4 : i2 + 2 + s2]
+        merged = b"\xff\xc4" + struct.pack(">H", len(b1) + len(b2) + 2) + b1 + b2
+        _, _, rgb = parse_jpeg(jp16[:i1] + merged + jp16[i2 + 2 + s2 :])
+        assert (rgb == 100).all()
+
     def test_jpeg_rejects_progressive_and_truncated(self):
         import numpy as np
 
