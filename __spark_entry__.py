@@ -2028,6 +2028,44 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (uncompressed RIFF/AVI, stdlib-only
+    container walk + numpy DIB decode): each document becomes an AVI of
+    uniform-colour frames (frame j's RGB = 3 consecutive ASCII chars),
+    ``frame_sample_strict`` keeps every 2nd frame and emits exact RGB
+    stats — raw DIB frames are lossless, so the oracle reconstructs
+    means + per-frame digests from the construction."""
+    from holcstore_spark.operators.multimodal import (
+        encode_avi,
+        frame_sample_strict,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("n", (F.lit(2) + F.col("doc_id") % 4).cast("int"))
+        .withColumn("ascii_t", F.regexp_replace("text", "[^ -~]", ""))
+        .withColumn("s", F.expr("rpad(ascii_t, 3 * n, 'x')"))
+        .select("doc_id", "n", "s")
+    )
+
+    def to_avi(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            outs = []
+            for s, n in zip(pdf["s"], pdf["n"]):
+                cols = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                frames = np.broadcast_to(
+                    cols.reshape(int(n), 1, 1, 3), (int(n), 2, 4, 3)
+                ).copy()
+                outs.append(encode_avi(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
+
+    enc = base.mapInPandas(to_avi, "doc_id bigint, payload binary")
+    return frame_sample_strict(enc, every=2)
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (no stub): each document's printable-ASCII text
     becomes the 8-bit PCM payload of a mono WAV; ``decode_audio_strict``
@@ -2254,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "quality_filter": q_quality_filter,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_video": q_multimodal_video,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
@@ -2270,9 +2309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
-        "time_rollup": q_time_rollup,
-        # ====== driver 50-entry window ends here (34 + 16 above) =======
+        # ====== driver 50-entry window ends here (35 + 15 above) =======
         # -- tail: all r4-green, rotate back into the window next round -
+        "time_rollup": q_time_rollup,
         "stream_rollup": q_stream_rollup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -3688,6 +3727,28 @@ def oracle_sql() -> dict[str, str]:
                        / (w * h) AS mean_b,
                    md5(pix) AS pixel_digest
             FROM px GROUP BY doc_id, w, h, pix
+        """,
+        # raw DIB frames are lossless: frame j of doc = uniform colour
+        # (ascii chars 3j+1..3j+3); buffer = the 3-byte pattern x 8 pixels
+        "multimodal_video": """
+            WITH base AS (
+                SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n,
+                       rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                            CAST(3 * (2 + doc_id % 4) AS INT), 'x') AS s
+                FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, s, CAST(j AS INT) AS frame_idx
+                FROM base CROSS JOIN unnest(range(0, CAST(n AS BIGINT), 2)) AS t(j)
+            )
+            SELECT doc_id, frame_idx,
+                   CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+                   CAST(ascii(s[3 * frame_idx + 1]) AS DOUBLE) AS mean_r,
+                   CAST(ascii(s[3 * frame_idx + 2]) AS DOUBLE) AS mean_g,
+                   CAST(ascii(s[3 * frame_idx + 3]) AS DOUBLE) AS mean_b,
+                   md5(repeat(substring(s, 3 * frame_idx + 1, 3), 8))
+                       AS frame_digest
+            FROM fr
         """,
         # uniform even-valued 8x8 gray blocks survive JPEG quantization
         # exactly (see q_multimodal_jpeg): block i of doc = even(ascii of

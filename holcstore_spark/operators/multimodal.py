@@ -628,6 +628,169 @@ def frame_sample(
     return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
 
 
+def encode_avi(frames: "np.ndarray", fps: int = 10) -> bytes:
+    """Minimal uncompressed RIFF/AVI writer for fixtures: one 'vids'
+    stream of BI_RGB DIB frames (bottom-up, BGR, 4-byte row padding) —
+    the same stdlib-only spirit as :func:`encode_wav_pcm8`.
+
+    ``frames``: (n, h, w, 3) uint8 RGB.
+    """
+    import struct
+
+    import numpy as np
+
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def dib(frame: "np.ndarray") -> bytes:
+        bgr = frame[::-1, :, ::-1].astype(np.uint8)       # bottom-up, BGR
+        if stride == w * 3:
+            return bgr.tobytes()
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        return rows.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1, frame_size,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, n, frame_size, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       0, 0, 0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse an uncompressed RIFF/AVI (BI_RGB DIB frames) with the stdlib
+    only: chunk walk for avih (dims) and the movi LIST, then per-frame
+    DIB decode (bottom-up BGR, 4-byte row padding → top-down RGB).
+    Returns (w, h, (n, h, w, 3) uint8). Compressed streams ('00dc' with
+    non-DIB data, biCompression != 0) raise — those need ffmpeg.
+    """
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    compression = 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, compression
+        while pos + 8 <= end:
+            cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)       # skip form code
+            elif cid == b"avih":
+                vals = struct.unpack_from("<IIIIIIIIII", b, body_at)
+                w, h = vals[8], vals[9]
+            elif cid == b"strf":
+                compression = struct.unpack_from("<I", b, body_at + 16)[0]
+            elif cid in (b"00db", b"00dc"):
+                frames.append(b[body_at : body_at + size])
+            pos = body_at + size + (size & 1)           # word-aligned
+
+    walk(12, len(b))
+    if w is None or not frames:
+        raise ValueError("AVI missing avih header or frame data")
+    if compression != 0:
+        raise ValueError(
+            f"compressed AVI stream (biCompression={compression}) — "
+            "only BI_RGB DIB frames decode without ffmpeg"
+        )
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fr in enumerate(frames):
+        if len(fr) != stride * h:
+            raise ValueError("AVI frame size does not match header dims")
+        rows = np.frombuffer(fr, dtype=np.uint8).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    return w, h, out
+
+
+def frame_sample_strict(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    every: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling for uncompressed RIFF/AVI payloads: parse
+    the container, keep every ``every``-th frame, and emit per-frame RGB
+    stats — the row-exploding mapInPandas shape of :func:`frame_sample`
+    with actual decoded pixels instead of a byte stride. Compressed
+    codecs raise (route through :func:`frame_sample`'s stub instead).
+
+    Output: id, frame_idx, width, height, mean_r/g/b (exact int-sum
+    divisions), frame_digest (md5 of the frame's RGB buffer).
+    """
+    import numpy as np
+
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("frame_digest", T.StringType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs = [], [], [], []
+            mr, mg, mb, digs = [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[payload]):
+                w, h, frames = parse_avi(bytes(b))
+                for i in range(0, len(frames), every):
+                    fr = frames[i]
+                    sums = fr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    npx = w * h
+                    ids.append(rid)
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    mr.append(sums[0] / npx)
+                    mg.append(sums[1] / npx)
+                    mb.append(sums[2] / npx)
+                    digs.append(hashlib.md5(fr.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype=pdf[id_col].dtype),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "mean_r": pd.array(mr, dtype="float64"),
+                    "mean_g": pd.array(mg, dtype="float64"),
+                    "mean_b": pd.array(mb, dtype="float64"),
+                    "frame_digest": digs,
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
+
+
 def resize_stub(
     df: DataFrame,
     payload: str = "payload",

@@ -491,6 +491,45 @@ class TestMultimodal:
         _, _, rgb = parse_jpeg(jp16[:i1] + merged + jp16[i2 + 2 + s2 :])
         assert (rgb == 100).all()
 
+    def test_avi_roundtrip_and_frame_sample_strict(self, spark):
+        # uncompressed RIFF/AVI: DIB frames are lossless (bottom-up BGR,
+        # 4-byte row padding on odd widths) — container walk + numpy decode
+        import hashlib as _hl
+
+        import numpy as np
+
+        from holcstore_spark.operators.multimodal import (
+            encode_avi,
+            frame_sample_strict,
+            parse_avi,
+        )
+
+        rng = np.random.RandomState(3)
+        frames = rng.randint(0, 256, size=(5, 6, 7, 3)).astype(np.uint8)
+        avi = encode_avi(frames)
+        w, h, back = parse_avi(avi)
+        assert (w, h) == (7, 6) and (back == frames).all()
+
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(avi)]})
+        )
+        rows = frame_sample_strict(d, every=2).orderBy("frame_idx").collect()
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        for r in rows:
+            fr = frames[r["frame_idx"]]
+            assert (r["width"], r["height"]) == (7, 6)
+            assert r["mean_r"] == fr[..., 0].astype(int).sum() / 42
+            assert r["frame_digest"] == _hl.md5(fr.tobytes()).hexdigest()
+
+        import struct
+
+        bad = bytearray(avi)
+        struct.pack_into("<I", bad, bad.index(b"strf") + 8 + 16, 1)
+        with pytest.raises(ValueError, match="compressed AVI"):
+            parse_avi(bytes(bad))
+        with pytest.raises(ValueError, match="not a RIFF/AVI"):
+            parse_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
     def test_jpeg_rejects_progressive_and_truncated(self):
         import numpy as np
 
