@@ -2228,6 +2228,90 @@ def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution audit: count, DECIMAL-exact mean and
+    exact linear-interpolated percentiles of the (int-quantized) value.
+    Inputs quantize to round(value*1000) and the percentile points are
+    dyadic (1/4, 1/2, 3/4), so the interpolation arithmetic is exact in
+    IEEE doubles — both engines produce bit-identical results with no
+    tolerance games."""
+    from holcstore_spark.operators.stats import percentile_rollup
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000).cast("long").alias("v_q")
+    )
+    out = percentile_rollup(e, ("event_type",), value="v_q", ps=(0.25, 0.5, 0.75))
+    # exact-integer mean (order-free) replaces the float-sum mean for the
+    # cross-engine hash: long sum is exact, one double divide at the end
+    mean = (
+        e.groupBy("event_type")
+        .agg(
+            (F.sum("v_q").cast("double") / F.count(F.lit(1)))
+            .alias("v_mean_exact")
+        )
+    )
+    return (
+        out.drop("v_mean")
+        .join(mean, on="event_type")
+        .select("event_type", "n", "v_mean_exact", "p_25", "p_50", "p_75")
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bin width 64 — a
+    power of two, so the float divide in floor((v-lo)/w) is exact and
+    bin edges are bit-identical across engines)."""
+    from holcstore_spark.operators.stats import value_histogram
+
+    e = _t(spark, sf_dir, "events")
+    return value_histogram(e, ("event_type",), value="value", bin_width=64.0, lo=0.0)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context-length chunking (200-char windows every
+    150 chars) summarized per document: chunk count, total chunked
+    chars, and an md5 digest over the ordered chunk texts — the digest
+    oracle-checks every chunk byte, not just counts."""
+    from holcstore_spark.operators.text import doc_chunks
+
+    ch = doc_chunks(
+        _t(spark, sf_dir, "documents"), size=200, stride=150
+    )
+    per_chunk = ch.select(
+        "doc_id", "chunk_id", F.md5(F.col("chunk")).alias("h"), "chunk_len"
+    )
+    return (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("total_chars"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+                F.concat_ws(":", F.col("chunk_id").cast("string"), "h")
+            )))).alias("digest"),
+        )
+    )
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization, oracle-checked per vector:
+    the exact scale (max|x|/127 — identical IEEE division in both
+    engines), an md5 digest of the full quantized vector, and integer
+    sum/min/max/nnz of the codes."""
+    from holcstore_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    qv = F.col("q_vec")
+    return q.select(
+        "vec_id",
+        F.col("q_scale").alias("q_scale"),
+        F.md5(F.concat_ws(",", F.transform(qv, lambda x: x.cast("string")))).alias("q_digest"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+        F.size(F.filter(qv, lambda x: x != 0)).alias("q_nnz"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2293,6 +2377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_video": q_multimodal_video,
+        "stats_rollup": q_stats_rollup,
+        "value_histogram": q_value_histogram,
+        "doc_chunks": q_doc_chunks,
+        "embed_quantize": q_embed_quantize,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
@@ -2305,12 +2393,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_runs": q_constant_runs,
         "merge_intervals": q_merge_intervals,
         "blob_interop": q_blob_interop,
+        # ====== driver 50-entry window ends here (39 + 11 above) =======
+        # -- tail: all r4-green, rotate back into the window next round -
         "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
-        # ====== driver 50-entry window ends here (35 + 15 above) =======
-        # -- tail: all r4-green, rotate back into the window next round -
         "time_rollup": q_time_rollup,
         "stream_rollup": q_stream_rollup,
         "multimodal_decode": q_multimodal_decode,
@@ -4157,5 +4245,87 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = e.user_id
              AND p.ts BETWEEN e.start_ts AND e.end_ts
             GROUP BY e.iv_id
+        """,
+        # int-quantized inputs + dyadic percentile points make the linear
+        # interpolation exact in IEEE doubles, so quantile_cont matches
+        # Spark's percentile() bit-for-bit; the mean is an exact long sum
+        # with one final double divide in both engines
+        "stats_rollup": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(round(value * 1000) AS BIGINT) AS v_q
+                FROM events
+            )
+            SELECT event_type, count(v_q) AS n,
+                   CAST(sum(v_q) AS DOUBLE) / count(*) AS v_mean_exact,
+                   quantile_cont(v_q, 0.25) AS p_25,
+                   quantile_cont(v_q, 0.50) AS p_50,
+                   quantile_cont(v_q, 0.75) AS p_75
+            FROM e GROUP BY event_type
+        """,
+        # bin width 64 is a power of two: value/64.0 is exact, floor and
+        # the bin_lo multiply reproduce identically in both engines
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(floor((value - 0.0) / 64.0) AS BIGINT) AS bin,
+                   count(*) AS n,
+                   0.0 + CAST(floor((value - 0.0) / 64.0) AS BIGINT) * 64.0
+                       AS bin_lo
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        # sliding 200-char windows every 150 chars: starts 0,150,300,...
+        # while start < length; digest covers every chunk byte in order
+        "doc_chunks": """
+            WITH d AS (
+                SELECT doc_id, text, length(text) AS n FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            c AS (
+                SELECT d.doc_id, i.idx AS chunk_id,
+                       substring(d.text, CAST(i.idx * 150 + 1 AS BIGINT), 200)
+                           AS chunk
+                FROM d, LATERAL (
+                    SELECT unnest(range(0, (n - 1) // 150 + 1)) AS idx
+                ) i
+            )
+            SELECT doc_id, count(*) AS n_chunks,
+                   CAST(sum(length(chunk)) AS BIGINT) AS total_chars,
+                   md5(array_to_string(
+                       list_sort(list(CAST(chunk_id AS VARCHAR) || ':'
+                                      || md5(chunk))), ',')) AS digest
+            FROM c GROUP BY doc_id
+        """,
+        # same IEEE ops as the engine: amax over exact float->double casts,
+        # one divide by 127.0, floor(x/scale + 0.5) half-up codes
+        "embed_quantize": """
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, amax / 127.0 AS q_scale,
+                       CASE WHEN amax = 0
+                            THEN list_transform(embedding,
+                                                x -> CAST(0 AS INTEGER))
+                            ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                           / (amax / 127.0) + 0.5)
+                                      AS INTEGER))
+                       END AS qv
+                FROM e
+            )
+            SELECT vec_id, q_scale,
+                   md5(array_to_string(
+                       list_transform(qv, x -> CAST(x AS VARCHAR)), ','))
+                       AS q_digest,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   list_min(qv) AS q_min,
+                   list_max(qv) AS q_max,
+                   len(list_filter(qv, x -> x != 0)) AS q_nnz
+            FROM q
         """,
     }

@@ -416,3 +416,24 @@ def cosine_near_dup_pairs(
         })
 
     return d.groupBy("__bucket").applyInPandas(bucket_pairs, schema=out_schema)
+
+
+def quantize_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage
+    compressor before ANN indexing at 100 TB scale (4 B float32 → 1 B
+    int8 per dim = 4× less scan/shuffle volume for the bucketed joins
+    above, at ~0.4% cosine error on unit-ish vectors).
+
+    Per vector: ``q_scale = max(|x|) / 127`` and
+    ``q[i] = floor(x[i]/q_scale + 0.5)`` (explicit half-up — Spark's
+    and DuckDB's ``round`` disagree on ties, ``floor(x+0.5)`` does
+    not). Zero vectors quantize to all-zero with ``q_scale = 0``.
+    Pure narrow map over the column — zero shuffle, codegen-friendly.
+    """
+    c = F.col(vec)
+    amax = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    scale = amax / F.lit(127.0)
+    q = F.when(amax == 0, F.transform(c, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(c, lambda x: F.floor(x.cast("double") / scale + 0.5).cast("int"))
+    )
+    return df.withColumn("q_scale", scale).withColumn("q_vec", q)

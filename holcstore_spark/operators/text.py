@@ -464,3 +464,43 @@ def winnow_fingerprints_arrow(
         return pd.Series(out)
 
     return winnow(c)
+
+
+def doc_chunks(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-length splitter
+    that precedes tokenize-and-pack in a training pipeline (long docs
+    become overlapping ``size``-char windows every ``stride`` chars;
+    ``stride < size`` gives ``size - stride`` chars of overlap so no
+    boundary context is lost).
+
+    Chunk starts are 0, stride, 2*stride, ... while start < length;
+    empty/null docs yield no chunks. Pure narrow map (sequence +
+    explode + substr — whole-stage codegen, zero shuffle), so at 100 TB
+    it pipelines directly into the scan; the fan-out factor is
+    len/stride, bounded by the corpus's max doc length.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    c = F.col(text)
+    n = F.length(c)
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("long"))
+    exploded = (
+        df.where(c.isNotNull() & (n > 0))
+        .select(
+            F.col(id_col),
+            c.alias("__t"),
+            F.explode(starts).alias("chunk_id"),
+        )
+    )
+    start = (F.col("chunk_id") * stride).cast("int")
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("__t").substr(start + 1, F.lit(size)).alias("chunk"),
+    ).withColumn("chunk_len", F.length("chunk"))

@@ -896,3 +896,106 @@ class TestPackingAndContamination:
         assert (back["width"], back["height"]) == (2, 1)
         assert back["mean_r"] == expected[:, 0].mean()
         assert back["mean_b"] == expected[:, 2].mean()
+
+
+class TestStatsRollup:
+    def test_percentile_exact_crafted(self, spark):
+        from holcstore_spark.operators.stats import percentile_rollup
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": ["a"] * 5 + ["b"] * 2, "value": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0]})
+        )
+        out = {r["g"]: r for r in percentile_rollup(df, ("g",), ps=(0.25, 0.5, 0.75)).collect()}
+        assert out["a"]["p_25"] == 2.0 and out["a"]["p_50"] == 3.0 and out["a"]["p_75"] == 4.0
+        assert out["a"]["n"] == 5 and out["a"]["v_mean"] == 3.0
+        # two points: p50 is the midpoint by linear interpolation
+        assert out["b"]["p_50"] == 15.0
+
+    def test_percentile_approx_within_set(self, spark):
+        from holcstore_spark.operators.stats import percentile_rollup
+
+        vals = [float(i) for i in range(101)]
+        df = spark.createDataFrame(pd.DataFrame({"g": ["x"] * 101, "value": vals}))
+        row = percentile_rollup(df, ("g",), ps=(0.5,), exact=False).collect()[0]
+        # approx quantile returns an actual element near the true median
+        assert abs(row["p_50"] - 50.0) <= 1.0
+
+    def test_histogram_bins_and_nulls(self, spark):
+        from holcstore_spark.operators.stats import value_histogram
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": ["a"] * 4, "value": [0.0, 63.9, 64.0, None]})
+        )
+        rows = {r["bin"]: r for r in value_histogram(df, ("g",), bin_width=64.0).collect()}
+        assert rows[0]["n"] == 2 and rows[1]["n"] == 1      # null excluded
+        assert rows[1]["bin_lo"] == 64.0
+
+    def test_histogram_negative_values_keep_negative_bins(self, spark):
+        from holcstore_spark.operators.stats import value_histogram
+
+        df = spark.createDataFrame(pd.DataFrame({"g": ["a"], "value": [-1.0]}))
+        row = value_histogram(df, ("g",), bin_width=64.0).collect()[0]
+        assert row["bin"] == -1 and row["bin_lo"] == -64.0
+
+
+class TestDocChunks:
+    def test_window_starts_and_overlap(self, spark):
+        from holcstore_spark.operators.text import doc_chunks
+
+        text = "".join(chr(ord("a") + i % 26) for i in range(350))
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+        rows = doc_chunks(df, size=200, stride=150).orderBy("chunk_id").collect()
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+        assert [r["chunk_len"] for r in rows] == [200, 200, 50]
+        assert rows[0]["chunk"] == text[0:200]
+        assert rows[1]["chunk"] == text[150:350]
+        # 50-char overlap between consecutive windows
+        assert rows[0]["chunk"][150:] == rows[1]["chunk"][:50]
+
+    def test_short_null_and_empty_docs(self, spark):
+        from holcstore_spark.operators.text import doc_chunks
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": ["hi", None, ""]})
+        )
+        rows = doc_chunks(df, size=200, stride=150).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 1 and rows[0]["chunk"] == "hi"
+
+    def test_rejects_nonpositive_params(self, spark):
+        from holcstore_spark.operators.text import doc_chunks
+
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            doc_chunks(df, stride=0)
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_and_scale(self, spark):
+        from holcstore_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [0], "embedding": [[1.0, -0.5, 0.0]]})
+        )
+        row = quantize_embeddings(df).collect()[0]
+        assert row["q_scale"] == 1.0 / 127.0
+        # floor(x/scale + 0.5): 127, floor(-63.0)= -63, 0
+        assert list(row["q_vec"]) == [127, -63, 0]
+
+    def test_zero_vector_quantizes_to_zero(self, spark):
+        from holcstore_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [0], "embedding": [[0.0, 0.0]]})
+        )
+        row = quantize_embeddings(df).collect()[0]
+        assert row["q_scale"] == 0.0 and list(row["q_vec"]) == [0, 0]
+
+    def test_roundtrip_error_bounded_by_half_step(self, spark):
+        from holcstore_spark.operators.similarity import quantize_embeddings
+
+        vals = [0.813, -0.204, 0.056, -0.991, 0.5]
+        df = spark.createDataFrame(pd.DataFrame({"vec_id": [0], "embedding": [vals]}))
+        row = quantize_embeddings(df).collect()[0]
+        scale = row["q_scale"]
+        for orig, code in zip(vals, row["q_vec"]):
+            assert abs(code * scale - orig) <= scale / 2 + 1e-12
