@@ -161,3 +161,34 @@ class TestOperatorPlans:
             hash_split(d, ["doc_id"], {"train": 0.8, "valid": 0.1, "test": 0.1})
         )
         assert "Exchange" not in txt
+
+    def test_doc_chunks_zero_exchange(self, spark):
+        # chunking must pipeline into the scan: sequence+explode+substr
+        # are narrow ops, any Exchange here would shuffle the whole corpus
+        from holcstore_spark.operators.text import doc_chunks
+
+        d = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x" * 400]}))
+        assert "Exchange" not in plan_text(doc_chunks(d))
+
+    def test_quantize_embeddings_zero_exchange(self, spark):
+        from holcstore_spark.operators.similarity import quantize_embeddings
+
+        d = spark.createDataFrame(pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 0.5]]}))
+        assert "Exchange" not in plan_text(quantize_embeddings(d))
+
+    def test_value_histogram_single_exchange_partial_agg(self, spark):
+        # one shuffle on (keys, bin); HashAggregate above AND below it
+        # proves the count is map-side combined before the exchange
+        from holcstore_spark.operators.stats import value_histogram
+
+        d = spark.createDataFrame(pd.DataFrame({"g": ["a"], "value": [1.0]}))
+        txt = plan_text(value_histogram(d, ("g",)))
+        assert n_nodes(txt, "Exchange") == 1, txt
+        assert n_nodes(txt, "HashAggregate") == 2, txt
+
+    def test_percentile_rollup_single_exchange(self, spark):
+        from holcstore_spark.operators.stats import percentile_rollup
+
+        d = spark.createDataFrame(pd.DataFrame({"g": ["a"], "value": [1.0]}))
+        txt = plan_text(percentile_rollup(d, ("g",)))
+        assert n_nodes(txt, "Exchange") == 1, txt
