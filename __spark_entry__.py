@@ -2312,6 +2312,16 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram surprisal per document (CCNet LM-filter analog),
+    quantized to whole bits via integer log2 (length(bin(n)) - 1) so the
+    score is exact integer arithmetic — bit-reproducible cross-engine
+    with no transcendental log."""
+    from holcstore_spark.operators.text import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2381,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "doc_chunks": q_doc_chunks,
         "embed_quantize": q_embed_quantize,
+        "lm_surprisal": q_lm_surprisal,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
@@ -2391,10 +2402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_delay": q_combined_delay,
         "completeness_holes": q_completeness_holes,
         "constant_runs": q_constant_runs,
-        "merge_intervals": q_merge_intervals,
         "blob_interop": q_blob_interop,
-        # ====== driver 50-entry window ends here (39 + 11 above) =======
+        # ====== driver 50-entry window ends here (40 + 10 above) =======
         # -- tail: all r4-green, rotate back into the window next round -
+        "merge_intervals": q_merge_intervals,
         "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
         "asof_join": q_asof_join,
@@ -4327,5 +4338,24 @@ def oracle_sql() -> dict[str, str]:
                    list_max(qv) AS q_max,
                    len(list_filter(qv, x -> x != 0)) AS q_nnz
             FROM q
+        """,
+        # integer-log2 surprisal: floor_log2(n) = length(bin(n)) - 1 is
+        # exact integer arithmetic in both engines — no transcendental ln
+        "lm_surprisal": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ),
+            t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+            c AS (SELECT tok, count(*) AS c FROM t2 GROUP BY tok),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c)
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(length(bin(n_total)) - length(bin(c)))
+                        AS BIGINT) AS sum_bits,
+                   CAST(sum(length(bin(n_total)) - length(bin(c)))
+                        AS DOUBLE) / count(*) AS mean_bits
+            FROM t2 JOIN c USING (tok) CROSS JOIN n
+            GROUP BY doc_id
         """,
     }

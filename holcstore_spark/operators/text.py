@@ -504,3 +504,49 @@ def doc_chunks(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("__t").substr(start + 1, F.lit(size)).alias("chunk"),
     ).withColumn("chunk_len", F.length("chunk"))
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """CCNet-style unigram LM quality signal: per document, the mean
+    "surprisal" of its tokens against the corpus unigram distribution —
+    low-surprisal docs are boilerplate/common-token soup, high-surprisal
+    docs are rare-token noise; the filterable middle is the keeper.
+
+    Surprisal is quantized to whole bits via integer log2:
+    ``bits(t) = floor_log2(N) - floor_log2(count(t))`` where
+    ``floor_log2(n) = length(bin(n)) - 1`` — exact integer arithmetic,
+    bit-reproducible in any engine (no transcendental ``ln`` whose last
+    ulp differs across libms).
+
+    Scale shape: explode (narrow, pipelines into the scan) → token-count
+    aggregate (one shuffle on token, map-side combined) → co-partitioned
+    join back on token (no extra shuffle stage beyond the agg's) → per-doc
+    aggregate (one shuffle on doc). The corpus total is a broadcast
+    1-row frame. Nothing is collected; the vocabulary is never
+    broadcast.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text, sep)).alias("__tok"))
+        .where(F.col("__tok") != "")
+    )
+    cnt = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = cnt.agg(F.sum("__c").alias("__n_total"))
+    bits = F.length(F.bin("__n_total")) - F.length(F.bin("__c"))
+    return (
+        toks.join(cnt, on="__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits.cast("long")).alias("sum_bits"),
+        )
+        .withColumn(
+            "mean_bits",
+            F.col("sum_bits").cast("double") / F.col("n_tokens"),
+        )
+    )

@@ -999,3 +999,37 @@ class TestQuantizeEmbeddings:
         scale = row["q_scale"]
         for orig, code in zip(vals, row["q_vec"]):
             assert abs(code * scale - orig) <= scale / 2 + 1e-12
+
+
+class TestUnigramSurprisal:
+    def test_bits_exact_crafted(self, spark):
+        from holcstore_spark.operators.text import unigram_surprisal
+
+        # corpus: "a a a b" + "b c" -> counts a=3, b=2, c=1; N=6
+        # floor_log2: N->2, a->1, b->1, c->0; bits: a=1, b=1, c=2
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a a a b", "b c"]})
+        )
+        out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+        assert out[1]["n_tokens"] == 4 and out[1]["sum_bits"] == 4  # 1+1+1+1
+        assert out[2]["n_tokens"] == 2 and out[2]["sum_bits"] == 3  # 1+2
+        assert out[2]["mean_bits"] == 1.5
+
+    def test_null_and_empty_docs_absent(self, spark):
+        from holcstore_spark.operators.text import unigram_surprisal
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": ["x y", None, ""]})
+        )
+        rows = unigram_surprisal(df).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+
+    def test_rare_tokens_score_higher(self, spark):
+        from holcstore_spark.operators.text import unigram_surprisal
+
+        common = "the " * 63 + "the"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": [common, "zyzzyva"]})
+        )
+        out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+        assert out[2]["mean_bits"] > out[1]["mean_bits"]
