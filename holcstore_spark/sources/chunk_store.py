@@ -1124,6 +1124,82 @@ class ChunkStore:
         self._invalidate_meta_cache()
         return n
 
+    def delete_before(self, cutoff, keep_tracking: bool = True) -> int:
+        """Retention sweep: remove every chunk whose entire calendar range
+        ends before ``cutoff`` (a timestamp; naive values localize to the
+        store tz). Returns the number of chunks removed.
+
+        ``keep_tracking=True`` tombstones them through the normal meta log
+        (sync replicas propagate the deletion). ``keep_tracking=False`` is
+        the 100 TB retention path: victims are WHOLE ``chunk_index``
+        partitions, so the data files are dropped directly via the Hadoop
+        FileSystem — O(dropped partitions) metadata work, no table scan or
+        rewrite (unlike filter-based untracked ``delete``, which must
+        rewrite the full table). Forbidden on sync-enabled stores. Guarded
+        by the same op_id fence as ``_rewrite_partitions``: if a writer
+        commits mid-sweep the sweep aborts before touching files.
+        """
+        from holcstore_spark.functions.scalar import chunk_index_of
+
+        c = pd.Timestamp(cutoff)
+        cutoff_idx = chunk_index_of(c, self.config.chunk_axis, self.config.tz)
+        if keep_tracking:
+            victims = self.alive_chunks().select(
+                *self.config.keys, "chunk_index"
+            ).filter(F.col("chunk_index") < cutoff_idx)
+            updated_at, op_id = self._now_stamp()
+            tomb = safe_local_checkpoint(
+                self._tombstone_sdf(victims, updated_at, op_id)
+            )
+            n = tomb.count()
+            if n == 0:
+                return 0
+            self._append_meta_sdf(tomb)
+            return n
+        if self.config.allow_sync:
+            raise SyncGuardError(
+                "untracked delete_before is forbidden on a sync-enabled store"
+            )
+        fence_op_id = self._max_committed_op_id()
+        # count meta chunk states being removed (incl. already-tombstoned
+        # ones — their files and log rows go too); metadata-sized
+        meta = self.meta()
+        n = meta.filter(F.col("chunk_index") < cutoff_idx).select(
+            *self.config.keys, "chunk_index"
+        ).distinct().count()
+        # partition dirs strictly below the cutoff index, from the FS
+        # listing — no data scan
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        data_path = jvm.org.apache.hadoop.fs.Path(self._data_path)
+        fs = data_path.getFileSystem(hconf)
+        victims_dirs = []
+        if fs.exists(data_path):
+            for st in fs.listStatus(data_path):
+                name = st.getPath().getName()
+                if name.startswith("chunk_index="):
+                    try:
+                        idx = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if idx < cutoff_idx:
+                        victims_dirs.append(st.getPath())
+        if not victims_dirs and n == 0:
+            return 0
+        remaining_meta = safe_local_checkpoint(
+            meta.filter(F.col("chunk_index") >= cutoff_idx)
+        )
+        if self._max_committed_op_id() != fence_op_id:
+            raise ConcurrentWriteError(
+                f"meta op_id advanced during delete_before({cutoff!r}); "
+                "aborting before any partition was dropped"
+            )
+        for p in victims_dirs:
+            fs.delete(p, True)
+        remaining_meta.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+        self._invalidate_meta_cache()
+        return n
+
     def compact(self) -> None:
         """Physically drop tombstoned data and collapse the meta log to its
         latest state (the Parquet analogue of VACUUM + log checkpoint)."""

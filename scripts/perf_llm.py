@@ -117,6 +117,19 @@ def main(n_docs: int = 50_000, dim: int = 64) -> None:
         vecs, threshold=0.95, n_planes=8, dim=dim, max_bucket=5000
     ))
 
+    from holcstore_spark.operators.similarity import quantize_embeddings
+    from holcstore_spark.operators.stats import percentile_rollup
+    from holcstore_spark.operators.text import doc_chunks, unigram_surprisal
+
+    run("unigram_surprisal", lambda: unigram_surprisal(docs))
+    run("doc_chunks", lambda: doc_chunks(docs, size=200, stride=150))
+    run("quantize_embeddings", lambda: quantize_embeddings(vecs))
+    run("quality_percentiles", lambda: percentile_rollup(
+        docs.select((F.col("doc_id") % 8).alias("g"),
+                    F.length("text").cast("double").alias("value")),
+        ("g",), exact=False,
+    ))
+
     print(json.dumps({
         "metric": "llm_ops_total",
         "value": round(sum(timings.values()), 2),

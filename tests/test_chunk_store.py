@@ -589,3 +589,61 @@ class TestDistributedMeta:
         pd.testing.assert_frame_equal(
             m_grid.reset_index(drop=True), m_arith.reset_index(drop=True)
         )
+
+
+class TestDeleteBefore:
+    def test_tracked_retention_tombstones_old_chunks(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)  # month chunks, Europe/Paris
+        st.set_ts(ATTRS, hourly("2024-01-01", 24))                # Jan chunk
+        st.set_ts(ATTRS, hourly("2024-02-05", 24), update=True)   # Feb chunk
+        st.set_ts(ATTRS, hourly("2024-03-05", 24), update=True)   # Mar chunk
+        n = st.delete_before(pd.Timestamp("2024-03-01", tz="Europe/Paris"))
+        assert n == 2
+        got = st.get_ts(ATTRS)
+        assert got.dropna().index.min() >= pd.Timestamp(
+            "2024-03-01", tz="Europe/Paris"
+        )
+        # tombstones propagate through the change feed
+        assert any(r["is_deleted"] for r in st.updates().collect())
+        # idempotent: nothing left below the cutoff
+        assert st.delete_before(pd.Timestamp("2024-03-01", tz="Europe/Paris")) == 0
+
+    def test_untracked_retention_drops_partitions_without_rewrite(
+        self, spark, tmpdir
+    ):
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2023-11-01", 24))
+        st.set_ts(ATTRS, hourly("2024-01-10", 24), update=True)
+        st.set_ts({"site": "s2", "meter": "m1"}, hourly("2023-12-01", 24))
+        before_dirs = {
+            d for d in os.listdir(st._data_path) if d.startswith("chunk_index=")
+        }
+        assert len(before_dirs) == 3
+        n = st.delete_before(
+            pd.Timestamp("2024-01-01", tz="Europe/Paris"), keep_tracking=False
+        )
+        assert n == 2   # Nov s1 chunk + Dec s2 chunk
+        after_dirs = {
+            d for d in os.listdir(st._data_path) if d.startswith("chunk_index=")
+        }
+        assert len(after_dirs) == 1
+        # meta rows for dropped chunks are gone; survivors read fine
+        assert st.meta().filter(
+            F.col("chunk_index") < 2024 * 12
+        ).count() == 0
+        assert st.get_ts({"site": "s2", "meter": "m1"}) is None
+        got = st.get_ts(ATTRS)
+        assert got is not None and len(got.dropna()) == 24
+
+    def test_untracked_retention_forbidden_on_sync_store(self, spark, tmpdir):
+        st = make_store(spark, tmpdir, allow_sync=True)
+        with pytest.raises(SyncGuardError):
+            st.delete_before("2024-01-01", keep_tracking=False)
+
+    def test_naive_cutoff_localizes_to_store_tz(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-15", 24))
+        # naive cutoff in the store zone: Jan chunk is NOT wholly before
+        # a mid-January cutoff's chunk, so nothing is deleted
+        assert st.delete_before("2024-01-20") == 0
+        assert st.delete_before("2024-02-01") == 1
