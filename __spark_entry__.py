@@ -2312,6 +2312,18 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (2 h windows every 1 h) per event type —
+    every event lands in exactly width/slide = 2 epoch-aligned windows;
+    DECIMAL-exact sums keep totals reduction-order-free."""
+    from holcstore_spark.operators.resample import sliding_window_rollup
+
+    return sliding_window_rollup(
+        _t(spark, sf_dir, "events"), ("event_type",),
+        width_seconds=7200, slide_seconds=3600,
+    )
+
+
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram surprisal per document (CCNet LM-filter analog),
     quantized to whole bits via integer log2 (length(bin(n)) - 1) so the
@@ -2392,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
+        "sliding_rollup": q_sliding_rollup,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
@@ -2401,10 +2414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_merge": q_overlay_merge,
         "combined_delay": q_combined_delay,
         "completeness_holes": q_completeness_holes,
-        "constant_runs": q_constant_runs,
         "blob_interop": q_blob_interop,
-        # ====== driver 50-entry window ends here (40 + 10 above) =======
+        # ====== driver 50-entry window ends here (41 + 9 above) ========
         # -- tail: all r4-green, rotate back into the window next round -
+        "constant_runs": q_constant_runs,
         "merge_intervals": q_merge_intervals,
         "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
@@ -4357,5 +4370,23 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / count(*) AS mean_bits
             FROM t2 JOIN c USING (tok) CROSS JOIN n
             GROUP BY doc_id
+        """,
+        # every event belongs to the 2 epoch-aligned 2h-wide windows whose
+        # start is floor(ts/1h)*1h - k*1h for k in {0,1} (Spark F.window
+        # semantics); integer micros arithmetic, DECIMAL-exact sums
+        "sliding_rollup": """
+            WITH w AS (
+                SELECT event_type, value,
+                       (epoch_us(ts) // 3600000000 - k.k) * 3600000000
+                           AS window_start_us
+                FROM events, LATERAL (
+                    SELECT unnest(range(0, 2)) AS k
+                ) k
+            )
+            SELECT event_type, window_start_us,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v_sum,
+                   min(value) AS v_min, max(value) AS v_max
+            FROM w GROUP BY 1, 2
         """,
     }

@@ -137,3 +137,48 @@ def time_bucket_rollup(
             F.max_by(v, order).alias("v_last"),
         )
     )
+
+
+def sliding_window_rollup(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    width_seconds: int,
+    slide_seconds: int,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Sliding-window rollup: every event contributes to the
+    ``width/slide`` epoch-aligned windows that contain it (Spark's
+    ``F.window(ts, width, slide)`` semantics, usable identically in
+    batch and Structured Streaming).
+
+    ``width`` must be a multiple of ``slide`` so the per-event window
+    fan-out is constant. One shuffle on (keys, window) with map-side
+    partial aggregation; the DECIMAL sum keeps totals exact and
+    reduction-order-free. At 100 TB the shuffle volume is
+    width/slide × the tumbling-rollup volume — bounded and predictable.
+    """
+    if width_seconds % slide_seconds != 0:
+        raise ValueError("width_seconds must be a multiple of slide_seconds")
+    w = F.window(
+        F.col(ts), f"{width_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    v = F.col(value)
+    return (
+        df.groupBy(*keys, w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v.cast("decimal(28,6)")).cast("double").alias("v_sum"),
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+        )
+        .select(
+            *keys,
+            # cast handles TIMESTAMP_NTZ inputs (no-op on TIMESTAMP): the
+            # engine pins session tz to UTC, so NTZ wall-clock == epoch
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "n", "v_sum", "v_min", "v_max",
+        )
+    )

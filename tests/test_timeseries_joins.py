@@ -225,3 +225,44 @@ class TestPointInIntervalJoin:
         a = sorted((r["iv_id"], r["p_id"]) for r in fast.collect())
         b = sorted((r["iv_id"], r["p_id"]) for r in slow.collect())
         assert a == b and len(a) > 0
+
+
+class TestSlidingWindowRollup:
+    def test_event_lands_in_width_over_slide_windows(self, spark):
+        from holcstore_spark.operators.resample import sliding_window_rollup
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "g": ["a"],
+            "ts": [pd.Timestamp("2024-01-01 05:30:00")],
+            "value": [10.0],
+        }))
+        rows = sliding_window_rollup(df, ("g",), 7200, 3600).orderBy(
+            "window_start_us").collect()
+        # one event -> exactly 2 windows: starts 04:00 and 05:00
+        starts = [pd.Timestamp(r["window_start_us"], unit="us") for r in rows]
+        assert starts == [pd.Timestamp("2024-01-01 04:00:00"),
+                          pd.Timestamp("2024-01-01 05:00:00")]
+        assert all(r["n"] == 1 and r["v_sum"] == 10.0 for r in rows)
+
+    def test_counts_accumulate_across_overlapping_windows(self, spark):
+        from holcstore_spark.operators.resample import sliding_window_rollup
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "g": ["a", "a"],
+            "ts": [pd.Timestamp("2024-01-01 05:10:00"),
+                   pd.Timestamp("2024-01-01 06:10:00")],
+            "value": [1.0, 2.0],
+        }))
+        rows = {r["window_start_us"]: r for r in
+                sliding_window_rollup(df, ("g",), 7200, 3600).collect()}
+        h5 = int(pd.Timestamp("2024-01-01 05:00:00").value // 1000)
+        # the 05:00 window spans [05:00,07:00): both events
+        assert rows[h5]["n"] == 2 and rows[h5]["v_sum"] == 3.0
+
+    def test_rejects_non_multiple_width(self, spark):
+        from holcstore_spark.operators.resample import sliding_window_rollup
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "g": ["a"], "ts": [pd.Timestamp("2024-01-01")], "value": [1.0]}))
+        with pytest.raises(ValueError):
+            sliding_window_rollup(df, ("g",), 7000, 3600)
