@@ -24,6 +24,16 @@ def to_utc_instant(local: Column, tz: str) -> Column:
     return F.to_utc_timestamp(local, tz)
 
 
+def epoch_us(ts: Column | str) -> Column:
+    """Epoch microseconds of a timestamp column, tolerant of
+    TIMESTAMP_NTZ inputs (raw parquet reads often surface NTZ):
+    ``unix_micros`` requires TIMESTAMP, and the cast is a no-op there
+    while converting NTZ wall-clock via the session tz — pinned to UTC
+    by the engine, so it is epoch-preserving."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def chunk_index_col(ts: Column | str, chunk_axis: tuple[str, ...], tz: str) -> Column:
     """Calendar chunk index of a timestamp.
 

@@ -33,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from holcstore_spark.functions.scalar import epoch_us
+
 __all__ = ["asof_join"]
 
 
@@ -92,7 +94,7 @@ def asof_join(
 
     if tolerance_seconds is not None:
         tol_us = int(round(tolerance_seconds * 1_000_000))
-        delta = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        delta = epoch_us(F.col("__ts")) - epoch_us(F.col("__m.__rts"))
         if direction == "forward":
             delta = -delta
         u = u.withColumn("__m", F.when(delta <= tol_us, F.col("__m")))

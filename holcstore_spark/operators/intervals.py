@@ -14,6 +14,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from holcstore_spark.functions.scalar import epoch_us
+
 
 def merge_intervals(
     df: DataFrame,
@@ -135,7 +137,7 @@ def point_in_interval_join(
     us = int(round(bucket_seconds * 1_000_000))
 
     def bidx(c):
-        e = F.unix_micros(F.col(c) if isinstance(c, str) else c)
+        e = epoch_us(c)
         return ((e - F.pmod(e, F.lit(us))) / F.lit(us)).cast("long")
 
     p = points.withColumn("__b", bidx(point_ts))

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from holcstore_spark.functions.scalar import epoch_us
+
 
 def ffill(
     df: DataFrame,
@@ -100,8 +102,7 @@ def time_bucket(ts, width_seconds: float):
     so pre-1970 timestamps bucket correctly too.
     """
     us = int(round(width_seconds * 1_000_000))
-    c = F.col(ts) if isinstance(ts, str) else ts
-    e = F.unix_micros(c)
+    e = epoch_us(ts)
     return F.timestamp_micros(e - F.pmod(e, F.lit(us)))
 
 
@@ -176,7 +177,7 @@ def sliding_window_rollup(
             *keys,
             # cast handles TIMESTAMP_NTZ inputs (no-op on TIMESTAMP): the
             # engine pins session tz to UTC, so NTZ wall-clock == epoch
-            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+            epoch_us(F.col("w.start")).alias(
                 "window_start_us"
             ),
             "n", "v_sum", "v_min", "v_max",

@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from holcstore_spark.functions.scalar import epoch_us
+
 __all__ = ["sessionize", "session_stats"]
 
 
@@ -46,7 +48,7 @@ def sessionize(
     prev = F.lag(F.col(ts)).over(w)
     new_session = (
         prev.isNull()
-        | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) > gap_us)
+        | ((epoch_us(ts) - epoch_us(prev)) > gap_us)
     ).cast("long")
     run = (
         Window.partitionBy(*keys)
@@ -75,6 +77,6 @@ def session_stats(
         F.max(ts).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         (
-            (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))) / 1e6
+            (epoch_us(F.max(ts)) - epoch_us(F.min(ts))) / 1e6
         ).alias("duration_sec"),
     )

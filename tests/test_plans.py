@@ -192,3 +192,24 @@ class TestOperatorPlans:
         d = spark.createDataFrame(pd.DataFrame({"g": ["a"], "value": [1.0]}))
         txt = plan_text(percentile_rollup(d, ("g",)))
         assert n_nodes(txt, "Exchange") == 1, txt
+
+    def test_operators_accept_timestamp_ntz_inputs(self, spark):
+        # raw parquet reads often surface TIMESTAMP_NTZ; every epoch_us
+        # consumer must analyze cleanly on NTZ (regression: unix_micros
+        # rejects NTZ with DATATYPE_MISMATCH)
+        from holcstore_spark.operators.asof import asof_join
+        from holcstore_spark.operators.resample import (
+            sliding_window_rollup, time_bucket_rollup,
+        )
+        from holcstore_spark.operators.sessions import session_stats
+
+        d = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"], "ts": [pd.Timestamp("2024-01-01 05:30:00")],
+                          "value": [1.0]})
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        assert dict(d.dtypes)["ts"] == "timestamp_ntz"
+        assert sliding_window_rollup(d, ("k",), 7200, 3600).count() == 2
+        assert time_bucket_rollup(d, ("k",), 3600).count() == 1
+        assert session_stats(d, key="k", gap_seconds=60).count() == 1
+        assert asof_join(d, d.withColumnRenamed("value", "rv"), on="k",
+                         tolerance_seconds=60).count() == 1
