@@ -837,6 +837,55 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming rollup, oracle-checked: events flow
+    through a real readStream (availableNow) into windowed_rollup with
+    window=2h slide=1h — every event lands in exactly two windows; the
+    streamed result must equal the batch sliding-window SQL exactly
+    (order-independent aggregates only)."""
+    from holcstore_spark.streaming.ingest import windowed_rollup
+
+    src = tempfile.mkdtemp(prefix="holc_slide_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_slide_ckpt_")
+    name = "stream_sliding_sink"
+    try:
+        (
+            _t(spark, sf_dir, "events")
+            .select("event_type", "ts", "value")
+            .write.mode("overwrite").parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "event_type string, ts timestamp, value double"
+        ).parquet(src)
+        roll = windowed_rollup(
+            stream, ("event_type",), window="2 hours", slide="1 hour",
+            watermark="4 hours", exact_total=True,
+        )
+        q = (
+            roll.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "event_type",
+            _fmt("window_start").alias("window_start"),
+            "n",
+            F.col("sum_value").alias("total"),
+            F.col("min_value").alias("vmin"),
+            F.col("max_value").alias("vmax"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, oracle-checked: per-user gap
     detection through a real applyInPandasWithState stream (availableNow,
@@ -2324,6 +2373,18 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=1/2) domain flattening over documents.lang:
+    each language keeps ~sqrt(n_min*n_g) rows by content hash. The
+    engine precomputes exact isqrt hex thresholds; the oracle states the
+    equivalent quadratic inequality h^2*n_g < n_min*2^64 in HUGEINT —
+    identical row sets, no float or sqrt anywhere."""
+    from holcstore_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(d, "lang", ["doc_id"]).select("doc_id", "lang")
+
+
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram surprisal per document (CCNet LM-filter analog),
     quantized to whole bits via integer log2 (length(bin(n)) - 1) so the
@@ -2405,18 +2466,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
+        "stream_sliding": q_stream_sliding,
+        "temperature_sample": q_temperature_sample,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
         "store_changefeed": q_store_changefeed,
         "sync_pull": q_sync_pull,
         "kv_store_overlay": q_kv_store_overlay,
-        "overlay_merge": q_overlay_merge,
-        "combined_delay": q_combined_delay,
         "completeness_holes": q_completeness_holes,
         "blob_interop": q_blob_interop,
-        # ====== driver 50-entry window ends here (41 + 9 above) ========
+        # ====== driver 50-entry window ends here (43 + 7 above) ========
         # -- tail: all r4-green, rotate back into the window next round -
+        "overlay_merge": q_overlay_merge,
+        "combined_delay": q_combined_delay,
         "constant_runs": q_constant_runs,
         "merge_intervals": q_merge_intervals,
         "contamination": q_contamination,
@@ -4173,6 +4236,25 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS vmin, max(value) AS vmax
             FROM events GROUP BY 1, 2, 3
         """,
+        # batch twin of the sliding streaming rollup: each event belongs to
+        # the two epoch-aligned 2h windows starting at floor(ts/1h)*1h - k*1h
+        "stream_sliding": f"""
+            WITH w AS (
+                SELECT event_type, value,
+                       (epoch_us(ts) // 3600000000 - k.k) * 3600000000
+                           AS start_us
+                FROM events, LATERAL (
+                    SELECT unnest(range(0, 2)) AS k
+                ) k
+            )
+            SELECT event_type,
+                   strftime(make_timestamp(start_us), '{_FMT_DUCK}')
+                       AS window_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+                   min(value) AS vmin, max(value) AS vmax
+            FROM w GROUP BY 1, 2
+        """,
         # batch twin of the stateful stream: a gap > 1h between consecutive
         # events of a user is a hole spanning the missing grid slots
         "stream_gaps": """
@@ -4351,6 +4433,28 @@ def oracle_sql() -> dict[str, str]:
                    list_max(qv) AS q_max,
                    len(list_filter(qv, x -> x != 0)) AS q_nnz
             FROM q
+        """,
+        # sqrt-temperature flattening without sqrt: keep iff
+        # h^2 * n_g < n_min * 2^64 in HUGEINT (u < sqrt(n_min/n_g) for
+        # u = h/2^32) — the exact same row set the engine's isqrt hex
+        # thresholds select
+        "temperature_sample": """
+            WITH c AS (
+                SELECT lang, count(*) AS n_g FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            m AS (SELECT min(n_g) AS n_min FROM c),
+            h AS (
+                SELECT d.doc_id, d.lang, c.n_g, m.n_min,
+                       CAST('0x' || substr(
+                           md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) AS hv
+                FROM documents d JOIN c USING (lang) CROSS JOIN m
+            )
+            SELECT doc_id, lang FROM h
+            WHERE CAST(hv AS HUGEINT) * hv * n_g
+                  < CAST(n_min AS HUGEINT)
+                    * CAST('18446744073709551616' AS HUGEINT)
         """,
         # integer-log2 surprisal: floor_log2(n) = length(bin(n)) - 1 is
         # exact integer arithmetic in both engines — no transcendental ln

@@ -172,3 +172,50 @@ def stratified_sample(
     if out_rank:
         return ranked.withColumnRenamed("__rk", out_rank)
     return ranked.drop("__rk")
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_cols: list[str],
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based domain flattening at alpha = 1/2 (the classic
+    sqrt-rebalance of multilingual/multi-domain pretraining): each group
+    keeps ``sqrt(n_min * n_g)`` rows — head domains are tamed toward the
+    tail without upsampling anything (the smallest group is kept whole).
+
+    Row selection is by content hash, EXACT across engines with no
+    square root anywhere: keep iff ``h^2 * n_g < n_min * 2^64`` for the
+    32-bit integer ``h`` of the md5-hex8 prefix — algebraically
+    ``u < sqrt(n_min/n_g)`` for ``u = h/2^32``, but decided in pure
+    (wide-)integer arithmetic any engine reproduces bit-for-bit. The
+    engine precomputes each group's hex threshold with Python's exact
+    ``isqrt``; a SQL twin states the quadratic inequality directly
+    (HUGEINT / DECIMAL(38)).
+
+    One metadata-sized aggregate (group counts, one row per domain) and
+    a zero-shuffle pushdown-friendly hash filter — same scale shape as
+    :func:`rebalance_mix`.
+    """
+    from math import isqrt
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).count().collect()
+        if r[0] is not None  # null-domain rows are dropped
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    n_min = min(counts.values())
+    x = n_min << 64
+    h = hash_hex8(list(id_cols), salt)
+    keep: Column | None = None
+    for g, n_g in counts.items():
+        # valid h: h^2 < x/n_g  ⇔  h <= isqrt(ceil(x/n_g) - 1)
+        t = isqrt((x + n_g - 1) // n_g - 1) + 1
+        cond = F.col(group_col) == g
+        if t < _HEX_SPAN:
+            cond = cond & (h < F.lit(format(t, "08x")))
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -197,3 +198,38 @@ class TestRebalanceMix:
         assert {r["grp"] for r in kept.select("grp").distinct().collect()} == {"x"}
         with pytest.raises(ValueError, match="no rows"):
             rebalance_mix(d, "grp", {"x": 1, "absent": 1}, ["doc_id"])
+
+
+class TestTemperatureSample:
+    def test_smallest_domain_kept_whole_and_head_flattened(self, spark):
+        from holcstore_spark.operators.sampling import temperature_sample
+        import math
+
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+        kept = temperature_sample(df, "lang", ["doc_id"]).groupBy("lang").count()
+        got = {r["lang"]: r["count"] for r in kept.collect()}
+        assert got["small"] == 100                 # n_min kept whole
+        # big keeps ~sqrt(100*900) = 300 (hash noise within a few %)
+        assert abs(got["big"] - math.sqrt(100 * 900)) < 60
+
+    def test_deterministic_and_stable_under_repartition(self, spark):
+        from holcstore_spark.operators.sampling import temperature_sample
+
+        rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+        ids1 = sorted(r["doc_id"] for r in temperature_sample(df, "lang", ["doc_id"]).collect())
+        ids2 = sorted(
+            r["doc_id"]
+            for r in temperature_sample(df.repartition(7), "lang", ["doc_id"]).collect()
+        )
+        assert ids1 == ids2 and len(ids1) > 0
+
+    def test_null_domain_rows_dropped(self, spark):
+        from holcstore_spark.operators.sampling import temperature_sample
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["en", None, "en"]})
+        )
+        rows = temperature_sample(df, "lang", ["doc_id"]).collect()
+        assert all(r["lang"] == "en" for r in rows)
