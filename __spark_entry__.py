@@ -2373,6 +2373,18 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by rational LIFT
+    (c_ab*N / (c_a*c_b)) with min support 5 — PMI ranking with exactly
+    one IEEE division of exact integers, so both engines agree on every
+    bit and every tie."""
+    from holcstore_spark.operators.text import bigram_collocations
+
+    return bigram_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=20
+    )
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=1/2) domain flattening over documents.lang:
     each language keeps ~sqrt(n_min*n_g) rows by content hash. The
@@ -2468,16 +2480,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup": q_sliding_rollup,
         "stream_sliding": q_stream_sliding,
         "temperature_sample": q_temperature_sample,
+        "collocations": q_collocations,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
         "store_changefeed": q_store_changefeed,
         "sync_pull": q_sync_pull,
         "kv_store_overlay": q_kv_store_overlay,
-        "completeness_holes": q_completeness_holes,
         "blob_interop": q_blob_interop,
-        # ====== driver 50-entry window ends here (43 + 7 above) ========
+        # ====== driver 50-entry window ends here (44 + 6 above) ========
         # -- tail: all r4-green, rotate back into the window next round -
+        "completeness_holes": q_completeness_holes,
         "overlay_merge": q_overlay_merge,
         "combined_delay": q_combined_delay,
         "constant_runs": q_constant_runs,
@@ -4433,6 +4446,43 @@ def oracle_sql() -> dict[str, str]:
                    list_max(qv) AS q_max,
                    len(list_filter(qv, x -> x != 0)) AS q_nnz
             FROM q
+        """,
+        # PMI-ranked collocations via rational LIFT: one double divide of
+        # exact integer products, bit-identical; ties broken by bigram text
+        "collocations": """
+            WITH toks AS (
+                SELECT string_split(text, ' ') AS t FROM documents
+                WHERE text IS NOT NULL
+            ),
+            uni AS (
+                SELECT w, count(*) AS c_w
+                FROM (SELECT unnest(t) AS w FROM toks) u
+                WHERE w <> '' GROUP BY w
+            ),
+            n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM uni),
+            big AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks, LATERAL (
+                    SELECT unnest(range(1, len(t))) AS i
+                ) g
+            ),
+            bi AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM big
+                GROUP BY w1, w2 HAVING count(*) >= 5
+            ),
+            s AS (
+                SELECT bi.w1 || ' ' || bi.w2 AS bg, bi.c_ab,
+                       a.c_w AS c_a, b.c_w AS c_b,
+                       CAST(bi.c_ab * n.n_total AS DOUBLE)
+                           / CAST(a.c_w * b.c_w AS DOUBLE) AS lift
+                FROM bi
+                JOIN uni a ON bi.w1 = a.w
+                JOIN uni b ON bi.w2 = b.w
+                CROSS JOIN n
+            )
+            SELECT bg, c_ab, c_a, c_b, lift,
+                   row_number() OVER (ORDER BY lift DESC, bg ASC) AS rank
+            FROM s ORDER BY rank LIMIT 20
         """,
         # sqrt-temperature flattening without sqrt: keep iff
         # h^2 * n_g < n_min * 2^64 in HUGEINT (u < sqrt(n_min/n_g) for

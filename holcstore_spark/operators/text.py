@@ -550,3 +550,63 @@ def unigram_surprisal(
             F.col("sum_bits").cast("double") / F.col("n_tokens"),
         )
     )
+
+
+def bigram_collocations(
+    df: DataFrame,
+    text: str = "text",
+    sep: str = " ",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus collocation extraction: top-``k`` adjacent word pairs by
+    LIFT = P(ab) / (P(a)·P(b)) = c_ab·N / (c_a·c_b) — the PMI ranking
+    without its logarithm, so the score is ONE IEEE division of exact
+    integers (bit-identical in any engine; the log would rank the same
+    but its last ulp differs across libms).
+
+    Shape: within-row bigram assembly (zip of the token array with its
+    tail — narrow), then two count aggregates (map-side combined) and a
+    broadcast-sized join of the surviving >= min_count bigrams against
+    the unigram counts. The unigram table is joined, never collected.
+    Deterministic total order: (lift desc, bigram asc).
+    """
+    toks = tokens(text, sep)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    n_total = uni.agg(F.sum("c_w").alias("n_total"))
+    bi = (
+        df.select(F.explode(grams).alias("bg"))
+        .where(F.col("bg").contains(" "))
+        .groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    parts = F.split(F.col("bg"), " ", 2)
+    scored = (
+        bi.withColumn("w1", parts[0]).withColumn("w2", parts[1])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "bg", "c_ab", "c_a", "c_b",
+            (
+                (F.col("c_ab") * F.col("n_total")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    # distributed top-k (TakeOrderedAndProject): each partition keeps its
+    # local k, only k rows reach the driver-side merge — never a global
+    # single-partition Window over the collocation table
+    order = [F.col("lift").desc(), F.col("bg").asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # ranks only the surviving <= k rows
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1033,3 +1033,38 @@ class TestUnigramSurprisal:
         )
         out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
         assert out[2]["mean_bits"] > out[1]["mean_bits"]
+
+
+class TestBigramCollocations:
+    def test_lift_exact_crafted(self, spark):
+        from holcstore_spark.operators.text import bigram_collocations
+
+        # "x y" always together (5x), "a b" common words co-occurring
+        docs = ["x y a"] * 5 + ["a b"] * 5 + ["b a"] * 5
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        )
+        rows = bigram_collocations(df, min_count=5, k=10).collect()
+        got = {r["bg"]: r for r in rows}
+        # N=35 tokens: x:5 y:5 a:15 b:10
+        assert got["x y"]["lift"] == (5 * 35) / (5 * 5)       # 7.0
+        assert got["a b"]["lift"] == (5 * 35) / (15 * 10)
+        # exclusive pair ranks above the common-word pair
+        assert got["x y"]["rank"] < got["a b"]["rank"]
+
+    def test_min_count_filters_rare_pairs(self, spark):
+        from holcstore_spark.operators.text import bigram_collocations
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["p q", "p q"]})
+        )
+        assert bigram_collocations(df, min_count=5, k=10).count() == 0
+        assert bigram_collocations(df, min_count=2, k=10).count() == 1
+
+    def test_single_token_and_null_docs_yield_nothing(self, spark):
+        from holcstore_spark.operators.text import bigram_collocations
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": ["solo", None, ""]})
+        )
+        assert bigram_collocations(df, min_count=1, k=10).count() == 0
