@@ -2373,6 +2373,21 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase, strip to [a-z0-9 ], collapse
+    whitespace) oracle-checked byte-for-byte via an md5 digest of the
+    normalized text — the regexes are literal char classes valid in both
+    Java regex and RE2."""
+    from holcstore_spark.operators.text import normalize_text
+
+    d = normalize_text(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.length("text_norm").alias("n_chars_norm"),
+        F.md5(F.col("text_norm")).alias("norm_digest"),
+    )
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by rational LIFT
     (c_ab*N / (c_a*c_b)) with min support 5 — PMI ranking with exactly
@@ -2481,15 +2496,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "temperature_sample": q_temperature_sample,
         "collocations": q_collocations,
+        "normalize_text": q_normalize_text,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_yield_many": q_store_yield_many,
         "store_changefeed": q_store_changefeed,
         "sync_pull": q_sync_pull,
-        "kv_store_overlay": q_kv_store_overlay,
         "blob_interop": q_blob_interop,
-        # ====== driver 50-entry window ends here (44 + 6 above) ========
+        # ====== driver 50-entry window ends here (45 + 5 above) ========
         # -- tail: all r4-green, rotate back into the window next round -
+        "kv_store_overlay": q_kv_store_overlay,
         "completeness_holes": q_completeness_holes,
         "overlay_merge": q_overlay_merge,
         "combined_delay": q_combined_delay,
@@ -4446,6 +4462,20 @@ def oracle_sql() -> dict[str, str]:
                    list_max(qv) AS q_max,
                    len(list_filter(qv, x -> x != 0)) AS q_nnz
             FROM q
+        """,
+        # byte-for-byte normalization parity: literal char classes only,
+        # valid in both Java regex and RE2; DuckDB needs the 'g' flag
+        "normalize_text": """
+            SELECT doc_id,
+                   length(n) AS n_chars_norm,
+                   md5(n) AS norm_digest
+            FROM (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS n
+                FROM documents
+            )
         """,
         # PMI-ranked collocations via rational LIFT: one double divide of
         # exact integer products, bit-identical; ties broken by bigram text

@@ -610,3 +610,27 @@ def bigram_collocations(
     top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)  # ranks only the surviving <= k rows
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def normalize_text(
+    df: DataFrame,
+    text: str = "text",
+    out: str = "text_norm",
+    keep_digits: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the pass that precedes exact/near
+    dedup and fingerprinting so trivially-different bytes ("Foo,  bar!"
+    vs "foo bar") collapse to one form: lowercase, strip everything
+    outside [a-z0-9 ] (or [a-z ] with ``keep_digits=False``), collapse
+    whitespace runs, trim. NULL propagates.
+
+    Engine-portable on purpose: the regexes use only literal character
+    classes valid in both Java regex (Spark) and RE2 (DuckDB), so a SQL
+    oracle reproduces the normalization byte-for-byte. Pure narrow map,
+    whole-stage codegen, zero shuffle.
+    """
+    keep = "a-z0-9" if keep_digits else "a-z"
+    c = F.lower(F.col(text))
+    c = F.regexp_replace(c, f"[^{keep} ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return df.withColumn(out, F.trim(c))

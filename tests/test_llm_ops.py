@@ -1068,3 +1068,37 @@ class TestBigramCollocations:
             pd.DataFrame({"doc_id": [1, 2, 3], "text": ["solo", None, ""]})
         )
         assert bigram_collocations(df, min_count=1, k=10).count() == 0
+
+
+class TestNormalizeText:
+    def test_canonical_form(self, spark):
+        from holcstore_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["  Foo,   BAR!! 42 ", "a-b_c", None],
+        }))
+        got = {r["doc_id"]: r["text_norm"]
+               for r in normalize_text(df).collect()}
+        assert got[1] == "foo bar 42"
+        assert got[2] == "a b c"
+        assert got[3] is None
+
+    def test_keep_digits_false_strips_numbers(self, spark):
+        from holcstore_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["abc 123 def"]})
+        )
+        row = normalize_text(df, keep_digits=False).collect()[0]
+        assert row["text_norm"] == "abc def"
+
+    def test_normalization_collapses_trivial_variants_for_dedup(self, spark):
+        from holcstore_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["Hello,  World!", "hello world"],
+        }))
+        out = normalize_text(df).select("text_norm").distinct()
+        assert out.count() == 1
