@@ -1124,6 +1124,60 @@ class ChunkStore:
         self._invalidate_meta_cache()
         return n
 
+    def describe_chunks(self) -> DataFrame:
+        """Partition health audit — the skew/small-file report an operator
+        reads before resizing ``spark.sql.files.maxPartitionBytes`` or
+        scheduling :meth:`compact` / :meth:`delete_before` at scale.
+
+        One row per ``chunk_index`` partition: alive/tombstoned series
+        counts, total grid points, the partition's file count and bytes
+        (from the FileSystem listing — no data scan; the whole frame is
+        metadata-sized). ``avg_bytes_per_file`` exposes the small-file
+        problem directly: many tiny files per partition means the write
+        path is over-parallelized for the data volume.
+        """
+        latest = self.latest_meta()
+        agg = latest.groupBy("chunk_index").agg(
+            F.sum((~F.col("is_deleted")).cast("long")).alias("n_series"),
+            F.sum(F.col("is_deleted").cast("long")).alias("n_tombstoned"),
+            F.sum(F.when(~F.col("is_deleted"), F.col("n_points")).otherwise(0))
+            .alias("n_points"),
+        )
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self._data_path)
+        fs = root.getFileSystem(hconf)
+        rows = []
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if not name.startswith("chunk_index="):
+                    continue
+                try:
+                    idx = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                n_files, n_bytes = 0, 0
+                for f in fs.listStatus(st.getPath()):
+                    if f.isFile() and not f.getPath().getName().startswith("_"):
+                        n_files += 1
+                        n_bytes += f.getLen()
+                rows.append((idx, n_files, n_bytes))
+        files = self.spark.createDataFrame(
+            rows or [], "chunk_index int, n_files long, n_bytes long"
+        )
+        return (
+            agg.join(files, on="chunk_index", how="full")
+            .fillna(0, subset=["n_series", "n_tombstoned", "n_points",
+                               "n_files", "n_bytes"])
+            .withColumn(
+                "avg_bytes_per_file",
+                F.when(F.col("n_files") > 0,
+                       F.col("n_bytes") / F.col("n_files")),
+            )
+            .orderBy("chunk_index")
+        )
+
     def delete_before(self, cutoff, keep_tracking: bool = True) -> int:
         """Retention sweep: remove every chunk whose entire calendar range
         ends before ``cutoff`` (a timestamp; naive values localize to the

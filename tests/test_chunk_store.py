@@ -647,3 +647,24 @@ class TestDeleteBefore:
         # a mid-January cutoff's chunk, so nothing is deleted
         assert st.delete_before("2024-01-20") == 0
         assert st.delete_before("2024-02-01") == 1
+
+
+class TestDescribeChunks:
+    def test_reports_series_points_files_and_bytes(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-01", 24))
+        st.set_ts({"site": "s2", "meter": "m1"}, hourly("2024-01-01", 24))
+        st.set_ts(ATTRS, hourly("2024-02-05", 24), update=True)
+        st.delete({"site": "s2"})
+        rows = {r["chunk_index"]: r for r in st.describe_chunks().collect()}
+        jan, feb = 2024 * 12 + 0, 2024 * 12 + 1
+        assert rows[jan]["n_series"] == 1 and rows[jan]["n_tombstoned"] == 1
+        assert rows[feb]["n_series"] == 1 and rows[feb]["n_tombstoned"] == 0
+        # real grid points and real parquet files with bytes
+        assert rows[jan]["n_points"] > 0
+        assert rows[jan]["n_files"] >= 1 and rows[jan]["n_bytes"] > 0
+        assert rows[jan]["avg_bytes_per_file"] > 0
+
+    def test_empty_store_yields_empty_report(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        assert st.describe_chunks().count() == 0
