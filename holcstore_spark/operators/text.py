@@ -480,7 +480,11 @@ def doc_chunks(
     boundary context is lost).
 
     Chunk starts are 0, stride, 2*stride, ... while start < length;
-    empty/null docs yield no chunks. Pure narrow map (sequence +
+    empty/null docs yield no chunks. With ``stride <= size`` every byte
+    of the document is covered (the training-data default); with
+    ``stride > size`` the windows deliberately sample with gaps (e.g.
+    every Nth block for cheap corpus probes) and the tail may be
+    uncovered. Pure narrow map (sequence +
     explode + substr — whole-stage codegen, zero shuffle), so at 100 TB
     it pipelines directly into the scan; the fan-out factor is
     len/stride, bounded by the corpus's max doc length.

@@ -213,3 +213,24 @@ class TestOperatorPlans:
         assert session_stats(d, key="k", gap_seconds=60).count() == 1
         assert asof_join(d, d.withColumnRenamed("value", "rv"), on="k",
                          tolerance_seconds=60).count() == 1
+
+    def test_normalize_and_temperature_zero_exchange(self, spark):
+        from holcstore_spark.operators.sampling import temperature_sample
+        from holcstore_spark.operators.text import normalize_text
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2], "lang": ["en", "fr"], "text": ["A b", "c D"]}))
+        assert "Exchange" not in plan_text(normalize_text(d))
+        # after the metadata-sized counts collect, the kept-rows filter
+        # itself must be a zero-shuffle pushdown-friendly predicate
+        assert "Exchange" not in plan_text(temperature_sample(d, "lang", ["doc_id"]))
+
+    def test_collocations_topk_never_global_window_over_corpus(self, spark):
+        # top-k must be TakeOrderedAndProject; the only Window ranks the
+        # <= k surviving rows after the limit
+        from holcstore_spark.operators.text import bigram_collocations
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "text": ["a b a b a b a b a b"]}))
+        txt = plan_text(bigram_collocations(d, min_count=1, k=5))
+        assert "TakeOrderedAndProject" in txt, txt

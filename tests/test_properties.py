@@ -164,3 +164,58 @@ class TestPackingProperties:
             assert r["start_block"] == off // block
             assert r["end_block"] == (off + max(n, 1) - 1) // block
             off += n
+
+
+class TestChunkingProperties:
+    @SETTINGS
+    @given(
+        text=st.text(alphabet="ab c", min_size=0, max_size=600),
+        size=st.integers(min_value=1, max_value=50),
+        stride=st.integers(min_value=1, max_value=50),
+    )
+    def test_doc_chunks_cover_and_reconstruct(self, spark, text, size, stride):
+        from holcstore_spark.operators.text import doc_chunks
+
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+        rows = sorted(
+            doc_chunks(df, size=size, stride=stride).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        if not text:
+            assert rows == []
+            return
+        # every chunk is the exact substring at its window
+        for r in rows:
+            start = r["chunk_id"] * stride
+            assert r["chunk"] == text[start:start + size]
+        # full coverage when windows at least touch (stride <= size):
+        # the last window reaches the end of the document. stride > size
+        # is gap-sampling by design and cannot cover the tail.
+        last = rows[-1]
+        if stride <= size:
+            assert last["chunk_id"] * stride + len(last["chunk"]) == len(text)
+        # window count matches the closed-form start count
+        assert len(rows) == (len(text) - 1) // stride + 1
+
+    @SETTINGS
+    @given(
+        vec=st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False,
+                      width=32),
+            min_size=1, max_size=16,
+        )
+    )
+    def test_quantize_roundtrip_error_bound(self, spark, vec):
+        from holcstore_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(pd.DataFrame({"vec_id": [0], "embedding": [vec]}))
+        row = quantize_embeddings(df).collect()[0]
+        scale = row["q_scale"]
+        codes = list(row["q_vec"])
+        assert all(abs(c) <= 127 for c in codes)
+        if scale == 0.0:
+            assert all(c == 0 for c in codes)
+            return
+        for orig, code in zip(vec, codes):
+            # half-up rounding: reconstruction error <= scale/2 (+ulp slack)
+            assert abs(code * scale - float(np.float32(orig))) <= scale / 2 * (1 + 1e-9)
