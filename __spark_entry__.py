@@ -2373,6 +2373,31 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus pipeline end-to-end: normalize →
+    exact-dedup on the normalized text → sqrt-temperature domain
+    flattening → hash train/valid split → context-length chunking —
+    summarized per (lang, split) with a digest over every chunk byte.
+    Every stage is individually engine-portable-exact, so the whole
+    chain must hash-match a single composed SQL oracle."""
+    from holcstore_spark.operators.pipeline import prepare_corpus
+
+    ch = prepare_corpus(_t(spark, sf_dir, "documents"))
+    return ch.groupBy("lang", "split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("total_chars"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("chunk_id").cast("string"),
+                F.md5("chunk"),
+            )
+        )))).alias("digest"),
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical normalization (lowercase, strip to [a-z0-9 ], collapse
     whitespace) oracle-checked byte-for-byte via an md5 digest of the
@@ -2497,14 +2522,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "collocations": q_collocations,
         "normalize_text": q_normalize_text,
+        "corpus_prep": q_corpus_prep,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
-        "store_yield_many": q_store_yield_many,
         "store_changefeed": q_store_changefeed,
         "sync_pull": q_sync_pull,
         "blob_interop": q_blob_interop,
-        # ====== driver 50-entry window ends here (45 + 5 above) ========
+        # ====== driver 50-entry window ends here (46 + 4 above) ========
         # -- tail: all r4-green, rotate back into the window next round -
+        "store_yield_many": q_store_yield_many,
         "kv_store_overlay": q_kv_store_overlay,
         "completeness_holes": q_completeness_holes,
         "overlay_merge": q_overlay_merge,
@@ -4462,6 +4488,68 @@ def oracle_sql() -> dict[str, str]:
                    list_max(qv) AS q_max,
                    len(list_filter(qv, x -> x != 0)) AS q_nnz
             FROM q
+        """,
+        # the full composed pipeline as one SQL statement: each CTE is the
+        # oracle form of one stage; the digest covers every chunk byte
+        "corpus_prep": f"""
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS tn
+                FROM documents
+            ),
+            ded AS (
+                SELECT doc_id, lang, tn FROM (
+                    SELECT norm.*, row_number() OVER (
+                        PARTITION BY md5(tn) ORDER BY doc_id ASC) AS rn
+                    FROM norm
+                ) WHERE rn = 1
+            ),
+            c AS (
+                SELECT lang, count(*) AS n_g FROM ded
+                WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            m AS (SELECT min(n_g) AS n_min FROM c),
+            temp AS (
+                SELECT d.doc_id, d.lang, d.tn
+                FROM ded d JOIN c USING (lang) CROSS JOIN m
+                WHERE CAST(CAST('0x' || substr(md5('temp|'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                          AS HUGEINT)
+                      * CAST('0x' || substr(md5('temp|'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      * n_g
+                    < CAST(n_min AS HUGEINT)
+                      * CAST('18446744073709551616' AS HUGEINT)
+            ),
+            sp AS (
+                SELECT doc_id, lang, tn,
+                       CASE WHEN substr(md5('split|'
+                                || CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{_frac_to_hex(0.95)}'
+                            THEN 'train' ELSE 'valid' END AS split
+                FROM temp
+            ),
+            ch AS (
+                SELECT sp.doc_id, sp.lang, sp.split, i.idx AS chunk_id,
+                       substring(sp.tn, CAST(i.idx * 150 + 1 AS BIGINT), 200)
+                           AS chunk
+                FROM sp, LATERAL (
+                    SELECT unnest(range(0, (length(tn) - 1) // 150 + 1))
+                        AS idx
+                ) i
+                WHERE sp.tn IS NOT NULL AND length(sp.tn) > 0
+            )
+            SELECT lang, split,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_chunks,
+                   CAST(sum(length(chunk)) AS BIGINT) AS total_chars,
+                   md5(array_to_string(list_sort(list(
+                       CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(chunk_id AS VARCHAR) || ':'
+                       || md5(chunk))), ',')) AS digest
+            FROM ch GROUP BY lang, split
         """,
         # byte-for-byte normalization parity: literal char classes only,
         # valid in both Java regex and RE2; DuckDB needs the 'g' flag

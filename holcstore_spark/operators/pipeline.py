@@ -69,3 +69,54 @@ def clean_corpus(
         # drop the higher id of each verified near-dup pair
         losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return unique.join(losers, on=id_col, how="left_anti")
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+    splits: dict[str, float] | None = None,
+    chunk_size: int = 200,
+    chunk_stride: int = 150,
+) -> DataFrame:
+    """End-to-end corpus preparation — the composed shape of a real
+    pretraining data job, each stage an exact operator from this repo:
+
+    1. :func:`~holcstore_spark.operators.text.normalize_text` — canonical
+       form so trivially-different bytes collapse;
+    2. :func:`~holcstore_spark.operators.dedup.exact_dedup` on the
+       NORMALIZED text (min id survives);
+    3. :func:`~holcstore_spark.operators.sampling.temperature_sample` —
+       sqrt domain flattening;
+    4. :func:`~holcstore_spark.operators.sampling.hash_split` —
+       content-hash train/valid assignment;
+    5. :func:`~holcstore_spark.operators.text.doc_chunks` — context-length
+       windows of the normalized text.
+
+    Returns one chunk-level row: (id, domain, split, chunk_id, chunk,
+    chunk_len). Every stage is engine-portable-exact, so the composition
+    is too — a SQL oracle reproduces the full pipeline bit-for-bit.
+
+    Scale shape: two narrow maps (normalize, chunk explode), one hash
+    shuffle (dedup), one metadata-sized collect (domain counts), one
+    zero-shuffle filter (flatten), one zero-shuffle assignment (split) —
+    domain/split columns ride through the chunk explode, no re-join.
+    """
+    from holcstore_spark.operators.dedup import exact_dedup
+    from holcstore_spark.operators.sampling import hash_split, temperature_sample
+    from holcstore_spark.operators.text import doc_chunks, normalize_text
+
+    splits = splits or {"train": 0.95, "valid": 0.05}
+    n = normalize_text(df, text=text, out="__norm")
+    d = exact_dedup(n, content="__norm", id_col=id_col)
+    t = temperature_sample(d, domain_col, [id_col])
+    s = hash_split(t, [id_col], splits)
+    chunks = doc_chunks(
+        s.select(id_col, domain_col, "split", F.col("__norm").alias("__t")),
+        text="__t", id_col=id_col, size=chunk_size, stride=chunk_stride,
+        keep=(domain_col, "split"),
+    )
+    return chunks.select(
+        id_col, domain_col, "split", "chunk_id", "chunk", "chunk_len"
+    )

@@ -472,6 +472,7 @@ def doc_chunks(
     id_col: str = "doc_id",
     size: int = 200,
     stride: int = 150,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding-window document chunking — the context-length splitter
     that precedes tokenize-and-pack in a training pipeline (long docs
@@ -498,6 +499,7 @@ def doc_chunks(
         df.where(c.isNotNull() & (n > 0))
         .select(
             F.col(id_col),
+            *[F.col(k) for k in keep],
             c.alias("__t"),
             F.explode(starts).alias("chunk_id"),
         )
@@ -505,6 +507,7 @@ def doc_chunks(
     start = (F.col("chunk_id") * stride).cast("int")
     return exploded.select(
         id_col,
+        *keep,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("__t").substr(start + 1, F.lit(size)).alias("chunk"),
     ).withColumn("chunk_len", F.length("chunk"))

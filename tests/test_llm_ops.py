@@ -1102,3 +1102,31 @@ class TestNormalizeText:
         }))
         out = normalize_text(df).select("text_norm").distinct()
         assert out.count() == 1
+
+
+class TestPrepareCorpus:
+    def test_stages_compose(self, spark):
+        from holcstore_spark.operators.pipeline import prepare_corpus
+
+        rows = [
+            (1, "en", "Hello,  World! " * 30),      # long doc -> many chunks
+            (2, "en", "hello world " * 30 + "hello world"),  # not an exact dup after norm? see below
+            (3, "en", "Hello,  World! " * 30),      # exact dup of 1 after norm
+            (4, "fr", "bonjour le monde"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+        out = prepare_corpus(df, chunk_size=50, chunk_stride=40).collect()
+        ids = {r["doc_id"] for r in out}
+        assert 3 not in ids          # deduped against doc 1 (same normal form)
+        assert 4 in ids              # smallest domain kept whole
+        for r in out:
+            assert r["split"] in ("train", "valid")
+            assert 1 <= r["chunk_len"] <= 50
+
+    def test_chunks_carry_domain_without_rejoin(self, spark):
+        from holcstore_spark.operators.text import doc_chunks
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "lang": ["en"], "text": ["x" * 100]}))
+        rows = doc_chunks(df, size=40, stride=30, keep=("lang",)).collect()
+        assert all(r["lang"] == "en" for r in rows) and len(rows) == 4
