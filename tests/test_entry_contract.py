@@ -83,3 +83,33 @@ def test_query_builds_plan_on_real_testdata(spark, name):
     df = fn(spark, SF_DIR)
     assert df.schema is not None
     assert len(df.columns) > 0
+
+
+def test_registry_source_has_no_duplicate_keys():
+    # a duplicate key in the queries() dict literal silently keeps the
+    # FIRST position and drops the later one — which corrupts the
+    # driver's 50-entry rotation accounting without any error
+    import inspect
+    import re
+
+    src = inspect.getsource(entry_mod.queries)
+    keys = re.findall(r'^\s+"(\w+)":', src, flags=re.M)
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate registry keys: {sorted(dupes)}"
+    assert len(keys) == len(entry_mod.queries())
+
+
+def test_driver_window_contains_every_new_round5_query():
+    # every query added this round must sit inside the driver's checked
+    # first-50 window, or it gets zero driver evidence
+    new_r5 = {
+        "stats_rollup", "value_histogram", "doc_chunks", "embed_quantize",
+        "lm_surprisal", "sliding_rollup", "stream_sliding",
+        "temperature_sample", "collocations", "normalize_text",
+        "corpus_prep", "multimodal_png", "store_get_batch",
+        "dedup_representatives", "quality_filter", "multimodal_jpeg",
+        "multimodal_video",
+    }
+    window = set(list(entry_mod.queries())[:50])
+    missing = new_r5 - window
+    assert not missing, f"round-5 queries outside driver window: {sorted(missing)}"
