@@ -2373,6 +2373,16 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-row window statistics per user over the ordered event
+    series — int-quantized inputs make every windowed sum (including the
+    n·Σx²−(Σx)² variance numerator) exact integer arithmetic."""
+    from holcstore_spark.operators.resample import rolling_stats
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return rolling_stats(e, ("user_id",), window_rows=24)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-corpus pipeline end-to-end: normalize →
     exact-dedup on the normalized text → sqrt-temperature domain
@@ -2523,13 +2533,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "normalize_text": q_normalize_text,
         "corpus_prep": q_corpus_prep,
+        "rolling_stats": q_rolling_stats,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
-        "sync_pull": q_sync_pull,
         "blob_interop": q_blob_interop,
-        # ====== driver 50-entry window ends here (46 + 4 above) ========
+        # ====== driver 50-entry window ends here (47 + 3 above) ========
         # -- tail: all r4-green, rotate back into the window next round -
+        "sync_pull": q_sync_pull,
         "store_yield_many": q_store_yield_many,
         "kv_store_overlay": q_kv_store_overlay,
         "completeness_holes": q_completeness_holes,
@@ -4488,6 +4499,28 @@ def oracle_sql() -> dict[str, str]:
                    list_max(qv) AS q_max,
                    len(list_filter(qv, x -> x != 0)) AS q_nnz
             FROM q
+        """,
+        # trailing 24-row frames over int-quantized values: every windowed
+        # sum (incl. the n*S2 - S1^2 variance numerator) is exact integer
+        # arithmetic; (user_id, ts) is unique so the frame is deterministic
+        "rolling_stats": """
+            WITH q AS (
+                SELECT user_id, ts,
+                       CAST(round(value * 1000) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CAST(count(v) OVER w AS BIGINT) AS n_window,
+                   CAST(sum(v) OVER w AS DOUBLE) / count(v) OVER w
+                       AS v_mean_q,
+                   min(v) OVER w AS v_min_q,
+                   max(v) OVER w AS v_max_q,
+                   CAST(count(v) OVER w * sum(v * v) OVER w
+                        - sum(v) OVER w * sum(v) OVER w AS BIGINT)
+                       AS var_num_q
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
         """,
         # the full composed pipeline as one SQL statement: each CTE is the
         # oracle form of one stage; the digest covers every chunk byte

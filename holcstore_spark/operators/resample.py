@@ -183,3 +183,46 @@ def sliding_window_rollup(
             "n", "v_sum", "v_min", "v_max",
         )
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    window_rows: int,
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key trailing-window statistics over the ordered series: count,
+    mean, min, max and the EXACT variance numerator
+    ``n·Σx² − (Σx)²`` for the last ``window_rows`` rows (divide by
+    ``n·(n−1)`` for sample variance) — the moving-average / volatility
+    pass of load-curve analytics.
+
+    Works on the int-quantized value (``round(x·1000)``) so every
+    windowed sum is exact integer arithmetic: cross-engine
+    bit-reproducible, including the variance numerator (a float
+    Welford/naive two-pass would drift in the last ulp). One shuffle on
+    the keys; the frame is ROWS-bounded so state per row is O(1).
+    When (keys, ts) is not unique pass ``tiebreak`` — ROWS frames over
+    tied orderings are otherwise nondeterministic.
+    """
+    v = F.round(F.col(value) * 1000).cast("long")
+    order = [ts] if tiebreak is None else [ts, tiebreak]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    return df.select(
+        *keys,
+        epoch_us(ts).alias("ts_us"),
+        n.alias("n_window"),
+        (s1.cast("double") / n).alias("v_mean_q"),
+        F.min(v).over(w).alias("v_min_q"),
+        F.max(v).over(w).alias("v_max_q"),
+        (n * s2 - s1 * s1).alias("var_num_q"),
+    )

@@ -266,3 +266,38 @@ class TestSlidingWindowRollup:
             "g": ["a"], "ts": [pd.Timestamp("2024-01-01")], "value": [1.0]}))
         with pytest.raises(ValueError):
             sliding_window_rollup(df, ("g",), 7000, 3600)
+
+
+class TestRollingStats:
+    def test_exact_crafted_window(self, spark):
+        from holcstore_spark.operators.resample import rolling_stats
+
+        vals = [1.0, 2.0, 3.0, 4.0]
+        df = spark.createDataFrame(pd.DataFrame({
+            "k": ["a"] * 4,
+            "ts": pd.date_range("2024-01-01", periods=4, freq="h"),
+            "value": vals,
+        }))
+        rows = sorted(rolling_stats(df, ("k",), window_rows=3).collect(),
+                      key=lambda r: r["ts_us"])
+        # row 3 window = [2000, 3000, 4000] (quantized)
+        last = rows[-1]
+        assert last["n_window"] == 3
+        assert last["v_mean_q"] == 3000.0
+        assert last["v_min_q"] == 2000 and last["v_max_q"] == 4000
+        # n*S2 - S1^2 = 3*(4+9+16)*1e6 - (9000)^2 = 87e6 - 81e6 = 6e6
+        assert last["var_num_q"] == 6_000_000
+        # first row: window of itself only -> zero variance numerator
+        assert rows[0]["n_window"] == 1 and rows[0]["var_num_q"] == 0
+
+    def test_partitions_isolated_per_key(self, spark):
+        from holcstore_spark.operators.resample import rolling_stats
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "k": ["a", "b"],
+            "ts": [pd.Timestamp("2024-01-01")] * 2,
+            "value": [1.0, 100.0],
+        }))
+        rows = {r["k"]: r for r in rolling_stats(df, ("k",), 5).collect()}
+        assert rows["a"]["n_window"] == 1 and rows["b"]["n_window"] == 1
+        assert rows["b"]["v_mean_q"] == 100000.0
