@@ -1389,6 +1389,54 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: potential revenue increase from discount removal —
+    a pure filtered scan-agg (predicates push to the parquet scan, no
+    join, no shuffle beyond the final 1-row aggregate). Exact decimal
+    sum of the per-row discount product."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one
+    late-shipping lineitem (ship > order date + 30 days) — the EXISTS
+    semi-join plan: equi-key hash semi join with the inequality as the
+    join residual, never a row explosion from duplicate lineitems."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        on=(
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        ),
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
 def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline join (bench q3-ish): revenue per order over a broadcast
     customer dim, deterministic top-20."""
@@ -2534,12 +2582,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "corpus_prep": q_corpus_prep,
         "rolling_stats": q_rolling_stats,
+        "forecast_revenue": q_forecast_revenue,
+        "order_priority": q_order_priority,
         # -- (e) r4-green heavyweights filling out the 50-slot window ---
         "store_roundtrip": q_store_roundtrip,
+        # ====== driver 50-entry window ends here (49 + 1 above) ========
+        # -- tail: all r4-green, rotate back into the window next round -
         "store_changefeed": q_store_changefeed,
         "blob_interop": q_blob_interop,
-        # ====== driver 50-entry window ends here (47 + 3 above) ========
-        # -- tail: all r4-green, rotate back into the window next round -
         "sync_pull": q_sync_pull,
         "store_yield_many": q_store_yield_many,
         "kv_store_overlay": q_kv_store_overlay,
@@ -4499,6 +4549,32 @@ def oracle_sql() -> dict[str, str]:
                    list_max(qv) AS q_max,
                    len(list_filter(qv, x -> x != 0)) AS q_nnz
             FROM q
+        """,
+        # TPC-H Q6 shape: pure pushdown scan-agg; per-row product cast to
+        # DECIMAL before the exact sum (deterministic rounding of
+        # identical doubles in both engines)
+        "forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        # TPC-H Q4 shape: EXISTS semi-join (no duplicate-lineitem blowup)
+        "order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+              )
+            GROUP BY o_orderpriority
         """,
         # trailing 24-row frames over int-quantized values: every windowed
         # sum (incl. the n*S2 - S1^2 variance numerator) is exact integer
