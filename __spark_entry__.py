@@ -1437,6 +1437,30 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — the GROUP BY … HAVING
+    pre-aggregation BEFORE the join (the aggregate shrinks lineitem to
+    qualifying orderkeys first, so the orders/customer joins see only
+    the tiny surviving set; the big table is never joined raw)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
 def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline join (bench q3-ish): revenue per order over a broadcast
     customer dim, deterministic top-20."""
@@ -2584,10 +2608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "forecast_revenue": q_forecast_revenue,
         "order_priority": q_order_priority,
-        # -- (e) r4-green heavyweights filling out the 50-slot window ---
-        "store_roundtrip": q_store_roundtrip,
-        # ====== driver 50-entry window ends here (49 + 1 above) ========
+        "large_orders": q_large_orders,
+        # ====== driver 50-entry window ends here (50 new/r3) ===========
         # -- tail: all r4-green, rotate back into the window next round -
+        "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
         "blob_interop": q_blob_interop,
         "sync_pull": q_sync_pull,
@@ -4549,6 +4573,25 @@ def oracle_sql() -> dict[str, str]:
                    list_max(qv) AS q_max,
                    len(list_filter(qv, x -> x != 0)) AS q_nnz
             FROM q
+        """,
+        # TPC-H Q18 shape: pre-aggregate lineitem to qualifying orderkeys
+        # BEFORE any join; exact decimal quantity totals
+        "large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(28,2)))
+                            AS DOUBLE) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,2)))
+                            AS DOUBLE) > 300
+            )
+            SELECT c.c_name, o.o_orderkey,
+                   CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR)
+                       AS order_date,
+                   o.o_totalprice, big.total_qty
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         # TPC-H Q6 shape: pure pushdown scan-agg; per-row product cast to
         # DECIMAL before the exact sum (deterministic rounding of

@@ -130,6 +130,13 @@ def main(n_docs: int = 50_000, dim: int = 64) -> None:
         ("g",), exact=False,
     ))
 
+    from holcstore_spark.operators.pipeline import prepare_corpus
+    from holcstore_spark.operators.text import bigram_collocations
+
+    corpus = docs.withColumn("lang", F.concat(F.lit("l"), F.col("doc_id") % 4))
+    run("prepare_corpus", lambda: prepare_corpus(corpus))
+    run("collocations", lambda: bigram_collocations(docs, min_count=10, k=20))
+
     print(json.dumps({
         "metric": "llm_ops_total",
         "value": round(sum(timings.values()), 2),
