@@ -2445,6 +2445,17 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM change-point alarms (k=50, h=500) — the
+    sequential-looking recurrence realized as prefix-sum + running-min
+    window functions over int-quantized values; exact integer statistic
+    in both engines."""
+    from holcstore_spark.operators.islands import cusum_drift
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return cusum_drift(e, ("user_id",), target_k=50.0, threshold_h=500.0)
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 24-row window statistics per user over the ordered event
     series — int-quantized inputs make every windowed sum (including the
@@ -2586,7 +2597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "vocab_topk": q_vocab_topk,
-        "multimodal_meta": q_multimodal_meta,
         # -- (d) new in round 5 -----------------------------------------
         "multimodal_png": q_multimodal_png,
         "store_get_batch": q_store_get_batch,
@@ -2609,8 +2619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "order_priority": q_order_priority,
         "large_orders": q_large_orders,
-        # ====== driver 50-entry window ends here (50 new/r3) ===========
-        # -- tail: all r4-green, rotate back into the window next round -
+        "cusum_drift": q_cusum_drift,
+        # ====== driver 50-entry window ends here (50 above) ============
+        # -- tail: r3/r4-green, rotate back into the window next round --
+        "multimodal_meta": q_multimodal_meta,
         "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
         "blob_interop": q_blob_interop,
@@ -4618,6 +4630,33 @@ def oracle_sql() -> dict[str, str]:
                     AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
               )
             GROUP BY o_orderpriority
+        """,
+        # CUSUM via the prefix-sum identity S_t = P_t - min(0, min P_i):
+        # two window functions over exact quantized integers, no recursion
+        "cusum_drift": """
+            WITH q AS (
+                SELECT user_id, ts, value,
+                       CAST(round(value * 1000) AS BIGINT) - 50000 AS y
+                FROM events
+            ),
+            p AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(y) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+                FROM q
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       pp - least(CAST(0 AS BIGINT),
+                                  min(pp) OVER (
+                                      PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)) AS sv
+                FROM p
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, value,
+                   sv AS cusum_q
+            FROM s WHERE sv > 500000
         """,
         # trailing 24-row frames over int-quantized values: every windowed
         # sum (incl. the n*S2 - S1^2 variance numerator) is exact integer

@@ -67,3 +67,56 @@ def null_runs(
     flagged = df.withColumn("__isnull", F.col(value).isNull())
     runs = constant_runs(flagged, keys, order, value="__isnull")
     return runs.filter(F.col("__isnull")).drop("__isnull")
+
+
+def cusum_drift(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    target_k: float,
+    threshold_h: float,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """One-sided CUSUM drift detection per key — the classic
+    change-point alarm (Page 1954) used to catch distribution shift in
+    a metric stream (training-data quality drifting, a meter reading
+    stuck high). The textbook recurrence ``S_t = max(0, S_{t-1} + x_t
+    - k)`` looks inherently sequential, but it equals ``P_t - min_{i<=t}
+    P_i`` for the prefix sums ``P`` of ``x - k`` — so it runs as TWO
+    window functions over each key (prefix sum + running min), fully
+    parallel across keys, no UDF, no iteration.
+
+    All arithmetic is on int-quantized values (round(x·1000), k and h
+    quantized the same way): the statistic is exact cross-engine
+    integer math. Returns the rows where ``S_t > h`` (alarm points)
+    with the statistic value.
+    """
+    kq = int(round(target_k * 1000))
+    hq = int(round(threshold_h * 1000))
+    y = F.round(F.col(value) * 1000).cast("long") - F.lit(kq)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(y).over(w)
+    d = df.withColumn("__p", p)
+    wm = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # S_t = P_t - min(0, min_{i<=t} P_i): the leading 0 is P_0 = 0
+    run_min = F.least(F.lit(0).cast("long"), F.min("__p").over(wm))
+    from holcstore_spark.functions.scalar import epoch_us
+
+    out = d.withColumn("__s", F.col("__p") - run_min)
+    return (
+        out.filter(F.col("__s") > hq)
+        .select(
+            *keys,
+            epoch_us(ts).alias("ts_us"),
+            F.col(value),
+            F.col("__s").alias("cusum_q"),
+        )
+    )

@@ -235,3 +235,51 @@ class TestVersioning:
             for r in with_next_version(new, existing, ("k",)).collect()
         }
         assert out == {"a": 4, "b": 2, "c": 0}
+
+
+class TestCusumDrift:
+    def test_matches_sequential_recurrence(self, spark):
+        import pandas as pd
+
+        from holcstore_spark.operators.islands import cusum_drift
+
+        vals = [1.0, 5.0, 5.0, 0.0, 5.0, 5.0, 5.0, 1.0]
+        k, h = 2.0, 4.0
+        df = spark.createDataFrame(pd.DataFrame({
+            "k": ["a"] * len(vals),
+            "ts": pd.date_range("2024-01-01", periods=len(vals), freq="h"),
+            "value": vals,
+        }))
+        got = {
+            (r["ts_us"], r["cusum_q"])
+            for r in cusum_drift(df, ("k",), target_k=k, threshold_h=h).collect()
+        }
+        # reference sequential recurrence on quantized ints
+        s, expected = 0, set()
+        base = pd.Timestamp("2024-01-01").value // 1000
+        for i, x in enumerate(vals):
+            s = max(0, s + int(round(x * 1000)) - int(k * 1000))
+            if s > int(h * 1000):
+                expected.add((base + i * 3_600_000_000, s))
+        assert got == expected and expected  # non-trivial case
+
+    def test_reset_after_drop_below_target(self, spark):
+        import pandas as pd
+
+        from holcstore_spark.operators.islands import cusum_drift
+
+        # a long low stretch must RESET the statistic (plain prefix-sum
+        # without the running-min correction would go negative and hide
+        # the later drift)
+        vals = [10.0] * 3 + [0.0] * 50 + [10.0] * 3
+        df = spark.createDataFrame(pd.DataFrame({
+            "k": ["a"] * len(vals),
+            "ts": pd.date_range("2024-01-01", periods=len(vals), freq="h"),
+            "value": vals,
+        }))
+        rows = cusum_drift(df, ("k",), target_k=5.0, threshold_h=8.0).collect()
+        ts = sorted(pd.Timestamp(r["ts_us"], unit="us") for r in rows)
+        # alarms in BOTH bursts: the reset means the second burst alarms
+        # again despite the deeply negative raw prefix sum before it
+        assert ts[0] < pd.Timestamp("2024-01-01 12:00")
+        assert ts[-1] > pd.Timestamp("2024-01-03")
