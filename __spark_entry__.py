@@ -2445,6 +2445,48 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM through a real applyInPandasWithState stream
+    (availableNow, single micro-batch source): two integers of state per
+    key continue the recurrence exactly, and the emitted alarms must
+    equal the batch prefix-sum SQL bit-for-bit."""
+    from holcstore_spark.streaming.stateful import stream_cusum
+
+    src = tempfile.mkdtemp(prefix="holc_cusum_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_cusum_ckpt_")
+    name = "stream_cusum_sink"
+    try:
+        (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "ts", "value")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        alarms = stream_cusum(
+            stream, ("user_id",), target_k=50.0, threshold_h=500.0,
+            watermark="2 hours",
+        )
+        q = (
+            alarms.writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select("user_id", "ts_us", "value", "cusum_q")
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user CUSUM change-point alarms (k=50, h=500) — the
     sequential-looking recurrence realized as prefix-sum + running-min
@@ -2621,7 +2663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "cusum_drift": q_cusum_drift,
         # ====== driver 50-entry window ends here (50 above) ============
-        # -- tail: r3/r4-green, rotate back into the window next round --
+        # -- tail: r3/r4-green + locally-green round-5 overflow ---------
+        "stream_cusum": q_stream_cusum,
         "multimodal_meta": q_multimodal_meta,
         "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
@@ -4630,6 +4673,33 @@ def oracle_sql() -> dict[str, str]:
                     AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
               )
             GROUP BY o_orderpriority
+        """,
+        # streaming CUSUM must equal the same batch prefix-sum SQL as
+        # cusum_drift (single micro-batch source => in-order => identical)
+        "stream_cusum": """
+            WITH q AS (
+                SELECT user_id, ts, value,
+                       CAST(round(value * 1000) AS BIGINT) - 50000 AS y
+                FROM events
+            ),
+            p AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(y) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+                FROM q
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       pp - least(CAST(0 AS BIGINT),
+                                  min(pp) OVER (
+                                      PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)) AS sv
+                FROM p
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, value,
+                   sv AS cusum_q
+            FROM s WHERE sv > 500000
         """,
         # CUSUM via the prefix-sum identity S_t = P_t - min(0, min P_i):
         # two window functions over exact quantized integers, no recursion

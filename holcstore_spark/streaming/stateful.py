@@ -87,3 +87,78 @@ def stream_gap_detect(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_cusum(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    target_k: float,
+    threshold_h: float,
+    watermark: str = "2 hours",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift alarms — the stateful twin of the
+    batch ``operators.islands.cusum_drift``: per key the state is TWO
+    integers (running prefix sum of the quantized excess, and the
+    running minimum of that prefix including the initial 0), so the
+    sequential recurrence continues exactly across micro-batches with
+    O(keys) state. The within-batch transition is numpy-vectorized
+    (cumsum + minimum.accumulate), no per-row Python loop.
+
+    Emits the same (keys…, ts_us, value, cusum_q) rows as the batch
+    operator; on an in-order stream the outputs are identical (the
+    oracle for both is the same SQL). Cross-batch late rows share the
+    append-mode trade documented on :func:`stream_gap_detect`.
+    """
+    import numpy as np
+
+    kq = int(round(target_k * 1000))
+    hq = int(round(threshold_h * 1000))
+    key_fields = [stream.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField(value, T.DoubleType()),
+            T.StructField("cusum_q", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("p", T.LongType()), T.StructField("pmin", T.LongType())]
+    )
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        p0, pmin0 = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(ts)
+        y = np.round(pdf[value].to_numpy() * 1000).astype(np.int64) - kq
+        ps = p0 + np.cumsum(y)
+        pmins = np.minimum.accumulate(np.concatenate(([pmin0], ps)))[1:]
+        s = ps - pmins
+        mask = s > hq
+        t_us = pd.to_datetime(pdf[ts]).astype("int64").to_numpy() // 1000
+        out = pd.DataFrame(
+            {
+                **{k: [key[i]] * int(mask.sum()) for i, k in enumerate(keys)},
+                "ts_us": t_us[mask],
+                value: pdf[value].to_numpy()[mask],
+                "cusum_q": s[mask],
+            }
+        )
+        if len(ps):
+            state.update((int(ps[-1]), int(pmins[-1])))
+        yield out
+
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            step,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -239,3 +239,38 @@ class TestStreamSessionsAndDedup:
         rows = spark.table("sd_t").collect()
         spark.catalog.dropTempView("sd_t")
         assert sorted(r["event_id"] for r in rows) == [0, 1, 2, 3, 4]
+
+
+class TestStreamCusum:
+    def test_state_continues_across_micro_batches(self, spark, tmp_store_path):
+        # two files -> two micro-batches; the drift accumulates ACROSS the
+        # boundary, so alarms in batch 2 require the persisted (p, pmin)
+        from holcstore_spark.streaming.stateful import stream_cusum
+
+        src = os.path.join(tmp_store_path, "cusum_src")
+        ckpt = os.path.join(tmp_store_path, "cusum_ckpt")
+        os.makedirs(src)
+        # k=2, h=7: each event adds +3 excess; alarm fires at event 4
+        # (s=9 wait: s_3=9>7) — events 1-3 in file a, 4-6 in file b
+        h1 = pd.date_range("2024-01-01 00:00", periods=3, freq="1h")
+        h2 = pd.date_range("2024-01-01 03:00", periods=3, freq="1h")
+        for name, idx in [("a.parquet", h1), ("b.parquet", h2)]:
+            pd.DataFrame(
+                {"site": "s", "ts": idx.astype("datetime64[us]"), "value": 5.0}
+            ).to_parquet(os.path.join(src, name))
+        stream = spark.readStream.schema(
+            "site string, ts timestamp, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        alarms = stream_cusum(stream, ("site",), target_k=2.0, threshold_h=7.0)
+        q = (
+            alarms.writeStream.format("memory").queryName("cusum")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).outputMode("append").start()
+        )
+        q.awaitTermination(120)
+        got = sorted(spark.sql("SELECT * FROM cusum").collect(),
+                     key=lambda r: r["ts_us"])
+        # sequential: s = 3,6,9,12,15,18 (thousandths: x1000) -> alarms
+        # from event 3 onward; events 4-6 alarm ONLY if state crossed the
+        # batch boundary (batch-2-alone would give s = 3,6,9)
+        assert [r["cusum_q"] for r in got] == [9000, 12000, 15000, 18000]
