@@ -114,6 +114,40 @@ def _parse_ppm(b: bytes) -> tuple[int, int, "np.ndarray"]:
     return w, h, np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
 
 
+def _parse_pgm(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse a binary PGM (P5, grayscale sibling of P6): same
+    whitespace/comment header grammar, maxval 255, then w·h raw bytes.
+    Returns (width, height, HxWx3 uint8) with the gray plane replicated
+    to RGB so every downstream stat (channel means, resize) works
+    unchanged."""
+    import numpy as np
+
+    if b[:2] != b"P5":
+        raise ValueError("not a P5 PGM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PGM maxval {maxval}")
+    need = w * h
+    pix = b[pos : pos + need]
+    if len(pix) != need:
+        raise ValueError("truncated PGM pixel data")
+    gray = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+    return w, h, np.repeat(gray[:, :, None], 3, axis=2)
+
+
 def _parse_bmp(b: bytes) -> tuple[int, int, "np.ndarray"]:
     """Parse an uncompressed 24-bit BMP (BI_RGB): BITMAPFILEHEADER +
     BITMAPINFOHEADER, 4-byte-aligned bottom-up rows, BGR byte order.
@@ -306,6 +340,7 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, "np.ndarray"]:
 #: codec sniffers tried in order by :func:`decode_strict`
 _DECODERS = (
     ("ppm", b"P6", _parse_ppm),
+    ("pgm", b"P5", _parse_pgm),
     ("bmp", b"BM", _parse_bmp),
     ("png", _PNG_SIG, _parse_png),
     ("jpeg", b"\xff\xd8\xff", _parse_jpeg),

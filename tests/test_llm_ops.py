@@ -1130,3 +1130,25 @@ class TestPrepareCorpus:
             "doc_id": [1], "lang": ["en"], "text": ["x" * 100]}))
         rows = doc_chunks(df, size=40, stride=30, keep=("lang",)).collect()
         assert all(r["lang"] == "en" for r in rows) and len(rows) == 4
+
+
+class TestPgmDecode:
+    def test_decode_strict_pgm_replicates_gray_to_rgb(self, spark):
+        from holcstore_spark.operators.multimodal import decode_strict
+
+        w, h = 3, 2
+        gray = bytes([0, 128, 255, 10, 20, 30])
+        payload = f"P5\n# cmt\n{w} {h}\n255\n".encode() + gray
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(payload)]})
+        )
+        row = decode_strict(df).collect()[0]
+        assert (row["codec"], row["width"], row["height"]) == ("pgm", 3, 2)
+        expect = sum(gray) / len(gray)
+        assert row["mean_r"] == expect == row["mean_g"] == row["mean_b"]
+
+    def test_truncated_pgm_rejected(self, spark):
+        from holcstore_spark.operators.multimodal import _parse_pgm
+
+        with pytest.raises(ValueError):
+            _parse_pgm(b"P5\n3 2\n255\n\x00\x01")
