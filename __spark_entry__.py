@@ -2445,6 +2445,26 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (m=4 subspaces, 16 centroids each, 2 Lloyd
+    iterations of the deterministic integer k-means per subspace):
+    per-vector codes and the EXACT integer reconstruction error — the
+    oracle unrolls all four codebook trainings in SQL."""
+    from holcstore_spark.operators.similarity import pq_encode
+
+    q = pq_encode(
+        _t(spark, sf_dir, "embeddings"), m=4, n_centroids=16, iters=2, dim=64
+    )
+    return q.select(
+        "vec_id",
+        F.col("pq_code")[0].alias("pq0"),
+        F.col("pq_code")[1].alias("pq1"),
+        F.col("pq_code")[2].alias("pq2"),
+        F.col("pq_code")[3].alias("pq3"),
+        "recon_err_q",
+    )
+
+
 def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUSUM through a real applyInPandasWithState stream
     (availableNow, single micro-batch source): two integers of state per
@@ -2665,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ====== driver 50-entry window ends here (50 above) ============
         # -- tail: r3/r4-green + locally-green round-5 overflow ---------
         "stream_cusum": q_stream_cusum,
+        "pq_encode": q_pq_encode,
         "multimodal_meta": q_multimodal_meta,
         "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
@@ -3416,6 +3437,77 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rk <= 3
     """
+    # PQ oracle: four independent 16-dim codebooks trained with the same
+    # unrolled deterministic k-means as similarity_ivf, on vector slices
+    def _pq_dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 17), "
+            f"d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d])))"
+        )
+
+    def _pq_assign(cents: str, j: int) -> str:
+        return f"""
+            SELECT vec_id, sq, i AS list FROM (
+                SELECT v.vec_id, v.sq, s.i,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_pq_dist('v.sq', 's.cv')}, s.i) AS rk
+                FROM v{j} v CROSS JOIN {cents} s
+            ) WHERE rk = 1
+        """
+
+    def _pq_update(assigned: str, prev: str) -> str:
+        return f"""
+            SELECT s.i, coalesce(u.cv, s.cv) AS cv
+            FROM {prev} s LEFT JOIN (
+                SELECT list, list(m ORDER BY d) AS cv FROM (
+                    SELECT list, d,
+                           CAST(trunc(CAST(sum(sq[d]) AS DOUBLE) / count(*))
+                                AS BIGINT) AS m
+                    FROM {assigned}, range(1, 17) t(d)
+                    GROUP BY list, d
+                ) GROUP BY list
+            ) u ON u.list = s.i
+        """
+
+    def _pq_final(cents: str, j: int) -> str:
+        return f"""
+            SELECT vec_id, i AS code, dd AS err FROM (
+                SELECT v.vec_id, s.i, {_pq_dist('v.sq', 's.cv')} AS dd,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_pq_dist('v.sq', 's.cv')}, s.i) AS rk
+                FROM v{j} v CROSS JOIN {cents} s
+            ) WHERE rk = 1
+        """
+
+    _pq_ctes = []
+    for _j in range(4):
+        _lo, _hi = _j * 16 + 1, (_j + 1) * 16
+        _pq_ctes.append(f"""
+        v{_j} AS (SELECT vec_id, vq[{_lo}:{_hi}] AS sq FROM v),
+        seeds{_j} AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, sq AS cv
+            FROM (SELECT vec_id, sq FROM v{_j} ORDER BY vec_id LIMIT 16)
+        ),
+        a1_{_j} AS ({_pq_assign(f'seeds{_j}', _j)}),
+        c1_{_j} AS ({_pq_update(f'a1_{_j}', f'seeds{_j}')}),
+        a2_{_j} AS ({_pq_assign(f'c1_{_j}', _j)}),
+        c2_{_j} AS ({_pq_update(f'a2_{_j}', f'c1_{_j}')}),
+        fin{_j} AS ({_pq_final(f'c2_{_j}', _j)})""")
+
+    pq_encode_sql = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        {','.join(_pq_ctes)}
+        SELECT f0.vec_id,
+               f0.code AS pq0, f1.code AS pq1,
+               f2.code AS pq2, f3.code AS pq3,
+               CAST(f0.err + f1.err + f2.err + f3.err AS BIGINT)
+                   AS recon_err_q
+        FROM fin0 f0
+        JOIN fin1 f1 USING (vec_id)
+        JOIN fin2 f2 USING (vec_id)
+        JOIN fin3 f3 USING (vec_id)
+    """
+
     signs6 = _lsh_sign_vectors(6, 64)
     bucket_bits6 = " || ".join(
         f"(CASE WHEN list_dot_product(vq::DOUBLE[], "
@@ -4674,6 +4766,7 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY o_orderpriority
         """,
+        "pq_encode": pq_encode_sql,
         # streaming CUSUM must equal the same batch prefix-sum SQL as
         # cusum_drift (single micro-batch source => in-order => identical)
         "stream_cusum": """

@@ -437,3 +437,77 @@ def quantize_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:
         F.transform(c, lambda x: F.floor(x.cast("double") / scale + 0.5).cast("int"))
     )
     return df.withColumn("q_scale", scale).withColumn("q_vec", q)
+
+
+def _min_dist(vec_q: Column, centroids: list[list[int]]) -> Column:
+    """Exact integer squared distance to the NEAREST centroid (the
+    companion of :func:`_assign_to_centroid`: ties share the same
+    minimal value, so this is the distance to the assigned centroid)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def mind(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype="int64")
+        d = _dist_matrix(vs, centroids)
+        return pd.Series(d.min(axis=1).astype("int64"))
+
+    return mind(vec_q)
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization — the 100 TB ANN storage layout (IVF-PQ):
+    the vector splits into ``m`` subvectors, each subspace trains its
+    own deterministic k-means codebook (reusing
+    :func:`train_ivf_centroids` on the slice — element-wise
+    quantization commutes with slicing), and each vector stores just
+    ``m`` small codes: 64 float32 dims become 4 bytes/vector at
+    ``m=4, n_centroids<=256``, a 64× compression of the candidate scan.
+
+    Output: ``pq_code`` (array of m centroid ids) and ``recon_err_q``
+    (EXACT integer squared reconstruction error summed over subspaces —
+    the distortion measure, bit-reproducible cross-engine because the
+    codebooks, assignments and distances are all integer arithmetic).
+
+    Scale shape: codebooks are tiny (m × n_centroids × dim/m longs) and
+    travel as broadcast literals; encoding is a narrow map. Training
+    cost is ``iters`` passes over the (id, slice) projection per
+    subspace — same as IVF.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    out = df
+    code_cols, err_cols = [], []
+    for j in range(m):
+        sub_df = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub"),
+        )
+        cents = train_ivf_centroids(
+            sub_df, n_lists=n_centroids, iters=iters,
+            id_col=id_col, vec_col="__sub", dim=sub,
+        )
+        sq = quantized(F.slice(F.col(vec_col), j * sub + 1, sub))
+        out = out.withColumn(f"__pq{j}", _assign_to_centroid(sq, cents))
+        out = out.withColumn(f"__e{j}", _min_dist(sq, cents))
+        code_cols.append(f"__pq{j}")
+        err_cols.append(f"__e{j}")
+    total = err_cols[0]
+    err = F.col(total)
+    for c in err_cols[1:]:
+        err = err + F.col(c)
+    return (
+        out.withColumn("pq_code", F.array(*[F.col(c) for c in code_cols]))
+        .withColumn("recon_err_q", err.cast("long"))
+        .drop(*code_cols, *err_cols)
+    )

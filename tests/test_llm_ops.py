@@ -1152,3 +1152,44 @@ class TestPgmDecode:
 
         with pytest.raises(ValueError):
             _parse_pgm(b"P5\n3 2\n255\n\x00\x01")
+
+
+class TestProductQuantization:
+    def test_codes_and_exact_reconstruction_error(self, spark):
+        from holcstore_spark.operators.similarity import pq_encode
+
+        # 4 vectors in 8 dims, m=2 subspaces of 4; with n_centroids=2 and
+        # seeds = two lowest ids, identical vectors share codes
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),  # == vec 0
+            (3, [0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),  # == vec 1
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+        out = {r["vec_id"]: r for r in
+               pq_encode(df, m=2, n_centroids=2, dim=8).collect()}
+        assert list(out[0]["pq_code"]) == list(out[2]["pq_code"])
+        assert list(out[1]["pq_code"]) == list(out[3]["pq_code"])
+        assert list(out[0]["pq_code"]) != list(out[1]["pq_code"])
+        # codebook contains the two distinct points exactly -> zero error
+        assert all(out[i]["recon_err_q"] == 0 for i in out)
+
+    def test_distortion_positive_for_out_of_codebook_vector(self, spark):
+        from holcstore_spark.operators.similarity import pq_encode
+
+        rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.4, 0.4])]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+        out = {r["vec_id"]: r for r in
+               pq_encode(df, m=1, n_centroids=2, iters=1, dim=2).collect()}
+        # centroid update: cluster {0,2} mean -> (200,200); vec 2 (400,400)
+        # has exact err (400-200)^2*2 = 80000
+        assert out[2]["recon_err_q"] == 80000
+        assert out[1]["recon_err_q"] == 0
+
+    def test_rejects_indivisible_dim(self, spark):
+        from holcstore_spark.operators.similarity import pq_encode
+
+        df = spark.createDataFrame(pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 2.0, 3.0]]}))
+        with pytest.raises(ValueError):
+            pq_encode(df, m=2, dim=3)
