@@ -2465,6 +2465,18 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ read path: top-5 neighbours by Asymmetric Distance
+    Computation over the PQ codes (query full-precision, candidates as
+    4 codes, distance = 4 table lookups) — exact integer arithmetic end
+    to end, oracle-verified including the codebook training."""
+    from holcstore_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(e, q, k=5, m=4, n_centroids=16, iters=2, dim=64)
+
+
 def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUSUM through a real applyInPandasWithState stream
     (availableNow, single micro-batch source): two integers of state per
@@ -2686,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: r3/r4-green + locally-green round-5 overflow ---------
         "stream_cusum": q_stream_cusum,
         "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "multimodal_meta": q_multimodal_meta,
         "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
@@ -3506,6 +3519,44 @@ def oracle_sql() -> dict[str, str]:
         JOIN fin1 f1 USING (vec_id)
         JOIN fin2 f2 USING (vec_id)
         JOIN fin3 f3 USING (vec_id)
+    """
+
+    # PQ ADC search oracle: same codebooks/codes, plus per-query distance
+    # tables (query slice vs every centroid) joined on the stored code
+    _tq_ctes = []
+    for _j in range(4):
+        _lo, _hi = _j * 16 + 1, (_j + 1) * 16
+        _tq_ctes.append(f"""
+        qs{_j} AS (SELECT q_id, vq[{_lo}:{_hi}] AS sq FROM qv),
+        tq{_j} AS (
+            SELECT qs.q_id, s.i, {_pq_dist('qs.sq', 's.cv')} AS dd
+            FROM qs{_j} qs CROSS JOIN c2_{_j} s
+        )""")
+
+    pq_topk_sql = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        {','.join(_pq_ctes)},
+        qv AS (SELECT vec_id AS q_id, vq FROM v WHERE vec_id % 100 = 0),
+        {','.join(_tq_ctes)},
+        scored AS (
+            SELECT t0.q_id, f0.vec_id AS neighbor_id,
+                   t0.dd + t1.dd + t2.dd + t3.dd AS adc
+            FROM fin0 f0
+            JOIN fin1 f1 USING (vec_id)
+            JOIN fin2 f2 USING (vec_id)
+            JOIN fin3 f3 USING (vec_id)
+            JOIN tq0 t0 ON t0.i = f0.code
+            JOIN tq1 t1 ON t1.q_id = t0.q_id AND t1.i = f1.code
+            JOIN tq2 t2 ON t2.q_id = t0.q_id AND t2.i = f2.code
+            JOIN tq3 t3 ON t3.q_id = t0.q_id AND t3.i = f3.code
+            WHERE f0.vec_id <> t0.q_id
+        )
+        SELECT q_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist_q
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= 5
     """
 
     signs6 = _lsh_sign_vectors(6, 64)
@@ -4767,6 +4818,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "pq_encode": pq_encode_sql,
+        "pq_topk": pq_topk_sql,
         # streaming CUSUM must equal the same batch prefix-sum SQL as
         # cusum_drift (single micro-batch source => in-order => identical)
         "stream_cusum": """

@@ -511,3 +511,87 @@ def pq_encode(
         .withColumn("recon_err_q", err.cast("long"))
         .drop(*code_cols, *err_cols)
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate nearest neighbours over PQ codes by Asymmetric
+    Distance Computation — the query stays full-precision, every
+    candidate is its m codes, and the distance is m table lookups:
+    ``adc(q, x) = Σ_j ||q_j − centroid_j[code_j(x)]||²``. At 100 TB the
+    candidate scan reads m bytes per vector instead of 4·dim, and the
+    per-query lookup tables (m × n_centroids ints) broadcast as
+    literals — the classic IVF-PQ read path.
+
+    Everything is exact integer arithmetic on the quantized
+    representation (codebooks, codes, tables, sums), so results are
+    bit-reproducible and SQL-verifiable. Deterministic ties:
+    (adc asc, neighbor_id asc).
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+
+    import numpy as np
+
+    books: list[list[list[int]]] = []
+    enc = df
+    for j in range(m):
+        sub_df = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub"),
+        )
+        cents = train_ivf_centroids(
+            sub_df, n_lists=n_centroids, iters=iters,
+            id_col=id_col, vec_col="__sub", dim=sub,
+        )
+        books.append(cents)
+        sq = quantized(F.slice(F.col(vec_col), j * sub + 1, sub))
+        enc = enc.withColumn(f"__pq{j}", _assign_to_centroid(sq, cents))
+
+    # per-query ADC tables, built driver-side from the (tiny) broadcast
+    # codebooks: n_queries × m × n_centroids longs
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), quantized(vec_col).alias("__qq")
+    ).collect()
+    table_rows = []
+    for r in q_rows:
+        qv = np.asarray(list(r["__qq"]), dtype=np.int64)
+        tables = []
+        for j in range(m):
+            qs = qv[j * sub : (j + 1) * sub]
+            cj = np.asarray(books[j], dtype=np.int64)
+            tables.append(((cj - qs) ** 2).sum(axis=1).astype(int).tolist())
+        table_rows.append((r["q_id"], *tables))
+    spark = df.sparkSession
+    tcols = ", ".join(f"t{j} array<long>" for j in range(m))
+    tdf = spark.createDataFrame(table_rows, f"q_id long, {tcols}")
+
+    joined = enc.crossJoin(F.broadcast(tdf)).filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    adc = F.element_at(F.col("t0"), F.col("__pq0") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"t{j}"), F.col(f"__pq{j}") + 1)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__adc", adc)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__adc").alias("adc_dist_q"),
+        )
+    )

@@ -1193,3 +1193,34 @@ class TestProductQuantization:
         df = spark.createDataFrame(pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 2.0, 3.0]]}))
         with pytest.raises(ValueError):
             pq_encode(df, m=2, dim=3)
+
+
+class TestPqTopk:
+    def test_adc_finds_exact_match_first(self, spark):
+        from holcstore_spark.operators.similarity import pq_topk
+
+        # candidates include an exact copy of the query: the copy shares
+        # the query's codes, so its ADC equals the query's own
+        # reconstruction distance - the minimum possible - and ranks first
+        rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(20)]
+        rows.append((100, rows[3][1]))            # copy of vec 3
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+        q = df.filter("vec_id = 100")
+        out = pq_topk(df, q, k=3, m=2, n_centroids=4, dim=8).collect()
+        assert out[0]["q_id"] == 100
+        ranked = sorted(out, key=lambda r: (r["adc_dist_q"], r["neighbor_id"]))
+        assert ranked[0]["neighbor_id"] == 3
+        assert ranked[0]["adc_dist_q"] == min(r["adc_dist_q"] for r in out)
+
+    def test_k_rows_per_query_and_no_self(self, spark):
+        from holcstore_spark.operators.similarity import pq_topk
+
+        rows = [(i, [float(i % 3), float(i % 5)]) for i in range(12)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+        q = df.filter("vec_id < 2")
+        out = pq_topk(df, q, k=4, m=1, n_centroids=3, dim=2).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
+            assert r["neighbor_id"] != r["q_id"]
+        assert all(len(v) == 4 for v in per_q.values()) and len(per_q) == 2
