@@ -2445,6 +2445,19 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merges learned over the normalized corpus — each
+    round is one pair-count aggregate + a one-row collect + a
+    token-boundary-safe plain string replace; the oracle unrolls all
+    four rounds in SQL and must reproduce pairs AND counts exactly."""
+    from holcstore_spark.operators.text import bpe_learn_merges, normalize_text
+
+    d = normalize_text(_t(spark, sf_dir, "documents"))
+    return bpe_learn_merges(
+        d.select(F.col("text_norm").alias("text")), n_merges=4
+    )
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (m=4 subspaces, 16 centroids each, 2 Lloyd
     iterations of the deterministic integer k-means per subspace):
@@ -2699,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum": q_stream_cusum,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "bpe_merges": q_bpe_merges,
         "multimodal_meta": q_multimodal_meta,
         "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
@@ -3557,6 +3571,47 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q_id ORDER BY adc, neighbor_id) AS rk
             FROM scored
         ) WHERE rk <= 5
+    """
+
+    # BPE oracle: unroll 4 training rounds; each round counts true token
+    # pairs (from split, never substrings) and applies the winner with a
+    # plain space-sentinel replace — identical semantics to the engine
+    def _bpe_pairs(t: str, m: str) -> str:
+        return f"""
+            SELECT p, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT tk[i] || ' ' || tk[i + 1] AS p
+                FROM (SELECT string_split(trim(s), ' ') AS tk FROM {t}),
+                     LATERAL (SELECT unnest(range(1, len(tk))) AS i) g
+            ) GROUP BY p
+            ORDER BY c DESC, p ASC LIMIT 1
+        """ if m is None else ""
+
+    def _bpe_apply(t: str, m: str) -> str:
+        return f"""
+            SELECT replace(s,
+                           ' ' || (SELECT p FROM {m}) || ' ',
+                           ' ' || replace((SELECT p FROM {m}), ' ', '')
+                               || ' ') AS s
+            FROM {t}
+        """
+
+    _bpe_ctes = ["t0 AS (SELECT ' ' || n || ' ' AS s FROM norm WHERE n IS NOT NULL)"]
+    for _i in range(4):
+        _bpe_ctes.append(f"m{_i} AS ({_bpe_pairs(f't{_i}', None)})")
+        if _i < 3:
+            _bpe_ctes.append(f"t{_i + 1} AS ({_bpe_apply(f't{_i}', f'm{_i}')})")
+    _bpe_union = " UNION ALL ".join(
+        f"SELECT {i} AS merge_idx, p AS pair, c AS count FROM m{i}"
+        for i in range(4)
+    )
+    bpe_merges_sql = f"""
+        WITH norm AS (
+            SELECT trim(regexp_replace(regexp_replace(
+                lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+            FROM documents WHERE text IS NOT NULL
+        ),
+        {','.join(_bpe_ctes)}
+        SELECT * FROM ({_bpe_union}) ORDER BY merge_idx
     """
 
     signs6 = _lsh_sign_vectors(6, 64)
@@ -4819,6 +4874,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_encode": pq_encode_sql,
         "pq_topk": pq_topk_sql,
+        "bpe_merges": bpe_merges_sql,
         # streaming CUSUM must equal the same batch prefix-sum SQL as
         # cusum_drift (single micro-batch source => in-order => identical)
         "stream_cusum": """

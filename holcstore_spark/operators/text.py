@@ -641,3 +641,60 @@ def normalize_text(
     c = F.regexp_replace(c, f"[^{keep} ]", " ")
     c = F.regexp_replace(c, " +", " ")
     return df.withColumn(out, F.trim(c))
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 3,
+    sep: str = " ",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE-style merges over a corpus of
+    space-separated token strings — the distributed shape of tokenizer
+    training: each round is one map-side-combined pair-count aggregate,
+    a ONE-ROW collect (the winning pair), and a narrow string-replace
+    map that applies the merge before the next round. At 100 TB that is
+    ``n_merges`` passes over the corpus with only one row ever reaching
+    the driver per pass.
+
+    Merge application is a plain (non-regex) global replace of
+    ``" a b "`` with ``" ab "`` on the space-padded string — leftmost,
+    non-overlapping, token-boundary-safe, and byte-identical between
+    Java's ``String.replace`` and SQL ``replace()``, so an unrolled SQL
+    oracle reproduces the training exactly. Ties break (count desc,
+    pair asc). Returns (merge_idx, pair, count).
+    """
+    cur = df.select(
+        F.concat(F.lit(sep), F.col(text), F.lit(sep)).alias("__s")
+    ).where(F.col(text).isNotNull())
+    out_rows = []
+    for i in range(n_merges):
+        toks = F.split(F.trim(F.col("__s")), " ")
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        top = (
+            cur.select(F.explode(pairs).alias("__p"))
+            .where(F.col("__p").contains(" "))
+            .groupBy("__p")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, count = top[0]["__p"], top[0]["__c"]
+        out_rows.append((i, pair, count))
+        merged = pair.replace(" ", "")
+        cur = cur.select(
+            F.replace(
+                F.col("__s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ).alias("__s")
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "merge_idx int, pair string, count long"
+    )

@@ -1224,3 +1224,49 @@ class TestPqTopk:
             per_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
             assert r["neighbor_id"] != r["q_id"]
         assert all(len(v) == 4 for v in per_q.values()) and len(per_q) == 2
+
+
+class TestBpeLearnMerges:
+    def test_matches_sequential_reference(self, spark):
+        from holcstore_spark.operators.text import bpe_learn_merges
+
+        docs = ["a b a b c", "a b c d", "c d c d"]
+        df = spark.createDataFrame(pd.DataFrame({"text": docs}))
+        got = [(r["merge_idx"], r["pair"], r["count"])
+               for r in bpe_learn_merges(df, n_merges=3).collect()]
+
+        # sequential reference implementation
+        def ref(corpus, n):
+            out = []
+            cur = list(corpus)
+            for i in range(n):
+                counts = {}
+                for s in cur:
+                    tk = s.split(" ")
+                    for a, b in zip(tk, tk[1:]):
+                        counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + 1
+                if not counts:
+                    break
+                pair = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                out.append((i, pair[0], pair[1]))
+                cur = [
+                    (" " + s + " ").replace(
+                        f" {pair[0]} ", " " + pair[0].replace(" ", "") + " "
+                    ).strip()
+                    for s in cur
+                ]
+            return out
+
+        assert got == ref(docs, 3)
+        # first merge: "a b" (3 occurrences) beats "c d" (3)? counts:
+        # a b:3, b a:1, b c:2, c d:3, d c:1 -> tie a b / c d -> "a b" asc
+        assert got[0][1] == "a b" and got[0][2] == 3
+
+    def test_merged_token_participates_in_later_pairs(self, spark):
+        from holcstore_spark.operators.text import bpe_learn_merges
+
+        df = spark.createDataFrame(pd.DataFrame({"text": ["x y z"] * 5}))
+        got = bpe_learn_merges(df, n_merges=2).collect()
+        assert (got[0]["pair"], got[0]["count"]) == ("x y", 5)
+        # after merging "x y" -> "xy", the next best pair is ("xy", "z")
+        assert (got[1]["pair"], got[1]["count"]) == ("xy z", 5)
