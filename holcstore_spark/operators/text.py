@@ -661,8 +661,12 @@ def bpe_learn_merges(
     ``" a b "`` with ``" ab "`` on the space-padded string — leftmost,
     non-overlapping, token-boundary-safe, and byte-identical between
     Java's ``String.replace`` and SQL ``replace()``, so an unrolled SQL
-    oracle reproduces the training exactly. Ties break (count desc,
-    pair asc). Returns (merge_idx, pair, count).
+    oracle reproduces the training exactly. One deliberate divergence
+    from textbook BPE: consecutive occurrences that share a boundary
+    space ("a b a b") merge one-per-round (the replace consumes the
+    shared space), catching up on the next round — the price of exact
+    cross-engine replay. Ties break (count desc, pair asc). Returns
+    (merge_idx, pair, count).
     """
     cur = df.select(
         F.concat(F.lit(sep), F.col(text), F.lit(sep)).alias("__s")
@@ -698,3 +702,24 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         out_rows, "merge_idx int, pair string, count long"
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[str],
+    text: str = "text",
+    out: str = "text_bpe",
+) -> DataFrame:
+    """Apply learned BPE merges (in training order) to a corpus of
+    space-separated token strings — the tokenize step that follows
+    :func:`bpe_learn_merges`. Each merge is the same token-boundary-safe
+    space-sentinel replace used during training, chained as ``len(merges)``
+    narrow column expressions: zero shuffle, whole-stage codegen, and
+    byte-identical to replaying the training replaces.
+    """
+    c = F.concat(F.lit(" "), F.col(text), F.lit(" "))
+    for pair in merges:
+        c = F.replace(
+            c, F.lit(f" {pair} "), F.lit(" " + pair.replace(" ", "") + " ")
+        )
+    return df.withColumn(out, F.trim(c))

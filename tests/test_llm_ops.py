@@ -1270,3 +1270,31 @@ class TestBpeLearnMerges:
         assert (got[0]["pair"], got[0]["count"]) == ("x y", 5)
         # after merging "x y" -> "xy", the next best pair is ("xy", "z")
         assert (got[1]["pair"], got[1]["count"]) == ("xy z", 5)
+
+
+class TestBpeApply:
+    def test_apply_replays_training(self, spark):
+        from holcstore_spark.operators.text import bpe_apply, bpe_learn_merges
+
+        docs = ["a b a b c", "a b c d", "c d c d"]
+        df = spark.createDataFrame(pd.DataFrame({"text": docs}))
+        merges = [r["pair"] for r in bpe_learn_merges(df, n_merges=2).collect()]
+        got = [r["text_bpe"] for r in bpe_apply(df, merges).collect()]
+        # apply must REPLAY training exactly: recompute the corpus state
+        # by the same sequential replaces
+        cur = list(docs)
+        for pair in merges:
+            cur = [(" " + t + " ").replace(
+                f" {pair} ", " " + pair.replace(" ", "") + " ").strip()
+                for t in cur]
+        assert got == cur
+        # applying zero merges is identity
+        same = [r["text_bpe"] for r in bpe_apply(df, []).collect()]
+        assert same == docs
+
+    def test_merge_chain_order_matters(self, spark):
+        from holcstore_spark.operators.text import bpe_apply
+
+        df = spark.createDataFrame(pd.DataFrame({"text": ["x y z"]}))
+        chained = bpe_apply(df, ["x y", "xy z"]).collect()[0]["text_bpe"]
+        assert chained == "xyz"
