@@ -2445,6 +2445,17 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user seasonal (hour-of-day × weekend) baseline and anomaly
+    residual for every event — int-quantized values, exact integer-sum
+    means, and epoch-arithmetic weekday so both engines agree on every
+    slot and every residual bit."""
+    from holcstore_spark.operators.resample import seasonal_profile
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return seasonal_profile(e, ("user_id",))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 BPE merges learned over the normalized corpus — each
     round is one pair-count aggregate + a one-row collect + a
@@ -2713,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
         "bpe_merges": q_bpe_merges,
+        "seasonal_profile": q_seasonal_profile,
         "multimodal_meta": q_multimodal_meta,
         "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
@@ -4901,6 +4913,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) AS ts_us, value,
                    sv AS cusum_q
             FROM s WHERE sv > 500000
+        """,
+        # seasonal baseline: exact integer sums per (user, hod, weekend)
+        # slot; weekday via epoch-day arithmetic (Mon=0, 1970-01-01 = Thu=3)
+        "seasonal_profile": """
+            WITH q AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       CAST(round(value * 1000) AS BIGINT) AS v_q
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts_us, v_q,
+                       CAST((ts_us // 3600000000) % 24 AS INTEGER) AS hod,
+                       CAST(CASE WHEN (ts_us // 86400000000 + 3) % 7 >= 5
+                                 THEN 1 ELSE 0 END AS INTEGER) AS is_weekend
+                FROM q
+            ),
+            prof AS (
+                SELECT user_id, hod, is_weekend,
+                       count(*) AS n_slot,
+                       CAST(sum(v_q) AS DOUBLE) / count(*) AS baseline_q
+                FROM s GROUP BY 1, 2, 3
+            )
+            SELECT s.user_id, s.ts_us, s.hod, s.is_weekend, s.v_q,
+                   p.n_slot, p.baseline_q,
+                   s.v_q - p.baseline_q AS resid_q
+            FROM s JOIN prof p
+              ON s.user_id = p.user_id AND s.hod = p.hod
+             AND s.is_weekend = p.is_weekend
         """,
         # CUSUM via the prefix-sum identity S_t = P_t - min(0, min P_i):
         # two window functions over exact quantized integers, no recursion

@@ -226,3 +226,56 @@ def rolling_stats(
         F.max(v).over(w).alias("v_max_q"),
         (n * s2 - s1 * s1).alias("var_num_q"),
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts: str = "ts",
+    value: str = "value",
+    by_weekday: bool = True,
+) -> DataFrame:
+    """Seasonal baseline + anomaly residual — the classic load-curve
+    decomposition: per (keys, hour-of-day[, weekday-vs-weekend]) the
+    corpus learns an exact mean profile, and every point gets its
+    deviation from that baseline (the anomaly signal downstream alerting
+    thresholds on).
+
+    Exactness: values quantize to ints, the profile mean is one double
+    division of exact integer sums, and weekday derives from pure
+    epoch-day arithmetic ``(days + 3) % 7`` (Mon=0; 1970-01-01 was a Thursday)
+    — no engine-specific ``dayofweek`` numbering. Two shuffles: the
+    profile aggregate (map-side combined, output is keys×24×2 rows) and
+    the profile join (AQE broadcasts the profile when small).
+    """
+    v = F.round(F.col(value) * 1000).cast("long")
+    e = epoch_us(ts)
+    hour = F.pmod(F.floor(e / 3_600_000_000), 24).cast("int")
+    slot = [hour.alias("hod")]
+    if by_weekday:
+        dow = F.pmod(F.floor(e / 86_400_000_000) + 3, 7)
+        slot.append((dow >= 5).cast("int").alias("is_weekend"))
+    d = df.withColumn("__vq", v).select("*", *slot)
+    slot_cols = ["hod"] + (["is_weekend"] if by_weekday else [])
+    prof = (
+        d.groupBy(*keys, *slot_cols)
+        .agg(
+            F.count("__vq").alias("n_slot"),
+            (F.sum("__vq").cast("double") / F.count("__vq")).alias("baseline_q"),
+        )
+    )
+    return (
+        # profile size is |keys|x24x2 rows: AQE broadcasts it when the key
+        # cardinality is moderate and falls back to a co-partitioned join
+        # when it is not - no forced broadcast of a possibly-huge profile
+        d.join(prof, on=[*keys, *slot_cols])
+        .select(
+            *keys,
+            epoch_us(ts).alias("ts_us"),
+            *slot_cols,
+            F.col("__vq").alias("v_q"),
+            "n_slot",
+            "baseline_q",
+            (F.col("__vq") - F.col("baseline_q")).alias("resid_q"),
+        )
+    )

@@ -301,3 +301,36 @@ class TestRollingStats:
         rows = {r["k"]: r for r in rolling_stats(df, ("k",), 5).collect()}
         assert rows["a"]["n_window"] == 1 and rows["b"]["n_window"] == 1
         assert rows["b"]["v_mean_q"] == 100000.0
+
+
+class TestSeasonalProfile:
+    def test_baseline_and_residual_exact(self, spark):
+        from holcstore_spark.operators.resample import seasonal_profile
+
+        # two Mondays at 05:00 with values 10 and 20 share a slot:
+        # baseline 15000 (quantized), residuals -5000/+5000
+        ts = [pd.Timestamp("2024-01-01 05:00"), pd.Timestamp("2024-01-08 05:00"),
+              pd.Timestamp("2024-01-06 05:00")]   # Saturday -> other slot
+        df = spark.createDataFrame(pd.DataFrame({
+            "k": ["a"] * 3, "ts": ts, "value": [10.0, 20.0, 7.0]}))
+        rows = {pd.Timestamp(r["ts_us"], unit="us"): r
+                for r in seasonal_profile(df, ("k",)).collect()}
+        mon1 = rows[ts[0]]
+        assert (mon1["hod"], mon1["is_weekend"]) == (5, 0)
+        assert mon1["n_slot"] == 2 and mon1["baseline_q"] == 15000.0
+        assert mon1["resid_q"] == -5000.0
+        sat = rows[ts[2]]
+        assert sat["is_weekend"] == 1 and sat["resid_q"] == 0.0
+
+    def test_epoch_weekday_formula(self, spark):
+        from holcstore_spark.operators.resample import seasonal_profile
+
+        # known dates: 2024-01-06 Saturday and 2024-01-07 Sunday are
+        # weekend; 2024-01-05 Friday is not
+        ts = [pd.Timestamp("2024-01-05 12:00"), pd.Timestamp("2024-01-06 12:00"),
+              pd.Timestamp("2024-01-07 12:00")]
+        df = spark.createDataFrame(pd.DataFrame({
+            "k": ["a"] * 3, "ts": ts, "value": [1.0] * 3}))
+        rows = sorted(seasonal_profile(df, ("k",)).collect(),
+                      key=lambda r: r["ts_us"])
+        assert [r["is_weekend"] for r in rows] == [0, 1, 1]
