@@ -108,7 +108,8 @@ def test_driver_window_contains_every_new_round5_query():
         "temperature_sample", "collocations", "normalize_text",
         "corpus_prep", "multimodal_png", "store_get_batch",
         "dedup_representatives", "quality_filter", "multimodal_jpeg",
-        "multimodal_video",
+        "multimodal_video", "rolling_stats", "forecast_revenue",
+        "order_priority", "large_orders", "cusum_drift",
     }
     window = set(list(entry_mod.queries())[:50])
     missing = new_r5 - window
