@@ -2445,6 +2445,66 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase ⋈ clicks of
+    the same user within the preceding 2 h) through two real
+    availableNow streams; the single-micro-batch source makes the
+    result equal the batch range-join SQL exactly."""
+    from holcstore_spark.streaming.ingest import stream_interval_join
+
+    src = tempfile.mkdtemp(prefix="holc_sj_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_sj_ckpt_")
+    name = "stream_join_sink"
+    try:
+        (
+            _t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "ts", "event_type", "value")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(src)
+        )
+        schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+        purchases = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value")
+        )
+        clicks = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("ts").alias("r_ts"),
+                F.col("value").alias("click_value"),
+            )
+        )
+        joined = stream_interval_join(
+            purchases, clicks, on=("user_id",), within_seconds=7200,
+            watermark="4 hours",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            F.unix_micros("r_ts").alias("click_ts_us"),
+            "click_value",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user seasonal (hour-of-day × weekend) baseline and anomaly
     residual for every event — int-quantized values, exact integer-sum
@@ -2725,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "bpe_merges": q_bpe_merges,
         "seasonal_profile": q_seasonal_profile,
+        "stream_join": q_stream_join,
         "multimodal_meta": q_multimodal_meta,
         "store_roundtrip": q_store_roundtrip,
         "store_changefeed": q_store_changefeed,
@@ -4913,6 +4974,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) AS ts_us, value,
                    sv AS cusum_q
             FROM s WHERE sv > 500000
+        """,
+        # batch twin of the watermarked stream-stream interval join
+        "stream_join": """
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us, p.value,
+                   epoch_us(c.ts) AS click_ts_us,
+                   c.value AS click_value
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 7200 SECOND
         """,
         # seasonal baseline: exact integer sums per (user, hod, weekend)
         # slot; weekday via epoch-day arithmetic (Mon=0, 1970-01-01 = Thu=3)

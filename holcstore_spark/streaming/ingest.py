@@ -143,3 +143,40 @@ def windowed_rollup(
             "n", "mean_value", "min_value", "max_value", *extra,
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, ...],
+    within_seconds: int,
+    watermark: str = "2 hours",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: pair every left event with
+    the right events of the same key whose timestamp falls within
+    ``within_seconds`` BEFORE it (the click-attribution shape:
+    purchase ⋈ preceding clicks).
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match window, so Spark can expire buffered state once the watermark
+    passes — the property that keeps a stream-stream join runnable
+    forever: state is O(events inside the watermark horizon), not
+    O(history). On in-order data the result equals the batch range
+    join exactly.
+    """
+    r2 = right.withWatermark(right_ts, watermark)
+    for k in on:
+        r2 = r2.withColumnRenamed(k, f"__r_{k}")
+    l2 = left.withWatermark(left_ts, watermark)
+    cond = None
+    for k in on:
+        c = F.col(k) == F.col(f"__r_{k}")
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {within_seconds} SECONDS"))
+    )
+    return l2.join(r2, on=cond, how="inner").drop(*[f"__r_{k}" for k in on])

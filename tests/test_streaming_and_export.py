@@ -7,6 +7,7 @@ import os
 import zipfile
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from holcstore_spark import ChunkStoreConfig
@@ -274,3 +275,37 @@ class TestStreamCusum:
         # from event 3 onward; events 4-6 alarm ONLY if state crossed the
         # batch boundary (batch-2-alone would give s = 3,6,9)
         assert [r["cusum_q"] for r in got] == [9000, 12000, 15000, 18000]
+
+
+class TestStreamIntervalJoin:
+    def test_matches_within_window_only(self, spark, tmp_store_path):
+        from holcstore_spark.streaming.ingest import stream_interval_join
+
+        src = os.path.join(tmp_store_path, "sj_src")
+        ckpt = os.path.join(tmp_store_path, "sj_ckpt")
+        os.makedirs(src)
+        base = pd.Timestamp("2024-01-01 10:00")
+        rows = pd.DataFrame({
+            "kind": ["l", "r", "r", "r"],
+            "k": ["u"] * 4,
+            "ts": [base, base - pd.Timedelta("30min"),
+                   base - pd.Timedelta("3h"),       # outside 1h window
+                   base + pd.Timedelta("1min")],    # after the left event
+            "v": [1.0, 2.0, 3.0, 4.0],
+        })
+        rows["ts"] = rows["ts"].astype("datetime64[us]")
+        rows.to_parquet(os.path.join(src, "a.parquet"))
+        schema = "kind string, k string, ts timestamp, v double"
+        left = (spark.readStream.schema(schema).parquet(src)
+                .filter("kind = 'l'").select("k", "ts", "v"))
+        right = (spark.readStream.schema(schema).parquet(src)
+                 .filter("kind = 'r'")
+                 .select("k", F.col("ts").alias("r_ts"), F.col("v").alias("rv")))
+        joined = stream_interval_join(left, right, on=("k",), within_seconds=3600)
+        q = (joined.writeStream.format("memory").queryName("sj")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sj").collect()
+        # only the -30min click is inside [t-1h, t]
+        assert len(got) == 1 and got[0]["rv"] == 2.0
