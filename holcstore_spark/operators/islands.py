@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from holcstore_spark.functions.scalar import epoch_us
+
 
 def _with_run_id(
     df: DataFrame,
@@ -76,6 +78,7 @@ def cusum_drift(
     threshold_h: float,
     ts: str = "ts",
     value: str = "value",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """One-sided CUSUM drift detection per key — the classic
     change-point alarm (Page 1954) used to catch distribution shift in
@@ -84,7 +87,9 @@ def cusum_drift(
     - k)`` looks inherently sequential, but it equals ``P_t - min_{i<=t}
     P_i`` for the prefix sums ``P`` of ``x - k`` — so it runs as TWO
     window functions over each key (prefix sum + running min), fully
-    parallel across keys, no UDF, no iteration.
+    parallel across keys, no UDF, no iteration. When (keys, ts) is not
+    unique pass ``tiebreak`` — prefix sums over tied orderings are
+    otherwise nondeterministic.
 
     All arithmetic is on int-quantized values (round(x·1000), k and h
     quantized the same way): the statistic is exact cross-engine
@@ -94,22 +99,15 @@ def cusum_drift(
     kq = int(round(target_k * 1000))
     hq = int(round(threshold_h * 1000))
     y = F.round(F.col(value) * 1000).cast("long") - F.lit(kq)
+    order = [ts] if tiebreak is None else [ts, tiebreak]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    p = F.sum(y).over(w)
-    d = df.withColumn("__p", p)
-    wm = (
-        Window.partitionBy(*keys)
-        .orderBy(ts)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    d = df.withColumn("__p", F.sum(y).over(w))
     # S_t = P_t - min(0, min_{i<=t} P_i): the leading 0 is P_0 = 0
-    run_min = F.least(F.lit(0).cast("long"), F.min("__p").over(wm))
-    from holcstore_spark.functions.scalar import epoch_us
-
+    run_min = F.least(F.lit(0).cast("long"), F.min("__p").over(w))
     out = d.withColumn("__s", F.col("__p") - run_min)
     return (
         out.filter(F.col("__s") > hq)

@@ -2,11 +2,13 @@
 with typed metadata.
 
 ``decode_strict`` REALLY decodes the dependency-free formats (PPM P6,
-uncompressed 24-bit BMP, and PNG via stdlib ``zlib`` + scanline
-unfiltering) with header parsing + numpy pixel math. Formats that
-genuinely need codec libraries absent in this environment (JPEG/video)
-stay STUBBED behind ``decode_stub`` (deterministic fake with the real
-Arrow-batched ``mapInPandas`` plumbing, batch shapes and partitioning).
+PGM P5, uncompressed 24-bit BMP, PNG via stdlib ``zlib`` + scanline
+unfiltering, baseline JPEG via operators/jpeg.py, WAV PCM audio, and
+uncompressed RIFF/AVI video) with header parsing + numpy pixel math.
+Formats that genuinely need absent codec libraries (progressive JPEG,
+compressed video codecs) stay STUBBED behind ``decode_stub``
+(deterministic fake with the real Arrow-batched ``mapInPandas``
+plumbing, batch shapes and partitioning).
 
 At 100 TB the pattern is: binary payloads stay in their own column (Parquet
 keeps them out of unrelated scans via column pruning), metadata extraction
@@ -83,14 +85,12 @@ def extract_media_meta(
     )
 
 
-def _parse_ppm(b: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Parse a binary PPM (P6): header tokens separated by whitespace,
-    ``#`` comments allowed, maxval must be 255, then exactly 3·w·h raw
-    RGB bytes. Returns (width, height, HxWx3 uint8 array)."""
-    import numpy as np
-
-    if b[:2] != b"P6":
-        raise ValueError("not a P6 PPM")
+def _parse_pnm_header(b: bytes, magic: bytes, kind: str) -> tuple[int, int, int]:
+    """Shared netpbm binary header grammar (P5/P6): whitespace-separated
+    tokens with ``#`` comments, maxval must be 255. Returns
+    (width, height, pixel_data_offset)."""
+    if b[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} {kind}")
     pos, tokens = 2, []
     while len(tokens) < 3:
         while pos < len(b) and b[pos : pos + 1].isspace():
@@ -106,7 +106,16 @@ def _parse_ppm(b: bytes) -> tuple[int, int, "np.ndarray"]:
     pos += 1  # single whitespace byte after maxval
     w, h, maxval = tokens
     if maxval != 255:
-        raise ValueError(f"unsupported PPM maxval {maxval}")
+        raise ValueError(f"unsupported {kind} maxval {maxval}")
+    return w, h, pos
+
+
+def _parse_ppm(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse a binary PPM (P6): shared netpbm header, then exactly
+    3·w·h raw RGB bytes. Returns (width, height, HxWx3 uint8 array)."""
+    import numpy as np
+
+    w, h, pos = _parse_pnm_header(b, b"P6", "PPM")
     need = 3 * w * h
     pix = b[pos : pos + need]
     if len(pix) != need:
@@ -115,31 +124,13 @@ def _parse_ppm(b: bytes) -> tuple[int, int, "np.ndarray"]:
 
 
 def _parse_pgm(b: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Parse a binary PGM (P5, grayscale sibling of P6): same
-    whitespace/comment header grammar, maxval 255, then w·h raw bytes.
-    Returns (width, height, HxWx3 uint8) with the gray plane replicated
-    to RGB so every downstream stat (channel means, resize) works
-    unchanged."""
+    """Parse a binary PGM (P5): shared netpbm header, then w·h raw
+    bytes. Returns (width, height, HxWx3 uint8) with the gray plane
+    replicated to RGB so every downstream stat (channel means, resize)
+    works unchanged."""
     import numpy as np
 
-    if b[:2] != b"P5":
-        raise ValueError("not a P5 PGM")
-    pos, tokens = 2, []
-    while len(tokens) < 3:
-        while pos < len(b) and b[pos : pos + 1].isspace():
-            pos += 1
-        if pos < len(b) and b[pos : pos + 1] == b"#":
-            while pos < len(b) and b[pos : pos + 1] != b"\n":
-                pos += 1
-            continue
-        start = pos
-        while pos < len(b) and not b[pos : pos + 1].isspace():
-            pos += 1
-        tokens.append(int(b[start:pos]))
-    pos += 1
-    w, h, maxval = tokens
-    if maxval != 255:
-        raise ValueError(f"unsupported PGM maxval {maxval}")
+    w, h, pos = _parse_pnm_header(b, b"P5", "PGM")
     need = w * h
     pix = b[pos : pos + need]
     if len(pix) != need:

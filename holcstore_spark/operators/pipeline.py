@@ -108,8 +108,13 @@ def prepare_corpus(
     from holcstore_spark.operators.text import doc_chunks, normalize_text
 
     splits = splits or {"train": 0.95, "valid": 0.05}
+    from holcstore_spark.sources.io_util import safe_local_checkpoint
+
     n = normalize_text(df, text=text, out="__norm")
-    d = exact_dedup(n, content="__norm", id_col=id_col)
+    # checkpoint the deduped frame: temperature_sample's metadata-sized
+    # counts collect would otherwise re-execute the dedup shuffle+window
+    # a second time when the final frame is consumed
+    d = safe_local_checkpoint(exact_dedup(n, content="__norm", id_col=id_col))
     t = temperature_sample(d, domain_col, [id_col])
     s = hash_split(t, [id_col], splits)
     chunks = doc_chunks(

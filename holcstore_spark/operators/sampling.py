@@ -210,12 +210,25 @@ def temperature_sample(
     n_min = min(counts.values())
     x = n_min << 64
     h = hash_hex8(list(id_cols), salt)
-    keep: Column | None = None
+    # thresholds travel as a broadcast (group, hex-cut) frame rather than
+    # an OR-chain with one branch per domain: per-row cost stays O(1) and
+    # a high-cardinality domain column can never blow the codegen limit.
+    # NULL cut = keep the whole group (the n_min group).
+    rows = []
     for g, n_g in counts.items():
         # valid h: h^2 < x/n_g  ⇔  h <= isqrt(ceil(x/n_g) - 1)
         t = isqrt((x + n_g - 1) // n_g - 1) + 1
-        cond = F.col(group_col) == g
-        if t < _HEX_SPAN:
-            cond = cond & (h < F.lit(format(t, "08x")))
-        keep = cond if keep is None else keep | cond
-    return df.filter(keep)
+        rows.append((g, format(t, "08x") if t < _HEX_SPAN else None))
+    spark = df.sparkSession
+    gfield = df.schema[group_col]
+    from pyspark.sql import types as T
+
+    thr = spark.createDataFrame(
+        rows,
+        T.StructType([gfield, T.StructField("__thr", T.StringType())]),
+    )
+    return (
+        df.join(F.broadcast(thr), on=group_col, how="inner")
+        .filter(F.col("__thr").isNull() | (h < F.col("__thr")))
+        .drop("__thr")
+    )

@@ -439,21 +439,25 @@ def quantize_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("q_scale", scale).withColumn("q_vec", q)
 
 
-def _min_dist(vec_q: Column, centroids: list[list[int]]) -> Column:
-    """Exact integer squared distance to the NEAREST centroid (the
-    companion of :func:`_assign_to_centroid`: ties share the same
-    minimal value, so this is the distance to the assigned centroid)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+def _assign_with_dist(vec_q: Column, centroids: list[list[int]]) -> Column:
+    """(nearest-centroid index, exact squared distance to it) as one
+    struct from a SINGLE distance-matrix computation — half the numpy
+    work and Arrow traffic of calling assign and min-dist separately.
+    Ties go to the lowest index (argmin is first-min), whose distance
+    equals the min."""
 
-    @pandas_udf(T.LongType())
-    def mind(vs: pd.Series) -> pd.Series:
-        if vs.empty:
-            return pd.Series([], dtype="int64")
+    @F.pandas_udf("struct<code: int, err: long>")
+    def both(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"code": pd.Series(dtype="int32"),
+                                 "err": pd.Series(dtype="int64")})
         d = _dist_matrix(vs, centroids)
-        return pd.Series(d.min(axis=1).astype("int64"))
+        return pd.DataFrame({
+            "code": d.argmin(axis=1).astype("int32"),
+            "err": d.min(axis=1).astype("int64"),
+        })
 
-    return mind(vec_q)
+    return both(vec_q)
 
 
 def pq_encode(
@@ -498,8 +502,9 @@ def pq_encode(
             id_col=id_col, vec_col="__sub", dim=sub,
         )
         sq = quantized(F.slice(F.col(vec_col), j * sub + 1, sub))
-        out = out.withColumn(f"__pq{j}", _assign_to_centroid(sq, cents))
-        out = out.withColumn(f"__e{j}", _min_dist(sq, cents))
+        out = out.withColumn(f"__ce{j}", _assign_with_dist(sq, cents))
+        out = out.withColumn(f"__pq{j}", F.col(f"__ce{j}.code"))
+        out = out.withColumn(f"__e{j}", F.col(f"__ce{j}.err")).drop(f"__ce{j}")
         code_cols.append(f"__pq{j}")
         err_cols.append(f"__e{j}")
     total = err_cols[0]

@@ -647,10 +647,11 @@ def bpe_learn_merges(
     df: DataFrame,
     text: str = "text",
     n_merges: int = 3,
-    sep: str = " ",
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE-style merges over a corpus of
-    space-separated token strings — the distributed shape of tokenizer
+    SPACE-separated token strings (the contract normalize_text produces;
+    other separators are not supported — the sentinel replaces below are
+    space-specific) — the distributed shape of tokenizer
     training: each round is one map-side-combined pair-count aggregate,
     a ONE-ROW collect (the winning pair), and a narrow string-replace
     map that applies the merge before the next round. At 100 TB that is
@@ -669,7 +670,7 @@ def bpe_learn_merges(
     (merge_idx, pair, count).
     """
     cur = df.select(
-        F.concat(F.lit(sep), F.col(text), F.lit(sep)).alias("__s")
+        F.concat(F.lit(" "), F.col(text), F.lit(" ")).alias("__s")
     ).where(F.col(text).isNotNull())
     out_rows = []
     for i in range(n_merges):

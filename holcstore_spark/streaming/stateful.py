@@ -132,8 +132,13 @@ def stream_cusum(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         p0, pmin0 = state.get if state.exists else (0, 0)
-        pdf = pd.concat(list(pdfs)).sort_values(ts)
-        y = np.round(pdf[value].to_numpy() * 1000).astype(np.int64) - kq
+        # stable sort: tied timestamps keep a deterministic order (pass
+        # pre-sorted data or unique ts for exact batch parity)
+        pdf = pd.concat(list(pdfs)).sort_values(ts, kind="mergesort")
+        # HALF-AWAY-FROM-ZERO to match F.round / SQL round exactly
+        # (np.round is half-to-even and would diverge on exact .5 ties)
+        av = pdf[value].to_numpy() * 1000
+        y = (np.sign(av) * np.floor(np.abs(av) + 0.5)).astype(np.int64) - kq
         ps = p0 + np.cumsum(y)
         pmins = np.minimum.accumulate(np.concatenate(([pmin0], ps)))[1:]
         s = ps - pmins

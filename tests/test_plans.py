@@ -221,9 +221,12 @@ class TestOperatorPlans:
         d = spark.createDataFrame(pd.DataFrame({
             "doc_id": [1, 2], "lang": ["en", "fr"], "text": ["A b", "c D"]}))
         assert "Exchange" not in plan_text(normalize_text(d))
-        # after the metadata-sized counts collect, the kept-rows filter
-        # itself must be a zero-shuffle pushdown-friendly predicate
-        assert "Exchange" not in plan_text(temperature_sample(d, "lang", ["doc_id"]))
+        # after the metadata-sized counts collect, row selection is a
+        # broadcast threshold join + filter: a BroadcastExchange is fine,
+        # a shuffle Exchange is not
+        txt = plan_text(temperature_sample(d, "lang", ["doc_id"]))
+        assert n_nodes(txt, "Exchange") == 0, txt
+        assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt, txt
 
     def test_collocations_topk_never_global_window_over_corpus(self, spark):
         # top-k must be TakeOrderedAndProject; the only Window ranks the
