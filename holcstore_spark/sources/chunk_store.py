@@ -1030,11 +1030,40 @@ class ChunkStore:
         filters: dict | None = None,
         limit: int | None = None,
         offset: int = 0,
+        after: dict | None = None,
     ) -> pd.DataFrame:
         """Paginated page of the change feed (reference list_updates,
         chunk_timeserie_store.py:567-607): deterministic order, Spark-side
-        offset/limit so driver memory is bounded by the page size."""
+        offset/limit so driver memory is bounded by the page size.
+
+        ``after`` enables KEYSET pagination: a dict with the last seen
+        row's ``updated_at``, key columns and ``chunk_index`` — the page
+        starts strictly after that tuple in the feed's total order.
+        Unlike ``offset``, a keyset cursor is stable under concurrent
+        server writes: re-stamped rows move to the feed's end instead of
+        shifting every later row's position out from under the pager.
+        """
         feed = self.updates(since=since, filters=filters)
+        if after is not None:
+            cols = ["updated_at", *self.config.keys, "chunk_index"]
+            a = dict(after)
+            a["updated_at"] = pd.Timestamp(a["updated_at"])
+            if a["updated_at"].tzinfo is None:
+                a["updated_at"] = a["updated_at"].tz_localize("UTC")
+            pred = None
+            eqs = None
+            for c in cols:
+                v = a[c]
+                lit = F.lit(
+                    v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+                )
+                term = F.col(c) > lit
+                if eqs is not None:
+                    term = eqs & term
+                pred = term if pred is None else pred | term
+                eq = F.col(c) == lit
+                eqs = eq if eqs is None else eqs & eq
+            feed = feed.filter(pred)
         if offset:
             feed = feed.offset(int(offset))
         if limit is not None:

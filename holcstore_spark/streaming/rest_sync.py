@@ -38,9 +38,6 @@ import pandas as pd
 
 from holcstore_spark.sources.chunk_store import ChunkStore
 
-_ISO = "%Y-%m-%dT%H:%M:%S.%f%z"
-
-
 def _coerce_filters(store: ChunkStore, raw: dict[str, str]) -> dict:
     """Query-string filter values arrive as strings; coerce them to the
     store's declared key types so predicates compare correctly."""
@@ -104,16 +101,37 @@ class _SyncHandler(BaseHTTPRequestHandler):
             since = qs.pop("since")
             limit = int(qs.pop("limit", 200))
             offset = int(qs.pop("offset", 0))
-            filters = _coerce_filters(store, qs)
+            after = qs.pop("after", None)
+            after = json.loads(after) if after else None
+            # typed filters travel as ONE json param: __in lists, bools
+            # and numeric keys survive the wire intact (a urlencoded
+            # repr of a list would reach lookup_filter as a string)
+            fj = qs.pop("filters_json", None)
+            filters = json.loads(fj) if fj else _coerce_filters(store, qs)
             page = store.list_updates(
-                since=since, filters=filters or None, limit=limit, offset=offset
+                since=since, filters=filters or None, limit=limit,
+                offset=offset, after=after,
             )
             results = [_meta_record(store, row) for _, row in page.iterrows()]
             nxt = None
             if len(page) == limit:
+                # KEYSET cursor: the next page starts strictly after this
+                # page's last row in the feed's total order — stable under
+                # concurrent server writes, unlike offset paging where a
+                # re-stamped row shifts every later position and a row can
+                # silently fall between two requests
+                last = page.iloc[-1]
+                cursor = {
+                    "updated_at": pd.Timestamp(last["updated_at"]).isoformat(),
+                    **{k: (last[k].item() if hasattr(last[k], "item")
+                           else last[k]) for k in store.config.keys},
+                    "chunk_index": int(last["chunk_index"]),
+                }
                 nq = urllib.parse.urlencode(
-                    {"since": since, "limit": limit, "offset": offset + limit,
-                     **{k: v for k, v in qs.items()}}
+                    {"since": since, "limit": limit,
+                     "after": json.dumps(cursor),
+                     **({"filters_json": fj} if fj else
+                        {k: v for k, v in qs.items()})}
                 )
                 nxt = f"/updates?{nq}"
             self._json(200, {"results": results, "next": nxt})
@@ -206,11 +224,24 @@ class RestSyncClient:
                     return json.loads(resp.read())
             except urllib.error.HTTPError as exc:
                 if exc.code == 429:
-                    # rate limit: honour Retry-After, don't consume a retry
+                    # rate limit: honour a NUMERIC Retry-After without
+                    # consuming a retry, but never outlive the deadline;
+                    # an HTTP-date Retry-After falls through to normal
+                    # backoff instead of crashing on int()
                     retry_after = exc.headers.get("Retry-After")
                     if retry_after is not None:
-                        time.sleep(int(retry_after))
-                        continue
+                        try:
+                            delay = float(retry_after)
+                        except ValueError:
+                            delay = None
+                        if delay is not None:
+                            if time.monotonic() - t0 + delay >= self.retry_max_time:
+                                raise RestSyncError(
+                                    f"{url} rate-limited past the "
+                                    f"{self.retry_max_time:.0f}s deadline"
+                                ) from exc
+                            time.sleep(delay)
+                            continue
                 err: Exception = exc
             except (urllib.error.URLError, OSError, json.JSONDecodeError) as exc:
                 err = exc
@@ -235,8 +266,9 @@ class RestSyncClient:
         re-fetches the boundary."""
         keys = list(self.store.config.keys)
         since = self.store.last_updated_at(filters)
-        params: dict = {"since": since.isoformat(), "limit": int(page_size),
-                        **(filters or {})}
+        params: dict = {"since": since.isoformat(), "limit": int(page_size)}
+        if filters:
+            params["filters_json"] = json.dumps(filters)
         nxt = f"{self.endpoint}/updates?{urllib.parse.urlencode(params)}"
         n_fetch = n_delete = 0
         while nxt:
@@ -252,27 +284,35 @@ class RestSyncClient:
                   "op_id": r["op_id"], "is_deleted": r["is_deleted"]}
                  for r in results]
             )
-            tombs = meta[meta["is_deleted"]]
-            alive = meta[~meta["is_deleted"]]
-            if len(tombs):
-                # server stamps advance the watermark even on delete-only pages
-                self.store.import_chunks(tombs.copy(), pd.DataFrame())
-                n_delete += len(tombs)
-            for boff in range(0, len(alive), batch):
-                part = alive.iloc[boff: boff + batch]
-                spec = [
-                    {"attrs": {k: row[k] for k in keys},
-                     "chunk_index": int(row["chunk_index"])}
-                    for _, row in part.iterrows()
-                ]
-                recs = self._request(f"{self.endpoint}/pack", payload=spec)
-                data = pd.DataFrame(recs)
-                if len(data):
-                    data["ts"] = pd.to_datetime(data["ts"], utc=True)
-                    data["value"] = data["value"].astype("float64")
-                    data["chunk_index"] = data["chunk_index"].astype("int32")
-                self.store.import_chunks(part.copy(), data)
-                n_fetch += len(part)
+            # same prefix-order invariant as SyncClient._pull_paged:
+            # apply contiguous same-kind runs in updated_at order so a
+            # crash can only leave an ordered PREFIX applied and the >=
+            # watermark resume re-fetches everything else
+            runs = (meta["is_deleted"] != meta["is_deleted"].shift()).cumsum()
+            for _, run in meta.groupby(runs, sort=False):
+                if bool(run["is_deleted"].iloc[0]):
+                    self.store.import_chunks(run.copy(), pd.DataFrame())
+                    n_delete += len(run)
+                    continue
+                for boff in range(0, len(run), batch):
+                    part = run.iloc[boff: boff + batch]
+                    spec = [
+                        # .item() unwraps numpy scalars: int/float-typed
+                        # keys would otherwise crash json.dumps
+                        {"attrs": {k: (row[k].item()
+                                       if hasattr(row[k], "item")
+                                       else row[k]) for k in keys},
+                         "chunk_index": int(row["chunk_index"])}
+                        for _, row in part.iterrows()
+                    ]
+                    recs = self._request(f"{self.endpoint}/pack", payload=spec)
+                    data = pd.DataFrame(recs)
+                    if len(data):
+                        data["ts"] = pd.to_datetime(data["ts"], utc=True)
+                        data["value"] = data["value"].astype("float64")
+                        data["chunk_index"] = data["chunk_index"].astype("int32")
+                    self.store.import_chunks(part.copy(), data)
+                    n_fetch += len(part)
             nxt_path = page.get("next")
             nxt = f"{self.endpoint}{nxt_path}" if nxt_path else None
         return n_fetch, n_delete

@@ -136,9 +136,16 @@ def stream_cusum(
         # pre-sorted data or unique ts for exact batch parity)
         pdf = pd.concat(list(pdfs)).sort_values(ts, kind="mergesort")
         # HALF-AWAY-FROM-ZERO to match F.round / SQL round exactly
-        # (np.round is half-to-even and would diverge on exact .5 ties)
-        av = pdf[value].to_numpy() * 1000
-        y = (np.sign(av) * np.floor(np.abs(av) + 0.5)).astype(np.int64) - kq
+        # (np.round is half-to-even and would diverge on exact .5 ties).
+        # NaN/null values contribute 0 to the prefix sum — the batch
+        # twin's F.round(null) is null, which F.sum skips; casting NaN
+        # to int64 would instead poison the state with INT64_MIN
+        av = pdf[value].to_numpy(dtype="float64") * 1000
+        q = np.where(
+            np.isnan(av), np.float64(kq),
+            np.sign(av) * np.floor(np.abs(av) + 0.5),
+        )
+        y = q.astype(np.int64) - kq
         ps = p0 + np.cumsum(y)
         pmins = np.minimum.accumulate(np.concatenate(([pmin0], ps)))[1:]
         s = ps - pmins

@@ -91,6 +91,13 @@ class SyncClient:
                 on=[*self.server.config.keys, "chunk_index", "op_id"],
                 how="left_anti",
             )
+        # re-assert the feed's total order AFTER the anti-join: a shuffle
+        # join (AQE's pick when client meta is store-sized) repartitions
+        # and would otherwise hand the pager pages in arbitrary order,
+        # breaking the prefix property crash-resume depends on
+        feed = feed.orderBy(
+            "updated_at", *self.server.config.keys, "chunk_index"
+        )
         # materialize the ordered feed once (checkpoint cuts the plan to the
         # sorted result); both strategies below then read the frozen frame
         feed = safe_local_checkpoint(feed)
@@ -159,17 +166,20 @@ class SyncClient:
             page = pd.DataFrame([r.asDict() for r in batch])
             if crash_after_pages is not None and page_no >= crash_after_pages:
                 raise SyncCrash(f"injected crash before page {page_no}")
-            tombs = page[page["is_deleted"]]
-            alive = page[~page["is_deleted"]]
-            if len(tombs):
-                # apply tombstones with the server's stamps so the watermark
-                # advances even when a page is deletes-only
-                self.client.import_chunks(tombs.copy(), pd.DataFrame())
-                applied += len(tombs)
-            if len(alive):
-                spec = alive[[*keys, "chunk_index"]].to_dict("records")
-                data_sdf = self.server.export_chunks_sdf(spec)
-                self.client.import_chunks_sdf(alive.copy(), data_sdf)
-                applied += len(alive)
+            # apply the page as contiguous same-kind runs IN updated_at
+            # order: whatever a crash leaves applied is then a PREFIX of
+            # the ordered feed, so the >= watermark resume re-fetches
+            # every unapplied row. Splitting into all-tombstones-first
+            # would let a tombstone's later stamp advance the watermark
+            # past unapplied alive rows (or vice versa) and lose them.
+            runs = (page["is_deleted"] != page["is_deleted"].shift()).cumsum()
+            for _, run in page.groupby(runs, sort=False):
+                if bool(run["is_deleted"].iloc[0]):
+                    self.client.import_chunks(run.copy(), pd.DataFrame())
+                else:
+                    spec = run[[*keys, "chunk_index"]].to_dict("records")
+                    data_sdf = self.server.export_chunks_sdf(spec)
+                    self.client.import_chunks_sdf(run.copy(), data_sdf)
+                applied += len(run)
             page_no += 1
         return applied

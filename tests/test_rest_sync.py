@@ -160,3 +160,81 @@ class TestRetryBackoff:
         with pytest.raises(RestSyncError):
             cli.pull()
         assert flaky.calls == 3
+
+
+class TestRestRobustness:
+    def test_int_keyed_store_pull(self, spark, tmp_store_path):
+        # np.int64 key values must survive the JSON /pack spec
+        cfg = dict(keys=("park",), freq="1h", tz="UTC",
+                   chunk_axis=("year", "month"), allow_sync=True,
+                   key_types={"park": "int"})
+        srv_store = ChunkStore(spark, os.path.join(tmp_store_path, "isrv"),
+                               ChunkStoreConfig(**cfg))
+        cli_store = ChunkStore(spark, os.path.join(tmp_store_path, "icli"),
+                               ChunkStoreConfig(**cfg))
+        srv_store.set_ts({"park": 7}, hourly("2024-01-01", 24, 3.0), update=True)
+        srv = make_sync_server(srv_store)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+            n_fetch, n_del = RestSyncClient(endpoint, cli_store).pull()
+            assert n_fetch == 1 and n_del == 0
+            got = cli_store.get_ts({"park": 7})
+            assert got is not None and (got.dropna() == 3.0).all()
+        finally:
+            srv.shutdown()
+
+    def test_in_list_filter_survives_the_wire(self, pair):
+        server_store, client_store, endpoint = pair
+        server_store.set_ts({"site": "a"}, hourly("2024-01-01", 4, 1.0), update=True)
+        server_store.set_ts({"site": "b"}, hourly("2024-01-01", 4, 2.0), update=True)
+        server_store.set_ts({"site": "c"}, hourly("2024-01-01", 4, 3.0), update=True)
+        cli = RestSyncClient(endpoint, client_store)
+        n_fetch, _ = cli.pull(filters={"site__in": ["a", "c"]})
+        assert n_fetch == 2
+        assert client_store.get_ts({"site": "a"}) is not None
+        assert client_store.get_ts({"site": "b"}) is None
+
+    def test_http_date_retry_after_falls_back_to_backoff(self, pair, monkeypatch):
+        import urllib.error
+
+        server_store, client_store, endpoint = pair
+        server_store.set_ts({"site": "x"}, hourly("2024-01-01", 3, 1.0), update=True)
+        cli = RestSyncClient(endpoint, client_store,
+                             retry_max_tries=3, retry_base_delay=0.01)
+        calls = {"n": 0}
+        real = urllib.request.urlopen
+
+        def flaky(req, timeout=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise urllib.error.HTTPError(
+                    req.full_url if hasattr(req, "full_url") else str(req),
+                    429, "rate limited",
+                    {"Retry-After": "Wed, 21 Oct 2026 07:28:00 GMT"}, None,
+                )
+            return real(req, timeout=timeout)
+
+        monkeypatch.setattr(urllib.request, "urlopen", flaky)
+        n_fetch, _ = cli.pull()
+        assert n_fetch == 1     # survived the HTTP-date header via backoff
+
+    def test_keyset_pagination_cursor_in_next_link(self, pair):
+        server_store, client_store, endpoint = pair
+        for i in range(5):
+            server_store.set_ts({"site": f"s{i}"}, hourly("2024-01-01", 2, 1.0), update=True)
+        since = client_store.last_updated_at().isoformat()
+        import urllib.parse
+        import urllib.request as ur
+
+        url = f"{endpoint}/updates?" + urllib.parse.urlencode(
+            {"since": since, "limit": 2})
+        page1 = json.loads(ur.urlopen(url).read())
+        assert len(page1["results"]) == 2 and page1["next"]
+        assert "after=" in page1["next"] and "offset" not in page1["next"]
+        page2 = json.loads(ur.urlopen(f"{endpoint}{page1['next']}").read())
+        # no overlap between keyset pages
+        k1 = {(r["attrs"]["site"], r["chunk_index"]) for r in page1["results"]}
+        k2 = {(r["attrs"]["site"], r["chunk_index"]) for r in page2["results"]}
+        assert not (k1 & k2) and len(k2) == 2
