@@ -209,3 +209,29 @@ class TestSync:
         b = ChunkStore(spark, os.path.join(tmp_store_path, "y"), cfg_off)
         with pytest.raises(ValueError):
             SyncClient(a, b)
+
+
+class TestPagePrefixInvariant:
+    def test_mixed_tombstone_alive_page_crash_resumes_complete(self, pair):
+        # a page mixing an EARLIER-stamped alive state with LATER-stamped
+        # tombstones must apply in feed order: the old all-tombstones-first
+        # split advanced the watermark past the unapplied alive row, and a
+        # crash there lost it permanently
+        server, client = pair
+        for i in range(4):
+            server.set_ts({"site": f"p{i}"}, hourly("2024-01-01", 24, i + 1.0),
+                          update=True)
+        # later-stamped deletes of two of them -> feed mixes kinds
+        server.delete({"site": "p1"})
+        server.delete({"site": "p3"})
+        sc = SyncClient(server, client)
+        with pytest.raises(SyncCrash):
+            sc.pull(page_size=3, crash_after_pages=1)
+        sc.pull(page_size=3)
+        # converged: alive states present, tombstoned ones absent
+        assert client.get_ts({"site": "p0"}) is not None
+        assert client.get_ts({"site": "p2"}) is not None
+        assert client.get_ts({"site": "p1"}) is None
+        assert client.get_ts({"site": "p3"}) is None
+        # full meta parity including tombstones
+        assert client.latest_meta().count() == server.latest_meta().count()
