@@ -509,22 +509,17 @@ def q_store_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_store_max_horodate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: latest non-NaN timestamp per user through the store (grid
-    padding NULLs must be ignored)."""
-    import pandas as pd
-
+    """A4 grouped (round 6): latest non-NaN timestamp PER USER via
+    ``get_max_horodates`` — the WHOLE catalog in one tail-chunk-pruned
+    scan instead of one aggregate job per key (the reference calls
+    get_max_horodate in loops, chunk_timeserie_store.py:519-539; the old
+    per-key path capped this query at 20 users for exactly that reason).
+    Grid padding NULLs must still be ignored per key."""
     store, path = _make_event_store(spark, sf_dir)
     try:
-        users = sorted(
-            r[0] for r in store.alive_chunks().select("user_id").distinct().collect()
-        )
-        rows = []
-        for u in users[:20]:  # bounded: one aggregate job per user
-            hd = store.get_max_horodate({"user_id": u})
-            rows.append((u, hd.tz_convert("UTC").strftime("%Y-%m-%d %H:%M:%S")))
-        out = spark.createDataFrame(
-            pd.DataFrame(rows, columns=["user_id", "max_ts"]),
-            schema="user_id long, max_ts string",
+        out = store.get_max_horodates().select(
+            "user_id",
+            F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -590,10 +585,12 @@ def q_store_get_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_attr_store_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/S8/M3 end-to-end: AttrStore set + update(combine_first) + partial-
-    attrs read. Users bucket into 10 groups; each group's hourly max series
-    is written, then a doubled mid-month patch is applied with update=True
-    (new wins, old fills holes)."""
+    """S3/S8/M3 end-to-end (round 6: bulk path): AttrStore ``set_many_ts``
+    batched insert + batched update(combine_first) + partial-attrs read —
+    TWO Spark writes for all 10 groups instead of a driver-paced set_ts
+    loop. Users bucket into 10 groups; each group's hourly max series is
+    written, then doubled mid-month patches are applied in one
+    ``set_many_ts(update=True)`` (new wins, old fills holes)."""
     import pandas as pd
 
     from holcstore_spark.sources.attr_store import AttrStore
@@ -609,15 +606,19 @@ def q_attr_store_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     try:
         store = AttrStore(spark, path, keys=("grp", "kind"), tz="UTC")
+        base, patches = {}, {}
         for grp, g in pdf.groupby("grp"):
             s = pd.Series(
                 g["v"].to_numpy(),
                 index=pd.DatetimeIndex(pd.to_datetime(g["hts"], utc=True)),
             ).sort_index()
-            store.set_ts({"grp": str(int(grp)), "kind": "load"}, s)
+            base[(str(int(grp)), "load")] = s
             patch = (s[(s.index >= "2024-01-10") & (s.index < "2024-01-15")] * 2)
             if len(patch):
-                store.set_ts({"grp": str(int(grp)), "kind": "load"}, patch, update=True)
+                patches[(str(int(grp)), "load")] = patch
+        store.set_many_ts(base)
+        if patches:
+            store.set_many_ts(patches, update=True)
         rows = []
         for entry in store.get_ts({"kind": "load"}):  # partial attrs: all groups
             s = entry["data"]
@@ -1240,6 +1241,97 @@ def q_store_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         "start_ts", "updated_at"]),
             schema="user_id long, chunk_index long, n_points long, "
                    "start_ts string, updated_at string",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_sync_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4 keyset pagination (round 6): page the whole change feed with
+    ``list_updates(after=cursor)`` — with a WRITE landing mid-pagination —
+    and reassemble. Keyset cursors are stable under concurrent server
+    writes (re-stamped rows move to the feed's end; an OFFSET pager would
+    skip or double-read rows instead — reference pager:
+    chunk_timeserie_store.py:567-607). The query asserts the keyset
+    invariant (no (key, chunk, op_id) row read twice) and returns the
+    deduped latest state per user, which is deterministic regardless of
+    where the page boundary fell."""
+    import pandas as pd
+
+    store, path = _make_imported_store(spark, sf_dir)
+    try:
+        jan_chunk = 2024 * 12 + 1 - 1  # chunk_index of Jan-2024 (year*12+month-1)
+        pages, cursor, wrote = [], None, False
+        while True:
+            page = store.list_updates(limit=25, after=cursor)
+            if len(page) == 0:
+                break
+            pages.append(page)
+            last = page.iloc[-1]
+            cursor = {
+                "updated_at": last["updated_at"],
+                "user_id": int(last["user_id"]),
+                "chunk_index": int(last["chunk_index"]),
+            }
+            if not wrote:
+                wrote = True
+                # mid-pagination write: tombstone the Jan chunk of every
+                # user_id % 10 == 3 user with a stamp LATER than every
+                # import stamp — the re-stamped rows must surface in the
+                # remaining pages, never disturbing pages already read
+                victims = sorted(
+                    int(u)
+                    for u in store.alive_chunks()
+                    .select("user_id").distinct().toPandas()["user_id"]
+                    if u % 10 == 3
+                )
+                tomb = pd.DataFrame(
+                    {
+                        "user_id": victims,
+                        "chunk_index": [jan_chunk] * len(victims),
+                        "start_ts": [pd.NaT] * len(victims),
+                        "n_points": [0] * len(victims),
+                        "updated_at": [pd.Timestamp("2024-07-01", tz="UTC")]
+                        * len(victims),
+                        "op_id": [100_000_000 + u for u in victims],
+                        "is_deleted": [True] * len(victims),
+                    }
+                )
+                store.import_chunks(
+                    tomb,
+                    pd.DataFrame(columns=["user_id", "ts", "value", "chunk_index"]),
+                )
+        feed = pd.concat(pages, ignore_index=True)
+        dup = feed.duplicated(["user_id", "chunk_index", "op_id"])
+        if dup.any():
+            raise AssertionError(
+                f"keyset pager re-read {int(dup.sum())} feed rows"
+            )
+        latest = (
+            feed.sort_values("op_id")
+            .groupby(["user_id", "chunk_index"], as_index=False)
+            .tail(1)
+            .copy()
+        )
+        latest["updated_at"] = pd.to_datetime(latest["updated_at"], utc=True)
+        latest["alive_i"] = (~latest["is_deleted"]).astype(int)
+        latest["tomb_i"] = latest["is_deleted"].astype(int)
+        latest["pts"] = latest["n_points"].where(~latest["is_deleted"], 0)
+        g = (
+            latest.groupby("user_id", as_index=False)
+            .agg(
+                n_alive=("alive_i", "sum"),
+                n_tomb=("tomb_i", "sum"),
+                total_points=("pts", "sum"),
+                last_up=("updated_at", "max"),
+            )
+        )
+        g["last_up"] = g["last_up"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out = spark.createDataFrame(
+            g,
+            schema="user_id long, n_alive long, n_tomb long, "
+                   "total_points long, last_up string",
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -2717,21 +2809,86 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-5 window: (a) token_pack (red in r4 on an oracle dtype
-    # bug, oracle fixed this round), (b) the 4 entries that have never had
-    # a driver row, (c) the 24 entries last driver-green in r3, (d) new
-    # round-5 queries, (e) enough r4-green heavyweights to fill slot 50.
-    # The tail (positions 51+) is all r4-green micro/flagship queries —
-    # rotate them back in next round.
+    # first. Round-6 window: (a) the 6 queries that have NEVER had a
+    # driver row (registered at positions 51+ in round 5) plus
+    # multimodal_meta, (b) round-6 new/rewritten queries (sync_paged new;
+    # store_max_horodate now grouped; attr_store_update now bulk;
+    # store_get_batch gained the composite semi-join fallback), (c) the
+    # sync family whose files were rewritten by a285ed9 AFTER their last
+    # driver check, (d) the remaining r4-green entries, oldest evidence
+    # first. The tail is the 49 queries driver-green in round 5 plus 8
+    # r4-green micro queries with unchanged code (rotate back in round 7).
     return {
-        # -- (a) red in r4: oracle HUGEINT dtype bug, CAST fix applied --
+        # -- (a) never driver-checked -----------------------------------
+        "stream_cusum": q_stream_cusum,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "bpe_merges": q_bpe_merges,
+        "seasonal_profile": q_seasonal_profile,
+        "stream_join": q_stream_join,
+        "multimodal_meta": q_multimodal_meta,
+        # -- (b) new or rewritten in round 6 ----------------------------
+        "sync_paged": q_sync_paged,
+        "store_max_horodate": q_store_max_horodate,
+        "attr_store_update": q_attr_store_update,
+        "store_get_batch": q_store_get_batch,
+        # -- (c) sync family: files changed after last driver check -----
+        "sync_pull": q_sync_pull,
+        "rest_sync_pull": q_rest_sync_pull,
+        "sync_tombstone": q_sync_tombstone,
+        "store_changefeed": q_store_changefeed,
+        "sync_guards": q_sync_guards,
+        "stream_gaps": q_stream_gaps,
+        "store_roundtrip": q_store_roundtrip,
+        # -- (d) last driver-green in r4 --------------------------------
+        "blob_interop": q_blob_interop,
+        "store_yield_many": q_store_yield_many,
+        "kv_store_overlay": q_kv_store_overlay,
+        "completeness_holes": q_completeness_holes,
+        "overlay_merge": q_overlay_merge,
+        "combined_delay": q_combined_delay,
+        "constant_runs": q_constant_runs,
+        "merge_intervals": q_merge_intervals,
+        "contamination": q_contamination,
+        "tfidf_terms": q_tfidf_terms,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
+        "stream_rollup": q_stream_rollup,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "range_join": q_range_join,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
+        "event_rollup": q_event_rollup,
+        "kv_find_holes": q_kv_find_holes,
+        "store_update_overlay": q_store_update_overlay,
+        "store_delete_tombstone": q_store_delete_tombstone,
+        "store_set_many": q_store_set_many,
+        "kv_clear": q_kv_clear,
+        "store_meta_aggregates": q_store_meta_aggregates,
+        "interval_algebra": q_interval_algebra,
+        "admin_export": q_admin_export,
+        "lookup_filter": q_lookup_filter,
+        "drop_bounds_na": q_drop_bounds_na,
+        "slice_with_delay": q_slice_with_delay,
+        "disaggregate": q_disaggregate,
+        # ====== driver 50-entry window ends here (50 above) ============
+        # -- tail: r4-green micro queries, unchanged code ---------------
+        "time_slice": q_time_slice,
+        "ffill": q_ffill,
+        "normalize_minmax": q_normalize_minmax,
+        "min_step": q_min_step,
+        "next_version": q_next_version,
+        "chunk_index": q_chunk_index,
+        "freq_fix": q_freq_fix,
+        "split_at": q_split_at,
+        # -- tail: driver-green in round 5 ------------------------------
         "token_pack": q_token_pack,
-        # -- (b) never driver-checked (were positions 51-54 in r4) ------
         "segment_dedup": q_segment_dedup,
         "rebalance_mix": q_rebalance_mix,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
-        # -- (c) last driver-green in r3 (were positions 55-78) ---------
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
         "regional_revenue": q_regional_revenue,
@@ -2755,9 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "vocab_topk": q_vocab_topk,
-        # -- (d) new in round 5 -----------------------------------------
         "multimodal_png": q_multimodal_png,
-        "store_get_batch": q_store_get_batch,
         "dedup_representatives": q_dedup_representatives,
         "quality_filter": q_quality_filter,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -2778,64 +2933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "large_orders": q_large_orders,
         "cusum_drift": q_cusum_drift,
-        # ====== driver 50-entry window ends here (50 above) ============
-        # -- tail: r3/r4-green + locally-green round-5 overflow ---------
-        "stream_cusum": q_stream_cusum,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "bpe_merges": q_bpe_merges,
-        "seasonal_profile": q_seasonal_profile,
-        "stream_join": q_stream_join,
-        "multimodal_meta": q_multimodal_meta,
-        "store_roundtrip": q_store_roundtrip,
-        "store_changefeed": q_store_changefeed,
-        "blob_interop": q_blob_interop,
-        "sync_pull": q_sync_pull,
-        "store_yield_many": q_store_yield_many,
-        "kv_store_overlay": q_kv_store_overlay,
-        "completeness_holes": q_completeness_holes,
-        "overlay_merge": q_overlay_merge,
-        "combined_delay": q_combined_delay,
-        "constant_runs": q_constant_runs,
-        "merge_intervals": q_merge_intervals,
-        "contamination": q_contamination,
-        "tfidf_terms": q_tfidf_terms,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "time_rollup": q_time_rollup,
-        "stream_rollup": q_stream_rollup,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "stream_gaps": q_stream_gaps,
-        "range_join": q_range_join,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_audio": q_multimodal_audio,
-        "event_rollup": q_event_rollup,
-        "attr_store_update": q_attr_store_update,
-        "kv_find_holes": q_kv_find_holes,
-        "store_update_overlay": q_store_update_overlay,
-        "store_delete_tombstone": q_store_delete_tombstone,
-        "store_max_horodate": q_store_max_horodate,
-        "store_set_many": q_store_set_many,
-        "kv_clear": q_kv_clear,
-        "sync_tombstone": q_sync_tombstone,
-        "store_meta_aggregates": q_store_meta_aggregates,
-        "interval_algebra": q_interval_algebra,
-        "freq_fix": q_freq_fix,
-        "sync_guards": q_sync_guards,
-        "rest_sync_pull": q_rest_sync_pull,
-        "admin_export": q_admin_export,
-        "lookup_filter": q_lookup_filter,
-        "drop_bounds_na": q_drop_bounds_na,
-        "slice_with_delay": q_slice_with_delay,
-        "split_at": q_split_at,
-        "time_slice": q_time_slice,
-        "ffill": q_ffill,
-        "normalize_minmax": q_normalize_minmax,
-        "min_step": q_min_step,
-        "disaggregate": q_disaggregate,
-        "next_version": q_next_version,
-        "chunk_index": q_chunk_index,
     }
 
 
@@ -3205,9 +3302,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                strftime(max(date_trunc('hour', ts)), '{_FMT_DUCK}') AS max_ts
         FROM events
-        WHERE user_id IN (
-            SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 20
-        )
         GROUP BY user_id
     """
     store_yield_many = f"""
@@ -4124,6 +4218,24 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY updated_at, user_id, chunk_index
         LIMIT 40 OFFSET 10
     """
+    # keyset-paged feed reassembly: final latest state after the
+    # mid-pagination tombstone of user_id%10==3 users' Jan chunk
+    # (chunk_index 24288 = 2024*12+1-1), re-stamped 2024-07-01
+    sync_paged = f"""
+        {_IMPORTED_META_SQL}
+        SELECT user_id,
+               CAST(sum(CASE WHEN tomb THEN 0 ELSE 1 END) AS BIGINT) AS n_alive,
+               CAST(sum(CASE WHEN tomb THEN 1 ELSE 0 END) AS BIGINT) AS n_tomb,
+               CAST(sum(CASE WHEN tomb THEN 0 ELSE n_points END) AS BIGINT)
+                   AS total_points,
+               strftime(max(CASE WHEN tomb THEN TIMESTAMP '2024-07-01'
+                                 ELSE updated_at END), '{_FMT_DUCK}') AS last_up
+        FROM (
+            SELECT *, (user_id % 10 = 3 AND chunk_index = 24288) AS tomb
+            FROM meta
+        )
+        GROUP BY user_id
+    """
     # req = [2024-01-10 06:00, 2024-01-20]; intersection min_delta 1 day,
     # difference_missing min_delta 12 h — mirrors operators/intervals.Range
     interval_algebra = f"""
@@ -4630,6 +4742,7 @@ def oracle_sql() -> dict[str, str]:
         "sync_tombstone": sync_tombstone,
         "store_meta_aggregates": store_meta_aggregates,
         "store_changefeed": store_changefeed,
+        "sync_paged": sync_paged,
         "interval_algebra": interval_algebra,
         "freq_fix": freq_fix,
         "sync_guards": sync_guards,

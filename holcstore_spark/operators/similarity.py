@@ -578,8 +578,13 @@ def pq_topk(
             tables.append(((cj - qs) ** 2).sum(axis=1).astype(int).tolist())
         table_rows.append((r["q_id"], *tables))
     spark = df.sparkSession
-    tcols = ", ".join(f"t{j} array<long>" for j in range(m))
-    tdf = spark.createDataFrame(table_rows, f"q_id long, {tcols}")
+    # q_id inherits the queries frame's id dtype — hardcoding long would
+    # reject string/int32 id columns that pq_encode happily accepts
+    tschema = T.StructType(
+        [T.StructField("q_id", queries.schema[id_col].dataType)]
+        + [T.StructField(f"t{j}", T.ArrayType(T.LongType())) for j in range(m)]
+    )
+    tdf = spark.createDataFrame(table_rows, tschema)
 
     joined = enc.crossJoin(F.broadcast(tdf)).filter(
         F.col(id_col) != F.col("q_id")

@@ -110,6 +110,53 @@ class AttrStore:
         else:
             new.write.mode("append").parquet(self.path)
 
+    def set_many_ts(
+        self,
+        mapping: dict[tuple, pd.Series],
+        update: bool = False,
+        replace: bool = False,
+    ) -> None:
+        """Batched multi-series write — ONE Spark write for the whole
+        mapping instead of a driver-paced ``set_ts`` loop (the reference's
+        ``TimeseriesStore`` has only the per-series path,
+        timeserie_store.py:95-138; ChunkStore's ``set_many_ts`` is the
+        model). ``mapping`` maps key tuples (in ``self.keys`` order; a
+        scalar is accepted for single-key stores) to series.
+
+        Semantics per key match ``set_ts`` exactly: plain call refuses
+        existing keys; ``update=True`` is new.combine_first(existing)
+        merged distributed-side (one union + one window, no per-series
+        read-back); ``replace=True`` drops the old rows. The existence
+        check is a single left-semi join for the entire batch."""
+        if update and replace:
+            raise ValueError("update and replace are mutually exclusive")
+        if not mapping:
+            return
+        frames = []
+        for key_tuple, serie in mapping.items():
+            kt = key_tuple if isinstance(key_tuple, tuple) else (key_tuple,)
+            attrs = dict(zip(self.keys, kt))
+            self._ensure_full(attrs)
+            frames.append(self._to_pdf(attrs, serie))
+        pdf = pd.concat(frames, ignore_index=True)
+        new = nan_to_null(self.spark.createDataFrame(pdf, self._schema(pdf)), "value")
+        key_set = new.select(*self.keys).distinct()
+        existing_match = self.df().join(key_set, on=list(self.keys), how="left_semi")
+        exists_any = bool(existing_match.limit(1).count())
+        if exists_any and not (update or replace):
+            raise ValueError(
+                "set_many_ts: some keys already exist; use update or replace"
+            )
+        if not exists_any:
+            new.write.mode("append").parquet(self.path)
+            return
+        keep = self.df().join(key_set, on=list(self.keys), how="left_anti")
+        if update:
+            from holcstore_spark.operators.overlay import combine_first
+
+            new = combine_first([new, existing_match], keys=self.keys)
+        self._overwrite(keep.unionByName(new.select(*self.keys, "ts", "value")))
+
     def get_ts(self, ts_attributes: dict, flat: bool = False):
         """Partial-attrs read (reference: timeserie_store.py:59-93):
         list of {keys…, 'data': Series}, or a single Series when flat."""

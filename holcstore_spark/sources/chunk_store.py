@@ -183,6 +183,17 @@ class ChunkStore:
             self._meta_cache = None
         self._has_tombstones = None
 
+    def refresh(self) -> None:
+        """Drop the per-instance ``latest_meta`` cache so the next read
+        observes writes committed by OTHER processes/store instances.
+
+        The cache is invalidated automatically on this instance's own
+        writes; cross-process writers are invisible until ``refresh()``
+        or a new instance (same caveat as the reference's per-class
+        cache, chunk_timeserie_store.py:199 — this is its explicit
+        escape hatch)."""
+        self._invalidate_meta_cache()
+
     def _any_tombstones(self) -> bool:
         """Whether ANY chunk is currently tombstoned — one cheap aggregate
         over the cached latest_meta, remembered until the next write. The
@@ -930,20 +941,23 @@ class ChunkStore:
         The key predicate is a per-column IN list, which reaches the
         parquet scan as a pushed filter (exact for single-key stores; a
         coarse superset for composite keys, tightened exactly at the
-        edge). Driver memory holds the N requested series — the same
-        bound as the sequential loop it replaces; for unbounded scans
-        use :meth:`yield_many_ts`.
+        edge). For SPARSE composite requests — where the per-column IN
+        cross-product is much larger than the requested key set (a
+        1000×1000 sparse request would otherwise read up to 10⁶ key
+        combinations' row groups) — an exact broadcast semi-join on the
+        requested key tuples runs ON TOP of the pushed IN filters, so the
+        scan stays pruned and the residue never leaves the executors.
+        Driver memory holds the N requested series — the same bound as
+        the sequential loop it replaces; for unbounded scans use
+        :meth:`yield_many_ts`.
         """
         keys = self.config.keys
         for a in attrs_list:
             self._ensure_all_attrs(a)
         if not attrs_list:
             return {}
-        coarse = {
-            f"{k}__in": sorted({a[k] for a in attrs_list}) for k in keys
-        }
         wanted = {tuple(a[k] for k in keys) for a in attrs_list}
-        d = self.alive_data(coarse, start, end)
+        d = self._batch_frame(attrs_list, start, end)
         pdf = d.select(*keys, "ts", "value").toPandas()
         out: dict[tuple, pd.Series] = {}
         for kt, g in pdf.groupby(list(keys), sort=False):
@@ -960,6 +974,40 @@ class ChunkStore:
                 s = s.loc[valid.idxmax(): valid[::-1].idxmax()]
             out[kt] = s
         return out
+
+    #: composite-key batched reads switch from "coarse IN superset only"
+    #: to "coarse IN + exact key-tuple broadcast semi-join" once the IN
+    #: cross-product exceeds this multiple of the requested key count
+    BATCH_RESIDUE_FACTOR = 4
+
+    def _batch_frame(self, attrs_list: list[dict], start=None, end=None) -> DataFrame:
+        """The pruned scan behind :meth:`get_batch_ts`, exposed so plan
+        tests can assert the composite-key semi-join engages. The coarse
+        per-column IN filters are ALWAYS applied (they reach the parquet
+        scan as pushed filters); the exact key-tuple broadcast semi-join
+        is layered on top only for sparse composite requests, where the
+        IN cross-product residue would otherwise dominate the result."""
+        keys = self.config.keys
+        coarse = {
+            f"{k}__in": sorted({a[k] for a in attrs_list}) for k in keys
+        }
+        d = self.alive_data(coarse, start, end)
+        combos = 1
+        for k in keys:
+            combos *= len(coarse[f"{k}__in"])
+        n_wanted = len({tuple(a[k] for k in keys) for a in attrs_list})
+        if len(keys) > 1 and combos > self.BATCH_RESIDUE_FACTOR * n_wanted:
+            spec = pd.DataFrame(
+                [{k: a[k] for k in keys} for a in attrs_list]
+            ).drop_duplicates()
+            spec_sdf = self.spark.createDataFrame(
+                spec,
+                schema=T.StructType(
+                    [T.StructField(k, t) for k, t in self._key_schema(spec)]
+                ),
+            )
+            d = d.join(F.broadcast(spec_sdf), on=list(keys), how="left_semi")
+        return d
 
     def yield_many_ts(
         self,
@@ -1110,6 +1158,58 @@ class ChunkStore:
                 return pd.Timestamp(mx, tz="UTC").tz_convert(self.config.tz)
         return None
 
+    def get_max_horodates(self, filters: dict | None = None) -> DataFrame:
+        """Grouped :meth:`get_max_horodate`: latest non-NaN timestamp PER
+        KEY for a whole filter set in ONE pruned scan, returned as a frame
+        ``(keys…, max_ts)`` (UTC instants).
+
+        The reference calls ``get_max_horodate`` in loops
+        (chunk_timeserie_store.py:519-539) — one aggregate job per key; a
+        10k-key catalog costs 10k driver-paced jobs. Here the metadata-
+        sized ``latest_meta`` yields each key's two tail chunks (row_number
+        over chunk_index desc), a broadcast semi-join restricts the data
+        scan to those ``(keys…, chunk_index)`` pairs, and one groupBy
+        answers every key. Keys whose tail chunks hold nothing but NaN
+        padding (pathological) are detected via an anti-join and answered
+        by a second scan restricted to just those keys — the common case
+        stays two-partition-bounded per key regardless of history length.
+        """
+        validate_filter_keys(filters, self.config.keys)
+        keys = list(self.config.keys)
+        alive = self.alive_chunks(filters).filter(F.col("n_points") > 0)
+        w = Window.partitionBy(*keys).orderBy(F.desc("chunk_index"))
+        tail = (
+            alive.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= 2)
+            .select(*keys, "chunk_index")
+        )
+        d = self.alive_data(filters).join(
+            F.broadcast(tail), on=[*keys, "chunk_index"], how="left_semi"
+        )
+        first = (
+            d.filter(F.col("value").isNotNull())
+            .groupBy(*keys)
+            .agg(F.max("ts").alias("max_ts"))
+        )
+        # materialize once: the all-NaN-tail check below would otherwise
+        # recompute the pruned scan for the final read too
+        first = safe_local_checkpoint(first)
+        missing = (
+            alive.select(*keys).distinct()
+            .join(first.select(*keys), on=keys, how="left_anti")
+        )
+        if missing.limit(1).count():
+            rest = self.alive_data(filters).join(
+                F.broadcast(missing), on=keys, how="left_semi"
+            )
+            second = (
+                rest.filter(F.col("value").isNotNull())
+                .groupBy(*keys)
+                .agg(F.max("ts").alias("max_ts"))
+            )
+            first = first.unionByName(second)
+        return first
+
     # ------------------------------------------------------------------
     # delete / compact
     # ------------------------------------------------------------------
@@ -1137,10 +1237,21 @@ class ChunkStore:
         # untracked: physically drop data rows and meta entries. This is a
         # FULL-table rewrite: static overwrite mode so partitions that became
         # empty are removed (dynamic mode would leave their files visible).
+        fence_op_id = self._max_committed_op_id()
         pred = attrs_filter(filters)
         n = victims.count()
         remaining_data = safe_local_checkpoint(self.data().filter(~pred))
         remaining_meta = safe_local_checkpoint(self.meta().filter(~pred))
+        # op_id fence: the checkpoints above materialized a snapshot; a
+        # writer committing since would have its rows dropped by the
+        # overwrites below. Residual window: a writer landing between this
+        # check and the overwrites can still be lost (single-writer
+        # contract, see ConcurrentWriteError).
+        if self._max_committed_op_id() != fence_op_id:
+            raise ConcurrentWriteError(
+                "meta op_id advanced during untracked delete; aborting "
+                "before the overwrite could drop the concurrent writer's rows"
+            )
         (
             remaining_data.repartition("chunk_index", *self.config.keys)
             .sortWithinPartitions(*self.config.keys, "ts")
@@ -1219,8 +1330,12 @@ class ChunkStore:
         FileSystem — O(dropped partitions) metadata work, no table scan or
         rewrite (unlike filter-based untracked ``delete``, which must
         rewrite the full table). Forbidden on sync-enabled stores. Guarded
-        by the same op_id fence as ``_rewrite_partitions``: if a writer
-        commits mid-sweep the sweep aborts before touching files.
+        by the same op_id fence as ``_rewrite_partitions``, checked twice:
+        before the first directory drop (abort touches nothing) and again
+        immediately before the meta overwrite (abort leaves the meta log
+        intact; already-dropped partitions read empty until a re-run). A
+        writer landing inside the final check→overwrite window can still
+        lose its meta row — the residual single-writer contract.
         """
         from holcstore_spark.functions.scalar import chunk_index_of
 
@@ -1279,6 +1394,20 @@ class ChunkStore:
             )
         for p in victims_dirs:
             fs.delete(p, True)
+        # second fence immediately before the meta overwrite: a writer
+        # committing during the directory sweep would otherwise have its
+        # meta row silently dropped by the overwrite (orphaning its data
+        # files). Aborting here leaves the meta log INTACT — the victim
+        # partitions' data dirs are already gone, so their still-alive
+        # meta rows read as empty until a re-run finishes the sweep; that
+        # residual (and the narrower check→overwrite window that remains)
+        # is part of the documented single-writer contract.
+        if self._max_committed_op_id() != fence_op_id:
+            raise ConcurrentWriteError(
+                f"meta op_id advanced during delete_before({cutoff!r}) "
+                "partition sweep; meta log left untouched — re-run "
+                "delete_before to finish the sweep"
+            )
         remaining_meta.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
         self._invalidate_meta_cache()
         return n

@@ -110,6 +110,20 @@ def stream_cusum(
     operator; on an in-order stream the outputs are identical (the
     oracle for both is the same SQL). Cross-batch late rows share the
     append-mode trade documented on :func:`stream_gap_detect`.
+
+    Parity scope — NULL vs NaN: a SQL NULL contributes zero excess in
+    both twins (batch ``F.round(null)`` is null and ``F.sum`` skips it)
+    and both emit the row with a NULL value when the running statistic
+    is above threshold — the emit path converts the pandas buffer to
+    nullable Float64 so NULLs round-trip as NULLs, not NaN. A literal
+    NaN DOUBLE is different: Spark's sum PROPAGATES NaN, so one NaN
+    poisons the batch prefix sum for the rest of the key, while the
+    Arrow→pandas edge hands the stream NaN for BOTH null and NaN inputs
+    — the two are indistinguishable here, so the stream gives NaN the
+    NULL treatment (zero excess, emitted as NULL). Bit-for-bit
+    stream/batch parity therefore holds for NULL-or-finite inputs; a
+    literal-NaN input is a documented divergence where the stream's
+    behavior (ignore, don't poison) is the useful one.
     """
     import numpy as np
 
@@ -155,7 +169,9 @@ def stream_cusum(
             {
                 **{k: [key[i]] * int(mask.sum()) for i, k in enumerate(keys)},
                 "ts_us": t_us[mask],
-                value: pdf[value].to_numpy()[mask],
+                # nullable Float64: NULL inputs (NaN at this edge) emit
+                # as SQL NULL, matching the batch twin's emitted rows
+                value: pd.array(pdf[value].to_numpy()[mask], dtype="Float64"),
                 "cusum_q": s[mask],
             }
         )

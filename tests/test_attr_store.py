@@ -69,3 +69,53 @@ class TestAttrStore:
     def test_update_replace_exclusive(self, store):
         with pytest.raises(ValueError):
             store.set_ts({"year": "2024", "kind": "a"}, s([1]), update=True, replace=True)
+
+
+class TestSetManyTs:
+    def test_bulk_insert_and_read(self, store):
+        store.set_many_ts({
+            ("2024", "a"): s([1, 2]),
+            ("2024", "b"): s([3, 4]),
+            ("2025", "a"): s([5, 6], start="2025-01-01"),
+        })
+        assert store.count() == 3
+        flat = store.get_ts({"year": "2024", "kind": "a"}, flat=True)
+        assert list(flat) == [1.0, 2.0]
+
+    def test_bulk_insert_existing_raises(self, store):
+        store.set_ts({"year": "2024", "kind": "a"}, s([1, 2]))
+        with pytest.raises(ValueError, match="already exist"):
+            store.set_many_ts({("2024", "a"): s([9, 9]),
+                               ("2024", "b"): s([3, 4])})
+        # nothing from the failed batch landed
+        assert store.count() == 1
+
+    def test_bulk_update_is_combine_first(self, store):
+        # bulk update must equal per-series set_ts(update=True):
+        # new wins at overlapping stamps, old fills the rest
+        store.set_many_ts({("2024", "a"): s([1, 2, 3]),
+                           ("2024", "b"): s([10, 20, 30])})
+        store.set_many_ts(
+            {("2024", "a"): s([100], start="2024-01-01 01:00"),
+             ("2024", "c"): s([7, 8])},  # brand-new key rides along
+            update=True,
+        )
+        a = store.get_ts({"year": "2024", "kind": "a"}, flat=True)
+        assert list(a) == [1.0, 100.0, 3.0]
+        b = store.get_ts({"year": "2024", "kind": "b"}, flat=True)
+        assert list(b) == [10.0, 20.0, 30.0]
+        c = store.get_ts({"year": "2024", "kind": "c"}, flat=True)
+        assert list(c) == [7.0, 8.0]
+
+    def test_bulk_replace_drops_old_span(self, store):
+        store.set_many_ts({("2024", "a"): s([1, 2, 3])})
+        store.set_many_ts({("2024", "a"): s([9], start="2024-06-01")},
+                          replace=True)
+        a = store.get_ts({"year": "2024", "kind": "a"}, flat=True)
+        assert list(a) == [9.0]
+
+    def test_update_replace_exclusive_and_empty(self, store):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            store.set_many_ts({("2024", "a"): s([1])}, update=True, replace=True)
+        store.set_many_ts({})  # no-op
+        assert store.count() == 0

@@ -668,3 +668,92 @@ class TestDescribeChunks:
     def test_empty_store_yields_empty_report(self, spark, tmpdir):
         st = make_store(spark, tmpdir)
         assert st.describe_chunks().count() == 0
+
+
+class TestGroupedMaxHorodate:
+    def test_matches_per_key_calls(self, spark, tmpdir):
+        # the grouped one-scan path must agree with N per-key aggregates,
+        # including a key whose tail hours are NaN padding
+        st = make_store(spark, tmpdir)
+        s1 = hourly("2024-01-01", 48, value=1.0)
+        s1.iloc[-5:] = np.nan
+        st.set_ts(ATTRS, s1)
+        st.set_ts({"site": "s2", "meter": "m1"}, hourly("2024-02-10", 24))
+        got = {
+            (r["site"], r["meter"]): pd.Timestamp(r["max_ts"], tz="UTC")
+            for r in st.get_max_horodates().collect()
+        }
+        assert set(got) == {("s1", "m1"), ("s2", "m1")}
+        for k in got:
+            attrs = {"site": k[0], "meter": k[1]}
+            assert got[k] == st.get_max_horodate(attrs).tz_convert("UTC")
+
+    def test_all_nan_tail_chunks_fall_back(self, spark, tmpdir):
+        # one key's BOTH tail chunks are pure NaN: the pruned scan finds
+        # nothing for it and the per-key fallback scan must answer it
+        st = make_store(spark, tmpdir)
+        s = hourly("2024-01-30", 24 * 35, value=1.0)  # Jan..Mar chunks
+        s[s.index >= pd.Timestamp("2024-01-31 12:00", tz="Europe/Paris")] = np.nan
+        st.set_ts(ATTRS, s)
+        st.set_ts({"site": "s2", "meter": "m1"}, hourly("2024-03-01", 24))
+        got = {
+            (r["site"], r["meter"]): pd.Timestamp(r["max_ts"], tz="UTC")
+            for r in st.get_max_horodates().collect()
+        }
+        expect = s[s.notna()].index[-1].tz_convert("UTC")
+        assert got[("s1", "m1")] == expect
+
+    def test_filters_and_empty(self, spark, tmpdir):
+        st = make_store(spark, tmpdir)
+        assert st.get_max_horodates().count() == 0
+        st.set_ts(ATTRS, hourly("2024-01-01", 24))
+        assert st.get_max_horodates({"site": "none"}).count() == 0
+        assert st.get_max_horodates({"site": "s1"}).count() == 1
+
+
+class TestMetaCacheRefresh:
+    def test_second_instance_sees_write_after_refresh(self, spark, tmpdir):
+        # cross-process staleness: instance B populated its latest_meta
+        # cache, instance A writes, B is stale until refresh()
+        a = make_store(spark, tmpdir)
+        a.set_ts(ATTRS, hourly("2024-01-01", 24))
+        b = ChunkStore(spark, a.path, a.config)
+        assert b.count_chunks() == 1  # populates b's cache
+        a.set_ts({"site": "s2", "meter": "m1"}, hourly("2024-01-01", 24))
+        # NOTE: in-session Spark may already invalidate the relation cache
+        # (same SparkSession wrote the path); true cross-process readers
+        # stay stale — refresh() is the guaranteed escape hatch either way
+        b.refresh()
+        assert b.count_chunks() == 2
+        assert b.get_ts({"site": "s2", "meter": "m1"}) is not None
+
+
+class TestUntrackedDeleteFence:
+    def test_untracked_delete_aborts_on_concurrent_write(
+        self, spark, tmpdir, monkeypatch
+    ):
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        st = make_store(spark, tmpdir)
+        st.set_ts(ATTRS, hourly("2024-01-01", 24))
+        other = ChunkStore(spark, st.path, st.config)
+
+        real = cs_mod.safe_local_checkpoint
+        calls = {"n": 0}
+
+        def inject(df):
+            out = real(df)
+            calls["n"] += 1
+            if calls["n"] == 2:  # during the remaining_meta checkpoint
+                other.set_ts({"site": "s9", "meter": "m9"},
+                             hourly("2024-01-01", 24))
+            return out
+
+        monkeypatch.setattr(cs_mod, "safe_local_checkpoint", inject)
+        with pytest.raises(cs_mod.ConcurrentWriteError, match="op_id advanced"):
+            st.delete({"site": "s1"}, keep_tracking=False)
+        monkeypatch.setattr(cs_mod, "safe_local_checkpoint", real)
+        # both writers' rows intact after the abort
+        assert other.get_ts({"site": "s9", "meter": "m9"}) is not None
+        st.refresh()
+        assert st.get_ts(ATTRS) is not None

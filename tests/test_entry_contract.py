@@ -99,18 +99,31 @@ def test_registry_source_has_no_duplicate_keys():
     assert len(keys) == len(entry_mod.queries())
 
 
-def test_driver_window_contains_every_new_round5_query():
-    # every query added this round must sit inside the driver's checked
-    # first-50 window, or it gets zero driver evidence
-    new_r5 = {
-        "stats_rollup", "value_histogram", "doc_chunks", "embed_quantize",
-        "lm_surprisal", "sliding_rollup", "stream_sliding",
-        "temperature_sample", "collocations", "normalize_text",
-        "corpus_prep", "multimodal_png", "store_get_batch",
-        "dedup_representatives", "quality_filter", "multimodal_jpeg",
-        "multimodal_video", "rolling_stats", "forecast_revenue",
-        "order_priority", "large_orders", "cusum_drift",
-    }
+#: queries that MUST be inside the driver's first-50 window this round.
+#: Keep this list in sync with the rotation comment in queries():
+#: (a) never driver-verified before round 6, (b) new or rewritten this
+#: round, (c) queries whose implementation files were changed after
+#: their last driver check (a285ed9 sync rewrite + round-6 edits to
+#: chunk_store.py / attr_store.py / stateful.py / similarity.py).
+ROUND6_WINDOW_MUST = {
+    # (a) never verified
+    "stream_cusum", "pq_encode", "pq_topk", "bpe_merges",
+    "seasonal_profile", "stream_join", "multimodal_meta",
+    # (b) new/rewritten in round 6
+    "sync_paged", "store_max_horodate", "attr_store_update",
+    "store_get_batch",
+    # (c) implementation files changed since last driver check
+    "sync_pull", "rest_sync_pull", "sync_tombstone", "store_changefeed",
+    "sync_guards", "stream_gaps", "store_roundtrip",
+}
+
+
+def test_driver_window_contains_round6_rotation_set():
+    # every query with no driver evidence — never checked, new this
+    # round, or whose implementation file changed after its last green
+    # row — must sit inside the driver's checked first-50 window
     window = set(list(entry_mod.queries())[:50])
-    missing = new_r5 - window
-    assert not missing, f"round-5 queries outside driver window: {sorted(missing)}"
+    missing = ROUND6_WINDOW_MUST - window
+    assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
+    unknown = ROUND6_WINDOW_MUST - set(entry_mod.queries())
+    assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"

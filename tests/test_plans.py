@@ -237,3 +237,55 @@ class TestOperatorPlans:
             "doc_id": [1], "text": ["a b a b a b a b a b"]}))
         txt = plan_text(bigram_collocations(d, min_count=1, k=5))
         assert "TakeOrderedAndProject" in txt, txt
+
+
+class TestBatchReadPlans:
+    def _composite_store(self, spark, tmp_store_path):
+        cfg = ChunkStoreConfig(keys=("site", "meter"), freq="1h", tz="UTC",
+                               chunk_axis=("year",),
+                               key_types={"site": "str", "meter": "str"})
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "bb"), cfg)
+        st.set_many_ts({
+            (s_, m_): hourly("2024-01-01", 24)
+            for s_ in ("a", "b", "c") for m_ in ("x", "y", "z")
+        })
+        return st
+
+    def test_sparse_composite_batch_engages_semi_join(self, spark, tmp_store_path):
+        # 3 distinct sites × 3 distinct meters but only 3 requested tuples:
+        # cross-product 9 > 4×3 is false — use 3×3 diag of a larger grid.
+        st = self._composite_store(spark, tmp_store_path)
+        asked = [{"site": s_, "meter": m_}
+                 for s_, m_ in (("a", "x"), ("b", "y"), ("c", "z"))]
+        # 9 combos vs 3 wanted: ratio 3 < factor 4 -> NO semi-join
+        txt = plan_text(st._batch_frame(asked))
+        assert n_nodes(txt, r"BroadcastHashJoin") == 0
+        # force sparsity past the factor: one more site/meter pair widens
+        # the cross-product to 16 vs 4 wanted (ratio 4, still <=) — and
+        # 25 vs 5 (ratio 5 > 4) must engage the broadcast semi-join
+        st.set_many_ts({
+            (s_, m_): hourly("2024-01-01", 24)
+            for s_ in ("d", "e") for m_ in ("v", "w")
+            if (s_, m_) not in (("d", "w"), ("e", "v"))
+        })
+        asked5 = asked + [{"site": "d", "meter": "v"},
+                          {"site": "e", "meter": "w"}]
+        txt5 = plan_text(st._batch_frame(asked5))
+        assert "LeftSemi" in txt5 and n_nodes(txt5, r"BroadcastHashJoin") >= 1
+        # pushed IN filters still reach the scan alongside the semi-join
+        assert "PushedFilters" in txt5 and "In(site" in txt5
+
+    def test_sparse_composite_batch_results_exact(self, spark, tmp_store_path):
+        st = self._composite_store(spark, tmp_store_path)
+        st.set_many_ts({
+            (s_, m_): hourly("2024-01-01", 24)
+            for s_ in ("d", "e") for m_ in ("v", "w")
+        })
+        asked = [{"site": s_, "meter": m_}
+                 for s_, m_ in (("a", "x"), ("b", "y"), ("c", "z"),
+                                 ("d", "v"), ("e", "w"))]
+        got = st.get_batch_ts(asked)
+        assert set(got) == {("a", "x"), ("b", "y"), ("c", "z"),
+                            ("d", "v"), ("e", "w")}
+        for series in got.values():
+            assert series.notna().sum() == 24
