@@ -385,7 +385,8 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path,
             ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
                              chunk_axis=("year", "month"),
-                             key_types={"user_id": "int"}),
+                             key_types={"user_id": "int"},
+                             acid=_acid_default()),
         )
         store.ingest_long(hourly, mode="insert")
         got = store.alive_data(
@@ -456,7 +457,16 @@ def _hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("value").alias("value"))
 
 
-def _make_event_store(spark: SparkSession, sf_dir: str):
+#: SPARK_GRAFT_ACID=1 runs every store-backed query on the transaction-
+#: log backend (ChunkStoreConfig(acid=True), sources/txlog.py) — the
+#: local validation switch proving the whole battery is green on both
+#: layouts; the driver runs the default (0) plus the always-acid
+#: ``store_acid_ops`` query.
+def _acid_default() -> bool:
+    return bool(int(os.environ.get("SPARK_GRAFT_ACID", "0")))
+
+
+def _make_event_store(spark: SparkSession, sf_dir: str, acid: bool | None = None):
     from holcstore_spark import ChunkStoreConfig
     from holcstore_spark.sources.chunk_store import ChunkStore
 
@@ -466,10 +476,40 @@ def _make_event_store(spark: SparkSession, sf_dir: str):
         spark, path,
         ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
                          chunk_axis=("year", "month"),
-                         key_types={"user_id": "int"}),
+                         key_types={"user_id": "int"},
+                         acid=_acid_default() if acid is None else acid),
     )
     store.ingest_long(_hourly_events(spark, sf_dir), mode="insert")
     return store, path
+
+
+def q_store_acid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: the transaction-log (ACID) backend under the driver gate.
+    Same lifecycle as the plain-store queries — bulk insert, doubled
+    mid-January update patch, tombstone every 7th user, bounded read —
+    but on ``acid=True``: immutable ``files/<uuid>/`` parquet governed by
+    an atomic commit log with optimistic concurrency and manifest-stats
+    file skipping (sources/txlog.py). Per-user counts and exact totals
+    must equal the source events."""
+    store, path = _make_event_store(spark, sf_dir, acid=True)
+    try:
+        patch = _hourly_events(spark, sf_dir).filter(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-15")
+        ).withColumn("value", F.col("value") * 2)
+        store.ingest_long(patch, mode="update")
+        store.delete({"user_id__in": [
+            int(r[0]) for r in
+            store.alive_chunks().select("user_id").distinct().collect()
+            if r[0] % 7 == 0
+        ]})
+        got = store.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def q_store_update_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,7 +735,8 @@ def q_sync_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     cfg = ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
                            chunk_axis=("year", "month"), allow_sync=True,
-                           key_types={"user_id": "int"})
+                           key_types={"user_id": "int"},
+                             acid=_acid_default())
     try:
         server = ChunkStore(spark, os.path.join(base, "server"), cfg)
         client = ChunkStore(spark, os.path.join(base, "client"), cfg)
@@ -726,7 +767,8 @@ def q_rest_sync_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     cfg = ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
                            chunk_axis=("year", "month"), allow_sync=True,
-                           key_types={"user_id": "int"})
+                           key_types={"user_id": "int"},
+                             acid=_acid_default())
     srv = None
     try:
         server = ChunkStore(spark, os.path.join(base, "server"), cfg)
@@ -1049,7 +1091,8 @@ def q_store_set_many(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path,
             ChunkStoreConfig(keys=("user_id",), freq="1D", tz="UTC",
                              chunk_axis=("year", "month"),
-                             key_types={"user_id": "int"}),
+                             key_types={"user_id": "int"},
+                             acid=_acid_default()),
         )
         mapping = {}
         for uid, g in daily.groupby("user_id"):
@@ -1120,7 +1163,8 @@ def q_sync_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     cfg = ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
                            chunk_axis=("year", "month"), allow_sync=True,
-                           key_types={"user_id": "int"})
+                           key_types={"user_id": "int"},
+                             acid=_acid_default())
     try:
         server = ChunkStore(spark, os.path.join(base, "server"), cfg)
         client = ChunkStore(spark, os.path.join(base, "client"), cfg)
@@ -1159,7 +1203,8 @@ def _make_imported_store(spark: SparkSession, sf_dir: str):
         spark, path,
         ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
                          chunk_axis=("year", "month"),
-                         key_types={"user_id": "int"}),
+                         key_types={"user_id": "int"},
+                             acid=_acid_default()),
     )
     hourly = _hourly_events(spark, sf_dir).toPandas()
     hourly["ts"] = pd.to_datetime(hourly["ts"], utc=True)
@@ -1429,7 +1474,8 @@ def q_sync_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path,
             ChunkStoreConfig(keys=("k",), freq="1h", tz="UTC",
                              chunk_axis=("year", "month"), allow_sync=True,
-                             key_types={"k": "str"}),
+                             key_types={"k": "str"},
+                             acid=_acid_default()),
         )
         s = pd.Series([1.0, 2.0],
                       index=pd.date_range("2024-01-01", periods=2, freq="1h",
@@ -2872,9 +2918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_filter": q_lookup_filter,
         "drop_bounds_na": q_drop_bounds_na,
         "slice_with_delay": q_slice_with_delay,
-        "disaggregate": q_disaggregate,
+        "store_acid_ops": q_store_acid_ops,
         # ====== driver 50-entry window ends here (50 above) ============
         # -- tail: r4-green micro queries, unchanged code ---------------
+        "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
         "ffill": q_ffill,
         "normalize_minmax": q_normalize_minmax,
@@ -3296,6 +3343,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, count(*) AS n_points
         FROM hourly WHERE user_id % 5 <> 0
+        GROUP BY user_id
+    """
+    # ACID backend lifecycle: insert + doubled mid-Jan update patch +
+    # tombstone of every 7th user, on the transaction-log store
+    store_acid_ops = """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+            FROM events GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                         AND ts < TIMESTAMP '2024-01-15'
+                        THEN value * 2 ELSE value END AS value
+            FROM hourly
+        )
+        SELECT user_id, count(*) AS n_points,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM merged WHERE user_id % 7 <> 0
         GROUP BY user_id
     """
     store_max_horodate = f"""
@@ -4340,6 +4406,7 @@ def oracle_sql() -> dict[str, str]:
         "kv_find_holes": kv_find_holes,
         "store_update_overlay": store_update_overlay,
         "store_delete_tombstone": store_delete_tombstone,
+        "store_acid_ops": store_acid_ops,
         "store_max_horodate": store_max_horodate,
         "store_yield_many": store_yield_many,
         "store_get_batch": store_get_batch,

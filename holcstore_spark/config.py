@@ -36,6 +36,11 @@ class ChunkStoreConfig:
       partitioning of the physical table.
     - ``allow_sync``: when True the store is a sync replica target and
       guards against writes that would break the change feed.
+    - ``acid``: when True the store's files are immutable and governed
+      by a file-manifest transaction log (``sources/txlog.py``) —
+      atomic data+meta commits, optimistic multi-writer concurrency,
+      manifest-stats file skipping. The plain layout (False) keeps the
+      single-writer contract with the op_id fence.
     """
 
     keys: tuple[str, ...]
@@ -44,6 +49,7 @@ class ChunkStoreConfig:
     chunk_axis: tuple[str, ...] = ("year", "month")
     allow_sync: bool = False
     key_types: dict[str, str] = field(default_factory=dict)
+    acid: bool = False
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "keys", tuple(self.keys))

@@ -30,6 +30,7 @@ mechanical).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from datetime import datetime, timezone
@@ -75,6 +76,44 @@ class ConcurrentWriteError(Exception):
     check→overwrite window can still race; serialize writers externally."""
 
 
+def _transactional(op: str):
+    """Wrap a public write method in an ACID transaction (no-op on plain
+    stores): every staged file of the call commits as one atomic log
+    record at exit."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            with self._txn(op):
+                return fn(self, *args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+class _Txn:
+    """Accumulator for one ACID write operation: the base snapshot all
+    reads use, staged adds/removes, and the touched chunk set the commit
+    declares for conflict detection."""
+
+    __slots__ = ("op", "snapshot", "adds", "removes", "touched")
+
+    def __init__(self, op: str, snapshot):
+        self.op = op
+        self.snapshot = snapshot
+        self.adds = {"data": [], "meta": []}
+        self.removes = {"data": [], "meta": []}
+        self.touched = None  # None = pure append | "all" | set[int]
+
+    def touch(self, chunks) -> None:
+        if chunks == "all" or self.touched == "all":
+            self.touched = "all"
+            return
+        self.touched = (self.touched or set()) | set(chunks)
+
+
 _META_EXTRA = [
     ("chunk_index", T.IntegerType()),
     ("start_ts", T.TimestampType()),
@@ -99,6 +138,119 @@ class ChunkStore:
         self._meta_path = os.path.join(path, "meta")
         self._meta_cache: DataFrame | None = None
         self._has_tombstones: bool | None = None
+        self._acid = bool(getattr(config, "acid", False))
+        self._active_txn: "_Txn | None" = None
+        if self._acid:
+            from holcstore_spark.sources.txlog import TxLog
+
+            self._txlog = TxLog(path)
+
+    # ------------------------------------------------------------------
+    # ACID mode: transactions over the file-manifest log (txlog.py)
+    # ------------------------------------------------------------------
+    def _snapshot(self):
+        """Current manifest snapshot; inside a transaction, the BASE
+        snapshot captured at txn start — every read a write op performs
+        sees one consistent version (MVCC), so no localCheckpoint
+        lineage cuts are needed on the ACID path."""
+        txn = self._active_txn
+        if txn is not None:
+            return txn.snapshot
+        return self._txlog.snapshot()
+
+    @contextlib.contextmanager
+    def _txn(self, op: str):
+        """All staged adds/removes of one public write op commit as ONE
+        atomic log record (data + meta together — the import path's
+        'data lands first, meta last' crash window disappears). Nested
+        entry reuses the outer transaction. No-op on plain stores."""
+        if not self._acid:
+            yield None
+            return
+        if self._active_txn is not None:
+            yield self._active_txn
+            return
+        snap = self._txlog.snapshot()
+        txn = _Txn(op, snap)
+        self._active_txn = txn
+        try:
+            yield txn
+            if any(txn.adds.values()) or any(txn.removes.values()):
+                self._txlog.commit(
+                    base_version=snap.version,
+                    op=op,
+                    op_id=time.time_ns(),
+                    adds=txn.adds,
+                    removes=txn.removes,
+                    touched=txn.touched,
+                )
+                self._invalidate_meta_cache()
+        finally:
+            self._active_txn = None
+
+    def _stage_into_txn(self, sdf: DataFrame, table: str) -> None:
+        """Write a frame to a fresh immutable ``files/<uuid>/`` dir and
+        register its files in the active transaction. Data frames are
+        range-partitioned by (chunk_index, keys…) so each file covers a
+        narrow chunk range — that is what makes the manifest's per-file
+        chunk stats selective (file skipping) and retention sweeps
+        file-granular."""
+        txn = self._active_txn
+        abs_dir, rel_dir = self._txlog.new_staging_dir()
+        if table == "data":
+            df = self._cast_canonical(sdf, self._data_schema())
+            df = df.repartitionByRange(
+                "chunk_index", *self.config.keys
+            ).sortWithinPartitions(*self.config.keys, "ts")
+        else:
+            df = self._cast_canonical(sdf, self._meta_schema()).coalesce(1)
+        df.write.mode("overwrite").parquet(abs_dir)
+        txn.adds[table].extend(self._txlog.collect_entries(abs_dir, rel_dir))
+
+    def _rewrite_acid(
+        self, sdf_new: DataFrame, drop_pred=None, pair_anti: bool = False,
+        chunks: list[int] | None = None,
+    ) -> None:
+        """Copy-on-write MERGE: stage (kept rows of affected files ∪ new
+        rows) into fresh files, mark the affected files removed — all
+        visibility flips at commit. 'Affected' is decided by manifest
+        chunk stats, so an update to one month rewrites that month's
+        files, never the table. Conflicts with concurrent commits are
+        resolved at commit time (txlog), not by a racy fence."""
+        txn = self._active_txn
+        if chunks is None:
+            chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
+        chunk_set = {int(c) for c in chunks}
+        affected = [
+            e
+            for e in txn.snapshot.files["data"]
+            if e.get("chunk_min") is None
+            or any(e["chunk_min"] <= c <= e["chunk_max"] for c in chunk_set)
+        ]
+        sdf_new = self._cast_canonical(sdf_new, self._data_schema())
+        if affected:
+            paths = [os.path.join(self.path, e["path"]) for e in affected]
+            existing = self.spark.read.schema(self._data_schema()).parquet(*paths)
+            if pair_anti:
+                keep = existing.join(
+                    sdf_new.select(*self.config.keys, "chunk_index").distinct(),
+                    on=[*self.config.keys, "chunk_index"],
+                    how="left_anti",
+                )
+            else:
+                # drop pred rows only within the touched chunks — rows an
+                # affected file holds for OTHER chunks ride along intact
+                keep = existing.filter(
+                    ~(drop_pred & F.col("chunk_index").isin(list(chunk_set)))
+                )
+            combined = keep.select(*[f.name for f in self._data_schema()]).unionByName(
+                sdf_new
+            )
+            txn.removes["data"].extend(affected)
+        else:
+            combined = sdf_new
+        self._stage_into_txn(combined, "data")
+        txn.touch(chunk_set)
 
     # ------------------------------------------------------------------
     # schema helpers
@@ -142,7 +294,21 @@ class ChunkStore:
     def _exists(self) -> bool:
         return os.path.exists(self._meta_path)
 
-    def data(self) -> DataFrame:
+    def data(self, chunk_lo: int | None = None, chunk_hi: int | None = None) -> DataFrame:
+        """Physical data rows. In ACID mode the live file set comes from
+        the manifest and ``chunk_lo``/``chunk_hi`` apply MANIFEST-STATS
+        FILE SKIPPING — only files whose per-file chunk range overlaps
+        the bound are opened (the Delta-style replacement for hive
+        partition pruning; chunk_index is a regular column there). Plain
+        mode ignores the bounds: the hive ``chunk_index=`` partitioning
+        prunes at planning time instead."""
+        if self._acid:
+            snap = self._snapshot()
+            entries = snap.entries_overlapping("data", chunk_lo, chunk_hi)
+            if not entries:
+                return self.spark.createDataFrame([], self._data_schema())
+            files = [os.path.join(self.path, e["path"]) for e in entries]
+            return self.spark.read.schema(self._data_schema()).parquet(*files)
         # emptied-by-rewrite tables keep their directory with no parquet
         # footers — read them as the empty frame instead of failing inference
         if not has_parquet(self._data_path):
@@ -150,9 +316,19 @@ class ChunkStore:
         return self.spark.read.parquet(self._data_path)
 
     def meta(self) -> DataFrame:
+        if self._acid:
+            files = self._snapshot().paths("meta", self.path)
+            if not files:
+                return self.spark.createDataFrame([], self._meta_schema())
+            return self.spark.read.schema(self._meta_schema()).parquet(*files)
         if not has_parquet(self._meta_path):
             return self.spark.createDataFrame([], self._meta_schema())
         return self.spark.read.parquet(self._meta_path)
+
+    def _meta_empty(self) -> bool:
+        if self._acid:
+            return not self._snapshot().files["meta"]
+        return not has_parquet(self._meta_path)
 
     def latest_meta(self, filters: dict | None = None) -> DataFrame:
         """Latest state per (keys…, chunk_index): tombstone flag + watermark.
@@ -223,7 +399,15 @@ class ChunkStore:
         tz, axis = self.config.tz, self.config.chunk_axis
         s = normalize_bound(start, tz)
         e = normalize_bound(end, tz)
-        d = self.data().filter(attrs_filter(filters))
+        if self._acid:
+            from holcstore_spark.functions.scalar import chunk_index_of
+
+            lo = chunk_index_of(s, axis, tz) if s is not None else None
+            hi = chunk_index_of(e, axis, tz) if e is not None else None
+            d = self.data(chunk_lo=lo, chunk_hi=hi)
+        else:
+            d = self.data()
+        d = d.filter(attrs_filter(filters))
         d = d.filter(chunk_bounds_filter(s, e, axis, tz))
         # tombstone-free NON-SYNC store (the common case): physical rows ARE
         # the alive rows — skip building/broadcasting the semi-join side.
@@ -314,6 +498,9 @@ class ChunkStore:
         )
 
     def _append_data(self, sdf: DataFrame) -> None:
+        if self._acid:
+            self._stage_into_txn(sdf, "data")
+            return
         # every data write sorts within tasks by (keys, ts): parquet
         # row-group min/max stats on the key columns then become tight, so
         # a keyed read skips other series' row groups inside the partition
@@ -347,7 +534,14 @@ class ChunkStore:
         serialized externally. An optimistic op_id fence detects a writer
         that committed while our keep-set was being materialized and
         raises :class:`ConcurrentWriteError` before the overwrite can drop
-        that writer's rows (see README §operational-constraints)."""
+        that writer's rows (see README §operational-constraints).
+
+        ACID mode replaces all of this with a copy-on-write merge +
+        atomic commit (:meth:`_rewrite_acid`) — no fence, no checkpoint,
+        and concurrent disjoint writers both survive."""
+        if self._acid:
+            self._rewrite_acid(sdf_new, drop_pred=drop_pred, chunks=chunks)
+            return
         fence_op_id = self._max_committed_op_id()
         if chunks is None:
             chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
@@ -381,6 +575,9 @@ class ChunkStore:
         # createDataFrame(pandas, schema) matches positionally — align order
         pdf = pd.DataFrame(rows)[[f.name for f in schema.fields]]
         sdf = self.spark.createDataFrame(pdf, schema=schema)
+        if self._acid:
+            self._stage_into_txn(sdf, "meta")
+            return
         sdf.coalesce(1).write.mode("append").parquet(self._meta_path)
         self._invalidate_meta_cache()
         self._maybe_compact_meta()
@@ -507,6 +704,9 @@ class ChunkStore:
         """Append a Spark-built meta frame. AQE coalesces the (metadata-
         sized) aggregate to few files; the log self-compacts past the
         threshold like the driver path."""
+        if self._acid:
+            self._stage_into_txn(meta_sdf, "meta")
+            return
         self._cast_canonical(meta_sdf, self._meta_schema()).write.mode(
             "append"
         ).parquet(self._meta_path)
@@ -566,6 +766,7 @@ class ChunkStore:
         return m
 
     # -- public write API ----------------------------------------------
+    @_transactional("set_ts")
     def set_ts(
         self,
         attrs: dict,
@@ -656,6 +857,7 @@ class ChunkStore:
             )
         self._append_meta(meta_rows)
 
+    @_transactional("set_many_ts")
     def set_many_ts(self, mapping: dict[tuple, pd.Series], keys: tuple[str, ...] | None = None) -> None:
         """Mass insert, error if any key already exists
         (reference: chunk_timeserie_store.py:418-455)."""
@@ -713,7 +915,11 @@ class ChunkStore:
         when a batch mixes keys across chunks).
 
         Same SINGLE-WRITER contract and optimistic op_id fence as
-        :meth:`_rewrite_partitions`."""
+        :meth:`_rewrite_partitions` (ACID mode: copy-on-write commit
+        instead, see :meth:`_rewrite_acid`)."""
+        if self._acid:
+            self._rewrite_acid(sdf_new, pair_anti=True)
+            return
         fence_op_id = self._max_committed_op_id()
         cols = [f.name for f in self._data_schema()]
         chunks = [r[0] for r in sdf_new.select("chunk_index").distinct().collect()]
@@ -740,6 +946,7 @@ class ChunkStore:
             .parquet(self._data_path)
         )
 
+    @_transactional("ingest_long")
     def ingest_long(self, sdf: DataFrame, mode: str = "insert") -> None:
         """Distributed bulk write — the 100 TB path.
 
@@ -774,7 +981,7 @@ class ChunkStore:
         )
         updated_at, op_id = self._now_stamp()
         new_keys = bounds.select(*keys)
-        if not has_parquet(self._meta_path):
+        if self._meta_empty():
             # empty store: nothing can pre-exist — skip the meta join
             existing_alive, n_existing = None, 0
         else:
@@ -877,10 +1084,14 @@ class ChunkStore:
         import pyarrow.dataset as pads
 
         self._ensure_all_attrs(attrs)
-        if not has_parquet(self._meta_path):
+        if self._meta_empty():
             return None
         # latest meta state in pandas (metadata-sized)
-        meta = pads.dataset(self._meta_path).to_table().to_pandas()
+        if self._acid:
+            snap = self._snapshot()
+            meta = pads.dataset(snap.paths("meta", self.path)).to_table().to_pandas()
+        else:
+            meta = pads.dataset(self._meta_path).to_table().to_pandas()
         for k, v in attrs.items():
             meta = meta[meta[k] == v]
         if len(meta) == 0:
@@ -897,7 +1108,18 @@ class ChunkStore:
         tz = self.config.tz
         s_bound = normalize_bound(start, tz)
         e_bound = normalize_bound(end, tz)
-        data = pads.dataset(self._data_path, partitioning="hive")
+        if self._acid:
+            # manifest file skipping, then chunk_index as a regular column
+            entries = snap.entries_overlapping(
+                "data", min(alive), max(alive)
+            )
+            if not entries:
+                return None
+            data = pads.dataset(
+                [os.path.join(self.path, e["path"]) for e in entries]
+            )
+        else:
+            data = pads.dataset(self._data_path, partitioning="hive")
         filt = pads.field("chunk_index").isin([int(c) for c in alive])
         for k, v in attrs.items():
             filt = filt & (pads.field(k) == v)
@@ -1213,6 +1435,7 @@ class ChunkStore:
     # ------------------------------------------------------------------
     # delete / compact
     # ------------------------------------------------------------------
+    @_transactional("delete")
     def delete(self, filters: dict | None = None, keep_tracking: bool = True) -> int:
         """Tombstone matching chunks (reference soft delete,
         chunk_timeserie_store.py:30-52). ``keep_tracking=False`` erases all
@@ -1237,8 +1460,20 @@ class ChunkStore:
         # untracked: physically drop data rows and meta entries. This is a
         # FULL-table rewrite: static overwrite mode so partitions that became
         # empty are removed (dynamic mode would leave their files visible).
-        fence_op_id = self._max_committed_op_id()
         pred = attrs_filter(filters)
+        if self._acid:
+            # copy-on-write full rewrite: stage kept rows, remove every
+            # live file, declare touched="all" — any interleaved commit
+            # is a genuine conflict, detected atomically at commit time
+            n = victims.count()
+            txn = self._active_txn
+            self._stage_into_txn(self.data().filter(~pred), "data")
+            self._stage_into_txn(self.meta().filter(~pred), "meta")
+            txn.removes["data"].extend(txn.snapshot.files["data"])
+            txn.removes["meta"].extend(txn.snapshot.files["meta"])
+            txn.touch("all")
+            return n
+        fence_op_id = self._max_committed_op_id()
         n = victims.count()
         remaining_data = safe_local_checkpoint(self.data().filter(~pred))
         remaining_meta = safe_local_checkpoint(self.meta().filter(~pred))
@@ -1283,26 +1518,40 @@ class ChunkStore:
             F.sum(F.when(~F.col("is_deleted"), F.col("n_points")).otherwise(0))
             .alias("n_points"),
         )
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        root = jvm.org.apache.hadoop.fs.Path(self._data_path)
-        fs = root.getFileSystem(hconf)
         rows = []
-        if fs.exists(root):
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if not name.startswith("chunk_index="):
+        if self._acid:
+            # manifest-driven report: each live file is attributed to its
+            # chunk_min (range-partitioned staging makes files effectively
+            # single-chunk, so this is exact in practice)
+            per_chunk: dict[int, list[int]] = {}
+            for e in self._snapshot().files["data"]:
+                ci = e.get("chunk_min")
+                if ci is None:
                     continue
-                try:
-                    idx = int(name.split("=", 1)[1])
-                except ValueError:
-                    continue
-                n_files, n_bytes = 0, 0
-                for f in fs.listStatus(st.getPath()):
-                    if f.isFile() and not f.getPath().getName().startswith("_"):
-                        n_files += 1
-                        n_bytes += f.getLen()
-                rows.append((idx, n_files, n_bytes))
+                size = os.path.getsize(os.path.join(self.path, e["path"]))
+                nf, nb = per_chunk.get(int(ci), (0, 0))
+                per_chunk[int(ci)] = (nf + 1, nb + size)
+            rows = [(ci, nf, nb) for ci, (nf, nb) in per_chunk.items()]
+        else:
+            jvm = self.spark._jvm
+            hconf = self.spark._jsc.hadoopConfiguration()
+            root = jvm.org.apache.hadoop.fs.Path(self._data_path)
+            fs = root.getFileSystem(hconf)
+            if fs.exists(root):
+                for st in fs.listStatus(root):
+                    name = st.getPath().getName()
+                    if not name.startswith("chunk_index="):
+                        continue
+                    try:
+                        idx = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    n_files, n_bytes = 0, 0
+                    for f in fs.listStatus(st.getPath()):
+                        if f.isFile() and not f.getPath().getName().startswith("_"):
+                            n_files += 1
+                            n_bytes += f.getLen()
+                    rows.append((idx, n_files, n_bytes))
         files = self.spark.createDataFrame(
             rows or [], "chunk_index int, n_files long, n_bytes long"
         )
@@ -1318,6 +1567,7 @@ class ChunkStore:
             .orderBy("chunk_index")
         )
 
+    @_transactional("delete_before")
     def delete_before(self, cutoff, keep_tracking: bool = True) -> int:
         """Retention sweep: remove every chunk whose entire calendar range
         ends before ``cutoff`` (a timestamp; naive values localize to the
@@ -1358,6 +1608,45 @@ class ChunkStore:
             raise SyncGuardError(
                 "untracked delete_before is forbidden on a sync-enabled store"
             )
+        if self._acid:
+            # file-granular retention under the manifest: files entirely
+            # below the cutoff are dropped by a log entry alone (no IO);
+            # boundary-straddling files are copy-on-write rewritten. The
+            # meta table is rewritten to the surviving rows. One atomic
+            # commit; touched="all" because the sweep's keep-set spans
+            # the whole log.
+            txn = self._active_txn
+            n = (
+                self.meta()
+                .filter(F.col("chunk_index") < cutoff_idx)
+                .select(*self.config.keys, "chunk_index")
+                .distinct()
+                .count()
+            )
+            full, straddle = [], []
+            for e in txn.snapshot.files["data"]:
+                cmin, cmax = e.get("chunk_min"), e.get("chunk_max")
+                if cmax is not None and cmax < cutoff_idx:
+                    full.append(e)
+                elif cmin is None or cmin < cutoff_idx:
+                    straddle.append(e)
+            if n == 0 and not full and not straddle:
+                return 0
+            if straddle:
+                paths = [os.path.join(self.path, e["path"]) for e in straddle]
+                kept = (
+                    self.spark.read.schema(self._data_schema())
+                    .parquet(*paths)
+                    .filter(F.col("chunk_index") >= cutoff_idx)
+                )
+                self._stage_into_txn(kept, "data")
+            txn.removes["data"].extend(full + straddle)
+            self._stage_into_txn(
+                self.meta().filter(F.col("chunk_index") >= cutoff_idx), "meta"
+            )
+            txn.removes["meta"].extend(txn.snapshot.files["meta"])
+            txn.touch("all")
+            return n
         fence_op_id = self._max_committed_op_id()
         # count meta chunk states being removed (incl. already-tombstoned
         # ones — their files and log rows go too); metadata-sized
@@ -1412,9 +1701,31 @@ class ChunkStore:
         self._invalidate_meta_cache()
         return n
 
+    @_transactional("compact")
     def compact(self) -> None:
         """Physically drop tombstoned data and collapse the meta log to its
-        latest state (the Parquet analogue of VACUUM + log checkpoint)."""
+        latest state (the Parquet analogue of VACUUM + log checkpoint).
+
+        ACID mode: one atomic commit replacing every live file with the
+        compacted state (MVCC — readers of the old snapshot are
+        unaffected; staged old files linger until a future GC sweep)."""
+        if self._acid:
+            txn = self._active_txn
+            latest = self.latest_meta()
+            alive = latest.filter(~F.col("is_deleted")).select(
+                *self.config.keys, "chunk_index"
+            )
+            data = self.data().join(
+                F.broadcast(alive),
+                on=[*self.config.keys, "chunk_index"],
+                how="left_semi",
+            )
+            self._stage_into_txn(data, "data")
+            self._stage_into_txn(latest, "meta")
+            txn.removes["data"].extend(txn.snapshot.files["data"])
+            txn.removes["meta"].extend(txn.snapshot.files["meta"])
+            txn.touch("all")
+            return
         latest = safe_local_checkpoint(self.latest_meta())
         alive = latest.filter(~F.col("is_deleted")).select(*self.config.keys, "chunk_index")
         data = self.data().join(
@@ -1431,6 +1742,29 @@ class ChunkStore:
         )
         latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
         self._invalidate_meta_cache()
+
+    def vacuum(self) -> int:
+        """ACID-mode garbage collection: physically delete files under
+        ``files/`` that the CURRENT snapshot no longer references —
+        superseded by rewrites, or orphaned by a crash between staging
+        and commit. Returns the number of files deleted. Readers of the
+        current snapshot are unaffected (their files are live by
+        definition); time-travel to older versions is given up, like
+        Delta's VACUUM. No-op on plain stores."""
+        if not self._acid:
+            return 0
+        live = {e["path"] for t in ("data", "meta")
+                for e in self._txlog.snapshot().files[t]}
+        files_root = os.path.join(self.path, "files")
+        n = 0
+        for root, _dirs, names in os.walk(files_root):
+            for f in names:
+                abs_p = os.path.join(root, f)
+                rel = os.path.relpath(abs_p, self.path)
+                if f.endswith(".parquet") and rel not in live:
+                    os.remove(abs_p)
+                    n += 1
+        return n
 
     # ------------------------------------------------------------------
     # sync surface (change feed / export / import)
@@ -1483,6 +1817,7 @@ class ChunkStore:
         (reference: chunk_timeserie_store.py:609-631)."""
         return self.export_chunks_sdf(spec).toPandas()
 
+    @_transactional("import_chunks_sdf")
     def import_chunks_sdf(self, meta_rows: pd.DataFrame, data_sdf: DataFrame | None) -> None:
         """Atomically apply exported chunks with the *server's* stamps
         (reference: chunk_timeserie_store.py:633-695). Data lands first,
@@ -1496,6 +1831,25 @@ class ChunkStore:
         if data_sdf is not None:
             self._rewrite_partitions_multi(data_sdf)
         self._append_meta(meta_rows.to_dict("records"), meta_rows)
+
+    def has_data(self) -> bool:
+        """Whether any committed data rows exist — layout-aware (the
+        plain store checks the hive data dir; ACID stores keep files
+        under ``files/`` governed by the manifest, so a path check would
+        always be False there)."""
+        if self._acid:
+            return bool(self._snapshot().files["data"])
+        return has_parquet(self._data_path)
+
+    @_transactional("append_import")
+    def append_import(self, data_sdf: DataFrame, meta_sdf: DataFrame) -> None:
+        """Bulk sync landing: append raw data rows and their meta rows
+        (the watermark carrier) in one operation — on ACID stores both
+        register in ONE atomic commit, closing the bootstrap pull's
+        data-landed-but-no-watermark crash window; plain stores keep the
+        documented data-first/meta-last idempotent-reimport ordering."""
+        self._append_data(data_sdf)
+        self._append_meta_sdf(meta_sdf)
 
     def import_chunks(self, meta_rows: pd.DataFrame, data_rows: pd.DataFrame) -> None:
         """Pandas-frame twin of :meth:`import_chunks_sdf` — the wire-format

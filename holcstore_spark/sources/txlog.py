@@ -1,0 +1,277 @@
+"""File-manifest transaction log — ChunkStore's optional ACID backend.
+
+The plain-Parquet store is single-writer by contract: its rewrite paths
+are checkpoint-then-overwrite with an optimistic op_id fence that can
+only DETECT a concurrent writer, not survive one (chunk_store.py
+``ConcurrentWriteError``). This module closes that gap the way Delta
+Lake / Iceberg do — the layout was designed for that swap
+(chunk_store.py module docstring) — but with zero new dependencies:
+
+- Data and meta files are immutable; every write lands in a fresh
+  ``files/<uuid>/`` directory. Nothing is ever overwritten in place.
+- Visibility is governed solely by an ordered log of JSON commit
+  records under ``_txlog/``. A snapshot is the replay of all records:
+  ``adds`` minus ``removes`` per table.
+- A commit is ONE atomic filesystem operation:
+  ``os.open(…, O_CREAT | O_EXCL)`` of the next version's record. Local
+  filesystems and HDFS give exclusive-create atomicity; object stores
+  would swap this single function for a conditional PUT (S3
+  If-None-Match) or a DynamoDB-style lock — the rest is unchanged.
+- Writers are OPTIMISTIC: a writer whose version slot was taken
+  inspects the interleaved commit and either rebases (disjoint
+  touch sets — both writers' rows survive) or raises
+  ``ConcurrentWriteError`` (a true write-write conflict, detected
+  reliably instead of racily).
+
+Commit record shape (all paths are store-relative)::
+
+    {"version": 7, "op": "ingest_long(insert)", "op_id": 17234…,
+     "adds":    {"data": [{"path": "files/ab12/part-0.parquet",
+                           "rows": 8760, "chunk_min": 24288,
+                           "chunk_max": 24291}, …],
+                 "meta": [{"path": …}]},
+     "removes": {"data": [<same entry shape>], "meta": […]},
+     "touched": [24288, 24289] | "all" | null}
+
+Per-file ``chunk_min``/``chunk_max`` come from the parquet row-group
+statistics at stage time and give planning-time FILE SKIPPING: a
+bounded read opens only manifest entries overlapping the requested
+chunk range — the manifest-stats pruning Delta calls data skipping,
+replacing hive partition pruning (``chunk_index`` is a regular column
+in ACID mode).
+
+Conflict rules (checked against each commit that won our slot):
+
+1. path intersection of removes (either table) — both rewrote the same
+   file;
+2. we declared a touched chunk set (our keep-set was computed from the
+   base snapshot): any data file the other commit added OR removed
+   overlapping that set invalidates our read — conflict;
+3. ``touched == "all"`` (full-table rewrite: untracked delete,
+   compact): any other data/meta change conflicts.
+
+Pure appends (``touched=None``, no removes) never conflict — two
+concurrent inserts both survive, which the fence-based path could not
+offer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+class FileEntry(dict):
+    """Manifest entry: path (store-relative), rows, chunk_min/chunk_max
+    (None when stats are unavailable → treated as full-range)."""
+
+
+def file_entry(abs_path: str, rel_path: str, chunk_col: str = "chunk_index") -> FileEntry:
+    """Build a manifest entry from a parquet footer (driver-side, one
+    metadata read — no Spark job)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    cmin = cmax = None
+    idx = None
+    for i in range(md.num_columns):
+        if md.row_group(0).column(i).path_in_schema == chunk_col:
+            idx = i
+            break
+    if idx is not None:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                cmin = cmax = None
+                break
+            cmin = st.min if cmin is None else min(cmin, st.min)
+            cmax = st.max if cmax is None else max(cmax, st.max)
+    return FileEntry(
+        path=rel_path,
+        rows=md.num_rows,
+        chunk_min=None if cmin is None else int(cmin),
+        chunk_max=None if cmax is None else int(cmax),
+    )
+
+
+class Snapshot:
+    __slots__ = ("version", "files")
+
+    def __init__(self, version: int, files: dict[str, list[FileEntry]]):
+        self.version = version
+        self.files = files
+
+    def paths(self, table: str, root: str) -> list[str]:
+        return [os.path.join(root, e["path"]) for e in self.files[table]]
+
+    def entries_overlapping(
+        self, table: str, lo: int | None, hi: int | None
+    ) -> list[FileEntry]:
+        """Manifest-stats file skipping: entries whose chunk range
+        intersects [lo, hi] (None bound = open; stat-less entries always
+        match)."""
+        out = []
+        for e in self.files[table]:
+            cmin, cmax = e.get("chunk_min"), e.get("chunk_max")
+            if cmin is None or cmax is None:
+                out.append(e)
+                continue
+            if lo is not None and cmax < lo:
+                continue
+            if hi is not None and cmin > hi:
+                continue
+            out.append(e)
+        return out
+
+
+def _overlaps_touched(entry: dict, touched) -> bool:
+    if touched == "all":
+        return True
+    cmin, cmax = entry.get("chunk_min"), entry.get("chunk_max")
+    if cmin is None or cmax is None:
+        return True  # no stats: assume overlap (conservative)
+    return any(cmin <= c <= cmax for c in touched)
+
+
+class TxLog:
+    TABLES = ("data", "meta")
+
+    def __init__(self, root: str):
+        self.root = root
+        self.dir = os.path.join(root, "_txlog")
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- log primitives ------------------------------------------------
+    def _rec_path(self, version: int) -> str:
+        return os.path.join(self.dir, f"{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.dir):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def last_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def read(self, version: int) -> dict:
+        with open(self._rec_path(version)) as f:
+            return json.load(f)
+
+    def _try_write(self, version: int, record: dict) -> bool:
+        """Atomic exclusive create of the version slot — THE commit
+        point. On object stores, swap for a conditional PUT."""
+        try:
+            fd = os.open(
+                self._rec_path(version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            return False
+        try:
+            payload = json.dumps(record, separators=(",", ":")).encode()
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+    # -- snapshots -----------------------------------------------------
+    def snapshot(self, as_of: int | None = None) -> Snapshot:
+        live: dict[str, dict[str, FileEntry]] = {t: {} for t in self.TABLES}
+        last = 0
+        for v in self.versions():
+            if as_of is not None and v > as_of:
+                break
+            rec = self.read(v)
+            last = v
+            for t in self.TABLES:
+                for e in rec["adds"].get(t, []):
+                    live[t][e["path"]] = FileEntry(e)
+                for e in rec["removes"].get(t, []):
+                    live[t].pop(e["path"], None)
+        return Snapshot(last, {t: list(live[t].values()) for t in self.TABLES})
+
+    # -- optimistic commit --------------------------------------------
+    def commit(
+        self,
+        base_version: int,
+        op: str,
+        op_id: int,
+        adds: dict[str, list[FileEntry]],
+        removes: dict[str, list[FileEntry]],
+        touched=None,
+    ) -> int:
+        """Commit at the first free version ≥ base_version+1, rebasing
+        over non-conflicting interleaved commits; raises the store's
+        ``ConcurrentWriteError`` on a genuine conflict. ``touched`` is
+        the chunk set our keep-set was derived from (None = pure
+        append, "all" = full-table rewrite)."""
+        record = {
+            "op": op,
+            "op_id": op_id,
+            "adds": {t: list(adds.get(t, [])) for t in self.TABLES},
+            "removes": {t: list(removes.get(t, [])) for t in self.TABLES},
+            "touched": sorted(touched) if isinstance(touched, (set, list, tuple)) else touched,
+        }
+        v = base_version + 1
+        while True:
+            if self._try_write(v, {**record, "version": v}):
+                return v
+            self._check_conflict(self.read(v), record)
+            v += 1
+
+    def _check_conflict(self, other: dict, ours: dict) -> None:
+        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+
+        our_rm = {
+            e["path"] for t in self.TABLES for e in ours["removes"][t]
+        }
+        other_rm = {
+            e["path"] for t in self.TABLES for e in other["removes"].get(t, [])
+        }
+        clash = our_rm & other_rm
+        if clash:
+            raise ConcurrentWriteError(
+                f"commit {other.get('version')} ({other.get('op')}) rewrote "
+                f"the same files: {sorted(clash)[:3]}…"
+            )
+        touched = ours.get("touched")
+        if touched is None:
+            return
+        if touched == "all":
+            if any(other["adds"].get(t) or other["removes"].get(t) for t in self.TABLES):
+                raise ConcurrentWriteError(
+                    f"full-table rewrite raced commit {other.get('version')} "
+                    f"({other.get('op')})"
+                )
+            return
+        for e in list(other["adds"].get("data", [])) + list(
+            other["removes"].get("data", [])
+        ):
+            if _overlaps_touched(e, touched):
+                raise ConcurrentWriteError(
+                    f"commit {other.get('version')} ({other.get('op')}) touched "
+                    f"chunks {touched} our keep-set was derived from"
+                )
+
+    # -- staging -------------------------------------------------------
+    def new_staging_dir(self) -> tuple[str, str]:
+        """(absolute, store-relative) path of a fresh immutable file dir."""
+        rel = os.path.join("files", uuid.uuid4().hex)
+        return os.path.join(self.root, rel), rel
+
+    def collect_entries(self, abs_dir: str, rel_dir: str) -> list[FileEntry]:
+        out = []
+        for f in sorted(os.listdir(abs_dir)):
+            if f.endswith(".parquet"):
+                out.append(
+                    file_entry(os.path.join(abs_dir, f), os.path.join(rel_dir, f))
+                )
+        return out

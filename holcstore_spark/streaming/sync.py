@@ -79,7 +79,7 @@ class SyncClient:
         # (their stamps are already in the client meta, so the watermark
         # is unaffected) and is what lets a daily-append pull see only
         # genuinely-new chunks and take the bulk path below
-        if has_parquet(self.client._meta_path):
+        if not self.client._meta_empty():  # layout-aware (plain dir / ACID manifest)
             applied = self.client.latest_meta(filters).select(
                 *self.server.config.keys, "chunk_index", "op_id"
             )
@@ -118,7 +118,7 @@ class SyncClient:
         count, so the resume takes the deduping rewrite path). The probe
         prunes the client scan to the incoming chunk partitions first —
         its cost scales with the touched chunks, not the client store."""
-        if not has_parquet(self.client._data_path):
+        if not self.client.has_data():
             return False
         keys = list(self.server.config.keys)
         pairs = feed.filter(~F.col("is_deleted")).select(*keys, "chunk_index")
@@ -142,9 +142,9 @@ class SyncClient:
         # no broadcast hint: a full-bootstrap spec is every alive chunk of
         # the server — let AQE pick the join strategy for the semi-join
         data_sdf = self.server.export_chunks_sdf(alive_pairs, hint_broadcast=False)
-        # data first, meta (the watermark carrier) last — see module doc
-        self.client._append_data(data_sdf)
-        self.client._append_meta_sdf(feed)
+        # data first, meta (the watermark carrier) last — see module doc;
+        # on ACID clients both land in one atomic commit
+        self.client.append_import(data_sdf, feed)
         return total
 
     def _pull_paged(

@@ -1,0 +1,261 @@
+"""ACID mode: the file-manifest transaction log (sources/txlog.py).
+
+The plain store is single-writer with a racy-but-loud op_id fence; ACID
+mode replaces checkpoint-then-overwrite with immutable files + an atomic
+commit log, closing the documented fence race: concurrent writers to
+DISJOINT chunks/files both survive, genuine write-write conflicts raise
+``ConcurrentWriteError`` reliably at the commit point, and a crash
+between staging and commit leaves nothing visible.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from holcstore_spark import ChunkStoreConfig
+from holcstore_spark.sources.chunk_store import (
+    ChunkStore,
+    ConcurrentWriteError,
+    KeyExistsError,
+)
+from holcstore_spark.sources.txlog import TxLog
+
+
+def acid_store(spark, tmpdir, name="s", tz="UTC", axis=("year", "month")):
+    cfg = ChunkStoreConfig(
+        keys=("site",), freq="1h", tz=tz, chunk_axis=axis,
+        key_types={"site": "str"}, acid=True,
+    )
+    return ChunkStore(spark, os.path.join(tmpdir, name), cfg)
+
+
+def hourly(start, periods, value=1.0, tz="UTC"):
+    idx = pd.date_range(start, periods=periods, freq="1h", tz=tz)
+    return pd.Series(float(value), index=idx)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="holc_tx_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestAcidSemantics:
+    """The store's public semantics must be identical under ACID mode."""
+
+    def test_roundtrip_update_replace(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 48))
+        got = st.get_ts({"site": "a"})
+        assert len(got) == 48 and (got == 1.0).all()
+        with pytest.raises(KeyExistsError):
+            st.set_ts({"site": "a"}, hourly("2024-01-01", 24))
+        st.set_ts({"site": "a"}, hourly("2024-01-01 10:00", 5, value=9.0),
+                  update=True)
+        got = st.get_ts({"site": "a"})
+        assert (got.iloc[10:15] == 9.0).all() and (got.iloc[:10] == 1.0).all()
+        st.set_ts({"site": "a"}, hourly("2024-02-01", 24, value=5.0),
+                  replace=True)
+        got = st.get_ts({"site": "a"})
+        assert len(got) == 24 and (got == 5.0).all()
+
+    def test_tombstone_compact_and_local_read(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24))
+        st.set_ts({"site": "b"}, hourly("2024-01-01", 24, value=2.0))
+        st.delete({"site": "a"})
+        assert st.get_ts({"site": "a"}) is None
+        assert (st.get_ts_local({"site": "b"}) == 2.0).all()
+        st.compact()
+        assert st.get_ts({"site": "a"}) is None
+        assert (st.get_ts({"site": "b"}) == 2.0).all()
+
+    def test_ingest_long_and_grouped_horodates(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir)
+        pdf = pd.DataFrame({
+            "site": ["x"] * 24 + ["y"] * 24,
+            "ts": list(pd.date_range("2024-01-01", periods=24, freq="1h",
+                                     tz="UTC")) * 2,
+            "value": [1.0] * 48,
+        })
+        st.ingest_long(spark.createDataFrame(pdf))
+        assert len(st.get_ts({"site": "x"})) == 24
+        mh = {r["site"] for r in st.get_max_horodates().collect()}
+        assert mh == {"x", "y"}
+
+    def test_delete_before_drops_files_without_rewrite(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir)
+        st.set_ts({"site": "old"}, hourly("2023-03-01", 24))
+        st.set_ts({"site": "new"}, hourly("2024-03-01", 24))
+        assert st.delete_before("2024-01-01", keep_tracking=False) == 1
+        assert st.get_ts({"site": "old"}) is None
+        assert st.get_ts({"site": "new"}) is not None
+        # the retention commit removed the old chunk's file(s) by log
+        # entry alone — no data files were added for them
+        log = TxLog(st.path)
+        rec = log.read(log.last_version())
+        assert rec["removes"]["data"], "expected file-granular removal"
+
+
+class TestAcidConcurrency:
+    def _interleave(self, monkeypatch, victim, during_table, action):
+        """Run ``action`` once, mid-transaction of ``victim``, right
+        after its first staged write of ``during_table``."""
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table):
+            orig(self_, sdf, table)
+            if self_ is victim and not state["fired"] and table == during_table:
+                state["fired"] = True
+                action()
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        return orig
+
+    def test_concurrent_inserts_both_survive(self, spark, tmpdir, monkeypatch):
+        # the deliverable the fence could never offer: two writers,
+        # disjoint keys, same chunk — both commits land, zero data loss
+        a = acid_store(spark, tmpdir)
+        b = ChunkStore(spark, a.path, a.config)
+        self._interleave(
+            monkeypatch, a, "data",
+            lambda: b.set_ts({"site": "bb"}, hourly("2024-01-01", 24, value=2.0)),
+        )
+        a.set_ts({"site": "aa"}, hourly("2024-01-01", 24))
+        a.refresh()
+        assert a.get_ts({"site": "aa"}) is not None
+        assert (a.get_ts({"site": "bb"}) == 2.0).all()
+
+    def test_same_chunk_rewrite_conflict_detected(self, spark, tmpdir, monkeypatch):
+        a = acid_store(spark, tmpdir)
+        b = ChunkStore(spark, a.path, a.config)
+        a.set_ts({"site": "s"}, hourly("2024-03-01", 24))
+        self._interleave(
+            monkeypatch, a, "data",
+            lambda: b.set_ts({"site": "s"}, hourly("2024-03-01", 24, value=7.0),
+                             replace=True),
+        )
+        with pytest.raises(ConcurrentWriteError):
+            a.set_ts({"site": "s"}, hourly("2024-03-01", 24, value=8.0),
+                     replace=True)
+        a.refresh()
+        # the winner's data is intact; the loser's staged rows never
+        # became visible
+        assert (a.get_ts({"site": "s"}) == 7.0).all()
+
+    def test_crash_between_stage_and_commit_is_invisible(
+        self, spark, tmpdir, monkeypatch
+    ):
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        st = acid_store(spark, tmpdir)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24))
+        before = len(TxLog(st.path).snapshot().files["data"])
+        orig = cs_mod.ChunkStore._stage_into_txn
+
+        def boom(self_, sdf, table):
+            orig(self_, sdf, table)
+            raise RuntimeError("simulated crash after staging")
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            st.set_ts({"site": "crash"}, hourly("2024-05-01", 24))
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        st.refresh()
+        assert st.get_ts({"site": "crash"}) is None
+        assert len(TxLog(st.path).snapshot().files["data"]) == before
+        # vacuum reclaims the orphaned staged files
+        assert st.vacuum() >= 1
+        assert st.get_ts({"site": "a"}) is not None
+
+    def test_vacuum_reclaims_superseded_files_only(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24))
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=2.0),
+                  replace=True)
+        n = st.vacuum()
+        assert n >= 1  # the replaced generation's files
+        assert (st.get_ts({"site": "a"}) == 2.0).all()
+        assert st.vacuum() == 0  # idempotent
+
+
+class TestManifestSkipping:
+    def test_bounded_read_opens_only_overlapping_files(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir)
+        for month, site_val in (("2024-01-01", 1.0), ("2024-06-01", 2.0)):
+            st.set_ts({"site": f"m{month[5:7]}"}, hourly(month, 24, value=site_val))
+        snap = st._txlog.snapshot()
+        jan = 2024 * 12 + 0
+        jun = 2024 * 12 + 5
+        jan_files = snap.entries_overlapping("data", jan, jan)
+        all_files = snap.entries_overlapping("data", None, None)
+        assert len(jan_files) < len(all_files)
+        # and the bounded read is correct
+        got = st.get_ts({"site": "m01"}, start="2024-01-01", end="2024-01-02")
+        assert got is not None and (got == 1.0).all()
+        assert snap.entries_overlapping("data", jun, jun)
+
+
+class TestAcidMatrix:
+    @pytest.mark.parametrize("tz", ["UTC", "Europe/Paris"])
+    @pytest.mark.parametrize("axis", [("year",), ("year", "month")])
+    def test_roundtrip_matrix(self, spark, tmpdir, tz, axis):
+        # DST-crossing roundtrip equality under every chunk axis — the
+        # plain-mode matrix's core case, on the ACID backend
+        st = acid_store(spark, tmpdir, name=f"{tz[:2]}_{len(axis)}",
+                        tz=tz, axis=axis)
+        idx = pd.date_range("2024-03-25", periods=24 * 20, freq="1h",
+                            tz="Europe/Paris")
+        rng = np.random.RandomState(7)
+        s = pd.Series(rng.rand(len(idx)), index=idx)
+        st.set_ts({"site": "a"}, s)
+        got = st.get_ts({"site": "a"})
+        exp = s.tz_convert(tz)
+        pd.testing.assert_series_equal(
+            got.reindex(exp.index).dropna(), exp.dropna(),
+            check_freq=False, check_names=False,
+        )
+
+
+class TestAcidSync:
+    def test_pull_bootstrap_and_incremental_on_acid_replica(self, spark, tmpdir):
+        # server and client both on the transaction-log backend: the
+        # bootstrap pull's data+meta land in ONE atomic commit
+        # (append_import), and the second pull takes the incremental
+        # path (has_data / _meta_empty are layout-aware)
+        from holcstore_spark.streaming.sync import SyncClient
+
+        cfg = ChunkStoreConfig(
+            keys=("site",), freq="1h", tz="UTC", chunk_axis=("year", "month"),
+            key_types={"site": "str"}, allow_sync=True, acid=True,
+        )
+        server = ChunkStore(spark, os.path.join(tmpdir, "srv"), cfg)
+        client = ChunkStore(spark, os.path.join(tmpdir, "cli"), cfg)
+        server.set_ts({"site": "a"}, hourly("2024-01-01", 24), update=True)
+        server.set_ts({"site": "b"}, hourly("2024-01-01", 24, value=2.0),
+                      update=True)
+        sc = SyncClient(server, client)
+        assert sc.pull() > 0
+        assert (client.get_ts({"site": "b"}) == 2.0).all()
+        # bootstrap commit is atomic: one log record carries data + meta
+        log = TxLog(client.path)
+        rec = log.read(log.last_version())
+        assert rec["adds"]["data"] and rec["adds"]["meta"]
+        # incremental: only the new chunk state moves
+        server.set_ts({"site": "c"}, hourly("2024-02-01", 24, value=3.0),
+                      update=True)
+        assert sc.pull() > 0
+        client.refresh()
+        assert (client.get_ts({"site": "c"}) == 3.0).all()
+        # idempotent re-pull: nothing new
+        assert sc.pull() == 0
