@@ -259,3 +259,71 @@ class TestAcidSync:
         assert (client.get_ts({"site": "c"}) == 3.0).all()
         # idempotent re-pull: nothing new
         assert sc.pull() == 0
+
+
+class TestTxLogUnit:
+    """Pure-python log protocol tests — no Spark session needed."""
+
+    def _entry(self, path, cmin=None, cmax=None, rows=1):
+        return {"path": path, "rows": rows, "chunk_min": cmin, "chunk_max": cmax}
+
+    def test_checkpoint_bounds_replay_and_matches_full_replay(self, tmpdir):
+        log = TxLog(os.path.join(tmpdir, "log"))
+        for i in range(1, 70):
+            log.commit(
+                base_version=i - 1, op="append", op_id=i,
+                adds={"data": [self._entry(f"files/f{i}.parquet", i, i)]},
+                removes={},
+            )
+        # checkpoints landed at the interval marks
+        assert log._latest_checkpoint() == 64
+        snap = log.snapshot()
+        assert snap.version == 69
+        assert len(snap.files["data"]) == 69
+        # a checkpointed snapshot equals full replay (delete checkpoints,
+        # re-snapshot)
+        for f in os.listdir(log.dir):
+            if f.startswith("_checkpoint."):
+                os.remove(os.path.join(log.dir, f))
+        full = log.snapshot()
+        assert {e["path"] for e in full.files["data"]} == {
+            e["path"] for e in snap.files["data"]
+        }
+
+    def test_rebase_skips_disjoint_and_detects_overlap(self, tmpdir):
+        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+
+        log = TxLog(os.path.join(tmpdir, "log2"))
+        log.commit(1 - 1, "seed", 1,
+                   adds={"data": [self._entry("files/a.parquet", 10, 10)]},
+                   removes={})
+        # writer A computed its keep-set at version 1; writer B commits
+        # version 2 touching chunk 99 — A's commit rebases to version 3
+        log.commit(1, "b", 2,
+                   adds={"data": [self._entry("files/b.parquet", 99, 99)]},
+                   removes={})
+        v = log.commit(1, "a", 3,
+                       adds={"data": [self._entry("files/c.parquet", 10, 10)]},
+                       removes={"data": [self._entry("files/a.parquet", 10, 10)]},
+                       touched={10})
+        assert v == 3
+        # same race but B touched chunk 10: genuine conflict
+        log.commit(3, "b2", 4,
+                   adds={"data": [self._entry("files/d.parquet", 10, 10)]},
+                   removes={})
+        with pytest.raises(ConcurrentWriteError):
+            log.commit(3, "a2", 5,
+                       adds={"data": [self._entry("files/e.parquet", 10, 10)]},
+                       removes={"data": [self._entry("files/c.parquet", 10, 10)]},
+                       touched={10})
+
+    def test_statless_entry_is_conservative(self, tmpdir):
+        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+
+        log = TxLog(os.path.join(tmpdir, "log3"))
+        # interleaved commit whose file has NO chunk stats must conflict
+        # with any rewrite (assume-overlap)
+        log.commit(0, "b", 1,
+                   adds={"data": [self._entry("files/x.parquet")]}, removes={})
+        with pytest.raises(ConcurrentWriteError):
+            log.commit(0, "a", 2, adds={}, removes={}, touched={5})
