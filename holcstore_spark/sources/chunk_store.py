@@ -1764,6 +1764,10 @@ class ChunkStore:
                 if f.endswith(".parquet") and rel not in live:
                     os.remove(abs_p)
                     n += 1
+        # commit records already summarized by the latest checkpoint add
+        # nothing to future snapshots — reclaim them too (gives up
+        # snapshot-as-of below that horizon, Delta log-retention style)
+        n += self._txlog.prune_log()
         return n
 
     # ------------------------------------------------------------------

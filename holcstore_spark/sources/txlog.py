@@ -148,6 +148,13 @@ class TxLog:
         self.root = root
         self.dir = os.path.join(root, "_txlog")
         os.makedirs(self.dir, exist_ok=True)
+        #: snapshot cache: (log-dir listing signature) -> Snapshot. One
+        #: listdir validates the cache, so repeated reads between
+        #: commits cost a directory scan instead of a full log replay —
+        #: and a cross-process commit (new record file) invalidates it
+        #: automatically because the listing changes.
+        self._snap_sig: tuple | None = None
+        self._snap_cached: Snapshot | None = None
 
     # -- log primitives ------------------------------------------------
     def _rec_path(self, version: int) -> str:
@@ -223,6 +230,16 @@ class TxLog:
 
     # -- snapshots -----------------------------------------------------
     def snapshot(self, as_of: int | None = None) -> Snapshot:
+        if as_of is None:
+            sig = tuple(sorted(os.listdir(self.dir)))
+            if sig == self._snap_sig and self._snap_cached is not None:
+                return self._snap_cached
+            snap = self._snapshot_uncached(None)
+            self._snap_sig, self._snap_cached = sig, snap
+            return snap
+        return self._snapshot_uncached(as_of)
+
+    def _snapshot_uncached(self, as_of: int | None) -> Snapshot:
         live: dict[str, dict[str, FileEntry]] = {t: {} for t in self.TABLES}
         start = 0
         cp = self._latest_checkpoint(as_of)
@@ -311,6 +328,32 @@ class TxLog:
                     f"commit {other.get('version')} ({other.get('op')}) touched "
                     f"chunks {touched} our keep-set was derived from"
                 )
+
+    def prune_log(self) -> int:
+        """Delete commit records (and older checkpoints) at or below the
+        latest checkpoint — they are fully summarized by it. Gives up
+        snapshot-as-of below the pruned horizon (Delta's log-retention
+        semantics); the current snapshot and all future commits are
+        unaffected. Returns the number of files deleted."""
+        cp = self._latest_checkpoint()
+        if cp is None:
+            return 0
+        n = 0
+        for v in self.versions():
+            if v <= cp:
+                os.remove(self._rec_path(v))
+                n += 1
+        for f in os.listdir(self.dir):
+            if f.startswith("_checkpoint.") and f.endswith(".json"):
+                try:
+                    v = int(f[len("_checkpoint."):-5])
+                except ValueError:
+                    continue
+                if v < cp:
+                    os.remove(os.path.join(self.dir, f))
+                    n += 1
+        self._snap_sig = None
+        return n
 
     # -- staging -------------------------------------------------------
     def new_staging_dir(self) -> tuple[str, str]:

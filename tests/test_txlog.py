@@ -327,3 +327,35 @@ class TestTxLogUnit:
                    adds={"data": [self._entry("files/x.parquet")]}, removes={})
         with pytest.raises(ConcurrentWriteError):
             log.commit(0, "a", 2, adds={}, removes={}, touched={5})
+
+    def test_snapshot_cache_invalidated_by_new_commit(self, tmpdir):
+        log = TxLog(os.path.join(tmpdir, "log4"))
+        log.commit(0, "a", 1,
+                   adds={"data": [self._entry("files/a.parquet", 1, 1)]},
+                   removes={})
+        s1 = log.snapshot()
+        assert log.snapshot() is s1  # cached
+        # a DIFFERENT TxLog instance (cross-process writer) commits
+        other = TxLog(os.path.join(tmpdir, "log4"))
+        other.commit(1, "b", 2,
+                     adds={"data": [self._entry("files/b.parquet", 2, 2)]},
+                     removes={})
+        s2 = log.snapshot()
+        assert s2 is not s1 and len(s2.files["data"]) == 2
+
+    def test_prune_log_keeps_snapshot_identical(self, tmpdir):
+        log = TxLog(os.path.join(tmpdir, "log5"))
+        for i in range(1, 40):
+            log.commit(i - 1, "append", i,
+                       adds={"data": [self._entry(f"files/f{i}.parquet", i, i)]},
+                       removes={})
+        before = {e["path"] for e in log.snapshot().files["data"]}
+        n = log.prune_log()
+        assert n >= 32  # records 1..32 summarized by the checkpoint
+        after = {e["path"] for e in log.snapshot().files["data"]}
+        assert after == before
+        # commits continue from the correct version after pruning
+        v = log.commit(log.snapshot().version, "next", 99,
+                       adds={"data": [self._entry("files/z.parquet", 99, 99)]},
+                       removes={})
+        assert v == 40
