@@ -22,10 +22,12 @@ keys; ``update`` is per-timestamp ``new.combine_first(existing)``;
 ``replace`` overwrites the new span and tombstones the key's chunks outside
 it (:357-370). Deletes are tombstones unless ``keep_tracking=False``.
 
-Concurrency: single-writer per store (the reference relies on DB row locks,
-:786-789; a Delta/Iceberg-backed variant would use MERGE + optimistic
-concurrency — this Parquet build keeps the layout identical so that swap is
-mechanical).
+Concurrency: the plain layout is single-writer per store (the reference
+relies on DB row locks, :786-789) with an optimistic op_id fence that
+detects violations. ``ChunkStoreConfig(acid=True)`` swaps in the built-in
+transaction-log backend (``sources/txlog.py``) — immutable files + atomic
+manifest commits, Delta-style optimistic concurrency and data skipping —
+which removes the single-writer restriction entirely.
 """
 
 from __future__ import annotations
@@ -67,13 +69,21 @@ class SyncGuardError(Exception):
 
 
 class ConcurrentWriteError(Exception):
-    """Another writer committed between this rewrite's read and its
-    overwrite. Plain Parquet has no row locks (the reference serializes
-    upserts with select_for_update, chunk_timeserie_store.py:786-789) —
-    the store is SINGLE-WRITER by contract, and this optimistic op_id
-    fence turns a detected violation into a loud failure instead of
-    silently-lost rows. Best-effort: a writer landing inside the final
-    check→overwrite window can still race; serialize writers externally."""
+    """Another writer committed during this write's read→publish span.
+
+    Plain layout: raised by the optimistic op_id fence — plain Parquet
+    has no row locks (the reference serializes upserts with
+    select_for_update, chunk_timeserie_store.py:786-789), the store is
+    SINGLE-WRITER by contract, and the fence turns a detected violation
+    into a loud failure instead of silently-lost rows. Best-effort: a
+    writer landing inside the final check→overwrite window can still
+    race; serialize writers externally — or use ACID mode.
+
+    ACID mode (``ChunkStoreConfig(acid=True)``): raised at the ATOMIC
+    commit point of the transaction log when an interleaved commit
+    genuinely conflicts (touched the same files/chunks). No race
+    window; disjoint concurrent writers rebase and both survive
+    (sources/txlog.py)."""
 
 
 def _transactional(op: str):
@@ -176,6 +186,19 @@ class ChunkStore:
         try:
             yield txn
             if any(txn.adds.values()) or any(txn.removes.values()):
+                # meta auto-compaction (ACID twin of _maybe_compact_meta):
+                # every commit stages one meta file, so a long-lived store
+                # would pay an O(commits) meta read — collapse to latest
+                # state inside this same atomic commit past the threshold
+                if (
+                    len(txn.snapshot.files["meta"]) + len(txn.adds["meta"])
+                    > self.META_COMPACT_THRESHOLD
+                    and not any(
+                        e["path"] in {r["path"] for r in txn.removes["meta"]}
+                        for e in txn.snapshot.files["meta"]
+                    )
+                ):
+                    self._compact_meta_into_txn(txn)
                 self._txlog.commit(
                     base_version=snap.version,
                     op=op,
@@ -206,6 +229,33 @@ class ChunkStore:
             df = self._cast_canonical(sdf, self._meta_schema()).coalesce(1)
         df.write.mode("overwrite").parquet(abs_dir)
         txn.adds[table].extend(self._txlog.collect_entries(abs_dir, rel_dir))
+
+    def _compact_meta_into_txn(self, txn) -> None:
+        """Collapse the meta changelog (base live files + this txn's
+        staged adds) to its latest state per (keys…, chunk_index) and
+        swap it into the transaction: the commit then carries ONE
+        compacted meta file and removes the whole backlog. Tombstone
+        rows survive (they ARE latest states), so the change feed and
+        watermarks are unchanged — same contract as the plain path's
+        ``_maybe_compact_meta``."""
+        files = [
+            os.path.join(self.path, e["path"])
+            for e in [*txn.snapshot.files["meta"], *txn.adds["meta"]]
+        ]
+        m = self.spark.read.schema(self._meta_schema()).parquet(*files)
+        w = Window.partitionBy(*self.config.keys, "chunk_index").orderBy(
+            F.desc("op_id")
+        )
+        latest = (
+            m.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # this txn's own staged files are superseded before ever being
+        # committed — drop them from adds (vacuum reclaims the orphans)
+        txn.adds["meta"] = []
+        self._stage_into_txn(latest, "meta")
+        txn.removes["meta"].extend(txn.snapshot.files["meta"])
 
     def _rewrite_acid(
         self, sdf_new: DataFrame, drop_pred=None, pair_anti: bool = False,

@@ -359,3 +359,20 @@ class TestTxLogUnit:
                        adds={"data": [self._entry("files/z.parquet", 99, 99)]},
                        removes={})
         assert v == 40
+
+
+class TestAcidMetaCompaction:
+    def test_meta_file_count_stays_bounded(self, spark, tmpdir, monkeypatch):
+        monkeypatch.setattr(ChunkStore, "META_COMPACT_THRESHOLD", 6)
+        st = acid_store(spark, tmpdir)
+        for i in range(10):
+            st.set_ts({"site": f"s{i}"}, hourly("2024-01-01", 3, value=float(i)))
+        snap = TxLog(st.path).snapshot()
+        assert len(snap.files["meta"]) <= 7  # compacted backlog + tail
+        # semantics intact after compaction: counts, feed, watermark, reads
+        assert st.count_keys() == 10
+        assert (st.get_ts({"site": "s3"}) == 3.0).all()
+        st.delete({"site": "s3"})
+        assert st.get_ts({"site": "s3"}) is None
+        feed = st.updates()
+        assert feed.filter(feed.is_deleted).count() == 1
