@@ -150,6 +150,7 @@ class ChunkStore:
         self._has_tombstones: bool | None = None
         self._acid = bool(getattr(config, "acid", False))
         self._active_txn: "_Txn | None" = None
+        self._pinned_snapshot = None  # set on time_travel() views
         if self._acid:
             from holcstore_spark.sources.txlog import TxLog
 
@@ -163,10 +164,32 @@ class ChunkStore:
         snapshot captured at txn start — every read a write op performs
         sees one consistent version (MVCC), so no localCheckpoint
         lineage cuts are needed on the ACID path."""
+        if self._pinned_snapshot is not None:
+            return self._pinned_snapshot
         txn = self._active_txn
         if txn is not None:
             return txn.snapshot
         return self._txlog.snapshot()
+
+    def time_travel(self, version: int) -> "ChunkStore":
+        """Read-only view of the store AS OF a committed log version
+        (ACID only) — every read API (``get_ts``, ``alive_data``,
+        ``updates``, …) serves the historical state; writes raise.
+        Available as long as the version's commit records and files
+        survive (``vacuum()`` reclaims superseded files and prunes
+        checkpointed records, giving up horizons older than the latest
+        checkpoint — Delta's VACUUM/log-retention trade)."""
+        if not self._acid:
+            raise ValueError("time_travel requires an ACID store (acid=True)")
+        snap = self._txlog.snapshot(as_of=version)
+        if snap.version != version:
+            raise ValueError(
+                f"version {version} is not a committed log version "
+                f"(nearest at-or-before: {snap.version})"
+            )
+        view = ChunkStore(self.spark, self.path, self.config)
+        view._pinned_snapshot = snap
+        return view
 
     @contextlib.contextmanager
     def _txn(self, op: str):
@@ -177,6 +200,8 @@ class ChunkStore:
         if not self._acid:
             yield None
             return
+        if self._pinned_snapshot is not None:
+            raise ValueError(f"time-travel views are read-only ({op} refused)")
         if self._active_txn is not None:
             yield self._active_txn
             return

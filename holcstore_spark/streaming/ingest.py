@@ -34,6 +34,13 @@ def stream_ingest(
     (ingest_long): dense-grid reindex + combine-first merge, no driver
     loops. ``trigger_once`` processes the available backlog then stops
     (batch-over-stream operation for tests and scheduled jobs).
+
+    On an ACID store (``acid=True``) each micro-batch lands as ONE
+    atomic data+meta commit, so readers never observe a half-applied
+    batch, and a batch replayed after a sink crash re-merges
+    idempotently under ``mode='update'`` — effectively-once visibility
+    from a plain foreachBatch sink. Use 'update'/'replace' modes for
+    restartable streams ('insert' would refuse its own replay).
     """
 
     def handle(batch: DataFrame, _batch_id: int) -> None:

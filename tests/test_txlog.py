@@ -376,3 +376,58 @@ class TestAcidMetaCompaction:
         assert st.get_ts({"site": "s3"}) is None
         feed = st.updates()
         assert feed.filter(feed.is_deleted).count() == 1
+
+
+class TestTimeTravel:
+    def test_as_of_reads_and_write_refusal(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=1.0))
+        v1 = TxLog(st.path).last_version()
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=2.0),
+                  replace=True)
+        # head sees the replacement, the pinned view the original
+        assert (st.get_ts({"site": "a"}) == 2.0).all()
+        old = st.time_travel(v1)
+        assert (old.get_ts({"site": "a"}) == 1.0).all()
+        assert (old.get_ts_local({"site": "a"}) == 1.0).all()
+        with pytest.raises(ValueError, match="read-only"):
+            old.set_ts({"site": "b"}, hourly("2024-01-01", 3))
+        with pytest.raises(ValueError, match="not a committed log version"):
+            st.time_travel(999)
+        with pytest.raises(ValueError, match="requires an ACID store"):
+            cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                                   chunk_axis=("year",),
+                                   key_types={"site": "str"})
+            plain = ChunkStore(spark, os.path.join(tmpdir, "plain"), cfg)
+            plain.time_travel(1)
+
+
+class TestAcidStreamIngest:
+    def test_each_micro_batch_is_one_atomic_commit(self, spark, tmpdir):
+        from holcstore_spark.streaming.ingest import stream_ingest
+
+        src = os.path.join(tmpdir, "src")
+        ckpt = os.path.join(tmpdir, "ckpt")
+        pdf = pd.DataFrame({
+            "site": ["a"] * 24 + ["b"] * 24,
+            "ts": list(pd.date_range("2024-01-01", periods=24, freq="1h",
+                                     tz="UTC")) * 2,
+            "value": [float(i) for i in range(48)],
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+        st = acid_store(spark, tmpdir, name="sink")
+        stream = spark.readStream.schema(
+            "site string, ts timestamp, value double"
+        ).parquet(src)
+        q = stream_ingest(st, stream, checkpoint=ckpt, mode="update",
+                          trigger_once=True)
+        q.awaitTermination(300)
+        st.refresh()
+        assert st.count_keys() == 2
+        assert st.get_ts({"site": "a"}).notna().sum() == 24
+        # the batch landed as ONE commit carrying data AND meta — the
+        # effectively-once property a foreachBatch sink gets from ACID
+        log = TxLog(st.path)
+        rec = log.read(log.last_version())
+        assert rec["adds"]["data"] and rec["adds"]["meta"]
+        assert rec["op"] == "ingest_long"
