@@ -81,9 +81,23 @@ class ChunkStoreConfig:
 
     # -- persistence ---------------------------------------------------
     def save(self, path: str) -> None:
+        """Idempotent + atomic: concurrent store opens on the same path
+        (ACID multi-writer) must never observe a truncated config — the
+        unchanged-content fast path skips the write entirely and the
+        rewrite goes through a temp file + atomic rename."""
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "_store_config.json"), "w") as f:
-            json.dump(asdict(self), f, indent=1)
+        target = os.path.join(path, "_store_config.json")
+        payload = json.dumps(asdict(self), indent=1)
+        try:
+            with open(target) as f:
+                if f.read() == payload:
+                    return
+        except (FileNotFoundError, OSError):
+            pass
+        tmp = f"{target}.tmp-{os.getpid()}-{id(self)}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, target)
 
     @classmethod
     def load(cls, path: str) -> "ChunkStoreConfig":

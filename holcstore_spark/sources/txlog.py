@@ -180,21 +180,29 @@ class TxLog:
 
     def _try_write(self, version: int, record: dict) -> bool:
         """Atomic exclusive create of the version slot — THE commit
-        point. On object stores, swap for a conditional PUT."""
+        point. The payload is written (and fsynced) to a temp file
+        FIRST and hard-linked to the slot name, so the record's content
+        is complete before its name ever exists: a concurrent loser
+        reading the slot for conflict analysis can never observe a
+        half-written record (found by the threaded stress test — a bare
+        O_EXCL create left a visible-but-empty window). On object
+        stores, swap the link for a conditional PUT."""
+        final = self._rec_path(version)
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        payload = json.dumps(record, separators=(",", ":")).encode()
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            fd = os.open(
-                self._rec_path(version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            return False
-        try:
-            payload = json.dumps(record, separators=(",", ":")).encode()
             os.write(fd, payload)
             os.fsync(fd)
         finally:
             os.close(fd)
-        return True
+        try:
+            os.link(tmp, final)  # atomic: fails iff the slot is taken
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
 
     # -- checkpoints ---------------------------------------------------
     def _checkpoint_path(self, version: int) -> str:

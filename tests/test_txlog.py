@@ -431,3 +431,48 @@ class TestAcidStreamIngest:
         rec = log.read(log.last_version())
         assert rec["adds"]["data"] and rec["adds"]["meta"]
         assert rec["op"] == "ingest_long"
+
+
+class TestAcidFileSkipping:
+    def test_bounded_read_plan_inputs_fewer_files(self, spark, tmpdir):
+        # planning-time proof (not just manifest-level): the bounded
+        # read's physical scan receives only the overlapping files
+        st = acid_store(spark, tmpdir)
+        for m in ("01", "03", "06", "09"):
+            st.set_ts({"site": f"m{m}"}, hourly(f"2024-{m}-01", 24))
+        all_files = set(st.alive_data().inputFiles())
+        jan_files = set(
+            st.alive_data(start="2024-01-01", end="2024-01-31").inputFiles()
+        )
+        assert jan_files and len(jan_files) < len(all_files)
+
+
+class TestAcidThreadedStress:
+    def test_eight_real_concurrent_insert_writers_all_land(self, spark, tmpdir):
+        # true concurrency (no injection): 8 threads, each its own store
+        # instance, inserting disjoint keys into the SAME chunk — the
+        # optimistic rebase loop must land all 8 commits with zero loss
+        import threading
+
+        first = acid_store(spark, tmpdir)
+        errs = []
+
+        def worker(i):
+            try:
+                st = ChunkStore(spark, first.path, first.config)
+                st.set_ts({"site": f"w{i}"},
+                          hourly("2024-01-01", 6, value=float(i)))
+            except Exception as e:  # noqa: BLE001 - collect for assert
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs, errs
+        first.refresh()
+        assert first.count_keys() == 8
+        for i in range(8):
+            got = first.get_ts({"site": f"w{i}"})
+            assert got is not None and (got == float(i)).all(), i
