@@ -105,10 +105,12 @@ def _transactional(op: str):
 
 class _Txn:
     """Accumulator for one ACID write operation: the base snapshot all
-    reads use, staged adds/removes, and the touched chunk set the commit
-    declares for conflict detection."""
+    reads use, staged adds/removes, the touched chunk set the commit
+    declares for conflict detection, and (for inserts) the key digests
+    that let concurrent same-key appends conflict precisely."""
 
-    __slots__ = ("op", "snapshot", "adds", "removes", "touched")
+    __slots__ = ("op", "snapshot", "adds", "removes", "touched",
+                 "append_keys", "compaction_backup")
 
     def __init__(self, op: str, snapshot):
         self.op = op
@@ -116,6 +118,11 @@ class _Txn:
         self.adds = {"data": [], "meta": []}
         self.removes = {"data": [], "meta": []}
         self.touched = None  # None = pure append | "all" | set[int]
+        #: md5 digests of inserted key tuples (append commits only);
+        #: None = unknown/unbounded — concurrent appends then pass
+        #: undetected, the documented blind-append trade (Delta-like)
+        self.append_keys: list[str] | None = None
+        self.compaction_backup = None
 
     def touch(self, chunks) -> None:
         if chunks == "all" or self.touched == "all":
@@ -151,10 +158,20 @@ class ChunkStore:
         self._acid = bool(getattr(config, "acid", False))
         self._active_txn: "_Txn | None" = None
         self._pinned_snapshot = None  # set on time_travel() views
+        self._meta_cache_version: int | None = None
         if self._acid:
+            import threading
+
             from holcstore_spark.sources.txlog import TxLog
 
             self._txlog = TxLog(path)
+            # serializes write transactions of THIS instance across
+            # threads: without it a second thread entering _txn while
+            # another thread's txn is open would silently merge into it
+            # (cross-INSTANCE concurrency is the supported multi-writer
+            # pattern and goes through the commit protocol instead)
+            self._txn_lock = threading.Lock()
+            self._txn_owner: int | None = None
 
     # ------------------------------------------------------------------
     # ACID mode: transactions over the file-manifest log (txlog.py)
@@ -202,39 +219,83 @@ class ChunkStore:
             return
         if self._pinned_snapshot is not None:
             raise ValueError(f"time-travel views are read-only ({op} refused)")
-        if self._active_txn is not None:
-            yield self._active_txn
+        import threading
+
+        tid = threading.get_ident()
+        if self._active_txn is not None and self._txn_owner == tid:
+            yield self._active_txn  # nested call, same thread
             return
-        snap = self._txlog.snapshot()
-        txn = _Txn(op, snap)
-        self._active_txn = txn
-        try:
-            yield txn
-            if any(txn.adds.values()) or any(txn.removes.values()):
-                # meta auto-compaction (ACID twin of _maybe_compact_meta):
-                # every commit stages one meta file, so a long-lived store
-                # would pay an O(commits) meta read — collapse to latest
-                # state inside this same atomic commit past the threshold
-                if (
-                    len(txn.snapshot.files["meta"]) + len(txn.adds["meta"])
-                    > self.META_COMPACT_THRESHOLD
-                    and not any(
-                        e["path"] in {r["path"] for r in txn.removes["meta"]}
-                        for e in txn.snapshot.files["meta"]
-                    )
-                ):
-                    self._compact_meta_into_txn(txn)
-                self._txlog.commit(
-                    base_version=snap.version,
-                    op=op,
-                    op_id=time.time_ns(),
-                    adds=txn.adds,
-                    removes=txn.removes,
-                    touched=txn.touched,
-                )
+        # another thread's txn is open on THIS instance: serialize (the
+        # multi-writer pattern is one instance per writer, arbitrated by
+        # the commit protocol — within an instance writes are ordered)
+        with self._txn_lock:
+            snap = self._txlog.snapshot()
+            # the latest_meta cache may predate this base snapshot (a
+            # cross-process commit landed since it was built) — existence
+            # checks and tombstone flags must validate against the same
+            # version this txn will commit over
+            if self._meta_cache_version != snap.version:
                 self._invalidate_meta_cache()
-        finally:
-            self._active_txn = None
+            txn = _Txn(op, snap)
+            self._active_txn = txn
+            self._txn_owner = tid
+            try:
+                yield txn
+                if any(txn.adds.values()) or any(txn.removes.values()):
+                    self._commit_txn(txn, op, snap)
+                    self._invalidate_meta_cache()
+            finally:
+                self._active_txn = None
+                self._txn_owner = None
+
+    def _commit_txn(self, txn, op: str, snap) -> None:
+        """Commit a transaction, opportunistically folding in meta
+        auto-compaction; if the compaction (and only it) loses a race
+        with a concurrent commit, retry once without it — a pure append
+        must never fail because housekeeping piggybacked on it."""
+        # meta auto-compaction (ACID twin of _maybe_compact_meta): every
+        # commit stages one meta file, so a long-lived store would pay an
+        # O(commits) meta read — collapse to latest state inside this
+        # same atomic commit past the threshold
+        removed_meta = {r["path"] for r in txn.removes["meta"]}
+        if (
+            len(txn.snapshot.files["meta"]) + len(txn.adds["meta"])
+            > self.META_COMPACT_THRESHOLD
+            and not any(
+                e["path"] in removed_meta for e in txn.snapshot.files["meta"]
+            )
+        ):
+            self._compact_meta_into_txn(txn)
+        try:
+            self._txlog.commit(
+                base_version=snap.version,
+                op=op,
+                op_id=time.time_ns(),
+                adds=txn.adds,
+                removes=txn.removes,
+                touched=txn.touched,
+                append_keys=txn.append_keys,
+            )
+        except ConcurrentWriteError:
+            if txn.compaction_backup is None:
+                raise
+            # undo the compaction (its staged file becomes a vacuum-able
+            # orphan) and retry as the plain operation; a still-raised
+            # error is then a genuine conflict of the operation itself
+            txn.adds["meta"], n_rm = txn.compaction_backup
+            del txn.removes["meta"][n_rm:]
+            txn.compaction_backup = None
+            # same ORIGINAL base: commit() re-walks every interleaved
+            # commit, so the operation's own conflicts are still checked
+            self._txlog.commit(
+                base_version=snap.version,
+                op=op,
+                op_id=time.time_ns(),
+                adds=txn.adds,
+                removes=txn.removes,
+                touched=txn.touched,
+                append_keys=txn.append_keys,
+            )
 
     def _stage_into_txn(self, sdf: DataFrame, table: str) -> None:
         """Write a frame to a fresh immutable ``files/<uuid>/`` dir and
@@ -254,6 +315,30 @@ class ChunkStore:
             df = self._cast_canonical(sdf, self._meta_schema()).coalesce(1)
         df.write.mode("overwrite").parquet(abs_dir)
         txn.adds[table].extend(self._txlog.collect_entries(abs_dir, rel_dir))
+
+    #: append commits record at most this many inserted-key digests for
+    #: concurrent same-key insert detection; larger inserts are blind
+    #: appends (documented Delta-like trade)
+    APPEND_KEYS_CAP = 10_000
+
+    def _note_append_keys(self, key_tuples) -> None:
+        """Record the key digests an append-path insert lands, so the
+        commit can conflict with a concurrent insert of the same series
+        (extends the KeyExistsError contract to multi-writer ACID
+        operation)."""
+        if not self._acid:
+            return
+        import hashlib
+
+        txn = self._active_txn
+        kts = list(key_tuples)
+        if len(kts) > self.APPEND_KEYS_CAP:
+            txn.append_keys = None
+            return
+        digests = [
+            hashlib.md5(repr(tuple(kt)).encode()).hexdigest()[:16] for kt in kts
+        ]
+        txn.append_keys = sorted(set(txn.append_keys or []) | set(digests))
 
     def _compact_meta_into_txn(self, txn) -> None:
         """Collapse the meta changelog (base live files + this txn's
@@ -277,7 +362,10 @@ class ChunkStore:
             .drop("__rn")
         )
         # this txn's own staged files are superseded before ever being
-        # committed — drop them from adds (vacuum reclaims the orphans)
+        # committed — drop them from adds (vacuum reclaims the orphans);
+        # keep a backup so a compaction-lost commit race can retry the
+        # operation without the compaction
+        txn.compaction_backup = (txn.adds["meta"], len(txn.removes["meta"]))
         txn.adds["meta"] = []
         self._stage_into_txn(latest, "meta")
         txn.removes["meta"].extend(txn.snapshot.files["meta"])
@@ -426,6 +514,11 @@ class ChunkStore:
                 .drop("__rn")
                 .cache()
             )
+            if self._acid:
+                # tag the cache with the manifest version it was built
+                # from — write transactions compare against their base
+                # snapshot and refuse to validate against a stale cache
+                self._meta_cache_version = self._snapshot().version
         return self._meta_cache.filter(attrs_filter(filters))
 
     def _invalidate_meta_cache(self) -> None:
@@ -912,6 +1005,7 @@ class ChunkStore:
         if touched_physical:
             self._rewrite_partitions(sdf, self._key_pred(attrs), chunks=sorted(new_chunks))
         else:
+            self._note_append_keys([tuple(attrs[k] for k in self.config.keys)])
             self._append_data(sdf)
 
         if merged_spark_side:
@@ -979,6 +1073,9 @@ class ChunkStore:
         if physical_any:
             self._rewrite_partitions_multi(sdf)
         else:
+            self._note_append_keys(
+                kt if isinstance(kt, tuple) else (kt,) for kt in mapping
+            )
             self._append_data(sdf)
         self._append_meta_sdf(self._meta_sdf_for(sdf, updated_at, op_id))
 
@@ -1072,6 +1169,9 @@ class ChunkStore:
             # lineage cut is needed, and the meta rows come arithmetically
             # from the (checkpointed, metadata-sized) bounds frame — the
             # dense grid is scanned exactly once, by the write itself
+            if self._acid:
+                kt_rows = new_keys.limit(self.APPEND_KEYS_CAP + 1).collect()
+                self._note_append_keys(tuple(r) for r in kt_rows)
             self._append_data(dense)
             self._append_meta_sdf(
                 self._meta_sdf_from_bounds(bounds, updated_at, op_id)
@@ -1818,27 +1918,68 @@ class ChunkStore:
         latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
         self._invalidate_meta_cache()
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_seconds: float = 3600.0) -> int:
         """ACID-mode garbage collection: physically delete files under
         ``files/`` that the CURRENT snapshot no longer references —
         superseded by rewrites, or orphaned by a crash between staging
-        and commit. Returns the number of files deleted. Readers of the
-        current snapshot are unaffected (their files are live by
-        definition); time-travel to older versions is given up, like
-        Delta's VACUUM. No-op on plain stores."""
+        and commit — **provided they are older than
+        ``retention_seconds``**. The retention window is the same safety
+        Delta's VACUUM retention gives: a concurrent in-flight writer's
+        freshly STAGED (not yet committed) files are indistinguishable
+        from crash orphans, so reclaiming them immediately would corrupt
+        that writer's commit; age-gating makes vacuum safe to run any
+        time as long as no single transaction stays open longer than the
+        window. Pass ``0`` only when no other writer can be active.
+
+        Also reclaims emptied staging directories, their _SUCCESS
+        markers, stale ``.tmp-`` log artifacts, and commit records
+        already summarized by the latest manifest checkpoint (giving up
+        snapshot-as-of below that horizon, Delta log-retention style).
+        Returns the number of filesystem entries removed. No-op on
+        plain stores."""
         if not self._acid:
             return 0
+        cutoff = time.time() - max(0.0, retention_seconds)
         live = {e["path"] for t in ("data", "meta")
                 for e in self._txlog.snapshot().files[t]}
+        live_dirs = {os.path.dirname(p) for p in live}
         files_root = os.path.join(self.path, "files")
         n = 0
-        for root, _dirs, names in os.walk(files_root):
-            for f in names:
-                abs_p = os.path.join(root, f)
-                rel = os.path.relpath(abs_p, self.path)
-                if f.endswith(".parquet") and rel not in live:
-                    os.remove(abs_p)
+        if os.path.isdir(files_root):
+            for entry in os.listdir(files_root):
+                d = os.path.join(files_root, entry)
+                if not os.path.isdir(d):
+                    continue
+                rel_dir = os.path.relpath(d, self.path)
+                has_live = rel_dir in live_dirs
+                for f in os.listdir(d):
+                    abs_p = os.path.join(d, f)
+                    rel = os.path.relpath(abs_p, self.path)
+                    if rel in live:
+                        continue
+                    try:
+                        if os.path.getmtime(abs_p) > cutoff:
+                            continue
+                        # dead parquet anywhere; markers (_SUCCESS, .crc)
+                        # only once their directory holds no live data
+                        if f.endswith(".parquet") or not has_live:
+                            os.remove(abs_p)
+                            n += 1
+                    except FileNotFoundError:
+                        continue  # concurrent vacuum
+                if not has_live and not os.listdir(d):
+                    os.rmdir(d)
                     n += 1
+        # stale temp artifacts of crashed commit/checkpoint attempts
+        for f in os.listdir(self._txlog.dir):
+            if ".tmp-" in f:
+                pth = os.path.join(self._txlog.dir, f)
+                try:
+                    if os.path.getmtime(pth) <= cutoff:
+                        os.remove(pth)
+                        n += 1
+                except FileNotFoundError:
+                    continue
         # commit records already summarized by the latest checkpoint add
         # nothing to future snapshots — reclaim them too (gives up
         # snapshot-as-of below that horizon, Delta log-retention style)

@@ -248,30 +248,52 @@ class TxLog:
         return self._snapshot_uncached(as_of)
 
     def _snapshot_uncached(self, as_of: int | None) -> Snapshot:
-        live: dict[str, dict[str, FileEntry]] = {t: {} for t in self.TABLES}
-        start = 0
-        cp = self._latest_checkpoint(as_of)
-        if cp is not None:
-            with open(self._checkpoint_path(cp)) as f:
-                data = json.load(f)
-            for t in self.TABLES:
-                for e in data["files"].get(t, []):
-                    live[t][e["path"]] = FileEntry(e)
-            start = cp
-        last = start
-        for v in self.versions():
-            if v <= start:
-                continue
-            if as_of is not None and v > as_of:
-                break
-            rec = self.read(v)
-            last = v
-            for t in self.TABLES:
-                for e in rec["adds"].get(t, []):
-                    live[t][e["path"]] = FileEntry(e)
-                for e in rec["removes"].get(t, []):
-                    live[t].pop(e["path"], None)
-        return Snapshot(last, {t: list(live[t].values()) for t in self.TABLES})
+        """Replay with maintenance-race protection: a concurrent
+        ``prune_log`` can delete a record between our listing and its
+        read (FileNotFoundError), or prune the records our replay would
+        have covered so we'd silently serve a pre-checkpoint state as
+        current. Both retry against the fresh log; a snapshot that is
+        merely a few commits behind (writer raced us, records intact)
+        is accepted — that's ordinary MVCC staleness."""
+        for _attempt in range(8):
+            live: dict[str, dict[str, FileEntry]] = {t: {} for t in self.TABLES}
+            start = 0
+            cp = self._latest_checkpoint(as_of)
+            try:
+                if cp is not None:
+                    with open(self._checkpoint_path(cp)) as f:
+                        data = json.load(f)
+                    for t in self.TABLES:
+                        for e in data["files"].get(t, []):
+                            live[t][e["path"]] = FileEntry(e)
+                    start = cp
+                last = start
+                for v in self.versions():
+                    if v <= start:
+                        continue
+                    if as_of is not None and v > as_of:
+                        break
+                    rec = self.read(v)
+                    last = v
+                    for t in self.TABLES:
+                        for e in rec["adds"].get(t, []):
+                            live[t][e["path"]] = FileEntry(e)
+                        for e in rec["removes"].get(t, []):
+                            live[t].pop(e["path"], None)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # pruned (or replaced) under us — restart
+            cp2 = self._latest_checkpoint(as_of)
+            if cp2 is not None and cp2 > last:
+                # a newer checkpoint appeared during our replay: fine if
+                # the intermediate records still exist (we're just a
+                # moment behind); a replay gap means they were pruned
+                # and our state is inconsistent — restart
+                if not any(last < v <= cp2 for v in self.versions()):
+                    continue
+            return Snapshot(last, {t: list(live[t].values()) for t in self.TABLES})
+        raise RuntimeError(
+            "snapshot replay kept racing log maintenance (prune/checkpoint)"
+        )
 
     # -- optimistic commit --------------------------------------------
     def commit(
@@ -282,18 +304,25 @@ class TxLog:
         adds: dict[str, list[FileEntry]],
         removes: dict[str, list[FileEntry]],
         touched=None,
+        append_keys: list[str] | None = None,
     ) -> int:
         """Commit at the first free version ≥ base_version+1, rebasing
         over non-conflicting interleaved commits; raises the store's
         ``ConcurrentWriteError`` on a genuine conflict. ``touched`` is
         the chunk set our keep-set was derived from (None = pure
-        append, "all" = full-table rewrite)."""
+        append, "all" = full-table rewrite). ``append_keys`` carries the
+        key digests an append inserted: two interleaved appends with
+        intersecting digests conflict (the KeyExistsError contract held
+        under concurrency); an append whose key set is unbounded
+        (None) is a blind append — concurrent same-key blind appends
+        land twice, Delta's documented insert semantics."""
         record = {
             "op": op,
             "op_id": op_id,
             "adds": {t: list(adds.get(t, [])) for t in self.TABLES},
             "removes": {t: list(removes.get(t, [])) for t in self.TABLES},
             "touched": sorted(touched) if isinstance(touched, (set, list, tuple)) else touched,
+            "append_keys": append_keys,
         }
         v = base_version + 1
         while True:
@@ -320,6 +349,15 @@ class TxLog:
             )
         touched = ours.get("touched")
         if touched is None:
+            # append-vs-append key collision: both sides recorded their
+            # inserted key digests — an intersection means two writers
+            # concurrently inserted the SAME series
+            ok, tk = ours.get("append_keys"), other.get("append_keys")
+            if ok and tk and set(ok) & set(tk):
+                raise ConcurrentWriteError(
+                    f"commit {other.get('version')} ({other.get('op')}) "
+                    f"inserted the same key(s) concurrently"
+                )
             return
         if touched == "all":
             if any(other["adds"].get(t) or other["removes"].get(t) for t in self.TABLES):

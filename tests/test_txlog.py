@@ -174,8 +174,10 @@ class TestAcidConcurrency:
         st.refresh()
         assert st.get_ts({"site": "crash"}) is None
         assert len(TxLog(st.path).snapshot().files["data"]) == before
-        # vacuum reclaims the orphaned staged files
-        assert st.vacuum() >= 1
+        # default retention spares fresh files (they could belong to
+        # an in-flight writer); retention 0 reclaims the orphans
+        assert st.vacuum() == 0
+        assert st.vacuum(retention_seconds=0) >= 1
         assert st.get_ts({"site": "a"}) is not None
 
     def test_vacuum_reclaims_superseded_files_only(self, spark, tmpdir):
@@ -183,10 +185,10 @@ class TestAcidConcurrency:
         st.set_ts({"site": "a"}, hourly("2024-01-01", 24))
         st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=2.0),
                   replace=True)
-        n = st.vacuum()
+        n = st.vacuum(retention_seconds=0)
         assert n >= 1  # the replaced generation's files
         assert (st.get_ts({"site": "a"}) == 2.0).all()
-        assert st.vacuum() == 0  # idempotent
+        assert st.vacuum(retention_seconds=0) == 0  # idempotent
 
 
 class TestManifestSkipping:
@@ -476,3 +478,53 @@ class TestAcidThreadedStress:
         for i in range(8):
             got = first.get_ts({"site": f"w{i}"})
             assert got is not None and (got == float(i)).all(), i
+
+
+class TestAcidInsertKeyConflict:
+    def test_concurrent_same_key_inserts_conflict(self, spark, tmpdir, monkeypatch):
+        # both writers insert the SAME brand-new key: the loser's append
+        # commit must conflict on the recorded key digests instead of
+        # silently duplicating the series
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        a = acid_store(spark, tmpdir)
+        b = ChunkStore(spark, a.path, a.config)
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table):
+            orig(self_, sdf, table)
+            if self_ is a and not state["fired"] and table == "data":
+                state["fired"] = True
+                b.set_ts({"site": "dup"}, hourly("2024-01-01", 6, value=2.0))
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        with pytest.raises(ConcurrentWriteError, match="same key"):
+            a.set_ts({"site": "dup"}, hourly("2024-01-01", 6, value=1.0))
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        a.refresh()
+        got = a.get_ts({"site": "dup"})
+        # exactly ONE generation of the series survived (the winner's)
+        assert got is not None and (got == 2.0).all() and len(got) == 6
+
+    def test_vacuum_spares_in_flight_staged_files(self, spark, tmpdir, monkeypatch):
+        # a vacuum running mid-transaction must not reclaim the open
+        # writer's freshly staged (uncommitted) files — the retention
+        # window is what makes concurrent vacuum safe
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        st = acid_store(spark, tmpdir)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 6))
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table):
+            orig(self_, sdf, table)
+            if not state["fired"]:
+                state["fired"] = True
+                assert st.vacuum() == 0  # default retention: nothing dies
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        st.set_ts({"site": "b"}, hourly("2024-01-01", 6, value=2.0))
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        st.refresh()
+        assert (st.get_ts({"site": "b"}) == 2.0).all()
