@@ -321,6 +321,24 @@ class ChunkStore:
     #: appends (documented Delta-like trade)
     APPEND_KEYS_CAP = 10_000
 
+    def _canon_key_tuple(self, kt) -> tuple:
+        """Canonicalize key values through the store's declared key
+        types before digesting — np.int64(7), Python 7 and '7' on an
+        int-keyed store must produce the SAME digest, or concurrent
+        same-key inserts arriving through different APIs (set_ts attrs
+        vs ingest_long collected Rows) would silently miss each other."""
+        out = []
+        for k, v in zip(self.config.keys, kt):
+            declared = self.config.key_types.get(k)
+            if declared == "int":
+                v = int(v)
+            elif declared == "float":
+                v = float(v)
+            elif declared == "str":
+                v = str(v)
+            out.append(v)
+        return tuple(out)
+
     def _note_append_keys(self, key_tuples) -> None:
         """Record the key digests an append-path insert lands, so the
         commit can conflict with a concurrent insert of the same series
@@ -336,7 +354,8 @@ class ChunkStore:
             txn.append_keys = None
             return
         digests = [
-            hashlib.md5(repr(tuple(kt)).encode()).hexdigest()[:16] for kt in kts
+            hashlib.md5(repr(self._canon_key_tuple(kt)).encode()).hexdigest()[:16]
+            for kt in kts
         ]
         txn.append_keys = sorted(set(txn.append_keys or []) | set(digests))
 
@@ -1005,7 +1024,12 @@ class ChunkStore:
         if touched_physical:
             self._rewrite_partitions(sdf, self._key_pred(attrs), chunks=sorted(new_chunks))
         else:
-            self._note_append_keys([tuple(attrs[k] for k in self.config.keys)])
+            if not update and not replace:
+                # plain INSERT only: update/replace taking the append
+                # path (key exists but these chunks are new) must keep
+                # the appends-never-conflict property — two concurrent
+                # chunk-disjoint updates of one key both land
+                self._note_append_keys([tuple(attrs[k] for k in self.config.keys)])
             self._append_data(sdf)
 
         if merged_spark_side:
@@ -1960,16 +1984,29 @@ class ChunkStore:
                     try:
                         if os.path.getmtime(abs_p) > cutoff:
                             continue
+                        if os.path.isdir(abs_p):
+                            # crash-orphaned committer workdirs
+                            # (_temporary/…) inside DEAD staging dirs;
+                            # inside a live dir they are left alone
+                            if not has_live:
+                                import shutil as _shutil
+
+                                _shutil.rmtree(abs_p, ignore_errors=True)
+                                n += 1
+                            continue
                         # dead parquet anywhere; markers (_SUCCESS, .crc)
                         # only once their directory holds no live data
                         if f.endswith(".parquet") or not has_live:
                             os.remove(abs_p)
                             n += 1
-                    except FileNotFoundError:
-                        continue  # concurrent vacuum
-                if not has_live and not os.listdir(d):
-                    os.rmdir(d)
-                    n += 1
+                    except (FileNotFoundError, OSError):
+                        continue  # concurrent vacuum / transient entry
+                try:
+                    if not has_live and not os.listdir(d):
+                        os.rmdir(d)
+                        n += 1
+                except (FileNotFoundError, OSError):
+                    pass  # a concurrent vacuum removed it first
         # stale temp artifacts of crashed commit/checkpoint attempts
         for f in os.listdir(self._txlog.dir):
             if ".tmp-" in f:

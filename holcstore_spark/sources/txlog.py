@@ -324,12 +324,37 @@ class TxLog:
             "touched": sorted(touched) if isinstance(touched, (set, list, tuple)) else touched,
             "append_keys": append_keys,
         }
+        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+
         v = base_version + 1
         while True:
+            # prune horizon guard: slots at or below the latest manifest
+            # checkpoint are summarized history — linking there would
+            # create a commit snapshot() never replays (an invisible,
+            # silently-lost write by a writer whose base predates a
+            # prune). Checked every iteration so a prune landing during
+            # the rebase walk is also caught.
+            floor = self._latest_checkpoint() or 0
+            if v <= floor:
+                raise ConcurrentWriteError(
+                    f"commit base (version {base_version}) predates the "
+                    f"pruned log horizon (checkpoint {floor}); re-run the "
+                    "operation against a fresh snapshot"
+                )
             if self._try_write(v, {**record, "version": v}):
                 self._maybe_checkpoint(v)
                 return v
-            self._check_conflict(self.read(v), record)
+            try:
+                other = self.read(v)
+            except FileNotFoundError:
+                # the interleaved commit was pruned mid-walk: it is
+                # summarized history we can no longer conflict-check
+                # against — refuse rather than assume non-conflict
+                raise ConcurrentWriteError(
+                    f"interleaved commit {v} was pruned during the rebase "
+                    "walk; re-run the operation against a fresh snapshot"
+                ) from None
+            self._check_conflict(other, record)
             v += 1
 
     def _check_conflict(self, other: dict, ours: dict) -> None:

@@ -528,3 +528,67 @@ class TestAcidInsertKeyConflict:
         monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
         st.refresh()
         assert (st.get_ts({"site": "b"}) == 2.0).all()
+
+
+class TestReviewHardening:
+    def test_commit_below_prune_horizon_refused(self, tmpdir):
+        # a writer whose base predates a prune must be refused loudly —
+        # linking into a freed slot would create an invisible commit
+        e = TestTxLogUnit()
+        log = TxLog(os.path.join(tmpdir, "logph"))
+        for i in range(1, 40):
+            log.commit(i - 1, "append", i,
+                       adds={"data": [e._entry(f"files/f{i}.parquet", i, i)]},
+                       removes={})
+        log.prune_log()
+        with pytest.raises(ConcurrentWriteError, match="pruned log horizon"):
+            log.commit(5, "stale", 99,
+                       adds={"data": [e._entry("files/z.parquet", 1, 1)]},
+                       removes={})
+        # a fresh-base commit still lands
+        v = log.commit(log.snapshot().version, "fresh", 100,
+                       adds={"data": [e._entry("files/y.parquet", 1, 1)]},
+                       removes={})
+        assert v == 40
+
+    def test_append_key_digests_canonicalized(self, spark, tmpdir):
+        import numpy as np
+
+        cfg = ChunkStoreConfig(keys=("uid",), freq="1h", tz="UTC",
+                               chunk_axis=("year",),
+                               key_types={"uid": "int"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmpdir, "ck"), cfg)
+        # same key arriving as np.int64, int and str must digest equal
+        d1 = st._canon_key_tuple((np.int64(7),))
+        d2 = st._canon_key_tuple((7,))
+        d3 = st._canon_key_tuple(("7",))
+        assert repr(d1) == repr(d2) == repr(d3)
+
+    def test_concurrent_disjoint_chunk_updates_of_same_key_both_land(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # two updates of ONE key in different chunks take the append
+        # path; neither records insert digests, so both commits land
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        a = acid_store(spark, tmpdir)
+        b = ChunkStore(spark, a.path, a.config)
+        a.set_ts({"site": "k"}, hourly("2020-01-01", 6))
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table):
+            orig(self_, sdf, table)
+            if self_ is a and not state["fired"] and table == "data":
+                state["fired"] = True
+                b.set_ts({"site": "k"}, hourly("2022-06-01", 6, value=2.0),
+                         update=True)
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        a.set_ts({"site": "k"}, hourly("2021-06-01", 6, value=3.0), update=True)
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        a.refresh()
+        got = a.get_ts({"site": "k"})
+        assert got is not None
+        assert (got["2021-06-01":"2021-06-02"].dropna() == 3.0).all()
+        assert (got["2022-06-01":"2022-06-02"].dropna() == 2.0).all()
