@@ -110,7 +110,8 @@ class _Txn:
     that let concurrent same-key appends conflict precisely."""
 
     __slots__ = ("op", "snapshot", "adds", "removes", "touched",
-                 "append_keys", "compaction_backup")
+                 "append_keys", "dropped_keys", "dropped_unknown",
+                 "dropped_key_tuples", "compaction_backup")
 
     def __init__(self, op: str, snapshot):
         self.op = op
@@ -122,6 +123,17 @@ class _Txn:
         #: None = unknown/unbounded — concurrent appends then pass
         #: undetected, the documented blind-append trade (Delta-like)
         self.append_keys: list[str] | None = None
+        #: md5 digests of the key tuples a rewrite drops/replaces;
+        #: chunk-overlap conflicts are waived when both sides' key sets
+        #: are known and disjoint (key-level conflict detection — many
+        #: writers can update DIFFERENT series of the same month chunk
+        #: concurrently); None = unknown → chunk-granular conservative
+        self.dropped_keys: list[str] | None = None
+        self.dropped_unknown = False
+        #: the canonical key tuples behind dropped_keys — lets the
+        #: rewrite narrow its copy-on-write to files whose key stats can
+        #: contain them (None = unknown → all chunk-overlapping files)
+        self.dropped_key_tuples: list[tuple] | None = None
         self.compaction_backup = None
 
     def touch(self, chunks) -> None:
@@ -275,6 +287,7 @@ class ChunkStore:
                 removes=txn.removes,
                 touched=txn.touched,
                 append_keys=txn.append_keys,
+                dropped_keys=txn.dropped_keys,
             )
         except ConcurrentWriteError:
             if txn.compaction_backup is None:
@@ -295,6 +308,7 @@ class ChunkStore:
                 removes=txn.removes,
                 touched=txn.touched,
                 append_keys=txn.append_keys,
+                dropped_keys=txn.dropped_keys,
             )
 
     def _stage_into_txn(self, sdf: DataFrame, table: str) -> None:
@@ -314,7 +328,10 @@ class ChunkStore:
         else:
             df = self._cast_canonical(sdf, self._meta_schema()).coalesce(1)
         df.write.mode("overwrite").parquet(abs_dir)
-        txn.adds[table].extend(self._txlog.collect_entries(abs_dir, rel_dir))
+        key_cols = self.config.keys if table == "data" else ()
+        txn.adds[table].extend(
+            self._txlog.collect_entries(abs_dir, rel_dir, key_cols=key_cols)
+        )
 
     #: append commits record at most this many inserted-key digests for
     #: concurrent same-key insert detection; larger inserts are blind
@@ -358,6 +375,38 @@ class ChunkStore:
             for kt in kts
         ]
         txn.append_keys = sorted(set(txn.append_keys or []) | set(digests))
+
+    def _note_dropped_keys(self, key_tuples) -> None:
+        """Record the key digests a rewrite replaces/drops — the commit
+        then conflicts with interleaved same-chunk commits ONLY when the
+        key sets overlap (or either side is unknown), so concurrent
+        writers updating different series of one chunk all land."""
+        if not self._acid:
+            return
+        import hashlib
+
+        txn = self._active_txn
+        if txn.dropped_unknown:
+            return
+        if key_tuples is None:
+            txn.dropped_keys = None
+            txn.dropped_key_tuples = None
+            txn.dropped_unknown = True
+            return
+        kts = list(key_tuples)
+        if len(kts) > self.APPEND_KEYS_CAP:
+            txn.dropped_keys = None
+            txn.dropped_key_tuples = None
+            txn.dropped_unknown = True
+            return
+        canon = [self._canon_key_tuple(kt) for kt in kts]
+        digests = [
+            hashlib.md5(repr(kt).encode()).hexdigest()[:16] for kt in canon
+        ]
+        txn.dropped_keys = sorted(set(txn.dropped_keys or []) | set(digests))
+        txn.dropped_key_tuples = list(
+            {*(txn.dropped_key_tuples or []), *canon}
+        )
 
     def _compact_meta_into_txn(self, txn) -> None:
         """Collapse the meta changelog (base live files + this txn's
@@ -409,6 +458,27 @@ class ChunkStore:
             if e.get("chunk_min") is None
             or any(e["chunk_min"] <= c <= e["chunk_max"] for c in chunk_set)
         ]
+        # narrow the copy-on-write by per-file KEY stats: files whose
+        # first-key-column range cannot contain any replaced series hold
+        # only bystander rows — leave them live untouched (less IO, and
+        # key-disjoint same-chunk writers stop sharing removes, so their
+        # commits don't conflict)
+        if txn.dropped_key_tuples is not None:
+            k0 = self.config.keys[0]
+            vals = sorted({kt[0] for kt in txn.dropped_key_tuples})
+
+            def may_contain(e) -> bool:
+                ks = e.get("key_stats") or {}
+                rng = ks.get(k0)
+                if not rng:
+                    return True  # no stats: conservative
+                lo, hi = rng
+                try:
+                    return any(lo <= v <= hi for v in vals)
+                except TypeError:
+                    return True  # incomparable stats: conservative
+
+            affected = [e for e in affected if may_contain(e)]
         sdf_new = self._cast_canonical(sdf_new, self._data_schema())
         if affected:
             paths = [os.path.join(self.path, e["path"]) for e in affected]
@@ -1022,6 +1092,7 @@ class ChunkStore:
             # and the meta aggregation below runs after the rewrite
             sdf = safe_local_checkpoint(sdf)
         if touched_physical:
+            self._note_dropped_keys([tuple(attrs[k] for k in self.config.keys)])
             self._rewrite_partitions(sdf, self._key_pred(attrs), chunks=sorted(new_chunks))
         else:
             if not update and not replace:
@@ -1095,6 +1166,9 @@ class ChunkStore:
             .count()
         )
         if physical_any:
+            self._note_dropped_keys(
+                kt if isinstance(kt, tuple) else (kt,) for kt in mapping
+            )
             self._rewrite_partitions_multi(sdf)
         else:
             self._note_append_keys(
@@ -1227,6 +1301,11 @@ class ChunkStore:
             )
 
         dense = safe_local_checkpoint(dense)
+        if self._acid:
+            # key digests from the (checkpointed, metadata-sized) bounds
+            # frame — no extra data scan
+            kt_rows = new_keys.limit(self.APPEND_KEYS_CAP + 1).collect()
+            self._note_dropped_keys(tuple(r) for r in kt_rows)
         self._rewrite_partitions_multi(dense)
         meta_sdf = self._meta_sdf_for(dense, updated_at, op_id)
         if stale_sdf is not None:
@@ -2086,6 +2165,12 @@ class ChunkStore:
         for col in ("updated_at",):
             meta_rows[col] = pd.to_datetime(meta_rows[col], utc=True)
         if data_sdf is not None:
+            if self._acid:
+                self._note_dropped_keys(
+                    meta_rows[list(self.config.keys)]
+                    .drop_duplicates()
+                    .itertuples(index=False)
+                )
             self._rewrite_partitions_multi(data_sdf)
         self._append_meta(meta_rows.to_dict("records"), meta_rows)
 

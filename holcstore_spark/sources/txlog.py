@@ -67,31 +67,56 @@ class FileEntry(dict):
     (None when stats are unavailable → treated as full-range)."""
 
 
-def file_entry(abs_path: str, rel_path: str, chunk_col: str = "chunk_index") -> FileEntry:
+def file_entry(
+    abs_path: str,
+    rel_path: str,
+    chunk_col: str = "chunk_index",
+    key_cols: tuple[str, ...] = (),
+) -> FileEntry:
     """Build a manifest entry from a parquet footer (driver-side, one
-    metadata read — no Spark job)."""
+    metadata read — no Spark job). Besides the chunk range, per-file
+    min/max of the KEY columns is recorded (tight, because staged files
+    are sorted by (keys, ts) within range partitions): rewrites then
+    copy-on-write only the files whose key range can contain the series
+    they replace, which is both less IO and what lets key-disjoint
+    same-chunk writers commit concurrently."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
-    cmin = cmax = None
-    idx = None
+    wanted = {chunk_col: None, **{k: None for k in key_cols}}
+    idx_of = {}
     for i in range(md.num_columns):
-        if md.row_group(0).column(i).path_in_schema == chunk_col:
-            idx = i
-            break
-    if idx is not None:
+        name = md.row_group(0).column(i).path_in_schema if md.num_row_groups else None
+        if name in wanted:
+            idx_of[name] = i
+    ranges: dict[str, tuple | None] = {c: None for c in wanted}
+    for col, i in idx_of.items():
+        lo = hi = None
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
+            st = md.row_group(rg).column(i).statistics
             if st is None or not st.has_min_max:
-                cmin = cmax = None
+                lo = hi = None
                 break
-            cmin = st.min if cmin is None else min(cmin, st.min)
-            cmax = st.max if cmax is None else max(cmax, st.max)
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                lo = hi = None  # non-UTF8 binary stats: skip, stay conservative
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if lo is not None:
+            ranges[col] = (lo, hi)
+    cr = ranges.get(chunk_col)
+    key_stats = {
+        c: [ranges[c][0], ranges[c][1]]
+        for c in key_cols
+        if ranges.get(c) is not None
+    }
     return FileEntry(
         path=rel_path,
         rows=md.num_rows,
-        chunk_min=None if cmin is None else int(cmin),
-        chunk_max=None if cmax is None else int(cmax),
+        chunk_min=None if cr is None else int(cr[0]),
+        chunk_max=None if cr is None else int(cr[1]),
+        key_stats=key_stats or None,
     )
 
 
@@ -305,6 +330,7 @@ class TxLog:
         removes: dict[str, list[FileEntry]],
         touched=None,
         append_keys: list[str] | None = None,
+        dropped_keys: list[str] | None = None,
     ) -> int:
         """Commit at the first free version ≥ base_version+1, rebasing
         over non-conflicting interleaved commits; raises the store's
@@ -323,6 +349,7 @@ class TxLog:
             "removes": {t: list(removes.get(t, [])) for t in self.TABLES},
             "touched": sorted(touched) if isinstance(touched, (set, list, tuple)) else touched,
             "append_keys": append_keys,
+            "dropped_keys": dropped_keys,
         }
         from holcstore_spark.sources.chunk_store import ConcurrentWriteError
 
@@ -391,14 +418,27 @@ class TxLog:
                     f"({other.get('op')})"
                 )
             return
+        ours_keys = ours.get("dropped_keys")
         for e in list(other["adds"].get("data", [])) + list(
             other["removes"].get("data", [])
         ):
-            if _overlaps_touched(e, touched):
-                raise ConcurrentWriteError(
-                    f"commit {other.get('version')} ({other.get('op')}) touched "
-                    f"chunks {touched} our keep-set was derived from"
-                )
+            if not _overlaps_touched(e, touched):
+                continue
+            # KEY-LEVEL refinement: a same-chunk interleaved commit is
+            # safe when both sides know their key sets and they are
+            # disjoint — our keep-set never read the other's files
+            # (path-intersection above would have fired), and no key we
+            # drop can be resurrected by rows the other added. Many
+            # writers updating DIFFERENT series of one month chunk all
+            # land; unknown key sets stay chunk-granular conservative.
+            if ours_keys is not None:
+                other_keys = other.get("append_keys") or other.get("dropped_keys")
+                if other_keys is not None and not set(ours_keys) & set(other_keys):
+                    continue
+            raise ConcurrentWriteError(
+                f"commit {other.get('version')} ({other.get('op')}) touched "
+                f"chunks {touched} our keep-set was derived from"
+            )
 
     def prune_log(self) -> int:
         """Delete commit records (and older checkpoints) at or below the
@@ -432,11 +472,17 @@ class TxLog:
         rel = os.path.join("files", uuid.uuid4().hex)
         return os.path.join(self.root, rel), rel
 
-    def collect_entries(self, abs_dir: str, rel_dir: str) -> list[FileEntry]:
+    def collect_entries(
+        self, abs_dir: str, rel_dir: str, key_cols: tuple[str, ...] = ()
+    ) -> list[FileEntry]:
         out = []
         for f in sorted(os.listdir(abs_dir)):
             if f.endswith(".parquet"):
                 out.append(
-                    file_entry(os.path.join(abs_dir, f), os.path.join(rel_dir, f))
+                    file_entry(
+                        os.path.join(abs_dir, f),
+                        os.path.join(rel_dir, f),
+                        key_cols=key_cols,
+                    )
                 )
         return out

@@ -592,3 +592,53 @@ class TestReviewHardening:
         assert got is not None
         assert (got["2021-06-01":"2021-06-02"].dropna() == 3.0).all()
         assert (got["2022-06-01":"2022-06-02"].dropna() == 2.0).all()
+
+
+class TestAcidChaos:
+    def test_mixed_ops_across_threads_converge(self, spark, tmpdir):
+        # 6 threads × (insert → update → replace or delete) on disjoint
+        # key spaces of ONE acid store, with a concurrent default-
+        # retention vacuum thread. Every operation must land exactly as
+        # if run serially within its key space; rebases may occur,
+        # conflicts must not (all touch-sets are disjoint).
+        import threading
+
+        first = acid_store(spark, tmpdir)
+        errs = []
+
+        def worker(i):
+            try:
+                st = ChunkStore(spark, first.path, first.config)
+                k = {"site": f"t{i}"}
+                st.set_ts(k, hourly("2024-01-01", 6, value=1.0))
+                st.set_ts(k, hourly("2024-01-01 02:00", 2, value=9.0),
+                          update=True)
+                if i % 2 == 0:
+                    st.set_ts(k, hourly("2024-02-01", 4, value=5.0),
+                              replace=True)
+                else:
+                    st.delete(k)
+            except Exception as e:  # noqa: BLE001
+                errs.append((i, e))
+
+        def vac():
+            try:
+                for _ in range(4):
+                    first.vacuum()  # default retention: safe alongside writers
+            except Exception as e:  # noqa: BLE001
+                errs.append(("vac", e))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        threads.append(threading.Thread(target=vac))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errs, errs
+        first.refresh()
+        for i in range(6):
+            got = first.get_ts({"site": f"t{i}"})
+            if i % 2 == 0:
+                assert got is not None and (got == 5.0).all() and len(got) == 4, i
+            else:
+                assert got is None, i
