@@ -356,24 +356,40 @@ class ChunkStore:
             out.append(v)
         return tuple(out)
 
+    def _key_level_detection_ok(self) -> bool:
+        """Key-level conflict machinery is sound ONLY when every key
+        column has a declared type: without one, canonicalization is a
+        no-op and the same logical key arriving through different APIs
+        (np.int64 vs int vs str) digests differently — a disjointness
+        waiver built on that would silently miss genuine same-key
+        conflicts. Undeclared-type stores stay chunk-granular
+        conservative."""
+        return all(k in self.config.key_types for k in self.config.keys)
+
+    def _key_digests(self, canon_tuples) -> list[str]:
+        """THE digest both append_keys and dropped_keys use — the
+        conflict check intersects across the two populations, so they
+        must stay byte-identical."""
+        import hashlib
+
+        return [
+            hashlib.md5(repr(kt).encode()).hexdigest()[:16]
+            for kt in canon_tuples
+        ]
+
     def _note_append_keys(self, key_tuples) -> None:
         """Record the key digests an append-path insert lands, so the
         commit can conflict with a concurrent insert of the same series
         (extends the KeyExistsError contract to multi-writer ACID
         operation)."""
-        if not self._acid:
+        if not self._acid or not self._key_level_detection_ok():
             return
-        import hashlib
-
         txn = self._active_txn
         kts = list(key_tuples)
         if len(kts) > self.APPEND_KEYS_CAP:
             txn.append_keys = None
             return
-        digests = [
-            hashlib.md5(repr(self._canon_key_tuple(kt)).encode()).hexdigest()[:16]
-            for kt in kts
-        ]
+        digests = self._key_digests(self._canon_key_tuple(kt) for kt in kts)
         txn.append_keys = sorted(set(txn.append_keys or []) | set(digests))
 
     def _note_dropped_keys(self, key_tuples) -> None:
@@ -381,10 +397,8 @@ class ChunkStore:
         then conflicts with interleaved same-chunk commits ONLY when the
         key sets overlap (or either side is unknown), so concurrent
         writers updating different series of one chunk all land."""
-        if not self._acid:
+        if not self._acid or not self._key_level_detection_ok():
             return
-        import hashlib
-
         txn = self._active_txn
         if txn.dropped_unknown:
             return
@@ -400,9 +414,7 @@ class ChunkStore:
             txn.dropped_unknown = True
             return
         canon = [self._canon_key_tuple(kt) for kt in kts]
-        digests = [
-            hashlib.md5(repr(kt).encode()).hexdigest()[:16] for kt in canon
-        ]
+        digests = self._key_digests(canon)
         txn.dropped_keys = sorted(set(txn.dropped_keys or []) | set(digests))
         txn.dropped_key_tuples = list(
             {*(txn.dropped_key_tuples or []), *canon}
@@ -464,6 +476,8 @@ class ChunkStore:
         # key-disjoint same-chunk writers stop sharing removes, so their
         # commits don't conflict)
         if txn.dropped_key_tuples is not None:
+            import bisect
+
             k0 = self.config.keys[0]
             vals = sorted({kt[0] for kt in txn.dropped_key_tuples})
 
@@ -474,7 +488,8 @@ class ChunkStore:
                     return True  # no stats: conservative
                 lo, hi = rng
                 try:
-                    return any(lo <= v <= hi for v in vals)
+                    i = bisect.bisect_left(vals, lo)
+                    return i < len(vals) and vals[i] <= hi
                 except TypeError:
                     return True  # incomparable stats: conservative
 

@@ -418,7 +418,14 @@ class TxLog:
                     f"({other.get('op')})"
                 )
             return
-        ours_keys = ours.get("dropped_keys")
+        ours_set = (
+            set(ours["dropped_keys"]) if ours.get("dropped_keys") is not None else None
+        )
+        # the other commit's full key footprint is the UNION of what it
+        # appended and what it rewrote (a nested txn can record both);
+        # unknown only when BOTH are unknown
+        oa, od = other.get("append_keys"), other.get("dropped_keys")
+        other_set = None if oa is None and od is None else set(oa or []) | set(od or [])
         for e in list(other["adds"].get("data", [])) + list(
             other["removes"].get("data", [])
         ):
@@ -431,10 +438,10 @@ class TxLog:
             # drop can be resurrected by rows the other added. Many
             # writers updating DIFFERENT series of one month chunk all
             # land; unknown key sets stay chunk-granular conservative.
-            if ours_keys is not None:
-                other_keys = other.get("append_keys") or other.get("dropped_keys")
-                if other_keys is not None and not set(ours_keys) & set(other_keys):
-                    continue
+            if ours_set is not None and other_set is not None and not (
+                ours_set & other_set
+            ):
+                continue
             raise ConcurrentWriteError(
                 f"commit {other.get('version')} ({other.get('op')}) touched "
                 f"chunks {touched} our keep-set was derived from"

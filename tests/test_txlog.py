@@ -472,6 +472,7 @@ class TestAcidThreadedStress:
             t.start()
         for t in threads:
             t.join(timeout=300)
+            assert not t.is_alive(), "writer thread deadlocked"
         assert not errs, errs
         first.refresh()
         assert first.count_keys() == 8
@@ -634,6 +635,7 @@ class TestAcidChaos:
             t.start()
         for t in threads:
             t.join(timeout=600)
+            assert not t.is_alive(), "thread deadlocked"
         assert not errs, errs
         first.refresh()
         for i in range(6):
@@ -642,3 +644,16 @@ class TestAcidChaos:
                 assert got is not None and (got == 5.0).all() and len(got) == 4, i
             else:
                 assert got is None, i
+
+    def test_undeclared_key_types_disable_key_level_detection(self, spark, tmpdir):
+        # without declared key types, canonicalization can't make
+        # digests API-stable — the machinery must stay conservative
+        # (chunk-granular) instead of waiving on unsound digests
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year",), acid=True)
+        st = ChunkStore(spark, os.path.join(tmpdir, "nokt"), cfg)
+        assert not st._key_level_detection_ok()
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3))
+        log = TxLog(st.path)
+        rec = log.read(log.last_version())
+        assert rec["append_keys"] is None and rec["dropped_keys"] is None
