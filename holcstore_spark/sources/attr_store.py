@@ -30,6 +30,7 @@ class AttrStore:
         path: str,
         keys: tuple[str, ...],
         tz: str = "UTC",
+        acid: bool = False,
     ):
         from holcstore_spark.session import ensure_engine_conf
 
@@ -38,6 +39,18 @@ class AttrStore:
         self.path = path
         self.keys = tuple(keys)
         self.tz = tz
+        #: ``acid=True`` swaps the racy full-table overwrite for the same
+        #: file-manifest transaction log ChunkStore uses
+        #: (sources/txlog.py): immutable files, atomic commits, key-level
+        #: optimistic concurrency (AttrStore has no chunk axis, so every
+        #: conflict decision rides on the per-file KEY statistics and the
+        #: commits' key digests — str-canonicalized, the over-conflicting
+        #: safe direction).
+        self._acid = bool(acid)
+        if self._acid:
+            from holcstore_spark.sources.txlog import TxLog
+
+            self._txlog = TxLog(path)
 
     def _schema(self, pdf: pd.DataFrame | None = None) -> T.StructType:
         fields = []
@@ -55,6 +68,11 @@ class AttrStore:
     def df(self) -> DataFrame:
         from holcstore_spark.sources.io_util import has_parquet
 
+        if self._acid:
+            files = self._txlog.snapshot().paths("data", self.path)
+            if not files:
+                return self.spark.createDataFrame([], self._schema())
+            return self.spark.read.parquet(*files)
         # emptied stores keep their directory with no parquet footers
         if not has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
@@ -63,6 +81,125 @@ class AttrStore:
     def _overwrite(self, df: DataFrame) -> None:
         df = safe_local_checkpoint(df)
         df.write.mode("overwrite").parquet(self.path)
+
+    # -- ACID write primitives (manifest-governed immutable files) -----
+    def _key_digest(self, kt: tuple) -> str:
+        import hashlib
+
+        canon = tuple(str(v) for v in kt)
+        return hashlib.md5(repr(canon).encode()).hexdigest()[:16]
+
+    def _may_contain(self, entry: dict, kts: list[tuple]) -> bool:
+        ks = entry.get("key_stats") or {}
+        rng = ks.get(self.keys[0])
+        if not rng:
+            return True
+        lo, hi = rng
+        try:
+            return any(lo <= kt[0] <= hi for kt in kts)
+        except TypeError:
+            return True
+
+    def _stage(self, df: DataFrame) -> list:
+        abs_dir, rel_dir = self._txlog.new_staging_dir()
+        (
+            df.repartitionByRange(*self.keys)
+            .sortWithinPartitions(*self.keys, "ts")
+            .write.mode("overwrite")
+            .parquet(abs_dir)
+        )
+        return self._txlog.collect_entries(abs_dir, rel_dir, key_cols=self.keys)
+
+    def _acid_append(self, new: DataFrame, kts: list[tuple], op: str) -> None:
+        """Pure insert: one staged write + one atomic commit; concurrent
+        inserts of the SAME key conflict via the key digests, disjoint
+        inserts all land."""
+        import time
+
+        snap = self._txlog.snapshot()
+        adds = self._stage(new)
+        self._txlog.commit(
+            snap.version, op, time.time_ns(),
+            {"data": adds}, {},
+            touched=None,
+            append_keys=sorted(self._key_digest(kt) for kt in kts),
+        )
+
+    def _acid_rewrite(
+        self, kts: list[tuple], keep_pred, new: DataFrame | None, op: str
+    ) -> None:
+        """Copy-on-write of the files that can contain ``kts`` (per-file
+        key stats), one atomic commit. ``touched=[]`` + dropped_keys
+        makes conflicts purely key-level: same-key interleavings raise,
+        different-series writers commit concurrently; removed-file
+        path intersection still catches shared-file collisions."""
+        import time
+
+        snap = self._txlog.snapshot()
+        affected = [
+            e for e in snap.files["data"] if self._may_contain(e, kts)
+        ]
+        parts = []
+        if affected:
+            paths = [os.path.join(self.path, e["path"]) for e in affected]
+            parts.append(self.spark.read.parquet(*paths).filter(keep_pred))
+        if new is not None:
+            parts.append(new.select(*self.keys, "ts", "value"))
+        adds = []
+        if parts:
+            combined = parts[0]
+            for p in parts[1:]:
+                combined = combined.unionByName(p)
+            adds = self._stage(combined)
+        self._txlog.commit(
+            snap.version, op, time.time_ns(),
+            {"data": adds}, {"data": affected},
+            touched=set(),
+            dropped_keys=sorted(self._key_digest(kt) for kt in kts),
+        )
+
+    def vacuum(self, retention_seconds: float = 3600.0) -> int:
+        """Reclaim manifest-unreferenced files older than the retention
+        window plus checkpoint-summarized log records (see
+        ChunkStore.vacuum for the retention rationale)."""
+        if not self._acid:
+            return 0
+        import time
+
+        cutoff = time.time() - max(0.0, retention_seconds)
+        live = {e["path"] for e in self._txlog.snapshot().files["data"]}
+        files_root = os.path.join(self.path, "files")
+        n = 0
+        if os.path.isdir(files_root):
+            for entry in os.listdir(files_root):
+                d = os.path.join(files_root, entry)
+                if not os.path.isdir(d):
+                    continue
+                has_live = any(
+                    os.path.dirname(p) == os.path.relpath(d, self.path)
+                    for p in live
+                )
+                for f in os.listdir(d):
+                    abs_p = os.path.join(d, f)
+                    rel = os.path.relpath(abs_p, self.path)
+                    if rel in live:
+                        continue
+                    try:
+                        if os.path.getmtime(abs_p) > cutoff:
+                            continue
+                        if f.endswith(".parquet") or not has_live:
+                            os.remove(abs_p)
+                            n += 1
+                    except (FileNotFoundError, OSError):
+                        continue
+                try:
+                    if not has_live and not os.listdir(d):
+                        os.rmdir(d)
+                        n += 1
+                except (FileNotFoundError, OSError):
+                    pass
+        n += self._txlog.prune_log()
+        return n
 
     # ------------------------------------------------------------------
     def _to_pdf(self, attrs: dict, serie: pd.Series) -> pd.DataFrame:
@@ -105,10 +242,17 @@ class AttrStore:
             ds_ts = ds_ts.combine_first(existing)
         pdf = self._to_pdf(ts_attributes, ds_ts)
         new = nan_to_null(self.spark.createDataFrame(pdf, self._schema(pdf)), "value")
+        kt = tuple(ts_attributes[k] for k in self.keys)
         if exists:
-            self._overwrite(self.df().filter(~pred).unionByName(new))
+            if self._acid:
+                self._acid_rewrite([kt], ~pred, new, "attr_set_ts")
+            else:
+                self._overwrite(self.df().filter(~pred).unionByName(new))
         else:
-            new.write.mode("append").parquet(self.path)
+            if self._acid:
+                self._acid_append(new, [kt], "attr_set_ts")
+            else:
+                new.write.mode("append").parquet(self.path)
 
     def set_many_ts(
         self,
@@ -147,14 +291,36 @@ class AttrStore:
             raise ValueError(
                 "set_many_ts: some keys already exist; use update or replace"
             )
+        kts = [
+            kt if isinstance(kt, tuple) else (kt,) for kt in mapping
+        ]
         if not exists_any:
-            new.write.mode("append").parquet(self.path)
+            if self._acid:
+                self._acid_append(new, kts, "attr_set_many")
+            else:
+                new.write.mode("append").parquet(self.path)
             return
-        keep = self.df().join(key_set, on=list(self.keys), how="left_anti")
         if update:
             from holcstore_spark.operators.overlay import combine_first
 
             new = combine_first([new, existing_match], keys=self.keys)
+        if self._acid:
+            from functools import reduce
+
+            in_batch = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.col(k) == F.lit(v) for k, v in zip(self.keys, kt)],
+                    )
+                    for kt in kts
+                ],
+            )
+            self._acid_rewrite(kts, ~in_batch, new.select(*self.keys, "ts", "value"),
+                               "attr_set_many")
+            return
+        keep = self.df().join(key_set, on=list(self.keys), how="left_anti")
         self._overwrite(keep.unionByName(new.select(*self.keys, "ts", "value")))
 
     def get_ts(self, ts_attributes: dict, flat: bool = False):
@@ -179,7 +345,20 @@ class AttrStore:
 
     def delete(self, ts_attributes: dict) -> None:
         validate_filter_keys(ts_attributes, self.keys)
-        self._overwrite(self.df().filter(~attrs_filter(ts_attributes)))
+        pred = attrs_filter(ts_attributes)
+        if self._acid:
+            # partial attrs: resolve to concrete key tuples first so the
+            # rewrite narrows to (and conflicts on) exactly those series
+            kts = [
+                tuple(r)
+                for r in self.df().filter(pred).select(*self.keys)
+                .distinct().collect()
+            ]
+            if not kts:
+                return
+            self._acid_rewrite(kts, ~pred, None, "attr_delete")
+            return
+        self._overwrite(self.df().filter(~pred))
 
     def count(self, ts_attributes: dict | None = None) -> int:
         d = self.df().filter(attrs_filter(ts_attributes))

@@ -39,9 +39,15 @@ def run(shape: str) -> None:
 
     path = tempfile.mkdtemp(prefix=f"holc_perf_{shape}_")
     shutil.rmtree(path, ignore_errors=True)
+    # HOLC_PERF_ACID=1 runs the same harness on the transaction-log
+    # backend for apples-to-apples plain/ACID baselines
+    acid = bool(int(os.environ.get("HOLC_PERF_ACID", "0")))
     cfg = ChunkStoreConfig(keys=("key",), freq=freq, tz="Europe/Paris",
-                           chunk_axis=axis, key_types={"key": "str"})
+                           chunk_axis=axis, key_types={"key": "str"},
+                           acid=acid)
     store = ChunkStore(spark, path, cfg)
+    if acid:
+        print(f"{shape}: ACID backend")
 
     keys = spark.range(n_keys).select(
         F.concat(F.lit("serie_"), F.col("id")).alias("key")

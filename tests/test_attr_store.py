@@ -119,3 +119,103 @@ class TestSetManyTs:
             store.set_many_ts({("2024", "a"): s([1])}, update=True, replace=True)
         store.set_many_ts({})  # no-op
         assert store.count() == 0
+
+
+@pytest.fixture()
+def acid_store_attr(spark, tmp_store_path):
+    return AttrStore(spark, tmp_store_path + "_acid", keys=("year", "kind"),
+                     acid=True)
+
+
+class TestAttrStoreAcid:
+    """Full semantics matrix on the manifest backend — writes must behave
+    exactly like the plain overwrite layout."""
+
+    def test_roundtrip_update_replace_delete(self, acid_store_attr):
+        st = acid_store_attr
+        st.set_ts({"year": "2024", "kind": "a"}, s([1, 2, 3]))
+        with pytest.raises(ValueError, match="already exists"):
+            st.set_ts({"year": "2024", "kind": "a"}, s([9]))
+        st.set_ts({"year": "2024", "kind": "a"},
+                  s([100], start="2024-01-01 01:00"), update=True)
+        assert list(st.get_ts({"year": "2024", "kind": "a"}, flat=True)) == \
+            [1.0, 100.0, 3.0]
+        st.set_ts({"year": "2024", "kind": "a"}, s([7]), replace=True)
+        assert list(st.get_ts({"year": "2024", "kind": "a"}, flat=True)) == [7.0]
+        st.set_ts({"year": "2024", "kind": "b"}, s([5, 6]))
+        st.delete({"year": "2024", "kind": "a"})
+        assert st.get_ts({"year": "2024", "kind": "a"}) == []
+        assert st.count() == 1
+
+    def test_bulk_paths_and_partial_delete(self, acid_store_attr):
+        st = acid_store_attr
+        st.set_many_ts({("2024", "a"): s([1, 2]),
+                        ("2024", "b"): s([3, 4]),
+                        ("2025", "a"): s([5], start="2025-01-01")})
+        st.set_many_ts({("2024", "a"): s([9], start="2024-01-01 01:00")},
+                       update=True)
+        assert list(st.get_ts({"year": "2024", "kind": "a"}, flat=True)) == \
+            [1.0, 9.0]
+        st.delete({"kind": "a"})  # partial attrs: both years' 'a' series
+        assert st.count() == 1
+        assert list(st.get_ts({"year": "2024", "kind": "b"}, flat=True)) == \
+            [3.0, 4.0]
+
+    def test_concurrent_disjoint_key_rewrites_both_land(
+        self, spark, tmp_store_path, monkeypatch
+    ):
+        import holcstore_spark.sources.attr_store as as_mod
+
+        a = AttrStore(spark, tmp_store_path + "_cc", keys=("k",), acid=True)
+        b = AttrStore(spark, a.path, keys=("k",), acid=True)
+        a.set_ts({"k": "x"}, s([1, 2]))
+        b.set_ts({"k": "y"}, s([3, 4]))
+        orig = as_mod.AttrStore._stage
+        state = {"fired": False}
+
+        def inject(self_, df):
+            out = orig(self_, df)
+            if self_ is a and not state["fired"]:
+                state["fired"] = True
+                b.set_ts({"k": "y"}, s([30], start="2024-01-01 01:00"),
+                         update=True)
+            return out
+
+        monkeypatch.setattr(as_mod.AttrStore, "_stage", inject)
+        a.set_ts({"k": "x"}, s([10], start="2024-01-01 01:00"), update=True)
+        monkeypatch.setattr(as_mod.AttrStore, "_stage", orig)
+        assert list(a.get_ts({"k": "x"}, flat=True)) == [1.0, 10.0]
+        assert list(a.get_ts({"k": "y"}, flat=True)) == [3.0, 30.0]
+
+    def test_concurrent_same_key_rewrite_conflicts(
+        self, spark, tmp_store_path, monkeypatch
+    ):
+        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+        import holcstore_spark.sources.attr_store as as_mod
+
+        a = AttrStore(spark, tmp_store_path + "_cf", keys=("k",), acid=True)
+        b = AttrStore(spark, a.path, keys=("k",), acid=True)
+        a.set_ts({"k": "x"}, s([1, 2]))
+        orig = as_mod.AttrStore._stage
+        state = {"fired": False}
+
+        def inject(self_, df):
+            out = orig(self_, df)
+            if self_ is a and not state["fired"]:
+                state["fired"] = True
+                b.set_ts({"k": "x"}, s([7]), replace=True)
+            return out
+
+        monkeypatch.setattr(as_mod.AttrStore, "_stage", inject)
+        with pytest.raises(ConcurrentWriteError):
+            a.set_ts({"k": "x"}, s([8]), replace=True)
+        monkeypatch.setattr(as_mod.AttrStore, "_stage", orig)
+        # the winner's replacement is intact
+        assert list(a.get_ts({"k": "x"}, flat=True)) == [7.0]
+
+    def test_vacuum_reclaims_superseded(self, acid_store_attr):
+        st = acid_store_attr
+        st.set_ts({"year": "2024", "kind": "a"}, s([1, 2]))
+        st.set_ts({"year": "2024", "kind": "a"}, s([9]), replace=True)
+        assert st.vacuum(retention_seconds=0) >= 1
+        assert list(st.get_ts({"year": "2024", "kind": "a"}, flat=True)) == [9.0]
