@@ -645,7 +645,8 @@ def q_attr_store_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="holc_attr_")
     shutil.rmtree(path, ignore_errors=True)
     try:
-        store = AttrStore(spark, path, keys=("grp", "kind"), tz="UTC")
+        store = AttrStore(spark, path, keys=("grp", "kind"), tz="UTC",
+                          acid=_acid_default())
         base, patches = {}, {}
         for grp, g in pdf.groupby("grp"):
             s = pd.Series(
