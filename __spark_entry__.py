@@ -421,7 +421,7 @@ def q_kv_store_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="holc_kv_")
     shutil.rmtree(path, ignore_errors=True)
     try:
-        kv = KeyValueStore(spark, path)
+        kv = KeyValueStore(spark, path, acid=_acid_default())
         # one bulk write per version (ascending): set_many_lc assigns each
         # scope max+1, so every user ends with versions 0..2 in order —
         # 3 Spark writes instead of one per (user, version)
@@ -693,7 +693,7 @@ def q_kv_find_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="holc_kvh_")
     shutil.rmtree(path, ignore_errors=True)
     try:
-        kv = KeyValueStore(spark, path)
+        kv = KeyValueStore(spark, path, acid=_acid_default())
         batch = {}
         for uid, g in daily.groupby("user_id"):
             # keep only even-valued days? no — drop days where floor(v) % 3 == 0
@@ -1123,7 +1123,7 @@ def q_kv_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="holc_kvclear_")
     shutil.rmtree(path, ignore_errors=True)
     try:
-        kv = KeyValueStore(spark, path)
+        kv = KeyValueStore(spark, path, acid=_acid_default())
         batch = {}
         for uid, g in daily.groupby("user_id"):
             batch[str(int(uid))] = pd.Series(

@@ -164,42 +164,7 @@ class AttrStore:
         ChunkStore.vacuum for the retention rationale)."""
         if not self._acid:
             return 0
-        import time
-
-        cutoff = time.time() - max(0.0, retention_seconds)
-        live = {e["path"] for e in self._txlog.snapshot().files["data"]}
-        files_root = os.path.join(self.path, "files")
-        n = 0
-        if os.path.isdir(files_root):
-            for entry in os.listdir(files_root):
-                d = os.path.join(files_root, entry)
-                if not os.path.isdir(d):
-                    continue
-                has_live = any(
-                    os.path.dirname(p) == os.path.relpath(d, self.path)
-                    for p in live
-                )
-                for f in os.listdir(d):
-                    abs_p = os.path.join(d, f)
-                    rel = os.path.relpath(abs_p, self.path)
-                    if rel in live:
-                        continue
-                    try:
-                        if os.path.getmtime(abs_p) > cutoff:
-                            continue
-                        if f.endswith(".parquet") or not has_live:
-                            os.remove(abs_p)
-                            n += 1
-                    except (FileNotFoundError, OSError):
-                        continue
-                try:
-                    if not has_live and not os.listdir(d):
-                        os.rmdir(d)
-                        n += 1
-                except (FileNotFoundError, OSError):
-                    pass
-        n += self._txlog.prune_log()
-        return n
+        return self._txlog.vacuum_files(retention_seconds)
 
     # ------------------------------------------------------------------
     def _to_pdf(self, attrs: dict, serie: pd.Series) -> pd.DataFrame:

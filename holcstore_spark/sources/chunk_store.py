@@ -2057,65 +2057,7 @@ class ChunkStore:
         plain stores."""
         if not self._acid:
             return 0
-        cutoff = time.time() - max(0.0, retention_seconds)
-        live = {e["path"] for t in ("data", "meta")
-                for e in self._txlog.snapshot().files[t]}
-        live_dirs = {os.path.dirname(p) for p in live}
-        files_root = os.path.join(self.path, "files")
-        n = 0
-        if os.path.isdir(files_root):
-            for entry in os.listdir(files_root):
-                d = os.path.join(files_root, entry)
-                if not os.path.isdir(d):
-                    continue
-                rel_dir = os.path.relpath(d, self.path)
-                has_live = rel_dir in live_dirs
-                for f in os.listdir(d):
-                    abs_p = os.path.join(d, f)
-                    rel = os.path.relpath(abs_p, self.path)
-                    if rel in live:
-                        continue
-                    try:
-                        if os.path.getmtime(abs_p) > cutoff:
-                            continue
-                        if os.path.isdir(abs_p):
-                            # crash-orphaned committer workdirs
-                            # (_temporary/…) inside DEAD staging dirs;
-                            # inside a live dir they are left alone
-                            if not has_live:
-                                import shutil as _shutil
-
-                                _shutil.rmtree(abs_p, ignore_errors=True)
-                                n += 1
-                            continue
-                        # dead parquet anywhere; markers (_SUCCESS, .crc)
-                        # only once their directory holds no live data
-                        if f.endswith(".parquet") or not has_live:
-                            os.remove(abs_p)
-                            n += 1
-                    except (FileNotFoundError, OSError):
-                        continue  # concurrent vacuum / transient entry
-                try:
-                    if not has_live and not os.listdir(d):
-                        os.rmdir(d)
-                        n += 1
-                except (FileNotFoundError, OSError):
-                    pass  # a concurrent vacuum removed it first
-        # stale temp artifacts of crashed commit/checkpoint attempts
-        for f in os.listdir(self._txlog.dir):
-            if ".tmp-" in f:
-                pth = os.path.join(self._txlog.dir, f)
-                try:
-                    if os.path.getmtime(pth) <= cutoff:
-                        os.remove(pth)
-                        n += 1
-                except FileNotFoundError:
-                    continue
-        # commit records already summarized by the latest checkpoint add
-        # nothing to future snapshots — reclaim them too (gives up
-        # snapshot-as-of below that horizon, Delta log-retention style)
-        n += self._txlog.prune_log()
-        return n
+        return self._txlog.vacuum_files(retention_seconds)
 
     # ------------------------------------------------------------------
     # sync surface (change feed / export / import)

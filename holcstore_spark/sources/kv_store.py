@@ -59,7 +59,8 @@ class KeyValueStore:
     #: so the guard costs no extra Spark job.
     max_edge_rows: int = 10_000_000
 
-    def __init__(self, spark: SparkSession, path: str, attr_cols: tuple[str, ...] = ()):
+    def __init__(self, spark: SparkSession, path: str,
+                 attr_cols: tuple[str, ...] = (), acid: bool = False):
         """``attr_cols``: optional extra indexation columns (reference:
         ``attributes_to_set`` / subclassed model fields, README.md:199-204).
         They are string-typed."""
@@ -69,6 +70,18 @@ class KeyValueStore:
         self.spark = spark
         self.path = path
         self.attr_cols = tuple(attr_cols)
+        #: ``acid=True`` swaps the per-client overwrite layout for the
+        #: shared file-manifest transaction log (sources/txlog.py):
+        #: client_id plays the chunk role (per-file client range drives
+        #: file skipping and the touched set), prm the key role (digests
+        #: let different-prm writers of one client commit concurrently,
+        #: while two concurrent versioned appends of the SAME prm — which
+        #: would compute the same next version — conflict loudly).
+        self._acid = bool(acid)
+        if self._acid:
+            from holcstore_spark.sources.txlog import TxLog
+
+            self._txlog = TxLog(path)
 
     # ------------------------------------------------------------------
     def _schema(self) -> T.StructType:
@@ -77,13 +90,52 @@ class KeyValueStore:
         return T.StructType(fields)
 
     def df(self) -> DataFrame:
+        if self._acid:
+            files = self._txlog.snapshot().paths("data", self.path)
+            if not files:
+                return self.spark.createDataFrame([], self._schema())
+            return self.spark.read.schema(self._schema()).parquet(*files)
         # a store fully emptied by clear_all() keeps its directory but has no
         # parquet footers to infer from — treat it as the empty frame
         if not has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
 
+    # -- ACID primitives (manifest-governed immutable files) -----------
+    def _kv_digest(self, client_id, prm) -> str:
+        import hashlib
+
+        return hashlib.md5(
+            repr((int(client_id), str(prm))).encode()
+        ).hexdigest()[:16]
+
+    def _stage(self, df: DataFrame) -> list:
+        abs_dir, rel_dir = self._txlog.new_staging_dir()
+        (
+            df.select(*[f.name for f in self._schema().fields])
+            .repartitionByRange("client_id", "prm")
+            .sortWithinPartitions("prm", "version", "ts")
+            .write.mode("overwrite")
+            .parquet(abs_dir)
+        )
+        # client_id IS the chunk column of this store's manifest entries
+        return self._txlog.collect_entries(
+            abs_dir, rel_dir, key_cols=("prm",), chunk_col="client_id"
+        )
+
     def _overwrite(self, df: DataFrame) -> None:
+        if self._acid:
+            # full-table rewrite as one atomic commit (touched="all")
+            import time
+
+            snap = self._txlog.snapshot()
+            adds = self._stage(df)
+            self._txlog.commit(
+                snap.version, "kv_overwrite", time.time_ns(),
+                {"data": adds}, {"data": snap.files["data"]},
+                touched="all",
+            )
+            return
         # full-table rewrite: static overwrite mode so a client_id partition
         # emptied by clear()/clear_all() is actually removed (dynamic mode
         # only replaces partitions present in the written frame, leaving the
@@ -97,10 +149,27 @@ class KeyValueStore:
             .parquet(self.path)
         )
 
-    def _append(self, df: DataFrame) -> None:
+    def _append(self, df: DataFrame, kts: list[tuple] | None = None) -> None:
+        if self._acid:
+            # pure append: one atomic commit; (client, prm) digests make
+            # two concurrent versioned appends of the SAME prm (same
+            # next-version computed from a shared base) conflict loudly
+            import time
+
+            snap = self._txlog.snapshot()
+            adds = self._stage(df)
+            self._txlog.commit(
+                snap.version, "kv_append", time.time_ns(),
+                {"data": adds}, {},
+                touched=None,
+                append_keys=sorted(self._kv_digest(c, p) for c, p in kts)
+                if kts is not None else None,
+            )
+            return
         df.repartition("client_id").write.mode("append").partitionBy("client_id").parquet(self.path)
 
-    def _overwrite_client(self, client_id: int, remaining: DataFrame) -> None:
+    def _overwrite_client(self, client_id: int, remaining: DataFrame,
+                          dropped: list | None = None) -> None:
         """Rewrite ONLY ``client_id``'s partition directory. Non-versioned
         writes and per-tenant clears are tenant-scoped in the reference
         (hostore.py:396-432); scoping the physical rewrite the same way
@@ -109,6 +178,27 @@ class KeyValueStore:
         import shutil
 
         cid = int(client_id)
+        if self._acid:
+            # copy-on-write of this client's files only (per-file
+            # client_id range = the chunk stats), one atomic commit;
+            # dropped (client, prm) digests keep conflicts prm-level
+            import time
+
+            snap = self._txlog.snapshot()
+            affected = [
+                e for e in snap.files["data"]
+                if e.get("chunk_min") is None
+                or e["chunk_min"] <= cid <= e["chunk_max"]
+            ]
+            adds = self._stage(remaining.filter(F.col("client_id") == cid))
+            self._txlog.commit(
+                snap.version, "kv_overwrite_client", time.time_ns(),
+                {"data": adds}, {"data": affected},
+                touched={cid},
+                dropped_keys=sorted(self._kv_digest(cid, p) for p in dropped)
+                if dropped is not None else None,
+            )
+            return
         part_path = os.path.join(self.path, f"client_id={cid}")
         remaining = remaining.filter(F.col("client_id") == cid).drop("client_id")
         remaining = safe_local_checkpoint(remaining)
@@ -173,7 +263,10 @@ class KeyValueStore:
                 scope[k] = prm if k == "prm" else attrs.get(k)
             version = self._next_version(scope)
             pdf = self._series_to_pdf(prm, serie, client_id, version, attrs)
-            self._append(nan_to_null(self.spark.createDataFrame(pdf, self._schema()), "value"))
+            self._append(
+                nan_to_null(self.spark.createDataFrame(pdf, self._schema()), "value"),
+                kts=[(client_id, prm)],
+            )
         else:
             pdf = self._series_to_pdf(prm, serie, client_id, 0, attrs)
             new = nan_to_null(self.spark.createDataFrame(pdf, self._schema()), "value")
@@ -181,7 +274,8 @@ class KeyValueStore:
                 (F.col("client_id") == int(client_id))
                 & ~((F.col("prm") == str(prm)) & (F.col("version") == 0))
             )
-            self._overwrite_client(client_id, old.unionByName(new))
+            self._overwrite_client(client_id, old.unionByName(new),
+                                   dropped=[prm])
 
     def set_many_lc(
         self,
@@ -234,14 +328,15 @@ class KeyValueStore:
                 )
                 .drop("__maxv", "__series_ord")
             )
-            self._append(out)
+            self._append(out, kts=[(client_id, p) for p in dataseries])
         else:
             prms = [str(p) for p in dataseries]
             old = self.df().filter(
                 (F.col("client_id") == int(client_id))
                 & ~(F.col("prm").isin(prms) & (F.col("version") == 0))
             )
-            self._overwrite_client(client_id, old.unionByName(new.drop("__series_ord")))
+            self._overwrite_client(client_id, old.unionByName(new.drop("__series_ord")),
+                                   dropped=prms)
 
     # ------------------------------------------------------------------
     def _edge_collect(self, ordered: DataFrame) -> pd.DataFrame:
@@ -375,7 +470,10 @@ class KeyValueStore:
         remaining = self.df().filter(
             (F.col("client_id") == int(client_id)) & ~pred
         )
-        self._overwrite_client(client_id, remaining)
+        # clears with version/custom filters drop only SOME rows of a prm
+        # — still safe to declare the prms: conflicts are per (client,prm)
+        self._overwrite_client(client_id, remaining,
+                               dropped=[str(p) for p in prms])
 
     def clear_all(self, client_id: int | None = None, custom_filters: dict | None = None) -> None:
         pred = attrs_filter(custom_filters)
@@ -387,6 +485,14 @@ class KeyValueStore:
         self._overwrite(self.df().filter(~pred))
 
     # ------------------------------------------------------------------
+    def vacuum(self, retention_seconds: float = 3600.0) -> int:
+        """Reclaim manifest-unreferenced files older than the retention
+        window plus checkpoint-summarized log records (ACID stores only;
+        see ChunkStore.vacuum for the retention rationale)."""
+        if not self._acid:
+            return 0
+        return self._txlog.vacuum_files(retention_seconds)
+
     def find_holes(
         self,
         prms: list | None,

@@ -447,6 +447,68 @@ class TxLog:
                 f"chunks {touched} our keep-set was derived from"
             )
 
+    def vacuum_files(self, retention_seconds: float = 3600.0) -> int:
+        """Generic file GC shared by every manifest-backed store: delete
+        ``files/`` entries the CURRENT snapshot no longer references and
+        that are older than the retention window (freshly staged files of
+        an in-flight writer are indistinguishable from crash orphans —
+        the age gate is what makes vacuum safe alongside writers), plus
+        crash-orphaned committer workdirs in dead staging dirs, emptied
+        staging dirs, stale log temp artifacts, and checkpoint-summarized
+        commit records."""
+        import time as _time
+
+        cutoff = _time.time() - max(0.0, retention_seconds)
+        live = {
+            e["path"] for t in self.TABLES for e in self.snapshot().files[t]
+        }
+        live_dirs = {os.path.dirname(p) for p in live}
+        files_root = os.path.join(self.root, "files")
+        n = 0
+        if os.path.isdir(files_root):
+            for entry in os.listdir(files_root):
+                d = os.path.join(files_root, entry)
+                if not os.path.isdir(d):
+                    continue
+                rel_dir = os.path.relpath(d, self.root)
+                has_live = rel_dir in live_dirs
+                for f in os.listdir(d):
+                    abs_p = os.path.join(d, f)
+                    rel = os.path.relpath(abs_p, self.root)
+                    if rel in live:
+                        continue
+                    try:
+                        if os.path.getmtime(abs_p) > cutoff:
+                            continue
+                        if os.path.isdir(abs_p):
+                            if not has_live:
+                                import shutil as _shutil
+
+                                _shutil.rmtree(abs_p, ignore_errors=True)
+                                n += 1
+                            continue
+                        if f.endswith(".parquet") or not has_live:
+                            os.remove(abs_p)
+                            n += 1
+                    except (FileNotFoundError, OSError):
+                        continue
+                try:
+                    if not has_live and not os.listdir(d):
+                        os.rmdir(d)
+                        n += 1
+                except (FileNotFoundError, OSError):
+                    pass
+        for f in os.listdir(self.dir):
+            if ".tmp-" in f:
+                p = os.path.join(self.dir, f)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                        n += 1
+                except FileNotFoundError:
+                    continue
+        return n + self.prune_log()
+
     def prune_log(self) -> int:
         """Delete commit records (and older checkpoints) at or below the
         latest checkpoint — they are fully summarized by it. Gives up
@@ -480,7 +542,11 @@ class TxLog:
         return os.path.join(self.root, rel), rel
 
     def collect_entries(
-        self, abs_dir: str, rel_dir: str, key_cols: tuple[str, ...] = ()
+        self,
+        abs_dir: str,
+        rel_dir: str,
+        key_cols: tuple[str, ...] = (),
+        chunk_col: str = "chunk_index",
     ) -> list[FileEntry]:
         out = []
         for f in sorted(os.listdir(abs_dir)):
@@ -489,6 +555,7 @@ class TxLog:
                     file_entry(
                         os.path.join(abs_dir, f),
                         os.path.join(rel_dir, f),
+                        chunk_col=chunk_col,
                         key_cols=key_cols,
                     )
                 )

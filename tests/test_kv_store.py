@@ -244,3 +244,116 @@ class TestHoles:
         all_ranges = {r for rs in groups for r in [rs]}
         assert any("c" in prms for prms in groups.values())
         assert any("b" in prms for prms in groups.values())
+
+
+@pytest.fixture()
+def kv_acid(spark, tmp_store_path):
+    return KeyValueStore(spark, tmp_store_path + "_acid", acid=True)
+
+
+class TestKvAcid:
+    """KV semantics on the manifest backend (client_id = chunk role,
+    prm = key role in the transaction log)."""
+
+    def test_versioned_overlay_roundtrip(self, kv_acid):
+        kv = kv_acid
+        kv.set_lc("p1", dt_series([1, 2, None]), client_id=7, versionning=True)
+        kv.set_lc("p1", dt_series([None, 20, 30]), client_id=7, versionning=True)
+        got = kv.get_lc("p1", 7)[0]["data"]  # latest wins, older fills holes
+        assert list(got) == [1.0, 20.0, 30.0]
+
+    def test_nonversioned_replace_and_clear(self, kv_acid):
+        kv = kv_acid
+        kv.set_lc("p1", dt_series([1, 2]), client_id=1)
+        kv.set_lc("p1", dt_series([9, 9]), client_id=1)  # replaces v0
+        assert list(kv.get_lc("p1", 1)[0]["data"]) == [9.0, 9.0]
+        kv.set_lc("p2", dt_series([5]), client_id=1)
+        kv.clear(["p1"], client_id=1)
+        assert kv.get_lc("p1", 1) == []
+        assert list(kv.get_lc("p2", 1)[0]["data"]) == [5.0]
+
+    def test_bulk_and_clear_all(self, kv_acid):
+        kv = kv_acid
+        kv.set_many_lc({"a": dt_series([1]), "b": dt_series([2])}, client_id=3,
+                       versionning=True)
+        kv.set_many_lc({"a": dt_series([10])}, client_id=3, versionning=True)
+        assert list(kv.get_lc("a", 3)[0]["data"]) == [10.0]
+        kv.clear_all(client_id=3)
+        assert kv.count(3) == 0
+        # a fully-emptied acid store still reads as empty, not an error
+        assert kv.get_lc("a", 3) == []
+
+    def test_concurrent_different_prms_both_land(
+        self, spark, tmp_store_path, monkeypatch
+    ):
+        import holcstore_spark.sources.kv_store as kv_mod
+
+        a = KeyValueStore(spark, tmp_store_path + "_cc", acid=True)
+        b = KeyValueStore(spark, a.path, acid=True)
+        orig = kv_mod.KeyValueStore._stage
+        state = {"fired": False}
+
+        def inject(self_, df):
+            out = orig(self_, df)
+            if self_ is a and not state["fired"]:
+                state["fired"] = True
+                b.set_lc("py", dt_series([2]), client_id=1, versionning=True)
+            return out
+
+        monkeypatch.setattr(kv_mod.KeyValueStore, "_stage", inject)
+        a.set_lc("px", dt_series([1]), client_id=1, versionning=True)
+        monkeypatch.setattr(kv_mod.KeyValueStore, "_stage", orig)
+        assert list(a.get_lc("px", 1)[0]["data"]) == [1.0]
+        assert list(a.get_lc("py", 1)[0]["data"]) == [2.0]
+
+    def test_concurrent_same_prm_versioned_appends_conflict(
+        self, spark, tmp_store_path, monkeypatch
+    ):
+        # both writers would compute the SAME next version from a shared
+        # base — exactly the silent lost-update the digests must catch
+        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+        import holcstore_spark.sources.kv_store as kv_mod
+
+        a = KeyValueStore(spark, tmp_store_path + "_cf", acid=True)
+        b = KeyValueStore(spark, a.path, acid=True)
+        a.set_lc("p", dt_series([0]), client_id=1, versionning=True)
+        orig = kv_mod.KeyValueStore._stage
+        state = {"fired": False}
+
+        def inject(self_, df):
+            out = orig(self_, df)
+            if self_ is a and not state["fired"]:
+                state["fired"] = True
+                b.set_lc("p", dt_series([2]), client_id=1, versionning=True)
+            return out
+
+        monkeypatch.setattr(kv_mod.KeyValueStore, "_stage", inject)
+        with pytest.raises(ConcurrentWriteError):
+            a.set_lc("p", dt_series([3]), client_id=1, versionning=True)
+        monkeypatch.setattr(kv_mod.KeyValueStore, "_stage", orig)
+        # the winner's version landed; no duplicate-version rows
+        got = a.get_lc("p", 1)[0]["data"]
+        assert list(got) == [2.0]
+
+    def test_vacuum(self, kv_acid):
+        kv = kv_acid
+        kv.set_lc("p1", dt_series([1, 2]), client_id=1)
+        kv.set_lc("p1", dt_series([9, 9]), client_id=1)
+        assert kv.vacuum(retention_seconds=0) >= 1
+        assert list(kv.get_lc("p1", 1)[0]["data"]) == [9.0, 9.0]
+
+    def test_cross_client_isolation(self, kv_acid):
+        # regression: manifest entries must carry client_id as their
+        # chunk stats — without them every rewrite treated ALL files as
+        # affected and one tenant's write clobbered the others
+        kv = kv_acid
+        kv.set_many_lc({"a": dt_series([1]), "b": dt_series([2])}, client_id=1)
+        kv.set_many_lc({"a": dt_series([3])}, client_id=2)
+        assert list(kv.get_lc("a", 1)[0]["data"]) == [1.0]
+        assert list(kv.get_lc("b", 1)[0]["data"]) == [2.0]
+        assert list(kv.get_lc("a", 2)[0]["data"]) == [3.0]
+        kv.clear(["a"], client_id=1)
+        assert kv.get_lc("a", 1) == []
+        assert list(kv.get_lc("a", 2)[0]["data"]) == [3.0]
+        kv.clear_all(client_id=2)
+        assert kv.count(1) == 1 and kv.count(2) == 0
