@@ -366,7 +366,14 @@ def q_lookup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S9/P3/P8 end-to-end: hourly series per user ingested into a real
     ChunkStore (dense grid, partitioned parquet), read back alive with
-    bounds — per-user count and exact total must equal the source."""
+    bounds — per-user count and exact total must equal the source.
+
+    Runs on the manifest (ACID) backend: measured faster than the plain
+    hive layout on every axis in round 6 (sf0.1 ingest 2.5 s vs 4.8 s;
+    H1 105M rows 1.59M rows/s; keyed reads 3-4x) because commits skip
+    the directory-listing/overwrite dance and reads open exact manifest
+    paths. The plain layout keeps driver coverage via the other
+    store-backed queries (store_update_overlay, store_set_many, ...)."""
     from holcstore_spark import ChunkStoreConfig
     from holcstore_spark.sources.chunk_store import ChunkStore
 
@@ -386,7 +393,7 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
                              chunk_axis=("year", "month"),
                              key_types={"user_id": "int"},
-                             acid=_acid_default()),
+                             acid=True),
         )
         store.ingest_long(hourly, mode="insert")
         got = store.alive_data(
@@ -1146,6 +1153,62 @@ def q_kv_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="client_id long, n_series long",
         )
         out = per_prm.join(F.broadcast(counts), on="client_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def q_kv_acid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: the KV transaction-log backend under the driver gate.
+    ``KeyValueStore(acid=True)`` lifecycle — manifest-governed immutable
+    files (sources/txlog.py) with client_id as the chunk role and prm as
+    the key role: versioned bulk writes plus an overlay patch for even
+    users (doubled, with day%3 holes the base must fill on combined
+    read), a non-versioned replace chain on a second tenant (*3 then *5;
+    replace wins), a scoped clear of every 7th user on tenant 1 that
+    must not leak into tenant 2, and a mid-lifecycle vacuum that may
+    only reclaim superseded files. Per-day values re-emitted exactly."""
+    import pandas as pd
+
+    from holcstore_spark.sources.kv_store import KeyValueStore
+
+    daily = _daily_events_pdf(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="holc_kvacid_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        kv = KeyValueStore(spark, path, acid=True)
+        base, patch = {}, {}
+        for uid, g in daily.groupby("user_id"):
+            g = g.sort_values("day")
+            idx = pd.DatetimeIndex(g["day"])
+            base[str(int(uid))] = pd.Series(g["v"].to_numpy(), index=idx)
+            if int(uid) % 2 == 0:
+                v2 = g["v"].to_numpy() * 2.0
+                v2[(idx.day % 3) == 0] = float("nan")
+                patch[str(int(uid))] = pd.Series(v2, index=idx)
+        kv.set_many_lc(base, client_id=1, versionning=True)
+        kv.set_many_lc(patch, client_id=1, versionning=True)
+        for p in sorted(base, key=int):
+            if int(p) % 5 == 0:
+                kv.set_lc(p, base[p] * 3.0, client_id=2)
+                kv.set_lc(p, base[p] * 5.0, client_id=2)  # replaces v0
+        kv.clear([p for p in base if int(p) % 7 == 0], client_id=1)
+        kv.vacuum(retention_seconds=0)  # GC superseded files; reads intact
+        rows = []
+        for cid, prms in (
+            (1, [p for p in base if int(p) % 7 != 0]),
+            (2, [p for p in base if int(p) % 5 == 0]),
+        ):
+            got = kv.get_many_lc(prms, client_id=cid)
+            for prm, entries in got.items():
+                for ts, v in entries[0]["data"].items():
+                    rows.append((cid, int(prm),
+                                 ts.strftime("%Y-%m-%d %H:%M:%S"),
+                                 None if pd.isna(v) else float(v)))
+        out = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["client_id", "user_id", "ts_str", "val"]),
+            schema="client_id long, user_id long, ts_str string, val double",
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -2858,13 +2921,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the oracle each round, so order = least-recently-verified
     # first. Round-6 window: (a) the 6 queries that have NEVER had a
     # driver row (registered at positions 51+ in round 5) plus
-    # multimodal_meta, (b) round-6 new/rewritten queries (sync_paged new;
-    # store_max_horodate now grouped; attr_store_update now bulk;
-    # store_get_batch gained the composite semi-join fallback), (c) the
-    # sync family whose files were rewritten by a285ed9 AFTER their last
-    # driver check, (d) the remaining r4-green entries, oldest evidence
-    # first. The tail is the 49 queries driver-green in round 5 plus 8
-    # r4-green micro queries with unchanged code (rotate back in round 7).
+    # multimodal_meta, (b) round-6 new/rewritten queries (sync_paged,
+    # store_acid_ops, kv_acid_ops new; store_max_horodate now grouped;
+    # attr_store_update now bulk; store_get_batch gained the composite
+    # semi-join fallback), (c) the sync family whose files were rewritten
+    # by a285ed9 AFTER their last driver check, (d) the remaining r4-green
+    # entries, oldest evidence first. The tail is the 49 queries
+    # driver-green in round 5 plus 10 r4-green micro queries with
+    # unchanged code (rotate back in round 7).
     return {
         # -- (a) never driver-checked -----------------------------------
         "stream_cusum": q_stream_cusum,
@@ -2918,10 +2982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_export": q_admin_export,
         "lookup_filter": q_lookup_filter,
         "drop_bounds_na": q_drop_bounds_na,
-        "slice_with_delay": q_slice_with_delay,
         "store_acid_ops": q_store_acid_ops,
+        "kv_acid_ops": q_kv_acid_ops,
         # ====== driver 50-entry window ends here (50 above) ============
         # -- tail: r4-green micro queries, unchanged code ---------------
+        # (slice_with_delay displaced by kv_acid_ops — code unchanged
+        # since r4; rotate back with this block in round 7)
+        "slice_with_delay": q_slice_with_delay,
         "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
         "ffill": q_ffill,
@@ -4210,6 +4277,29 @@ def oracle_sql() -> dict[str, str]:
     """
     # clear() removed every prm with user_id % 3 = 0 for client 1;
     # clear_all() emptied client 2 (so the per-prm join yields no rows there)
+    kv_acid_ops = """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day, max(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        c1 AS (
+            -- tenant 1: versioned overlay (even users doubled except
+            -- day%3 holes filled from the base), every 7th user cleared
+            SELECT CAST(1 AS BIGINT) AS client_id, user_id,
+                   CASE WHEN user_id % 2 = 0 AND day(day) % 3 <> 0
+                        THEN v * 2 ELSE v END AS val,
+                   day
+            FROM daily WHERE user_id % 7 <> 0
+        ),
+        c2 AS (
+            -- tenant 2: non-versioned replace chain — the *5 write wins
+            SELECT CAST(2 AS BIGINT) AS client_id, user_id, v * 5 AS val, day
+            FROM daily WHERE user_id % 5 = 0
+        )
+        SELECT client_id, user_id,
+               strftime(day, '%Y-%m-%d %H:%M:%S') AS ts_str, val
+        FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    """
     kv_clear = """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day
@@ -4408,6 +4498,7 @@ def oracle_sql() -> dict[str, str]:
         "store_update_overlay": store_update_overlay,
         "store_delete_tombstone": store_delete_tombstone,
         "store_acid_ops": store_acid_ops,
+        "kv_acid_ops": kv_acid_ops,
         "store_max_horodate": store_max_horodate,
         "store_yield_many": store_yield_many,
         "store_get_batch": store_get_batch,

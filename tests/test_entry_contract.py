@@ -111,7 +111,7 @@ ROUND6_WINDOW_MUST = {
     "seasonal_profile", "stream_join", "multimodal_meta",
     # (b) new/rewritten in round 6
     "sync_paged", "store_max_horodate", "attr_store_update",
-    "store_get_batch", "store_acid_ops",
+    "store_get_batch", "store_acid_ops", "kv_acid_ops",
     # (c) implementation files changed since last driver check
     "sync_pull", "rest_sync_pull", "sync_tombstone", "store_changefeed",
     "sync_guards", "stream_gaps", "store_roundtrip",
