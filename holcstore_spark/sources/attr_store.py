@@ -69,14 +69,28 @@ class AttrStore:
         from holcstore_spark.sources.io_util import has_parquet
 
         if self._acid:
-            files = self._txlog.snapshot().paths("data", self.path)
-            if not files:
-                return self.spark.createDataFrame([], self._schema())
-            return self.spark.read.parquet(*files)
+            return self._df_at(self._txlog.snapshot())
         # emptied stores keep their directory with no parquet footers
         if not has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
+
+    def _pin(self):
+        """Snapshot captured ONCE at mutation start (ACID only; None on
+        the plain layout). The existence check, the update read-back, the
+        keep-set, and the commit's base_version all come from this one
+        snapshot — a commit interleaving mid-operation then sits ABOVE
+        our base and is conflict-checked by the rebase walk, instead of
+        silently becoming part of a fresher commit base."""
+        return self._txlog.snapshot() if self._acid else None
+
+    def _df_at(self, snap) -> DataFrame:
+        if snap is None:
+            return self.df()
+        files = snap.paths("data", self.path)
+        if not files:
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.parquet(*files)
 
     def _overwrite(self, df: DataFrame) -> None:
         df = safe_local_checkpoint(df)
@@ -110,32 +124,30 @@ class AttrStore:
         )
         return self._txlog.collect_entries(abs_dir, rel_dir, key_cols=self.keys)
 
-    def _acid_append(self, new: DataFrame, kts: list[tuple], op: str) -> None:
+    def _acid_append(self, new: DataFrame, kts: list[tuple], op: str,
+                     snap=None) -> None:
         """Pure insert: one staged write + one atomic commit; concurrent
         inserts of the SAME key conflict via the key digests, disjoint
         inserts all land."""
-        import time
-
-        snap = self._txlog.snapshot()
+        snap = snap if snap is not None else self._txlog.snapshot()
         adds = self._stage(new)
         self._txlog.commit(
-            snap.version, op, time.time_ns(),
+            snap.version, op, self._txlog.next_op_id(snap),
             {"data": adds}, {},
             touched=None,
             append_keys=sorted(self._key_digest(kt) for kt in kts),
         )
 
     def _acid_rewrite(
-        self, kts: list[tuple], keep_pred, new: DataFrame | None, op: str
+        self, kts: list[tuple], keep_pred, new: DataFrame | None, op: str,
+        snap=None,
     ) -> None:
         """Copy-on-write of the files that can contain ``kts`` (per-file
         key stats), one atomic commit. ``touched=[]`` + dropped_keys
         makes conflicts purely key-level: same-key interleavings raise,
         different-series writers commit concurrently; removed-file
         path intersection still catches shared-file collisions."""
-        import time
-
-        snap = self._txlog.snapshot()
+        snap = snap if snap is not None else self._txlog.snapshot()
         affected = [
             e for e in snap.files["data"] if self._may_contain(e, kts)
         ]
@@ -152,7 +164,7 @@ class AttrStore:
                 combined = combined.unionByName(p)
             adds = self._stage(combined)
         self._txlog.commit(
-            snap.version, op, time.time_ns(),
+            snap.version, op, self._txlog.next_op_id(snap),
             {"data": adds}, {"data": affected},
             touched=set(),
             dropped_keys=sorted(self._key_digest(kt) for kt in kts),
@@ -197,25 +209,30 @@ class AttrStore:
             raise ValueError("update and replace are mutually exclusive")
         self._ensure_full(ts_attributes)
         pred = attrs_filter(ts_attributes)
-        exists = bool(self.df().filter(pred).limit(1).count())
+        snap = self._pin()
+        base = self._df_at(snap)
+        exists = bool(base.filter(pred).limit(1).count())
         if exists and not (update or replace):
             raise ValueError(
                 f"series {ts_attributes} already exists; use update or replace"
             )
         if exists and update:
-            existing = self.get_ts(ts_attributes, flat=True)
+            # read back from the SAME pinned snapshot the commit bases on
+            existing = long_to_series(
+                base.filter(pred).orderBy("ts").toPandas(), self.tz
+            )
             ds_ts = ds_ts.combine_first(existing)
         pdf = self._to_pdf(ts_attributes, ds_ts)
         new = nan_to_null(self.spark.createDataFrame(pdf, self._schema(pdf)), "value")
         kt = tuple(ts_attributes[k] for k in self.keys)
         if exists:
             if self._acid:
-                self._acid_rewrite([kt], ~pred, new, "attr_set_ts")
+                self._acid_rewrite([kt], ~pred, new, "attr_set_ts", snap=snap)
             else:
                 self._overwrite(self.df().filter(~pred).unionByName(new))
         else:
             if self._acid:
-                self._acid_append(new, [kt], "attr_set_ts")
+                self._acid_append(new, [kt], "attr_set_ts", snap=snap)
             else:
                 new.write.mode("append").parquet(self.path)
 
@@ -249,8 +266,10 @@ class AttrStore:
             frames.append(self._to_pdf(attrs, serie))
         pdf = pd.concat(frames, ignore_index=True)
         new = nan_to_null(self.spark.createDataFrame(pdf, self._schema(pdf)), "value")
+        snap = self._pin()
+        base = self._df_at(snap)
         key_set = new.select(*self.keys).distinct()
-        existing_match = self.df().join(key_set, on=list(self.keys), how="left_semi")
+        existing_match = base.join(key_set, on=list(self.keys), how="left_semi")
         exists_any = bool(existing_match.limit(1).count())
         if exists_any and not (update or replace):
             raise ValueError(
@@ -261,7 +280,7 @@ class AttrStore:
         ]
         if not exists_any:
             if self._acid:
-                self._acid_append(new, kts, "attr_set_many")
+                self._acid_append(new, kts, "attr_set_many", snap=snap)
             else:
                 new.write.mode("append").parquet(self.path)
             return
@@ -283,7 +302,7 @@ class AttrStore:
                 ],
             )
             self._acid_rewrite(kts, ~in_batch, new.select(*self.keys, "ts", "value"),
-                               "attr_set_many")
+                               "attr_set_many", snap=snap)
             return
         keep = self.df().join(key_set, on=list(self.keys), how="left_anti")
         self._overwrite(keep.unionByName(new.select(*self.keys, "ts", "value")))
@@ -313,15 +332,17 @@ class AttrStore:
         pred = attrs_filter(ts_attributes)
         if self._acid:
             # partial attrs: resolve to concrete key tuples first so the
-            # rewrite narrows to (and conflicts on) exactly those series
+            # rewrite narrows to (and conflicts on) exactly those series;
+            # resolved from the SAME pinned snapshot the commit bases on
+            snap = self._pin()
             kts = [
                 tuple(r)
-                for r in self.df().filter(pred).select(*self.keys)
+                for r in self._df_at(snap).filter(pred).select(*self.keys)
                 .distinct().collect()
             ]
             if not kts:
                 return
-            self._acid_rewrite(kts, ~pred, None, "attr_delete")
+            self._acid_rewrite(kts, ~pred, None, "attr_delete", snap=snap)
             return
         self._overwrite(self.df().filter(~pred))
 

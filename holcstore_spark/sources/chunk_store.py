@@ -109,13 +109,20 @@ class _Txn:
     declares for conflict detection, and (for inserts) the key digests
     that let concurrent same-key appends conflict precisely."""
 
-    __slots__ = ("op", "snapshot", "adds", "removes", "touched",
+    __slots__ = ("op", "snapshot", "op_id", "adds", "removes", "touched",
                  "append_keys", "dropped_keys", "dropped_unknown",
                  "dropped_key_tuples", "compaction_backup")
 
     def __init__(self, op: str, snapshot):
         self.op = op
         self.snapshot = snapshot
+        #: Lamport stamp — strictly above every op_id the base snapshot
+        #: replayed, so latest_meta's op_id winner resolution follows
+        #: commit CAUSALITY, not wall-clock order, under multi-host
+        #: clock skew (txlog.TxLog.next_op_id)
+        from holcstore_spark.sources.txlog import TxLog
+
+        self.op_id = TxLog.next_op_id(snapshot)
         self.adds = {"data": [], "meta": []}
         self.removes = {"data": [], "meta": []}
         self.touched = None  # None = pure append | "all" | set[int]
@@ -282,7 +289,7 @@ class ChunkStore:
             self._txlog.commit(
                 base_version=snap.version,
                 op=op,
-                op_id=time.time_ns(),
+                op_id=txn.op_id,
                 adds=txn.adds,
                 removes=txn.removes,
                 touched=txn.touched,
@@ -303,7 +310,7 @@ class ChunkStore:
             self._txlog.commit(
                 base_version=snap.version,
                 op=op,
-                op_id=time.time_ns(),
+                op_id=txn.op_id,
                 adds=txn.adds,
                 removes=txn.removes,
                 touched=txn.touched,
@@ -705,7 +712,19 @@ class ChunkStore:
             )
 
     def _now_stamp(self) -> tuple[datetime, int]:
-        return datetime.now(timezone.utc), time.time_ns()
+        """(updated_at, op_id) for meta rows. Inside an ACID transaction
+        the op_id is the txn's Lamport stamp (derived from the base
+        snapshot's max observed op_id) so that the commit record and
+        every meta row it stages carry ONE stamp that orders causally
+        across skewed writer clocks; outside a txn (plain layout,
+        single-writer contract) raw wall-clock nanoseconds."""
+        import threading
+
+        now = datetime.now(timezone.utc)
+        txn = self._active_txn
+        if txn is not None and self._txn_owner == threading.get_ident():
+            return now, txn.op_id
+        return now, time.time_ns()
 
     # ------------------------------------------------------------------
     # normalization (driver-side, one series)

@@ -91,15 +91,31 @@ class KeyValueStore:
 
     def df(self) -> DataFrame:
         if self._acid:
-            files = self._txlog.snapshot().paths("data", self.path)
-            if not files:
-                return self.spark.createDataFrame([], self._schema())
-            return self.spark.read.schema(self._schema()).parquet(*files)
+            return self._df_at(self._txlog.snapshot())
         # a store fully emptied by clear_all() keeps its directory but has no
         # parquet footers to infer from — treat it as the empty frame
         if not has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
+
+    def _pin(self):
+        """Snapshot captured ONCE at mutation start (ACID only; None on
+        the plain layout). Every read a write op performs — existence,
+        next version, the keep-set — and the commit's base_version come
+        from THIS snapshot, so a commit interleaving between the read
+        and our commit is at a version ABOVE our base and gets walked by
+        the rebase conflict check. Reading from a fresh snapshot per
+        call would let such a commit slip under the base, bypassing the
+        advertised append_keys/dropped_keys protection."""
+        return self._txlog.snapshot() if self._acid else None
+
+    def _df_at(self, snap) -> DataFrame:
+        if snap is None:
+            return self.df()
+        files = snap.paths("data", self.path)
+        if not files:
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.schema(self._schema()).parquet(*files)
 
     # -- ACID primitives (manifest-governed immutable files) -----------
     def _kv_digest(self, client_id, prm) -> str:
@@ -123,15 +139,13 @@ class KeyValueStore:
             abs_dir, rel_dir, key_cols=("prm",), chunk_col="client_id"
         )
 
-    def _overwrite(self, df: DataFrame) -> None:
+    def _overwrite(self, df: DataFrame, snap=None) -> None:
         if self._acid:
             # full-table rewrite as one atomic commit (touched="all")
-            import time
-
-            snap = self._txlog.snapshot()
+            snap = snap if snap is not None else self._txlog.snapshot()
             adds = self._stage(df)
             self._txlog.commit(
-                snap.version, "kv_overwrite", time.time_ns(),
+                snap.version, "kv_overwrite", self._txlog.next_op_id(snap),
                 {"data": adds}, {"data": snap.files["data"]},
                 touched="all",
             )
@@ -149,17 +163,16 @@ class KeyValueStore:
             .parquet(self.path)
         )
 
-    def _append(self, df: DataFrame, kts: list[tuple] | None = None) -> None:
+    def _append(self, df: DataFrame, kts: list[tuple] | None = None,
+                snap=None) -> None:
         if self._acid:
             # pure append: one atomic commit; (client, prm) digests make
             # two concurrent versioned appends of the SAME prm (same
             # next-version computed from a shared base) conflict loudly
-            import time
-
-            snap = self._txlog.snapshot()
+            snap = snap if snap is not None else self._txlog.snapshot()
             adds = self._stage(df)
             self._txlog.commit(
-                snap.version, "kv_append", time.time_ns(),
+                snap.version, "kv_append", self._txlog.next_op_id(snap),
                 {"data": adds}, {},
                 touched=None,
                 append_keys=sorted(self._kv_digest(c, p) for c, p in kts)
@@ -169,12 +182,13 @@ class KeyValueStore:
         df.repartition("client_id").write.mode("append").partitionBy("client_id").parquet(self.path)
 
     def _overwrite_client(self, client_id: int, remaining: DataFrame,
-                          dropped: list | None = None) -> None:
+                          dropped: list | None = None, snap=None) -> None:
         """Rewrite ONLY ``client_id``'s partition directory. Non-versioned
         writes and per-tenant clears are tenant-scoped in the reference
         (hostore.py:396-432); scoping the physical rewrite the same way
         keeps the blast radius at one partition — other tenants' files are
-        never read, rewritten, or touched."""
+        never read, rewritten, or touched (ACID: never LOST — shared
+        files' bystander rows ride along into the staged rewrite)."""
         import shutil
 
         cid = int(client_id)
@@ -182,17 +196,32 @@ class KeyValueStore:
             # copy-on-write of this client's files only (per-file
             # client_id range = the chunk stats), one atomic commit;
             # dropped (client, prm) digests keep conflicts prm-level
-            import time
-
-            snap = self._txlog.snapshot()
+            snap = snap if snap is not None else self._txlog.snapshot()
             affected = [
                 e for e in snap.files["data"]
                 if e.get("chunk_min") is None
                 or e["chunk_min"] <= cid <= e["chunk_max"]
             ]
-            adds = self._stage(remaining.filter(F.col("client_id") == cid))
+            staged = remaining.filter(F.col("client_id") == cid)
+            if affected:
+                # files can span clients (_overwrite/clear_all stage the
+                # whole table): removing them while re-staging only cid's
+                # rows would silently delete OTHER tenants' rows — read
+                # the affected files back and carry the bystanders into
+                # the rewrite (ChunkStore._rewrite_acid's keep-set
+                # pattern). Path-intersection conflict detection covers a
+                # concurrent writer of a bystander tenant sharing a file.
+                paths = [os.path.join(self.path, e["path"]) for e in affected]
+                bystanders = (
+                    self.spark.read.schema(self._schema()).parquet(*paths)
+                    .filter(F.col("client_id") != cid)
+                )
+                cols = [f.name for f in self._schema().fields]
+                staged = bystanders.select(*cols).unionByName(staged.select(*cols))
+            adds = self._stage(staged)
             self._txlog.commit(
-                snap.version, "kv_overwrite_client", time.time_ns(),
+                snap.version, "kv_overwrite_client",
+                self._txlog.next_op_id(snap),
                 {"data": adds}, {"data": affected},
                 touched={cid},
                 dropped_keys=sorted(self._kv_digest(cid, p) for p in dropped)
@@ -238,8 +267,8 @@ class KeyValueStore:
             pdf[a] = str(attrs[a]) if attrs and a in attrs else None
         return pdf
 
-    def _next_version(self, scope: dict) -> int:
-        row = self.df().filter(attrs_filter(scope)).agg(F.max("version")).first()
+    def _next_version(self, scope: dict, snap=None) -> int:
+        row = self._df_at(snap).filter(attrs_filter(scope)).agg(F.max("version")).first()
         mx = row[0] if row else None
         return 0 if mx is None else int(mx) + 1
 
@@ -257,25 +286,27 @@ class KeyValueStore:
         writes replace the key's version-0 row set; versioned writes append
         with version = max(scope)+1."""
         attrs = attributes_to_set or {}
+        snap = self._pin()
         if versionning:
             scope = {"client_id": client_id}
             for k in versionning_by:
                 scope[k] = prm if k == "prm" else attrs.get(k)
-            version = self._next_version(scope)
+            version = self._next_version(scope, snap)
             pdf = self._series_to_pdf(prm, serie, client_id, version, attrs)
             self._append(
                 nan_to_null(self.spark.createDataFrame(pdf, self._schema()), "value"),
                 kts=[(client_id, prm)],
+                snap=snap,
             )
         else:
             pdf = self._series_to_pdf(prm, serie, client_id, 0, attrs)
             new = nan_to_null(self.spark.createDataFrame(pdf, self._schema()), "value")
-            old = self.df().filter(
+            old = self._df_at(snap).filter(
                 (F.col("client_id") == int(client_id))
                 & ~((F.col("prm") == str(prm)) & (F.col("version") == 0))
             )
             self._overwrite_client(client_id, old.unionByName(new),
-                                   dropped=[prm])
+                                   dropped=[prm], snap=snap)
 
     def set_many_lc(
         self,
@@ -308,9 +339,10 @@ class KeyValueStore:
         pdf_all = pdf_all[[f.name for f in schema.fields]]
         new = nan_to_null(self.spark.createDataFrame(pdf_all, schema), "value")
 
+        snap = self._pin()
         if versionning:
             scope_keys = tuple(dict.fromkeys(("client_id", *versionning_by)))
-            base = self.df().groupBy(*scope_keys).agg(F.max("version").alias("__maxv"))
+            base = self._df_at(snap).groupBy(*scope_keys).agg(F.max("version").alias("__maxv"))
             w = Window.partitionBy(*scope_keys).orderBy("__series_ord")
             # null-safe join: a scope attr the caller left unset is NULL in
             # `new`; an equi-join would miss existing NULL rows and silently
@@ -328,15 +360,15 @@ class KeyValueStore:
                 )
                 .drop("__maxv", "__series_ord")
             )
-            self._append(out, kts=[(client_id, p) for p in dataseries])
+            self._append(out, kts=[(client_id, p) for p in dataseries], snap=snap)
         else:
             prms = [str(p) for p in dataseries]
-            old = self.df().filter(
+            old = self._df_at(snap).filter(
                 (F.col("client_id") == int(client_id))
                 & ~(F.col("prm").isin(prms) & (F.col("version") == 0))
             )
             self._overwrite_client(client_id, old.unionByName(new.drop("__series_ord")),
-                                   dropped=prms)
+                                   dropped=prms, snap=snap)
 
     # ------------------------------------------------------------------
     def _edge_collect(self, ordered: DataFrame) -> pd.DataFrame:
@@ -467,22 +499,26 @@ class KeyValueStore:
         ) & attrs_filter(custom_filters)
         if version is not None:
             pred = pred & (F.col("version") == int(version))
-        remaining = self.df().filter(
+        snap = self._pin()
+        remaining = self._df_at(snap).filter(
             (F.col("client_id") == int(client_id)) & ~pred
         )
         # clears with version/custom filters drop only SOME rows of a prm
         # — still safe to declare the prms: conflicts are per (client,prm)
         self._overwrite_client(client_id, remaining,
-                               dropped=[str(p) for p in prms])
+                               dropped=[str(p) for p in prms], snap=snap)
 
     def clear_all(self, client_id: int | None = None, custom_filters: dict | None = None) -> None:
         pred = attrs_filter(custom_filters)
+        snap = self._pin()
         if client_id is not None:
             # tenant-scoped: only this client's partition is rewritten
-            remaining = self.df().filter((F.col("client_id") == int(client_id)) & ~pred)
-            self._overwrite_client(client_id, remaining)
+            remaining = self._df_at(snap).filter(
+                (F.col("client_id") == int(client_id)) & ~pred
+            )
+            self._overwrite_client(client_id, remaining, snap=snap)
             return
-        self._overwrite(self.df().filter(~pred))
+        self._overwrite(self._df_at(snap).filter(~pred), snap=snap)
 
     # ------------------------------------------------------------------
     def vacuum(self, retention_seconds: float = 3600.0) -> int:

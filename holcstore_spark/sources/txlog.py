@@ -121,11 +121,17 @@ def file_entry(
 
 
 class Snapshot:
-    __slots__ = ("version", "files")
+    __slots__ = ("version", "files", "max_op_id")
 
-    def __init__(self, version: int, files: dict[str, list[FileEntry]]):
+    def __init__(self, version: int, files: dict[str, list[FileEntry]],
+                 max_op_id: int = 0):
         self.version = version
         self.files = files
+        #: largest op_id of any commit this snapshot replays (Lamport
+        #: clock base): a writer stamping ``max(time_ns, max_op_id+1)``
+        #: is guaranteed to order AFTER every commit it causally
+        #: observed, independent of wall-clock skew between hosts
+        self.max_op_id = max_op_id
 
     def paths(self, table: str, root: str) -> list[str]:
         return [os.path.join(root, e["path"]) for e in self.files[table]]
@@ -253,6 +259,7 @@ class TxLog:
         snap = self.snapshot(as_of=version)
         payload = json.dumps(
             {"version": version,
+             "max_op_id": snap.max_op_id,
              "files": {t: snap.files[t] for t in self.TABLES}},
             separators=(",", ":"),
         )
@@ -283,6 +290,7 @@ class TxLog:
         for _attempt in range(8):
             live: dict[str, dict[str, FileEntry]] = {t: {} for t in self.TABLES}
             start = 0
+            max_op = 0
             cp = self._latest_checkpoint(as_of)
             try:
                 if cp is not None:
@@ -292,6 +300,7 @@ class TxLog:
                         for e in data["files"].get(t, []):
                             live[t][e["path"]] = FileEntry(e)
                     start = cp
+                    max_op = int(data.get("max_op_id", 0))
                 last = start
                 for v in self.versions():
                     if v <= start:
@@ -300,6 +309,7 @@ class TxLog:
                         break
                     rec = self.read(v)
                     last = v
+                    max_op = max(max_op, int(rec.get("op_id") or 0))
                     for t in self.TABLES:
                         for e in rec["adds"].get(t, []):
                             live[t][e["path"]] = FileEntry(e)
@@ -315,12 +325,28 @@ class TxLog:
                 # and our state is inconsistent — restart
                 if not any(last < v <= cp2 for v in self.versions()):
                     continue
-            return Snapshot(last, {t: list(live[t].values()) for t in self.TABLES})
+            return Snapshot(
+                last, {t: list(live[t].values()) for t in self.TABLES}, max_op
+            )
         raise RuntimeError(
             "snapshot replay kept racing log maintenance (prune/checkpoint)"
         )
 
     # -- optimistic commit --------------------------------------------
+    @staticmethod
+    def next_op_id(snap: Snapshot) -> int:
+        """Lamport-style operation stamp: wall-clock nanoseconds, but
+        never at or below any op_id this writer's base snapshot has
+        observed. Winner resolution that orders on op_id (ChunkStore's
+        ``latest_meta``) then follows CAUSAL order — a commit made after
+        observing another commit always outranks it, even when the hosts'
+        clocks are skewed; truly concurrent (same-base) writers keep the
+        wall-clock tiebreak, where either order is a valid
+        serialization."""
+        import time
+
+        return max(time.time_ns(), int(snap.max_op_id) + 1)
+
     def commit(
         self,
         base_version: int,
@@ -369,6 +395,25 @@ class TxLog:
                     "operation against a fresh snapshot"
                 )
             if self._try_write(v, {**record, "version": v}):
+                # TOCTOU re-check: between the floor read above and the
+                # link, another writer can take slot v, advance to a
+                # checkpoint >= v, and prune record v — freeing the slot
+                # so our link lands BELOW the pruned horizon, invisible
+                # to every future replay (a silently lost write). Any
+                # checkpoint >= v at this point is someone else's (ours
+                # is only written below), so back the record out and
+                # retry on a fresh snapshot.
+                post_floor = self._latest_checkpoint() or 0
+                if post_floor >= v:
+                    try:
+                        os.remove(self._rec_path(v))
+                    except FileNotFoundError:
+                        pass
+                    raise ConcurrentWriteError(
+                        f"commit slot {v} was recycled below the pruned "
+                        f"log horizon (checkpoint {post_floor}); re-run "
+                        "the operation against a fresh snapshot"
+                    )
                 self._maybe_checkpoint(v)
                 return v
             try:

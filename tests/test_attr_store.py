@@ -219,3 +219,43 @@ class TestAttrStoreAcid:
         st.set_ts({"year": "2024", "kind": "a"}, s([9]), replace=True)
         assert st.vacuum(retention_seconds=0) >= 1
         assert list(st.get_ts({"year": "2024", "kind": "a"}, flat=True)) == [9.0]
+
+
+class TestAttrAcidSnapshotPinning:
+    """ADVICE-r6 medium: the existence check and the commit base must
+    come from ONE snapshot — an insert landing between them used to be
+    adopted as a fresher base and never conflict-checked, so two
+    concurrent same-key inserts both landed (duplicate rows)."""
+
+    def test_interleave_between_exists_check_and_commit_conflicts(
+        self, spark, tmp_store_path, monkeypatch
+    ):
+        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+        import holcstore_spark.sources.attr_store as attr_mod
+
+        a = AttrStore(spark, tmp_store_path + "_pin", keys=("k",), acid=True)
+        b = AttrStore(spark, a.path, keys=("k",), acid=True)
+        orig = attr_mod.AttrStore._to_pdf
+        state = {"fired": False}
+
+        def inject(self_, attrs, serie):
+            # fires after a's exists-check (which saw no rows), before
+            # its stage+commit — the exact window the pin closes
+            if self_ is a and not state["fired"]:
+                state["fired"] = True
+                b.set_ts({"k": "x"}, s([2.0]))
+            return orig(self_, attrs, serie)
+
+        monkeypatch.setattr(attr_mod.AttrStore, "_to_pdf", inject)
+        with pytest.raises(ConcurrentWriteError):
+            a.set_ts({"k": "x"}, s([3.0]))
+        monkeypatch.setattr(attr_mod.AttrStore, "_to_pdf", orig)
+        # exactly one series landed — no duplicate-key rows
+        got = a.get_ts({"k": "x"}, flat=True)
+        assert list(got) == [2.0]
+
+    def test_update_reads_back_from_pinned_snapshot(self, spark, tmp_store_path):
+        st = AttrStore(spark, tmp_store_path + "_rb", keys=("k",), acid=True)
+        st.set_ts({"k": "x"}, s([1.0, 2.0]))
+        st.set_ts({"k": "x"}, s([9.0]), update=True)
+        assert list(st.get_ts({"k": "x"}, flat=True)) == [9.0, 2.0]

@@ -357,3 +357,70 @@ class TestKvAcid:
         assert list(kv.get_lc("a", 2)[0]["data"]) == [3.0]
         kv.clear_all(client_id=2)
         assert kv.count(1) == 1 and kv.count(2) == 0
+
+
+class TestKvAcidAdviceR6:
+    """Round-7 fixes: shared-file bystander preservation and
+    one-snapshot-per-operation pinning (ADVICE-r6 high/medium)."""
+
+    def test_shared_file_rewrite_preserves_other_tenants(
+        self, spark, tmp_store_path
+    ):
+        # Force a single staged file spanning BOTH clients (clear_all's
+        # full-table restage with one shuffle partition), then rewrite
+        # one tenant: the other tenant's rows live only in the shared
+        # file and must ride along into the rewrite, not vanish with it.
+        kv = KeyValueStore(spark, tmp_store_path + "_shared", acid=True)
+        kv.set_lc("a", dt_series([1]), client_id=1)
+        kv.set_lc("b", dt_series([2]), client_id=2)
+        kv.set_lc("junk", dt_series([7]), client_id=3)
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        try:
+            # full-table restage (no client_id scope) → one shared file
+            kv.clear_all(custom_filters={"prm": "junk"})
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        snap = kv._txlog.snapshot()
+        spans = [e for e in snap.files["data"]
+                 if e.get("chunk_min") != e.get("chunk_max")]
+        assert spans, "precondition: a staged file must span both clients"
+        kv.set_lc("a", dt_series([9]), client_id=1)  # rewrite tenant 1
+        assert list(kv.get_lc("a", 1)[0]["data"]) == [9.0]
+        assert list(kv.get_lc("b", 2)[0]["data"]) == [2.0]  # bystander intact
+        kv.clear(["a"], client_id=1)
+        assert kv.get_lc("a", 1) == []
+        assert list(kv.get_lc("b", 2)[0]["data"]) == [2.0]
+
+    def test_interleave_between_version_read_and_append_conflicts(
+        self, spark, tmp_store_path, monkeypatch
+    ):
+        # The window the pinned snapshot closes: a commit landing AFTER
+        # the next-version read but BEFORE our commit used to be adopted
+        # as a fresher commit base and never conflict-checked — both
+        # writers' rows landed under the SAME version. With the base
+        # pinned at operation start the interleaved commit sits above it
+        # and the rebase walk raises.
+        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+        import holcstore_spark.sources.kv_store as kv_mod
+
+        a = KeyValueStore(spark, tmp_store_path + "_pin", acid=True)
+        b = KeyValueStore(spark, a.path, acid=True)
+        a.set_lc("p", dt_series([0]), client_id=1, versionning=True)
+        orig = kv_mod.KeyValueStore._next_version
+        state = {"fired": False}
+
+        def inject(self_, scope, snap=None):
+            v = orig(self_, scope, snap)
+            if self_ is a and not state["fired"]:
+                state["fired"] = True
+                b.set_lc("p", dt_series([2]), client_id=1, versionning=True)
+            return v
+
+        monkeypatch.setattr(kv_mod.KeyValueStore, "_next_version", inject)
+        with pytest.raises(ConcurrentWriteError):
+            a.set_lc("p", dt_series([3]), client_id=1, versionning=True)
+        monkeypatch.setattr(kv_mod.KeyValueStore, "_next_version", orig)
+        # exactly one version-1 row set: the interleaved writer's
+        got = a.get_lc("p", 1)[0]
+        assert got["version"] == 1 and list(got["data"]) == [2.0]

@@ -657,3 +657,82 @@ class TestAcidChaos:
         log = TxLog(st.path)
         rec = log.read(log.last_version())
         assert rec["append_keys"] is None and rec["dropped_keys"] is None
+
+
+class TestAdviceR6Hardening:
+    """Round-7 fixes for the ADVICE-r6 findings: the commit-slot
+    recycling TOCTOU and wall-clock-skew op_id ordering."""
+
+    def test_commit_slot_recycled_under_link_is_backed_out(
+        self, tmpdir, monkeypatch
+    ):
+        # Between commit()'s floor check and os.link, another writer can
+        # take the slot, checkpoint at it, and prune the record — freeing
+        # the slot so our link would land BELOW the pruned horizon and be
+        # invisible to every replay. The post-link re-check must back the
+        # record out and raise instead of silently losing the write.
+        e = TestTxLogUnit()
+        log = TxLog(os.path.join(tmpdir, "lograce"))
+        other = TxLog(log.root)
+        other.CHECKPOINT_INTERVAL = 1  # instance attr: checkpoint per commit
+        orig = TxLog._try_write
+        state = {"fired": False}
+
+        def race(self_, v, rec):
+            if self_ is log and not state["fired"]:
+                state["fired"] = True
+                other.commit(0, "other", 1,
+                             adds={"data": [e._entry("files/o.parquet", 1, 1)]},
+                             removes={})
+                other.prune_log()  # record 1 summarized into checkpoint 1
+            return orig(self_, v, rec)
+
+        monkeypatch.setattr(TxLog, "_try_write", race)
+        with pytest.raises(ConcurrentWriteError, match="recycled"):
+            log.commit(0, "mine", 2,
+                       adds={"data": [e._entry("files/m.parquet", 2, 2)]},
+                       removes={})
+        monkeypatch.setattr(TxLog, "_try_write", orig)
+        # the backed-out record must not exist and must not shadow the
+        # other writer's state; a fresh-base retry lands normally
+        snap = log.snapshot()
+        assert {x["path"] for x in snap.files["data"]} == {"files/o.parquet"}
+        v = log.commit(snap.version, "retry", 3,
+                       adds={"data": [e._entry("files/m.parquet", 2, 2)]},
+                       removes={})
+        assert v == snap.version + 1
+        assert {x["path"] for x in log.snapshot().files["data"]} == {
+            "files/o.parquet", "files/m.parquet"
+        }
+
+    def test_snapshot_tracks_max_op_id_across_checkpoint_prune(self, tmpdir):
+        e = TestTxLogUnit()
+        log = TxLog(os.path.join(tmpdir, "loglam"))
+        for i in range(1, 40):
+            log.commit(i - 1, "append", 1000 + i,
+                       adds={"data": [e._entry(f"files/f{i}.parquet", i, i)]},
+                       removes={})
+        assert log.snapshot().max_op_id == 1039
+        log.prune_log()  # summarized history must preserve the clock
+        assert log.snapshot().max_op_id == 1039
+        assert TxLog.next_op_id(log.snapshot()) >= 1040  # never regresses
+
+    def test_latest_meta_winner_follows_causality_not_wall_clock(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # A second writer whose host clock runs in the PAST updates a
+        # series after the first write committed. Causal order must win:
+        # the update's meta rows outrank the insert's even though their
+        # wall-clock stamp is smaller.
+        import time as _time
+
+        st = acid_store(spark, tmpdir, name="skew")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=1.0))
+        real = _time.time_ns
+        monkeypatch.setattr(_time, "time_ns", lambda: real() - 10**15)
+        st2 = acid_store(spark, tmpdir, name="skew")  # fresh writer, skewed clock
+        st2.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=9.0),
+                   replace=True)
+        monkeypatch.setattr(_time, "time_ns", real)
+        got = acid_store(spark, tmpdir, name="skew").get_ts({"site": "a"})
+        assert (got == 9.0).all()
