@@ -464,13 +464,14 @@ def _hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("value").alias("value"))
 
 
-#: SPARK_GRAFT_ACID=1 runs every store-backed query on the transaction-
-#: log backend (ChunkStoreConfig(acid=True), sources/txlog.py) — the
-#: local validation switch proving the whole battery is green on both
-#: layouts; the driver runs the default (0) plus the always-acid
-#: ``store_acid_ops`` query.
+#: The library default flipped in round 7: NEW stores are ACID
+#: (transaction-log backend, sources/txlog.py) unless opted down.
+#: SPARK_GRAFT_ACID=0 runs every store-backed query on the legacy plain
+#: layout instead — the local validation switch proving the whole
+#: battery stays green on both layouts; unset (the driver's mode) runs
+#: the library default, i.e. ACID.
 def _acid_default() -> bool:
-    return bool(int(os.environ.get("SPARK_GRAFT_ACID", "0")))
+    return bool(int(os.environ.get("SPARK_GRAFT_ACID", "1")))
 
 
 def _make_event_store(spark: SparkSession, sf_dir: str, acid: bool | None = None):
@@ -504,11 +505,9 @@ def q_store_acid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-15")
         ).withColumn("value", F.col("value") * 2)
         store.ingest_long(patch, mode="update")
-        store.delete({"user_id__in": [
-            int(r[0]) for r in
-            store.alive_chunks().select("user_id").distinct().collect()
-            if r[0] % 7 == 0
-        ]})
+        # modulo-cohort delete: no driver-side key-catalog collect, so
+        # the query stays valid at sf1+ (VERDICT r6 #8)
+        store.delete({"user_id__mod": (7, 0)})
         got = store.alive_data().filter(F.col("value").isNotNull())
         out = got.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_points"),
@@ -543,11 +542,8 @@ def q_store_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads while the remaining per-user counts are untouched."""
     store, path = _make_event_store(spark, sf_dir)
     try:
-        store.delete({"user_id__in": [
-            r[0] for r in
-            store.alive_chunks().select("user_id").distinct().collect()
-            if r[0] % 5 == 0
-        ]})
+        # modulo-cohort delete: no driver-side key-catalog collect
+        store.delete({"user_id__mod": (5, 0)})
         got = store.alive_data().filter(F.col("value").isNotNull())
         out = got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_points"))
         return out.localCheckpoint(eager=True)
@@ -2919,75 +2915,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-6 window: (a) the 6 queries that have NEVER had a
-    # driver row (registered at positions 51+ in round 5) plus
-    # multimodal_meta, (b) round-6 new/rewritten queries (sync_paged,
-    # store_acid_ops, kv_acid_ops new; store_max_horodate now grouped;
-    # attr_store_update now bulk; store_get_batch gained the composite
-    # semi-join fallback), (c) the sync family whose files were rewritten
-    # by a285ed9 AFTER their last driver check, (d) the remaining r4-green
-    # entries, oldest evidence first. The tail is the 49 queries
-    # driver-green in round 5 plus 10 r4-green micro queries with
-    # unchanged code (rotate back in round 7).
+    # first. Round-7 window: (a) the 10 micro queries whose last driver
+    # rows are r4 (the oldest evidence in the registry), then (b) every
+    # query round 7 touched — the ACID-default flip routes ALL
+    # store/kv/attr/sync-backed queries through the transaction-log
+    # backend on the driver's default path for the first time, and
+    # get_max_horodates + the lookup dialect changed — then (c) the 18
+    # oldest entries of the r5-green block. The tail is the remaining
+    # r5-green queries (rotate in round 8, with anything round 8
+    # touches pulled forward) followed by the r6-green queries whose
+    # code is untouched this round.
     return {
-        # -- (a) never driver-checked -----------------------------------
-        "stream_cusum": q_stream_cusum,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "bpe_merges": q_bpe_merges,
-        "seasonal_profile": q_seasonal_profile,
-        "stream_join": q_stream_join,
-        "multimodal_meta": q_multimodal_meta,
-        # -- (b) new or rewritten in round 6 ----------------------------
-        "sync_paged": q_sync_paged,
-        "store_max_horodate": q_store_max_horodate,
-        "attr_store_update": q_attr_store_update,
-        "store_get_batch": q_store_get_batch,
-        # -- (c) sync family: files changed after last driver check -----
-        "sync_pull": q_sync_pull,
-        "rest_sync_pull": q_rest_sync_pull,
-        "sync_tombstone": q_sync_tombstone,
-        "store_changefeed": q_store_changefeed,
-        "sync_guards": q_sync_guards,
-        "stream_gaps": q_stream_gaps,
-        "store_roundtrip": q_store_roundtrip,
-        # -- (d) last driver-green in r4 --------------------------------
-        "blob_interop": q_blob_interop,
-        "store_yield_many": q_store_yield_many,
-        "kv_store_overlay": q_kv_store_overlay,
-        "completeness_holes": q_completeness_holes,
-        "overlay_merge": q_overlay_merge,
-        "combined_delay": q_combined_delay,
-        "constant_runs": q_constant_runs,
-        "merge_intervals": q_merge_intervals,
-        "contamination": q_contamination,
-        "tfidf_terms": q_tfidf_terms,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "time_rollup": q_time_rollup,
-        "stream_rollup": q_stream_rollup,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "range_join": q_range_join,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_audio": q_multimodal_audio,
-        "event_rollup": q_event_rollup,
-        "kv_find_holes": q_kv_find_holes,
-        "store_update_overlay": q_store_update_overlay,
-        "store_delete_tombstone": q_store_delete_tombstone,
-        "store_set_many": q_store_set_many,
-        "kv_clear": q_kv_clear,
-        "store_meta_aggregates": q_store_meta_aggregates,
-        "interval_algebra": q_interval_algebra,
-        "admin_export": q_admin_export,
-        "lookup_filter": q_lookup_filter,
-        "drop_bounds_na": q_drop_bounds_na,
-        "store_acid_ops": q_store_acid_ops,
-        "kv_acid_ops": q_kv_acid_ops,
-        # ====== driver 50-entry window ends here (50 above) ============
-        # -- tail: r4-green micro queries, unchanged code ---------------
-        # (slice_with_delay displaced by kv_acid_ops — code unchanged
-        # since r4; rotate back with this block in round 7)
+        # -- (a) r4-evidence micro queries --------------------------
         "slice_with_delay": q_slice_with_delay,
         "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
@@ -2998,7 +2937,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_index": q_chunk_index,
         "freq_fix": q_freq_fix,
         "split_at": q_split_at,
-        # -- tail: driver-green in round 5 ------------------------------
+        # -- (b) touched in round 7 (ACID default path) -------------
+        "store_roundtrip": q_store_roundtrip,
+        "store_set_many": q_store_set_many,
+        "store_update_overlay": q_store_update_overlay,
+        "store_delete_tombstone": q_store_delete_tombstone,
+        "store_meta_aggregates": q_store_meta_aggregates,
+        "store_max_horodate": q_store_max_horodate,
+        "store_get_batch": q_store_get_batch,
+        "store_yield_many": q_store_yield_many,
+        "store_changefeed": q_store_changefeed,
+        "store_acid_ops": q_store_acid_ops,
+        "kv_store_overlay": q_kv_store_overlay,
+        "kv_find_holes": q_kv_find_holes,
+        "kv_clear": q_kv_clear,
+        "kv_acid_ops": q_kv_acid_ops,
+        "attr_store_update": q_attr_store_update,
+        "sync_pull": q_sync_pull,
+        "rest_sync_pull": q_rest_sync_pull,
+        "sync_tombstone": q_sync_tombstone,
+        "sync_guards": q_sync_guards,
+        "sync_paged": q_sync_paged,
+        "admin_export": q_admin_export,
+        "lookup_filter": q_lookup_filter,
+        # -- (c) oldest r5-green block ------------------------------
         "token_pack": q_token_pack,
         "segment_dedup": q_segment_dedup,
         "rebalance_mix": q_rebalance_mix,
@@ -3017,6 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        # ====== driver 50-entry window ends here (50 above) ========
+        # -- tail: remaining r5-green (rotate round 8) --------------
         "similarity_neardup": q_similarity_neardup,
         "text_stats": q_text_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3048,6 +3012,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "large_orders": q_large_orders,
         "cusum_drift": q_cusum_drift,
+        # -- tail: r6-green, code untouched in round 7 --------------
+        "stream_cusum": q_stream_cusum,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "bpe_merges": q_bpe_merges,
+        "seasonal_profile": q_seasonal_profile,
+        "stream_join": q_stream_join,
+        "multimodal_meta": q_multimodal_meta,
+        "stream_gaps": q_stream_gaps,
+        "blob_interop": q_blob_interop,
+        "completeness_holes": q_completeness_holes,
+        "overlay_merge": q_overlay_merge,
+        "combined_delay": q_combined_delay,
+        "constant_runs": q_constant_runs,
+        "merge_intervals": q_merge_intervals,
+        "contamination": q_contamination,
+        "tfidf_terms": q_tfidf_terms,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
+        "stream_rollup": q_stream_rollup,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "range_join": q_range_join,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
+        "event_rollup": q_event_rollup,
+        "interval_algebra": q_interval_algebra,
+        "drop_bounds_na": q_drop_bounds_na,
     }
 
 

@@ -40,7 +40,14 @@ class ChunkStoreConfig:
       by a file-manifest transaction log (``sources/txlog.py``) —
       atomic data+meta commits, optimistic multi-writer concurrency,
       manifest-stats file skipping. The plain layout (False) keeps the
-      single-writer contract with the op_id fence.
+      single-writer contract with the op_id fence. The default ``None``
+      resolves at store open: an existing store keeps the layout it was
+      created with (from its saved config, falling back to artifact
+      detection for a config-less directory); a NEW store gets the ACID
+      layout — it matches or beats the plain layout on every measured
+      axis (BASELINE.md round-6 A/Bs) and removes the single-writer
+      fence race, so opting DOWN to plain is what now takes an explicit
+      ``acid=False``.
     """
 
     keys: tuple[str, ...]
@@ -49,7 +56,7 @@ class ChunkStoreConfig:
     chunk_axis: tuple[str, ...] = ("year", "month")
     allow_sync: bool = False
     key_types: dict[str, str] = field(default_factory=dict)
-    acid: bool = False
+    acid: bool | None = None
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "keys", tuple(self.keys))
@@ -80,6 +87,29 @@ class ChunkStoreConfig:
         return int(secs)
 
     # -- persistence ---------------------------------------------------
+    def resolve(self, path: str) -> "ChunkStoreConfig":
+        """Concretize ``acid=None`` against what exists at ``path``:
+        saved config wins (existing stores keep their layout across the
+        library's default change), then artifact detection (``_txlog``
+        dir → ACID, parquet without one → plain) for a directory whose
+        config file was lost, then the new-store default (ACID)."""
+        from dataclasses import replace
+
+        if self.acid is not None:
+            return self
+        cfg_file = os.path.join(path, "_store_config.json")
+        if os.path.exists(cfg_file):
+            with open(cfg_file) as f:
+                saved = json.load(f).get("acid")
+            return replace(self, acid=bool(saved))
+        if os.path.isdir(os.path.join(path, "_txlog")):
+            return replace(self, acid=True)
+        from holcstore_spark.sources.io_util import has_parquet
+
+        if has_parquet(os.path.join(path, "data")):
+            return replace(self, acid=False)
+        return replace(self, acid=True)
+
     def save(self, path: str) -> None:
         """Idempotent + atomic: concurrent store opens on the same path
         (ACID multi-writer) must never observe a truncated config — the

@@ -41,6 +41,15 @@ def lookup_filter(key: str, value) -> Column:
         return col.contains(value)
     if lookup == "startswith":
         return col.startswith(value)
+    if lookup == "mod":
+        # engine extension (not in the reference dialect): value is
+        # ``(divisor, remainder)`` — selects rows where
+        # ``field % divisor == remainder``. The scale-safe way to
+        # address a deterministic key cohort (e.g. delete every 7th
+        # user) without first collecting the key catalog to the driver
+        # to build an ``__in`` list.
+        divisor, remainder = value
+        return (col % F.lit(int(divisor))) == F.lit(int(remainder))
     raise ValueError(f"unsupported lookup: {key!r}")
 
 

@@ -30,9 +30,10 @@ class AttrStore:
         path: str,
         keys: tuple[str, ...],
         tz: str = "UTC",
-        acid: bool = False,
+        acid: bool | None = None,
     ):
         from holcstore_spark.session import ensure_engine_conf
+        from holcstore_spark.sources.kv_store import _resolve_acid
 
         ensure_engine_conf(spark)
         self.spark = spark
@@ -45,8 +46,9 @@ class AttrStore:
         #: optimistic concurrency (AttrStore has no chunk axis, so every
         #: conflict decision rides on the per-file KEY statistics and the
         #: commits' key digests — str-canonicalized, the over-conflicting
-        #: safe direction).
-        self._acid = bool(acid)
+        #: safe direction). ``None`` (default) keeps an existing store's
+        #: detected layout and creates NEW stores as ACID.
+        self._acid = _resolve_acid(path, acid)
         if self._acid:
             from holcstore_spark.sources.txlog import TxLog
 
@@ -177,6 +179,14 @@ class AttrStore:
         if not self._acid:
             return 0
         return self._txlog.vacuum_files(retention_seconds)
+
+    def history(self) -> DataFrame:
+        """Commit-log audit frame (see ChunkStore.history)."""
+        from holcstore_spark.sources.chunk_store import _history_df
+
+        if not self._acid:
+            raise ValueError("history requires an ACID store (acid=True)")
+        return _history_df(self.spark, self._txlog)
 
     # ------------------------------------------------------------------
     def _to_pdf(self, attrs: dict, serie: pd.Series) -> pd.DataFrame:

@@ -150,6 +150,39 @@ class _Txn:
         self.touched = (self.touched or set()) | set(chunks)
 
 
+def _history_df(spark: SparkSession, txlog) -> DataFrame:
+    """Commit-log rows as a typed frame (shared by every
+    manifest-backed store's ``history()``)."""
+    schema = T.StructType([
+        T.StructField("version", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("op_id", T.LongType()),
+        T.StructField("committed_at", T.TimestampType()),
+        T.StructField("touched", T.StringType()),
+        T.StructField("data_files_added", T.LongType()),
+        T.StructField("data_files_removed", T.LongType()),
+        T.StructField("data_rows_added", T.LongType()),
+        T.StructField("data_rows_removed", T.LongType()),
+        T.StructField("meta_files_added", T.LongType()),
+        T.StructField("meta_files_removed", T.LongType()),
+        T.StructField("meta_rows_added", T.LongType()),
+        T.StructField("meta_rows_removed", T.LongType()),
+    ])
+    rows = []
+    for r in txlog.history_rows():
+        t = r["touched"]
+        rows.append((
+            r["version"], r["op"], r["op_id"],
+            datetime.fromtimestamp(r["committed_at"], tz=timezone.utc),
+            None if t is None else (t if isinstance(t, str) else str(t)),
+            r["data_files_added"], r["data_files_removed"],
+            r["data_rows_added"], r["data_rows_removed"],
+            r["meta_files_added"], r["meta_files_removed"],
+            r["meta_rows_added"], r["meta_rows_removed"],
+        ))
+    return spark.createDataFrame(rows, schema)
+
+
 _META_EXTRA = [
     ("chunk_index", T.IntegerType()),
     ("start_ts", T.TimestampType()),
@@ -167,6 +200,7 @@ class ChunkStore:
         ensure_engine_conf(spark)
         self.spark = spark
         self.path = path
+        config = config.resolve(path)  # acid=None → saved/detected/new-default
         self.config = config
         config.check_compatible(path)
         config.save(path)
@@ -226,6 +260,18 @@ class ChunkStore:
         view = ChunkStore(self.spark, self.path, self.config)
         view._pinned_snapshot = snap
         return view
+
+    def history(self) -> DataFrame:
+        """Commit-log audit frame (Delta's ``DESCRIBE HISTORY``
+        analogue), pairing with :meth:`time_travel`: one row per
+        replayable commit, newest first — version, op, op_id, commit
+        wall-clock, files/rows added and removed per table, touched
+        chunk set. Commits summarized by a pruned checkpoint are no
+        longer listed (same reach as ``time_travel``). Metadata-sized:
+        the replayable log is bounded by checkpoint+prune."""
+        if not self._acid:
+            raise ValueError("history requires an ACID store (acid=True)")
+        return _history_df(self.spark, self._txlog)
 
     @contextlib.contextmanager
     def _txn(self, op: str):
@@ -394,6 +440,16 @@ class ChunkStore:
         txn = self._active_txn
         kts = list(key_tuples)
         if len(kts) > self.APPEND_KEYS_CAP:
+            import warnings
+
+            warnings.warn(
+                f"insert of more than APPEND_KEYS_CAP={self.APPEND_KEYS_CAP} "
+                "series commits as a BLIND append: concurrent inserts of "
+                "the same key will not conflict and can land twice "
+                "(Delta-like insert semantics). Batch below the cap or "
+                "raise APPEND_KEYS_CAP to keep same-key insert detection.",
+                stacklevel=4,
+            )
             txn.append_keys = None
             return
         digests = self._key_digests(self._canon_key_tuple(kt) for kt in kts)
@@ -1158,7 +1214,12 @@ class ChunkStore:
     @_transactional("set_many_ts")
     def set_many_ts(self, mapping: dict[tuple, pd.Series], keys: tuple[str, ...] | None = None) -> None:
         """Mass insert, error if any key already exists
-        (reference: chunk_timeserie_store.py:418-455)."""
+        (reference: chunk_timeserie_store.py:418-455).
+
+        ACID concurrency note: same blind-append trade as
+        :meth:`ingest_long` — inserts above ``APPEND_KEYS_CAP`` distinct
+        series skip per-key conflict digests (warned), so concurrent
+        same-key mega-inserts can land twice."""
         if self.config.allow_sync:
             raise SyncGuardError("set_many_ts is forbidden on a sync-enabled store")
         keys = tuple(keys or self.config.keys)
@@ -1260,6 +1321,15 @@ class ChunkStore:
 
         mode: 'insert' (error on existing keys) | 'update' (new wins,
         existing fills holes) | 'replace' (span overwrite + tombstones).
+
+        ACID concurrency note: inserts of up to ``APPEND_KEYS_CAP``
+        (10,000) distinct series record per-key digests so a concurrent
+        insert of the SAME series conflicts loudly. LARGER inserts
+        commit as blind appends — two concurrent same-key mega-inserts
+        both land (Delta's documented insert semantics); a warning is
+        emitted when an insert crosses the cap. Batch below the cap, or
+        raise ``APPEND_KEYS_CAP``, when same-key insert detection
+        matters more than driver memory.
         """
         if self.config.allow_sync and mode == "insert":
             raise SyncGuardError("plain ingest is forbidden on a sync-enabled store")
@@ -1702,11 +1772,14 @@ class ChunkStore:
         10k-key catalog costs 10k driver-paced jobs. Here the metadata-
         sized ``latest_meta`` yields each key's two tail chunks (row_number
         over chunk_index desc), a broadcast semi-join restricts the data
-        scan to those ``(keys…, chunk_index)`` pairs, and one groupBy
-        answers every key. Keys whose tail chunks hold nothing but NaN
-        padding (pathological) are detected via an anti-join and answered
-        by a second scan restricted to just those keys — the common case
-        stays two-partition-bounded per key regardless of history length.
+        scan to those ``(keys…, chunk_index)`` pairs, and one NaN-aware
+        groupBy answers every key — including, as a NULL ``max_ts``, the
+        keys whose tail chunks hold nothing but NaN padding
+        (pathological). Those are answered by a second scan restricted to
+        just those keys; detecting them is a filter over the already-
+        materialized aggregate (one row per key), NOT an extra
+        anti-join job against the catalog — the common case stays
+        two-partition-bounded per key regardless of history length.
         """
         validate_filter_keys(filters, self.config.keys)
         keys = list(self.config.keys)
@@ -1720,18 +1793,17 @@ class ChunkStore:
         d = self.alive_data(filters).join(
             F.broadcast(tail), on=[*keys, "chunk_index"], how="left_semi"
         )
-        first = (
-            d.filter(F.col("value").isNotNull())
-            .groupBy(*keys)
-            .agg(F.max("ts").alias("max_ts"))
+        # the dense grid guarantees every tail chunk has rows, so this
+        # yields one row per alive key; an all-NaN tail aggregates to a
+        # NULL max_ts instead of silently dropping the key
+        agg = d.groupBy(*keys).agg(
+            F.max(F.when(F.col("value").isNotNull(), F.col("ts"))).alias("max_ts")
         )
-        # materialize once: the all-NaN-tail check below would otherwise
-        # recompute the pruned scan for the final read too
-        first = safe_local_checkpoint(first)
-        missing = (
-            alive.select(*keys).distinct()
-            .join(first.select(*keys), on=keys, how="left_anti")
-        )
+        # materialize once: both the NULL-tail check and the final read
+        # would otherwise recompute the pruned scan
+        agg = safe_local_checkpoint(agg)
+        resolved = agg.filter(F.col("max_ts").isNotNull())
+        missing = agg.filter(F.col("max_ts").isNull()).select(*keys)
         if missing.limit(1).count():
             rest = self.alive_data(filters).join(
                 F.broadcast(missing), on=keys, how="left_semi"
@@ -1741,8 +1813,8 @@ class ChunkStore:
                 .groupBy(*keys)
                 .agg(F.max("ts").alias("max_ts"))
             )
-            first = first.unionByName(second)
-        return first
+            resolved = resolved.unionByName(second)
+        return resolved
 
     # ------------------------------------------------------------------
     # delete / compact

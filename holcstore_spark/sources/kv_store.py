@@ -43,6 +43,21 @@ _BASE_FIELDS = [
 ]
 
 
+def _resolve_acid(path: str, acid: bool | None) -> bool:
+    """Layout resolution for the config-less stores (KeyValueStore /
+    AttrStore): explicit flag wins; ``None`` keeps an existing store's
+    detected layout — a ``_txlog`` dir marks ACID (checked FIRST: ACID
+    stores also hold parquet under ``files/``), plain parquet marks the
+    overwrite layout — and defaults NEW stores to ACID."""
+    if acid is not None:
+        return bool(acid)
+    if os.path.isdir(os.path.join(path, "_txlog")):
+        return True
+    if has_parquet(path):
+        return False
+    return True
+
+
 class EdgeMemoryError(Exception):
     """A combine-on-read multi-get would materialize more rows at the
     driver than :attr:`KeyValueStore.max_edge_rows` allows. Batch the
@@ -60,7 +75,7 @@ class KeyValueStore:
     max_edge_rows: int = 10_000_000
 
     def __init__(self, spark: SparkSession, path: str,
-                 attr_cols: tuple[str, ...] = (), acid: bool = False):
+                 attr_cols: tuple[str, ...] = (), acid: bool | None = None):
         """``attr_cols``: optional extra indexation columns (reference:
         ``attributes_to_set`` / subclassed model fields, README.md:199-204).
         They are string-typed."""
@@ -77,7 +92,10 @@ class KeyValueStore:
         #: let different-prm writers of one client commit concurrently,
         #: while two concurrent versioned appends of the SAME prm — which
         #: would compute the same next version — conflict loudly).
-        self._acid = bool(acid)
+        #: ``None`` (default) keeps an existing store's layout (``_txlog``
+        #: dir → ACID, plain parquet → plain) and creates NEW stores as
+        #: ACID; opting down to plain takes an explicit ``acid=False``.
+        self._acid = _resolve_acid(path, acid)
         if self._acid:
             from holcstore_spark.sources.txlog import TxLog
 
@@ -528,6 +546,14 @@ class KeyValueStore:
         if not self._acid:
             return 0
         return self._txlog.vacuum_files(retention_seconds)
+
+    def history(self) -> DataFrame:
+        """Commit-log audit frame (see ChunkStore.history)."""
+        from holcstore_spark.sources.chunk_store import _history_df
+
+        if not self._acid:
+            raise ValueError("history requires an ACID store (acid=True)")
+        return _history_df(self.spark, self._txlog)
 
     def find_holes(
         self,

@@ -165,6 +165,43 @@ def _overlaps_touched(entry: dict, touched) -> bool:
     return any(cmin <= c <= cmax for c in touched)
 
 
+class LocalFSCommitter:
+    """Default slot-claim primitive: atomic exclusive create on a local
+    (or HDFS-like rename-atomic) filesystem. The payload is written and
+    fsynced to a temp file FIRST and hard-linked to the slot name, so
+    the record's content is complete before its name ever exists — a
+    concurrent loser reading the slot for conflict analysis can never
+    observe a half-written record (found by the threaded stress test; a
+    bare O_EXCL create left a visible-but-empty window).
+
+    The committer contract is the ONLY storage-specific piece of the
+    transaction log: ``try_commit(final_path, payload)`` returns True
+    iff this caller created ``final_path`` with exactly ``payload`` —
+    at most one of any number of concurrent callers per path may return
+    True (exactly-once slot ownership), and after ANY return the path
+    either holds a complete payload or does not exist. Object stores
+    implement the same contract with a conditional PUT — S3
+    ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``, Azure
+    Blob ``If-None-Match: *`` — returning False on the 412 Precondition
+    Failed; no other TxLog code changes."""
+
+    def try_commit(self, final_path: str, payload: bytes) -> bool:
+        tmp = final_path + f".tmp-{uuid.uuid4().hex}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, final_path)  # atomic: fails iff the slot is taken
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+
 class TxLog:
     TABLES = ("data", "meta")
 
@@ -175,10 +212,14 @@ class TxLog:
     #: records, not 10⁶ JSON files
     CHECKPOINT_INTERVAL = 32
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, committer=None):
         self.root = root
         self.dir = os.path.join(root, "_txlog")
         os.makedirs(self.dir, exist_ok=True)
+        #: the pluggable atomic slot-claim primitive (see
+        #: LocalFSCommitter for the contract an object-store
+        #: conditional-PUT implementation must honor)
+        self.committer = committer if committer is not None else LocalFSCommitter()
         #: snapshot cache: (log-dir listing signature) -> Snapshot. One
         #: listdir validates the cache, so repeated reads between
         #: commits cost a directory scan instead of a full log replay —
@@ -191,10 +232,10 @@ class TxLog:
     def _rec_path(self, version: int) -> str:
         return os.path.join(self.dir, f"{version:020d}.json")
 
-    def versions(self) -> list[int]:
+    def versions(self, listing: list[str] | None = None) -> list[int]:
         out = []
-        for f in os.listdir(self.dir):
-            if f.endswith(".json"):
+        for f in (os.listdir(self.dir) if listing is None else listing):
+            if f.endswith(".json") and not f.startswith("_checkpoint."):
                 try:
                     out.append(int(f[:-5]))
                 except ValueError:
@@ -211,37 +252,61 @@ class TxLog:
 
     def _try_write(self, version: int, record: dict) -> bool:
         """Atomic exclusive create of the version slot — THE commit
-        point. The payload is written (and fsynced) to a temp file
-        FIRST and hard-linked to the slot name, so the record's content
-        is complete before its name ever exists: a concurrent loser
-        reading the slot for conflict analysis can never observe a
-        half-written record (found by the threaded stress test — a bare
-        O_EXCL create left a visible-but-empty window). On object
-        stores, swap the link for a conditional PUT."""
-        final = self._rec_path(version)
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        point, delegated to the pluggable committer (LocalFSCommitter
+        by default; an object-store deployment swaps in a
+        conditional-PUT committer)."""
         payload = json.dumps(record, separators=(",", ":")).encode()
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, payload)
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        try:
-            os.link(tmp, final)  # atomic: fails iff the slot is taken
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.remove(tmp)
+        return self.committer.try_commit(self._rec_path(version), payload)
 
     # -- checkpoints ---------------------------------------------------
     def _checkpoint_path(self, version: int) -> str:
         return os.path.join(self.dir, f"_checkpoint.{version:020d}.json")
 
-    def _latest_checkpoint(self, as_of: int | None = None) -> int | None:
+    def _pointer_path(self) -> str:
+        return os.path.join(self.dir, "_last_checkpoint")
+
+    def _read_checkpoint_pointer(self) -> int | None:
+        """Delta-style ``_last_checkpoint`` pointer: one small-file read
+        instead of an O(log-size) directory listing. Best-effort — it
+        may lag the newest checkpoint (stale-LOW only: it is written
+        after the checkpoint file and never rolled back), and every
+        consumer tolerates that: replay from an older checkpoint just
+        reads a few more records, and commit()'s pre-link floor check is
+        backstopped by the fresh post-link re-check."""
+        try:
+            with open(self._pointer_path()) as f:
+                v = int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+        # guard against a pointer outliving its checkpoint (manual file
+        # surgery): only trust it if the checkpoint file exists
+        return v if os.path.exists(self._checkpoint_path(v)) else None
+
+    def _write_checkpoint_pointer(self, version: int) -> None:
+        cur = self._read_checkpoint_pointer()
+        if cur is not None and cur >= version:
+            return  # a racing newer checkpointer already advanced it
+        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"version": version}))
+        os.replace(tmp, self._pointer_path())
+
+    def _latest_checkpoint(
+        self, as_of: int | None = None, listing: list[str] | None = None,
+        fresh: bool = False,
+    ) -> int | None:
+        """Latest checkpoint ≤ ``as_of``. The common current-state call
+        (``as_of=None``) is served by the pointer file; ``fresh=True``
+        forces the authoritative directory scan (prune safety and the
+        post-link horizon re-check must not trust a lagging pointer),
+        and ``listing`` reuses a directory listing the caller already
+        paid for."""
+        if as_of is None and listing is None and not fresh:
+            v = self._read_checkpoint_pointer()
+            if v is not None:
+                return v
         best = None
-        for f in os.listdir(self.dir):
+        for f in (os.listdir(self.dir) if listing is None else listing):
             if f.startswith("_checkpoint.") and f.endswith(".json"):
                 try:
                     v = int(f[len("_checkpoint."):-5])
@@ -267,31 +332,43 @@ class TxLog:
         with open(tmp, "w") as f:
             f.write(payload)
         os.replace(tmp, self._checkpoint_path(version))
+        self._write_checkpoint_pointer(version)
 
     # -- snapshots -----------------------------------------------------
     def snapshot(self, as_of: int | None = None) -> Snapshot:
         if as_of is None:
-            sig = tuple(sorted(os.listdir(self.dir)))
+            listing = sorted(os.listdir(self.dir))
+            sig = tuple(listing)
             if sig == self._snap_sig and self._snap_cached is not None:
                 return self._snap_cached
-            snap = self._snapshot_uncached(None)
+            snap = self._snapshot_uncached(None, listing)
             self._snap_sig, self._snap_cached = sig, snap
             return snap
         return self._snapshot_uncached(as_of)
 
-    def _snapshot_uncached(self, as_of: int | None) -> Snapshot:
+    def _snapshot_uncached(
+        self, as_of: int | None, listing: list[str] | None = None
+    ) -> Snapshot:
         """Replay with maintenance-race protection: a concurrent
         ``prune_log`` can delete a record between our listing and its
         read (FileNotFoundError), or prune the records our replay would
         have covered so we'd silently serve a pre-checkpoint state as
         current. Both retry against the fresh log; a snapshot that is
         merely a few commits behind (writer raced us, records intact)
-        is accepted — that's ordinary MVCC staleness."""
+        is accepted — that's ordinary MVCC staleness. ``listing`` reuses
+        the caller's directory listing for the FIRST attempt (one
+        listdir per cold snapshot instead of several); retries always
+        re-list — a stale listing/pointer is a possible cause of the
+        retry."""
         for _attempt in range(8):
+            if _attempt > 0:
+                listing = None
             live: dict[str, dict[str, FileEntry]] = {t: {} for t in self.TABLES}
             start = 0
             max_op = 0
-            cp = self._latest_checkpoint(as_of)
+            cp = self._latest_checkpoint(
+                as_of, listing=listing, fresh=_attempt > 0
+            )
             try:
                 if cp is not None:
                     with open(self._checkpoint_path(cp)) as f:
@@ -302,7 +379,7 @@ class TxLog:
                     start = cp
                     max_op = int(data.get("max_op_id", 0))
                 last = start
-                for v in self.versions():
+                for v in self.versions(listing):
                     if v <= start:
                         continue
                     if as_of is not None and v > as_of:
@@ -403,7 +480,7 @@ class TxLog:
                 # checkpoint >= v at this point is someone else's (ours
                 # is only written below), so back the record out and
                 # retry on a fresh snapshot.
-                post_floor = self._latest_checkpoint() or 0
+                post_floor = self._latest_checkpoint(fresh=True) or 0
                 if post_floor >= v:
                     try:
                         os.remove(self._rec_path(v))
@@ -492,6 +569,40 @@ class TxLog:
                 f"chunks {touched} our keep-set was derived from"
             )
 
+    def history_rows(self) -> list[dict]:
+        """Operability surface (Delta's ``DESCRIBE HISTORY`` analogue):
+        one dict per replayable commit, NEWEST first — version, op,
+        op_id, commit wall-clock (the record file's mtime), files/rows
+        added and removed per table, and the touched set. Commits below
+        the pruned horizon are summarized by the checkpoint and no
+        longer listed (log-retention semantics, matching
+        ``snapshot(as_of=…)``'s reach). Metadata-sized by construction:
+        prune_log bounds the replayable record count."""
+        out = []
+        for v in self.versions():
+            try:
+                rec = self.read(v)
+                mtime = os.path.getmtime(self._rec_path(v))
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # pruned under us — it is summarized history
+            row = {
+                "version": v,
+                "op": rec.get("op"),
+                "op_id": int(rec.get("op_id") or 0),
+                "committed_at": mtime,
+                "touched": rec.get("touched"),
+            }
+            for t in self.TABLES:
+                adds = rec["adds"].get(t, [])
+                rms = rec["removes"].get(t, [])
+                row[f"{t}_files_added"] = len(adds)
+                row[f"{t}_files_removed"] = len(rms)
+                row[f"{t}_rows_added"] = sum(int(e.get("rows") or 0) for e in adds)
+                row[f"{t}_rows_removed"] = sum(int(e.get("rows") or 0) for e in rms)
+            out.append(row)
+        out.reverse()
+        return out
+
     def vacuum_files(self, retention_seconds: float = 3600.0) -> int:
         """Generic file GC shared by every manifest-backed store: delete
         ``files/`` entries the CURRENT snapshot no longer references and
@@ -560,7 +671,9 @@ class TxLog:
         snapshot-as-of below the pruned horizon (Delta's log-retention
         semantics); the current snapshot and all future commits are
         unaffected. Returns the number of files deleted."""
-        cp = self._latest_checkpoint()
+        # authoritative scan: pruning against a lagging pointer could
+        # leave records the newest checkpoint already summarizes
+        cp = self._latest_checkpoint(fresh=True)
         if cp is None:
             return 0
         n = 0

@@ -25,11 +25,14 @@ from holcstore_spark.sources.chunk_store import ChunkStore, KeyExistsError, Sync
 
 def make_store(spark, tmpdir, tz="Europe/Paris", axis=("year", "month"), freq="1h",
                allow_sync=False):
+    # this module is the PLAIN-layout battery (test_txlog.py covers the
+    # ACID backend); since the library default flipped to ACID in round
+    # 7, the plain layout is an explicit opt-down
     path = os.path.join(tmpdir, f"store_{tz.replace('/', '_')}_{'_'.join(axis)}")
     cfg = ChunkStoreConfig(
         keys=("site", "meter"), freq=freq, tz=tz, chunk_axis=axis,
         allow_sync=allow_sync,
-        key_types={"site": "str", "meter": "str"},
+        key_types={"site": "str", "meter": "str"}, acid=False,
     )
     return ChunkStore(spark, path, cfg)
 

@@ -101,29 +101,34 @@ def test_registry_source_has_no_duplicate_keys():
 
 #: queries that MUST be inside the driver's first-50 window this round.
 #: Keep this list in sync with the rotation comment in queries():
-#: (a) never driver-verified before round 6, (b) new or rewritten this
-#: round, (c) queries whose implementation files were changed after
-#: their last driver check (a285ed9 sync rewrite + round-6 edits to
-#: chunk_store.py / attr_store.py / stateful.py / similarity.py).
-ROUND6_WINDOW_MUST = {
-    # (a) never verified
-    "stream_cusum", "pq_encode", "pq_topk", "bpe_merges",
-    "seasonal_profile", "stream_join", "multimodal_meta",
-    # (b) new/rewritten in round 6
-    "sync_paged", "store_max_horodate", "attr_store_update",
-    "store_get_batch", "store_acid_ops", "kv_acid_ops",
-    # (c) implementation files changed since last driver check
-    "sync_pull", "rest_sync_pull", "sync_tombstone", "store_changefeed",
-    "sync_guards", "stream_gaps", "store_roundtrip",
+#: (a) the 10 micro queries whose last driver rows are r4 — the oldest
+#: evidence in the registry, (b) every query round 7 touched: the
+#: ACID-default flip routes all store/kv/attr/sync-backed queries
+#: through the transaction-log backend on the driver's default path for
+#: the first time, plus the get_max_horodates rework and the __mod
+#: lookup-dialect extension.
+ROUND7_WINDOW_MUST = {
+    # (a) r4-evidence micro queries
+    "slice_with_delay", "disaggregate", "time_slice", "ffill",
+    "normalize_minmax", "min_step", "next_version", "chunk_index",
+    "freq_fix", "split_at",
+    # (b) touched in round 7 (ACID default path / reworked code)
+    "store_roundtrip", "store_set_many", "store_update_overlay",
+    "store_delete_tombstone", "store_meta_aggregates", "store_max_horodate",
+    "store_get_batch", "store_yield_many", "store_changefeed",
+    "store_acid_ops", "kv_store_overlay", "kv_find_holes", "kv_clear",
+    "kv_acid_ops", "attr_store_update", "sync_pull", "rest_sync_pull",
+    "sync_tombstone", "sync_guards", "sync_paged", "admin_export",
+    "lookup_filter",
 }
 
 
-def test_driver_window_contains_round6_rotation_set():
-    # every query with no driver evidence — never checked, new this
-    # round, or whose implementation file changed after its last green
-    # row — must sit inside the driver's checked first-50 window
+def test_driver_window_contains_round7_rotation_set():
+    # every query whose evidence is stale — oldest driver rows, or whose
+    # execution path changed this round (ACID default) — must sit inside
+    # the driver's checked first-50 window
     window = set(list(entry_mod.queries())[:50])
-    missing = ROUND6_WINDOW_MUST - window
+    missing = ROUND7_WINDOW_MUST - window
     assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND6_WINDOW_MUST - set(entry_mod.queries())
+    unknown = ROUND7_WINDOW_MUST - set(entry_mod.queries())
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"

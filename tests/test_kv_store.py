@@ -19,7 +19,9 @@ def dt_series(vals, start="2024-01-01", freq="1D"):
 
 @pytest.fixture()
 def kv(spark, tmp_store_path):
-    return KeyValueStore(spark, tmp_store_path)
+    # plain-layout battery (TestKvAcid covers the manifest backend);
+    # plain is an explicit opt-down since the round-7 default flip
+    return KeyValueStore(spark, tmp_store_path, acid=False)
 
 
 class TestCrud:

@@ -39,9 +39,12 @@ def hourly(start, periods, value=1.0):
 
 class TestStorePlans:
     def test_keyed_bounded_read_prunes_and_pushes(self, spark, tmp_store_path):
+        # hive partition pruning is the PLAIN layout's plan shape (the
+        # ACID layout replaces it with manifest file skipping, asserted
+        # in test_txlog.py) — opt down explicitly
         cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
                                chunk_axis=("year", "month"),
-                               key_types={"site": "str"})
+                               key_types={"site": "str"}, acid=False)
         st = ChunkStore(spark, os.path.join(tmp_store_path, "p"), cfg)
         st.set_ts({"site": "a"}, hourly("2024-01-01", 24 * 60))
         txt = plan_text(
@@ -289,3 +292,15 @@ class TestBatchReadPlans:
                             ("d", "v"), ("e", "w")}
         for series in got.values():
             assert series.notna().sum() == 24
+
+
+class TestModLookup:
+    def test_mod_lookup_selects_cohort(self, spark):
+        from holcstore_spark.plans.predicates import attrs_filter
+
+        df = spark.range(0, 20).withColumnRenamed("id", "user_id")
+        got = sorted(
+            r[0] for r in
+            df.filter(attrs_filter({"user_id__mod": (7, 2)})).collect()
+        )
+        assert got == [2, 9, 16]

@@ -399,7 +399,7 @@ class TestTimeTravel:
         with pytest.raises(ValueError, match="requires an ACID store"):
             cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
                                    chunk_axis=("year",),
-                                   key_types={"site": "str"})
+                                   key_types={"site": "str"}, acid=False)
             plain = ChunkStore(spark, os.path.join(tmpdir, "plain"), cfg)
             plain.time_travel(1)
 
@@ -736,3 +736,249 @@ class TestAdviceR6Hardening:
         monkeypatch.setattr(_time, "time_ns", real)
         got = acid_store(spark, tmpdir, name="skew").get_ts({"site": "a"})
         assert (got == 9.0).all()
+
+
+class TestCheckpointPointerAndListingCost:
+    """VERDICT-r6 #3: a large commit log must open and commit with
+    O(CHECKPOINT_INTERVAL) record reads and O(1) directory listings —
+    the ``_last_checkpoint`` pointer replaces per-call listdir scans."""
+
+    def _build_log(self, tmpdir, n):
+        e = TestTxLogUnit()
+        log = TxLog(os.path.join(tmpdir, "biglog"))
+        for i in range(1, n + 1):
+            log.commit(i - 1, "append", i,
+                       adds={"data": [e._entry(f"files/f{i}.parquet", i, i)]},
+                       removes={})
+        return log
+
+    def test_pointer_written_and_trusted(self, tmpdir):
+        log = self._build_log(tmpdir, 100)
+        assert log._read_checkpoint_pointer() == 96  # 3 * 32
+        assert log._latest_checkpoint() == 96        # pointer fast path
+        assert log._latest_checkpoint(fresh=True) == 96
+
+    def test_cold_open_and_commit_listing_cost(self, tmpdir, monkeypatch):
+        import os as _os
+
+        n = 2048
+        log = self._build_log(tmpdir, n)
+        cold = TxLog(log.root)  # fresh instance: no snapshot cache
+        counts = {"listdir": 0, "rec_reads": 0}
+        real_listdir = _os.listdir
+        real_read = TxLog.read
+
+        def count_listdir(p="."):
+            counts["listdir"] += 1
+            return real_listdir(p)
+
+        def count_read(self_, v):
+            counts["rec_reads"] += 1
+            return real_read(self_, v)
+
+        monkeypatch.setattr(_os, "listdir", count_listdir)
+        monkeypatch.setattr(TxLog, "read", count_read)
+        snap = cold.snapshot()
+        assert snap.version == n
+        assert len(snap.files["data"]) == n
+        # one listing (the cache signature, reused by the replay) and
+        # only the records past the latest checkpoint are read
+        assert counts["listdir"] <= 2
+        assert counts["rec_reads"] <= TxLog.CHECKPOINT_INTERVAL
+        counts["listdir"] = counts["rec_reads"] = 0
+        e = TestTxLogUnit()
+        v = cold.commit(snap.version, "one_more", n + 1,
+                        adds={"data": [e._entry("files/more.parquet", 1, 1)]},
+                        removes={})
+        assert v == n + 1
+        # pre-link floor via the pointer, one fresh post-link scan,
+        # maybe a checkpoint replay listing — never O(slots) listings
+        assert counts["listdir"] <= 4
+
+    def test_stale_pointer_self_heals(self, tmpdir):
+        log = self._build_log(tmpdir, 64)
+        os.remove(log._pointer_path())     # lost pointer → listdir fallback
+        assert log._latest_checkpoint() == 64
+        e = TestTxLogUnit()
+        log.commit(64, "w", 65, adds={"data": [e._entry("files/x.parquet", 1, 1)]},
+                   removes={})
+        # next checkpoint rewrites the pointer
+        for i in range(66, 98):
+            log.commit(i - 1, "w", i,
+                       adds={"data": [e._entry(f"files/g{i}.parquet", i, i)]},
+                       removes={})
+        assert log._read_checkpoint_pointer() == 96
+
+
+class TestCommitterContract:
+    """VERDICT-r6 #4: the slot-claim primitive is pluggable; any
+    implementation must give exactly-once slot ownership under races
+    (the S3/GCS conditional-PUT implementation path documented on
+    LocalFSCommitter)."""
+
+    def test_racy_committer_exactly_once(self, tmpdir):
+        import threading
+        import time as _t
+
+        from holcstore_spark.sources.txlog import LocalFSCommitter
+
+        class RacyCommitter(LocalFSCommitter):
+            # widen the race window: every caller stalls mid-claim
+            def try_commit(self, path, payload):
+                _t.sleep(0.002 + (hash(threading.get_ident()) % 5) / 1000)
+                return super().try_commit(path, payload)
+
+        log = TxLog(os.path.join(tmpdir, "race"), committer=RacyCommitter())
+        rec = {"adds": {"data": [], "meta": []},
+               "removes": {"data": [], "meta": []},
+               "touched": None, "append_keys": None, "dropped_keys": None}
+        wins, barrier = [], threading.Barrier(8)
+
+        def worker(i):
+            barrier.wait()
+            if log._try_write(1, {**rec, "version": 1, "op": f"w{i}", "op_id": i}):
+                wins.append(i)
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1
+        assert log.read(1)["op"] == f"w{wins[0]}"  # complete, readable
+
+    def test_conditional_put_style_committer_runs_full_protocol(self, tmpdir):
+        # an object-store-shaped committer (atomic if-absent precondition
+        # + whole-object put, no hard links): the entire commit /
+        # checkpoint / prune / snapshot protocol runs unchanged on it
+        import threading
+
+        class CondPutCommitter:
+            def __init__(self):
+                self._lock = threading.Lock()
+
+            def try_commit(self, path, payload):
+                with self._lock:  # the store's atomic precondition check
+                    if os.path.exists(path):
+                        return False
+                    tmp = path + ".tmp-put"
+                    with open(tmp, "wb") as f:
+                        f.write(payload)
+                    os.replace(tmp, path)
+                    return True
+
+        e = TestTxLogUnit()
+        log = TxLog(os.path.join(tmpdir, "condput"), committer=CondPutCommitter())
+        for i in range(1, 70):  # crosses two checkpoint intervals
+            log.commit(i - 1, "append", i,
+                       adds={"data": [e._entry(f"files/f{i}.parquet", i, i)]},
+                       removes={})
+        assert log._try_write(5, {"version": 5, "op": "dup", "op_id": 0,
+                                  "adds": {}, "removes": {}}) is False
+        snap = log.snapshot()
+        assert snap.version == 69 and len(snap.files["data"]) == 69
+        log.prune_log()
+        snap2 = log.snapshot()
+        assert snap2.version == snap.version
+        assert {x["path"] for x in snap2.files["data"]} == {
+            x["path"] for x in snap.files["data"]
+        }
+
+
+class TestAcidDefaultAndHistory:
+    """Round-7: ACID is the default for NEW stores; existing stores keep
+    their layout; history() is the DESCRIBE HISTORY surface."""
+
+    def test_new_store_defaults_to_acid(self, spark, tmpdir):
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year",), key_types={"site": "str"})
+        assert cfg.acid is None  # unresolved until a path exists
+        st = ChunkStore(spark, os.path.join(tmpdir, "fresh"), cfg)
+        assert st._acid and st.config.acid is True
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3))
+        assert os.path.isdir(os.path.join(st.path, "_txlog"))
+
+    def test_existing_plain_store_keeps_layout_under_default(self, spark, tmpdir):
+        path = os.path.join(tmpdir, "old")
+        plain_cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                                     chunk_axis=("year",),
+                                     key_types={"site": "str"}, acid=False)
+        st = ChunkStore(spark, path, plain_cfg)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3))
+        # reopen with the DEFAULT config: saved layout wins, reads work
+        reopened = ChunkStore(spark, path, ChunkStoreConfig(
+            keys=("site",), freq="1h", tz="UTC", chunk_axis=("year",),
+            key_types={"site": "str"}))
+        assert reopened._acid is False
+        assert reopened.get_ts({"site": "a"}) is not None
+        # explicit mismatch still refuses loudly
+        with pytest.raises(ValueError, match="incompatible"):
+            ChunkStore(spark, path, ChunkStoreConfig(
+                keys=("site",), freq="1h", tz="UTC", chunk_axis=("year",),
+                key_types={"site": "str"}, acid=True))
+
+    def test_configless_dir_detection(self, spark, tmpdir):
+        # a store directory whose _store_config.json was lost: _txlog
+        # marks ACID, plain parquet marks plain
+        path = os.path.join(tmpdir, "lost")
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year",), key_types={"site": "str"})
+        st = ChunkStore(spark, path, cfg)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3))
+        os.remove(os.path.join(path, "_store_config.json"))
+        again = ChunkStore(spark, path, ChunkStoreConfig(
+            keys=("site",), freq="1h", tz="UTC", chunk_axis=("year",),
+            key_types={"site": "str"}))
+        assert again._acid is True
+        assert again.get_ts({"site": "a"}) is not None
+
+    def test_kv_attr_default_resolution(self, spark, tmpdir):
+        from holcstore_spark.sources.attr_store import AttrStore
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        kv_new = KeyValueStore(spark, os.path.join(tmpdir, "kvn"))
+        assert kv_new._acid is True  # fresh → ACID
+        kv_plain = KeyValueStore(spark, os.path.join(tmpdir, "kvp"), acid=False)
+        kv_plain.set_lc("p", hourly("2024-01-01", 2), client_id=1)
+        # default reopen keeps the detected plain layout
+        assert KeyValueStore(spark, kv_plain.path)._acid is False
+        at_new = AttrStore(spark, os.path.join(tmpdir, "atn"), keys=("k",))
+        assert at_new._acid is True
+
+    def test_history_surface(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir, name="hist")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24))
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=2.0),
+                  replace=True)
+        st.delete({"site": "a"})
+        h = st.history().collect()
+        assert [r["version"] for r in h] == [3, 2, 1]  # newest first
+        assert h[2]["op"].startswith("set_ts")
+        assert h[2]["data_files_added"] >= 1 and h[2]["data_rows_added"] == 744  # full dense month chunk
+        assert h[1]["data_files_removed"] >= 1  # the replace rewrote files
+        assert all(r["committed_at"] is not None for r in h)
+        # op_ids strictly increase in commit order (Lamport stamps)
+        ops = [r["op_id"] for r in reversed(h)]
+        assert ops == sorted(ops) and len(set(ops)) == len(ops)
+        # pairs with time_travel: the version column IS the as-of axis
+        assert (st.time_travel(h[1]["version"]).get_ts({"site": "a"}) == 2.0).all()
+        plain = ChunkStore(spark, os.path.join(tmpdir, "plainh"),
+                           ChunkStoreConfig(keys=("site",), freq="1h",
+                                            tz="UTC", chunk_axis=("year",),
+                                            key_types={"site": "str"},
+                                            acid=False))
+        with pytest.raises(ValueError, match="requires an ACID store"):
+            plain.history()
+
+    def test_blind_append_warns_above_cap(self, spark, tmpdir, monkeypatch):
+        st = acid_store(spark, tmpdir, name="blind")
+        monkeypatch.setattr(ChunkStore, "APPEND_KEYS_CAP", 3)
+        pdf = pd.DataFrame({
+            "site": [f"s{i}" for i in range(5) for _ in range(2)],
+            "ts": list(pd.date_range("2024-01-01", periods=2, freq="1h",
+                                     tz="UTC")) * 5,
+            "value": [1.0] * 10,
+        })
+        with pytest.warns(UserWarning, match="BLIND append"):
+            st.ingest_long(st.spark.createDataFrame(pdf))
+        assert len(st.get_ts({"site": "s4"})) == 2  # the write itself landed
