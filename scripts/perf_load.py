@@ -39,15 +39,16 @@ def run(shape: str) -> None:
 
     path = tempfile.mkdtemp(prefix=f"holc_perf_{shape}_")
     shutil.rmtree(path, ignore_errors=True)
-    # HOLC_PERF_ACID=1 runs the same harness on the transaction-log
-    # backend for apples-to-apples plain/ACID baselines
-    acid = bool(int(os.environ.get("HOLC_PERF_ACID", "0")))
+    # HOLC_PERF_ACID=1/0 pins the backend for apples-to-apples
+    # plain/ACID baselines; unset runs the library default (ACID for
+    # new stores since round 7)
+    env = os.environ.get("HOLC_PERF_ACID")
+    acid = None if env is None else bool(int(env))
     cfg = ChunkStoreConfig(keys=("key",), freq=freq, tz="Europe/Paris",
                            chunk_axis=axis, key_types={"key": "str"},
                            acid=acid)
     store = ChunkStore(spark, path, cfg)
-    if acid:
-        print(f"{shape}: ACID backend")
+    print(f"{shape}: {'ACID' if store._acid else 'plain'} backend")
 
     keys = spark.range(n_keys).select(
         F.concat(F.lit("serie_"), F.col("id")).alias("key")
