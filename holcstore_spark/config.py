@@ -104,9 +104,11 @@ class ChunkStoreConfig:
             return replace(self, acid=bool(saved))
         if os.path.isdir(os.path.join(path, "_txlog")):
             return replace(self, acid=True)
-        from holcstore_spark.sources.io_util import has_parquet
-
-        if has_parquet(os.path.join(path, "data")):
+        if os.path.isdir(path):
+            # an existing directory without a transaction log is a plain
+            # store (possibly emptied — no parquet footers left); ACID
+            # stores create ``_txlog`` at first open, so flipping an
+            # existing dir to ACID here would orphan its layout
             return replace(self, acid=False)
         return replace(self, acid=True)
 
@@ -135,6 +137,12 @@ class ChunkStoreConfig:
             raw = json.load(f)
         raw["keys"] = tuple(raw["keys"])
         raw["chunk_axis"] = tuple(raw["chunk_axis"])
+        # configs saved before the acid field existed describe plain
+        # stores; loading them as acid=None would spuriously fail
+        # check_compatible's equality against a resolved (concrete) config
+        raw.setdefault("acid", False)
+        if raw["acid"] is None:
+            raw["acid"] = False
         return cls(**raw)
 
     def check_compatible(self, path: str) -> None:

@@ -47,13 +47,18 @@ def _resolve_acid(path: str, acid: bool | None) -> bool:
     """Layout resolution for the config-less stores (KeyValueStore /
     AttrStore): explicit flag wins; ``None`` keeps an existing store's
     detected layout — a ``_txlog`` dir marks ACID (checked FIRST: ACID
-    stores also hold parquet under ``files/``), plain parquet marks the
-    overwrite layout — and defaults NEW stores to ACID."""
+    stores also hold parquet under ``files/``), any other EXISTING
+    directory marks the plain overwrite layout (an emptied-by-rewrite
+    plain store keeps its directory with no parquet footers — flipping
+    it to ACID on reopen would split-brain a concurrent plain handle;
+    ACID stores always carry ``_txlog`` from their first open, so the
+    directory's mere existence is a reliable plain marker) — and
+    defaults genuinely NEW stores (no directory yet) to ACID."""
     if acid is not None:
         return bool(acid)
     if os.path.isdir(os.path.join(path, "_txlog")):
         return True
-    if has_parquet(path):
+    if os.path.isdir(path):
         return False
     return True
 
@@ -221,15 +226,22 @@ class KeyValueStore:
                 or e["chunk_min"] <= cid <= e["chunk_max"]
             ]
             staged = remaining.filter(F.col("client_id") == cid)
-            if affected:
-                # files can span clients (_overwrite/clear_all stage the
-                # whole table): removing them while re-staging only cid's
-                # rows would silently delete OTHER tenants' rows — read
-                # the affected files back and carry the bystanders into
-                # the rewrite (ChunkStore._rewrite_acid's keep-set
-                # pattern). Path-intersection conflict detection covers a
-                # concurrent writer of a bystander tenant sharing a file.
-                paths = [os.path.join(self.path, e["path"]) for e in affected]
+            # files can span clients (_overwrite/clear_all stage the
+            # whole table): removing them while re-staging only cid's
+            # rows would silently delete OTHER tenants' rows — read the
+            # SPANNING files back and carry the bystanders into the
+            # rewrite (ChunkStore._rewrite_acid's keep-set pattern).
+            # Single-tenant files (chunk_min == chunk_max == cid, the
+            # common per-tenant staging shape) provably hold no
+            # bystanders and skip the extra read. Path-intersection
+            # conflict detection covers a concurrent writer of a
+            # bystander tenant sharing a file.
+            spanning = [
+                e for e in affected
+                if e.get("chunk_min") is None or e["chunk_min"] != e["chunk_max"]
+            ]
+            if spanning:
+                paths = [os.path.join(self.path, e["path"]) for e in spanning]
                 bystanders = (
                     self.spark.read.schema(self._schema()).parquet(*paths)
                     .filter(F.col("client_id") != cid)

@@ -476,12 +476,19 @@ class TxLog:
                 # link, another writer can take slot v, advance to a
                 # checkpoint >= v, and prune record v — freeing the slot
                 # so our link lands BELOW the pruned horizon, invisible
-                # to every future replay (a silently lost write). Any
-                # checkpoint >= v at this point is someone else's (ours
-                # is only written below), so back the record out and
-                # retry on a fresh snapshot.
+                # to every future replay (a silently lost write). But a
+                # checkpoint >= v can ALSO be benign: writers that
+                # replayed OUR freshly-linked record committed past v
+                # and checkpointed — then our commit is durable and
+                # summarized, and backing it out + raising would make
+                # the caller double-apply the operation on retry.
+                # Discriminate by whether the checkpoint's file set
+                # observed this commit's effect (our staged paths are
+                # uuid-unique): observed → success, else back out.
                 post_floor = self._latest_checkpoint(fresh=True) or 0
-                if post_floor >= v:
+                if post_floor >= v and not self._checkpoint_observed(
+                    post_floor, record
+                ):
                     try:
                         os.remove(self._rec_path(v))
                     except FileNotFoundError:
@@ -505,6 +512,36 @@ class TxLog:
                 ) from None
             self._check_conflict(other, record)
             v += 1
+
+    def _checkpoint_observed(self, cp_version: int, record: dict) -> bool:
+        """Did the checkpoint at ``cp_version`` replay OUR commit?
+        Our staged file paths are uuid-unique, so any of our adds
+        appearing in the checkpoint's live set proves the checkpointing
+        writer read our record (benign: we are summarized, the commit
+        stands). For an adds-free commit (pure removal), every one of
+        our removed paths being absent is the corresponding evidence.
+        Unreadable checkpoint → not observed (the safe, loud
+        direction: the commit is backed out and retried rather than
+        silently trusted)."""
+        try:
+            with open(self._checkpoint_path(cp_version)) as f:
+                data = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+        live = {
+            e["path"]
+            for t in self.TABLES
+            for e in data.get("files", {}).get(t, [])
+        }
+        adds = [
+            e["path"] for t in self.TABLES for e in record["adds"].get(t, [])
+        ]
+        if adds:
+            return any(p in live for p in adds)
+        removes = [
+            e["path"] for t in self.TABLES for e in record["removes"].get(t, [])
+        ]
+        return bool(removes) and all(p not in live for p in removes)
 
     def _check_conflict(self, other: dict, ours: dict) -> None:
         from holcstore_spark.sources.chunk_store import ConcurrentWriteError

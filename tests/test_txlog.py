@@ -982,3 +982,84 @@ class TestAcidDefaultAndHistory:
         with pytest.warns(UserWarning, match="BLIND append"):
             st.ingest_long(st.spark.createDataFrame(pdf))
         assert len(st.get_ts({"site": "s4"})) == 2  # the write itself landed
+
+
+class TestPostLinkDiscrimination:
+    """Code-review r7: a checkpoint >= v appearing after our link is
+    benign when it SUMMARIZED our record (writers that replayed us
+    committed and checkpointed) — the commit must stand, not be backed
+    out into a double-apply retry."""
+
+    def test_benign_concurrent_checkpoint_keeps_commit(
+        self, tmpdir, monkeypatch
+    ):
+        e = TestTxLogUnit()
+        log = TxLog(os.path.join(tmpdir, "benign"))
+        other = TxLog(log.root)
+        other.CHECKPOINT_INTERVAL = 1
+        orig = TxLog._try_write
+        state = {"fired": False}
+
+        def race(self_, v, rec):
+            ok = orig(self_, v, rec)
+            if ok and self_ is log and not state["fired"]:
+                state["fired"] = True
+                # a concurrent writer replays OUR record, commits past
+                # v, checkpoints (summarizing us) and prunes — all
+                # before our post-link re-check runs
+                other.commit(other.snapshot().version, "other", 99,
+                             adds={"data": [e._entry("files/o.parquet", 9, 9)]},
+                             removes={})
+                other.prune_log()
+            return ok
+
+        monkeypatch.setattr(TxLog, "_try_write", race)
+        v = log.commit(0, "mine", 1,
+                       adds={"data": [e._entry("files/m.parquet", 1, 1)]},
+                       removes={})
+        monkeypatch.setattr(TxLog, "_try_write", orig)
+        assert v == 1  # committed, not backed out
+        assert {x["path"] for x in log.snapshot().files["data"]} == {
+            "files/m.parquet", "files/o.parquet"
+        }
+
+
+class TestResolutionHardening:
+    """Code-review r7: pre-acid-field configs must open; an emptied
+    plain store must not flip layouts on default reopen."""
+
+    def test_pre_acid_saved_config_opens(self, spark, tmpdir):
+        import json as _json
+
+        path = os.path.join(tmpdir, "preacid")
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year",),
+                               key_types={"site": "str"}, acid=False)
+        st = ChunkStore(spark, path, cfg)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3))
+        cfg_file = os.path.join(path, "_store_config.json")
+        with open(cfg_file) as f:
+            raw = _json.load(f)
+        del raw["acid"]  # simulate a config saved before the field existed
+        with open(cfg_file, "w") as f:
+            _json.dump(raw, f)
+        reopened = ChunkStore(spark, path, ChunkStoreConfig(
+            keys=("site",), freq="1h", tz="UTC", chunk_axis=("year",),
+            key_types={"site": "str"}))
+        assert reopened._acid is False
+        assert reopened.get_ts({"site": "a"}) is not None
+
+    def test_emptied_plain_kv_store_stays_plain(self, spark, tmpdir):
+        import pandas as _pd
+
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        kv = KeyValueStore(spark, os.path.join(tmpdir, "kvempty"), acid=False)
+        s = _pd.Series([1.0], index=_pd.date_range("2024-01-01", periods=1,
+                                                   freq="1D", tz="UTC"))
+        kv.set_lc("p", s, client_id=1)
+        kv.clear_all()  # directory survives with no parquet footers
+        reopened = KeyValueStore(spark, kv.path)  # default resolution
+        assert reopened._acid is False  # NOT flipped to ACID
+        reopened.set_lc("p", s, client_id=1)
+        assert len(reopened.get_lc("p", 1)) == 1
