@@ -1063,3 +1063,74 @@ class TestResolutionHardening:
         assert reopened._acid is False  # NOT flipped to ACID
         reopened.set_lc("p", s, client_id=1)
         assert len(reopened.get_lc("p", 1)) == 1
+
+
+def _mp_writer(root, wid, n_commits, out_q):
+    """Cross-process commit worker (module-level for spawn pickling):
+    each commit appends one uniquely-named file entry; occasional
+    maintenance (prune) interleaves with other processes' commits."""
+    import random
+
+    from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+    from holcstore_spark.sources.txlog import TxLog
+
+    rng = random.Random(wid)
+    log = TxLog(root)
+    landed = []
+    for i in range(n_commits):
+        path = f"files/w{wid}_{i}.parquet"
+        entry = {"path": path, "rows": 1, "chunk_min": wid, "chunk_max": wid,
+                 "key_stats": None}
+        for _attempt in range(40):
+            snap = log.snapshot()
+            try:
+                log.commit(snap.version, f"w{wid}", TxLog.next_op_id(snap),
+                           adds={"data": [entry]}, removes={})
+                landed.append(path)
+                break
+            except ConcurrentWriteError:
+                continue
+        else:
+            out_q.put(("fail", wid, path))
+            return
+        if rng.random() < 0.15:
+            try:
+                log.prune_log()
+            except OSError:
+                pass
+    out_q.put(("ok", wid, landed))
+
+
+class TestMultiProcessCommitChaos:
+    """REAL cross-process concurrency (not injected interleaves, not
+    threads): N processes hammer one log with appends and interleaved
+    prunes. Every commit a worker reports as landed must be visible in
+    the final snapshot — exercises LocalFSCommitter's os.link atomicity
+    across processes, pointer races, prune vs replay races, and the
+    post-link horizon discrimination under genuine scheduling chaos."""
+
+    def test_six_processes_no_lost_commits(self, tmpdir):
+        import multiprocessing as mp
+
+        root = os.path.join(tmpdir, "mplog")
+        TxLog(root)  # create the log dir before forking
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        n_workers, n_commits = 6, 12
+        procs = [
+            ctx.Process(target=_mp_writer, args=(root, w, n_commits, q))
+            for w in range(n_workers)
+        ]
+        for p in procs:
+            p.start()
+        results = [q.get(timeout=120) for _ in range(n_workers)]
+        for p in procs:
+            p.join(timeout=30)
+        assert all(r[0] == "ok" for r in results), results
+        expected = {path for r in results for path in r[2]}
+        assert len(expected) == n_workers * n_commits
+        live = {e["path"] for e in TxLog(root).snapshot().files["data"]}
+        missing = expected - live
+        assert not missing, f"lost commits: {sorted(missing)[:5]}"
+        # the log itself stayed bounded by prune/checkpoint maintenance
+        assert TxLog(root).snapshot().version == n_workers * n_commits
