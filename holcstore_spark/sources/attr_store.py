@@ -106,15 +106,30 @@ class AttrStore:
         return hashlib.md5(repr(canon).encode()).hexdigest()[:16]
 
     def _may_contain(self, entry: dict, kts: list[tuple]) -> bool:
+        """Per-file bounding-box pruning over ALL key columns: the file
+        may hold one of ``kts`` only if some tuple fits inside every
+        dimension's min/max range. Missing or incomparable stats stay
+        conservative per dimension (never skip a file we can't prove
+        clean)."""
         ks = entry.get("key_stats") or {}
-        rng = ks.get(self.keys[0])
-        if not rng:
+        rngs = [ks.get(k) for k in self.keys]
+        if not any(rngs):
             return True
-        lo, hi = rng
-        try:
-            return any(lo <= kt[0] <= hi for kt in kts)
-        except TypeError:
-            return True
+        for kt in kts:
+            fits = True
+            for v, rng in zip(kt, rngs):
+                if rng is None:
+                    continue
+                lo, hi = rng
+                try:
+                    if not (lo <= v <= hi):
+                        fits = False
+                        break
+                except TypeError:
+                    continue  # incomparable stat/value: conservative
+            if fits:
+                return True
+        return False
 
     def _stage(self, df: DataFrame) -> list:
         abs_dir, rel_dir = self._txlog.new_staging_dir()

@@ -259,3 +259,27 @@ class TestAttrAcidSnapshotPinning:
         st.set_ts({"k": "x"}, s([1.0, 2.0]))
         st.set_ts({"k": "x"}, s([9.0]), update=True)
         assert list(st.get_ts({"k": "x"}, flat=True)) == [9.0, 2.0]
+
+
+class TestAttrKeyStatsPruning:
+    def test_rewrite_skips_files_disjoint_on_secondary_key(
+        self, spark, tmp_store_path
+    ):
+        """_may_contain prunes on ALL key columns: two series sharing the
+        first key but differing on the second, staged into separate
+        commits (separate files), must not rewrite each other."""
+        st = AttrStore(spark, tmp_store_path + "_bb", keys=("site", "kind"),
+                       acid=True)
+        st.set_ts({"site": "x", "kind": "a"}, s([1.0]))
+        st.set_ts({"site": "x", "kind": "b"}, s([2.0]))
+        snap_before = st._txlog.snapshot()
+        file_of_b = {
+            e["path"] for e in snap_before.files["data"]
+            if (e.get("key_stats") or {}).get("kind", ["", ""])[0] == "b"
+        }
+        assert file_of_b, "precondition: b's file carries kind stats"
+        st.set_ts({"site": "x", "kind": "a"}, s([9.0]), replace=True)
+        live = {e["path"] for e in st._txlog.snapshot().files["data"]}
+        assert file_of_b <= live, "disjoint-on-kind file was rewritten"
+        assert list(st.get_ts({"site": "x", "kind": "a"}, flat=True)) == [9.0]
+        assert list(st.get_ts({"site": "x", "kind": "b"}, flat=True)) == [2.0]
