@@ -518,6 +518,33 @@ def q_store_acid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+
+def q_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7: Delta-CDF-style row-level change feed
+    (``ChunkStore.changes_between``). Ingest the hourly series, snapshot
+    the log version, apply the doubled mid-January update patch, then
+    read the changes since the snapshot from the MANIFEST diff (only
+    changed files are opened; copy-on-write bystander rows cancel in
+    the exceptAll). Every patched non-zero hour must surface as exactly
+    one delete of the old value and one insert of the doubled value —
+    aggregated per (user, change type) with exact decimal totals."""
+    store, path = _make_event_store(spark, sf_dir, acid=True)
+    try:
+        v1 = store._txlog.snapshot().version
+        patch = _hourly_events(spark, sf_dir).filter(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-15")
+        ).withColumn("value", F.col("value") * 2)
+        store.ingest_long(patch, mode="update")
+        ch = store.changes_between(v1).filter(F.col("value").isNotNull())
+        out = ch.groupBy("user_id", "_change_type").agg(
+            F.count(F.lit(1)).alias("n_changed"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        ).withColumnRenamed("_change_type", "change_type")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_store_update_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4/S9 via ingest_long(update): a doubled mid-January patch wins over
     the original; original fills everything else — per-user exact totals."""
@@ -2948,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_yield_many": q_store_yield_many,
         "store_changefeed": q_store_changefeed,
         "store_acid_ops": q_store_acid_ops,
+        "store_cdf": q_store_cdf,
         "kv_store_overlay": q_kv_store_overlay,
         "kv_find_holes": q_kv_find_holes,
         "kv_clear": q_kv_clear,
@@ -2978,8 +3006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
         # ====== driver 50-entry window ends here (50 above) ========
+        # (similarity_ivf displaced to the tail by the new store_cdf)
+        "similarity_ivf": q_similarity_ivf,
         # -- tail: remaining r5-green (rotate round 8) --------------
         "similarity_neardup": q_similarity_neardup,
         "text_stats": q_text_stats,
@@ -4270,6 +4299,25 @@ def oracle_sql() -> dict[str, str]:
     """
     # clear() removed every prm with user_id % 3 = 0 for client 1;
     # clear_all() emptied client 2 (so the per-prm join yields no rows there)
+    store_cdf = """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+            FROM events GROUP BY 1, 2
+        ),
+        patched AS (
+            SELECT user_id, value FROM hourly
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+              AND value IS NOT NULL AND value <> 0
+        )
+        SELECT user_id, change_type, count(*) AS n_changed,
+               CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM (
+            SELECT user_id, 'delete' AS change_type, value AS v FROM patched
+            UNION ALL
+            SELECT user_id, 'insert' AS change_type, value * 2 AS v FROM patched
+        )
+        GROUP BY user_id, change_type
+    """
     kv_acid_ops = """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day, max(value) AS v
@@ -4491,6 +4539,7 @@ def oracle_sql() -> dict[str, str]:
         "store_update_overlay": store_update_overlay,
         "store_delete_tombstone": store_delete_tombstone,
         "store_acid_ops": store_acid_ops,
+        "store_cdf": store_cdf,
         "kv_acid_ops": kv_acid_ops,
         "store_max_horodate": store_max_horodate,
         "store_yield_many": store_yield_many,

@@ -273,6 +273,57 @@ class ChunkStore:
             raise ValueError("history requires an ACID store (acid=True)")
         return _history_df(self.spark, self._txlog)
 
+    def changes_between(self, from_version: int,
+                        to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between two committed log versions
+        (Delta CDF's ``table_changes`` analogue; ACID only): the data
+        rows inserted and removed by the commits in
+        ``(from_version, to_version]``, as the data columns plus a
+        ``_change_type`` column ('insert' | 'delete'; an in-place
+        update of a point surfaces as delete of the old row + insert
+        of the new).
+
+        Scale shape: derived from the MANIFEST diff — only the files
+        added or removed in the interval are read, never the table, so
+        the cost is bounded by what changed regardless of store size.
+        Copy-on-write rewrites carry unchanged bystander rows into
+        their new files; the ``exceptAll`` between the added and
+        removed file sets cancels those exactly, leaving the true
+        row-level delta. Contract notes: this is the PHYSICAL data
+        delta — dense-grid NaN padding participates like any row, and
+        tombstone deletes (meta-only commits) report no data changes;
+        both bounds must be at-or-below the pruned log horizon's reach
+        (same availability as :meth:`time_travel`)."""
+        if not self._acid:
+            raise ValueError("changes_between requires an ACID store (acid=True)")
+        snap_to = self._txlog.snapshot(as_of=to_version)
+        if to_version is not None and snap_to.version != to_version:
+            raise ValueError(
+                f"version {to_version} is not a committed log version "
+                f"(nearest at-or-before: {snap_to.version})"
+            )
+        snap_from = self._txlog.snapshot(as_of=from_version)
+        if snap_from.version != from_version:
+            raise ValueError(
+                f"version {from_version} is not a committed log version "
+                f"(nearest at-or-before: {snap_from.version})"
+            )
+        paths_from = {e["path"] for e in snap_from.files["data"]}
+        paths_to = {e["path"] for e in snap_to.files["data"]}
+        cols = [f.name for f in self._data_schema()]
+
+        def _read(paths: set) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame([], self._data_schema())
+            full = [os.path.join(self.path, p) for p in sorted(paths)]
+            return self.spark.read.schema(self._data_schema()).parquet(*full).select(*cols)
+
+        added = _read(paths_to - paths_from)
+        removed = _read(paths_from - paths_to)
+        inserts = added.exceptAll(removed).withColumn("_change_type", F.lit("insert"))
+        deletes = removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     @contextlib.contextmanager
     def _txn(self, op: str):
         """All staged adds/removes of one public write op commit as ONE

@@ -120,6 +120,8 @@ ROUND7_WINDOW_MUST = {
     "kv_acid_ops", "attr_store_update", "sync_pull", "rest_sync_pull",
     "sync_tombstone", "sync_guards", "sync_paged", "admin_export",
     "lookup_filter",
+    # new in round 7 (never driver-verified)
+    "store_cdf",
 }
 
 

@@ -1134,3 +1134,48 @@ class TestMultiProcessCommitChaos:
         assert not missing, f"lost commits: {sorted(missing)[:5]}"
         # the log itself stayed bounded by prune/checkpoint maintenance
         assert TxLog(root).snapshot().version == n_workers * n_commits
+
+
+class TestChangesBetween:
+    """Delta-CDF-style row-level change feed from the manifest diff."""
+
+    def test_update_surfaces_as_delete_plus_insert(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir, name="cdf")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=1.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "a"}, hourly("2024-01-01 05:00", 3, value=9.0),
+                  update=True)
+        v2 = st._txlog.snapshot().version
+        ch = st.changes_between(v1, v2).collect()
+        by_type = {}
+        for r in ch:
+            by_type.setdefault(r["_change_type"], []).append(r)
+        # exactly the 3 updated hours change; the rewritten file's
+        # carried-over rows cancel in the exceptAll
+        ins = sorted((r["ts"], r["value"]) for r in by_type["insert"])
+        del_ = sorted((r["ts"], r["value"]) for r in by_type["delete"])
+        assert len(ins) == 3 and len(del_) == 3
+        assert all(v == 9.0 for _, v in ins)
+        assert all(v == 1.0 for _, v in del_)
+        assert [t for t, _ in ins] == [t for t, _ in del_]
+
+    def test_pure_insert_and_bounds_validation(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir, name="cdf2")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "b"}, hourly("2024-02-01", 24, value=2.0))
+        ch = st.changes_between(v1)
+        rows = ch.collect()
+        assert all(r["_change_type"] == "insert" for r in rows)
+        assert {r["site"] for r in rows} == {"b"}
+        assert len(rows) == 24 * 29  # b's dense Feb chunk
+        assert st.changes_between(v1, v1).count() == 0
+        with pytest.raises(ValueError, match="not a committed log version"):
+            st.changes_between(99)
+        plain = ChunkStore(spark, os.path.join(tmpdir, "plaincdf"),
+                           ChunkStoreConfig(keys=("site",), freq="1h",
+                                            tz="UTC", chunk_axis=("year",),
+                                            key_types={"site": "str"},
+                                            acid=False))
+        with pytest.raises(ValueError, match="requires an ACID store"):
+            plain.changes_between(0)
