@@ -545,6 +545,64 @@ def q_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+
+def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7: the STREAMING change-data-capture source
+    (streaming/cdf_source.py — PySpark Python Data Source API over the
+    transaction log; offsets are commit versions). A real readStream
+    starting at the pre-patch version flows the manifest diff through a
+    parquet sink; the file-level feed legitimately carries matched
+    no-op delete+insert pairs for copy-on-write bystander rows, so the
+    consumer-side retract-then-upsert (exceptAll both ways) must net to
+    EXACTLY the batch ``changes_between`` delta — same oracle as
+    ``store_cdf``."""
+    from holcstore_spark.streaming.cdf_source import ChunkStoreChangesDataSource
+
+    try:
+        spark.dataSource.register(ChunkStoreChangesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    store, path = _make_event_store(spark, sf_dir, acid=True)
+    sink = tempfile.mkdtemp(prefix="holc_cdfsink_")
+    ckpt = tempfile.mkdtemp(prefix="holc_cdfck_")
+    try:
+        v1 = store._txlog.snapshot().version
+        patch = _hourly_events(spark, sf_dir).filter(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-15")
+        ).withColumn("value", F.col("value") * 2)
+        store.ingest_long(patch, mode="update")
+        feed = (
+            spark.readStream.format("holc-changes")
+            .option("path", path).option("startingVersion", str(v1)).load()
+        )
+        q = (
+            feed.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        raw = spark.read.parquet(sink)
+        cols = [c for c in raw.columns if c != "_change_type"]
+        ins = raw.filter(F.col("_change_type") == "insert").select(*cols)
+        dels = raw.filter(F.col("_change_type") == "delete").select(*cols)
+        net = (
+            ins.exceptAll(dels).withColumn("change_type", F.lit("insert"))
+            .unionByName(
+                dels.exceptAll(ins).withColumn("change_type", F.lit("delete"))
+            )
+            .filter(F.col("value").isNotNull())
+        )
+        out = net.groupBy("user_id", "change_type").agg(
+            F.count(F.lit(1)).alias("n_changed"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_store_update_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4/S9 via ingest_long(update): a doubled mid-January patch wins over
     the original; original fills everything else — per-user exact totals."""
@@ -2976,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_changefeed": q_store_changefeed,
         "store_acid_ops": q_store_acid_ops,
         "store_cdf": q_store_cdf,
+        "stream_cdf": q_stream_cdf,
         "kv_store_overlay": q_kv_store_overlay,
         "kv_find_holes": q_kv_find_holes,
         "kv_clear": q_kv_clear,
@@ -3005,9 +3064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "clean_corpus_cc": q_clean_corpus_cc,
-        "similarity_lsh": q_similarity_lsh,
         # ====== driver 50-entry window ends here (50 above) ========
-        # (similarity_ivf displaced to the tail by the new store_cdf)
+        "similarity_lsh": q_similarity_lsh,
+        # (similarity_lsh + similarity_ivf displaced to the tail by the
+        # new store_cdf + stream_cdf)
         "similarity_ivf": q_similarity_ivf,
         # -- tail: remaining r5-green (rotate round 8) --------------
         "similarity_neardup": q_similarity_neardup,
@@ -4540,6 +4600,7 @@ def oracle_sql() -> dict[str, str]:
         "store_delete_tombstone": store_delete_tombstone,
         "store_acid_ops": store_acid_ops,
         "store_cdf": store_cdf,
+        "stream_cdf": store_cdf,  # identical expected delta (net of no-op pairs)
         "kv_acid_ops": kv_acid_ops,
         "store_max_horodate": store_max_horodate,
         "store_yield_many": store_yield_many,

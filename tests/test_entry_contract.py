@@ -121,7 +121,7 @@ ROUND7_WINDOW_MUST = {
     "sync_tombstone", "sync_guards", "sync_paged", "admin_export",
     "lookup_filter",
     # new in round 7 (never driver-verified)
-    "store_cdf",
+    "store_cdf", "stream_cdf",
 }
 
 

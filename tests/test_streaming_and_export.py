@@ -309,3 +309,71 @@ class TestStreamIntervalJoin:
         got = spark.sql("SELECT * FROM sj").collect()
         # only the -30min click is inside [t-1h, t]
         assert len(got) == 1 and got[0]["rv"] == 2.0
+
+
+class TestChangesStreamSource:
+    """Streaming CDC source (streaming/cdf_source.py): the transaction
+    log as a Structured Streaming source with commit-version offsets."""
+
+    def test_stream_resume_and_physical_delta(self, spark, tmp_store_path):
+        import pandas as pd
+
+        from holcstore_spark import ChunkStoreConfig
+        from holcstore_spark.sources.chunk_store import ChunkStore
+        from holcstore_spark.streaming.cdf_source import (
+            ChunkStoreChangesDataSource,
+        )
+
+        try:
+            spark.dataSource.register(ChunkStoreChangesDataSource)
+        except Exception:
+            pass
+        p = tmp_store_path + "_cdfsrc"
+        ck, sink = p + "_ck", p + "_sink"
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, p, cfg)
+
+        def hourly(s, n, v):
+            return pd.Series(
+                float(v),
+                index=pd.date_range(s, periods=n, freq="1h", tz="UTC"),
+            )
+
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, 1.0))
+        st.set_ts({"site": "a"}, hourly("2024-01-01 05:00", 3, 9.0),
+                  update=True)
+
+        def run_once():
+            q = (
+                spark.readStream.format("holc-changes")
+                .option("path", p).option("startingVersion", "earliest")
+                .load()
+                .writeStream.format("parquet").option("path", sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(180)
+
+        run_once()
+        got = spark.read.parquet(sink)
+        # earliest→head nets the intermediate rewrite away: one file,
+        # 744 dense-January rows, all inserts, 3 of them patched
+        assert got.filter("_change_type = 'delete'").count() == 0
+        vals = {
+            (r[0], r[1]) for r in got.filter("value is not null")
+            .groupBy("value").count().collect()
+        }
+        assert vals == {(1.0, 21), (9.0, 3)}
+        # a new commit streams INCREMENTALLY on checkpoint resume
+        st.set_ts({"site": "b"}, hourly("2024-02-01", 24, 5.0))
+        run_once()
+        got = spark.read.parquet(sink)
+        assert got.filter("value = 5.0").count() == 24   # only the delta
+        assert got.filter("value = 1.0").count() == 21   # batch 1 not re-emitted
+        # plain store refused
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="not an ACID store"):
+            (spark.readStream.format("holc-changes")
+             .option("path", p + "_nope").load())
