@@ -203,6 +203,30 @@ class AttrStore:
             raise ValueError("history requires an ACID store (acid=True)")
         return _history_df(self.spark, self._txlog)
 
+    def changes_between(self, from_version: int,
+                        to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between committed log versions (see
+        ChunkStore.changes_between). AttrStore infers its key types from
+        the data, so each side reads schema-inferred and an empty side
+        borrows the other's schema (falling back to the declared string
+        default when both are empty)."""
+        from holcstore_spark.sources.chunk_store import _changes_between_df
+
+        if not self._acid:
+            raise ValueError("changes_between requires an ACID store (acid=True)")
+        cols = [*self.keys, "ts", "value"]
+
+        def _read(paths, other: DataFrame | None) -> DataFrame:
+            if not paths:
+                schema = other.schema if other is not None else self._schema()
+                return self.spark.createDataFrame([], schema)
+            full = [os.path.join(self.path, p) for p in paths]
+            return self.spark.read.parquet(*full).select(*cols)
+
+        return _changes_between_df(
+            self.spark, self._txlog, from_version, to_version, _read
+        )
+
     # ------------------------------------------------------------------
     def _to_pdf(self, attrs: dict, serie: pd.Series) -> pd.DataFrame:
         if not isinstance(serie, pd.Series) or not isinstance(serie.index, pd.DatetimeIndex):

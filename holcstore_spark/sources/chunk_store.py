@@ -150,6 +150,37 @@ class _Txn:
         self.touched = (self.touched or set()) | set(chunks)
 
 
+def _changes_between_df(
+    spark: SparkSession, txlog, from_version: int, to_version: int | None,
+    read_paths,
+) -> DataFrame:
+    """Shared manifest-diff → row-delta core (see
+    ``ChunkStore.changes_between`` for semantics): resolve the two
+    snapshots, diff their data-file sets, and let the store-specific
+    ``read_paths(paths, other_df)`` callback read each side with the
+    right schema (``other_df`` is the already-built opposite side, or
+    None — lets schema-inferring stores type their empty frame)."""
+    snap_to = txlog.snapshot(as_of=to_version)
+    if to_version is not None and snap_to.version != to_version:
+        raise ValueError(
+            f"version {to_version} is not a committed log version "
+            f"(nearest at-or-before: {snap_to.version})"
+        )
+    snap_from = txlog.snapshot(as_of=from_version)
+    if snap_from.version != from_version:
+        raise ValueError(
+            f"version {from_version} is not a committed log version "
+            f"(nearest at-or-before: {snap_from.version})"
+        )
+    paths_from = {e["path"] for e in snap_from.files["data"]}
+    paths_to = {e["path"] for e in snap_to.files["data"]}
+    added = read_paths(sorted(paths_to - paths_from), None)
+    removed = read_paths(sorted(paths_from - paths_to), added)
+    inserts = added.exceptAll(removed).withColumn("_change_type", F.lit("insert"))
+    deletes = removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def _history_df(spark: SparkSession, txlog) -> DataFrame:
     """Commit-log rows as a typed frame (shared by every
     manifest-backed store's ``history()``)."""
@@ -296,33 +327,17 @@ class ChunkStore:
         (same availability as :meth:`time_travel`)."""
         if not self._acid:
             raise ValueError("changes_between requires an ACID store (acid=True)")
-        snap_to = self._txlog.snapshot(as_of=to_version)
-        if to_version is not None and snap_to.version != to_version:
-            raise ValueError(
-                f"version {to_version} is not a committed log version "
-                f"(nearest at-or-before: {snap_to.version})"
-            )
-        snap_from = self._txlog.snapshot(as_of=from_version)
-        if snap_from.version != from_version:
-            raise ValueError(
-                f"version {from_version} is not a committed log version "
-                f"(nearest at-or-before: {snap_from.version})"
-            )
-        paths_from = {e["path"] for e in snap_from.files["data"]}
-        paths_to = {e["path"] for e in snap_to.files["data"]}
         cols = [f.name for f in self._data_schema()]
 
-        def _read(paths: set) -> DataFrame:
+        def _read(paths, _other) -> DataFrame:
             if not paths:
                 return self.spark.createDataFrame([], self._data_schema())
-            full = [os.path.join(self.path, p) for p in sorted(paths)]
+            full = [os.path.join(self.path, p) for p in paths]
             return self.spark.read.schema(self._data_schema()).parquet(*full).select(*cols)
 
-        added = _read(paths_to - paths_from)
-        removed = _read(paths_from - paths_to)
-        inserts = added.exceptAll(removed).withColumn("_change_type", F.lit("insert"))
-        deletes = removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
-        return inserts.unionByName(deletes)
+        return _changes_between_df(
+            self.spark, self._txlog, from_version, to_version, _read
+        )
 
     @contextlib.contextmanager
     def _txn(self, op: str):

@@ -567,6 +567,27 @@ class KeyValueStore:
             raise ValueError("history requires an ACID store (acid=True)")
         return _history_df(self.spark, self._txlog)
 
+    def changes_between(self, from_version: int,
+                        to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between committed log versions (see
+        ChunkStore.changes_between for semantics and the manifest-diff
+        scale shape)."""
+        from holcstore_spark.sources.chunk_store import _changes_between_df
+
+        if not self._acid:
+            raise ValueError("changes_between requires an ACID store (acid=True)")
+        cols = [f.name for f in self._schema().fields]
+
+        def _read(paths, _other) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame([], self._schema())
+            full = [os.path.join(self.path, p) for p in paths]
+            return self.spark.read.schema(self._schema()).parquet(*full).select(*cols)
+
+        return _changes_between_df(
+            self.spark, self._txlog, from_version, to_version, _read
+        )
+
     def find_holes(
         self,
         prms: list | None,

@@ -283,3 +283,15 @@ class TestAttrKeyStatsPruning:
         assert file_of_b <= live, "disjoint-on-kind file was rewritten"
         assert list(st.get_ts({"site": "x", "kind": "a"}, flat=True)) == [9.0]
         assert list(st.get_ts({"site": "x", "kind": "b"}, flat=True)) == [2.0]
+
+
+class TestAttrChangesBetween:
+    def test_update_delta(self, spark, tmp_store_path):
+        st = AttrStore(spark, tmp_store_path + "_cdf", keys=("k",), acid=True)
+        st.set_ts({"k": "x"}, s([1.0, 2.0]))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"k": "x"}, s([9.0]), update=True)
+        ch = st.changes_between(v1).collect()
+        got = sorted((r["_change_type"], r["value"]) for r in ch)
+        # hour 0 changed 1.0 -> 9.0; hour 1 (2.0) carried through and cancels
+        assert got == [("delete", 1.0), ("insert", 9.0)]

@@ -426,3 +426,19 @@ class TestKvAcidAdviceR6:
         # exactly one version-1 row set: the interleaved writer's
         got = a.get_lc("p", 1)[0]
         assert got["version"] == 1 and list(got["data"]) == [2.0]
+
+
+class TestKvChangesBetween:
+    def test_versioned_append_and_clear_delta(self, spark, tmp_store_path):
+        kv = KeyValueStore(spark, tmp_store_path + "_cdf", acid=True)
+        kv.set_lc("p1", dt_series([1, 2]), client_id=1, versionning=True)
+        v1 = kv._txlog.snapshot().version
+        kv.set_lc("p1", dt_series([3, 4]), client_id=1, versionning=True)
+        ch = kv.changes_between(v1).collect()
+        assert all(r["_change_type"] == "insert" for r in ch)
+        assert sorted(r["value"] for r in ch) == [3.0, 4.0]
+        v2 = kv._txlog.snapshot().version
+        kv.clear(["p1"], client_id=1)
+        ch2 = kv.changes_between(v2).collect()
+        assert all(r["_change_type"] == "delete" for r in ch2)
+        assert sorted(r["value"] for r in ch2) == [1.0, 2.0, 3.0, 4.0]
