@@ -172,10 +172,25 @@ def _changes_between_df(
             f"version {from_version} is not a committed log version "
             f"(nearest at-or-before: {snap_from.version})"
         )
+    if from_version > snap_to.version:
+        # an inverted range would silently return the delta with the
+        # insert/delete labels swapped — refuse like Delta's
+        # table_changes does
+        raise ValueError(
+            f"inverted version range: from_version {from_version} > "
+            f"to_version {snap_to.version}"
+        )
     paths_from = {e["path"] for e in snap_from.files["data"]}
     paths_to = {e["path"] for e in snap_to.files["data"]}
-    added = read_paths(sorted(paths_to - paths_from), None)
-    removed = read_paths(sorted(paths_from - paths_to), added)
+    added_paths = sorted(paths_to - paths_from)
+    removed_paths = sorted(paths_from - paths_to)
+    added = read_paths(added_paths, None)
+    removed = read_paths(removed_paths, added)
+    if not added_paths and removed_paths:
+        # schema-inferring stores type an empty frame from the OTHER
+        # side; the added side was built blind, so re-type it now that
+        # removed's schema is known (delete-only intervals)
+        added = read_paths(added_paths, removed)
     inserts = added.exceptAll(removed).withColumn("_change_type", F.lit("insert"))
     deletes = removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)
@@ -212,6 +227,28 @@ def _history_df(spark: SparkSession, txlog) -> DataFrame:
             r["meta_rows_added"], r["meta_rows_removed"],
         ))
     return spark.createDataFrame(rows, schema)
+
+
+#: declared key-type name → Spark type (shared with the streaming CDC
+#: source's schema derivation — one source of truth)
+_KEY_TYPE_MAP = {"str": T.StringType(), "int": T.LongType(), "float": T.DoubleType()}
+
+
+def data_schema_from_config(cfg) -> T.StructType:
+    """The data-table schema a ChunkStoreConfig implies, without a store
+    instance (undeclared key types default to string — the same rule as
+    ChunkStore._key_schema with no sample frame). Used by the streaming
+    CDC source so the two schema derivations cannot drift."""
+    fields = [
+        T.StructField(k, _KEY_TYPE_MAP[cfg.key_types.get(k, "str")])
+        for k in cfg.keys
+    ]
+    fields += [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("chunk_index", T.IntegerType()),
+    ]
+    return T.StructType(fields)
 
 
 _META_EXTRA = [
@@ -652,7 +689,7 @@ class ChunkStore:
     # schema helpers
     # ------------------------------------------------------------------
     def _key_schema(self, pdf: pd.DataFrame | None = None) -> list[tuple[str, T.DataType]]:
-        mapping = {"str": T.StringType(), "int": T.LongType(), "float": T.DoubleType()}
+        mapping = _KEY_TYPE_MAP
         out = []
         for k in self.config.keys:
             declared = self.config.key_types.get(k)

@@ -43,14 +43,13 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-_KEY_TYPES = {"str": T.StringType(), "int": T.LongType(), "float": T.DoubleType()}
-
-
 def _data_schema_for(path: str) -> T.StructType:
     """The store's data schema + the change marker, derived from the
-    frozen config (keys with undeclared types default to string — the
-    same rule as ChunkStore._key_schema with no sample frame)."""
+    frozen config via ChunkStore's own schema rule
+    (``data_schema_from_config`` — one source of truth, so the source
+    cannot drift from the table layout)."""
     from holcstore_spark.config import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import data_schema_from_config
 
     if not os.path.isdir(os.path.join(path, "_txlog")):
         raise ValueError(
@@ -58,17 +57,10 @@ def _data_schema_for(path: str) -> T.StructType:
             "holc-changes source streams the transaction log"
         )
     cfg = ChunkStoreConfig.load(path)
-    fields = [
-        T.StructField(k, _KEY_TYPES[cfg.key_types.get(k, "str")])
-        for k in cfg.keys
-    ]
-    fields += [
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("chunk_index", T.IntegerType()),
-        T.StructField("_change_type", T.StringType()),
-    ]
-    return T.StructType(fields)
+    return T.StructType(
+        [*data_schema_from_config(cfg).fields,
+         T.StructField("_change_type", T.StringType())]
+    )
 
 
 @dataclass
@@ -102,20 +94,42 @@ class ChangesStreamReader(DataSourceStreamReader):
         if self.starting == "latest":
             return {"version": self.log.snapshot().version}
         if self.starting == "earliest":
-            # oldest version snapshot(as_of=…) can still reconstruct:
-            # the latest checkpoint floor (0 on an unpruned log)
-            return {"version": self.log._latest_checkpoint(fresh=True) or 0}
+            # version 0 = "before everything": the first micro-batch
+            # emits the ENTIRE live table as inserts (Delta's
+            # startingVersion=0 shape), then increments follow. The
+            # empty version-0 snapshot is reconstructible on any log,
+            # pruned or not — unlike an intermediate historical version.
+            return {"version": 0}
         return {"version": int(self.starting)}
 
     def latestOffset(self) -> dict:
         return {"version": self.log.snapshot().version}
 
+    def _snapshot_checked(self, v: int):
+        """as_of resolution that REFUSES to substitute a different
+        version: snapshot(as_of=…) below the pruned horizon silently
+        replays to an older (ultimately the empty v0) state, which here
+        would re-emit the whole table as inserts — duplicated data in
+        the sink with no error. Version 0 legitimately resolves to the
+        empty snapshot; anything else must resolve exactly."""
+        snap = self.log.snapshot(as_of=v)
+        if snap.version != v:
+            raise ValueError(
+                f"offset version {v} is no longer reconstructible from "
+                f"the log (nearest at-or-before: {snap.version}) — the "
+                "log was pruned past this stream's checkpoint; restart "
+                "with a fresh startingVersion"
+            )
+        return snap
+
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
-        if e <= s:
+        if e < s:
+            raise ValueError(f"inverted offset range: start {s} > end {e}")
+        if e == s:
             return []
-        snap_s = self.log.snapshot(as_of=s)
-        snap_e = self.log.snapshot(as_of=e)
+        snap_s = self._snapshot_checked(s)
+        snap_e = self._snapshot_checked(e)
         paths_s = {x["path"] for x in snap_s.files["data"]}
         paths_e = {x["path"] for x in snap_e.files["data"]}
         parts = [

@@ -295,3 +295,22 @@ class TestAttrChangesBetween:
         got = sorted((r["_change_type"], r["value"]) for r in ch)
         # hour 0 changed 1.0 -> 9.0; hour 1 (2.0) carried through and cancels
         assert got == [("delete", 1.0), ("insert", 9.0)]
+
+
+class TestAttrCdfDeleteOnlyKeepsKeyType:
+    def test_delete_only_interval_long_keys(self, spark, tmp_store_path):
+        # int-keyed store: a delete-only interval builds the empty
+        # 'added' side AFTER removed's schema is known, so the key stays
+        # bigint instead of coercing to string via the declared default
+        import pandas as pd
+
+        st = AttrStore(spark, tmp_store_path + "_ik", keys=("year",), acid=True)
+        st.set_ts({"year": 2024}, s([1.0, 2.0]))
+        v1 = st._txlog.snapshot().version
+        st.delete({"year": 2024})
+        ch = st.changes_between(v1)
+        assert dict(ch.dtypes)["year"] == "bigint"
+        rows = ch.collect()
+        assert all(r["_change_type"] == "delete" and r["year"] == 2024
+                   for r in rows)
+        assert sorted(r["value"] for r in rows) == [1.0, 2.0]

@@ -377,3 +377,93 @@ class TestChangesStreamSource:
         with _pytest.raises(Exception, match="not an ACID store"):
             (spark.readStream.format("holc-changes")
              .option("path", p + "_nope").load())
+
+
+class TestChangesStreamSourceHardening:
+    """Review r7b: earliest must emit the FULL table even past auto-
+    checkpoints; pruned-away offsets must raise, not silently re-emit."""
+
+    def _reader(self, spark, p, starting="earliest"):
+        from holcstore_spark.streaming.cdf_source import (
+            ChunkStoreChangesDataSource,
+        )
+
+        try:
+            spark.dataSource.register(ChunkStoreChangesDataSource)
+        except Exception:
+            pass
+        return (spark.readStream.format("holc-changes")
+                .option("path", p).option("startingVersion", starting).load())
+
+    def test_earliest_spans_auto_checkpoints(self, spark, tmp_store_path):
+        # >32 commits → TxLog auto-checkpointed mid-log; 'earliest' must
+        # still emit every live row (v0 = before-everything), not just
+        # the post-checkpoint commits
+        from holcstore_spark.sources.txlog import TxLog
+
+        p = tmp_store_path + "_big"
+        ck, sink = p + "_ck", p + "_sink"
+        log = TxLog(p)  # raw-log store shape: one tiny parquet per commit
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from holcstore_spark import ChunkStoreConfig
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year",),
+                               key_types={"site": "str"}, acid=True)
+        cfg.save(p)
+        schema = pa.schema([
+            ("site", pa.string()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("value", pa.float64()),
+            ("chunk_index", pa.int32()),
+        ])
+        import datetime as dt
+        for i in range(1, 40):
+            absd, reld = log.new_staging_dir()
+            os.makedirs(absd, exist_ok=True)
+            f = os.path.join(absd, "part-0.parquet")
+            pq.write_table(pa.table({
+                "site": [f"s{i}"],
+                "ts": [dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)],
+                "value": [float(i)],
+                "chunk_index": [1],
+            }, schema=schema), f)
+            from holcstore_spark.sources.txlog import file_entry
+            log.commit(log.snapshot().version, "ins", i,
+                       adds={"data": [file_entry(f, os.path.join(reld, "part-0.parquet"))]},
+                       removes={})
+        assert log._latest_checkpoint(fresh=True) == 32  # precondition
+        q = (self._reader(spark, p).writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.read.parquet(sink)
+        assert got.count() == 39  # ALL commits, not just 33..39
+        assert got.filter("_change_type = 'insert'").count() == 39
+
+    def test_pruned_offset_raises_not_reemits(self, spark, tmp_store_path):
+        import pandas as pd
+
+        from holcstore_spark import ChunkStoreConfig
+        from holcstore_spark.sources.chunk_store import ChunkStore
+        from holcstore_spark.streaming.cdf_source import ChangesStreamReader
+
+        p = tmp_store_path + "_pr"
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, p, cfg)
+        for i in range(34):  # crosses the checkpoint interval
+            st.set_ts({"site": f"s{i}"}, pd.Series(
+                [1.0], index=pd.date_range("2024-01-01", periods=1,
+                                           freq="1h", tz="UTC")))
+        st._txlog.prune_log()
+        rdr = ChangesStreamReader({"path": p})
+        with pytest.raises(ValueError, match="no longer reconstructible"):
+            rdr.partitions({"version": 5}, {"version": 34})
+        with pytest.raises(ValueError, match="inverted offset range"):
+            rdr.partitions({"version": 34}, {"version": 5})
+        # v0 (earliest) stays valid on the pruned log: full-table batch
+        parts = rdr.partitions({"version": 0}, {"version": 34})
+        assert all(x.change_type == "insert" for x in parts)

@@ -1179,3 +1179,13 @@ class TestChangesBetween:
                                             acid=False))
         with pytest.raises(ValueError, match="requires an ACID store"):
             plain.changes_between(0)
+
+
+class TestChangesBetweenHardening:
+    def test_inverted_range_raises(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir, name="inv")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3))
+        st.set_ts({"site": "b"}, hourly("2024-01-01", 3))
+        v = st._txlog.snapshot().version
+        with pytest.raises(ValueError, match="inverted version range"):
+            st.changes_between(v, v - 1)
