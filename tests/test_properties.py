@@ -219,3 +219,65 @@ class TestChunkingProperties:
         for orig, code in zip(vec, codes):
             # half-up rounding: reconstruction error <= scale/2 (+ulp slack)
             assert abs(code * scale - float(np.float32(orig))) <= scale / 2 * (1 + 1e-9)
+
+
+class TestTxLogReplayModel:
+    """Model-based check of the transaction-log replay invariant: after
+    ANY sequence of adds/removes/checkpoints/prunes, snapshot() must
+    equal the trivial python set model, and max_op_id must survive
+    summarization."""
+
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["add", "remove", "checkpoint_prune"]),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_snapshot_matches_set_model(self, ops):
+        import os
+        import shutil
+        import tempfile
+
+        from holcstore_spark.sources.txlog import TxLog
+
+        root = tempfile.mkdtemp(prefix="holc_txmodel_")
+        log = TxLog(os.path.join(root, "model"))
+        live: dict[str, dict] = {}
+        max_op = 0
+        n_added = 0
+        for kind, arg in ops:
+            if kind == "add":
+                path = f"files/f{n_added}.parquet"
+                n_added += 1
+                entry = {"path": path, "rows": 1, "chunk_min": arg,
+                         "chunk_max": arg, "key_stats": None}
+                op_id = TxLog.next_op_id(log.snapshot())
+                log.commit(log.snapshot().version, "add", op_id,
+                           adds={"data": [entry]}, removes={})
+                live[path] = entry
+                max_op = max(max_op, op_id)
+            elif kind == "remove" and live:
+                victim_path = sorted(live)[arg % len(live)]
+                entry = live.pop(victim_path)
+                op_id = TxLog.next_op_id(log.snapshot())
+                log.commit(log.snapshot().version, "rm", op_id,
+                           adds={}, removes={"data": [entry]},
+                           touched={entry["chunk_min"]},
+                           dropped_keys=[])
+                max_op = max(max_op, op_id)
+            else:
+                log.prune_log()
+        snap = log.snapshot()
+        assert {e["path"] for e in snap.files["data"]} == set(live)
+        assert snap.max_op_id == max_op or not ops
+        # a cold instance replays to the identical state
+        cold = TxLog(log.root).snapshot()
+        assert {e["path"] for e in cold.files["data"]} == set(live)
+        assert cold.max_op_id == snap.max_op_id
+        shutil.rmtree(root, ignore_errors=True)
