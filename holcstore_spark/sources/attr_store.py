@@ -49,6 +49,7 @@ class AttrStore:
         #: safe direction). ``None`` (default) keeps an existing store's
         #: detected layout and creates NEW stores as ACID.
         self._acid = _resolve_acid(path, acid)
+        self._pinned_snapshot = None  # set on time_travel() views
         if self._acid:
             from holcstore_spark.sources.txlog import TxLog
 
@@ -71,11 +72,29 @@ class AttrStore:
         from holcstore_spark.sources.io_util import has_parquet
 
         if self._acid:
+            if self._pinned_snapshot is not None:
+                return self._df_at(self._pinned_snapshot)
             return self._df_at(self._txlog.snapshot())
         # emptied stores keep their directory with no parquet footers
         if not has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
+
+    def time_travel(self, version: int) -> "AttrStore":
+        """Read-only view of the store AS OF a committed log version
+        (ACID only; see ChunkStore.time_travel for the availability
+        window vs vacuum/prune)."""
+        if not self._acid:
+            raise ValueError("time_travel requires an ACID store (acid=True)")
+        snap = self._txlog.snapshot(as_of=version)
+        if snap.version != version:
+            raise ValueError(
+                f"version {version} is not a committed log version "
+                f"(nearest at-or-before: {snap.version})"
+            )
+        view = AttrStore(self.spark, self.path, self.keys, self.tz, acid=True)
+        view._pinned_snapshot = snap
+        return view
 
     def _pin(self):
         """Snapshot captured ONCE at mutation start (ACID only; None on
@@ -84,6 +103,8 @@ class AttrStore:
         snapshot — a commit interleaving mid-operation then sits ABOVE
         our base and is conflict-checked by the rebase walk, instead of
         silently becoming part of a fresher commit base."""
+        if self._pinned_snapshot is not None:
+            raise ValueError("time-travel views are read-only")
         return self._txlog.snapshot() if self._acid else None
 
     def _df_at(self, snap) -> DataFrame:

@@ -101,6 +101,7 @@ class KeyValueStore:
         #: dir → ACID, plain parquet → plain) and creates NEW stores as
         #: ACID; opting down to plain takes an explicit ``acid=False``.
         self._acid = _resolve_acid(path, acid)
+        self._pinned_snapshot = None  # set on time_travel() views
         if self._acid:
             from holcstore_spark.sources.txlog import TxLog
 
@@ -114,12 +115,30 @@ class KeyValueStore:
 
     def df(self) -> DataFrame:
         if self._acid:
+            if self._pinned_snapshot is not None:
+                return self._df_at(self._pinned_snapshot)
             return self._df_at(self._txlog.snapshot())
         # a store fully emptied by clear_all() keeps its directory but has no
         # parquet footers to infer from — treat it as the empty frame
         if not has_parquet(self.path):
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
+
+    def time_travel(self, version: int) -> "KeyValueStore":
+        """Read-only view of the store AS OF a committed log version
+        (ACID only; see ChunkStore.time_travel for the availability
+        window vs vacuum/prune)."""
+        if not self._acid:
+            raise ValueError("time_travel requires an ACID store (acid=True)")
+        snap = self._txlog.snapshot(as_of=version)
+        if snap.version != version:
+            raise ValueError(
+                f"version {version} is not a committed log version "
+                f"(nearest at-or-before: {snap.version})"
+            )
+        view = KeyValueStore(self.spark, self.path, self.attr_cols, acid=True)
+        view._pinned_snapshot = snap
+        return view
 
     def _pin(self):
         """Snapshot captured ONCE at mutation start (ACID only; None on
@@ -130,6 +149,8 @@ class KeyValueStore:
         the rebase conflict check. Reading from a fresh snapshot per
         call would let such a commit slip under the base, bypassing the
         advertised append_keys/dropped_keys protection."""
+        if self._pinned_snapshot is not None:
+            raise ValueError("time-travel views are read-only")
         return self._txlog.snapshot() if self._acid else None
 
     def _df_at(self, snap) -> DataFrame:

@@ -314,3 +314,18 @@ class TestAttrCdfDeleteOnlyKeepsKeyType:
         assert all(r["_change_type"] == "delete" and r["year"] == 2024
                    for r in rows)
         assert sorted(r["value"] for r in rows) == [1.0, 2.0]
+
+
+class TestAttrTimeTravel:
+    def test_as_of_view_and_write_refusal(self, spark, tmp_store_path):
+        st = AttrStore(spark, tmp_store_path + "_tt", keys=("k",), acid=True)
+        st.set_ts({"k": "x"}, s([1.0]))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"k": "x"}, s([9.0]), replace=True)
+        assert list(st.get_ts({"k": "x"}, flat=True)) == [9.0]
+        old = st.time_travel(v1)
+        assert list(old.get_ts({"k": "x"}, flat=True)) == [1.0]
+        with pytest.raises(ValueError, match="read-only"):
+            old.set_ts({"k": "y"}, s([2.0]))
+        with pytest.raises(ValueError, match="read-only"):
+            old.delete({"k": "x"})

@@ -442,3 +442,18 @@ class TestKvChangesBetween:
         ch2 = kv.changes_between(v2).collect()
         assert all(r["_change_type"] == "delete" for r in ch2)
         assert sorted(r["value"] for r in ch2) == [1.0, 2.0, 3.0, 4.0]
+
+
+class TestKvTimeTravel:
+    def test_as_of_view_and_write_refusal(self, spark, tmp_store_path):
+        kv = KeyValueStore(spark, tmp_store_path + "_tt", acid=True)
+        kv.set_lc("p", dt_series([1, 2]), client_id=1)
+        v1 = kv._txlog.snapshot().version
+        kv.set_lc("p", dt_series([9, 9]), client_id=1)
+        assert list(kv.get_lc("p", 1)[0]["data"]) == [9.0, 9.0]
+        old = kv.time_travel(v1)
+        assert list(old.get_lc("p", 1)[0]["data"]) == [1.0, 2.0]
+        with pytest.raises(ValueError, match="read-only"):
+            old.set_lc("q", dt_series([5]), client_id=1)
+        with pytest.raises(ValueError, match="not a committed log version"):
+            kv.time_travel(99)
