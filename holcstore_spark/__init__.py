@@ -22,10 +22,17 @@ Layout
                    text analysis (stats, lang-id, quality, BPE-ish
                    tokens), multimodal binary-column plumbing
 - ``sources``    — the three store classes (KeyValueStore, AttrStore,
-                   ChunkStore) over partitioned Parquet
-- ``streaming``  — incremental sync (change feed / pull client) and
+                   ChunkStore) — ACID transaction-log layout by default
+                   (``sources/txlog.py``: atomic commits, optimistic
+                   multi-writer concurrency, manifest file skipping,
+                   ``history()`` / ``time_travel`` / ``changes_between``
+                   / ``vacuum``), plain partitioned Parquet as the
+                   explicit opt-down
+- ``streaming``  — incremental sync (change feed / pull client),
                    Structured Streaming ingestion (foreachBatch →
-                   ingest_long; watermarked windowed rollups)
+                   ingest_long; watermarked windowed rollups), and the
+                   CDC source (``cdf_source.py``: the transaction log as
+                   a readStream with commit-version offsets)
 - ``edge``       — pandas bridge (pd.Series ⇄ long DataFrame) and the
                    CSV/ZIP admin export sink
 """
