@@ -319,12 +319,7 @@ class ChunkStore:
         checkpoint — Delta's VACUUM/log-retention trade)."""
         if not self._acid:
             raise ValueError("time_travel requires an ACID store (acid=True)")
-        snap = self._txlog.snapshot(as_of=version)
-        if snap.version != version:
-            raise ValueError(
-                f"version {version} is not a committed log version "
-                f"(nearest at-or-before: {snap.version})"
-            )
+        snap = self._txlog.snapshot_exact(version)
         view = ChunkStore(self.spark, self.path, self.config)
         view._pinned_snapshot = snap
         return view
@@ -2248,7 +2243,11 @@ class ChunkStore:
         already summarized by the latest manifest checkpoint (giving up
         snapshot-as-of below that horizon, Delta log-retention style).
         Returns the number of filesystem entries removed. No-op on
-        plain stores."""
+        plain stores; refused on time-travel views (it would reclaim
+        files and log history the pinned snapshot — and any other
+        as-of holder — still references)."""
+        if self._pinned_snapshot is not None:
+            raise ValueError("time-travel views are read-only (vacuum refused)")
         if not self._acid:
             return 0
         return self._txlog.vacuum_files(retention_seconds)

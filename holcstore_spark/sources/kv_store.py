@@ -130,13 +130,9 @@ class KeyValueStore:
         window vs vacuum/prune)."""
         if not self._acid:
             raise ValueError("time_travel requires an ACID store (acid=True)")
-        snap = self._txlog.snapshot(as_of=version)
-        if snap.version != version:
-            raise ValueError(
-                f"version {version} is not a committed log version "
-                f"(nearest at-or-before: {snap.version})"
-            )
+        snap = self._txlog.snapshot_exact(version)
         view = KeyValueStore(self.spark, self.path, self.attr_cols, acid=True)
+        view.max_edge_rows = self.max_edge_rows  # keep instance overrides
         view._pinned_snapshot = snap
         return view
 
@@ -576,6 +572,8 @@ class KeyValueStore:
         """Reclaim manifest-unreferenced files older than the retention
         window plus checkpoint-summarized log records (ACID stores only;
         see ChunkStore.vacuum for the retention rationale)."""
+        if self._pinned_snapshot is not None:
+            raise ValueError("time-travel views are read-only (vacuum refused)")
         if not self._acid:
             return 0
         return self._txlog.vacuum_files(retention_seconds)

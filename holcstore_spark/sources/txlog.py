@@ -346,6 +346,21 @@ class TxLog:
             return snap
         return self._snapshot_uncached(as_of)
 
+    def snapshot_exact(self, version: int) -> Snapshot:
+        """``as_of`` resolution that REFUSES substitution: below the
+        pruned horizon (or for a never-committed version)
+        ``snapshot(as_of=…)`` silently replays to the nearest older
+        state, which is wrong wherever the caller promised a specific
+        version — time travel, change feeds, streaming offsets. Shared
+        by all three stores' ``time_travel``."""
+        snap = self.snapshot(as_of=version)
+        if snap.version != version:
+            raise ValueError(
+                f"version {version} is not a committed log version "
+                f"(nearest at-or-before: {snap.version})"
+            )
+        return snap
+
     def _snapshot_uncached(
         self, as_of: int | None, listing: list[str] | None = None
     ) -> Snapshot:

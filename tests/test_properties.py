@@ -247,6 +247,17 @@ class TestTxLogReplayModel:
         from holcstore_spark.sources.txlog import TxLog
 
         root = tempfile.mkdtemp(prefix="holc_txmodel_")
+        try:
+            self._run_model(root, ops)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    @staticmethod
+    def _run_model(root, ops):
+        import os
+
+        from holcstore_spark.sources.txlog import TxLog
+
         log = TxLog(os.path.join(root, "model"))
         live: dict[str, dict] = {}
         max_op = 0
@@ -275,9 +286,8 @@ class TestTxLogReplayModel:
                 log.prune_log()
         snap = log.snapshot()
         assert {e["path"] for e in snap.files["data"]} == set(live)
-        assert snap.max_op_id == max_op or not ops
+        assert snap.max_op_id == max_op
         # a cold instance replays to the identical state
         cold = TxLog(log.root).snapshot()
         assert {e["path"] for e in cold.files["data"]} == set(live)
         assert cold.max_op_id == snap.max_op_id
-        shutil.rmtree(root, ignore_errors=True)

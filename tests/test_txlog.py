@@ -1189,3 +1189,33 @@ class TestChangesBetweenHardening:
         v = st._txlog.snapshot().version
         with pytest.raises(ValueError, match="inverted version range"):
             st.changes_between(v, v - 1)
+
+
+class TestViewVacuumGuard:
+    def test_vacuum_refused_on_time_travel_views(self, spark, tmpdir):
+        import pandas as _pd
+
+        from holcstore_spark.sources.attr_store import AttrStore
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        st = acid_store(spark, tmpdir, name="vg")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3))
+        v = st._txlog.snapshot().version
+        with pytest.raises(ValueError, match="vacuum refused"):
+            st.time_travel(v).vacuum(0)
+        kv = KeyValueStore(spark, os.path.join(tmpdir, "vgkv"), acid=True)
+        s = _pd.Series([1.0], index=_pd.date_range("2024-01-01", periods=1,
+                                                   freq="1D", tz="UTC"))
+        kv.max_edge_rows = 123456
+        kv.set_lc("p", s, client_id=1)
+        view = kv.time_travel(kv._txlog.snapshot().version)
+        assert view.max_edge_rows == 123456  # instance overrides carried
+        with pytest.raises(ValueError, match="vacuum refused"):
+            view.vacuum(0)
+        at = AttrStore(spark, os.path.join(tmpdir, "vgat"), keys=("k",),
+                       acid=True)
+        at.set_ts({"k": "x"}, _pd.Series(
+            [1.0], index=_pd.date_range("2024-01-01", periods=1, freq="1h",
+                                        tz="UTC")))
+        with pytest.raises(ValueError, match="vacuum refused"):
+            at.time_travel(at._txlog.snapshot().version).vacuum(0)
