@@ -1219,3 +1219,36 @@ class TestViewVacuumGuard:
                                         tz="UTC")))
         with pytest.raises(ValueError, match="vacuum refused"):
             at.time_travel(at._txlog.snapshot().version).vacuum(0)
+
+
+class TestCdfComposition:
+    def test_consecutive_intervals_reconstruct_physical_table(
+        self, spark, tmpdir
+    ):
+        """Changelog invariant: applying changes_between(0, v1) then
+        changes_between(v1, head) as multiset retract/upsert must equal
+        the physical table — across updates, tombstone deletes, and a
+        compaction rewrite."""
+        st = acid_store(spark, tmpdir, name="comp")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=1.0))
+        st.set_ts({"site": "b"}, hourly("2024-01-01", 24, value=2.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "a"}, hourly("2024-01-01 03:00", 2, value=9.0),
+                  update=True)
+        st.delete({"site": "b"})   # tombstone (meta-only)
+        st.compact()               # physical rewrite
+        head = st._txlog.snapshot().version
+        cols = ["site", "ts", "value", "chunk_index"]
+
+        def apply(state, batch):
+            ins = batch.filter("_change_type = 'insert'").select(*cols)
+            dels = batch.filter("_change_type = 'delete'").select(*cols)
+            return state.unionByName(ins).exceptAll(dels)
+
+        state = spark.createDataFrame([], st.changes_between(0, v1)
+                                      .drop("_change_type").schema)
+        state = apply(state, st.changes_between(0, v1))
+        state = apply(state, st.changes_between(v1, head))
+        got = sorted(map(tuple, state.collect()))
+        want = sorted(map(tuple, st.data().select(*cols).collect()))
+        assert got == want
