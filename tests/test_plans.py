@@ -304,3 +304,34 @@ class TestModLookup:
             df.filter(attrs_filter({"user_id__mod": (7, 2)})).collect()
         )
         assert got == [2, 9, 16]
+
+
+class TestCdfPlans:
+    def test_changes_between_reads_only_changed_files(self, spark, tmp_store_path):
+        """The CDF contract's scale claim, plan-asserted: the physical
+        plan scans ONLY the files the interval's commits touched (each
+        side referenced by both exceptAll branches), never the table."""
+        import pandas as pd
+
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "cdfp"), cfg)
+
+        def h(v):
+            return pd.Series(float(v), index=pd.date_range(
+                "2024-01-01", periods=24, freq="1h", tz="UTC"))
+
+        for i in range(6):
+            st.set_ts({"site": f"s{i}"}, h(1.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "s0"}, h(9.0), replace=True)
+        n_live = len(st._txlog.snapshot().files["data"])
+        assert n_live >= 6  # the table is bigger than the delta
+        txt = st.changes_between(v1)._jdf.queryExecution().executedPlan().toString()
+        import re
+        path_counts = [int(m) for m in re.findall(r"(\d+) paths", txt)]
+        assert path_counts, "expected file-list scans in the plan"
+        # every scan is bounded by the changed-file count (1 added + 1
+        # removed here), far below the live table's file count
+        assert max(path_counts) <= 2 < n_live
