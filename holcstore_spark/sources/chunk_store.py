@@ -86,6 +86,17 @@ class ConcurrentWriteError(Exception):
     (sources/txlog.py)."""
 
 
+class StaleBaseError(ConcurrentWriteError):
+    """The transaction's base snapshot predates the pruned log horizon
+    (or its commit slot was recycled below it) — the write cannot land
+    at ANY version from this base. Distinguished from a plain
+    :class:`ConcurrentWriteError` because the only valid reaction is a
+    FULL re-run against a fresh snapshot: retrying the same commit with
+    housekeeping stripped (``_commit_txn``'s compaction-undo retry)
+    would hit the same horizon check again, so that retry budget must
+    not be consumed by this class."""
+
+
 def _transactional(op: str):
     """Wrap a public write method in an ACID transaction (no-op on plain
     stores): every staged file of the call commits as one atomic log

