@@ -3000,79 +3000,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-7 window: (a) the 10 micro queries whose last driver
-    # rows are r4 (the oldest evidence in the registry), then (b) every
-    # query round 7 touched — the ACID-default flip routes ALL
-    # store/kv/attr/sync-backed queries through the transaction-log
-    # backend on the driver's default path for the first time, and
-    # get_max_horodates + the lookup dialect changed — then (c) the 18
-    # oldest entries of the r5-green block. The tail is the remaining
-    # r5-green queries (rotate in round 8, with anything round 8
-    # touches pulled forward) followed by the r6-green queries whose
-    # code is untouched this round.
+    # first. Round-9 window: (a) the full 33-query block whose last
+    # driver verification was round 5 (the oldest evidence in the
+    # registry — two rounds overdue for rotation), led by the ANN /
+    # fingerprint queries the round-8 verdict called out, plus
+    # pq_encode + pq_topk pulled from the r6 block alongside them;
+    # (b) store_cdf + stream_cdf, whose execution path changes this
+    # round (compaction commits are now skipped at manifest level in
+    # the change feed, and stream_cdf rides the new
+    # net_changes/apply_changes helper); (c) the oldest 13 of the
+    # r6-verified block. The tail is the remaining r6 queries (rotate
+    # round 10) followed by the round-8-verified window.
     return {
-        # -- (a) r4-evidence micro queries --------------------------
-        "slice_with_delay": q_slice_with_delay,
-        "disaggregate": q_disaggregate,
-        "time_slice": q_time_slice,
-        "ffill": q_ffill,
-        "normalize_minmax": q_normalize_minmax,
-        "min_step": q_min_step,
-        "next_version": q_next_version,
-        "chunk_index": q_chunk_index,
-        "freq_fix": q_freq_fix,
-        "split_at": q_split_at,
-        # -- (b) touched in round 7 (ACID default path) -------------
-        "store_roundtrip": q_store_roundtrip,
-        "store_set_many": q_store_set_many,
-        "store_update_overlay": q_store_update_overlay,
-        "store_delete_tombstone": q_store_delete_tombstone,
-        "store_meta_aggregates": q_store_meta_aggregates,
-        "store_max_horodate": q_store_max_horodate,
-        "store_get_batch": q_store_get_batch,
-        "store_yield_many": q_store_yield_many,
-        "store_changefeed": q_store_changefeed,
-        "store_acid_ops": q_store_acid_ops,
-        "store_cdf": q_store_cdf,
-        "stream_cdf": q_stream_cdf,
-        "kv_store_overlay": q_kv_store_overlay,
-        "kv_find_holes": q_kv_find_holes,
-        "kv_clear": q_kv_clear,
-        "kv_acid_ops": q_kv_acid_ops,
-        "attr_store_update": q_attr_store_update,
-        "sync_pull": q_sync_pull,
-        "rest_sync_pull": q_rest_sync_pull,
-        "sync_tombstone": q_sync_tombstone,
-        "sync_guards": q_sync_guards,
-        "sync_paged": q_sync_paged,
-        "admin_export": q_admin_export,
-        "lookup_filter": q_lookup_filter,
-        # -- (c) oldest r5-green block ------------------------------
-        "token_pack": q_token_pack,
-        "segment_dedup": q_segment_dedup,
-        "rebalance_mix": q_rebalance_mix,
-        "stream_sessions": q_stream_sessions,
-        "stream_dedup": q_stream_dedup,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue": q_top_revenue,
-        "regional_revenue": q_regional_revenue,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "clean_corpus": q_clean_corpus,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "clean_corpus_cc": q_clean_corpus_cc,
-        # ====== driver 50-entry window ends here (50 above) ========
+        # -- (a) last driver-verified round 5 (+ pq_* leads) --------
         "similarity_lsh": q_similarity_lsh,
-        # (similarity_lsh + similarity_ivf displaced to the tail by the
-        # new store_cdf + stream_cdf)
         "similarity_ivf": q_similarity_ivf,
-        # -- tail: remaining r5-green (rotate round 8) --------------
+        "doc_fingerprints": q_doc_fingerprints,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "similarity_neardup": q_similarity_neardup,
         "text_stats": q_text_stats,
-        "doc_fingerprints": q_doc_fingerprints,
         "lang_quality": q_lang_quality,
         "token_bpe": q_token_bpe,
         "hash_split": q_hash_split,
@@ -3101,35 +3048,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "large_orders": q_large_orders,
         "cusum_drift": q_cusum_drift,
-        # -- tail: r6-green, code untouched in round 7 --------------
+        # -- (b) CDF path changes this round (compacting skip) ------
+        "store_cdf": q_store_cdf,
+        "stream_cdf": q_stream_cdf,
+        # -- (c) oldest r6-verified block ---------------------------
+        "overlay_merge": q_overlay_merge,
+        "completeness_holes": q_completeness_holes,
+        "merge_intervals": q_merge_intervals,
+        "interval_algebra": q_interval_algebra,
+        "constant_runs": q_constant_runs,
+        "drop_bounds_na": q_drop_bounds_na,
+        "combined_delay": q_combined_delay,
+        "blob_interop": q_blob_interop,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
+        "stream_rollup": q_stream_rollup,
+        "stream_gaps": q_stream_gaps,
+        # ====== driver 50-entry window ends here (50 above) ========
+        # -- tail: remaining r6-verified (rotate round 10) ----------
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "stream_cusum": q_stream_cusum,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
         "bpe_merges": q_bpe_merges,
         "seasonal_profile": q_seasonal_profile,
         "stream_join": q_stream_join,
-        "multimodal_meta": q_multimodal_meta,
-        "stream_gaps": q_stream_gaps,
-        "blob_interop": q_blob_interop,
-        "completeness_holes": q_completeness_holes,
-        "overlay_merge": q_overlay_merge,
-        "combined_delay": q_combined_delay,
-        "constant_runs": q_constant_runs,
-        "merge_intervals": q_merge_intervals,
         "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
-        "stream_rollup": q_stream_rollup,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
         "range_join": q_range_join,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_audio": q_multimodal_audio,
         "event_rollup": q_event_rollup,
-        "interval_algebra": q_interval_algebra,
-        "drop_bounds_na": q_drop_bounds_na,
+        # -- tail: round-8-verified window --------------------------
+        "slice_with_delay": q_slice_with_delay,
+        "disaggregate": q_disaggregate,
+        "time_slice": q_time_slice,
+        "ffill": q_ffill,
+        "normalize_minmax": q_normalize_minmax,
+        "min_step": q_min_step,
+        "next_version": q_next_version,
+        "chunk_index": q_chunk_index,
+        "freq_fix": q_freq_fix,
+        "split_at": q_split_at,
+        "store_roundtrip": q_store_roundtrip,
+        "store_set_many": q_store_set_many,
+        "store_update_overlay": q_store_update_overlay,
+        "store_delete_tombstone": q_store_delete_tombstone,
+        "store_meta_aggregates": q_store_meta_aggregates,
+        "store_max_horodate": q_store_max_horodate,
+        "store_get_batch": q_store_get_batch,
+        "store_yield_many": q_store_yield_many,
+        "store_changefeed": q_store_changefeed,
+        "store_acid_ops": q_store_acid_ops,
+        "kv_store_overlay": q_kv_store_overlay,
+        "kv_find_holes": q_kv_find_holes,
+        "kv_clear": q_kv_clear,
+        "kv_acid_ops": q_kv_acid_ops,
+        "attr_store_update": q_attr_store_update,
+        "sync_pull": q_sync_pull,
+        "rest_sync_pull": q_rest_sync_pull,
+        "sync_tombstone": q_sync_tombstone,
+        "sync_guards": q_sync_guards,
+        "sync_paged": q_sync_paged,
+        "admin_export": q_admin_export,
+        "lookup_filter": q_lookup_filter,
+        "token_pack": q_token_pack,
+        "segment_dedup": q_segment_dedup,
+        "rebalance_mix": q_rebalance_mix,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "regional_revenue": q_regional_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "clean_corpus": q_clean_corpus,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "clean_corpus_cc": q_clean_corpus_cc,
     }
 
 

@@ -101,36 +101,35 @@ def test_registry_source_has_no_duplicate_keys():
 
 #: queries that MUST be inside the driver's first-50 window this round.
 #: Keep this list in sync with the rotation comment in queries():
-#: (a) the 10 micro queries whose last driver rows are r4 — the oldest
-#: evidence in the registry, (b) every query round 7 touched: the
-#: ACID-default flip routes all store/kv/attr/sync-backed queries
-#: through the transaction-log backend on the driver's default path for
-#: the first time, plus the get_max_horodates rework and the __mod
-#: lookup-dialect extension.
-ROUND7_WINDOW_MUST = {
-    # (a) r4-evidence micro queries
-    "slice_with_delay", "disaggregate", "time_slice", "ffill",
-    "normalize_minmax", "min_step", "next_version", "chunk_index",
-    "freq_fix", "split_at",
-    # (b) touched in round 7 (ACID default path / reworked code)
-    "store_roundtrip", "store_set_many", "store_update_overlay",
-    "store_delete_tombstone", "store_meta_aggregates", "store_max_horodate",
-    "store_get_batch", "store_yield_many", "store_changefeed",
-    "store_acid_ops", "kv_store_overlay", "kv_find_holes", "kv_clear",
-    "kv_acid_ops", "attr_store_update", "sync_pull", "rest_sync_pull",
-    "sync_tombstone", "sync_guards", "sync_paged", "admin_export",
-    "lookup_filter",
-    # new in round 7 (never driver-verified)
+#: (a) the full 33-query block last driver-verified in round 5 — the
+#: oldest evidence in the registry, two rounds overdue — plus
+#: pq_encode/pq_topk pulled forward with the other ANN queries;
+#: (b) store_cdf + stream_cdf, whose execution path changes this round
+#: (manifest-level compaction skip in the change feed, and the
+#: net_changes/apply_changes consumer helper under stream_cdf).
+ROUND9_WINDOW_MUST = {
+    # (a) last driver-verified r5 (+ pq_* leads)
+    "similarity_lsh", "similarity_ivf", "doc_fingerprints",
+    "pq_encode", "pq_topk", "similarity_neardup", "text_stats",
+    "lang_quality", "token_bpe", "hash_split", "stratified_sample",
+    "repetition_stats", "pii_redact", "vocab_topk", "multimodal_png",
+    "dedup_representatives", "quality_filter", "multimodal_jpeg",
+    "multimodal_video", "stats_rollup", "value_histogram", "doc_chunks",
+    "embed_quantize", "lm_surprisal", "sliding_rollup", "stream_sliding",
+    "temperature_sample", "collocations", "normalize_text",
+    "corpus_prep", "rolling_stats", "forecast_revenue", "order_priority",
+    "large_orders", "cusum_drift",
+    # (b) CDF path changes in round 9
     "store_cdf", "stream_cdf",
 }
 
 
-def test_driver_window_contains_round7_rotation_set():
+def test_driver_window_contains_round9_rotation_set():
     # every query whose evidence is stale — oldest driver rows, or whose
-    # execution path changed this round (ACID default) — must sit inside
-    # the driver's checked first-50 window
+    # execution path changed this round (compacting-aware change feed) —
+    # must sit inside the driver's checked first-50 window
     window = set(list(entry_mod.queries())[:50])
-    missing = ROUND7_WINDOW_MUST - window
+    missing = ROUND9_WINDOW_MUST - window
     assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND7_WINDOW_MUST - set(entry_mod.queries())
+    unknown = ROUND9_WINDOW_MUST - set(entry_mod.queries())
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
