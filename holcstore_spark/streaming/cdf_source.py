@@ -47,7 +47,10 @@ def _data_schema_for(path: str) -> T.StructType:
     """The store's data schema + the change marker, derived from the
     frozen config via ChunkStore's own schema rule
     (``data_schema_from_config`` — one source of truth, so the source
-    cannot drift from the table layout)."""
+    cannot drift from the table layout). The path is passed through so
+    keys missing from ``key_types`` resolve from a live parquet footer
+    — the WRITTEN type — instead of a silent string default that would
+    misread int/float-keyed stores (ADVICE r7)."""
     from holcstore_spark.config import ChunkStoreConfig
     from holcstore_spark.sources.chunk_store import data_schema_from_config
 
@@ -58,9 +61,49 @@ def _data_schema_for(path: str) -> T.StructType:
         )
     cfg = ChunkStoreConfig.load(path)
     return T.StructType(
-        [*data_schema_from_config(cfg).fields,
+        [*data_schema_from_config(cfg, path).fields,
          T.StructField("_change_type", T.StringType())]
     )
+
+
+def net_changes(df, change_col: str = "_change_type"):
+    """Cancel the matched no-op delete+insert pairs a file-level change
+    feed legitimately carries (copy-on-write rewrites re-emit bystander
+    rows on both sides): returns the NET row-level delta, same shape as
+    the input — the data columns plus ``change_col`` ('insert' |
+    'delete'). Multiset semantics (``exceptAll`` both ways), so K
+    duplicate physical rows cancel K-at-a-time exactly. The net of a
+    ``holc-changes`` micro-batch equals the batch
+    ``ChunkStore.changes_between`` delta over the same version
+    interval."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in df.columns if c != change_col]
+    ins = df.filter(F.col(change_col) == "insert").select(*cols)
+    dels = df.filter(F.col(change_col) == "delete").select(*cols)
+    return (
+        ins.exceptAll(dels).withColumn(change_col, F.lit("insert"))
+        .unionByName(
+            dels.exceptAll(ins).withColumn(change_col, F.lit("delete"))
+        )
+    )
+
+
+def apply_changes(target, changes, change_col: str = "_change_type"):
+    """Retract-then-upsert a change feed into ``target``: every
+    'delete' row is retracted (multiset ``exceptAll`` — one occurrence
+    per delete row) and every 'insert' row appended. Feeding the raw
+    file-level feed and the :func:`net_changes` of it produce the same
+    result (matched pairs retract what they just inserted), and
+    applying consecutive version intervals in order reconstructs the
+    physical table exactly — the CDF composition invariant. Returns a
+    frame with the data columns (no ``change_col``)."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in changes.columns if c != change_col]
+    ins = changes.filter(F.col(change_col) == "insert").select(*cols)
+    dels = changes.filter(F.col(change_col) == "delete").select(*cols)
+    return target.select(*cols).exceptAll(dels).unionByName(ins)
 
 
 @dataclass
@@ -132,6 +175,16 @@ class ChangesStreamReader(DataSourceStreamReader):
         snap_e = self._snapshot_checked(e)
         paths_s = {x["path"] for x in snap_s.files["data"]}
         paths_e = {x["path"] for x in snap_e.files["data"]}
+        # manifest-level compaction skip (Delta dataChange=false): a
+        # row-preserving rewrite inside the interval emits NOTHING
+        # instead of a full-table delete+insert echo — its added files
+        # are substituted back for the files they repackaged, so the
+        # interval's partitions spell the same net delta
+        from holcstore_spark.sources.txlog import rewind_compacting
+
+        moves = self.log.compacting_data_moves(s, e)
+        if moves:
+            paths_e = rewind_compacting(paths_e, moves)
         parts = [
             _FilePartition(self.root, p, "insert", self.columns)
             for p in sorted(paths_e - paths_s)
