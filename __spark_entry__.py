@@ -561,6 +561,35 @@ def q_store_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9: ``restore(version)`` — the write-side completion of the
+    time-travel/history triad (Delta's RESTORE TABLE analogue,
+    TxLog.restore_commit). Ingest the hourly series (v1), apply the
+    doubled mid-January update patch, then roll the store back with
+    ``restore(v1)``: the rollback is a NEW commit re-referencing the old
+    generation's files, so per-user counts and exact totals must equal
+    the ORIGINAL un-patched series — and the audit trail must show the
+    restore as its own history row (asserted in-query)."""
+    store, path = _make_event_store(spark, sf_dir, acid=True)
+    try:
+        v1 = store._txlog.snapshot().version
+        patch = _hourly_events(spark, sf_dir).filter(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-15")
+        ).withColumn("value", F.col("value") * 2)
+        store.ingest_long(patch, mode="update")
+        store.restore(v1)
+        top = store.history().limit(1).collect()[0]
+        assert f"restore({v1})" in top["op"], top
+        got = store.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 7: the STREAMING change-data-capture source
     (streaming/cdf_source.py — PySpark Python Data Source API over the
@@ -3070,9 +3099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "large_orders": q_large_orders,
         "cusum_drift": q_cusum_drift,
-        # -- (b) CDF path changes this round (compacting skip) ------
+        # -- (b) CDF path changes this round (compacting skip) + the
+        #    new restore() API (never driver-verified) ---------------
         "store_cdf": q_store_cdf,
         "stream_cdf": q_stream_cdf,
+        "store_restore": q_store_restore,
         # -- (c) oldest r6-verified block ---------------------------
         "overlay_merge": q_overlay_merge,
         "completeness_holes": q_completeness_holes,
@@ -3086,9 +3117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "stream_rollup": q_stream_rollup,
-        "stream_gaps": q_stream_gaps,
         # ====== driver 50-entry window ends here (50 above) ========
         # -- tail: remaining r6-verified (rotate round 10) ----------
+        "stream_gaps": q_stream_gaps,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "stream_cusum": q_stream_cusum,
@@ -3533,6 +3564,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n_points,
                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
         FROM merged WHERE user_id % 7 <> 0
+        GROUP BY user_id
+    """
+    # restore(v1) rolls the patch back: the oracle is the ORIGINAL
+    # hourly series, un-patched
+    store_restore = """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_points,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM hourly WHERE value IS NOT NULL
         GROUP BY user_id
     """
     store_max_horodate = f"""
@@ -4620,6 +4663,7 @@ def oracle_sql() -> dict[str, str]:
         "store_update_overlay": store_update_overlay,
         "store_delete_tombstone": store_delete_tombstone,
         "store_acid_ops": store_acid_ops,
+        "store_restore": store_restore,
         "store_cdf": store_cdf,
         "stream_cdf": store_cdf,  # identical expected delta (net of no-op pairs)
         "kv_acid_ops": kv_acid_ops,

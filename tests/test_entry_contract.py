@@ -119,8 +119,8 @@ ROUND9_WINDOW_MUST = {
     "temperature_sample", "collocations", "normalize_text",
     "corpus_prep", "rolling_stats", "forecast_revenue", "order_priority",
     "large_orders", "cusum_drift",
-    # (b) CDF path changes in round 9
-    "store_cdf", "stream_cdf",
+    # (b) CDF path changes in round 9 + the new restore() API
+    "store_cdf", "stream_cdf", "store_restore",
 }
 
 
