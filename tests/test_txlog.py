@@ -1734,3 +1734,26 @@ class TestKeyTypeProbe:
         st = ChunkStore(spark, os.path.join(tmpdir, "ek"), cfg)
         with pytest.raises(ValueError, match="declare key_types"):
             data_schema_from_config(st.config, st.path)
+
+
+class TestMaxHorodatesDivergenceGuard:
+    def test_meta_claiming_unbacked_chunk_raises_loudly(self, spark, tmpdir):
+        # fabricate the divergence the dense-grid invariant forbids:
+        # remove a key's data files from the manifest while its meta
+        # still claims the chunk — the grouped aggregate must raise, not
+        # silently drop the key (VERDICT r7/r8 accepted-risk note)
+        st = acid_store(spark, tmpdir, name="div")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24))
+        st.set_ts({"site": "b"}, hourly("2024-03-01", 24))
+        assert st.get_max_horodates().count() == 2  # healthy store
+        log = st._txlog
+        snap = log.snapshot()
+        mar = 2024 * 12 + 2
+        doomed = [e for e in snap.files["data"]
+                  if e.get("chunk_min") is not None and e["chunk_min"] >= mar]
+        assert doomed
+        log.commit(snap.version, "corrupt", TxLog.next_op_id(snap),
+                   adds={}, removes={"data": doomed}, touched="all")
+        st.refresh()
+        with pytest.raises(RuntimeError, match="meta/data divergence"):
+            st.get_max_horodates().count()
