@@ -1757,3 +1757,37 @@ class TestMaxHorodatesDivergenceGuard:
         st.refresh()
         with pytest.raises(RuntimeError, match="meta/data divergence"):
             st.get_max_horodates().count()
+
+
+class TestRewindCompactingFallback:
+    def test_partially_rewritten_compaction_left_in_place(self):
+        from holcstore_spark.sources.txlog import rewind_compacting
+
+        # compaction c: {f1,f2} -> {g}; later a copy-on-write rewrote g
+        # into h, so g is gone from the endpoint — the substitution is
+        # unsafe (part of the compacted rows changed) and must be skipped
+        moves = [{"version": 5, "adds": {"g"}, "removes": {"f1", "f2"}}]
+        assert rewind_compacting({"h"}, moves) == {"h"}
+        # intact compaction output substitutes back
+        assert rewind_compacting({"g", "x"}, moves) == {"f1", "f2", "x"}
+        # chained compactions unwind newest-first
+        moves2 = moves + [{"version": 9, "adds": {"k"}, "removes": {"g"}}]
+        assert rewind_compacting({"k"}, moves2) == {"f1", "f2"}
+
+    def test_feed_correct_when_compaction_output_rewritten(self, spark, tmpdir):
+        # end-to-end fallback: compact, then UPDATE the compacted file —
+        # the feed cannot skip the compaction (its output is gone) and
+        # must still produce the exact row-level delta via cancellation
+        st = acid_store(spark, tmpdir, name="rwf")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=1.0))
+        v1 = st._txlog.snapshot().version
+        st.compact()  # marked compacting
+        st.set_ts({"site": "a"}, hourly("2024-01-01 05:00", 2, value=8.0),
+                  update=True)  # rewrites the compacted January file
+        head = st._txlog.snapshot().version
+        ch = st.changes_between(v1, head).collect()
+        by = {}
+        for r in ch:
+            by.setdefault(r["_change_type"], []).append((r["ts"], r["value"]))
+        assert len(by["insert"]) == 2 and all(v == 8.0 for _, v in by["insert"])
+        assert len(by["delete"]) == 2 and all(v == 1.0 for _, v in by["delete"])
