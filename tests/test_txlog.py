@@ -1791,3 +1791,38 @@ class TestRewindCompactingFallback:
             by.setdefault(r["_change_type"], []).append((r["ts"], r["value"]))
         assert len(by["insert"]) == 2 and all(v == 8.0 for _, v in by["insert"])
         assert len(by["delete"]) == 2 and all(v == 1.0 for _, v in by["delete"])
+
+
+class TestCompactConcurrency:
+    def test_compact_loses_race_loudly_then_succeeds(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """compact() declares touched='all' — an insert landing inside
+        its stage→commit window must fail the COMPACTION (loudly), never
+        the insert, and never silently drop the interleaved rows; the
+        re-run compaction then lands and is still marked compacting."""
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        a = acid_store(spark, tmpdir, name="cc")
+        b = ChunkStore(spark, a.path, a.config)
+        a.set_ts({"site": "x"}, hourly("2024-01-01", 24, value=1.0))
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table):
+            orig(self_, sdf, table)
+            if self_ is a and not state["fired"] and table == "meta":
+                state["fired"] = True
+                b.set_ts({"site": "y"}, hourly("2024-01-01", 24, value=2.0))
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        with pytest.raises(ConcurrentWriteError):
+            a.compact()
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        a.refresh()
+        assert (a.get_ts({"site": "y"}) == 2.0).all()  # insert survived
+        a.compact()
+        head = a._txlog.snapshot().version
+        assert a._txlog.read(head)["compacting"] is True
+        assert (a.get_ts({"site": "x"}) == 1.0).all()
+        assert (a.get_ts({"site": "y"}) == 2.0).all()
