@@ -208,7 +208,7 @@ def _changes_between_df(
 
     moves = txlog.compacting_data_moves(from_version, snap_to.version)
     if moves:
-        paths_to = rewind_compacting(paths_to, moves)
+        paths_to = rewind_compacting(paths_to, moves, root=txlog.root)
     added_paths = sorted(paths_to - paths_from)
     removed_paths = sorted(paths_from - paths_to)
     added = read_paths(added_paths, None)
@@ -261,20 +261,24 @@ def _history_df(spark: SparkSession, txlog) -> DataFrame:
 _KEY_TYPE_MAP = {"str": T.StringType(), "int": T.LongType(), "float": T.DoubleType()}
 
 
-def probe_key_types_from_manifest(path: str, keys) -> dict[str, str]:
+def probe_key_types_from_manifest(path: str, keys, txlog=None) -> dict[str, str]:
     """Resolve key-column type names (``str``/``int``/``float``) from a
     live data file's parquet footer — one driver-side metadata read, no
     Spark job. Returns the subset of ``keys`` a footer could prove;
-    empty when the store has no live (readable) data file."""
+    empty when the store has no live (readable) data file. Pass the
+    store's own ``txlog`` where one is held: its snapshot cache makes
+    the repeated empty-store probe a listdir instead of a log replay."""
     keys = list(keys)
     if not keys:
         return {}
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from holcstore_spark.sources.txlog import TxLog
+    if txlog is None:
+        from holcstore_spark.sources.txlog import TxLog
 
-    for e in TxLog(path).snapshot().files["data"]:
+        txlog = TxLog(path)
+    for e in txlog.snapshot().files["data"]:
         try:
             schema = pq.read_schema(os.path.join(path, e["path"]))
         except (FileNotFoundError, OSError, pa.ArrowInvalid):
@@ -859,7 +863,9 @@ class ChunkStore:
         undeclared = [
             k for k in self.config.keys if not self.config.key_types.get(k)
         ]
-        probe = probe_key_types_from_manifest(self.path, undeclared)
+        probe = probe_key_types_from_manifest(
+            self.path, undeclared, txlog=self._txlog
+        )
         if all(k in probe for k in undeclared):
             self._key_type_probe = probe
         return probe

@@ -219,7 +219,7 @@ class LocalFSCommitter:
                 pass
 
 
-def rewind_compacting(paths_to: set, moves: list[dict]) -> set:
+def rewind_compacting(paths_to: set, moves: list[dict], root: str | None = None) -> set:
     """Substitute row-preserving (``compacting``) commits out of a
     manifest endpoint: walking the moves NEWEST→OLDEST, each commit's
     added files are swapped back for the files it removed — legal
@@ -228,11 +228,21 @@ def rewind_compacting(paths_to: set, moves: list[dict]) -> set:
     ``paths_to``. A commit whose added files were since rewritten or
     deleted (adds ⊄ current set) is left in place: its churn then
     cancels downstream like today (exceptAll / retract-then-upsert)
-    instead of being skipped — conservative, never wrong."""
+    instead of being skipped — conservative, never wrong. When ``root``
+    is given, a substitution also requires every swapped-IN path to
+    still exist on disk: the pre-compaction files may have been
+    vacuumed (they became orphans at the compaction commit), and
+    swapping a deleted path into the read set would crash a feed that
+    worked fine reading the live compacted file."""
     cur = set(paths_to)
     for mv in reversed(moves):
-        if mv["adds"] and mv["adds"] <= cur and not (mv["removes"] & cur):
-            cur = (cur - mv["adds"]) | mv["removes"]
+        if not mv["adds"] or not mv["adds"] <= cur or (mv["removes"] & cur):
+            continue
+        if root is not None and not all(
+            os.path.exists(os.path.join(root, p)) for p in mv["removes"]
+        ):
+            continue  # pre-compaction files vacuumed: read the live ones
+        cur = (cur - mv["adds"]) | mv["removes"]
     return cur
 
 
@@ -542,17 +552,29 @@ class TxLog:
             # without walking every staging dir. A retried commit that
             # re-lands the same files is safe: the vacuum sidecar sweep
             # re-checks liveness against the then-current snapshot.
-            self.note_orphans(
-                e["path"] for t in self.TABLES for e in record["adds"][t]
-            )
+            # Best-effort: a sidecar write failure must not REPLACE the
+            # in-flight ConcurrentWriteError/StaleBaseError (the
+            # caller's retry handlers key on those types).
+            try:
+                self.note_orphans(
+                    e["path"] for t in self.TABLES for e in record["adds"][t]
+                )
+            except OSError:
+                pass
             raise
         # the removed files became unreferenced AT this commit: record
         # them (with the commit wall-clock, which is when their
         # retention countdown correctly starts) for the O(orphans)
-        # vacuum path
-        self.note_orphans(
-            e["path"] for t in self.TABLES for e in record["removes"][t]
-        )
+        # vacuum path. Best-effort: the commit is already durably
+        # linked — a sidecar write failure here must not make a
+        # SUCCEEDED commit look failed (the caller would re-apply it);
+        # the un-noted orphans fall to a deep sweep.
+        try:
+            self.note_orphans(
+                e["path"] for t in self.TABLES for e in record["removes"][t]
+            )
+        except OSError:
+            pass
         return v
 
     def _commit_record(self, record: dict, base_version: int) -> int:
@@ -802,10 +824,36 @@ class TxLog:
                 f"file(s) it references were vacuumed "
                 f"(e.g. {missing[0]!r})"
             )
-        return self.commit(
+        v_new = self.commit(
             cur.version, f"{op}({version})", self.next_op_id(cur),
             adds, removes, touched="all",
         )
+        # restore-vs-vacuum race: the re-referenced files had been dead
+        # for arbitrarily long, so a vacuum running CONCURRENTLY (its
+        # live set computed before our commit) may delete them right
+        # after the pre-check above. Re-verify now that the commit made
+        # them live; if any vanished, publish a compensating undo — the
+        # pre-restore files are safe to re-reference (they became
+        # orphans seconds ago, inside any sane retention window) — and
+        # fail LOUDLY instead of leaving a table with dangling paths.
+        gone = [
+            e["path"]
+            for t in self.TABLES
+            for e in adds[t]
+            if not os.path.exists(os.path.join(self.root, e["path"]))
+        ]
+        if gone:
+            self.commit(
+                v_new, f"{op}-undo({version})",
+                self.next_op_id(self.snapshot()),
+                removes, adds, touched="all",
+            )
+            raise ValueError(
+                f"restore to version {version} raced a vacuum: "
+                f"{len(gone)} re-referenced file(s) were deleted after "
+                f"the commit (e.g. {gone[0]!r}); the restore was undone"
+            )
+        return v_new
 
     def history_rows(self) -> list[dict]:
         """Operability surface (Delta's ``DESCRIBE HISTORY`` analogue):
@@ -900,6 +948,13 @@ class TxLog:
         live_dirs = {os.path.dirname(p) for p in live}
         n = 0
         odir = self._orphans_dir()
+        if not os.path.isdir(odir):
+            # pre-sidecar store (or nothing ever orphaned): its existing
+            # garbage carries no sidecars, so sweep deep ONCE and leave
+            # the dir as the migrated marker — subsequent vacuums are
+            # O(orphans)
+            deep = True
+            os.makedirs(odir, exist_ok=True)
         if os.path.isdir(odir):
             import shutil as _shutil
 
@@ -921,6 +976,15 @@ class TxLog:
                     continue
                 if float(rec.get("ts", 0.0)) > cutoff:
                     continue  # became dead too recently: retention spares it
+                # re-validate liveness against the CURRENT snapshot per
+                # sidecar (one listdir via the signature cache when the
+                # log is quiet): narrows the window in which a restore()
+                # landing mid-vacuum could re-reference a path this
+                # sweep is about to delete
+                live = {
+                    e["path"] for t in self.TABLES
+                    for e in self.snapshot().files[t]
+                }
                 for rel in rec.get("paths", []):
                     if rel in live:
                         continue  # re-landed or restored since: live again

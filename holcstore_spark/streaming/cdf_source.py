@@ -184,7 +184,7 @@ class ChangesStreamReader(DataSourceStreamReader):
 
         moves = self.log.compacting_data_moves(s, e)
         if moves:
-            paths_e = rewind_compacting(paths_e, moves)
+            paths_e = rewind_compacting(paths_e, moves, root=self.root)
         parts = [
             _FilePartition(self.root, p, "insert", self.columns)
             for p in sorted(paths_e - paths_s)

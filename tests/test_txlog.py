@@ -1306,7 +1306,6 @@ class TestStaleBaseRetryBudget:
                 raise ConcurrentWriteError("fabricated conflict")
             return orig(self, *a, **k)
 
-        monkeypatch.setattr(TxLog, "flaky", flaky_commit, raising=False)
         monkeypatch.setattr(TxLog, "commit", flaky_commit)
         st.set_ts({"site": "c"}, hourly("2024-01-01", 3))
         assert calls["n"] == 2  # first raised, undo-retry landed
@@ -1665,6 +1664,7 @@ class TestVacuumOrphanSidecars:
 
         st = acid_store(spark, tmpdir, name="vo2")
         st.set_ts({"site": "a"}, hourly("2024-01-01", 3))
+        st.vacuum()  # drop the migration marker: store is sidecar-aware
         # a kill-9-style orphan: staged dir, no sidecar ever written
         d = os.path.join(st.path, "files", "deadbeefdeadbeef")
         os.makedirs(d)
@@ -1826,3 +1826,84 @@ class TestCompactConcurrency:
         assert a._txlog.read(head)["compacting"] is True
         assert (a.get_ts({"site": "x"}) == 1.0).all()
         assert (a.get_ts({"site": "y"}) == 2.0).all()
+
+
+class TestReviewFindingsRound9:
+    """Regressions for the round-9 code-review findings."""
+
+    def test_feed_survives_vacuum_of_precompaction_files(self, spark, tmpdir):
+        # review #1: compact() then vacuum() deletes the pre-compaction
+        # files; a feed from an old version must NOT substitute those
+        # dead paths back into its read set — it reads the live
+        # compacted file instead (skip skipped, still correct)
+        st = acid_store(spark, tmpdir, name="rvs")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=1.0))
+        st.compact()
+        head = st._txlog.snapshot().version
+        assert st._txlog.read(head)["compacting"] is True
+        st.vacuum(retention_seconds=0)
+        ch = st.changes_between(0).collect()  # crashed before the fix
+        ins = [r for r in ch if r["_change_type"] == "insert"]
+        assert len(ins) == 744  # the full dense January chunk
+        assert not [r for r in ch if r["_change_type"] == "delete"]
+        assert sum(1 for r in ins if r["value"] == 1.0) == 24
+
+    def test_restore_raced_by_vacuum_is_undone_loudly(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # review #3: simulate a vacuum deleting the re-referenced files
+        # BETWEEN restore's commit and its post-check — the restore must
+        # publish a compensating undo and raise, never leave a table
+        # with dangling paths
+        import os as _os
+
+        st = acid_store(spark, tmpdir, name="rr9")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=2.0),
+                  replace=True)
+        cur = st._txlog.snapshot()
+        cur_paths = {e["path"] for t in ("data", "meta") for e in cur.files[t]}
+        target_adds = {
+            e["path"] for t in ("data", "meta")
+            for e in st._txlog.snapshot_exact(v1).files[t]
+        } - cur_paths
+        assert target_adds
+        real_exists = _os.path.exists
+        seen: set[str] = set()
+
+        def fake_exists(p):
+            hit = next((t for t in target_adds if str(p).endswith(t)), None)
+            if hit is None:
+                return real_exists(p)
+            if hit in seen:
+                return False  # "vacuumed" right after the commit
+            seen.add(hit)
+            return real_exists(p)
+
+        monkeypatch.setattr(_os.path, "exists", fake_exists)
+        with pytest.raises(ValueError, match="raced a vacuum"):
+            st.restore(v1)
+        monkeypatch.setattr(_os.path, "exists", real_exists)
+        st.refresh()
+        assert (st.get_ts({"site": "a"}) == 2.0).all()  # pre-restore state
+        top = st.history().collect()[0]
+        assert "restore-undo" in top["op"]
+
+    def test_presidecar_store_migrates_with_one_deep_sweep(self, spark, tmpdir):
+        # review #4: a store written before the sidecar scheme has
+        # garbage with no sidecars — the first default vacuum sweeps
+        # deep ONCE (and drops the marker), so its garbage is not
+        # silently immortal
+        st = acid_store(spark, tmpdir, name="mig")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=2.0),
+                  replace=True)
+        odir = os.path.join(st.path, "_txlog", "_orphans")
+        shutil.rmtree(odir)  # simulate the pre-sidecar layout
+        n = st.vacuum(retention_seconds=0)
+        assert n >= 1                 # deep-once migration found it
+        assert os.path.isdir(odir)    # marker: next vacuums are O(orphans)
+        assert st.vacuum(retention_seconds=0) == 0
+        st.refresh()
+        assert (st.get_ts({"site": "a"}) == 2.0).all()
