@@ -722,6 +722,21 @@ class TxLog:
                 )
             return
         if touched == "all":
+            # a ROW-PRESERVING full rewrite (compacting=True) commutes
+            # with a PURE APPEND: the appended files are not in our
+            # remove set (path intersection above would have fired), our
+            # staged files re-pack only the base files' rows, and both
+            # survive verbatim in the merged state — Delta's OPTIMIZE
+            # tolerating concurrent appends. Without this, background
+            # compaction STARVES under continuous ingest at scale.
+            # Predicate-bearing rewrites (deletes, restores) keep the
+            # strict rule: their semantics read the whole base state.
+            if (
+                ours.get("compacting")
+                and other.get("touched") is None
+                and not any(other["removes"].get(t) for t in self.TABLES)
+            ):
+                return
             if any(other["adds"].get(t) or other["removes"].get(t) for t in self.TABLES):
                 raise ConcurrentWriteError(
                     f"full-table rewrite raced commit {other.get('version')} "

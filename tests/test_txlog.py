@@ -1794,13 +1794,13 @@ class TestRewindCompactingFallback:
 
 
 class TestCompactConcurrency:
-    def test_compact_loses_race_loudly_then_succeeds(
+    def test_row_preserving_compact_commutes_with_pure_append(
         self, spark, tmpdir, monkeypatch
     ):
-        """compact() declares touched='all' — an insert landing inside
-        its stage→commit window must fail the COMPACTION (loudly), never
-        the insert, and never silently drop the interleaved rows; the
-        re-run compaction then lands and is still marked compacting."""
+        """A row-preserving compact() rebases over a PURE APPEND landing
+        inside its stage→commit window (Delta's OPTIMIZE-tolerates-
+        appends): BOTH commits survive — without this, background
+        compaction starves under continuous ingest."""
         import holcstore_spark.sources.chunk_store as cs_mod
 
         a = acid_store(spark, tmpdir, name="cc")
@@ -1816,16 +1816,46 @@ class TestCompactConcurrency:
                 b.set_ts({"site": "y"}, hourly("2024-01-01", 24, value=2.0))
 
         monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        a.compact()  # lands despite the interleaved append
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        a.refresh()
+        head = a._txlog.snapshot().version
+        rec = a._txlog.read(head)
+        assert rec["compacting"] is True and "compact" in rec["op"]
+        assert (a.get_ts({"site": "x"}) == 1.0).all()  # compacted rows
+        assert (a.get_ts({"site": "y"}) == 2.0).all()  # appended rows
+
+    def test_compact_still_conflicts_with_interleaved_rewrite(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """An interleaved UPDATE rewrites base files the compaction also
+        removes — path intersection must still fail the compaction
+        loudly, and the update's rows must survive untouched."""
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        a = acid_store(spark, tmpdir, name="cc2")
+        b = ChunkStore(spark, a.path, a.config)
+        a.set_ts({"site": "x"}, hourly("2024-01-01", 24, value=1.0))
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table):
+            orig(self_, sdf, table)
+            if self_ is a and not state["fired"] and table == "meta":
+                state["fired"] = True
+                b.set_ts({"site": "x"},
+                         hourly("2024-01-01 03:00", 2, value=9.0),
+                         update=True)
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
         with pytest.raises(ConcurrentWriteError):
             a.compact()
         monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
         a.refresh()
-        assert (a.get_ts({"site": "y"}) == 2.0).all()  # insert survived
-        a.compact()
-        head = a._txlog.snapshot().version
-        assert a._txlog.read(head)["compacting"] is True
-        assert (a.get_ts({"site": "x"}) == 1.0).all()
-        assert (a.get_ts({"site": "y"}) == 2.0).all()
+        got = a.get_ts({"site": "x"})
+        assert (got.iloc[3:5] == 9.0).all() and (got.iloc[:3] == 1.0).all()
+        a.compact()  # clean re-run lands
+        assert a._txlog.read(a._txlog.snapshot().version)["compacting"] is True
 
 
 class TestReviewFindingsRound9:
