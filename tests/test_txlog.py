@@ -1857,6 +1857,43 @@ class TestCompactConcurrency:
         a.compact()  # clean re-run lands
         assert a._txlog.read(a._txlog.snapshot().version)["compacting"] is True
 
+    def test_tombstone_delete_commutes_with_compact(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """A tombstone delete is a pure META append — it commutes with a
+        row-preserving compact: both land, reads hide the deleted series
+        immediately (tombstone outranks the compacted data via op_id),
+        and the NEXT compact drops its rows physically."""
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        a = acid_store(spark, tmpdir, name="cc3")
+        b = ChunkStore(spark, a.path, a.config)
+        a.set_ts({"site": "x"}, hourly("2024-01-01", 24, value=1.0))
+        a.set_ts({"site": "z"}, hourly("2024-01-01", 24, value=3.0))
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table):
+            orig(self_, sdf, table)
+            if self_ is a and not state["fired"] and table == "meta":
+                state["fired"] = True
+                assert b.delete({"site": "z"}) == 1  # tombstone, meta-only
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        a.compact()  # lands despite the interleaved tombstone
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        a.refresh()
+        assert a.get_ts({"site": "z"}) is None       # tombstone visible
+        assert (a.get_ts({"site": "x"}) == 1.0).all()
+        # z's rows physically linger from the raced compact …
+        n_phys = a.data().filter("site = 'z'").count()
+        assert n_phys == 744
+        # … until the next compact (which, dropping them, is NOT marked
+        # row-preserving)
+        a.compact()
+        assert a.data().filter("site = 'z'").count() == 0
+        assert a._txlog.read(a._txlog.snapshot().version)["compacting"] is False
+
 
 class TestReviewFindingsRound9:
     """Regressions for the round-9 code-review findings."""
@@ -1937,3 +1974,4 @@ class TestReviewFindingsRound9:
         assert st.vacuum(retention_seconds=0) == 0
         st.refresh()
         assert (st.get_ts({"site": "a"}) == 2.0).all()
+
