@@ -62,6 +62,15 @@ import os
 import uuid
 
 
+class CheckpointCorrupt(ValueError):
+    """A checkpoint file exists but cannot be decoded (truncated,
+    foreign schema, bad header). Distinguished from transient I/O
+    errors — which propagate untouched — because consumers react to
+    corruption with retry/fallback (snapshot restarts its replay, the
+    provenance walk answers 'not observed') and those reactions are
+    WRONG for a file that is fine but momentarily unreadable."""
+
+
 class FileEntry(dict):
     """Manifest entry: path (store-relative), rows, chunk_min/chunk_max
     (None when stats are unavailable → treated as full-range)."""
@@ -336,11 +345,15 @@ class TxLog:
         """Load a checkpoint in either format into the canonical dict
         shape ``{version, max_op_id, base, replayed, files}``. Parquet is
         preferred (the write format since round 9 — at 10⁶ live files a
-        zstd parquet checkpoint is ~6× smaller and ~15× faster to load
-        than the JSON it replaces, Delta's parquet-checkpoint move);
-        JSON remains readable for pre-existing logs. Raises
-        FileNotFoundError when absent and ValueError-family when
-        corrupt — the callers' retry/fallback semantics key on those."""
+        zstd parquet checkpoint is ~150× smaller than the JSON it
+        replaces, Delta's parquet-checkpoint move); JSON remains readable
+        for pre-existing logs. Raises FileNotFoundError when absent and
+        :class:`CheckpointCorrupt` (a ValueError) when unreadable — the
+        callers' retry/fallback semantics key on exactly those, so a
+        TRANSIENT I/O error (EIO, EMFILE, permissions) deliberately
+        propagates as-is: mapping it to "corrupt" would make the
+        post-link provenance walk read a durable, summarized commit as
+        'not observed' and back it out (double-apply on retry)."""
         pq_path = self._checkpoint_path_pq(version)
         if os.path.exists(pq_path):
             import pyarrow as pa
@@ -348,29 +361,76 @@ class TxLog:
 
             try:
                 t = pqm.read_table(pq_path)
-            except (pa.ArrowInvalid, OSError) as ex:
-                if isinstance(ex, FileNotFoundError):
-                    raise
-                raise ValueError(f"corrupt parquet checkpoint: {ex}") from ex
+            except pa.ArrowInvalid as ex:
+                raise CheckpointCorrupt(
+                    f"corrupt parquet checkpoint: {ex}"
+                ) from ex
             meta = t.schema.metadata or {}
             raw = meta.get(b"holc_checkpoint")
             if raw is None:
-                raise ValueError("parquet checkpoint missing header metadata")
-            head = json.loads(raw)
-            cols = t.to_pydict()
-            files: dict[str, list[FileEntry]] = {tb: [] for tb in self.TABLES}
-            for tb, path, rows, cmin, cmax, ks, extra in zip(
-                cols["table"], cols["path"], cols["rows"],
-                cols["chunk_min"], cols["chunk_max"], cols["key_stats"],
-                cols["extra"],
-            ):
-                e = FileEntry(path=path, rows=rows, chunk_min=cmin,
-                              chunk_max=cmax,
-                              key_stats=json.loads(ks) if ks else None)
-                if extra:
-                    e.update(json.loads(extra))
-                files.setdefault(tb, []).append(e)
+                raise CheckpointCorrupt(
+                    "parquet checkpoint missing header metadata"
+                )
+            try:
+                head = json.loads(raw)
+                cols = t.to_pydict()
+                files: dict[str, list[FileEntry]] = {
+                    tb: [] for tb in self.TABLES
+                }
+                for tb, path, rows, cmin, cmax, ks, extra in zip(
+                    cols["table"], cols["path"], cols["rows"],
+                    cols["chunk_min"], cols["chunk_max"], cols["key_stats"],
+                    cols["extra"],
+                ):
+                    e = FileEntry(path=path, rows=rows, chunk_min=cmin,
+                                  chunk_max=cmax,
+                                  key_stats=json.loads(ks) if ks else None)
+                    if extra:
+                        # non-column-typed values round-trip here,
+                        # OVERWRITING the typed None placeholders —
+                        # losslessness for hand-built entries
+                        e.update(json.loads(extra))
+                    files.setdefault(tb, []).append(e)
+            except (KeyError, json.JSONDecodeError) as ex:
+                # parses-but-wrong-shape (foreign parquet at a
+                # checkpoint name) must stay inside the documented
+                # ValueError contract, not escape as KeyError
+                raise CheckpointCorrupt(
+                    f"malformed parquet checkpoint: {ex!r}"
+                ) from ex
             return {**head, "files": files}
+        with open(self._checkpoint_path(version)) as f:
+            return json.load(f)
+
+    def _read_checkpoint_header(self, version: int) -> dict:
+        """Provenance header only — {version, max_op_id, base, replayed}
+        — WITHOUT reconstructing the file-entry set. For parquet this is
+        one footer read (``read_schema``), so the post-link provenance
+        chain walk costs O(header) per hop instead of rebuilding
+        hundreds of thousands of entries it never looks at; legacy JSON
+        has no cheaper path and loads fully."""
+        pq_path = self._checkpoint_path_pq(version)
+        if os.path.exists(pq_path):
+            import pyarrow as pa
+            import pyarrow.parquet as pqm
+
+            try:
+                meta = pqm.read_schema(pq_path).metadata or {}
+            except pa.ArrowInvalid as ex:
+                raise CheckpointCorrupt(
+                    f"corrupt parquet checkpoint: {ex}"
+                ) from ex
+            raw = meta.get(b"holc_checkpoint")
+            if raw is None:
+                raise CheckpointCorrupt(
+                    "parquet checkpoint missing header metadata"
+                )
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError as ex:
+                raise CheckpointCorrupt(
+                    f"malformed checkpoint header: {ex!r}"
+                ) from ex
         with open(self._checkpoint_path(version)) as f:
             return json.load(f)
 
@@ -384,17 +444,30 @@ class TxLog:
         import pyarrow as pa
         import pyarrow.parquet as pqm
 
+        def _as_int64(v):
+            # JSON-legal but non-int values (bool, numeric string,
+            # fractional float) must not crash pa.array post-commit nor
+            # be silently truncated — route them through the `extra`
+            # JSON column instead (read-side e.update restores them)
+            return v if isinstance(v, int) and not isinstance(v, bool) else None
+
         tb_c, p_c, r_c, mn_c, mx_c, ks_c, ex_c = [], [], [], [], [], [], []
         for tb in self.TABLES:
             for e in snap.files[tb]:
                 tb_c.append(tb)
                 p_c.append(e.get("path"))
-                r_c.append(e.get("rows"))
-                mn_c.append(e.get("chunk_min"))
-                mx_c.append(e.get("chunk_max"))
+                r_c.append(_as_int64(e.get("rows")))
+                mn_c.append(_as_int64(e.get("chunk_min")))
+                mx_c.append(_as_int64(e.get("chunk_max")))
                 ks = e.get("key_stats")
                 ks_c.append(json.dumps(ks, separators=(",", ":")) if ks else None)
-                extra = {k: v for k, v in e.items() if k not in self._ENTRY_COLS}
+                extra = {
+                    k: v for k, v in e.items() if k not in self._ENTRY_COLS
+                }
+                for col in ("rows", "chunk_min", "chunk_max"):
+                    v = e.get(col)
+                    if v is not None and _as_int64(v) is None:
+                        extra[col] = v  # lossless detour for odd types
                 ex_c.append(
                     json.dumps(extra, separators=(",", ":")) if extra else None
                 )
@@ -497,9 +570,23 @@ class TxLog:
         test instead of a file-path heuristic (ADVICE r7)."""
         if version % self.CHECKPOINT_INTERVAL:
             return
-        snap = self.snapshot(as_of=version)
-        self._write_checkpoint(version, snap)
-        self._write_checkpoint_pointer(version)
+        # truly best-effort: _maybe_checkpoint runs AFTER the commit
+        # record is durably linked, so a checkpoint-write failure must
+        # never bubble out of commit() — the caller would treat a
+        # SUCCEEDED commit as failed and re-apply it
+        try:
+            snap = self.snapshot(as_of=version)
+            self._write_checkpoint(version, snap)
+            self._write_checkpoint_pointer(version)
+        except Exception as ex:  # noqa: BLE001 — logged, never fatal
+            import warnings
+
+            warnings.warn(
+                f"checkpoint at version {version} failed ({ex!r}); "
+                "replay falls back to the previous checkpoint",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     # -- snapshots -----------------------------------------------------
     def snapshot(self, as_of: int | None = None) -> Snapshot:
@@ -575,9 +662,12 @@ class TxLog:
                             live[t][e["path"]] = FileEntry(e)
                         for e in rec["removes"].get(t, []):
                             live[t].pop(e["path"], None)
-            except (FileNotFoundError, ValueError):
+            except (FileNotFoundError, json.JSONDecodeError, CheckpointCorrupt):
                 # pruned (or replaced) under us, or a checkpoint read
-                # raced its writer — restart against the fresh log
+                # raced its writer — restart against the fresh log.
+                # (Deliberately NOT all ValueError: an int() failure on
+                # a corrupt record field should propagate diagnosably,
+                # not burn 8 retries and blame log maintenance.)
                 continue
             cp2 = self._latest_checkpoint(as_of)
             if cp2 is not None and cp2 > last:
@@ -771,8 +861,13 @@ class TxLog:
         data = None
         for _ in range(100_000):  # chain is strictly decreasing; belt only
             try:
-                data = self._read_checkpoint(cur)
-            except (FileNotFoundError, ValueError, TypeError):
+                # header-only read: the walk needs replayed/base, never
+                # the file-entry set — O(footer) per hop, not O(files).
+                # (For legacy JSON the header IS the full dict, so the
+                # heuristic leaf below still has its files.)
+                data = self._read_checkpoint_header(cur)
+            except (FileNotFoundError, CheckpointCorrupt,
+                    json.JSONDecodeError, TypeError):
                 return False
             if "replayed" not in data:
                 break  # legacy checkpoint: heuristic fallback below

@@ -2039,3 +2039,92 @@ class TestParquetCheckpoints:
             assert log2._checkpoint_observed(16, rec2, 2) is True
         snap = TxLog(log.root).snapshot()
         assert snap.version == 16 and len(snap.files["data"]) == 16
+
+
+class TestParquetCheckpointHardening:
+    """Round-9 second review pass: checkpoint decode errors must stay
+    inside the documented contract, transient I/O must not read as
+    'not observed', odd-typed entries must round-trip, and a checkpoint
+    write failure must never fail the already-durable commit."""
+
+    def _log(self, tmpdir, n=9, interval=8):
+        log = TxLog(os.path.join(tmpdir, "h"))
+        log.CHECKPOINT_INTERVAL = interval
+        for i in range(1, n + 1):
+            log.commit(i - 1, "w", i,
+                       adds={"data": [_uentry(f"files/h{i}/a.parquet", i, i)]},
+                       removes={})
+        return log
+
+    def test_transient_io_error_propagates_not_unobserved(
+        self, tmpdir, monkeypatch
+    ):
+        import pyarrow.parquet as pqm
+
+        log = self._log(tmpdir)
+        rec2 = log.read(2) if os.path.exists(log._rec_path(2)) else None
+        assert rec2 is not None
+
+        def eio(*a, **k):
+            raise PermissionError("transient EACCES")
+
+        monkeypatch.setattr(pqm, "read_schema", eio)
+        # a momentary I/O failure must NOT answer 'not observed' (that
+        # backs out a durable commit) — it propagates loudly
+        with pytest.raises(PermissionError):
+            log._checkpoint_observed(8, rec2, 2)
+
+    def test_foreign_parquet_checkpoint_is_corrupt_not_keyerror(self, tmpdir):
+        import pyarrow as pa
+        import pyarrow.parquet as pqm
+
+        from holcstore_spark.sources.txlog import CheckpointCorrupt
+
+        log = self._log(tmpdir)
+        # overwrite checkpoint 8 with a VALID parquet of the wrong shape
+        pqm.write_table(pa.table({"x": pa.array([1, 2])}),
+                        log._checkpoint_path_pq(8))
+        with pytest.raises(CheckpointCorrupt):
+            log._read_checkpoint(8)
+        rec2 = log.read(2) if os.path.exists(log._rec_path(2)) else None
+        # the walk answers the safe 'not observed', never KeyError
+        assert log._checkpoint_observed(8, rec2, 2) is False
+
+    def test_odd_typed_entries_roundtrip_losslessly(self, tmpdir):
+        log = TxLog(os.path.join(tmpdir, "odd"))
+        weird = [
+            {"path": "files/w/a.parquet", "rows": True,
+             "chunk_min": 1, "chunk_max": 1},
+            {"path": "files/w/b.parquet", "rows": "8760",
+             "chunk_min": 2, "chunk_max": 2},
+            {"path": "files/w/c.parquet", "rows": 5,
+             "chunk_min": 3, "chunk_max": 10.9},
+        ]
+        log.commit(0, "w", 1, adds={"data": weird}, removes={})
+        snap = log.snapshot()
+        log._write_checkpoint(77, snap)  # must not raise ArrowTypeError
+        got = {e["path"]: e for e in log._read_checkpoint(77)["files"]["data"]}
+        assert got["files/w/a.parquet"]["rows"] is True
+        assert got["files/w/b.parquet"]["rows"] == "8760"
+        assert got["files/w/c.parquet"]["chunk_max"] == 10.9  # no truncation
+
+    def test_checkpoint_write_failure_never_fails_the_commit(
+        self, tmpdir, monkeypatch
+    ):
+        log = TxLog(os.path.join(tmpdir, "bf"))
+        log.CHECKPOINT_INTERVAL = 2
+
+        def boom(*a, **k):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(TxLog, "_write_checkpoint", boom)
+        with pytest.warns(RuntimeWarning, match="checkpoint at version 2"):
+            v = log.commit(1 if False else 0, "w", 1,
+                           adds={"data": [_uentry("files/b1/a.parquet", 1, 1)]},
+                           removes={}) and None
+            v = log.commit(1, "w", 2,
+                           adds={"data": [_uentry("files/b2/a.parquet", 2, 2)]},
+                           removes={})
+        assert v == 2  # the commit stood despite the failed checkpoint
+        snap = TxLog(log.root).snapshot()
+        assert snap.version == 2 and len(snap.files["data"]) == 2
