@@ -263,8 +263,13 @@ _KEY_TYPE_MAP = {"str": T.StringType(), "int": T.LongType(), "float": T.DoubleTy
 
 def probe_key_types_from_manifest(path: str, keys, txlog=None) -> dict[str, str]:
     """Resolve key-column type names (``str``/``int``/``float``) from a
-    live data file's parquet footer — one driver-side metadata read, no
-    Spark job. Returns the subset of ``keys`` a footer could prove;
+    live data file's parquet footer — one driver-side metadata read per
+    file consulted, no Spark job. Accumulates across files until EVERY
+    requested key is proven (or the manifest is exhausted) — stopping at
+    the first file that resolves *any* key would let a file missing some
+    key column shadow later files that could prove it, making
+    ``data_schema_from_config`` raise "no live data file" spuriously
+    (ADVICE r9). Returns the subset of ``keys`` the footers could prove;
     empty when the store has no live (readable) data file. Pass the
     store's own ``txlog`` where one is held: its snapshot cache makes
     the repeated empty-store probe a listdir instead of a log replay."""
@@ -278,13 +283,15 @@ def probe_key_types_from_manifest(path: str, keys, txlog=None) -> dict[str, str]
         from holcstore_spark.sources.txlog import TxLog
 
         txlog = TxLog(path)
+    out: dict[str, str] = {}
     for e in txlog.snapshot().files["data"]:
         try:
             schema = pq.read_schema(os.path.join(path, e["path"]))
         except (FileNotFoundError, OSError, pa.ArrowInvalid):
             continue
-        out = {}
         for k in keys:
+            if k in out:
+                continue
             idx = schema.get_field_index(k)
             if idx < 0:
                 continue
@@ -295,9 +302,9 @@ def probe_key_types_from_manifest(path: str, keys, txlog=None) -> dict[str, str]
                 out[k] = "float"
             elif pa.types.is_string(t) or pa.types.is_large_string(t):
                 out[k] = "str"
-        if out:
-            return out
-    return {}
+        if len(out) == len(keys):
+            break
+    return out
 
 
 def data_schema_from_config(cfg, path: str | None = None) -> T.StructType:
@@ -2396,11 +2403,30 @@ class ChunkStore:
             # A compact that physically drops tombstoned rows changes
             # the row set and must stream as deletes, so it stays
             # unmarked and cancels row-level downstream as before.
-            added_rows = sum(int(e.get("rows") or 0) for e in txn.adds["data"])
-            removed_rows = sum(
-                int(e.get("rows") or 0) for e in txn.snapshot.files["data"]
+            # The proof needs REAL counts on both sides: FileEntry
+            # documents rows=None as "stats unavailable" (hand-built /
+            # imported entries), and `None or 0` would alias such an
+            # entry to 0 — a tombstone-dropping compact over stats-less
+            # files could then be misclassified as row-preserving and
+            # silently skipped by the change feed, losing its delete
+            # rows (ADVICE r9). Any None on either side → stay unmarked
+            # and let row-level cancellation handle it.
+            def _exact_rows(entries):
+                total = 0
+                for e in entries:
+                    r = e.get("rows")
+                    if not isinstance(r, int) or isinstance(r, bool):
+                        return None
+                    total += r
+                return total
+
+            added_rows = _exact_rows(txn.adds["data"])
+            removed_rows = _exact_rows(txn.snapshot.files["data"])
+            txn.compacting = (
+                added_rows is not None
+                and removed_rows is not None
+                and added_rows == removed_rows
             )
-            txn.compacting = added_rows == removed_rows
             return
         latest = safe_local_checkpoint(self.latest_meta())
         alive = latest.filter(~F.col("is_deleted")).select(*self.config.keys, "chunk_index")

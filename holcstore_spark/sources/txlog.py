@@ -279,6 +279,20 @@ class TxLog:
     def __init__(self, root: str, committer=None):
         self.root = root
         self.dir = os.path.join(root, "_txlog")
+        if not os.path.isdir(self.dir):
+            # brand-new log: there is no pre-sidecar legacy garbage by
+            # construction, so stamp the orphan-migration marker now —
+            # only stores whose log PRE-DATES sidecar tracking need the
+            # one-time deep sweep (see vacuum_files). Racing creators
+            # both write the same empty marker: benign.
+            os.makedirs(self.dir, exist_ok=True)
+            try:
+                odir = os.path.join(self.dir, "_orphans")
+                os.makedirs(odir, exist_ok=True)
+                with open(os.path.join(odir, ".migrated"), "w") as f:
+                    f.write("")
+            except OSError:
+                pass
         os.makedirs(self.dir, exist_ok=True)
         #: the pluggable atomic slot-claim primitive (see
         #: LocalFSCommitter for the contract an object-store
@@ -1059,11 +1073,46 @@ class TxLog:
             if not os.path.exists(os.path.join(self.root, e["path"]))
         ]
         if gone:
-            self.commit(
-                v_new, f"{op}-undo({version})",
-                self.next_op_id(self.snapshot()),
-                removes, adds, touched="all",
+            # The undo is itself a touched='all' commit; a third writer
+            # interleaving would raise ConcurrentWriteError out of it,
+            # leaving the table durably referencing vacuum-deleted files
+            # with only the exception as a signal (ADVICE r9). Its file
+            # sets are FIXED (swap adds/removes of the restore) and it
+            # commutes with nothing, so a bounded rebase-retry from a
+            # fresh snapshot is safe; a terminal failure is wrapped in
+            # an explicit table-is-broken error naming the repair.
+            from holcstore_spark.sources.chunk_store import (
+                ConcurrentWriteError,
             )
+
+            undo_err: Exception | None = None
+            base = v_new
+            for _ in range(5):
+                try:
+                    snap = self.snapshot()
+                    self.commit(
+                        max(base, snap.version),
+                        f"{op}-undo({version})",
+                        self.next_op_id(snap),
+                        removes, adds, touched="all",
+                    )
+                    undo_err = None
+                    break
+                except ConcurrentWriteError as exc:  # incl. StaleBaseError
+                    undo_err = exc
+                    base = self.snapshot().version
+            if undo_err is not None:
+                raise RuntimeError(
+                    f"restore to version {version} raced a vacuum "
+                    f"({len(gone)} re-referenced file(s) were deleted, "
+                    f"e.g. {gone[0]!r}) AND the compensating undo commit "
+                    f"failed after 5 attempts — the table now durably "
+                    f"references deleted files and reads of those paths "
+                    f"will fail. Repair: re-run restore_commit("
+                    f"{cur.version}) to roll back to the pre-restore "
+                    f"file set (or re-run this restore once the "
+                    f"concurrent writer quiesces)."
+                ) from undo_err
             raise ValueError(
                 f"restore to version {version} raced a vacuum: "
                 f"{len(gone)} re-referenced file(s) were deleted after "
@@ -1164,71 +1213,106 @@ class TxLog:
         live_dirs = {os.path.dirname(p) for p in live}
         n = 0
         odir = self._orphans_dir()
-        if not os.path.isdir(odir):
-            # pre-sidecar store (or nothing ever orphaned): its existing
-            # garbage carries no sidecars, so sweep deep ONCE and leave
-            # the dir as the migrated marker — subsequent vacuums are
-            # O(orphans)
+        migrated = os.path.join(odir, ".migrated")
+        if not os.path.exists(migrated):
+            # pre-sidecar store (or first-ever vacuum): its existing
+            # garbage carries no sidecars, so sweep deep ONCE. The
+            # marker is a dedicated file written only by THIS method at
+            # the end of a completed deep sweep — keying the migration
+            # on the _orphans dir's existence was wrong because
+            # note_orphans() creates that dir on the first post-upgrade
+            # commit, so an upgraded store that committed before its
+            # first vacuum silently skipped the migration and its
+            # legacy unreferenced files leaked (ADVICE r9).
             deep = True
-            os.makedirs(odir, exist_ok=True)
-        if os.path.isdir(odir):
-            import shutil as _shutil
+        os.makedirs(odir, exist_ok=True)
+        import shutil as _shutil
 
-            touched_dirs: set[str] = set()
-            for f in sorted(os.listdir(odir)):
-                p = os.path.join(odir, f)
+        touched_dirs: set[str] = set()
+        # Pass 1 — read every sidecar and aggregate path → NEWEST note.
+        # A path can be mentioned by several sidecars: noted dead at t0
+        # by a failed commit attempt, re-landed LIVE by the retry, then
+        # removed again at t2 (fresh sidecar). Gating each sidecar in
+        # isolation would let the expired t0 note delete the path the
+        # moment it is dead again — immediately after t2, bypassing
+        # t2's retention window and crashing concurrent readers /
+        # time-travel snapshots that still reference it (ADVICE r9
+        # medium). Only a path's newest note drives its countdown.
+        sidecars: list[tuple[str, float, list[str]]] = []
+        newest_note: dict[str, float] = {}
+        for f in sorted(os.listdir(odir)):
+            if f.startswith("."):
+                continue  # the .migrated marker
+            p = os.path.join(odir, f)
+            try:
+                with open(p) as fh:
+                    rec = json.load(fh)
+            except (FileNotFoundError, json.JSONDecodeError, OSError):
+                # half-written sidecar (crash mid-write): reclaim it
+                # once old enough — its paths fall to a deep sweep
                 try:
-                    with open(p) as fh:
-                        rec = json.load(fh)
-                except (FileNotFoundError, json.JSONDecodeError, OSError):
-                    # half-written sidecar (crash mid-write): reclaim it
-                    # once old enough — its paths fall to a deep sweep
-                    try:
-                        if os.path.getmtime(p) <= cutoff:
-                            os.remove(p)
-                            n += 1
-                    except (FileNotFoundError, OSError):
-                        pass
-                    continue
-                if float(rec.get("ts", 0.0)) > cutoff:
-                    continue  # became dead too recently: retention spares it
-                # re-validate liveness against the CURRENT snapshot per
-                # sidecar (one listdir via the signature cache when the
-                # log is quiet): narrows the window in which a restore()
-                # landing mid-vacuum could re-reference a path this
-                # sweep is about to delete
-                live = {
-                    e["path"] for t in self.TABLES
-                    for e in self.snapshot().files[t]
-                }
-                for rel in rec.get("paths", []):
-                    if rel in live:
-                        continue  # re-landed or restored since: live again
-                    abs_p = os.path.join(self.root, rel)
-                    try:
-                        os.remove(abs_p)
-                        n += 1
-                    except (FileNotFoundError, OSError):
-                        pass
-                    touched_dirs.add(os.path.dirname(abs_p))
-                try:
-                    os.remove(p)  # fully processed (concurrent vacuums race benignly)
-                except (FileNotFoundError, OSError):
-                    pass
-            for d in touched_dirs:
-                # an emptied staging dir may still hold _SUCCESS/.crc
-                # markers — reclaim it whole once no parquet (and no
-                # live file) remains
-                if os.path.relpath(d, self.root) in live_dirs:
-                    continue
-                try:
-                    if not any(x.endswith(".parquet") for x in os.listdir(d)):
-                        _shutil.rmtree(d, ignore_errors=True)
+                    if os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
                         n += 1
                 except (FileNotFoundError, OSError):
                     pass
+                continue
+            ts = float(rec.get("ts", 0.0))
+            paths = [str(x) for x in rec.get("paths", [])]
+            sidecars.append((p, ts, paths))
+            for rel in paths:
+                if ts > newest_note.get(rel, float("-inf")):
+                    newest_note[rel] = ts
+        # Pass 2 — process expired sidecars. A path whose newest note is
+        # still inside the window is spared here; dropping this OLDER
+        # sidecar loses nothing because the newer one still tracks it.
+        for p, ts, paths in sidecars:
+            if ts > cutoff:
+                continue  # became dead too recently: retention spares it
+            # re-validate liveness against the CURRENT snapshot per
+            # sidecar (one listdir via the signature cache when the
+            # log is quiet): narrows the window in which a restore()
+            # landing mid-vacuum could re-reference a path this
+            # sweep is about to delete
+            live = {
+                e["path"] for t in self.TABLES
+                for e in self.snapshot().files[t]
+            }
+            for rel in paths:
+                if newest_note.get(rel, ts) > cutoff:
+                    continue  # re-noted dead more recently: countdown restarted
+                if rel in live:
+                    continue  # re-landed or restored since: live again
+                abs_p = os.path.join(self.root, rel)
+                try:
+                    os.remove(abs_p)
+                    n += 1
+                except (FileNotFoundError, OSError):
+                    pass
+                touched_dirs.add(os.path.dirname(abs_p))
+            try:
+                os.remove(p)  # fully processed (concurrent vacuums race benignly)
+            except (FileNotFoundError, OSError):
+                pass
+        for d in touched_dirs:
+            # an emptied staging dir may still hold _SUCCESS/.crc
+            # markers — reclaim it whole once no parquet (and no
+            # live file) remains
+            if os.path.relpath(d, self.root) in live_dirs:
+                continue
+            try:
+                if not any(x.endswith(".parquet") for x in os.listdir(d)):
+                    _shutil.rmtree(d, ignore_errors=True)
+                    n += 1
+            except (FileNotFoundError, OSError):
+                pass
         if deep:
             n += self._deep_sweep(live, live_dirs, cutoff)
+            try:
+                with open(migrated, "w") as fh:
+                    fh.write("")  # deep migration sweep completed
+            except OSError:
+                pass
         for f in os.listdir(self.dir):
             if ".tmp-" in f:
                 p = os.path.join(self.dir, f)
@@ -1244,9 +1328,18 @@ class TxLog:
         """Full ``files/`` walk: O(all staged dirs). Catches the one
         orphan class sidecars cannot see — files staged by a writer
         killed before commit was ever attempted. Age-gates on file
-        mtime (= staging time), which is exact for never-live files."""
+        mtime (= staging time), which is exact for never-live files.
+        Non-live files still INSIDE the window are noted as orphan
+        sidecars instead of silently skipped: without that, the one-time
+        migration sweep would hand its ``.migrated`` marker to the
+        default O(orphans) path while legacy orphans younger than the
+        retention window leak forever (they never had sidecars). A
+        freshly-STAGED file of an in-flight writer gets noted too, which
+        is harmless — once its commit lands the path is live and the
+        sweep spares it, dropping the sidecar."""
         files_root = os.path.join(self.root, "files")
         n = 0
+        young: list[str] = []
         if not os.path.isdir(files_root):
             return 0
         for entry in os.listdir(files_root):
@@ -1262,6 +1355,8 @@ class TxLog:
                     continue
                 try:
                     if os.path.getmtime(abs_p) > cutoff:
+                        if not os.path.isdir(abs_p):
+                            young.append(rel)
                         continue
                     if os.path.isdir(abs_p):
                         if not has_live:
@@ -1280,6 +1375,11 @@ class TxLog:
                     os.rmdir(d)
                     n += 1
             except (FileNotFoundError, OSError):
+                pass
+        if young:
+            try:
+                self.note_orphans(young)
+            except OSError:
                 pass
         return n
 

@@ -2128,3 +2128,246 @@ class TestParquetCheckpointHardening:
         assert v == 2  # the commit stood despite the failed checkpoint
         snap = TxLog(log.root).snapshot()
         assert snap.version == 2 and len(snap.files["data"]) == 2
+
+
+class TestRound10AdviceFixes:
+    """ADVICE r9: orphan-sidecar retention aggregation, migration marker,
+    compacting stats-None guard, key-type probe accumulation, restore-undo
+    retry."""
+
+    def test_stale_sidecar_does_not_bypass_retention(self, spark, tmpdir):
+        # medium: a path noted dead long ago (failed attempt), re-landed
+        # live, then removed AGAIN recently must be protected by the
+        # NEWEST note's retention window — the expired old sidecar alone
+        # must not delete it while time-travel readers still hold it
+        import json as _json
+        import time as _time
+
+        st = acid_store(spark, tmpdir, name="ret")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=2.0),
+                  replace=True)
+        cur = {e["path"] for t in ("data", "meta")
+               for e in st._txlog.snapshot().files[t]}
+        dead = [e["path"] for t in ("data", "meta")
+                for e in st._txlog.snapshot_exact(v1).files[t]
+                if e["path"] not in cur]
+        assert dead
+        # plant the STALE note: same paths, declared dead two hours ago
+        odir = os.path.join(st.path, "_txlog", "_orphans")
+        with open(os.path.join(odir, "00stale.json"), "w") as f:
+            f.write(_json.dumps({"ts": _time.time() - 7200, "paths": dead}))
+        # retention 1h: the stale note is expired, but the rewrite's own
+        # fresh note restarts the countdown — nothing may be deleted
+        st.vacuum(retention_seconds=3600.0)
+        for rel in dead:
+            assert os.path.exists(os.path.join(st.path, rel)), rel
+        old = st.time_travel(v1)
+        assert (old.get_ts({"site": "a"}) == 1.0).all()  # reader survives
+        # once the freshest note expires too, the files are reclaimed
+        st.vacuum(retention_seconds=0)
+        assert not any(
+            os.path.exists(os.path.join(st.path, rel)) for rel in dead
+        )
+
+    def test_upgraded_store_commit_before_first_vacuum_migrates(
+        self, spark, tmpdir
+    ):
+        # low: note_orphans() creates _orphans/ on the first post-upgrade
+        # commit; the one-time deep migration sweep must key on the
+        # dedicated .migrated marker, not the dir's existence
+        import time as _time
+
+        st = acid_store(spark, tmpdir, name="upg")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        odir = os.path.join(st.path, "_txlog", "_orphans")
+        shutil.rmtree(odir)  # pre-sidecar layout (no marker either)
+        # legacy garbage with no sidecar
+        d = os.path.join(st.path, "files", "legacyleak000000")
+        os.makedirs(d)
+        leak = os.path.join(d, "part-0.parquet")
+        with open(leak, "wb") as f:
+            f.write(b"x")
+        old = _time.time() - 7200
+        os.utime(leak, (old, old))
+        # the store COMMITS before its first vacuum → note_orphans
+        # recreates _orphans/ (without the marker)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=2.0),
+                  replace=True)
+        assert os.path.isdir(odir)
+        assert not os.path.exists(os.path.join(odir, ".migrated"))
+        st.vacuum(retention_seconds=0)  # default sweep must still migrate
+        assert not os.path.exists(leak)
+        assert os.path.exists(os.path.join(odir, ".migrated"))
+        # migrated: the next default sweep is sidecars-only again
+        d2 = os.path.join(st.path, "files", "legacyleak000001")
+        os.makedirs(d2)
+        leak2 = os.path.join(d2, "part-0.parquet")
+        with open(leak2, "wb") as f:
+            f.write(b"x")
+        os.utime(leak2, (old, old))
+        st.vacuum(retention_seconds=0)
+        assert os.path.exists(leak2)  # only deep=True reaches it now
+
+    def test_fresh_store_is_born_migrated(self, spark, tmpdir, monkeypatch):
+        # a log created by THIS code version has no legacy garbage, so
+        # its first vacuum must stay O(orphans) — no deep walk
+        st = acid_store(spark, tmpdir, name="born")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        marker = os.path.join(st.path, "_txlog", "_orphans", ".migrated")
+        assert os.path.exists(marker)
+        called = []
+        monkeypatch.setattr(
+            TxLog, "_deep_sweep",
+            lambda self, *a, **k: called.append(1) or 0,
+        )
+        st.vacuum(retention_seconds=0)
+        assert not called
+
+    def test_statless_compact_not_marked_compacting(self, spark, tmpdir):
+        # low: a fully-tombstoned store whose manifest entries carry
+        # rows=None ("stats unavailable") sums to 0 on both sides — the
+        # old `or 0` aliasing would mark the tombstone-DROPPING compact
+        # as row-preserving and the change feed would skip its deletes
+        import json as _json
+
+        st = acid_store(spark, tmpdir, name="nullrows")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        st.delete({"site": "a"})  # tombstone every row
+        # simulate imported/hand-built entries: strip the row stats from
+        # every data entry in every commit record
+        tdir = os.path.join(st.path, "_txlog")
+        for f in os.listdir(tdir):
+            if not f.endswith(".json") or ".tmp-" in f:
+                continue
+            p = os.path.join(tdir, f)
+            with open(p) as fh:
+                rec = _json.load(fh)
+            if "adds" not in rec:
+                continue
+            for e in rec["adds"].get("data", []):
+                e["rows"] = None
+            with open(p, "w") as fh:
+                fh.write(_json.dumps(rec))
+        st2 = acid_store(spark, tmpdir, name="nullrows")
+        st2.compact()  # drops the tombstoned rows physically
+        head = st2._txlog.snapshot().version
+        assert st2._txlog.read(head)["compacting"] is False
+
+    def test_probe_accumulates_key_types_across_files(self, tmpdir):
+        # low: the first readable file resolving ANY key must not end
+        # the probe — a file lacking one key column would otherwise
+        # shadow later files that can prove it
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from holcstore_spark.sources.chunk_store import (
+            probe_key_types_from_manifest,
+        )
+
+        root = os.path.join(tmpdir, "probe")
+        os.makedirs(os.path.join(root, "files", "d1"))
+        os.makedirs(os.path.join(root, "files", "d2"))
+        p1 = os.path.join(root, "files", "d1", "a.parquet")
+        p2 = os.path.join(root, "files", "d2", "b.parquet")
+        # first file lacks `site`; second proves it
+        pq.write_table(
+            pa.table({"uid": pa.array([1], pa.int64()),
+                      "chunk_index": pa.array([0], pa.int64())}), p1)
+        pq.write_table(
+            pa.table({"uid": pa.array([2], pa.int64()),
+                      "site": pa.array(["x"], pa.string()),
+                      "chunk_index": pa.array([0], pa.int64())}), p2)
+        log = TxLog(root)
+        log.commit(0, "w", 1, adds={"data": [
+            _uentry("files/d1/a.parquet"), _uentry("files/d2/b.parquet"),
+        ]}, removes={})
+        got = probe_key_types_from_manifest(root, ["uid", "site"], txlog=log)
+        assert got == {"uid": "int", "site": "str"}
+
+    def _arm_vacuum_race(self, st, v1, monkeypatch):
+        # delete the restore's re-referenced files right after its commit
+        # (the existing r9 pattern): fake os.path.exists
+        import os as _os
+
+        cur = st._txlog.snapshot()
+        cur_paths = {e["path"] for t in ("data", "meta")
+                     for e in cur.files[t]}
+        target_adds = {
+            e["path"] for t in ("data", "meta")
+            for e in st._txlog.snapshot_exact(v1).files[t]
+        } - cur_paths
+        assert target_adds
+        real_exists = _os.path.exists
+        seen: set[str] = set()
+
+        def fake_exists(p):
+            hit = next((t for t in target_adds if str(p).endswith(t)), None)
+            if hit is None:
+                return real_exists(p)
+            if hit in seen:
+                return False
+            seen.add(hit)
+            return real_exists(p)
+
+        monkeypatch.setattr(_os.path, "exists", fake_exists)
+        return real_exists
+
+    def test_restore_undo_retries_through_concurrent_write(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # low: a third writer interleaving with the compensating undo
+        # raises ConcurrentWriteError out of it — the undo must rebase
+        # and retry, still ending in the loud "raced a vacuum" ValueError
+        st = acid_store(spark, tmpdir, name="undoretry")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=2.0),
+                  replace=True)
+        self._arm_vacuum_race(st, v1, monkeypatch)
+        real_commit = TxLog.commit
+        failed = []
+
+        def flaky_commit(self, base_version, op, op_id, adds, removes,
+                         **kw):
+            if "restore-undo" in op and not failed:
+                failed.append(1)
+                raise ConcurrentWriteError("interleaved third writer")
+            return real_commit(self, base_version, op, op_id, adds,
+                               removes, **kw)
+
+        monkeypatch.setattr(TxLog, "commit", flaky_commit)
+        with pytest.raises(ValueError, match="raced a vacuum"):
+            st.restore(v1)
+        assert failed  # the injection actually fired
+        monkeypatch.undo()
+        st.refresh()
+        assert (st.get_ts({"site": "a"}) == 2.0).all()  # pre-restore state
+        top = st.history().collect()[0]
+        assert "restore-undo" in top["op"]
+
+    def test_restore_undo_terminal_failure_is_explicit(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # low: if the undo can NEVER land, the caller must get an
+        # explicit table-now-references-deleted-files error naming the
+        # repair — not a bare ConcurrentWriteError
+        st = acid_store(spark, tmpdir, name="undodead")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=2.0),
+                  replace=True)
+        self._arm_vacuum_race(st, v1, monkeypatch)
+        real_commit = TxLog.commit
+
+        def dead_commit(self, base_version, op, op_id, adds, removes,
+                        **kw):
+            if "restore-undo" in op:
+                raise ConcurrentWriteError("永 interleaved")
+            return real_commit(self, base_version, op, op_id, adds,
+                               removes, **kw)
+
+        monkeypatch.setattr(TxLog, "commit", dead_commit)
+        with pytest.raises(RuntimeError, match="compensating undo"):
+            st.restore(v1)
