@@ -3051,74 +3051,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-9 window: (a) the full 33-query block whose last
-    # driver verification was round 5 (the oldest evidence in the
-    # registry — two rounds overdue for rotation), led by the ANN /
-    # fingerprint queries the round-8 verdict called out, plus
-    # pq_encode + pq_topk pulled from the r6 block alongside them;
-    # (b) store_cdf + stream_cdf, whose execution path changes this
-    # round (compaction commits are now skipped at manifest level in
-    # the change feed, and stream_cdf rides the new
-    # net_changes/apply_changes helper); (c) the oldest 13 of the
-    # r6-verified block. The tail is the remaining r6 queries (rotate
-    # round 10) followed by the round-8-verified window.
+    # first. Round-10 window: (a) the 14 remaining queries whose last
+    # driver verification was round 6 (the oldest evidence left in the
+    # registry); (b) store_restore, whose execution path changed this
+    # round (restore-undo rebase-retry, and every ACID query rides the
+    # reworked orphan-sidecar vacuum bookkeeping); (c) the oldest 35 of
+    # the round-8-verified block (kv_acid_ops exercises the rewritten
+    # vacuum directly). The tail is the remaining r8-verified queries
+    # (rotate round 11) followed by the round-9-verified window.
     return {
-        # -- (a) last driver-verified round 5 (+ pq_* leads) --------
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "doc_fingerprints": q_doc_fingerprints,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "similarity_neardup": q_similarity_neardup,
-        "text_stats": q_text_stats,
-        "lang_quality": q_lang_quality,
-        "token_bpe": q_token_bpe,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "repetition_stats": q_repetition_stats,
-        "pii_redact": q_pii_redact,
-        "vocab_topk": q_vocab_topk,
-        "multimodal_png": q_multimodal_png,
-        "dedup_representatives": q_dedup_representatives,
-        "quality_filter": q_quality_filter,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_video": q_multimodal_video,
-        "stats_rollup": q_stats_rollup,
-        "value_histogram": q_value_histogram,
-        "doc_chunks": q_doc_chunks,
-        "embed_quantize": q_embed_quantize,
-        "lm_surprisal": q_lm_surprisal,
-        "sliding_rollup": q_sliding_rollup,
-        "stream_sliding": q_stream_sliding,
-        "temperature_sample": q_temperature_sample,
-        "collocations": q_collocations,
-        "normalize_text": q_normalize_text,
-        "corpus_prep": q_corpus_prep,
-        "rolling_stats": q_rolling_stats,
-        "forecast_revenue": q_forecast_revenue,
-        "order_priority": q_order_priority,
-        "large_orders": q_large_orders,
-        "cusum_drift": q_cusum_drift,
-        # -- (b) CDF path changes this round (compacting skip) + the
-        #    new restore() API (never driver-verified) ---------------
-        "store_cdf": q_store_cdf,
-        "stream_cdf": q_stream_cdf,
-        "store_restore": q_store_restore,
-        # -- (c) oldest r6-verified block ---------------------------
-        "overlay_merge": q_overlay_merge,
-        "completeness_holes": q_completeness_holes,
-        "merge_intervals": q_merge_intervals,
-        "interval_algebra": q_interval_algebra,
-        "constant_runs": q_constant_runs,
-        "drop_bounds_na": q_drop_bounds_na,
-        "combined_delay": q_combined_delay,
-        "blob_interop": q_blob_interop,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_audio": q_multimodal_audio,
-        "stream_rollup": q_stream_rollup,
-        # ====== driver 50-entry window ends here (50 above) ========
-        # -- tail: remaining r6-verified (rotate round 10) ----------
+        # -- (a) last driver-verified round 6 ------------------------
         "stream_gaps": q_stream_gaps,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -3133,7 +3075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "range_join": q_range_join,
         "event_rollup": q_event_rollup,
-        # -- tail: round-8-verified window --------------------------
+        # -- (b) execution path changed this round --------------------
+        "store_restore": q_store_restore,
+        # -- (c) oldest round-8-verified block ------------------------
         "slice_with_delay": q_slice_with_delay,
         "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
@@ -3169,6 +3113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack": q_token_pack,
         "segment_dedup": q_segment_dedup,
         "rebalance_mix": q_rebalance_mix,
+        # ====== driver 50-entry window ends here (50 above) ========
+        # -- tail: remaining r8-verified (rotate round 11) ------------
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
         "pricing_summary": q_pricing_summary,
@@ -3182,8 +3128,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "clean_corpus_cc": q_clean_corpus_cc,
+        # -- tail: round-9-verified window ----------------------------
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "doc_fingerprints": q_doc_fingerprints,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "similarity_neardup": q_similarity_neardup,
+        "text_stats": q_text_stats,
+        "lang_quality": q_lang_quality,
+        "token_bpe": q_token_bpe,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "vocab_topk": q_vocab_topk,
+        "multimodal_png": q_multimodal_png,
+        "dedup_representatives": q_dedup_representatives,
+        "quality_filter": q_quality_filter,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_video": q_multimodal_video,
+        "stats_rollup": q_stats_rollup,
+        "value_histogram": q_value_histogram,
+        "doc_chunks": q_doc_chunks,
+        "embed_quantize": q_embed_quantize,
+        "lm_surprisal": q_lm_surprisal,
+        "sliding_rollup": q_sliding_rollup,
+        "stream_sliding": q_stream_sliding,
+        "temperature_sample": q_temperature_sample,
+        "collocations": q_collocations,
+        "normalize_text": q_normalize_text,
+        "corpus_prep": q_corpus_prep,
+        "rolling_stats": q_rolling_stats,
+        "forecast_revenue": q_forecast_revenue,
+        "order_priority": q_order_priority,
+        "large_orders": q_large_orders,
+        "cusum_drift": q_cusum_drift,
+        "store_cdf": q_store_cdf,
+        "stream_cdf": q_stream_cdf,
+        "overlay_merge": q_overlay_merge,
+        "completeness_holes": q_completeness_holes,
+        "merge_intervals": q_merge_intervals,
+        "interval_algebra": q_interval_algebra,
+        "constant_runs": q_constant_runs,
+        "drop_bounds_na": q_drop_bounds_na,
+        "combined_delay": q_combined_delay,
+        "blob_interop": q_blob_interop,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
+        "stream_rollup": q_stream_rollup,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     ev = _EVENTS_VERSIONED_SQL

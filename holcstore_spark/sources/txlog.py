@@ -1240,35 +1240,61 @@ class TxLog:
         # medium). Only a path's newest note drives its countdown.
         sidecars: list[tuple[str, float, list[str]]] = []
         newest_note: dict[str, float] = {}
-        for f in sorted(os.listdir(odir)):
-            if f.startswith("."):
-                continue  # the .migrated marker
-            p = os.path.join(odir, f)
+        seen_notes: set[str] = set()
+
+        def _ingest_notes(reclaim_broken: bool) -> int:
+            """Read sidecars not seen yet into ``newest_note`` (and the
+            process list); returns reclaimed broken-sidecar count."""
+            nonlocal sidecars
+            reclaimed = 0
             try:
-                with open(p) as fh:
-                    rec = json.load(fh)
-            except (FileNotFoundError, json.JSONDecodeError, OSError):
-                # half-written sidecar (crash mid-write): reclaim it
-                # once old enough — its paths fall to a deep sweep
+                names = sorted(os.listdir(odir))
+            except (FileNotFoundError, OSError):
+                return 0
+            for f in names:
+                if f.startswith(".") or f in seen_notes:
+                    continue  # the .migrated marker / already ingested
+                seen_notes.add(f)
+                p = os.path.join(odir, f)
                 try:
-                    if os.path.getmtime(p) <= cutoff:
-                        os.remove(p)
-                        n += 1
-                except (FileNotFoundError, OSError):
-                    pass
-                continue
-            ts = float(rec.get("ts", 0.0))
-            paths = [str(x) for x in rec.get("paths", [])]
-            sidecars.append((p, ts, paths))
-            for rel in paths:
-                if ts > newest_note.get(rel, float("-inf")):
-                    newest_note[rel] = ts
+                    with open(p) as fh:
+                        rec = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError, OSError):
+                    # half-written sidecar (crash mid-write): reclaim it
+                    # once old enough — its paths fall to a deep sweep
+                    if reclaim_broken:
+                        try:
+                            if os.path.getmtime(p) <= cutoff:
+                                os.remove(p)
+                                reclaimed += 1
+                        except (FileNotFoundError, OSError):
+                            pass
+                    continue
+                ts = float(rec.get("ts", 0.0))
+                paths = [str(x) for x in rec.get("paths", [])]
+                sidecars.append((p, ts, paths))
+                for rel in paths:
+                    if ts > newest_note.get(rel, float("-inf")):
+                        newest_note[rel] = ts
+            return reclaimed
+
+        n += _ingest_notes(reclaim_broken=True)
         # Pass 2 — process expired sidecars. A path whose newest note is
         # still inside the window is spared here; dropping this OLDER
         # sidecar loses nothing because the newer one still tracks it.
-        for p, ts, paths in sidecars:
+        # (`sidecars` may grow while iterating — new notes ingested
+        # below land at the tail and are re-gated like any other.)
+        i = -1
+        while i + 1 < len(sidecars):
+            i += 1
+            p, ts, paths = sidecars[i]
             if ts > cutoff:
                 continue  # became dead too recently: retention spares it
+            # a commit landing DURING this sweep may have re-killed one
+            # of our paths and noted it afresh — merge notes written
+            # since pass 1 so the new countdown is honored (one listdir
+            # per expired sidecar, same granularity as the live refresh)
+            _ingest_notes(reclaim_broken=False)
             # re-validate liveness against the CURRENT snapshot per
             # sidecar (one listdir via the signature cache when the
             # log is quiet): narrows the window in which a restore()

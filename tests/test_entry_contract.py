@@ -101,35 +101,28 @@ def test_registry_source_has_no_duplicate_keys():
 
 #: queries that MUST be inside the driver's first-50 window this round.
 #: Keep this list in sync with the rotation comment in queries():
-#: (a) the full 33-query block last driver-verified in round 5 — the
-#: oldest evidence in the registry, two rounds overdue — plus
-#: pq_encode/pq_topk pulled forward with the other ANN queries;
-#: (b) store_cdf + stream_cdf, whose execution path changes this round
-#: (manifest-level compaction skip in the change feed, and the
-#: net_changes/apply_changes consumer helper under stream_cdf).
-ROUND9_WINDOW_MUST = {
-    # (a) last driver-verified r5 (+ pq_* leads)
-    "similarity_lsh", "similarity_ivf", "doc_fingerprints",
-    "pq_encode", "pq_topk", "similarity_neardup", "text_stats",
-    "lang_quality", "token_bpe", "hash_split", "stratified_sample",
-    "repetition_stats", "pii_redact", "vocab_topk", "multimodal_png",
-    "dedup_representatives", "quality_filter", "multimodal_jpeg",
-    "multimodal_video", "stats_rollup", "value_histogram", "doc_chunks",
-    "embed_quantize", "lm_surprisal", "sliding_rollup", "stream_sliding",
-    "temperature_sample", "collocations", "normalize_text",
-    "corpus_prep", "rolling_stats", "forecast_revenue", "order_priority",
-    "large_orders", "cusum_drift",
-    # (b) CDF path changes in round 9 + the new restore() API
-    "store_cdf", "stream_cdf", "store_restore",
+#: (a) the 14 remaining queries last driver-verified in round 6 — the
+#: oldest evidence left in the registry after the round-9 rotation;
+#: (b) store_restore, whose execution path changed this round (the
+#: restore-undo rebase-retry) plus kv_acid_ops, which exercises the
+#: rewritten orphan-sidecar vacuum directly.
+ROUND10_WINDOW_MUST = {
+    # (a) last driver-verified r6
+    "stream_gaps", "multimodal_resize", "multimodal_frames",
+    "stream_cusum", "bpe_merges", "seasonal_profile", "stream_join",
+    "contamination", "tfidf_terms", "asof_join", "sessionize",
+    "time_rollup", "range_join", "event_rollup",
+    # (b) execution paths changed in round 10
+    "store_restore", "kv_acid_ops",
 }
 
 
-def test_driver_window_contains_round9_rotation_set():
+def test_driver_window_contains_round10_rotation_set():
     # every query whose evidence is stale — oldest driver rows, or whose
-    # execution path changed this round (compacting-aware change feed) —
+    # execution path changed this round (vacuum/restore bookkeeping) —
     # must sit inside the driver's checked first-50 window
     window = set(list(entry_mod.queries())[:50])
-    missing = ROUND9_WINDOW_MUST - window
+    missing = ROUND10_WINDOW_MUST - window
     assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND9_WINDOW_MUST - set(entry_mod.queries())
+    unknown = ROUND10_WINDOW_MUST - set(entry_mod.queries())
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
