@@ -284,11 +284,20 @@ def probe_key_types_from_manifest(path: str, keys, txlog=None) -> dict[str, str]
 
         txlog = TxLog(path)
     out: dict[str, str] = {}
+    # scan bound: a key that NO footer can prove (typo'd name, exotic
+    # physical type) must not turn the probe into an O(live-files)
+    # driver-side footer crawl at 100k+ files — after this many
+    # consecutive readable footers that added nothing, the remaining
+    # keys are declared unprovable (heterogeneous schemas cluster by
+    # write batch, so the proving file is found long before the cap)
+    max_unhelpful = 64
+    unhelpful = 0
     for e in txlog.snapshot().files["data"]:
         try:
             schema = pq.read_schema(os.path.join(path, e["path"]))
         except (FileNotFoundError, OSError, pa.ArrowInvalid):
             continue
+        before = len(out)
         for k in keys:
             if k in out:
                 continue
@@ -303,6 +312,9 @@ def probe_key_types_from_manifest(path: str, keys, txlog=None) -> dict[str, str]
             elif pa.types.is_string(t) or pa.types.is_large_string(t):
                 out[k] = "str"
         if len(out) == len(keys):
+            break
+        unhelpful = unhelpful + 1 if len(out) == before else 0
+        if unhelpful >= max_unhelpful:
             break
     return out
 
@@ -377,6 +389,8 @@ class ChunkStore:
         self._pinned_snapshot = None  # set on time_travel() views
         self._meta_cache_version: int | None = None
         self._key_type_probe: dict[str, str] | None = None
+        #: incomplete probe memo: (manifest version, partial result)
+        self._key_type_probe_partial: tuple[int, dict[str, str]] | None = None
         if self._acid:
             import threading
 
@@ -860,9 +874,12 @@ class ChunkStore:
         return out
 
     def _probed_key_types(self) -> dict[str, str]:
-        """Footer-probed types of undeclared key columns (ACID only),
-        cached once complete; an empty store re-probes on each call so
-        the first written file upgrades the answer."""
+        """Footer-probed types of undeclared key columns (ACID only).
+        A complete answer is cached forever; an INCOMPLETE one (empty
+        store, or a key no footer proves) is cached per manifest version
+        so repeated schema derivations don't repeat the O(live-files)
+        footer scan — only a new commit (which may add the proving file)
+        re-probes."""
         if not self._acid:
             return {}
         if self._key_type_probe is not None:
@@ -870,11 +887,17 @@ class ChunkStore:
         undeclared = [
             k for k in self.config.keys if not self.config.key_types.get(k)
         ]
+        ver = self._txlog.snapshot().version
+        part = self._key_type_probe_partial
+        if part is not None and part[0] == ver:
+            return part[1]
         probe = probe_key_types_from_manifest(
             self.path, undeclared, txlog=self._txlog
         )
         if all(k in probe for k in undeclared):
             self._key_type_probe = probe
+        else:
+            self._key_type_probe_partial = (ver, probe)
         return probe
 
     def _data_schema(self, pdf=None) -> T.StructType:

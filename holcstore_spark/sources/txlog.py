@@ -1076,31 +1076,43 @@ class TxLog:
             # The undo is itself a touched='all' commit; a third writer
             # interleaving would raise ConcurrentWriteError out of it,
             # leaving the table durably referencing vacuum-deleted files
-            # with only the exception as a signal (ADVICE r9). Its file
-            # sets are FIXED (swap adds/removes of the restore) and it
-            # commutes with nothing, so a bounded rebase-retry from a
-            # fresh snapshot is safe; a terminal failure is wrapped in
-            # an explicit table-is-broken error naming the repair.
+            # with only the exception as a signal (ADVICE r9). Bounded
+            # rebase-retry — but the file sets are RECOMPUTED against
+            # the fresh snapshot each attempt (diff to the held
+            # pre-restore snapshot, i.e. a restore-to-`cur`): replaying
+            # the first attempt's fixed swap sets on top of a writer
+            # that landed in between would re-add the pre-restore files
+            # for a key that writer just rewrote — both generations live
+            # at once, silent duplicate rows. A terminal failure is
+            # wrapped in an explicit table-is-broken error naming the
+            # repair.
             from holcstore_spark.sources.chunk_store import (
                 ConcurrentWriteError,
             )
 
             undo_err: Exception | None = None
-            base = v_new
             for _ in range(5):
                 try:
                     snap = self.snapshot()
+                    u_adds: dict[str, list] = {}
+                    u_removes: dict[str, list] = {}
+                    for t in self.TABLES:
+                        snap_paths = {e["path"] for e in snap.files[t]}
+                        cur_paths = {e["path"] for e in cur.files[t]}
+                        u_adds[t] = [e for e in cur.files[t]
+                                     if e["path"] not in snap_paths]
+                        u_removes[t] = [e for e in snap.files[t]
+                                        if e["path"] not in cur_paths]
                     self.commit(
-                        max(base, snap.version),
+                        snap.version,
                         f"{op}-undo({version})",
                         self.next_op_id(snap),
-                        removes, adds, touched="all",
+                        u_adds, u_removes, touched="all",
                     )
                     undo_err = None
                     break
                 except ConcurrentWriteError as exc:  # incl. StaleBaseError
                     undo_err = exc
-                    base = self.snapshot().version
             if undo_err is not None:
                 raise RuntimeError(
                     f"restore to version {version} raced a vacuum "
@@ -1178,14 +1190,22 @@ class TxLog:
         paths = list(rel_paths)
         if not paths:
             return
-        os.makedirs(self._orphans_dir(), exist_ok=True)
+        odir = self._orphans_dir()
+        os.makedirs(odir, exist_ok=True)
         payload = json.dumps(
             {"ts": _time.time(), "paths": paths}, separators=(",", ":")
         )
-        with open(
-            os.path.join(self._orphans_dir(), f"{uuid.uuid4().hex}.json"), "w"
-        ) as f:
+        # ATOMIC publish (tmp under a dot-name the sweep ignores, then
+        # rename): a sweep must never observe a half-written sidecar
+        # under its final name — it would mark it consumed without its
+        # paths entering the newest-note aggregate, and an EXPIRED older
+        # note for the same path could then delete it inside this note's
+        # retention window (exactly the bypass the aggregate prevents).
+        name = f"{uuid.uuid4().hex}.json"
+        tmp = os.path.join(odir, f".{name}.tmp")
+        with open(tmp, "w") as f:
             f.write(payload)
+        os.replace(tmp, os.path.join(odir, name))
 
     def vacuum_files(
         self, retention_seconds: float = 3600.0, deep: bool = False
@@ -1252,16 +1272,32 @@ class TxLog:
             except (FileNotFoundError, OSError):
                 return 0
             for f in names:
-                if f.startswith(".") or f in seen_notes:
-                    continue  # the .migrated marker / already ingested
-                seen_notes.add(f)
+                if f.startswith("."):
+                    # the .migrated marker — or a tmp from a note_orphans
+                    # crashed between write and rename: reclaim old tmps
+                    # (their paths fall to a deep sweep)
+                    if reclaim_broken and f.endswith(".tmp"):
+                        try:
+                            p = os.path.join(odir, f)
+                            if os.path.getmtime(p) <= cutoff:
+                                os.remove(p)
+                                reclaimed += 1
+                        except (FileNotFoundError, OSError):
+                            pass
+                    continue
+                if f in seen_notes:
+                    continue  # already ingested
                 p = os.path.join(odir, f)
                 try:
                     with open(p) as fh:
                         rec = json.load(fh)
                 except (FileNotFoundError, json.JSONDecodeError, OSError):
-                    # half-written sidecar (crash mid-write): reclaim it
-                    # once old enough — its paths fall to a deep sweep
+                    # unreadable sidecar (publishes are atomic, so this
+                    # is corruption or a transient I/O error): reclaim it
+                    # once old enough — its paths fall to a deep sweep.
+                    # NOT marked seen: a transient error must not stop a
+                    # later pass from reading a note that would restart a
+                    # path's retention countdown.
                     if reclaim_broken:
                         try:
                             if os.path.getmtime(p) <= cutoff:
@@ -1270,6 +1306,7 @@ class TxLog:
                         except (FileNotFoundError, OSError):
                             pass
                     continue
+                seen_notes.add(f)
                 ts = float(rec.get("ts", 0.0))
                 paths = [str(x) for x in rec.get("paths", [])]
                 sidecars.append((p, ts, paths))
@@ -1381,7 +1418,17 @@ class TxLog:
                     continue
                 try:
                     if os.path.getmtime(abs_p) > cutoff:
-                        if not os.path.isdir(abs_p):
+                        if os.path.isdir(abs_p):
+                            # a young NESTED dir (e.g. a writer's
+                            # _temporary/): note every file inside it —
+                            # skipping it silently while the migration
+                            # marker gets stamped would leak the whole
+                            # subtree forever
+                            for dp, _dn, fns in os.walk(abs_p):
+                                for fn in fns:
+                                    young.append(os.path.relpath(
+                                        os.path.join(dp, fn), self.root))
+                        else:
                             young.append(rel)
                         continue
                     if os.path.isdir(abs_p):

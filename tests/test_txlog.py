@@ -2371,3 +2371,130 @@ class TestRound10AdviceFixes:
         monkeypatch.setattr(TxLog, "commit", dead_commit)
         with pytest.raises(RuntimeError, match="compensating undo"):
             st.restore(v1)
+
+
+class TestRound10ReviewFindings:
+    """Regressions for the round-10 code-review findings on the ADVICE
+    fixes themselves."""
+
+    def test_restore_undo_retry_does_not_duplicate_interleaved_write(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # review #1: the undo retry must RECOMPUTE its file sets against
+        # the fresh snapshot — replaying the first attempt's fixed swap
+        # sets over an interleaved rewrite of key K would leave BOTH
+        # generations of K live (silent duplicate rows)
+        st = acid_store(spark, tmpdir, name="undodup")
+        b = ChunkStore(spark, st.path, st.config)
+        st.set_ts({"site": "x"}, hourly("2024-01-01", 48, value=1.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "x"}, hourly("2024-01-01", 48, value=2.0),
+                  replace=True)
+        TestRound10AdviceFixes._arm_vacuum_race(
+            TestRound10AdviceFixes(), st, v1, monkeypatch)
+        real_commit = TxLog.commit
+        state = {"fired": False}
+
+        def interleaving_commit(self, base_version, op, op_id, adds,
+                                removes, **kw):
+            if "restore-undo" in op and not state["fired"]:
+                state["fired"] = True
+                # a third writer rewrites K between the restore commit
+                # and the undo — the undo's first attempt must conflict,
+                # and its retry must still return the table EXACTLY to
+                # the pre-restore state
+                b.set_ts({"site": "x"},
+                         hourly("2024-01-01", 48, value=9.0), replace=True)
+            return real_commit(self, base_version, op, op_id, adds,
+                               removes, **kw)
+
+        monkeypatch.setattr(TxLog, "commit", interleaving_commit)
+        with pytest.raises(ValueError, match="raced a vacuum"):
+            st.restore(v1)
+        assert state["fired"]
+        monkeypatch.undo()
+        st.refresh()
+        got = st.get_ts({"site": "x"})
+        assert (got == 2.0).all(), got.unique()  # pre-restore state, one gen
+        # no physical duplicates: each grid slot appears exactly once
+        dup = (st.alive_data().groupBy("site", "ts").count()
+               .filter("count > 1").count())
+        assert dup == 0
+
+    def test_deep_sweep_notes_young_nested_dir_contents(self, spark, tmpdir):
+        # review #2: a YOUNG nested staging dir (writer killed mid-write
+        # just before the migration) must have its contents noted as
+        # orphans — not silently skipped while .migrated is stamped
+        st = acid_store(spark, tmpdir, name="youngdir")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        odir = os.path.join(st.path, "_txlog", "_orphans")
+        shutil.rmtree(odir)  # pre-sidecar layout
+        nest = os.path.join(st.path, "files", "cafecafecafecafe",
+                            "_temporary")
+        os.makedirs(nest)
+        leak = os.path.join(nest, "part-0.parquet")
+        with open(leak, "wb") as f:
+            f.write(b"x")
+        # fresh mtimes: inside the retention window at migration time
+        st.vacuum()  # migration deep sweep: too young to delete, NOTED
+        assert os.path.exists(leak)
+        assert os.path.exists(os.path.join(odir, ".migrated"))
+        # once the note expires, the DEFAULT sidecar sweep reclaims it
+        st.vacuum(retention_seconds=0)
+        assert not os.path.exists(leak)
+
+    def test_orphan_sidecars_publish_atomically(self, spark, tmpdir):
+        # review #3: sidecars land via tmp+rename (never readable
+        # half-written under their final name), and a crashed tmp is
+        # reclaimed by the sweep once old
+        import time as _time
+
+        st = acid_store(spark, tmpdir, name="atomic")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=2.0),
+                  replace=True)
+        odir = os.path.join(st.path, "_txlog", "_orphans")
+        names = [f for f in os.listdir(odir) if not f.startswith(".")]
+        assert names  # the rewrite noted its orphans …
+        assert not [f for f in os.listdir(odir) if f.endswith(".tmp")]
+        # … and a tmp left by a crash between write and rename is swept
+        stale = os.path.join(odir, ".deadbeef.json.tmp")
+        with open(stale, "w") as f:
+            f.write("{")
+        old = _time.time() - 7200
+        os.utime(stale, (old, old))
+        st.vacuum(retention_seconds=3600)
+        assert not os.path.exists(stale)
+
+    def test_probe_partial_result_cached_per_version(self, spark, tmpdir,
+                                                     monkeypatch):
+        # review #4: an INCOMPLETE probe (empty store / unprovable key)
+        # must not re-scan footers on every schema derivation — only a
+        # new commit re-probes
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        st = acid_store(spark, tmpdir, name="probecache")
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 3, value=1.0))
+        st.config.key_types.clear()  # force the probe path
+        st._key_type_probe = None
+        st._key_type_probe_partial = None
+        calls = []
+        real = cs_mod.probe_key_types_from_manifest
+
+        def spy(path, keys, txlog=None):
+            calls.append(1)
+            return {}  # pretend nothing is provable
+
+        monkeypatch.setattr(cs_mod, "probe_key_types_from_manifest", spy)
+        st._probed_key_types()
+        st._probed_key_types()
+        st._probed_key_types()
+        assert len(calls) == 1  # memoized per manifest version
+        # a new commit invalidates the memo
+        monkeypatch.setattr(cs_mod, "probe_key_types_from_manifest", real)
+        st.config.key_types["site"] = "str"
+        st.set_ts({"site": "b"}, hourly("2024-01-01", 3, value=1.0))
+        st.config.key_types.clear()
+        monkeypatch.setattr(cs_mod, "probe_key_types_from_manifest", spy)
+        st._probed_key_types()
+        assert len(calls) == 2
