@@ -291,3 +291,115 @@ class TestTxLogReplayModel:
         cold = TxLog(log.root).snapshot()
         assert {e["path"] for e in cold.files["data"]} == set(live)
         assert cold.max_op_id == snap.max_op_id
+
+
+class TestTxLogLifecycleModel:
+    """Round 10: model-based check of the FULL maintenance lifecycle —
+    adds, removes, retention-0 vacuums (sidecar-driven), restores and
+    prunes in any interleaving. Invariants after every op: the snapshot
+    equals the set model, every live path exists on disk (vacuum never
+    eats a referenced file), and a successful restore(v) reproduces
+    exactly the version-v file set."""
+
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(
+                    ["add", "add", "remove", "vacuum", "restore", "prune"]
+                ),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_lifecycle_matches_model(self, ops):
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="holc_txlife_")
+        try:
+            self._run(root, ops)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    @staticmethod
+    def _run(root, ops):
+        import os
+
+        from holcstore_spark.sources.txlog import TxLog
+
+        store_root = os.path.join(root, "model")
+        log = TxLog(store_root)
+        live: dict[str, dict] = {}
+        disk: set[str] = set()
+        hist: dict[int, frozenset] = {0: frozenset()}
+        n_added = 0
+
+        def _mkfile(rel):
+            abs_p = os.path.join(store_root, rel)
+            os.makedirs(os.path.dirname(abs_p), exist_ok=True)
+            with open(abs_p, "wb") as f:
+                f.write(b"x")
+            disk.add(rel)
+
+        for kind, arg in ops:
+            if kind == "add":
+                rel = f"files/d{n_added}/f.parquet"
+                n_added += 1
+                _mkfile(rel)
+                entry = {"path": rel, "rows": 1, "chunk_min": arg,
+                         "chunk_max": arg, "key_stats": None}
+                v = log.commit(log.snapshot().version, "add",
+                               TxLog.next_op_id(log.snapshot()),
+                               adds={"data": [entry]}, removes={})
+                live[rel] = entry
+                hist[v] = frozenset(live)
+            elif kind == "remove" and live:
+                victim = sorted(live)[arg % len(live)]
+                entry = live.pop(victim)
+                v = log.commit(log.snapshot().version, "rm",
+                               TxLog.next_op_id(log.snapshot()),
+                               adds={}, removes={"data": [entry]},
+                               touched={entry["chunk_min"]})
+                hist[v] = frozenset(live)
+            elif kind == "vacuum":
+                log.vacuum_files(retention_seconds=0)
+                disk.intersection_update(live)  # dead files reclaimed
+            elif kind == "restore":
+                versions = sorted(hist)
+                v = versions[arg % len(versions)]
+                target = hist[v]
+                pre = log.snapshot().version
+                try:
+                    v_new = log.restore_commit(v)
+                except ValueError:
+                    # legal ONLY when v is pruned below the horizon or a
+                    # file it must re-reference was already vacuumed
+                    need = target - frozenset(live)
+                    vacuumed = any(p not in disk for p in need)
+                    pruned = v not in set(log.versions()) and v != 0
+                    assert vacuumed or pruned, (
+                        f"restore({v}) refused but target is reachable"
+                    )
+                else:
+                    if v_new != pre:  # a real rollback commit landed
+                        live = {p: {"path": p, "rows": 1,
+                                    "chunk_min": 0, "chunk_max": 0,
+                                    "key_stats": None}
+                                for p in target}
+                        hist[v_new] = frozenset(live)
+            else:
+                log.prune_log()
+            snap = log.snapshot()
+            assert {e["path"] for e in snap.files["data"]} == set(live)
+            for p in live:
+                assert os.path.exists(os.path.join(store_root, p)), (
+                    f"live path {p} missing after {kind}"
+                )
+        # a cold instance replays to the identical state
+        cold = TxLog(store_root).snapshot()
+        assert {e["path"] for e in cold.files["data"]} == set(live)
