@@ -590,6 +590,55 @@ def q_store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_store_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: ``optimize()`` — incremental small-file binpack (Delta
+    OPTIMIZE analogue, sources/chunk_store.py). Ingest the hourly series
+    as THREE user cohorts (three append commits → every month chunk
+    carries several small files), then repack with
+    ``optimize(min_files=3)``: the commit must be chunk-granular (not a
+    full-table rewrite), marked row-preserving (``compacting``), reduce
+    the live file count, and contribute ZERO rows to the change feed
+    (manifest-level skip) — all asserted in-query. Reads after the
+    repack must equal the source events exactly (per-user counts +
+    decimal-exact totals), which is what the oracle checks."""
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    path = tempfile.mkdtemp(prefix="holc_opt_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        store = ChunkStore(
+            spark, path,
+            ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
+                             chunk_axis=("year", "month"),
+                             key_types={"user_id": "int"}, acid=True),
+        )
+        ev = _hourly_events(spark, sf_dir)
+        for m in range(3):
+            store.ingest_long(
+                ev.filter(F.col("user_id") % 3 == m), mode="insert"
+            )
+        snap = store._txlog.snapshot()
+        n_before = len(snap.files["data"])
+        n_chunks = store.optimize(min_files=3)
+        assert n_chunks >= 1, f"nothing fragmented ({n_before} files)"
+        snap2 = store._txlog.snapshot()
+        assert len(snap2.files["data"]) < n_before, "binpack did not shrink"
+        rec = store._txlog.read(snap2.version)
+        assert rec["compacting"] is True
+        assert rec["touched"] != "all", "optimize must stay chunk-granular"
+        # the repack interval contributes nothing to the change feed
+        assert store.changes_between(snap.version).count() == 0
+        got = store.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 7: the STREAMING change-data-capture source
     (streaming/cdf_source.py — PySpark Python Data Source API over the
@@ -3077,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         # -- (b) execution path changed this round --------------------
         "store_restore": q_store_restore,
+        "store_optimize": q_store_optimize,
         # -- (c) oldest round-8-verified block ------------------------
         "slice_with_delay": q_slice_with_delay,
         "disaggregate": q_disaggregate,
@@ -3112,8 +3162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_filter": q_lookup_filter,
         "token_pack": q_token_pack,
         "segment_dedup": q_segment_dedup,
-        "rebalance_mix": q_rebalance_mix,
         # ====== driver 50-entry window ends here (50 above) ========
+        "rebalance_mix": q_rebalance_mix,
         # -- tail: remaining r8-verified (rotate round 11) ------------
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
@@ -4659,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
         "store_delete_tombstone": store_delete_tombstone,
         "store_acid_ops": store_acid_ops,
         "store_restore": store_restore,
+        "store_optimize": store_restore,  # binpack is a no-op on the data
         "store_cdf": store_cdf,
         "stream_cdf": store_cdf,  # identical expected delta (net of no-op pairs)
         "kv_acid_ops": kv_acid_ops,

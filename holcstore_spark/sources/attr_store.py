@@ -226,6 +226,50 @@ class AttrStore:
             raise ValueError("time-travel views are read-only (restore refused)")
         return self._txlog.restore_commit(version)
 
+    def optimize(self, min_files: int = 4) -> int:
+        """Small-file binpack. AttrStore manifests carry no chunk column
+        (attribute tables are small by nature), so the repack is
+        whole-set once the live file count reaches ``min_files`` —
+        still a row-preserving ``compacting`` commit (see
+        ChunkStore.optimize): change feeds skip it and concurrent
+        appends commute with it (rule-1 path intersection is its only
+        conflict). Returns 1 when a repack committed, else 0."""
+        if not self._acid:
+            raise ValueError("optimize() requires acid=True")
+        if self._pinned_snapshot is not None:
+            raise ValueError("time-travel views are read-only (optimize refused)")
+        snap = self._txlog.snapshot()
+        sources = [
+            e for e in snap.files["data"]
+            if isinstance(e.get("rows"), int)
+            and not isinstance(e.get("rows"), bool)
+        ]
+        if len(sources) < min_files:
+            return 0
+        full = [os.path.join(self.path, e["path"]) for e in sources]
+        adds = self._stage(
+            self.spark.read.schema(self._schema()).parquet(*full)
+        )
+        added = 0
+        for e in adds:
+            r = e.get("rows")
+            if not isinstance(r, int) or isinstance(r, bool):
+                added = None
+                break
+            added += r
+        removed = sum(e["rows"] for e in sources)
+        if added != removed:
+            raise RuntimeError(
+                f"optimize repack row mismatch: staged {added} rows for "
+                f"{removed} source rows"
+            )
+        self._txlog.commit(
+            snap.version, "optimize", self._txlog.next_op_id(snap),
+            {"data": adds}, {"data": sources},
+            touched="all", compacting=True,
+        )
+        return 1
+
     def history(self) -> DataFrame:
         """Commit-log audit frame (see ChunkStore.history)."""
         from holcstore_spark.sources.chunk_store import _history_df

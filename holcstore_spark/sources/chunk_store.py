@@ -625,19 +625,26 @@ class ChunkStore:
                 compacting=txn.compacting,
             )
 
-    def _stage_into_txn(self, sdf: DataFrame, table: str) -> None:
+    def _stage_into_txn(
+        self, sdf: DataFrame, table: str, npart: int | None = None
+    ) -> None:
         """Write a frame to a fresh immutable ``files/<uuid>/`` dir and
         register its files in the active transaction. Data frames are
         range-partitioned by (chunk_index, keys…) so each file covers a
         narrow chunk range — that is what makes the manifest's per-file
         chunk stats selective (file skipping) and retention sweeps
-        file-granular."""
+        file-granular. ``npart`` pins the range-partition count (the
+        binpack path: ``optimize`` wants ~one file per repacked chunk,
+        not the session shuffle parallelism)."""
         txn = self._active_txn
         abs_dir, rel_dir = self._txlog.new_staging_dir()
         if table == "data":
             df = self._cast_canonical(sdf, self._data_schema())
-            df = df.repartitionByRange(
-                "chunk_index", *self.config.keys
+            rng = ("chunk_index", *self.config.keys)
+            df = (
+                df.repartitionByRange(npart, *rng)
+                if npart is not None
+                else df.repartitionByRange(*rng)
             ).sortWithinPartitions(*self.config.keys, "ts")
         else:
             df = self._cast_canonical(sdf, self._meta_schema()).coalesce(1)
@@ -2467,6 +2474,79 @@ class ChunkStore:
         )
         latest.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
         self._invalidate_meta_cache()
+
+    @_transactional("optimize")
+    def optimize(self, min_files: int = 4, max_chunks: int = 64) -> int:
+        """Incremental small-file binpack (Delta ``OPTIMIZE`` analogue,
+        ACID only). ``compact()`` is a full-table rewrite — the right
+        tool for physically dropping tombstoned rows, but an O(table)
+        job a 100 TB store cannot afford for routine small-file
+        hygiene (and its ``touched='all'`` serializes against every
+        writer). ``optimize`` instead selects only chunks whose live
+        file count reached ``min_files`` (most fragmented first, at
+        most ``max_chunks`` per commit), reads JUST those files, and
+        repacks them into one range-partitioned file set — cost is
+        O(fragmentation), never O(table).
+
+        The commit is row-preserving BY CONSTRUCTION (it re-packs
+        exactly the source files' rows, tombstoned or not — the staged
+        row count is verified against the manifest and the transaction
+        aborts on any mismatch), so it carries ``compacting=True``:
+        change feeds skip it at manifest level (Delta
+        ``dataChange=false``) and it commutes with every concurrent
+        commit that does not rewrite the same source files — appends,
+        updates/deletes of other files, optimizes of other chunks.
+        Background maintenance therefore never starves under ingest and
+        never blocks writers. Returns the number of chunks repacked.
+        Files without exact manifest stats (``rows=None`` or a
+        multi-chunk span) are left alone: the per-chunk grouping and
+        the row-preservation proof both need tight stats."""
+        if not self._acid:
+            raise ValueError(
+                "optimize() requires acid=True (plain stores rewrite "
+                "the whole table: use compact())"
+            )
+        txn = self._active_txn
+        by_chunk: dict[int, list] = {}
+        for e in txn.snapshot.files["data"]:
+            cmin, cmax, rows = e.get("chunk_min"), e.get("chunk_max"), e.get("rows")
+            if (
+                cmin is None
+                or cmax != cmin
+                or not isinstance(rows, int)
+                or isinstance(rows, bool)
+            ):
+                continue
+            by_chunk.setdefault(int(cmin), []).append(e)
+        cands = sorted(
+            (c for c, es in by_chunk.items() if len(es) >= min_files),
+            key=lambda c: -len(by_chunk[c]),
+        )[:max_chunks]
+        if not cands:
+            return 0
+        sources = [e for c in cands for e in by_chunk[c]]
+        paths = [os.path.join(self.path, e["path"]) for e in sources]
+        src = self.spark.read.schema(self._data_schema()).parquet(*paths)
+        self._stage_into_txn(src, "data", npart=len(cands))
+        txn.removes["data"].extend(sources)
+        txn.touch(set(cands))
+        added = 0
+        for e in txn.adds["data"]:
+            r = e.get("rows")
+            if not isinstance(r, int) or isinstance(r, bool):
+                added = None
+                break
+            added += r
+        removed = sum(e["rows"] for e in sources)
+        if added != removed:
+            # the repack lost or duplicated rows (schema drift, torn
+            # source file): abort the transaction — nothing commits
+            raise RuntimeError(
+                f"optimize repack row mismatch: staged {added} rows for "
+                f"{removed} source rows across chunks {sorted(cands)}"
+            )
+        txn.compacting = True
+        return len(cands)
 
     def vacuum(
         self, retention_seconds: float = 3600.0, deep: bool = False

@@ -591,6 +591,57 @@ class KeyValueStore:
             raise ValueError("time-travel views are read-only (restore refused)")
         return self._txlog.restore_commit(version)
 
+    def optimize(self, min_files: int = 4, max_chunks: int = 64) -> int:
+        """Incremental small-file binpack per tenant partition —
+        ``client_id`` is this store's chunk role in the manifest (see
+        ChunkStore.optimize for the full semantics: O(fragmentation)
+        cost, row-preserving ``compacting`` commit that change feeds
+        skip and that commutes with every concurrent commit not
+        rewriting the same source files). Returns the number of tenant
+        partitions repacked."""
+        if not self._acid:
+            raise ValueError("optimize() requires acid=True")
+        if self._pinned_snapshot is not None:
+            raise ValueError("time-travel views are read-only (optimize refused)")
+        snap = self._txlog.snapshot()
+        by_chunk: dict[int, list] = {}
+        for e in snap.files["data"]:
+            cmin, cmax, rows = e.get("chunk_min"), e.get("chunk_max"), e.get("rows")
+            if (
+                cmin is None or cmax != cmin
+                or not isinstance(rows, int) or isinstance(rows, bool)
+            ):
+                continue
+            by_chunk.setdefault(int(cmin), []).append(e)
+        cands = sorted(
+            (c for c, es in by_chunk.items() if len(es) >= min_files),
+            key=lambda c: -len(by_chunk[c]),
+        )[:max_chunks]
+        if not cands:
+            return 0
+        sources = [e for c in cands for e in by_chunk[c]]
+        full = [os.path.join(self.path, e["path"]) for e in sources]
+        adds = self._stage(self.spark.read.schema(self._schema()).parquet(*full))
+        added = 0
+        for e in adds:
+            r = e.get("rows")
+            if not isinstance(r, int) or isinstance(r, bool):
+                added = None
+                break
+            added += r
+        removed = sum(e["rows"] for e in sources)
+        if added != removed:
+            raise RuntimeError(
+                f"optimize repack row mismatch: staged {added} rows for "
+                f"{removed} source rows across tenants {sorted(cands)}"
+            )
+        self._txlog.commit(
+            snap.version, "optimize", self._txlog.next_op_id(snap),
+            {"data": adds}, {"data": sources},
+            touched=set(cands), compacting=True,
+        )
+        return len(cands)
+
     def history(self) -> DataFrame:
         """Commit-log audit frame (see ChunkStore.history)."""
         from holcstore_spark.sources.chunk_store import _history_df

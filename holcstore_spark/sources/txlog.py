@@ -924,6 +924,17 @@ class TxLog:
                 f"commit {other.get('version')} ({other.get('op')}) rewrote "
                 f"the same files: {sorted(clash)[:3]}…"
             )
+        if ours.get("compacting"):
+            # OUR commit is a row-preserving repack: its only semantic
+            # dependency is that its SOURCE files were not rewritten
+            # under it — exactly the path-intersection rule above. Every
+            # other interleave commutes: the merged state drops our
+            # sources, adds files holding identical rows, and keeps the
+            # other commit's changes verbatim (Delta's dataChange=false
+            # reconciliation). This is what lets incremental optimize()
+            # run as background maintenance that never starves and never
+            # blocks writers.
+            return
         touched = ours.get("touched")
         if touched is None:
             # append-vs-append key collision: both sides recorded their
@@ -937,26 +948,27 @@ class TxLog:
                 )
             return
         if touched == "all":
-            # a ROW-PRESERVING full rewrite (compacting=True) commutes
-            # with a PURE APPEND: the appended files are not in our
-            # remove set (path intersection above would have fired), our
-            # staged files re-pack only the base files' rows, and both
-            # survive verbatim in the merged state — Delta's OPTIMIZE
-            # tolerating concurrent appends. Without this, background
-            # compaction STARVES under continuous ingest at scale.
-            # Predicate-bearing rewrites (deletes, restores) keep the
-            # strict rule: their semantics read the whole base state.
-            if (
-                ours.get("compacting")
-                and other.get("touched") is None
-                and not any(other["removes"].get(t) for t in self.TABLES)
-            ):
-                return
+            # A NON-row-preserving full rewrite (delete, restore — the
+            # row-preserving case returned above): its semantics read
+            # the whole base state, so any other change invalidates it.
+            # Note a restore must conflict even with a compacting
+            # interleave — restore RE-REFERENCES old manifest paths, and
+            # re-adding a file a repack just retired would put both
+            # generations of its rows live at once.
             if any(other["adds"].get(t) or other["removes"].get(t) for t in self.TABLES):
                 raise ConcurrentWriteError(
                     f"full-table rewrite raced commit {other.get('version')} "
                     f"({other.get('op')})"
                 )
+            return
+        if other.get("compacting"):
+            # the OTHER commit is a row-preserving repack: every row our
+            # chunk-touched keep-set was derived from still exists
+            # identically (just in different files), and our removes
+            # cannot hit its sources (path intersection above). Chunk-
+            # granular rewrites never re-reference old manifest paths
+            # (only restore does, handled strictly above), so the merge
+            # is safe both ways.
             return
         ours_set = (
             set(ours["dropped_keys"]) if ours.get("dropped_keys") is not None else None

@@ -2498,3 +2498,213 @@ class TestRound10ReviewFindings:
         monkeypatch.setattr(cs_mod, "probe_key_types_from_manifest", spy)
         st._probed_key_types()
         assert len(calls) == 2
+
+
+class TestOptimize:
+    """Round 10: incremental small-file binpack (Delta OPTIMIZE analogue)
+    — O(fragmentation) cost, row-preserving commits that commute with
+    concurrent writers."""
+
+    def _fragmented(self, spark, tmpdir, name, n_appends=5):
+        st = acid_store(spark, tmpdir, name=name)
+        for i in range(n_appends):
+            st.set_ts({"site": f"s{i}"}, hourly("2024-01-01", 4, value=float(i)))
+        return st
+
+    def test_binpack_reduces_files_preserves_reads(self, spark, tmpdir):
+        st = self._fragmented(spark, tmpdir, "opt1")
+        before = [dict(e) for e in st._txlog.snapshot().files["data"]]
+        assert len(before) >= 5
+        n = st.optimize(min_files=4)
+        assert n == 1  # one chunk (one January) repacked
+        after = st._txlog.snapshot().files["data"]
+        assert len(after) < len(before)
+        rec = st._txlog.read(st._txlog.snapshot().version)
+        assert rec["compacting"] is True
+        assert rec["touched"] != "all"  # chunk-granular, not full-table
+        st.refresh()
+        for i in range(5):
+            assert (st.get_ts({"site": f"s{i}"}) == float(i)).all()
+        # idempotent: already packed → nothing to do
+        assert st.optimize(min_files=4) == 0
+
+    def test_below_threshold_untouched_and_multichunk_grouping(
+        self, spark, tmpdir
+    ):
+        st = acid_store(spark, tmpdir, name="opt2")
+        # two chunks, one fragmented (Jan x4 appends), one not (Feb x1)
+        for i in range(4):
+            st.set_ts({"site": f"a{i}"}, hourly("2024-01-01", 4, value=1.0))
+        st.set_ts({"site": "feb"}, hourly("2024-02-01", 4, value=2.0))
+        before = {e["path"]: e for e in st._txlog.snapshot().files["data"]}
+        feb_chunks = {e["chunk_min"] for e in before.values()
+                      if e["chunk_min"] == e["chunk_max"]}
+        n = st.optimize(min_files=4)
+        assert n == 1
+        after = {e["path"] for e in st._txlog.snapshot().files["data"]}
+        # the quiet February chunk's files survived untouched (their
+        # paths are still live — only the fragmented chunk was repacked)
+        feb_paths = {
+            p for p, e in before.items()
+            if e["chunk_min"] == e["chunk_max"] == max(feb_chunks)
+        }
+        assert feb_paths and feb_paths <= after
+        st.refresh()
+        assert (st.get_ts({"site": "feb"}) == 2.0).all()
+        assert (st.get_ts({"site": "a0"}) == 1.0).all()
+
+    def test_optimize_skips_in_change_feed(self, spark, tmpdir):
+        st = self._fragmented(spark, tmpdir, "opt3")
+        v1 = st._txlog.snapshot().version
+        st.optimize(min_files=2)
+        # the interval contains ONLY the repack: zero row-level changes
+        assert st.changes_between(v1).count() == 0
+        # composition: feed from 0 equals the table's insert history
+        ch = st.changes_between(0)
+        assert ch.filter("_change_type = 'delete'").count() == 0
+
+    def test_optimize_commutes_with_interleaved_append(
+        self, spark, tmpdir, monkeypatch
+    ):
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        a = self._fragmented(spark, tmpdir, "opt4")
+        b = ChunkStore(spark, a.path, a.config)
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table, npart=None):
+            orig(self_, sdf, table, npart)
+            if self_ is a and not state["fired"]:
+                state["fired"] = True
+                b.set_ts({"site": "new"}, hourly("2024-01-01", 4, value=7.0))
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        n = a.optimize(min_files=2)  # lands despite same-chunk append
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        assert n == 1 and state["fired"]
+        a.refresh()
+        assert (a.get_ts({"site": "new"}) == 7.0).all()  # append survived
+        assert (a.get_ts({"site": "s0"}) == 0.0).all()   # repack survived
+
+    def test_optimize_conflicts_when_source_rewritten(
+        self, spark, tmpdir, monkeypatch
+    ):
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        a = self._fragmented(spark, tmpdir, "opt5")
+        b = ChunkStore(spark, a.path, a.config)
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table, npart=None):
+            orig(self_, sdf, table, npart)
+            if self_ is a and not state["fired"]:
+                state["fired"] = True
+                # rewrites s0's file — one of the repack's sources
+                b.set_ts({"site": "s0"}, hourly("2024-01-01", 4, value=99.0),
+                         replace=True)
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        with pytest.raises(ConcurrentWriteError):
+            a.optimize(min_files=2)
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        a.refresh()
+        assert (a.get_ts({"site": "s0"}) == 99.0).all()  # rewrite won
+        a.optimize(min_files=2)  # clean re-run lands
+
+    def test_update_commutes_with_interleaved_optimize_of_other_keys(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # mirror side: a chunk-touched UPDATE rebases over an optimize
+        # that repacked files NOT containing its key — both land
+        import holcstore_spark.sources.chunk_store as cs_mod
+
+        a = self._fragmented(spark, tmpdir, "opt6")
+        b = ChunkStore(spark, a.path, a.config)
+        orig = cs_mod.ChunkStore._stage_into_txn
+        state = {"fired": False}
+
+        def inject(self_, sdf, table, npart=None):
+            orig(self_, sdf, table, npart)
+            if self_ is a and not state["fired"] and table == "meta":
+                state["fired"] = True
+                b.optimize(min_files=2)
+
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", inject)
+        # the update rewrites ONLY s1's file; the interleaved optimize
+        # repacked every pre-existing file INCLUDING s1's — path clash →
+        # the update must rebase... unless the optimize ran first and the
+        # update's removes point at dead paths. Drive the benign order:
+        # optimize fires DURING the update's staging, so the update's
+        # base predates it and its removes (s1's old file) ARE optimize
+        # sources → rule-1 clash → loud conflict, never silent loss.
+        with pytest.raises(ConcurrentWriteError):
+            a.set_ts({"site": "s1"}, hourly("2024-01-01", 4, value=42.0),
+                     update=True)
+        monkeypatch.setattr(cs_mod.ChunkStore, "_stage_into_txn", orig)
+        a.refresh()
+        a.set_ts({"site": "s1"}, hourly("2024-01-01", 4, value=42.0),
+                 update=True)  # clean re-run
+        assert (a.get_ts({"site": "s1"}) == 42.0).all()
+        assert (a.get_ts({"site": "s0"}) == 0.0).all()
+
+    def test_optimize_requires_acid(self, spark, tmpdir):
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=False)
+        st = ChunkStore(spark, os.path.join(tmpdir, "plain"), cfg)
+        with pytest.raises(ValueError, match="acid=True"):
+            st.optimize()
+
+
+class TestOptimizeKvAttr:
+    """optimize() on the other two manifest-backed stores."""
+
+    def test_kv_binpack_per_tenant(self, spark, tmpdir):
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        kv = KeyValueStore(spark, os.path.join(tmpdir, "kvopt"), acid=True)
+        # versioned appends stage one file each: tenant 1 fragments
+        for i in range(5):
+            kv.set_lc(f"p{i}", hourly("2024-01-01", 4, value=float(i)),
+                      client_id=1, versionning=True)
+        kv.set_lc("q", hourly("2024-01-01", 4, value=9.0), client_id=2,
+                  versionning=True)
+        n_before = len(kv._txlog.snapshot().files["data"])
+        assert n_before >= 6
+        assert kv.optimize(min_files=4) == 1  # only tenant 1 fragmented
+        snap = kv._txlog.snapshot()
+        assert len(snap.files["data"]) < n_before
+        rec = kv._txlog.read(snap.version)
+        assert rec["compacting"] is True and rec["touched"] == [1]
+        for i in range(5):
+            got = kv.get_lc(f"p{i}", 1)
+            assert len(got) == 1 and (got[0]["data"] == float(i)).all()
+        assert len(kv.get_lc("q", 2)) == 1
+        # feed interval containing only new data + a repack shows ONLY
+        # the new data (the repack is substituted out at manifest level)
+        v1 = snap.version
+        kv.set_lc("pX", hourly("2024-01-01", 4, value=42.0), client_id=1,
+                  versionning=True)
+        kv.optimize(min_files=1)
+        ch = kv.changes_between(v1)
+        assert ch.filter("_change_type = 'insert'").count() == 4
+        assert ch.filter("_change_type = 'delete'").count() == 0
+
+    def test_attr_whole_set_binpack(self, spark, tmpdir):
+        from holcstore_spark.sources.attr_store import AttrStore
+
+        at = AttrStore(spark, os.path.join(tmpdir, "atopt"),
+                       keys=("name",), acid=True)
+        for i in range(5):
+            at.set_ts({"name": f"n{i}"}, hourly("2024-01-01", 2, value=float(i)))
+        n_before = len(at._txlog.snapshot().files["data"])
+        assert at.optimize(min_files=4) == 1
+        snap = at._txlog.snapshot()
+        assert len(snap.files["data"]) < n_before
+        assert at._txlog.read(snap.version)["compacting"] is True
+        for i in range(5):
+            got = at.get_ts({"name": f"n{i}"}, flat=True)
+            assert (got == float(i)).all()
+        assert at.optimize(min_files=4) == 0  # idempotent
