@@ -147,10 +147,14 @@ class AttrStore:
                 return True
         return False
 
-    def _stage(self, df: DataFrame) -> list:
+    def _stage(self, df: DataFrame, npart: int | None = None) -> list:
         abs_dir, rel_dir = self._txlog.new_staging_dir()
         (
-            df.repartitionByRange(*self.keys)
+            (
+                df.repartitionByRange(npart, *self.keys)
+                if npart is not None
+                else df.repartitionByRange(*self.keys)
+            )
             .sortWithinPartitions(*self.keys, "ts")
             .write.mode("overwrite")
             .parquet(abs_dir)
@@ -238,6 +242,8 @@ class AttrStore:
             raise ValueError("optimize() requires acid=True")
         if self._pinned_snapshot is not None:
             raise ValueError("time-travel views are read-only (optimize refused)")
+        from holcstore_spark.sources.txlog import exact_rows
+
         snap = self._txlog.snapshot()
         sources = [
             e for e in snap.files["data"]
@@ -247,27 +253,34 @@ class AttrStore:
         if len(sources) < min_files:
             return 0
         full = [os.path.join(self.path, e["path"]) for e in sources]
-        adds = self._stage(
-            self.spark.read.schema(self._schema()).parquet(*full)
-        )
-        added = 0
-        for e in adds:
-            r = e.get("rows")
-            if not isinstance(r, int) or isinstance(r, bool):
-                added = None
-                break
-            added += r
-        removed = sum(e["rows"] for e in sources)
-        if added != removed:
-            raise RuntimeError(
-                f"optimize repack row mismatch: staged {added} rows for "
-                f"{removed} source rows"
+        adds: list = []
+        try:
+            # read with the FILES' own schema — this store maps int key
+            # dtypes to LongType at write time (_schema(pdf)), so
+            # forcing the pdf-less string default would crash every
+            # int-keyed store (the same reason _df_at reads schemaless)
+            adds = self._stage(self.spark.read.parquet(*full), npart=1)
+            added = exact_rows(adds)
+            removed = exact_rows(sources)
+            if added != removed:
+                raise RuntimeError(
+                    f"optimize repack row mismatch: staged {added} rows "
+                    f"for {removed} source rows"
+                )
+            self._txlog.commit(
+                snap.version, "optimize", self._txlog.next_op_id(snap),
+                {"data": adds}, {"data": sources},
+                touched="all", compacting=True,
             )
-        self._txlog.commit(
-            snap.version, "optimize", self._txlog.next_op_id(snap),
-            {"data": adds}, {"data": sources},
-            touched="all", compacting=True,
-        )
+        except BaseException:
+            # pre-commit failure: note the staged repack for the default
+            # O(orphans) vacuum (commit-level failures also note — the
+            # duplicate sidecar is benign)
+            try:
+                self._txlog.note_orphans(e["path"] for e in adds)
+            except OSError:
+                pass
+            raise
         return 1
 
     def history(self) -> DataFrame:

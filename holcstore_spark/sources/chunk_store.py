@@ -2441,17 +2441,10 @@ class ChunkStore:
             # silently skipped by the change feed, losing its delete
             # rows (ADVICE r9). Any None on either side → stay unmarked
             # and let row-level cancellation handle it.
-            def _exact_rows(entries):
-                total = 0
-                for e in entries:
-                    r = e.get("rows")
-                    if not isinstance(r, int) or isinstance(r, bool):
-                        return None
-                    total += r
-                return total
+            from holcstore_spark.sources.txlog import exact_rows
 
-            added_rows = _exact_rows(txn.adds["data"])
-            removed_rows = _exact_rows(txn.snapshot.files["data"])
+            added_rows = exact_rows(txn.adds["data"])
+            removed_rows = exact_rows(txn.snapshot.files["data"])
             txn.compacting = (
                 added_rows is not None
                 and removed_rows is not None
@@ -2506,41 +2499,35 @@ class ChunkStore:
                 "optimize() requires acid=True (plain stores rewrite "
                 "the whole table: use compact())"
             )
+        from holcstore_spark.sources.txlog import (
+            binpack_candidates,
+            exact_rows,
+        )
+
         txn = self._active_txn
-        by_chunk: dict[int, list] = {}
-        for e in txn.snapshot.files["data"]:
-            cmin, cmax, rows = e.get("chunk_min"), e.get("chunk_max"), e.get("rows")
-            if (
-                cmin is None
-                or cmax != cmin
-                or not isinstance(rows, int)
-                or isinstance(rows, bool)
-            ):
-                continue
-            by_chunk.setdefault(int(cmin), []).append(e)
-        cands = sorted(
-            (c for c, es in by_chunk.items() if len(es) >= min_files),
-            key=lambda c: -len(by_chunk[c]),
-        )[:max_chunks]
+        cands, by_chunk = binpack_candidates(
+            txn.snapshot.files["data"], min_files, max_chunks
+        )
         if not cands:
             return 0
+        # stage each chunk separately, pinned to ONE output partition:
+        # a single range-partitioned write over all candidates samples
+        # its boundaries and can emit a CHUNK-SPANNING file on skew —
+        # which the candidate filter above would then exclude from every
+        # future optimize, leaving that chunk permanently un-packable
+        for c in cands:
+            paths = [os.path.join(self.path, e["path"]) for e in by_chunk[c]]
+            src = self.spark.read.schema(self._data_schema()).parquet(*paths)
+            self._stage_into_txn(src, "data", npart=1)
         sources = [e for c in cands for e in by_chunk[c]]
-        paths = [os.path.join(self.path, e["path"]) for e in sources]
-        src = self.spark.read.schema(self._data_schema()).parquet(*paths)
-        self._stage_into_txn(src, "data", npart=len(cands))
         txn.removes["data"].extend(sources)
         txn.touch(set(cands))
-        added = 0
-        for e in txn.adds["data"]:
-            r = e.get("rows")
-            if not isinstance(r, int) or isinstance(r, bool):
-                added = None
-                break
-            added += r
-        removed = sum(e["rows"] for e in sources)
+        added = exact_rows(txn.adds["data"])
+        removed = exact_rows(sources)
         if added != removed:
             # the repack lost or duplicated rows (schema drift, torn
-            # source file): abort the transaction — nothing commits
+            # source file): abort the transaction — nothing commits (and
+            # the _txn except-path notes the staged files as orphans)
             raise RuntimeError(
                 f"optimize repack row mismatch: staged {added} rows for "
                 f"{removed} source rows across chunks {sorted(cands)}"

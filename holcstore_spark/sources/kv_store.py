@@ -165,11 +165,16 @@ class KeyValueStore:
             repr((int(client_id), str(prm))).encode()
         ).hexdigest()[:16]
 
-    def _stage(self, df: DataFrame) -> list:
+    def _stage(self, df: DataFrame, npart: int | None = None) -> list:
         abs_dir, rel_dir = self._txlog.new_staging_dir()
+        sel = df.select(*[f.name for f in self._schema().fields])
+        rng = ("client_id", "prm")
         (
-            df.select(*[f.name for f in self._schema().fields])
-            .repartitionByRange("client_id", "prm")
+            (
+                sel.repartitionByRange(npart, *rng)
+                if npart is not None
+                else sel.repartitionByRange(*rng)
+            )
             .sortWithinPartitions("prm", "version", "ts")
             .write.mode("overwrite")
             .parquet(abs_dir)
@@ -603,43 +608,53 @@ class KeyValueStore:
             raise ValueError("optimize() requires acid=True")
         if self._pinned_snapshot is not None:
             raise ValueError("time-travel views are read-only (optimize refused)")
+        from holcstore_spark.sources.txlog import (
+            binpack_candidates,
+            exact_rows,
+        )
+
         snap = self._txlog.snapshot()
-        by_chunk: dict[int, list] = {}
-        for e in snap.files["data"]:
-            cmin, cmax, rows = e.get("chunk_min"), e.get("chunk_max"), e.get("rows")
-            if (
-                cmin is None or cmax != cmin
-                or not isinstance(rows, int) or isinstance(rows, bool)
-            ):
-                continue
-            by_chunk.setdefault(int(cmin), []).append(e)
-        cands = sorted(
-            (c for c, es in by_chunk.items() if len(es) >= min_files),
-            key=lambda c: -len(by_chunk[c]),
-        )[:max_chunks]
+        cands, by_chunk = binpack_candidates(
+            snap.files["data"], min_files, max_chunks
+        )
         if not cands:
             return 0
         sources = [e for c in cands for e in by_chunk[c]]
-        full = [os.path.join(self.path, e["path"]) for e in sources]
-        adds = self._stage(self.spark.read.schema(self._schema()).parquet(*full))
-        added = 0
-        for e in adds:
-            r = e.get("rows")
-            if not isinstance(r, int) or isinstance(r, bool):
-                added = None
-                break
-            added += r
-        removed = sum(e["rows"] for e in sources)
-        if added != removed:
-            raise RuntimeError(
-                f"optimize repack row mismatch: staged {added} rows for "
-                f"{removed} source rows across tenants {sorted(cands)}"
+        adds: list = []
+        try:
+            # one pinned single-file write per tenant: a global
+            # range-partition can straddle tenants on skew, producing a
+            # chunk-spanning file that no future optimize may touch —
+            # and without pinning, the 'binpack' can emit as many files
+            # as it removed and never converge
+            for c in cands:
+                full = [os.path.join(self.path, e["path"]) for e in by_chunk[c]]
+                adds.extend(self._stage(
+                    self.spark.read.schema(self._schema()).parquet(*full),
+                    npart=1,
+                ))
+            added = exact_rows(adds)
+            removed = exact_rows(sources)
+            if added != removed:
+                raise RuntimeError(
+                    f"optimize repack row mismatch: staged {added} rows "
+                    f"for {removed} source rows across tenants {sorted(cands)}"
+                )
+            self._txlog.commit(
+                snap.version, "optimize", self._txlog.next_op_id(snap),
+                {"data": adds}, {"data": sources},
+                touched=set(cands), compacting=True,
             )
-        self._txlog.commit(
-            snap.version, "optimize", self._txlog.next_op_id(snap),
-            {"data": adds}, {"data": sources},
-            touched=set(cands), compacting=True,
-        )
+        except BaseException:
+            # pre-commit failure (mismatch abort, staging crash): the
+            # staged repack files would otherwise be invisible to the
+            # default O(orphans) vacuum (TxLog.commit only notes adds
+            # when the COMMIT attempt itself fails)
+            try:
+                self._txlog.note_orphans(e["path"] for e in adds)
+            except OSError:
+                pass
+            raise
         return len(cands)
 
     def history(self) -> DataFrame:

@@ -255,6 +255,48 @@ def rewind_compacting(paths_to: set, moves: list[dict], root: str | None = None)
     return cur
 
 
+def exact_rows(entries) -> int | None:
+    """Sum of manifest row counts, or None when ANY entry lacks a real
+    integer count (``rows=None`` documents 'stats unavailable'; bool is
+    an int subclass and must not slip through) — the row-preservation
+    proofs in ``compact()``/``optimize()`` need REAL counts on both
+    sides or they must not claim ``compacting``."""
+    total = 0
+    for e in entries:
+        r = e.get("rows")
+        if not isinstance(r, int) or isinstance(r, bool):
+            return None
+        total += r
+    return total
+
+
+def binpack_candidates(
+    entries, min_files: int, max_chunks: int
+) -> tuple[list[int], dict[int, list]]:
+    """Shared ``optimize()`` planning (driver-side manifest math, no
+    scan): group SINGLE-chunk entries with exact stats by chunk id and
+    pick the chunks holding at least ``min_files`` files, most
+    fragmented first, at most ``max_chunks``. Entries spanning chunks or
+    without stats are never candidates — per-chunk grouping and the
+    row-preservation proof both need tight manifest stats."""
+    by_chunk: dict[int, list] = {}
+    for e in entries:
+        cmin, cmax, rows = e.get("chunk_min"), e.get("chunk_max"), e.get("rows")
+        if (
+            cmin is None
+            or cmax != cmin
+            or not isinstance(rows, int)
+            or isinstance(rows, bool)
+        ):
+            continue
+        by_chunk.setdefault(int(cmin), []).append(e)
+    cands = sorted(
+        (c for c, es in by_chunk.items() if len(es) >= min_files),
+        key=lambda c: -len(by_chunk[c]),
+    )[:max_chunks]
+    return cands, by_chunk
+
+
 class TxLog:
     TABLES = ("data", "meta")
 

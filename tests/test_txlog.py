@@ -2708,3 +2708,107 @@ class TestOptimizeKvAttr:
             got = at.get_ts({"name": f"n{i}"}, flat=True)
             assert (got == float(i)).all()
         assert at.optimize(min_files=4) == 0  # idempotent
+
+
+class TestOptimizeReviewFixes:
+    """Round-10 second review pass on optimize()."""
+
+    def test_attr_optimize_int_keyed_store(self, spark, tmpdir):
+        # review: forcing the pdf-less (string-key) schema onto files
+        # written with LONG keys crashed optimize on int-keyed stores —
+        # it must read the files' own schema, like _df_at does
+        from holcstore_spark.sources.attr_store import AttrStore
+
+        at = AttrStore(spark, os.path.join(tmpdir, "atint"),
+                       keys=("sensor_id",), acid=True)
+        for i in range(5):
+            at.set_ts({"sensor_id": i}, hourly("2024-01-01", 2, value=float(i)))
+        n_before = len(at._txlog.snapshot().files["data"])
+        assert at.optimize(min_files=4) == 1
+        assert len(at._txlog.snapshot().files["data"]) < n_before
+        for i in range(5):
+            got = at.get_ts({"sensor_id": i}, flat=True)
+            assert (got == float(i)).all()
+
+    def test_touched_rewrite_rebases_over_interleaved_repack(self, tmpdir):
+        # review: the `other is compacting` commute branch had no test.
+        # A chunk-touched rewrite whose base PREDATES an interleaved
+        # row-preserving repack of DISJOINT files must land (its
+        # keep-set's rows all still exist identically); the identical
+        # interleave WITHOUT the compacting flag must still conflict.
+        def drive(compacting: bool):
+            import uuid as _uuid
+
+            root = os.path.join(tmpdir, f"cm{compacting}")
+            log = TxLog(root)
+            f0 = _uentry("files/a/f0.parquet", 0, 0)
+            f1 = _uentry("files/b/f1.parquet", 0, 0)
+            log.commit(0, "w", 1, adds={"data": [f0]}, removes={})
+            log.commit(1, "w", 2, adds={"data": [f1]}, removes={})
+            # interleaved repack of f0 (disjoint from ours)
+            f0m = _uentry("files/m/f0m.parquet", 0, 0)
+            log.commit(2, "opt", 3, adds={"data": [f0m]},
+                       removes={"data": [f0]}, touched={0},
+                       compacting=compacting)
+            # OUR rewrite of f1, base = pre-repack version 2
+            f1n = _uentry("files/n/f1n.parquet", 0, 0)
+            return log, lambda: log.commit(
+                2, "update", 4, adds={"data": [f1n]},
+                removes={"data": [f1]}, touched={0}, dropped_keys=["k1"],
+            )
+
+        log, commit = drive(compacting=True)
+        v = commit()  # rebases over the repack and LANDS
+        live = {e["path"] for e in log.snapshot().files["data"]}
+        assert live == {"files/m/f0m.parquet", "files/n/f1n.parquet"}
+        log2, commit2 = drive(compacting=False)
+        with pytest.raises(ConcurrentWriteError):
+            commit2()  # a non-row-preserving interleave still conflicts
+
+    def test_mismatch_abort_notes_staged_orphans(self, spark, tmpdir,
+                                                 monkeypatch):
+        # review: KV/Attr optimize failing BEFORE commit must note its
+        # staged repack files so the default vacuum reclaims them
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        kv = KeyValueStore(spark, os.path.join(tmpdir, "kvab"), acid=True)
+        for i in range(4):
+            kv.set_lc(f"p{i}", hourly("2024-01-01", 2, value=1.0),
+                      client_id=1, versionning=True)
+        real_stage = KeyValueStore._stage
+        staged_paths = []
+
+        def lying_stage(self, df, npart=None):
+            out = real_stage(self, df, npart)
+            staged_paths.extend(e["path"] for e in out)
+            for e in out:
+                e["rows"] = int(e["rows"]) + 1  # corrupt the proof
+            return out
+
+        monkeypatch.setattr(KeyValueStore, "_stage", lying_stage)
+        with pytest.raises(RuntimeError, match="row mismatch"):
+            kv.optimize(min_files=3)
+        monkeypatch.undo()
+        assert staged_paths
+        # the staged repack is noted: a default (sidecars-only) vacuum
+        # reclaims it without any deep walk
+        assert kv.vacuum(retention_seconds=0) >= 1
+        for p in staged_paths:
+            assert not os.path.exists(os.path.join(kv.path, p)), p
+        # and the store is intact
+        assert len(kv.get_lc("p0", 1)) == 1
+
+    def test_chunkstore_binpack_single_chunk_files_only(self, spark, tmpdir):
+        # review: a multi-chunk repack must emit per-chunk files (never a
+        # chunk-spanning one that future optimizes would refuse to touch)
+        st = acid_store(spark, tmpdir, name="span")
+        # fragment TWO chunks (Jan + Feb), uneven sizes to invite skew
+        for i in range(4):
+            st.set_ts({"site": f"j{i}"}, hourly("2024-01-01", 3, value=1.0))
+        for i in range(4):
+            st.set_ts({"site": f"f{i}"}, hourly("2024-02-01", 30, value=2.0))
+        assert st.optimize(min_files=3) == 2
+        for e in st._txlog.snapshot().files["data"]:
+            assert e["chunk_min"] == e["chunk_max"], e
+        # and the repack converged: re-running finds nothing
+        assert st.optimize(min_files=3) == 0
