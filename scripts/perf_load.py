@@ -105,5 +105,57 @@ def run(shape: str) -> None:
     spark.stop()
 
 
+def run_opt() -> None:
+    """Round 10: measure that optimize() is O(fragmentation), not
+    O(table) — fragment ONE month chunk of a 24-chunk table, binpack it,
+    and contrast with the O(table) compact() on the same store."""
+    import pandas as pd
+
+    from holcstore_spark import ChunkStoreConfig, get_spark
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    spark = get_spark(app_name="holc-perf-opt")
+    path = tempfile.mkdtemp(prefix="holc_perf_opt_")
+    shutil.rmtree(path, ignore_errors=True)
+    cfg = ChunkStoreConfig(keys=("key",), freq="1h", tz="UTC",
+                           chunk_axis=("year", "month"),
+                           key_types={"key": "str"}, acid=True)
+    store = ChunkStore(spark, path, cfg)
+    # base table: 100 keys × 2 years hourly ≈ 1.75M rows over 24 chunks
+    keys = spark.range(100).select(
+        F.concat(F.lit("serie_"), F.col("id")).alias("key"))
+    src = keys.withColumn(
+        "ts", F.explode(F.sequence(
+            F.lit("2021-01-01").cast("timestamp"),
+            F.lit("2022-12-31 23:00").cast("timestamp"),
+            F.expr("INTERVAL 1 HOUR"),
+        ))).withColumn("value", F.rand(seed=7))
+    store.ingest_long(src, mode="insert")
+    n_rows = store.alive_data().count()
+    # fragment exactly ONE chunk: 8 small appends into 2021-01
+    jan = pd.Series(
+        1.0, index=pd.date_range("2021-01-01", "2021-01-31 23:00",
+                                 freq="1h", tz="UTC"))
+    for i in range(8):
+        store.set_ts({"key": f"frag_{i}"}, jan)
+    n_files = len(store._txlog.snapshot().files["data"])
+    t0 = time.perf_counter()
+    n_chunks = store.optimize(min_files=4)
+    t_opt = time.perf_counter() - t0
+    n_files_after = len(store._txlog.snapshot().files["data"])
+    t0 = time.perf_counter()
+    store.compact()
+    t_compact = time.perf_counter() - t0
+    print(
+        f"opt: rows={n_rows:,} files {n_files}->{n_files_after} "
+        f"(repacked {n_chunks} of 24 chunks) "
+        f"optimize={t_opt:.2f}s vs full compact={t_compact:.1f}s "
+        f"({t_compact / t_opt:.0f}x)"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    run(sys.argv[1] if len(sys.argv) > 1 else "h2")
+    shape = sys.argv[1] if len(sys.argv) > 1 else "h2"
+    run_opt() if shape == "opt" else run(shape)
