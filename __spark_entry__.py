@@ -639,6 +639,51 @@ def q_store_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_store_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: idempotent writer commits (Delta's ``txn`` action
+    analogue — TxLog records ``(txn_app, txn_version)``, snapshots carry
+    per-app watermarks that survive checkpoint/prune, and the commit
+    rebase walk refuses a racing duplicate). Ingest the hourly series as
+    two micro-batches under ``txn_app='q_sink'``, REPLAYING each batch
+    once (the crash-replay shape): the replays must be silent no-ops —
+    in ``insert`` mode a real re-apply would raise KeyExistsError — and
+    exactly two commits may carry the app id (asserted in-query, along
+    with the watermark read-back). Totals must equal the
+    single-application series, which is what the oracle checks."""
+    from holcstore_spark import ChunkStoreConfig
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    path = tempfile.mkdtemp(prefix="holc_txn_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        store = ChunkStore(
+            spark, path,
+            ChunkStoreConfig(keys=("user_id",), freq="1h", tz="UTC",
+                             chunk_axis=("year", "month"),
+                             key_types={"user_id": "int"}, acid=True),
+        )
+        ev = _hourly_events(spark, sf_dir)
+        batches = [ev.filter(F.col("user_id") % 2 == m) for m in (0, 1)]
+        for v, b in enumerate(batches):
+            store.ingest_long(b, mode="insert", txn_app="q_sink",
+                              txn_version=v)
+            # crash-replay of the batch just committed: must no-op
+            store.ingest_long(b, mode="insert", txn_app="q_sink",
+                              txn_version=v)
+        assert store.last_txn_version("q_sink") == 1
+        marked = [r for r in store.history().collect()
+                  if r["txn_app"] == "q_sink"]
+        assert sorted(r["txn_version"] for r in marked) == [0, 1], marked
+        got = store.alive_data().filter(F.col("value").isNotNull())
+        out = got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _dec_sum(F.col("value"), 2).alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 7: the STREAMING change-data-capture source
     (streaming/cdf_source.py — PySpark Python Data Source API over the
@@ -3127,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) execution path changed this round --------------------
         "store_restore": q_store_restore,
         "store_optimize": q_store_optimize,
+        "store_txn": q_store_txn,
         # -- (c) oldest round-8-verified block ------------------------
         "slice_with_delay": q_slice_with_delay,
         "disaggregate": q_disaggregate,
@@ -4710,6 +4756,9 @@ def oracle_sql() -> dict[str, str]:
         "store_acid_ops": store_acid_ops,
         "store_restore": store_restore,
         "store_optimize": store_restore,  # binpack is a no-op on the data
+        # exactly-once: replayed batches no-op, so the oracle is the
+        # single-application hourly series (same shape as restore's)
+        "store_txn": store_restore,
         "store_cdf": store_cdf,
         "stream_cdf": store_cdf,  # identical expected delta (net of no-op pairs)
         "kv_acid_ops": kv_acid_ops,

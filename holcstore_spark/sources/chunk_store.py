@@ -122,7 +122,8 @@ class _Txn:
 
     __slots__ = ("op", "snapshot", "op_id", "adds", "removes", "touched",
                  "append_keys", "dropped_keys", "dropped_unknown",
-                 "dropped_key_tuples", "compaction_backup", "compacting")
+                 "dropped_key_tuples", "compaction_backup", "compacting",
+                 "txn_app", "txn_version")
 
     def __init__(self, op: str, snapshot):
         self.op = op
@@ -160,6 +161,11 @@ class _Txn:
         #: sets this — it piggybacks on commits with real data changes,
         #: and no change-feed consumer reads meta files.
         self.compacting = False
+        #: idempotent-writer identity (Delta ``txn`` analogue): when
+        #: set, the commit records ``(txn_app, txn_version)`` and the
+        #: rebase walk refuses a duplicate — see TxLog.commit
+        self.txn_app: str | None = None
+        self.txn_version: int | None = None
 
     def touch(self, chunks) -> None:
         if chunks == "all" or self.touched == "all":
@@ -240,10 +246,13 @@ def _history_df(spark: SparkSession, txlog) -> DataFrame:
         T.StructField("meta_files_removed", T.LongType()),
         T.StructField("meta_rows_added", T.LongType()),
         T.StructField("meta_rows_removed", T.LongType()),
+        T.StructField("txn_app", T.StringType()),
+        T.StructField("txn_version", T.LongType()),
     ])
     rows = []
     for r in txlog.history_rows():
         t = r["touched"]
+        tv = r.get("txn_version")
         rows.append((
             r["version"], r["op"], r["op_id"],
             datetime.fromtimestamp(r["committed_at"], tz=timezone.utc),
@@ -252,6 +261,7 @@ def _history_df(spark: SparkSession, txlog) -> DataFrame:
             r["data_rows_added"], r["data_rows_removed"],
             r["meta_files_added"], r["meta_files_removed"],
             r["meta_rows_added"], r["meta_rows_removed"],
+            r.get("txn_app"), None if tv is None else int(tv),
         ))
     return spark.createDataFrame(rows, schema)
 
@@ -447,6 +457,19 @@ class ChunkStore:
             raise ValueError("history requires an ACID store (acid=True)")
         return _history_df(self.spark, self._txlog)
 
+    def last_txn_version(self, txn_app: str) -> int | None:
+        """Highest ``txn_version`` the idempotent writer ``txn_app`` has
+        committed, or None if it never wrote (Delta's ``txnVersion``
+        read-back). A resuming sink queries this to decide where its
+        replay must start; watermarks survive log pruning (persisted in
+        checkpoint headers)."""
+        if not self._acid:
+            raise ValueError(
+                "idempotent writes (txn_app) require an ACID store "
+                "(acid=True)"
+            )
+        return self._txlog.snapshot().app_versions.get(str(txn_app))
+
     def restore(self, version: int) -> int:
         """Roll the store back to a committed log version as a NEW
         commit (Delta's ``RESTORE TABLE`` analogue; ACID only) — the
@@ -568,6 +591,7 @@ class ChunkStore:
         auto-compaction; if the compaction (and only it) loses a race
         with a concurrent commit, retry once without it — a pure append
         must never fail because housekeeping piggybacked on it."""
+        from holcstore_spark.sources.txlog import TxnAlreadyApplied
         # meta auto-compaction (ACID twin of _maybe_compact_meta): every
         # commit stages one meta file, so a long-lived store would pay an
         # O(commits) meta read — collapse to latest state inside this
@@ -592,7 +616,14 @@ class ChunkStore:
                 append_keys=txn.append_keys,
                 dropped_keys=txn.dropped_keys,
                 compacting=txn.compacting,
+                txn_app=txn.txn_app,
+                txn_version=txn.txn_version,
             )
+        except TxnAlreadyApplied:
+            # a duplicate idempotent batch raced us in (crash-replay):
+            # the batch IS durable — silent no-op success. The staged
+            # files were noted as orphans by commit() on the way out.
+            return
         except StaleBaseError:
             # a stale base fails at EVERY candidate slot (the horizon
             # check is base-relative), so retrying with the compaction
@@ -613,17 +644,22 @@ class ChunkStore:
             txn.compaction_backup = None
             # same ORIGINAL base: commit() re-walks every interleaved
             # commit, so the operation's own conflicts are still checked
-            self._txlog.commit(
-                base_version=snap.version,
-                op=op,
-                op_id=txn.op_id,
-                adds=txn.adds,
-                removes=txn.removes,
-                touched=txn.touched,
-                append_keys=txn.append_keys,
-                dropped_keys=txn.dropped_keys,
-                compacting=txn.compacting,
-            )
+            try:
+                self._txlog.commit(
+                    base_version=snap.version,
+                    op=op,
+                    op_id=txn.op_id,
+                    adds=txn.adds,
+                    removes=txn.removes,
+                    touched=txn.touched,
+                    append_keys=txn.append_keys,
+                    dropped_keys=txn.dropped_keys,
+                    compacting=txn.compacting,
+                    txn_app=txn.txn_app,
+                    txn_version=txn.txn_version,
+                )
+            except TxnAlreadyApplied:
+                return
 
     def _stage_into_txn(
         self, sdf: DataFrame, table: str, npart: int | None = None
@@ -1615,7 +1651,13 @@ class ChunkStore:
         )
 
     @_transactional("ingest_long")
-    def ingest_long(self, sdf: DataFrame, mode: str = "insert") -> None:
+    def ingest_long(
+        self,
+        sdf: DataFrame,
+        mode: str = "insert",
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> None:
         """Distributed bulk write — the 100 TB path.
 
         ``sdf``: long frame ``(keys…, ts, value)`` (UTC instants). The dense
@@ -1633,7 +1675,29 @@ class ChunkStore:
         emitted when an insert crosses the cap. Batch below the cap, or
         raise ``APPEND_KEYS_CAP``, when same-key insert detection
         matters more than driver memory.
+
+        ``(txn_app, txn_version)`` — idempotent write (Delta's ``txn``
+        action, requires ``acid=True``): a call whose version is at or
+        below the app's committed watermark returns WITHOUT writing, and
+        the commit protocol refuses a racing duplicate mid-flight. With
+        ``txn_app=<sink id>, txn_version=<micro-batch id>`` an
+        append-mode ``foreachBatch`` sink is exactly-once across driver
+        crash-replays — not just effectively-once via 'update' re-merge.
         """
+        if txn_app is not None:
+            if not self._acid:
+                raise ValueError(
+                    "idempotent writes (txn_app) require an ACID store "
+                    "(acid=True)"
+                )
+            if txn_version is None:
+                raise ValueError("txn_app requires txn_version")
+            txn = self._active_txn
+            if int(txn_version) <= txn.snapshot.app_versions.get(
+                str(txn_app), -1
+            ):
+                return  # this (app, version) is already durable — replay
+            txn.txn_app, txn.txn_version = str(txn_app), int(txn_version)
         if self.config.allow_sync and mode == "insert":
             raise SyncGuardError("plain ingest is forbidden on a sync-enabled store")
         keys = self.config.keys

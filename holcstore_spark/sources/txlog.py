@@ -71,6 +71,15 @@ class CheckpointCorrupt(ValueError):
     WRONG for a file that is fine but momentarily unreadable."""
 
 
+class TxnAlreadyApplied(Exception):
+    """An idempotent commit carrying ``(txn_app, txn_version)`` found an
+    interleaved commit from the same app at an equal-or-newer version
+    during the rebase walk — the batch is already durable (Delta's
+    ``txn`` action semantics). Store layers treat this as a silent
+    no-op success: raising it MUST NOT apply the staged files (commit()
+    notes them as vacuum-able orphans on the way out)."""
+
+
 class FileEntry(dict):
     """Manifest entry: path (store-relative), rows, chunk_min/chunk_max
     (None when stats are unavailable → treated as full-range)."""
@@ -131,11 +140,12 @@ def file_entry(
 
 class Snapshot:
     __slots__ = ("version", "files", "max_op_id", "base_checkpoint",
-                 "replayed")
+                 "replayed", "app_versions")
 
     def __init__(self, version: int, files: dict[str, list[FileEntry]],
                  max_op_id: int = 0, base_checkpoint: int | None = None,
-                 replayed: tuple | None = None):
+                 replayed: tuple | None = None,
+                 app_versions: dict[str, int] | None = None):
         self.version = version
         self.files = files
         #: largest op_id of any commit this snapshot replays (Lamport
@@ -152,6 +162,11 @@ class Snapshot:
         #: copy-on-write rewrites can erase (ADVICE r7)
         self.base_checkpoint = base_checkpoint
         self.replayed = tuple(replayed or ())
+        #: per-writer idempotence watermarks (Delta ``txn`` analogue):
+        #: the highest ``txn_version`` each ``txn_app`` has committed at
+        #: or below this snapshot. One int per app_id — metadata-sized;
+        #: checkpoints persist it so the watermark survives log pruning.
+        self.app_versions: dict[str, int] = dict(app_versions or {})
 
     def paths(self, table: str, root: str) -> list[str]:
         return [os.path.join(root, e["path"]) for e in self.files[table]]
@@ -530,7 +545,11 @@ class TxLog:
         head = json.dumps(
             {"version": version, "max_op_id": snap.max_op_id,
              "base": snap.base_checkpoint,
-             "replayed": [list(p) for p in snap.replayed]},
+             "replayed": [list(p) for p in snap.replayed],
+             # idempotence watermarks must outlive log pruning: a
+             # duplicate micro-batch replayed weeks later still has to
+             # hit the skip (one int per txn_app — metadata-sized)
+             "txns": snap.app_versions},
             separators=(",", ":"),
         )
         table = pa.table(
@@ -692,6 +711,7 @@ class TxLog:
             start = 0
             max_op = 0
             replayed: list[tuple] = []
+            app_versions: dict[str, int] = {}
             cp = self._latest_checkpoint(
                 as_of, listing=listing, fresh=_attempt > 0
             )
@@ -703,6 +723,9 @@ class TxLog:
                             live[t][e["path"]] = FileEntry(e)
                     start = cp
                     max_op = int(data.get("max_op_id", 0))
+                    # pre-txn-feature checkpoints lack the key; {} is
+                    # then CORRECT (no txn commit could predate them)
+                    app_versions.update(data.get("txns") or {})
                 last = start
                 for v in self.versions(listing):
                     if v <= start:
@@ -713,6 +736,11 @@ class TxLog:
                     last = v
                     max_op = max(max_op, int(rec.get("op_id") or 0))
                     replayed.append((v, rec.get("rid")))
+                    app = rec.get("txn_app")
+                    if app is not None:
+                        tv = int(rec.get("txn_version") or 0)
+                        if tv > app_versions.get(app, -1):
+                            app_versions[app] = tv
                     for t in self.TABLES:
                         for e in rec["adds"].get(t, []):
                             live[t][e["path"]] = FileEntry(e)
@@ -736,6 +764,7 @@ class TxLog:
             return Snapshot(
                 last, {t: list(live[t].values()) for t in self.TABLES},
                 max_op, base_checkpoint=cp, replayed=replayed,
+                app_versions=app_versions,
             )
         raise RuntimeError(
             "snapshot replay kept racing log maintenance (prune/checkpoint)"
@@ -767,6 +796,8 @@ class TxLog:
         append_keys: list[str] | None = None,
         dropped_keys: list[str] | None = None,
         compacting: bool = False,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Commit at the first free version ≥ base_version+1, rebasing
         over non-conflicting interleaved commits; raises the store's
@@ -782,7 +813,17 @@ class TxLog:
         data files hold exactly the rows of the removed ones — a pure
         file-layout change): change feeds skip such commits at manifest
         level instead of reading and cancelling every rewritten file
-        (Delta's ``dataChange=false`` analogue)."""
+        (Delta's ``dataChange=false`` analogue).
+
+        ``(txn_app, txn_version)`` makes the commit IDEMPOTENT (Delta's
+        ``txn`` action): callers pre-check the base snapshot's
+        ``app_versions`` watermark, and the rebase walk here closes the
+        remaining race — an interleaved commit from the same app at an
+        equal-or-newer version raises :class:`TxnAlreadyApplied` instead
+        of landing a duplicate. This is what turns an append-mode
+        ``foreachBatch`` sink exactly-once across driver crash-replays."""
+        if txn_app is not None and not isinstance(txn_version, int):
+            raise ValueError("txn_app requires an integer txn_version")
         record = {
             "op": op,
             "op_id": op_id,
@@ -797,6 +838,9 @@ class TxLog:
             "append_keys": append_keys,
             "dropped_keys": dropped_keys,
         }
+        if txn_app is not None:
+            record["txn_app"] = str(txn_app)
+            record["txn_version"] = txn_version
         try:
             v = self._commit_record(record, base_version)
         except Exception:
@@ -887,6 +931,22 @@ class TxLog:
                     f"interleaved commit {v} was pruned during the rebase "
                     "walk; re-run the operation against a fresh snapshot"
                 ) from None
+            app = record.get("txn_app")
+            if app is not None and other.get("txn_app") == app:
+                otv = other.get("txn_version")
+                if isinstance(otv, int) and not isinstance(otv, bool) \
+                        and otv >= record["txn_version"]:
+                    # our batch already landed (a crashed predecessor's
+                    # attempt made durable, or a second instance of the
+                    # same writer won the race) — refusing HERE, inside
+                    # the walk, is what makes the idempotence airtight:
+                    # the caller's snapshot pre-check can't see commits
+                    # newer than its base
+                    raise TxnAlreadyApplied(
+                        f"txn ({app}, {record['txn_version']}) already "
+                        f"applied by commit {other.get('version')} "
+                        f"(txn_version {otv})"
+                    )
             self._check_conflict(other, record)
             v += 1
 
@@ -1208,6 +1268,8 @@ class TxLog:
                 "op_id": int(rec.get("op_id") or 0),
                 "committed_at": mtime,
                 "touched": rec.get("touched"),
+                "txn_app": rec.get("txn_app"),
+                "txn_version": rec.get("txn_version"),
             }
             for t in self.TABLES:
                 adds = rec["adds"].get(t, [])

@@ -27,6 +27,7 @@ def stream_ingest(
     checkpoint: str,
     mode: str = "update",
     trigger_once: bool = False,
+    txn_app: str | None = None,
 ) -> StreamingQuery:
     """Ingest a streaming long frame ``(keys…, ts, value)`` into the store.
 
@@ -37,16 +38,27 @@ def stream_ingest(
 
     On an ACID store (``acid=True``) each micro-batch lands as ONE
     atomic data+meta commit, so readers never observe a half-applied
-    batch, and a batch replayed after a sink crash re-merges
-    idempotently under ``mode='update'`` — effectively-once visibility
-    from a plain foreachBatch sink. Use 'update'/'replace' modes for
-    restartable streams ('insert' would refuse its own replay).
+    batch. Exactly-once has two tiers:
+
+    - ``txn_app=None`` (default): checkpoint + idempotent combine-first
+      re-merge — effectively-once under ``mode='update'`` ('insert'
+      would refuse its own replay).
+    - ``txn_app=<stable sink id>`` (ACID stores): each micro-batch
+      commits with ``(txn_app, txn_version=batch_id)`` and the log's
+      idempotence watermark skips any replayed batch BEFORE it writes —
+      true exactly-once for EVERY mode, including append-mode 'insert'
+      (Delta's ``txn``-action idempotent-sink pattern). Use one distinct
+      ``txn_app`` per logical sink (e.g. the checkpoint path); reusing
+      an id across different queries would cross their watermarks.
     """
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
+    def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        store.ingest_long(batch, mode=mode)
+        store.ingest_long(
+            batch, mode=mode, txn_app=txn_app,
+            txn_version=batch_id if txn_app is not None else None,
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

@@ -112,8 +112,9 @@ ROUND10_WINDOW_MUST = {
     "stream_cusum", "bpe_merges", "seasonal_profile", "stream_join",
     "contamination", "tfidf_terms", "asof_join", "sessionize",
     "time_rollup", "range_join", "event_rollup",
-    # (b) execution paths changed in round 10 (+ the new optimize op)
-    "store_restore", "kv_acid_ops", "store_optimize",
+    # (b) execution paths changed in round 10 (+ the new optimize and
+    # idempotent-txn ops)
+    "store_restore", "kv_acid_ops", "store_optimize", "store_txn",
 }
 
 

@@ -467,3 +467,42 @@ class TestChangesStreamSourceHardening:
         # v0 (earliest) stays valid on the pruned log: full-table batch
         parts = rdr.partitions({"version": 0}, {"version": 34})
         assert all(x.change_type == "insert" for x in parts)
+
+
+class TestExactlyOnceStreamIngest:
+    def test_insert_mode_survives_checkpoint_loss(self, spark, tmp_store_path):
+        """The txn_app tier: losing the sink checkpoint replays every
+        micro-batch from scratch (batch ids restart at 0) — the log's
+        idempotence watermark must skip them all, even in append-mode
+        'insert' which would otherwise refuse its own replay."""
+        import shutil
+
+        src = os.path.join(tmp_store_path, "eo_incoming")
+        ckpt = os.path.join(tmp_store_path, "eo_ckpt")
+        os.makedirs(src)
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "eo_store"), cfg)
+        idx = pd.date_range("2024-01-01", periods=24, freq="1h", tz="UTC")
+        ts_us = idx.tz_localize(None).astype("datetime64[us]")
+        pd.DataFrame({"site": "a", "ts": ts_us, "value": 1.0}).to_parquet(
+            os.path.join(src, "a.parquet")
+        )
+        stream = spark.readStream.schema(
+            "site string, ts timestamp, value double"
+        ).parquet(src)
+        q = stream_ingest(st, stream, ckpt, mode="insert",
+                          trigger_once=True, txn_app="eo_sink")
+        assert q.awaitTermination(120)
+        assert st.count_keys() == 1
+        assert st.last_txn_version("eo_sink") == 0
+        v0 = st._txlog.snapshot().version
+        # driver crash-replay, worst case: the checkpoint is GONE
+        shutil.rmtree(ckpt)
+        q2 = stream_ingest(st, stream, ckpt, mode="insert",
+                           trigger_once=True, txn_app="eo_sink")
+        assert q2.awaitTermination(120)  # no KeyExistsError raised
+        assert st._txlog.snapshot().version == v0  # zero new commits
+        got = st.get_ts({"site": "a"})
+        assert (got.dropna() == 1.0).all() and len(got.dropna()) == 24

@@ -2812,3 +2812,118 @@ class TestOptimizeReviewFixes:
             assert e["chunk_min"] == e["chunk_max"], e
         # and the repack converged: re-running finds nothing
         assert st.optimize(min_files=3) == 0
+
+
+class TestIdempotentTxn:
+    """Delta ``txn``-action analogue: commits carrying (txn_app,
+    txn_version) are exactly-once — a replayed micro-batch is skipped at
+    the snapshot watermark, and the commit protocol's rebase walk
+    refuses a duplicate that raced in after the writer's base snapshot
+    (the crash-replay window the pre-check alone can't see)."""
+
+    @staticmethod
+    def _long(spark, site, start, periods, value):
+        idx = pd.date_range(start, periods=periods, freq="1h", tz="UTC")
+        return spark.createDataFrame(pd.DataFrame(
+            {"site": site, "ts": idx.tz_localize(None), "value": value}
+        ))
+
+    def test_replayed_batch_is_noop_even_in_insert_mode(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir, name="idem")
+        b0 = self._long(spark, "a", "2024-01-01", 24, 1.0)
+        st.ingest_long(b0, mode="insert", txn_app="sink", txn_version=0)
+        assert st.last_txn_version("sink") == 0
+        v_after_first = st._txlog.snapshot().version
+        # crash-replay of the same batch: without the txn watermark an
+        # insert-mode replay would raise KeyExistsError; with it, no-op
+        st.ingest_long(b0, mode="insert", txn_app="sink", txn_version=0)
+        assert st._txlog.snapshot().version == v_after_first
+        assert len(st.get_ts({"site": "a"})) == 24
+        # the next batch lands and advances the watermark
+        st.ingest_long(self._long(spark, "b", "2024-01-01", 24, 2.0),
+                       mode="insert", txn_app="sink", txn_version=1)
+        assert st.last_txn_version("sink") == 1
+        # an OLD version replayed after newer ones is also skipped
+        st.ingest_long(b0, mode="insert", txn_app="sink", txn_version=0)
+        assert st.last_txn_version("sink") == 1
+        assert st.count_keys() == 2
+        # exactly one commit per batch in history, each with its identity
+        h = {(r["txn_app"], r["txn_version"])
+             for r in st.history().collect() if r["txn_app"] is not None}
+        assert h == {("sink", 0), ("sink", 1)}
+
+    def test_distinct_apps_do_not_cross(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir, name="apps")
+        st.ingest_long(self._long(spark, "a", "2024-01-01", 4, 1.0),
+                       mode="insert", txn_app="A", txn_version=7)
+        # app B at a LOWER version must still land
+        st.ingest_long(self._long(spark, "b", "2024-01-01", 4, 1.0),
+                       mode="insert", txn_app="B", txn_version=0)
+        assert st.last_txn_version("A") == 7
+        assert st.last_txn_version("B") == 0
+        assert st.last_txn_version("C") is None
+
+    def test_rebase_walk_refuses_midflight_duplicate(self, spark, tmpdir):
+        # the race the snapshot pre-check can't see: a second instance of
+        # the same writer commits (app, 5) AFTER our base snapshot was
+        # taken — the rebase walk must raise TxnAlreadyApplied, and the
+        # duplicate's files must never become live
+        from holcstore_spark.sources.txlog import TxnAlreadyApplied
+
+        st = acid_store(spark, tmpdir, name="race")
+        st.set_ts({"site": "seed"}, hourly("2024-01-01", 4))
+        log = st._txlog
+        base = log.snapshot().version  # stale base for the duplicate
+        # the "other instance" lands (app, 5)
+        st.ingest_long(self._long(spark, "a", "2024-01-01", 4, 1.0),
+                       mode="insert", txn_app="sink", txn_version=5)
+        with pytest.raises(TxnAlreadyApplied):
+            log.commit(
+                base, "ingest_long", log.next_op_id(log.snapshot()),
+                adds={"data": [{"path": "files/dup.parquet", "rows": 4,
+                                "chunk_min": 1, "chunk_max": 1}]},
+                removes={}, touched=None,
+                txn_app="sink", txn_version=5,
+            )
+        live = {e["path"] for e in log.snapshot().files["data"]}
+        assert "files/dup.parquet" not in live
+
+    def test_watermark_survives_checkpoint_and_prune(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir, name="ckpt")
+        st.ingest_long(self._long(spark, "a", "2024-01-01", 4, 1.0),
+                       mode="insert", txn_app="sink", txn_version=3)
+        log = st._txlog
+        # roll the log far enough that the txn commit is summarized
+        log.CHECKPOINT_INTERVAL = 1  # instance attr
+        for i in range(3):
+            st.ingest_long(self._long(spark, f"k{i}", "2024-01-01", 4, 1.0),
+                           mode="insert")
+        assert log.prune_log() >= 1
+        # a FRESH log (new process) replays from the checkpoint header
+        fresh = TxLog(log.root)
+        assert fresh.snapshot().app_versions.get("sink") == 3
+        # and the replay skip still fires through the store path
+        st2 = ChunkStore(spark, st.path, st.config)
+        v = st2._txlog.snapshot().version
+        st2.ingest_long(self._long(spark, "a", "2024-01-01", 4, 9.0),
+                        mode="insert", txn_app="sink", txn_version=3)
+        assert st2._txlog.snapshot().version == v
+        got = st2.get_ts({"site": "a"})
+        assert (got.dropna() == 1.0).all()
+
+    def test_txn_requires_acid_and_version(self, spark, tmpdir):
+        cfg = ChunkStoreConfig(
+            keys=("site",), freq="1h", tz="UTC",
+            chunk_axis=("year", "month"), key_types={"site": "str"},
+            acid=False,
+        )
+        plain = ChunkStore(spark, os.path.join(tmpdir, "plain"), cfg)
+        with pytest.raises(ValueError, match="acid"):
+            plain.ingest_long(self._long(spark, "a", "2024-01-01", 4, 1.0),
+                              mode="insert", txn_app="sink", txn_version=0)
+        with pytest.raises(ValueError, match="acid"):
+            plain.last_txn_version("sink")
+        st = acid_store(spark, tmpdir, name="nover")
+        with pytest.raises(ValueError, match="txn_version"):
+            st.ingest_long(self._long(spark, "a", "2024-01-01", 4, 1.0),
+                           mode="insert", txn_app="sink")
