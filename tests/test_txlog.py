@@ -2927,3 +2927,77 @@ class TestIdempotentTxn:
         with pytest.raises(ValueError, match="txn_version"):
             st.ingest_long(self._long(spark, "a", "2024-01-01", 4, 1.0),
                            mode="insert", txn_app="sink")
+
+
+def _mp_txn_writer(root, wid, n_batches, out_q):
+    """Competing instance of ONE logical sink (module-level for spawn
+    pickling): every instance replays the same batch sequence 0..n-1 —
+    an HA/failover shape where two drivers of the same streaming query
+    run at once. For each batch: snapshot pre-check, then idempotent
+    commit; ConcurrentWriteError retries against a fresh snapshot,
+    TxnAlreadyApplied means the other instance won — both are success."""
+    from holcstore_spark.sources.chunk_store import ConcurrentWriteError
+    from holcstore_spark.sources.txlog import TxLog, TxnAlreadyApplied
+
+    log = TxLog(root)
+    won = []
+    for v in range(n_batches):
+        path = f"files/b{v}_w{wid}.parquet"
+        entry = {"path": path, "rows": 1, "chunk_min": v, "chunk_max": v,
+                 "key_stats": None}
+        for _attempt in range(60):
+            snap = log.snapshot()
+            if snap.app_versions.get("sink", -1) >= v:
+                break  # another instance already landed this batch
+            try:
+                log.commit(snap.version, "batch", TxLog.next_op_id(snap),
+                           adds={"data": [entry]}, removes={},
+                           txn_app="sink", txn_version=v)
+                won.append(v)
+                break
+            except TxnAlreadyApplied:
+                break  # lost the race INSIDE the commit walk: applied
+            except ConcurrentWriteError:
+                continue
+        else:
+            out_q.put(("fail", wid, v))
+            return
+    out_q.put(("ok", wid, won))
+
+
+class TestTxnRaceSoak:
+    def test_competing_sink_instances_apply_each_batch_once(self, tmpdir):
+        """4 processes × 10 shared batches: every batch version must be
+        applied by EXACTLY one instance — zero lost, zero duplicated —
+        and the final watermark must be the last batch."""
+        import multiprocessing as mp
+
+        root = os.path.join(tmpdir, "txnlog")
+        TxLog(root)
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        n_workers, n_batches = 4, 10
+        procs = [
+            ctx.Process(target=_mp_txn_writer, args=(root, w, n_batches, q))
+            for w in range(n_workers)
+        ]
+        for p in procs:
+            p.start()
+        results = [q.get(timeout=180) for _ in range(n_workers)]
+        for p in procs:
+            p.join(timeout=30)
+        assert all(r[0] == "ok" for r in results), results
+        log = TxLog(root)
+        live = sorted(e["path"] for e in log.snapshot().files["data"])
+        by_version: dict[int, list[str]] = {}
+        for p in live:
+            v = int(p.split("b")[1].split("_")[0])
+            by_version.setdefault(v, []).append(p)
+        dup = {v: ps for v, ps in by_version.items() if len(ps) > 1}
+        assert not dup, f"batches applied twice: {dup}"
+        missing = set(range(n_batches)) - set(by_version)
+        assert not missing, f"batches lost: {sorted(missing)}"
+        assert log.snapshot().app_versions.get("sink") == n_batches - 1
+        # winners reported by workers match the live set exactly
+        won = sorted(v for r in results for v in r[2])
+        assert won == sorted(by_version), (won, sorted(by_version))
