@@ -162,22 +162,29 @@ class AttrStore:
         return self._txlog.collect_entries(abs_dir, rel_dir, key_cols=self.keys)
 
     def _acid_append(self, new: DataFrame, kts: list[tuple], op: str,
-                     snap=None) -> None:
+                     snap=None, txn: tuple[str, int] | None = None) -> None:
         """Pure insert: one staged write + one atomic commit; concurrent
         inserts of the SAME key conflict via the key digests, disjoint
         inserts all land."""
+        from holcstore_spark.sources.txlog import TxnAlreadyApplied
+
         snap = snap if snap is not None else self._txlog.snapshot()
         adds = self._stage(new)
-        self._txlog.commit(
-            snap.version, op, self._txlog.next_op_id(snap),
-            {"data": adds}, {},
-            touched=None,
-            append_keys=sorted(self._key_digest(kt) for kt in kts),
-        )
+        try:
+            self._txlog.commit(
+                snap.version, op, self._txlog.next_op_id(snap),
+                {"data": adds}, {},
+                touched=None,
+                append_keys=sorted(self._key_digest(kt) for kt in kts),
+                txn_app=txn[0] if txn else None,
+                txn_version=txn[1] if txn else None,
+            )
+        except TxnAlreadyApplied:
+            pass  # duplicate idempotent batch: silent no-op success
 
     def _acid_rewrite(
         self, kts: list[tuple], keep_pred, new: DataFrame | None, op: str,
-        snap=None,
+        snap=None, txn: tuple[str, int] | None = None,
     ) -> None:
         """Copy-on-write of the files that can contain ``kts`` (per-file
         key stats), one atomic commit. ``touched=[]`` + dropped_keys
@@ -200,12 +207,19 @@ class AttrStore:
             for p in parts[1:]:
                 combined = combined.unionByName(p)
             adds = self._stage(combined)
-        self._txlog.commit(
-            snap.version, op, self._txlog.next_op_id(snap),
-            {"data": adds}, {"data": affected},
-            touched=set(),
-            dropped_keys=sorted(self._key_digest(kt) for kt in kts),
-        )
+        from holcstore_spark.sources.txlog import TxnAlreadyApplied
+
+        try:
+            self._txlog.commit(
+                snap.version, op, self._txlog.next_op_id(snap),
+                {"data": adds}, {"data": affected},
+                touched=set(),
+                dropped_keys=sorted(self._key_digest(kt) for kt in kts),
+                txn_app=txn[0] if txn else None,
+                txn_version=txn[1] if txn else None,
+            )
+        except TxnAlreadyApplied:
+            pass  # duplicate idempotent batch: silent no-op success
 
     def vacuum(
         self, retention_seconds: float = 3600.0, deep: bool = False
@@ -282,6 +296,16 @@ class AttrStore:
                 pass
             raise
         return 1
+
+    def last_txn_version(self, txn_app: str) -> int | None:
+        """Highest committed ``txn_version`` for the idempotent writer
+        ``txn_app`` (see ChunkStore.last_txn_version)."""
+        if not self._acid:
+            raise ValueError(
+                "idempotent writes (txn_app) require an ACID store "
+                "(acid=True)"
+            )
+        return self._txlog.snapshot().app_versions.get(str(txn_app))
 
     def history(self) -> DataFrame:
         """Commit-log audit frame (see ChunkStore.history)."""
@@ -378,6 +402,8 @@ class AttrStore:
         mapping: dict[tuple, pd.Series],
         update: bool = False,
         replace: bool = False,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> None:
         """Batched multi-series write — ONE Spark write for the whole
         mapping instead of a driver-paced ``set_ts`` loop (the reference's
@@ -390,9 +416,24 @@ class AttrStore:
         existing keys; ``update=True`` is new.combine_first(existing)
         merged distributed-side (one union + one window, no per-series
         read-back); ``replace=True`` drops the old rows. The existence
-        check is a single left-semi join for the entire batch."""
+        check is a single left-semi join for the entire batch.
+
+        ``(txn_app, txn_version)`` — idempotent write (Delta's ``txn``
+        action, ACID only; see ChunkStore.ingest_long): a retried batch
+        job re-running the same write is a no-op instead of refusing
+        (plain) or re-applying (update/replace)."""
         if update and replace:
             raise ValueError("update and replace are mutually exclusive")
+        txn = None
+        if txn_app is not None:
+            if not self._acid:
+                raise ValueError(
+                    "idempotent writes (txn_app) require an ACID store "
+                    "(acid=True)"
+                )
+            if txn_version is None:
+                raise ValueError("txn_app requires txn_version")
+            txn = (str(txn_app), int(txn_version))
         if not mapping:
             return
         frames = []
@@ -404,6 +445,8 @@ class AttrStore:
         pdf = pd.concat(frames, ignore_index=True)
         new = nan_to_null(self.spark.createDataFrame(pdf, self._schema(pdf)), "value")
         snap = self._pin()
+        if txn is not None and txn[1] <= snap.app_versions.get(txn[0], -1):
+            return  # this (app, version) is already durable — replay
         base = self._df_at(snap)
         key_set = new.select(*self.keys).distinct()
         existing_match = base.join(key_set, on=list(self.keys), how="left_semi")
@@ -417,7 +460,8 @@ class AttrStore:
         ]
         if not exists_any:
             if self._acid:
-                self._acid_append(new, kts, "attr_set_many", snap=snap)
+                self._acid_append(new, kts, "attr_set_many", snap=snap,
+                                  txn=txn)
             else:
                 new.write.mode("append").parquet(self.path)
             return
@@ -439,7 +483,7 @@ class AttrStore:
                 ],
             )
             self._acid_rewrite(kts, ~in_batch, new.select(*self.keys, "ts", "value"),
-                               "attr_set_many", snap=snap)
+                               "attr_set_many", snap=snap, txn=txn)
             return
         keep = self.df().join(key_set, on=list(self.keys), how="left_anti")
         self._overwrite(keep.unionByName(new.select(*self.keys, "ts", "value")))

@@ -209,25 +209,33 @@ class KeyValueStore:
         )
 
     def _append(self, df: DataFrame, kts: list[tuple] | None = None,
-                snap=None) -> None:
+                snap=None, txn: tuple[str, int] | None = None) -> None:
         if self._acid:
+            from holcstore_spark.sources.txlog import TxnAlreadyApplied
+
             # pure append: one atomic commit; (client, prm) digests make
             # two concurrent versioned appends of the SAME prm (same
             # next-version computed from a shared base) conflict loudly
             snap = snap if snap is not None else self._txlog.snapshot()
             adds = self._stage(df)
-            self._txlog.commit(
-                snap.version, "kv_append", self._txlog.next_op_id(snap),
-                {"data": adds}, {},
-                touched=None,
-                append_keys=sorted(self._kv_digest(c, p) for c, p in kts)
-                if kts is not None else None,
-            )
+            try:
+                self._txlog.commit(
+                    snap.version, "kv_append", self._txlog.next_op_id(snap),
+                    {"data": adds}, {},
+                    touched=None,
+                    append_keys=sorted(self._kv_digest(c, p) for c, p in kts)
+                    if kts is not None else None,
+                    txn_app=txn[0] if txn else None,
+                    txn_version=txn[1] if txn else None,
+                )
+            except TxnAlreadyApplied:
+                return  # duplicate idempotent batch: silent no-op success
             return
         df.repartition("client_id").write.mode("append").partitionBy("client_id").parquet(self.path)
 
     def _overwrite_client(self, client_id: int, remaining: DataFrame,
-                          dropped: list | None = None, snap=None) -> None:
+                          dropped: list | None = None, snap=None,
+                          txn: tuple[str, int] | None = None) -> None:
         """Rewrite ONLY ``client_id``'s partition directory. Non-versioned
         writes and per-tenant clears are tenant-scoped in the reference
         (hostore.py:396-432); scoping the physical rewrite the same way
@@ -271,14 +279,22 @@ class KeyValueStore:
                 cols = [f.name for f in self._schema().fields]
                 staged = bystanders.select(*cols).unionByName(staged.select(*cols))
             adds = self._stage(staged)
-            self._txlog.commit(
-                snap.version, "kv_overwrite_client",
-                self._txlog.next_op_id(snap),
-                {"data": adds}, {"data": affected},
-                touched={cid},
-                dropped_keys=sorted(self._kv_digest(cid, p) for p in dropped)
-                if dropped is not None else None,
-            )
+            from holcstore_spark.sources.txlog import TxnAlreadyApplied
+
+            try:
+                self._txlog.commit(
+                    snap.version, "kv_overwrite_client",
+                    self._txlog.next_op_id(snap),
+                    {"data": adds}, {"data": affected},
+                    touched={cid},
+                    dropped_keys=sorted(
+                        self._kv_digest(cid, p) for p in dropped
+                    ) if dropped is not None else None,
+                    txn_app=txn[0] if txn else None,
+                    txn_version=txn[1] if txn else None,
+                )
+            except TxnAlreadyApplied:
+                pass  # duplicate idempotent batch: silent no-op success
             return
         part_path = os.path.join(self.path, f"client_id={cid}")
         remaining = remaining.filter(F.col("client_id") == cid).drop("client_id")
@@ -367,6 +383,8 @@ class KeyValueStore:
         versionning: bool = False,
         versionning_by: tuple[str, ...] = ("prm",),
         attributes_to_set: dict | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> None:
         """Bulk write (reference: hostore.py:372-394) as ONE Spark write.
 
@@ -375,7 +393,22 @@ class KeyValueStore:
         successive series in the same scope get successive versions), and
         non-versioned mode replaces all incoming keys' version-0 rows in one
         anti-join + overwrite. N keys → O(1) Spark jobs, not O(N) rewrites.
+
+        ``(txn_app, txn_version)`` — idempotent write (Delta's ``txn``
+        action, ACID only; see ChunkStore.ingest_long): a retried batch
+        job re-running the same write is a no-op instead of a double
+        version bump / double apply.
         """
+        txn = None
+        if txn_app is not None:
+            if not self._acid:
+                raise ValueError(
+                    "idempotent writes (txn_app) require an ACID store "
+                    "(acid=True)"
+                )
+            if txn_version is None:
+                raise ValueError("txn_app requires txn_version")
+            txn = (str(txn_app), int(txn_version))
         if not dataseries:
             return
         attrs = attributes_to_set or {}
@@ -392,6 +425,8 @@ class KeyValueStore:
         new = nan_to_null(self.spark.createDataFrame(pdf_all, schema), "value")
 
         snap = self._pin()
+        if txn is not None and txn[1] <= snap.app_versions.get(txn[0], -1):
+            return  # this (app, version) is already durable — replay
         if versionning:
             scope_keys = tuple(dict.fromkeys(("client_id", *versionning_by)))
             base = self._df_at(snap).groupBy(*scope_keys).agg(F.max("version").alias("__maxv"))
@@ -412,7 +447,8 @@ class KeyValueStore:
                 )
                 .drop("__maxv", "__series_ord")
             )
-            self._append(out, kts=[(client_id, p) for p in dataseries], snap=snap)
+            self._append(out, kts=[(client_id, p) for p in dataseries],
+                         snap=snap, txn=txn)
         else:
             prms = [str(p) for p in dataseries]
             old = self._df_at(snap).filter(
@@ -420,7 +456,7 @@ class KeyValueStore:
                 & ~(F.col("prm").isin(prms) & (F.col("version") == 0))
             )
             self._overwrite_client(client_id, old.unionByName(new.drop("__series_ord")),
-                                   dropped=prms, snap=snap)
+                                   dropped=prms, snap=snap, txn=txn)
 
     # ------------------------------------------------------------------
     def _edge_collect(self, ordered: DataFrame) -> pd.DataFrame:
@@ -664,6 +700,16 @@ class KeyValueStore:
         if not self._acid:
             raise ValueError("history requires an ACID store (acid=True)")
         return _history_df(self.spark, self._txlog)
+
+    def last_txn_version(self, txn_app: str) -> int | None:
+        """Highest committed ``txn_version`` for the idempotent writer
+        ``txn_app`` (see ChunkStore.last_txn_version)."""
+        if not self._acid:
+            raise ValueError(
+                "idempotent writes (txn_app) require an ACID store "
+                "(acid=True)"
+            )
+        return self._txlog.snapshot().app_versions.get(str(txn_app))
 
     def changes_between(self, from_version: int,
                         to_version: int | None = None) -> DataFrame:

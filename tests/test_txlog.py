@@ -3001,3 +3001,89 @@ class TestTxnRaceSoak:
         # winners reported by workers match the live set exactly
         won = sorted(v for r in results for v in r[2])
         assert won == sorted(by_version), (won, sorted(by_version))
+
+
+class TestIdempotentTxnKvAttr:
+    """The idempotent-write surface on the other two stores: a retried
+    batch job re-running the same bulk write must be a no-op."""
+
+    def test_kv_versioned_replay_does_not_double_bump(self, spark, tmpdir):
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        kv = KeyValueStore(spark, os.path.join(tmpdir, "kvtxn"))
+        s = hourly("2024-01-01", 4)
+        batch = {"p1": s, "p2": s}
+        kv.set_many_lc(batch, client_id=1, versionning=True,
+                       txn_app="job", txn_version=0)
+        assert kv.last_txn_version("job") == 0
+        v = kv._txlog.snapshot().version
+        # the Airflow-retry shape: same task re-runs the same write
+        kv.set_many_lc(batch, client_id=1, versionning=True,
+                       txn_app="job", txn_version=0)
+        assert kv._txlog.snapshot().version == v
+        # exactly ONE version per prm — a real re-apply would add v1
+        versions = sorted(r["version"] for r in
+                          kv.get_lc("p1", 1, combined_versions=False))
+        assert versions == [0]
+        # the next batch still lands
+        kv.set_many_lc({"p1": s * 2}, client_id=1, versionning=True,
+                       txn_app="job", txn_version=1)
+        versions = sorted(r["version"] for r in
+                          kv.get_lc("p1", 1, combined_versions=False))
+        assert versions == [0, 1]
+
+    def test_kv_nonversioned_replay_single_commit(self, spark, tmpdir):
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        kv = KeyValueStore(spark, os.path.join(tmpdir, "kvtxn2"))
+        kv.set_lc("seed", hourly("2024-01-01", 4), client_id=1)
+        batch = {"a": hourly("2024-01-01", 4, value=2.0)}
+        kv.set_many_lc(batch, client_id=1, txn_app="job2", txn_version=0)
+        v = kv._txlog.snapshot().version
+        kv.set_many_lc(batch, client_id=1, txn_app="job2", txn_version=0)
+        assert kv._txlog.snapshot().version == v
+        assert len(kv.get_lc("a", 1)) == 1
+
+    def test_attr_plain_replay_does_not_refuse(self, spark, tmpdir):
+        from holcstore_spark.sources.attr_store import AttrStore
+
+        at = AttrStore(spark, os.path.join(tmpdir, "attxn"), keys=("k",))
+        batch = {("x",): hourly("2024-01-01", 4)}
+        at.set_many_ts(batch, txn_app="job", txn_version=0)
+        v = at._txlog.snapshot().version
+        # plain mode refuses existing keys — the replay must NOT raise
+        at.set_many_ts(batch, txn_app="job", txn_version=0)
+        assert at._txlog.snapshot().version == v
+        assert at.last_txn_version("job") == 0
+        got = at.get_ts({"k": "x"})
+        assert len(got) == 1 and len(got[0]["data"]) == 4
+
+    def test_attr_replace_replay_noop(self, spark, tmpdir):
+        from holcstore_spark.sources.attr_store import AttrStore
+
+        at = AttrStore(spark, os.path.join(tmpdir, "attxn2"), keys=("k",))
+        at.set_many_ts({("x",): hourly("2024-01-01", 8, value=1.0)})
+        at.set_many_ts({("x",): hourly("2024-01-01", 4, value=9.0)},
+                       replace=True, txn_app="job", txn_version=3)
+        v = at._txlog.snapshot().version
+        at.set_many_ts({("x",): hourly("2024-01-01", 4, value=9.0)},
+                       replace=True, txn_app="job", txn_version=3)
+        assert at._txlog.snapshot().version == v
+        got = at.get_ts({"k": "x"})
+        s = got[0]["data"]
+        assert len(s) == 4 and (s == 9.0).all()
+
+    def test_requires_acid(self, spark, tmpdir):
+        from holcstore_spark.sources.attr_store import AttrStore
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        kv = KeyValueStore(spark, os.path.join(tmpdir, "kvplain"),
+                           acid=False)
+        with pytest.raises(ValueError, match="acid"):
+            kv.set_many_lc({"p": hourly("2024-01-01", 2)}, client_id=1,
+                           txn_app="j", txn_version=0)
+        at = AttrStore(spark, os.path.join(tmpdir, "atplain"), keys=("k",),
+                       acid=False)
+        with pytest.raises(ValueError, match="acid"):
+            at.set_many_ts({("x",): hourly("2024-01-01", 2)},
+                           txn_app="j", txn_version=0)
