@@ -44,3 +44,56 @@ def chunk_bounds_filter(
     if end is not None:
         pred = pred & (F.col(chunk_col) <= chunk_index_of(end, chunk_axis, tz))
     return pred
+
+
+def key_equality_values(filters: dict | None) -> dict[str, list]:
+    """Per-field finite candidate sets implied by a filter dict — the
+    input to MANIFEST KEY-STATS FILE SKIPPING (the key-column analogue
+    of the chunk-range skipping above). Only plain equality and ``__in``
+    constrain a field to a finite set; any other lookup on the same
+    field is conjunctive and can only shrink it further, so the set
+    stays a correct over-approximation. Fields constrained to ``None``
+    (or an ``__in`` containing it) are omitted entirely: parquet min/max
+    statistics ignore nulls, so no stats range can prove a null row
+    absent. Multiple finite constraints on one field intersect."""
+    out: dict[str, list] = {}
+    for k, v in (filters or {}).items():
+        field, _, lookup = k.partition("__")
+        if not lookup:
+            vals = [v]
+        elif lookup == "in":
+            vals = list(v)
+        else:
+            continue
+        if any(x is None for x in vals):
+            out[field] = []  # sentinel: never prunable on this field
+            continue
+        if field in out:
+            if not out[field]:
+                continue
+            out[field] = [x for x in out[field] if x in vals]
+        else:
+            out[field] = vals
+    return {f: vals for f, vals in out.items() if vals}
+
+
+def entry_may_match_keys(entry: dict, key_values: dict[str, list]) -> bool:
+    """Can a manifest entry's file hold a row satisfying ``key_values``
+    (from :func:`key_equality_values`)? Per-field independent
+    bounding-box test — conservative: a missing/incomparable stat never
+    skips a file. Sound because the constraints are conjunctive: a row
+    passing the full filter has EVERY constrained field inside its
+    file's stats range, so one provably-empty dimension rules the file
+    out."""
+    ks = entry.get("key_stats") or {}
+    for field, vals in key_values.items():
+        rng = ks.get(field)
+        if not rng:
+            continue  # no stats for this field: conservative
+        lo, hi = rng
+        try:
+            if not any(lo <= v <= hi for v in vals):
+                return False
+        except TypeError:
+            continue  # incomparable stat/value types: conservative
+    return True

@@ -963,17 +963,30 @@ class ChunkStore:
     def _exists(self) -> bool:
         return os.path.exists(self._meta_path)
 
-    def data(self, chunk_lo: int | None = None, chunk_hi: int | None = None) -> DataFrame:
+    def data(self, chunk_lo: int | None = None, chunk_hi: int | None = None,
+             key_values: dict[str, list] | None = None) -> DataFrame:
         """Physical data rows. In ACID mode the live file set comes from
         the manifest and ``chunk_lo``/``chunk_hi`` apply MANIFEST-STATS
         FILE SKIPPING — only files whose per-file chunk range overlaps
         the bound are opened (the Delta-style replacement for hive
-        partition pruning; chunk_index is a regular column there). Plain
-        mode ignores the bounds: the hive ``chunk_index=`` partitioning
-        prunes at planning time instead."""
+        partition pruning; chunk_index is a regular column there).
+        ``key_values`` (per-key candidate sets, see
+        plans.pruning.key_equality_values) extends the skipping to the
+        KEY columns via the manifest's per-file key min/max: a point
+        lookup then opens only the files whose key range can hold the
+        requested series — at large file counts this is the difference
+        between listing a month and listing one file. Plain mode ignores
+        the bounds: the hive ``chunk_index=`` partitioning prunes at
+        planning time instead."""
         if self._acid:
+            from holcstore_spark.plans.pruning import entry_may_match_keys
+
             snap = self._snapshot()
             entries = snap.entries_overlapping("data", chunk_lo, chunk_hi)
+            if key_values:
+                entries = [
+                    e for e in entries if entry_may_match_keys(e, key_values)
+                ]
             if not entries:
                 return self.spark.createDataFrame([], self._data_schema())
             files = [os.path.join(self.path, e["path"]) for e in entries]
@@ -1075,10 +1088,12 @@ class ChunkStore:
         e = normalize_bound(end, tz)
         if self._acid:
             from holcstore_spark.functions.scalar import chunk_index_of
+            from holcstore_spark.plans.pruning import key_equality_values
 
             lo = chunk_index_of(s, axis, tz) if s is not None else None
             hi = chunk_index_of(e, axis, tz) if e is not None else None
-            d = self.data(chunk_lo=lo, chunk_hi=hi)
+            d = self.data(chunk_lo=lo, chunk_hi=hi,
+                          key_values=key_equality_values(filters))
         else:
             d = self.data()
         d = d.filter(attrs_filter(filters))

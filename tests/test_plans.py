@@ -335,3 +335,67 @@ class TestCdfPlans:
         # every scan is bounded by the changed-file count (1 added + 1
         # removed here), far below the live table's file count
         assert max(path_counts) <= 2 < n_live
+
+
+class TestKeyStatsFileSkipping:
+    """Manifest key-stats file skipping on the READ path (round 10): a
+    point lookup must open only the files whose per-file key range can
+    hold the requested series — not every file of the chunk."""
+
+    def _acid_store(self, spark, tmp_store_path, name):
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        return ChunkStore(spark, os.path.join(tmp_store_path, name), cfg)
+
+    def test_point_lookup_opens_one_file(self, spark, tmp_store_path):
+        st = self._acid_store(spark, tmp_store_path, "ks1")
+        # 6 separate inserts -> 6 files in the SAME month chunk, each
+        # with a tight single-site key range
+        for s in ["alpha", "bravo", "carol", "delta", "echo", "fox"]:
+            st.set_ts({"site": s}, hourly("2024-01-01", 24, value=1.0))
+        n_live = len(st._txlog.snapshot().files["data"])
+        assert n_live >= 6
+        d = st.alive_data({"site": "delta"})
+        opened = d.inputFiles()
+        assert len(opened) < n_live, "no key-stats skipping happened"
+        assert len(opened) <= 2  # the matching file (+1 stat overlap slack)
+        got = st.get_ts({"site": "delta"})
+        assert len(got) == 24 and (got == 1.0).all()
+
+    def test_in_list_and_conservative_lookups(self, spark, tmp_store_path):
+        st = self._acid_store(spark, tmp_store_path, "ks2")
+        for s in ["alpha", "bravo", "carol", "delta"]:
+            st.set_ts({"site": s}, hourly("2024-01-01", 24, value=2.0))
+        n_live = len(st._txlog.snapshot().files["data"])
+        # __in prunes to the matching subset
+        d = st.alive_data({"site__in": ["alpha", "delta"]})
+        assert len(d.inputFiles()) < n_live
+        # 24 written hours per site (the chunk is dense-grid padded)
+        assert d.filter(F.col("value").isNotNull()).count() == 48
+        # a range lookup has no finite candidate set: every file opens,
+        # and the result is still exact
+        d2 = st.alive_data({"site__gte": "carol"})
+        assert len(d2.inputFiles()) == n_live
+        assert d2.select("site").distinct().count() == 2
+
+    def test_null_and_type_mismatch_stay_conservative(self, spark,
+                                                      tmp_store_path):
+        from holcstore_spark.plans.pruning import (
+            entry_may_match_keys,
+            key_equality_values,
+        )
+
+        # None can hide in any file (stats ignore nulls): no pruning key
+        assert key_equality_values({"site": None}) == {}
+        assert key_equality_values({"site__in": ["a", None]}) == {}
+        # conjunctive eq+in intersects; disjoint -> dropped (no pruning)
+        kv = key_equality_values({"site": "a", "site__in": ["a", "b"]})
+        assert kv == {"site": ["a"]}
+        assert key_equality_values({"site": "a", "site__in": ["b"]}) == {}
+        # incomparable stat/value types never skip
+        e = {"key_stats": {"site": ["a", "c"]}}
+        assert entry_may_match_keys(e, {"site": [7]}) is True
+        assert entry_may_match_keys(e, {"site": ["b"]}) is True
+        assert entry_may_match_keys(e, {"site": ["z"]}) is False
+        assert entry_may_match_keys({"key_stats": None}, {"site": ["z"]}) is True
