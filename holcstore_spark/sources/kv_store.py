@@ -157,6 +157,31 @@ class KeyValueStore:
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.schema(self._schema()).parquet(*files)
 
+    def _df_pruned(self, client_id: int | None, prms: list | None) -> DataFrame:
+        """Manifest-stats pruned read (ACID): ``client_id`` IS this
+        store's manifest chunk column and ``prm`` carries per-file key
+        min/max, so a keyed read opens only the files whose stats can
+        hold the requested (tenant, keys) — not the whole table (see
+        ChunkStore.data key_values). Falls back to the full frame on
+        plain stores; honors time-travel pins. Pruning is conservative
+        (stat-less entries always read) and the callers re-apply the
+        exact predicates in-plan."""
+        if not self._acid:
+            return self.df()
+        from holcstore_spark.plans.pruning import entry_may_match_keys
+
+        snap = (self._pinned_snapshot if self._pinned_snapshot is not None
+                else self._txlog.snapshot())
+        cid = None if client_id is None else int(client_id)
+        entries = snap.entries_overlapping("data", cid, cid)
+        if prms:
+            kv = {"prm": [str(p) for p in prms]}
+            entries = [e for e in entries if entry_may_match_keys(e, kv)]
+        if not entries:
+            return self.spark.createDataFrame([], self._schema())
+        files = [os.path.join(self.path, e["path"]) for e in entries]
+        return self.spark.read.schema(self._schema()).parquet(*files)
+
     # -- ACID primitives (manifest-governed immutable files) -----------
     def _kv_digest(self, client_id, prm) -> str:
         import hashlib
@@ -526,7 +551,7 @@ class KeyValueStore:
         combined_delay=None,
     ) -> dict[str, list[dict]]:
         """Multi-key read grouped per prm (reference: hostore.py:271-319)."""
-        d = self.df().filter(
+        d = self._df_pruned(client_id, prms).filter(
             (F.col("client_id") == int(client_id))
             & F.col("prm").isin([str(p) for p in prms])
             & attrs_filter(custom_filters)

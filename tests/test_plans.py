@@ -399,3 +399,26 @@ class TestKeyStatsFileSkipping:
         assert entry_may_match_keys(e, {"site": ["b"]}) is True
         assert entry_may_match_keys(e, {"site": ["z"]}) is False
         assert entry_may_match_keys({"key_stats": None}, {"site": ["z"]}) is True
+
+
+class TestKvKeyStatsFileSkipping:
+    def test_kv_point_read_opens_matching_files_only(self, spark,
+                                                     tmp_store_path):
+        from holcstore_spark.sources.kv_store import KeyValueStore
+
+        kv = KeyValueStore(spark, os.path.join(tmp_store_path, "kvks"))
+        for cid in (1, 2):
+            for p in ("pa", "pb", "pc"):
+                # versioned appends: one immutable file per write, so the
+                # table is fragmented across (tenant, prm) files
+                kv.set_many_lc({p: hourly("2024-01-01", 4)}, client_id=cid,
+                               versionning=True)
+        n_live = len(kv._txlog.snapshot().files["data"])
+        assert n_live >= 6
+        d = kv._df_pruned(1, ["pb"])
+        assert len(d.inputFiles()) < n_live
+        # and the public read is exact through the pruned path
+        got = kv.get_lc("pb", 1)
+        assert len(got) == 1 and len(got[0]["data"]) == 4
+        # absent key: zero files opened, empty result (not an error)
+        assert kv.get_lc("zz", 1) == []
