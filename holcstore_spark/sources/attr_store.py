@@ -488,11 +488,36 @@ class AttrStore:
         keep = self.df().join(key_set, on=list(self.keys), how="left_anti")
         self._overwrite(keep.unionByName(new.select(*self.keys, "ts", "value")))
 
+    def _df_pruned(self, filters: dict | None) -> DataFrame:
+        """Manifest key-stats pruned read (ACID; see ChunkStore.data
+        key_values): only files whose per-key min/max can hold the
+        filter's equality/`__in` candidates are opened. Conservative —
+        stat-less entries always read — and callers re-apply the exact
+        predicate in-plan; honors time-travel pins."""
+        if not self._acid:
+            return self.df()
+        from holcstore_spark.plans.pruning import (
+            entry_may_match_keys,
+            key_equality_values,
+        )
+
+        snap = (self._pinned_snapshot if self._pinned_snapshot is not None
+                else self._txlog.snapshot())
+        entries = snap.files["data"]
+        kv = key_equality_values(filters)
+        if kv:
+            entries = [e for e in entries if entry_may_match_keys(e, kv)]
+        if not entries:
+            return self.spark.createDataFrame([], self._schema())
+        files = [os.path.join(self.path, e["path"]) for e in entries]
+        # schemaless like _df_at: int keys map to LongType at write time
+        return self.spark.read.parquet(*files)
+
     def get_ts(self, ts_attributes: dict, flat: bool = False):
         """Partial-attrs read (reference: timeserie_store.py:59-93):
         list of {keys…, 'data': Series}, or a single Series when flat."""
         validate_filter_keys(ts_attributes, self.keys)
-        d = self.df().filter(attrs_filter(ts_attributes))
+        d = self._df_pruned(ts_attributes).filter(attrs_filter(ts_attributes))
         pdf = d.orderBy(*self.keys, "ts").toPandas()
         entries = []
         if len(pdf):

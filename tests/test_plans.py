@@ -422,3 +422,23 @@ class TestKvKeyStatsFileSkipping:
         assert len(got) == 1 and len(got[0]["data"]) == 4
         # absent key: zero files opened, empty result (not an error)
         assert kv.get_lc("zz", 1) == []
+
+
+class TestAttrKeyStatsFileSkipping:
+    def test_attr_point_read_opens_matching_files_only(self, spark,
+                                                       tmp_store_path):
+        from holcstore_spark.sources.attr_store import AttrStore
+
+        at = AttrStore(spark, os.path.join(tmp_store_path, "atks"),
+                       keys=("k",))
+        for k in ("alpha", "bravo", "carol", "delta"):
+            at.set_many_ts({(k,): hourly("2024-01-01", 4)})
+        n_live = len(at._txlog.snapshot().files["data"])
+        assert n_live >= 4
+        d = at._df_pruned({"k": "bravo"})
+        assert len(d.inputFiles()) < n_live
+        got = at.get_ts({"k": "bravo"})
+        assert len(got) == 1 and len(got[0]["data"]) == 4
+        # a range lookup stays conservative AND exact
+        got2 = at.get_ts({"k__gte": "carol"})
+        assert sorted(e["k"] for e in got2) == ["carol", "delta"]
