@@ -1873,10 +1873,19 @@ class ChunkStore:
         s_bound = normalize_bound(start, tz)
         e_bound = normalize_bound(end, tz)
         if self._acid:
-            # manifest file skipping, then chunk_index as a regular column
+            from holcstore_spark.plans.pruning import entry_may_match_keys
+
+            # manifest file skipping (chunk range AND key stats — the
+            # serving path is where footer-open latency matters most),
+            # then chunk_index as a regular column
             entries = snap.entries_overlapping(
                 "data", min(alive), max(alive)
             )
+            kv = {k: [v] for k, v in attrs.items() if v is not None}
+            if kv:
+                entries = [
+                    e for e in entries if entry_may_match_keys(e, kv)
+                ]
             if not entries:
                 return None
             data = pads.dataset(
