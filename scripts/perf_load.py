@@ -156,6 +156,59 @@ def run_opt() -> None:
     spark.stop()
 
 
+def run_lookup() -> None:
+    """Round 10: measure manifest key-stats file skipping on the read
+    path — a fragmented chunk (one file per inserted series), point
+    lookups timed with the pruning live vs disabled (monkeypatched
+    entry_may_match_keys ≡ True = the pre-round-10 behavior)."""
+    import pandas as pd
+
+    import holcstore_spark.plans.pruning as pruning_mod
+    from holcstore_spark import ChunkStoreConfig, get_spark
+    from holcstore_spark.sources.chunk_store import ChunkStore
+
+    spark = get_spark(app_name="holc-perf-lookup")
+    path = tempfile.mkdtemp(prefix="holc_perf_lookup_")
+    shutil.rmtree(path, ignore_errors=True)
+    cfg = ChunkStoreConfig(keys=("key",), freq="1h", tz="UTC",
+                           chunk_axis=("year", "month"),
+                           key_types={"key": "str"}, acid=True)
+    store = ChunkStore(spark, path, cfg)
+    jan = pd.Series(
+        1.0, index=pd.date_range("2021-01-01", "2021-01-31 23:00",
+                                 freq="1h", tz="UTC"))
+    n_series = 48
+    for i in range(n_series):
+        store.set_ts({"key": f"serie_{i:03d}"}, jan)
+    n_files = len(store._txlog.snapshot().files["data"])
+    probes = [f"serie_{i:03d}" for i in (3, 17, 29, 41)]
+
+    def timed(tag):
+        d = store.alive_data({"key": probes[0]})
+        opened = len(d.inputFiles())
+        t0 = time.perf_counter()
+        for p in probes:
+            store.get_ts({"key": p})
+        t_spark = (time.perf_counter() - t0) / len(probes)
+        t0 = time.perf_counter()
+        for p in probes:
+            store.get_ts_local({"key": p})
+        t_local = (time.perf_counter() - t0) / len(probes)
+        print(f"lookup[{tag}]: files_opened={opened}/{n_files} "
+              f"get_ts={t_spark * 1000:.0f}ms "
+              f"get_ts_local={t_local * 1000:.0f}ms")
+
+    timed("pruned")
+    real = pruning_mod.entry_may_match_keys
+    pruning_mod.entry_may_match_keys = lambda e, kv: True
+    try:
+        timed("unpruned")
+    finally:
+        pruning_mod.entry_may_match_keys = real
+    shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     shape = sys.argv[1] if len(sys.argv) > 1 else "h2"
-    run_opt() if shape == "opt" else run(shape)
+    {"opt": run_opt, "lookup": run_lookup}.get(shape, lambda: run(shape))()
