@@ -62,6 +62,12 @@ def key_equality_values(filters: dict | None) -> dict[str, list]:
         if not lookup:
             vals = [v]
         elif lookup == "in":
+            # only re-readable containers: a one-shot iterator/generator
+            # must reach attrs_filter unconsumed (reading it here would
+            # leave the in-plan predicate an empty isin()) — skip
+            # pruning on it instead
+            if not isinstance(v, (list, tuple, set, frozenset)):
+                continue
             vals = list(v)
         else:
             continue

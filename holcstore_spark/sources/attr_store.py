@@ -166,21 +166,16 @@ class AttrStore:
         """Pure insert: one staged write + one atomic commit; concurrent
         inserts of the SAME key conflict via the key digests, disjoint
         inserts all land."""
-        from holcstore_spark.sources.txlog import TxnAlreadyApplied
-
         snap = snap if snap is not None else self._txlog.snapshot()
         adds = self._stage(new)
-        try:
-            self._txlog.commit(
-                snap.version, op, self._txlog.next_op_id(snap),
-                {"data": adds}, {},
-                touched=None,
-                append_keys=sorted(self._key_digest(kt) for kt in kts),
-                txn_app=txn[0] if txn else None,
-                txn_version=txn[1] if txn else None,
-            )
-        except TxnAlreadyApplied:
-            pass  # duplicate idempotent batch: silent no-op success
+        self._txlog.commit_idempotent(
+            snap.version, op, self._txlog.next_op_id(snap),
+            {"data": adds}, {},
+            touched=None,
+            append_keys=sorted(self._key_digest(kt) for kt in kts),
+            txn_app=txn[0] if txn else None,
+            txn_version=txn[1] if txn else None,
+        )
 
     def _acid_rewrite(
         self, kts: list[tuple], keep_pred, new: DataFrame | None, op: str,
@@ -207,19 +202,14 @@ class AttrStore:
             for p in parts[1:]:
                 combined = combined.unionByName(p)
             adds = self._stage(combined)
-        from holcstore_spark.sources.txlog import TxnAlreadyApplied
-
-        try:
-            self._txlog.commit(
-                snap.version, op, self._txlog.next_op_id(snap),
-                {"data": adds}, {"data": affected},
-                touched=set(),
-                dropped_keys=sorted(self._key_digest(kt) for kt in kts),
-                txn_app=txn[0] if txn else None,
-                txn_version=txn[1] if txn else None,
-            )
-        except TxnAlreadyApplied:
-            pass  # duplicate idempotent batch: silent no-op success
+        self._txlog.commit_idempotent(
+            snap.version, op, self._txlog.next_op_id(snap),
+            {"data": adds}, {"data": affected},
+            touched=set(),
+            dropped_keys=sorted(self._key_digest(kt) for kt in kts),
+            txn_app=txn[0] if txn else None,
+            txn_version=txn[1] if txn else None,
+        )
 
     def vacuum(
         self, retention_seconds: float = 3600.0, deep: bool = False
@@ -422,19 +412,17 @@ class AttrStore:
         action, ACID only; see ChunkStore.ingest_long): a retried batch
         job re-running the same write is a no-op instead of refusing
         (plain) or re-applying (update/replace)."""
+        from holcstore_spark.sources.txlog import resolve_txn
+
         if update and replace:
             raise ValueError("update and replace are mutually exclusive")
-        txn = None
-        if txn_app is not None:
-            if not self._acid:
-                raise ValueError(
-                    "idempotent writes (txn_app) require an ACID store "
-                    "(acid=True)"
-                )
-            if txn_version is None:
-                raise ValueError("txn_app requires txn_version")
-            txn = (str(txn_app), int(txn_version))
+        txn = resolve_txn(self._acid, txn_app, txn_version)
         if not mapping:
+            return
+        snap = self._pin()
+        if txn is not None and txn[1] <= snap.app_versions.get(txn[0], -1):
+            # replay of a committed batch: skip BEFORE the driver-side
+            # frame construction
             return
         frames = []
         for key_tuple, serie in mapping.items():
@@ -444,9 +432,6 @@ class AttrStore:
             frames.append(self._to_pdf(attrs, serie))
         pdf = pd.concat(frames, ignore_index=True)
         new = nan_to_null(self.spark.createDataFrame(pdf, self._schema(pdf)), "value")
-        snap = self._pin()
-        if txn is not None and txn[1] <= snap.app_versions.get(txn[0], -1):
-            return  # this (app, version) is already durable — replay
         base = self._df_at(snap)
         key_set = new.select(*self.keys).distinct()
         existing_match = base.join(key_set, on=list(self.keys), how="left_semi")

@@ -591,7 +591,6 @@ class ChunkStore:
         auto-compaction; if the compaction (and only it) loses a race
         with a concurrent commit, retry once without it — a pure append
         must never fail because housekeeping piggybacked on it."""
-        from holcstore_spark.sources.txlog import TxnAlreadyApplied
         # meta auto-compaction (ACID twin of _maybe_compact_meta): every
         # commit stages one meta file, so a long-lived store would pay an
         # O(commits) meta read — collapse to latest state inside this
@@ -606,7 +605,11 @@ class ChunkStore:
         ):
             self._compact_meta_into_txn(txn)
         try:
-            self._txlog.commit(
+            # commit_idempotent: a duplicate idempotent batch raced us
+            # in (crash-replay) returns None — the batch IS durable, a
+            # silent no-op success (the staged files were noted as
+            # orphans on the way out)
+            self._txlog.commit_idempotent(
                 base_version=snap.version,
                 op=op,
                 op_id=txn.op_id,
@@ -619,11 +622,6 @@ class ChunkStore:
                 txn_app=txn.txn_app,
                 txn_version=txn.txn_version,
             )
-        except TxnAlreadyApplied:
-            # a duplicate idempotent batch raced us in (crash-replay):
-            # the batch IS durable — silent no-op success. The staged
-            # files were noted as orphans by commit() on the way out.
-            return
         except StaleBaseError:
             # a stale base fails at EVERY candidate slot (the horizon
             # check is base-relative), so retrying with the compaction
@@ -644,22 +642,19 @@ class ChunkStore:
             txn.compaction_backup = None
             # same ORIGINAL base: commit() re-walks every interleaved
             # commit, so the operation's own conflicts are still checked
-            try:
-                self._txlog.commit(
-                    base_version=snap.version,
-                    op=op,
-                    op_id=txn.op_id,
-                    adds=txn.adds,
-                    removes=txn.removes,
-                    touched=txn.touched,
-                    append_keys=txn.append_keys,
-                    dropped_keys=txn.dropped_keys,
-                    compacting=txn.compacting,
-                    txn_app=txn.txn_app,
-                    txn_version=txn.txn_version,
-                )
-            except TxnAlreadyApplied:
-                return
+            self._txlog.commit_idempotent(
+                base_version=snap.version,
+                op=op,
+                op_id=txn.op_id,
+                adds=txn.adds,
+                removes=txn.removes,
+                touched=txn.touched,
+                append_keys=txn.append_keys,
+                dropped_keys=txn.dropped_keys,
+                compacting=txn.compacting,
+                txn_app=txn.txn_app,
+                txn_version=txn.txn_version,
+            )
 
     def _stage_into_txn(
         self, sdf: DataFrame, table: str, npart: int | None = None
@@ -1699,20 +1694,14 @@ class ChunkStore:
         append-mode ``foreachBatch`` sink is exactly-once across driver
         crash-replays — not just effectively-once via 'update' re-merge.
         """
-        if txn_app is not None:
-            if not self._acid:
-                raise ValueError(
-                    "idempotent writes (txn_app) require an ACID store "
-                    "(acid=True)"
-                )
-            if txn_version is None:
-                raise ValueError("txn_app requires txn_version")
+        from holcstore_spark.sources.txlog import resolve_txn
+
+        txn_id = resolve_txn(self._acid, txn_app, txn_version)
+        if txn_id is not None:
             txn = self._active_txn
-            if int(txn_version) <= txn.snapshot.app_versions.get(
-                str(txn_app), -1
-            ):
+            if txn_id[1] <= txn.snapshot.app_versions.get(txn_id[0], -1):
                 return  # this (app, version) is already durable — replay
-            txn.txn_app, txn.txn_version = str(txn_app), int(txn_version)
+            txn.txn_app, txn.txn_version = txn_id
         if self.config.allow_sync and mode == "insert":
             raise SyncGuardError("plain ingest is forbidden on a sync-enabled store")
         keys = self.config.keys

@@ -236,25 +236,20 @@ class KeyValueStore:
     def _append(self, df: DataFrame, kts: list[tuple] | None = None,
                 snap=None, txn: tuple[str, int] | None = None) -> None:
         if self._acid:
-            from holcstore_spark.sources.txlog import TxnAlreadyApplied
-
             # pure append: one atomic commit; (client, prm) digests make
             # two concurrent versioned appends of the SAME prm (same
             # next-version computed from a shared base) conflict loudly
             snap = snap if snap is not None else self._txlog.snapshot()
             adds = self._stage(df)
-            try:
-                self._txlog.commit(
-                    snap.version, "kv_append", self._txlog.next_op_id(snap),
-                    {"data": adds}, {},
-                    touched=None,
-                    append_keys=sorted(self._kv_digest(c, p) for c, p in kts)
-                    if kts is not None else None,
-                    txn_app=txn[0] if txn else None,
-                    txn_version=txn[1] if txn else None,
-                )
-            except TxnAlreadyApplied:
-                return  # duplicate idempotent batch: silent no-op success
+            self._txlog.commit_idempotent(
+                snap.version, "kv_append", self._txlog.next_op_id(snap),
+                {"data": adds}, {},
+                touched=None,
+                append_keys=sorted(self._kv_digest(c, p) for c, p in kts)
+                if kts is not None else None,
+                txn_app=txn[0] if txn else None,
+                txn_version=txn[1] if txn else None,
+            )
             return
         df.repartition("client_id").write.mode("append").partitionBy("client_id").parquet(self.path)
 
@@ -304,22 +299,17 @@ class KeyValueStore:
                 cols = [f.name for f in self._schema().fields]
                 staged = bystanders.select(*cols).unionByName(staged.select(*cols))
             adds = self._stage(staged)
-            from holcstore_spark.sources.txlog import TxnAlreadyApplied
-
-            try:
-                self._txlog.commit(
-                    snap.version, "kv_overwrite_client",
-                    self._txlog.next_op_id(snap),
-                    {"data": adds}, {"data": affected},
-                    touched={cid},
-                    dropped_keys=sorted(
-                        self._kv_digest(cid, p) for p in dropped
-                    ) if dropped is not None else None,
-                    txn_app=txn[0] if txn else None,
-                    txn_version=txn[1] if txn else None,
-                )
-            except TxnAlreadyApplied:
-                pass  # duplicate idempotent batch: silent no-op success
+            self._txlog.commit_idempotent(
+                snap.version, "kv_overwrite_client",
+                self._txlog.next_op_id(snap),
+                {"data": adds}, {"data": affected},
+                touched={cid},
+                dropped_keys=sorted(
+                    self._kv_digest(cid, p) for p in dropped
+                ) if dropped is not None else None,
+                txn_app=txn[0] if txn else None,
+                txn_version=txn[1] if txn else None,
+            )
             return
         part_path = os.path.join(self.path, f"client_id={cid}")
         remaining = remaining.filter(F.col("client_id") == cid).drop("client_id")
@@ -424,17 +414,15 @@ class KeyValueStore:
         job re-running the same write is a no-op instead of a double
         version bump / double apply.
         """
-        txn = None
-        if txn_app is not None:
-            if not self._acid:
-                raise ValueError(
-                    "idempotent writes (txn_app) require an ACID store "
-                    "(acid=True)"
-                )
-            if txn_version is None:
-                raise ValueError("txn_app requires txn_version")
-            txn = (str(txn_app), int(txn_version))
+        from holcstore_spark.sources.txlog import resolve_txn
+
+        txn = resolve_txn(self._acid, txn_app, txn_version)
         if not dataseries:
+            return
+        snap = self._pin()
+        if txn is not None and txn[1] <= snap.app_versions.get(txn[0], -1):
+            # replay of a committed batch: skip BEFORE the driver-side
+            # frame construction — a replayed 1M-row batch costs nothing
             return
         attrs = attributes_to_set or {}
         frames = []
@@ -449,9 +437,6 @@ class KeyValueStore:
         pdf_all = pdf_all[[f.name for f in schema.fields]]
         new = nan_to_null(self.spark.createDataFrame(pdf_all, schema), "value")
 
-        snap = self._pin()
-        if txn is not None and txn[1] <= snap.app_versions.get(txn[0], -1):
-            return  # this (app, version) is already durable — replay
         if versionning:
             scope_keys = tuple(dict.fromkeys(("client_id", *versionning_by)))
             base = self._df_at(snap).groupBy(*scope_keys).agg(F.max("version").alias("__maxv"))

@@ -80,6 +80,25 @@ class TxnAlreadyApplied(Exception):
     notes them as vacuum-able orphans on the way out)."""
 
 
+def resolve_txn(acid: bool, txn_app, txn_version) -> tuple[str, int] | None:
+    """Validate and normalize an idempotent-writer identity — the ONE
+    place the txn argument contract lives (shared by all three stores'
+    bulk writes). Returns ``(app, version)`` or None when no identity
+    was given; bool versions are rejected (they would persist as JSON
+    true/false and dodge the duplicate check)."""
+    if txn_app is None:
+        return None
+    if not acid:
+        raise ValueError(
+            "idempotent writes (txn_app) require an ACID store (acid=True)"
+        )
+    if txn_version is None:
+        raise ValueError("txn_app requires txn_version")
+    if isinstance(txn_version, bool):
+        raise ValueError("txn_app requires an integer txn_version")
+    return str(txn_app), int(txn_version)
+
+
 class FileEntry(dict):
     """Manifest entry: path (store-relative), rows, chunk_min/chunk_max
     (None when stats are unavailable → treated as full-range)."""
@@ -822,7 +841,11 @@ class TxLog:
         equal-or-newer version raises :class:`TxnAlreadyApplied` instead
         of landing a duplicate. This is what turns an append-mode
         ``foreachBatch`` sink exactly-once across driver crash-replays."""
-        if txn_app is not None and not isinstance(txn_version, int):
+        if txn_app is not None and (
+            not isinstance(txn_version, int) or isinstance(txn_version, bool)
+        ):
+            # bool is rejected, not coerced: it would persist as JSON
+            # true/false and dodge the rebase-walk duplicate check
             raise ValueError("txn_app requires an integer txn_version")
         record = {
             "op": op,
@@ -873,6 +896,17 @@ class TxLog:
         except OSError:
             pass
         return v
+
+    def commit_idempotent(self, *args, **kwargs) -> int | None:
+        """:meth:`commit`, but a duplicate idempotent batch
+        (:class:`TxnAlreadyApplied`) returns None instead of raising —
+        the shape every store-layer caller wants (the batch IS durable;
+        the staged files were noted as orphans on the way out). All
+        other exceptions propagate unchanged."""
+        try:
+            return self.commit(*args, **kwargs)
+        except TxnAlreadyApplied:
+            return None
 
     def _commit_record(self, record: dict, base_version: int) -> int:
         from holcstore_spark.sources.chunk_store import StaleBaseError

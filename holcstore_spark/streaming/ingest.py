@@ -50,6 +50,15 @@ def stream_ingest(
       (Delta's ``txn``-action idempotent-sink pattern). Use one distinct
       ``txn_app`` per logical sink (e.g. the checkpoint path); reusing
       an id across different queries would cross their watermarks.
+
+    Checkpoint-loss caveat (same as Delta's): batch ids restart at 0
+    after the checkpoint directory is lost, and a skipped batch is
+    skipped WHOLE — if new source data arrived since the last committed
+    batch, the restarted query folds it into the replayed batch ids and
+    the watermark drops it too. Losing the checkpoint is therefore only
+    lossless when the source content is unchanged; with the checkpoint
+    intact (the normal case) batch ids resume past the watermark and
+    the guarantee is unconditional.
     """
 
     def handle(batch: DataFrame, batch_id: int) -> None:

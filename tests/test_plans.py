@@ -442,3 +442,31 @@ class TestAttrKeyStatsFileSkipping:
         # a range lookup stays conservative AND exact
         got2 = at.get_ts({"k__gte": "carol"})
         assert sorted(e["k"] for e in got2) == ["carol", "delta"]
+
+
+class TestPruningReviewFindings:
+    def test_one_shot_iterator_in_lookup_survives(self, spark,
+                                                  tmp_store_path):
+        # review r10: key_equality_values must NOT consume a one-shot
+        # iterable passed as __in — attrs_filter needs it unconsumed
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "it"), cfg)
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 4))
+        d = st.alive_data({"site__in": iter(["a"])})
+        assert d.filter(F.col("value").isNotNull()).count() == 4
+
+    def test_bool_txn_version_rejected(self, spark, tmp_store_path):
+        # review r10: bool would persist as JSON true and dodge the
+        # rebase-walk duplicate check — reject loudly everywhere
+        import pytest as _pytest
+
+        from holcstore_spark.sources.txlog import TxLog, resolve_txn
+
+        with _pytest.raises(ValueError, match="integer"):
+            resolve_txn(True, "app", True)
+        log = TxLog(os.path.join(tmp_store_path, "boollog"))
+        with _pytest.raises(ValueError, match="integer"):
+            log.commit(0, "x", 1, adds={"data": []}, removes={},
+                       txn_app="app", txn_version=True)
