@@ -24,7 +24,18 @@ Usage::
     feed = (spark.readStream.format("holc-changes")
             .option("path", store.path)
             .option("startingVersion", "earliest")   # | "latest" | <int>
+            .option("maxVersionsPerBatch", "8")       # optional rate limit
             .load())
+
+``maxVersionsPerBatch`` bounds how many commit versions one micro-batch
+may cover — a stream catching up over a long backlog drains it in
+bounded slices instead of one table-sized batch (Delta's
+maxFilesPerTrigger shape). The first batch after a (re)start is uncapped
+(Spark replans it from its checkpoint before the reader learns its
+position — capping from a guessed base could invert the offset range),
+and availableNow falls back to single-batch execution for Python
+sources, bypassing the cap entirely — deliberately: a capped single
+batch would silently strand the rest of the backlog.
 
 Executors read the immutable data files with pyarrow directly (no Spark
 job inside the source) — the same shared-filesystem assumption the
@@ -127,6 +138,22 @@ class ChangesStreamReader(DataSourceStreamReader):
         self.log = TxLog(self.root)
         self.starting = str(options.get("startingversion",
                                         options.get("startingVersion", "latest")))
+        mv = options.get("maxversionsperbatch",
+                         options.get("maxVersionsPerBatch"))
+        #: rate limit (Delta's maxFilesPerTrigger shape, but in commit
+        #: versions — the unit the offsets already use): each micro-batch
+        #: advances at most this many versions, so a stream catching up
+        #: over a long backlog emits bounded batches instead of one
+        #: table-sized one. Pure liveness/size control: any end >= start
+        #: spells a correct manifest diff, so capping never loses data.
+        self.max_versions = None if mv is None else max(1, int(mv))
+        #: the last offset this reader handed out or saw completed —
+        #: the base the next latestOffset caps from. None until the
+        #: first initialOffset/partitions/commit call (a restarted
+        #: query's first batch is uncapped: Spark replans it from the
+        #: checkpoint before this reader learns the cursor; every
+        #: subsequent batch is capped).
+        self._cursor: int | None = None
         self.columns = tuple(
             f.name for f in _data_schema_for(self.root).fields
             if f.name != "_change_type"
@@ -135,18 +162,25 @@ class ChangesStreamReader(DataSourceStreamReader):
     # -- offsets (commit versions) ------------------------------------
     def initialOffset(self) -> dict:
         if self.starting == "latest":
-            return {"version": self.log.snapshot().version}
-        if self.starting == "earliest":
+            v = self.log.snapshot().version
+        elif self.starting == "earliest":
             # version 0 = "before everything": the first micro-batch
             # emits the ENTIRE live table as inserts (Delta's
             # startingVersion=0 shape), then increments follow. The
             # empty version-0 snapshot is reconstructible on any log,
             # pruned or not — unlike an intermediate historical version.
-            return {"version": 0}
-        return {"version": int(self.starting)}
+            v = 0
+        else:
+            v = int(self.starting)
+        self._cursor = v
+        return {"version": v}
 
     def latestOffset(self) -> dict:
-        return {"version": self.log.snapshot().version}
+        v = self.log.snapshot().version
+        if self.max_versions is not None and self._cursor is not None:
+            v = min(v, self._cursor + self.max_versions)
+        self._cursor = v
+        return {"version": v}
 
     def _snapshot_checked(self, v: int):
         """as_of resolution that REFUSES to substitute a different
@@ -169,6 +203,10 @@ class ChangesStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         if e < s:
             raise ValueError(f"inverted offset range: start {s} > end {e}")
+        # the authoritative progress point (Spark replans start from its
+        # checkpoint): the next latestOffset caps from at least here
+        if self._cursor is None or e > self._cursor:
+            self._cursor = e
         if e == s:
             return []
         snap_s = self._snapshot_checked(s)
@@ -219,7 +257,11 @@ class ChangesStreamReader(DataSourceStreamReader):
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the query checkpoint
+        # offsets are durable in the query checkpoint; track completed
+        # progress for the rate-limit cursor
+        v = int(end["version"])
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
 
 
 class ChunkStoreChangesDataSource(DataSource):

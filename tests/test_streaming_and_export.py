@@ -506,3 +506,58 @@ class TestExactlyOnceStreamIngest:
         assert st._txlog.snapshot().version == v0  # zero new commits
         got = st.get_ts({"site": "a"})
         assert (got.dropna() == 1.0).all() and len(got.dropna()) == 24
+
+
+class TestChangesRateLimit:
+    """maxVersionsPerBatch (round 10): bounded catch-up micro-batches
+    for the holc-changes source — Delta's maxFilesPerTrigger shape, in
+    commit versions (the unit the offsets already use)."""
+
+    def test_offset_protocol_advances_one_version_per_batch(
+            self, spark, tmp_store_path):
+        from holcstore_spark.streaming.cdf_source import ChangesStreamReader
+
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "rl"), cfg)
+        idx = pd.date_range("2024-01-01", periods=4, freq="1h", tz="UTC")
+        for i in range(4):
+            st.set_ts({"site": f"s{i}"}, pd.Series(1.0, index=idx))
+        r = ChangesStreamReader({"path": st.path, "startingVersion": "0",
+                                 "maxVersionsPerBatch": "1"})
+        o = r.initialOffset()
+        seq = []
+        for _ in range(6):
+            n = r.latestOffset()
+            seq.append((o["version"], n["version"]))
+            r.partitions(o, n)
+            r.commit(n)
+            o = n
+        # one version per batch until caught up, then empty intervals
+        assert seq[:4] == [(0, 1), (1, 2), (2, 3), (3, 4)], seq
+        assert seq[4:] == [(4, 4), (4, 4)], seq
+
+    def test_unknown_cursor_never_caps_below_checkpointed_start(
+            self, spark, tmp_store_path):
+        # restart shape: Spark holds the checkpointed offset, the fresh
+        # reader doesn't — the first latestOffset must NOT cap (a cap
+        # from a guessed base could fall below the checkpointed start
+        # and invert the range); the first partitions() call teaches the
+        # cursor and every later batch is capped
+        from holcstore_spark.streaming.cdf_source import ChangesStreamReader
+
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "rl2"), cfg)
+        idx = pd.date_range("2024-01-01", periods=4, freq="1h", tz="UTC")
+        for i in range(3):
+            st.set_ts({"site": f"s{i}"}, pd.Series(1.0, index=idx))
+        r = ChangesStreamReader({"path": st.path,
+                                 "maxVersionsPerBatch": "1"})
+        assert r.latestOffset() == {"version": 3}  # uncapped: cursor unknown
+        r.partitions({"version": 2}, {"version": 3})  # checkpoint resume
+        st.set_ts({"site": "s9"}, pd.Series(1.0, index=idx))
+        st.set_ts({"site": "s8"}, pd.Series(1.0, index=idx))
+        assert r.latestOffset() == {"version": 4}  # capped from cursor 3
