@@ -403,3 +403,97 @@ class TestTxLogLifecycleModel:
         # a cold instance replays to the identical state
         cold = TxLog(store_root).snapshot()
         assert {e["path"] for e in cold.files["data"]} == set(live)
+
+
+class TestKeyPruningSoundness:
+    """The manifest key-stats pruning must be SOUND: for any filter dict
+    and any manifest entry, if some row inside the entry's stats
+    bounding box satisfies the filter, the entry must not be pruned.
+    (Completeness — pruning as much as possible — is an optimization,
+    never asserted; soundness is correctness.) Brute-force oracle over a
+    small value domain, SQL three-valued semantics for NULL."""
+
+    DOMAIN = list(range(6))  # row values; None added separately
+
+    @staticmethod
+    def _satisfies(row: dict, filters: dict) -> bool:
+        # Python mirror of plans.predicates.lookup_filter semantics
+        for k, want in filters.items():
+            field, _, lookup = k.partition("__")
+            v = row[field]
+            if not lookup:
+                ok = (v is None) if want is None else (v is not None and v == want)
+            elif lookup == "in":
+                ok = v is not None and v in want
+            elif lookup == "gte":
+                ok = v is not None and v >= want
+            elif lookup == "lt":
+                ok = v is not None and v < want
+            elif lookup == "isnull":
+                ok = (v is None) if want else (v is not None)
+            elif lookup == "ne":
+                ok = v is not None and v != want
+            else:
+                raise AssertionError(lookup)
+            if not ok:
+                return False
+        return True
+
+    @staticmethod
+    def _in_entry(row: dict, stats: dict | None) -> bool:
+        # parquet min/max ignore nulls: a None row value fits ANY file
+        for f, v in row.items():
+            rng = (stats or {}).get(f)
+            if rng is None or v is None:
+                continue
+            if not (rng[0] <= v <= rng[1]):
+                return False
+        return True
+
+    _stats = st.one_of(
+        st.none(),
+        st.fixed_dictionaries({}, optional={
+            f: st.tuples(st.integers(0, 5), st.integers(0, 5)).map(
+                lambda t: [min(t), max(t)]
+            )
+            for f in ("a", "b")
+        }),
+    )
+    _one_filter = st.one_of(
+        st.tuples(st.just(""), st.one_of(st.none(), st.integers(0, 5))),
+        st.tuples(st.just("in"),
+                  st.lists(st.one_of(st.none(), st.integers(0, 5)),
+                           min_size=0, max_size=3)),
+        st.tuples(st.just("gte"), st.integers(0, 5)),
+        st.tuples(st.just("lt"), st.integers(0, 5)),
+        st.tuples(st.just("isnull"), st.booleans()),
+        st.tuples(st.just("ne"), st.integers(0, 5)),
+    )
+    @settings(max_examples=300, deadline=None)
+    @given(stats=_stats, data=st.data())
+    def test_never_prunes_a_satisfiable_entry(self, stats, data):
+        from holcstore_spark.plans.pruning import (
+            entry_may_match_keys,
+            key_equality_values,
+        )
+
+        fields = ("a", "b")
+        filters = {}
+        for f in fields:
+            for lookup, val in data.draw(
+                st.lists(self._one_filter, max_size=2)
+            ):
+                filters[f if not lookup else f"{f}__{lookup}"] = val
+        kv = key_equality_values(filters)
+        pruned = not entry_may_match_keys({"key_stats": stats}, kv)
+        if not pruned:
+            return  # kept: always sound
+        # pruned: NO row inside the entry box may satisfy the filter
+        dom = [*self.DOMAIN, None]
+        for va in dom:
+            for vb in dom:
+                row = {"a": va, "b": vb}
+                assert not (
+                    self._in_entry(row, stats)
+                    and self._satisfies(row, filters)
+                ), (row, filters, stats, kv)
