@@ -1561,14 +1561,29 @@ class ChunkStore:
         self._append_meta(meta_rows)
 
     @_transactional("set_many_ts")
-    def set_many_ts(self, mapping: dict[tuple, pd.Series], keys: tuple[str, ...] | None = None) -> None:
+    def set_many_ts(self, mapping: dict[tuple, pd.Series],
+                    keys: tuple[str, ...] | None = None,
+                    txn_app: str | None = None,
+                    txn_version: int | None = None) -> None:
         """Mass insert, error if any key already exists
         (reference: chunk_timeserie_store.py:418-455).
 
         ACID concurrency note: same blind-append trade as
         :meth:`ingest_long` — inserts above ``APPEND_KEYS_CAP`` distinct
         series skip per-key conflict digests (warned), so concurrent
-        same-key mega-inserts can land twice."""
+        same-key mega-inserts can land twice.
+
+        ``(txn_app, txn_version)`` — idempotent write (see
+        :meth:`ingest_long`): a retried batch job re-running the same
+        mass insert is a no-op instead of raising KeyExistsError."""
+        from holcstore_spark.sources.txlog import resolve_txn
+
+        txn_id = resolve_txn(self._acid, txn_app, txn_version)
+        if txn_id is not None:
+            txn = self._active_txn
+            if txn_id[1] <= txn.snapshot.app_versions.get(txn_id[0], -1):
+                return  # this (app, version) is already durable — replay
+            txn.txn_app, txn.txn_version = txn_id
         if self.config.allow_sync:
             raise SyncGuardError("set_many_ts is forbidden on a sync-enabled store")
         keys = tuple(keys or self.config.keys)

@@ -3087,3 +3087,14 @@ class TestIdempotentTxnKvAttr:
         with pytest.raises(ValueError, match="acid"):
             at.set_many_ts({("x",): hourly("2024-01-01", 2)},
                            txn_app="j", txn_version=0)
+
+    def test_chunk_set_many_ts_replay_noop(self, spark, tmpdir):
+        st = acid_store(spark, tmpdir, name="smtxn")
+        batch = {("a",): hourly("2024-01-01", 4),
+                 ("b",): hourly("2024-01-01", 4)}
+        st.set_many_ts(batch, txn_app="job", txn_version=0)
+        v = st._txlog.snapshot().version
+        # mass-insert replay would raise KeyExistsError without the txn
+        st.set_many_ts(batch, txn_app="job", txn_version=0)
+        assert st._txlog.snapshot().version == v
+        assert st.count_keys() == 2 and st.last_txn_version("job") == 0
