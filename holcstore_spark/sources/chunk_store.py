@@ -833,27 +833,36 @@ class ChunkStore:
             or any(e["chunk_min"] <= c <= e["chunk_max"] for c in chunk_set)
         ]
         # narrow the copy-on-write by per-file KEY stats: files whose
-        # first-key-column range cannot contain any replaced series hold
-        # only bystander rows — leave them live untouched (less IO, and
+        # key ranges cannot contain any replaced series hold only
+        # bystander rows — leave them live untouched (less IO, and
         # key-disjoint same-chunk writers stop sharing removes, so their
-        # commits don't conflict)
+        # commits don't conflict). Every key dimension contributes
+        # independently (bounding-box over-approximation, same soundness
+        # argument as plans.pruning.entry_may_match_keys): one provably
+        # empty dimension rules a file out even when the first key is
+        # low-cardinality (e.g. one site, many meters).
         if txn.dropped_key_tuples is not None:
             import bisect
 
-            k0 = self.config.keys[0]
-            vals = sorted({kt[0] for kt in txn.dropped_key_tuples})
+            dims = [
+                (k, sorted({kt[i] for kt in txn.dropped_key_tuples}))
+                for i, k in enumerate(self.config.keys)
+            ]
 
             def may_contain(e) -> bool:
                 ks = e.get("key_stats") or {}
-                rng = ks.get(k0)
-                if not rng:
-                    return True  # no stats: conservative
-                lo, hi = rng
-                try:
-                    i = bisect.bisect_left(vals, lo)
-                    return i < len(vals) and vals[i] <= hi
-                except TypeError:
-                    return True  # incomparable stats: conservative
+                for k, vals in dims:
+                    rng = ks.get(k)
+                    if not rng:
+                        continue  # no stats for this dim: conservative
+                    lo, hi = rng
+                    try:
+                        i = bisect.bisect_left(vals, lo)
+                        if not (i < len(vals) and vals[i] <= hi):
+                            return False
+                    except TypeError:
+                        continue  # incomparable: conservative
+                return True
 
             affected = [e for e in affected if may_contain(e)]
         sdf_new = self._cast_canonical(sdf_new, self._data_schema())

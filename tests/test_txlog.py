@@ -3098,3 +3098,33 @@ class TestIdempotentTxnKvAttr:
         st.set_many_ts(batch, txn_app="job", txn_version=0)
         assert st._txlog.snapshot().version == v
         assert st.count_keys() == 2 and st.last_txn_version("job") == 0
+
+
+class TestRewriteAllDimNarrowing:
+    def test_second_key_dim_excludes_bystander_files(self, spark, tmpdir):
+        """Write-path copy-on-write narrowing over ALL key dims (round
+        10): with a constant first key, an update to one meter must not
+        rewrite the other meters' files — and every series must stay
+        intact."""
+        cfg = ChunkStoreConfig(
+            keys=("site", "meter"), freq="1h", tz="UTC",
+            chunk_axis=("year", "month"),
+            key_types={"site": "str", "meter": "str"}, acid=True,
+        )
+        st = ChunkStore(spark, os.path.join(tmpdir, "dims"), cfg)
+        for m in ("m1", "m2", "m3"):
+            st.set_ts({"site": "s", "meter": m}, hourly("2024-01-01", 24))
+        before = {e["path"] for e in st._txlog.snapshot().files["data"]}
+        st.set_ts({"site": "s", "meter": "m2"},
+                  hourly("2024-01-01 05:00", 3, value=9.0), update=True)
+        rec = st._txlog.read(st._txlog.snapshot().version)
+        removed = {e["path"] for e in rec["removes"]["data"]}
+        # only m2's file may be rewritten: site is constant across all
+        # three files, so first-key-only narrowing would rewrite all
+        assert len(removed) == 1, sorted(removed)
+        assert removed < before
+        for m, want in (("m1", 1.0), ("m3", 1.0)):
+            got = st.get_ts({"site": "s", "meter": m})
+            assert (got.dropna() == want).all() and len(got.dropna()) == 24
+        g2 = st.get_ts({"site": "s", "meter": "m2"})
+        assert (g2[5:8] == 9.0).all() and g2.dropna().size == 24
