@@ -305,7 +305,8 @@ class TestTxLogLifecycleModel:
         ops=st.lists(
             st.tuples(
                 st.sampled_from(
-                    ["add", "add", "remove", "vacuum", "restore", "prune"]
+                    ["add", "add", "remove", "vacuum", "restore", "prune",
+                     "txn_add", "txn_add"]
                 ),
                 st.integers(min_value=0, max_value=30),
             ),
@@ -338,6 +339,7 @@ class TestTxLogLifecycleModel:
         disk: set[str] = set()
         hist: dict[int, frozenset] = {0: frozenset()}
         n_added = 0
+        wm = -1  # model of the "sink" idempotence watermark
 
         def _mkfile(rel):
             abs_p = os.path.join(store_root, rel)
@@ -358,6 +360,28 @@ class TestTxLogLifecycleModel:
                                adds={"data": [entry]}, removes={})
                 live[rel] = entry
                 hist[v] = frozenset(live)
+            elif kind == "txn_add":
+                # an idempotent writer replaying versions out of any
+                # order: the store-layer pre-check skips ≤-watermark
+                # versions; landed ones advance it. The watermark must
+                # survive every maintenance interleave (prune summarizes
+                # into checkpoint headers, vacuum/restore don't touch it)
+                tv = arg % 8
+                snap0 = log.snapshot()
+                assert snap0.app_versions.get("sink", -1) == wm
+                if tv > wm:
+                    rel = f"files/t{n_added}/f.parquet"
+                    n_added += 1
+                    _mkfile(rel)
+                    entry = {"path": rel, "rows": 1, "chunk_min": arg,
+                             "chunk_max": arg, "key_stats": None}
+                    v = log.commit(snap0.version, "txn_add",
+                                   TxLog.next_op_id(snap0),
+                                   adds={"data": [entry]}, removes={},
+                                   txn_app="sink", txn_version=tv)
+                    live[rel] = entry
+                    hist[v] = frozenset(live)
+                    wm = tv
             elif kind == "remove" and live:
                 victim = sorted(live)[arg % len(live)]
                 entry = live.pop(victim)
@@ -396,6 +420,9 @@ class TestTxLogLifecycleModel:
                 log.prune_log()
             snap = log.snapshot()
             assert {e["path"] for e in snap.files["data"]} == set(live)
+            assert snap.app_versions.get("sink", -1) == wm, (
+                f"watermark drifted after {kind}"
+            )
             for p in live:
                 assert os.path.exists(os.path.join(store_root, p)), (
                     f"live path {p} missing after {kind}"
@@ -403,6 +430,7 @@ class TestTxLogLifecycleModel:
         # a cold instance replays to the identical state
         cold = TxLog(store_root).snapshot()
         assert {e["path"] for e in cold.files["data"]} == set(live)
+        assert cold.app_versions.get("sink", -1) == wm
 
 
 class TestKeyPruningSoundness:
