@@ -419,17 +419,21 @@ class AttrStore:
         txn = resolve_txn(self._acid, txn_app, txn_version)
         if not mapping:
             return
+        # key-arity validation BEFORE the replay skip: a replayed call
+        # with malformed keys must still raise, never silently "succeed"
+        # (review r10). Cheap — no frame construction.
+        kts_attrs = []
+        for key_tuple, serie in mapping.items():
+            kt = key_tuple if isinstance(key_tuple, tuple) else (key_tuple,)
+            attrs = dict(zip(self.keys, kt))
+            self._ensure_full(attrs)
+            kts_attrs.append((attrs, serie))
         snap = self._pin()
         if txn is not None and txn[1] <= snap.app_versions.get(txn[0], -1):
             # replay of a committed batch: skip BEFORE the driver-side
             # frame construction
             return
-        frames = []
-        for key_tuple, serie in mapping.items():
-            kt = key_tuple if isinstance(key_tuple, tuple) else (key_tuple,)
-            attrs = dict(zip(self.keys, kt))
-            self._ensure_full(attrs)
-            frames.append(self._to_pdf(attrs, serie))
+        frames = [self._to_pdf(attrs, serie) for attrs, serie in kts_attrs]
         pdf = pd.concat(frames, ignore_index=True)
         new = nan_to_null(self.spark.createDataFrame(pdf, self._schema(pdf)), "value")
         base = self._df_at(snap)

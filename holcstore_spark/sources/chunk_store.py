@@ -1587,17 +1587,21 @@ class ChunkStore:
         mass insert is a no-op instead of raising KeyExistsError."""
         from holcstore_spark.sources.txlog import resolve_txn
 
+        # argument guards BEFORE the replay skip: the watermark proves
+        # some write with this identity landed, not that THIS call's
+        # arguments are valid — a replay of a forbidden/malformed call
+        # must still raise, never silently "succeed" (review r10)
+        if self.config.allow_sync:
+            raise SyncGuardError("set_many_ts is forbidden on a sync-enabled store")
+        keys = tuple(keys or self.config.keys)
+        if keys != self.config.keys:
+            raise ValueError(f"keys must be {self.config.keys}")
         txn_id = resolve_txn(self._acid, txn_app, txn_version)
         if txn_id is not None:
             txn = self._active_txn
             if txn_id[1] <= txn.snapshot.app_versions.get(txn_id[0], -1):
                 return  # this (app, version) is already durable — replay
             txn.txn_app, txn.txn_version = txn_id
-        if self.config.allow_sync:
-            raise SyncGuardError("set_many_ts is forbidden on a sync-enabled store")
-        keys = tuple(keys or self.config.keys)
-        if keys != self.config.keys:
-            raise ValueError(f"keys must be {self.config.keys}")
         frames = []
         for key_tuple, serie in mapping.items():
             attrs = dict(zip(keys, key_tuple if isinstance(key_tuple, tuple) else (key_tuple,)))
@@ -1720,14 +1724,15 @@ class ChunkStore:
         """
         from holcstore_spark.sources.txlog import resolve_txn
 
+        # argument guards BEFORE the replay skip (see set_many_ts)
+        if self.config.allow_sync and mode == "insert":
+            raise SyncGuardError("plain ingest is forbidden on a sync-enabled store")
         txn_id = resolve_txn(self._acid, txn_app, txn_version)
         if txn_id is not None:
             txn = self._active_txn
             if txn_id[1] <= txn.snapshot.app_versions.get(txn_id[0], -1):
                 return  # this (app, version) is already durable — replay
             txn.txn_app, txn.txn_version = txn_id
-        if self.config.allow_sync and mode == "insert":
-            raise SyncGuardError("plain ingest is forbidden on a sync-enabled store")
         keys = self.config.keys
         # The per-key bounds frame is tiny (one row per key) — materialize it
         # once and derive BOTH the dense grid and the key set from it, so the

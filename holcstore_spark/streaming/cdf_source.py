@@ -30,12 +30,13 @@ Usage::
 ``maxVersionsPerBatch`` bounds how many commit versions one micro-batch
 may cover — a stream catching up over a long backlog drains it in
 bounded slices instead of one table-sized batch (Delta's
-maxFilesPerTrigger shape). The first batch after a (re)start is uncapped
-(Spark replans it from its checkpoint before the reader learns its
-position — capping from a guessed base could invert the offset range),
-and availableNow falls back to single-batch execution for Python
-sources, bypassing the cap entirely — deliberately: a capped single
-batch would silently strand the rest of the backlog.
+maxFilesPerTrigger shape). The FIRST micro-batch of any query — fresh or
+restarted — is uncapped, by design twice over: a restarted query's start
+offset lives in Spark's checkpoint (capping from a guessed base could
+invert the offset range), and availableNow falls back to single-batch
+execution for Python sources, where a capped first batch would silently
+strand the rest of the backlog. Every batch after the first is capped;
+non-positive values are rejected (omit the option for no limit).
 
 Executors read the immutable data files with pyarrow directly (no Spark
 job inside the source) — the same shared-filesystem assumption the
@@ -146,13 +147,22 @@ class ChangesStreamReader(DataSourceStreamReader):
         #: over a long backlog emits bounded batches instead of one
         #: table-sized one. Pure liveness/size control: any end >= start
         #: spells a correct manifest diff, so capping never loses data.
-        self.max_versions = None if mv is None else max(1, int(mv))
-        #: the last offset this reader handed out or saw completed —
-        #: the base the next latestOffset caps from. None until the
-        #: first initialOffset/partitions/commit call (a restarted
-        #: query's first batch is uncapped: Spark replans it from the
-        #: checkpoint before this reader learns the cursor; every
-        #: subsequent batch is capped).
+        if mv is not None and int(mv) < 1:
+            # loud, not clamped: 0 commonly means "no limit" elsewhere —
+            # silently running at cap 1 (the slowest drain) would read
+            # as an inexplicably crawling stream (review r10)
+            raise ValueError(
+                f"maxVersionsPerBatch must be a positive integer, got {mv!r}"
+                " (omit the option for no limit)"
+            )
+        self.max_versions = None if mv is None else int(mv)
+        #: the last batch boundary this reader observed (partitions/
+        #: commit) — the base the next latestOffset caps from. None
+        #: until a batch boundary exists, so the FIRST micro-batch of
+        #: any query is uncapped: a restarted query's start lives in
+        #: Spark's checkpoint (capping from a guess could invert the
+        #: range), and availableNow's single-batch fallback must drain
+        #: the whole backlog. Every subsequent batch is capped.
         self._cursor: int | None = None
         self.columns = tuple(
             f.name for f in _data_schema_for(self.root).fields
@@ -172,7 +182,11 @@ class ChangesStreamReader(DataSourceStreamReader):
             v = 0
         else:
             v = int(self.starting)
-        self._cursor = v
+        # deliberately NOT seeding the rate-limit cursor: the FIRST
+        # micro-batch of any query (fresh or restarted) must be uncapped
+        # — availableNow falls back to single-batch execution for Python
+        # sources, and a capped first batch there would silently strand
+        # the rest of the backlog (review r10)
         return {"version": v}
 
     def latestOffset(self) -> dict:

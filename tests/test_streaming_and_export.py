@@ -527,16 +527,27 @@ class TestChangesRateLimit:
         r = ChangesStreamReader({"path": st.path, "startingVersion": "0",
                                  "maxVersionsPerBatch": "1"})
         o = r.initialOffset()
+        # the FIRST batch is uncapped (availableNow's single-batch
+        # fallback must drain the whole backlog — review r10): the
+        # 4-commit backlog goes in one batch
+        n = r.latestOffset()
+        assert (o["version"], n["version"]) == (0, 4)
+        r.partitions(o, n)
+        r.commit(n)
+        o = n
+        # new commits drain ONE version per batch from here on
+        for i in range(3):
+            st.set_ts({"site": f"x{i}"},
+                      pd.Series(1.0, index=pd.date_range(
+                          "2024-01-01", periods=4, freq="1h", tz="UTC")))
         seq = []
-        for _ in range(6):
+        for _ in range(5):
             n = r.latestOffset()
             seq.append((o["version"], n["version"]))
             r.partitions(o, n)
             r.commit(n)
             o = n
-        # one version per batch until caught up, then empty intervals
-        assert seq[:4] == [(0, 1), (1, 2), (2, 3), (3, 4)], seq
-        assert seq[4:] == [(4, 4), (4, 4)], seq
+        assert seq == [(4, 5), (5, 6), (6, 7), (7, 7), (7, 7)], seq
 
     def test_unknown_cursor_never_caps_below_checkpointed_start(
             self, spark, tmp_store_path):
@@ -561,3 +572,27 @@ class TestChangesRateLimit:
         st.set_ts({"site": "s9"}, pd.Series(1.0, index=idx))
         st.set_ts({"site": "s8"}, pd.Series(1.0, index=idx))
         assert r.latestOffset() == {"version": 4}  # capped from cursor 3
+
+    def test_nonpositive_cap_rejected_and_guards_precede_replay_skip(
+            self, spark, tmp_store_path):
+        from holcstore_spark.sources.chunk_store import SyncGuardError
+        from holcstore_spark.streaming.cdf_source import ChangesStreamReader
+
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "rl3"), cfg)
+        with pytest.raises(ValueError, match="positive"):
+            ChangesStreamReader({"path": st.path, "maxVersionsPerBatch": "0"})
+        with pytest.raises(ValueError, match="positive"):
+            ChangesStreamReader({"path": st.path, "maxVersionsPerBatch": "-3"})
+        # review r10: a replayed (app, version) must NOT mask argument
+        # guards — the watermark proves a write landed, not that THIS
+        # call is valid
+        idx = pd.date_range("2024-01-01", periods=4, freq="1h", tz="UTC")
+        batch = spark.createDataFrame(pd.DataFrame(
+            {"site": "a", "ts": idx.tz_localize(None), "value": 1.0}))
+        st.ingest_long(batch, mode="insert", txn_app="job", txn_version=7)
+        with pytest.raises(ValueError, match="keys must be"):
+            st.set_many_ts({("b",): pd.Series(1.0, index=idx)},
+                           keys=("wrong",), txn_app="job", txn_version=7)
