@@ -2293,6 +2293,21 @@ def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(e, threshold=0.2, n_planes=6, dim=64)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: SemDeDup-shaped semantic dedup (operators/similarity.py
+    semantic_dedup — k-means-cluster the embedding space with the
+    deterministic integer trainer shared with IVF, score cosine pairs
+    only WITHIN clusters, drop every vector with a lower-id near-dup).
+    Returns the kept (vec_id, cluster) rows; the oracle unrolls the
+    identical two-iteration k-means in SQL (the similarity_ivf CTEs)
+    and applies the same keep rule."""
+    from holcstore_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(e, n_clusters=16, threshold=0.2, iters=2)
+    return out.select(F.col("vec_id"), F.col("cluster").cast("int"))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats: chars, tokens, punctuation, stopwords,
     fingerprint."""
@@ -3173,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_restore": q_store_restore,
         "store_optimize": q_store_optimize,
         "store_txn": q_store_txn,
+        "semantic_dedup": q_semantic_dedup,
         # -- (c) oldest round-8-verified block ------------------------
         "slice_with_delay": q_slice_with_delay,
         "disaggregate": q_disaggregate,
@@ -4002,6 +4018,32 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rk <= 3
     """
+    # SemDeDup oracle: the SAME unrolled two-iteration k-means as
+    # similarity_ivf partitions the space; pairs are scored only within
+    # a cluster and every vector with a lower-id near-dup is dropped
+    semantic_dedup_sql = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vq AS cv
+            FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT 16)
+        ),
+        a1 AS ({_ivf_assign('seeds')}),
+        c1 AS ({_ivf_update('a1', 'seeds')}),
+        a2 AS ({_ivf_assign('c1')}),
+        c2 AS ({_ivf_update('a2', 'c1')}),
+        cand AS ({_ivf_assign('c2')}),
+        dropped AS (
+            SELECT DISTINCT c.vec_id FROM cand a JOIN cand c USING (list)
+            WHERE a.vec_id < c.vec_id
+              AND list_dot_product(a.vq::DOUBLE[], c.vq::DOUBLE[])
+                    / (sqrt(list_dot_product(a.vq::DOUBLE[], a.vq::DOUBLE[]))
+                       * sqrt(list_dot_product(c.vq::DOUBLE[], c.vq::DOUBLE[])))
+                  >= 0.2
+        )
+        SELECT vec_id, CAST(list AS INTEGER) AS cluster FROM cand
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
     # PQ oracle: four independent 16-dim codebooks trained with the same
     # unrolled deterministic k-means as similarity_ivf, on vector slices
     def _pq_dist(a: str, b: str) -> str:
@@ -4810,6 +4852,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
         "similarity_neardup": similarity_neardup,
+        "semantic_dedup": semantic_dedup_sql,
         "text_stats": text_stats_sql,
         "doc_fingerprints": doc_fingerprints,
         "lang_quality": lang_quality,

@@ -371,6 +371,18 @@ def cosine_near_dup_pairs(
     task memory stays O(chunk × bucket), not bucket²."""
     d = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
     d = d.withColumn("__bucket", lsh_bucket_arrow(F.col("__q"), n_planes, dim))
+    return _within_bucket_pairs(d, df.schema[id_col], id_col, threshold,
+                                max_bucket)
+
+
+def _within_bucket_pairs(
+    d: DataFrame, id_field, id_col: str, threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """All-pairs cosine scoring WITHIN each ``__bucket`` group of
+    ``d(id, __q, __bucket)`` — the shared engine behind the LSH-bucketed
+    near-dup pass and the cluster-scoped semantic dedup. One shuffle
+    (groupBy bucket), then a chunked numpy int64 matmul per group."""
     if max_bucket is not None:
         small = (
             d.groupBy("__bucket").count()
@@ -378,7 +390,6 @@ def cosine_near_dup_pairs(
         )
         d = d.join(F.broadcast(small), on="__bucket", how="left_semi")
 
-    id_field = df.schema[id_col]
     out_schema = T.StructType([
         T.StructField("id_a", id_field.dataType),
         T.StructField("id_b", id_field.dataType),
@@ -416,6 +427,75 @@ def cosine_near_dup_pairs(
         })
 
     return d.groupBy("__bucket").applyInPandas(bucket_pairs, schema=out_schema)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then score
+    cosine pairs ONLY within each cluster — semantically unrelated
+    documents are never compared, so the quadratic work is bounded by
+    the cluster sizes, not the corpus.
+
+    Differences from :func:`cosine_near_dup_pairs` (LSH buckets): the
+    partition is a trained k-means (the deterministic integer trainer
+    shared with IVF — bit-reproducible, oracle-expressible), which is
+    the published SemDeDup recipe and groups by SEMANTIC neighborhood
+    rather than random hyperplane sign. ``max_cluster`` is the same
+    safety valve (drop degenerate mega-clusters before the matmul goes
+    quadratic; None = exact oracle parity).
+
+    Scale shape: centroids train on exact integer sums (n_clusters ×
+    dim literals, broadcast), assignment is one narrow Arrow pass, then
+    ONE shuffle groups each cluster for the chunked int64 matmul."""
+    centroids = train_ivf_centroids(
+        df, n_lists=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+    )
+    d = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
+    d = d.withColumn(
+        "__bucket", _assign_to_centroid(F.col("__q"), centroids)
+    )
+    return _within_bucket_pairs(d, df.schema[id_col], id_col, threshold,
+                                max_cluster)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """The keep-set of :func:`semantic_dedup_pairs`: within every
+    cluster, any document with a LOWER-id near-duplicate (score ≥
+    threshold) is dropped — the deterministic keep-the-first rule, so
+    each near-duplicate neighborhood retains its minimum id. Returns
+    ``(id_col, cluster)`` for the kept documents (the cluster id is the
+    trained k-means list, useful for downstream cluster-balanced
+    sampling)."""
+    centroids = train_ivf_centroids(
+        df, n_lists=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+    )
+    d = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
+    d = d.withColumn(
+        "__bucket", _assign_to_centroid(F.col("__q"), centroids)
+    )
+    pairs = _within_bucket_pairs(d, df.schema[id_col], id_col, threshold,
+                                 max_cluster)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        d.join(dropped, on=id_col, how="left_anti")
+        .select(F.col(id_col), F.col("__bucket").alias("cluster"))
+    )
 
 
 def quantize_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:

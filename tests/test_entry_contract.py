@@ -112,9 +112,10 @@ ROUND10_WINDOW_MUST = {
     "stream_cusum", "bpe_merges", "seasonal_profile", "stream_join",
     "contamination", "tfidf_terms", "asof_join", "sessionize",
     "time_rollup", "range_join", "event_rollup",
-    # (b) execution paths changed in round 10 (+ the new optimize and
-    # idempotent-txn ops)
+    # (b) execution paths changed in round 10 (+ the new optimize,
+    # idempotent-txn, and semantic-dedup ops)
     "store_restore", "kv_acid_ops", "store_optimize", "store_txn",
+    "semantic_dedup",
 }
 
 

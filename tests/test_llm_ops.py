@@ -1298,3 +1298,67 @@ class TestBpeApply:
         df = spark.createDataFrame(pd.DataFrame({"text": ["x y z"]}))
         chained = bpe_apply(df, ["x y", "xy z"]).collect()[0]["text_bpe"]
         assert chained == "xyz"
+
+
+class TestSemanticDedup:
+    """SemDeDup shape: k-means partition, within-cluster cosine pairs,
+    keep-the-lowest-id rule."""
+
+    def test_pairs_only_within_clusters_and_keep_rule(self, vectors):
+        from holcstore_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_pairs,
+        )
+
+        pairs = semantic_dedup_pairs(
+            vectors, n_clusters=2, threshold=0.95, iters=2
+        ).collect()
+        got = {(r["id_a"], r["id_b"]): r["score"] for r in pairs}
+        assert all(a < b for a, b in got)
+        # near-identical directions pair; orthogonal/opposite never do
+        assert all(s >= 0.95 for s in got.values())
+        assert (0, 2) not in got and (0, 3) not in got
+        kept = semantic_dedup(
+            vectors, n_clusters=2, threshold=0.95, iters=2
+        ).collect()
+        kept_ids = {r["vec_id"] for r in kept}
+        dropped = {0, 1, 2, 3, 4} - kept_ids
+        # the keep rule: dropped iff a LOWER-id near-dup exists
+        assert dropped == {b for _, b in got}
+        for _, b in got:
+            assert b not in kept_ids
+        # clusters ride through for downstream balanced sampling
+        assert all(isinstance(r["cluster"], int) for r in kept)
+
+    def test_exact_duplicates_collapse_to_lowest_id(self, spark):
+        from holcstore_spark.operators.similarity import semantic_dedup
+
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(4)] + [
+            (10, [0.0, 0.0, 0.0, 1.0]),
+        ]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        kept = {r["vec_id"]
+                for r in semantic_dedup(d, n_clusters=2, threshold=0.999,
+                                        iters=1).collect()}
+        assert kept == {0, 10}
+
+    def test_deterministic_across_runs(self, vectors):
+        from holcstore_spark.operators.similarity import semantic_dedup
+
+        a = sorted((r["vec_id"], r["cluster"]) for r in semantic_dedup(
+            vectors, n_clusters=2, threshold=0.5, iters=2).collect())
+        b = sorted((r["vec_id"], r["cluster"]) for r in semantic_dedup(
+            vectors, n_clusters=2, threshold=0.5, iters=2).collect())
+        assert a == b
+
+    def test_max_cluster_drops_megacluster(self, vectors):
+        from holcstore_spark.operators.similarity import semantic_dedup_pairs
+
+        # with ONE cluster everything lands together; max_cluster=2
+        # drops it (safety valve) -> zero pairs, loudly bounded work
+        pairs = semantic_dedup_pairs(
+            vectors, n_clusters=1, threshold=0.0, iters=1, max_cluster=2
+        )
+        assert pairs.count() == 0
