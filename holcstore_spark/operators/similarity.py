@@ -278,6 +278,10 @@ def train_ivf_centroids(
     q = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
     seed_rows = q.orderBy(id_col).limit(n_lists).collect()
     centroids = [list(r["__q"]) for r in seed_rows]
+    # a corpus smaller than n_lists seeds fewer centroids: the effective
+    # list count is len(centroids) from here on (a range(n_lists)
+    # rebuild would KeyError on tiny inputs — review r10)
+    n_lists = len(centroids)
     for _ in range(iters):
         assigned = q.withColumn("__list", _assign_to_centroid(F.col("__q"), centroids))
         per_dim = (
@@ -455,15 +459,24 @@ def semantic_dedup_pairs(
     Scale shape: centroids train on exact integer sums (n_clusters ×
     dim literals, broadcast), assignment is one narrow Arrow pass, then
     ONE shuffle groups each cluster for the chunked int64 matmul."""
+    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col)
+    return _within_bucket_pairs(d, df.schema[id_col], id_col, threshold,
+                                max_cluster)
+
+
+def _assign_clusters(
+    df: DataFrame, n_clusters: int, iters: int, id_col: str, vec_col: str,
+) -> DataFrame:
+    """Shared prologue of the SemDeDup pair/keep functions: train the
+    deterministic integer k-means once and return the quantized frame
+    with its ``__bucket`` cluster assignment."""
     centroids = train_ivf_centroids(
         df, n_lists=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
     )
     d = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
-    d = d.withColumn(
+    return d.withColumn(
         "__bucket", _assign_to_centroid(F.col("__q"), centroids)
     )
-    return _within_bucket_pairs(d, df.schema[id_col], id_col, threshold,
-                                max_cluster)
 
 
 def semantic_dedup(
@@ -481,21 +494,50 @@ def semantic_dedup(
     each near-duplicate neighborhood retains its minimum id. Returns
     ``(id_col, cluster)`` for the kept documents (the cluster id is the
     trained k-means list, useful for downstream cluster-balanced
-    sampling)."""
-    centroids = train_ivf_centroids(
-        df, n_lists=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
-    )
-    d = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
-    d = d.withColumn(
-        "__bucket", _assign_to_centroid(F.col("__q"), centroids)
-    )
-    pairs = _within_bucket_pairs(d, df.schema[id_col], id_col, threshold,
-                                 max_cluster)
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return (
-        d.join(dropped, on=id_col, how="left_anti")
-        .select(F.col(id_col), F.col("__bucket").alias("cluster"))
-    )
+    sampling).
+
+    The keep rule is cluster-LOCAL, so this never materializes the
+    O(Σ cluster²) pairs: one shuffle groups each cluster and the same
+    chunked int64 matmul emits the kept rows directly (≤ n rows out).
+    ``max_cluster`` caveat: members of a cluster larger than the valve
+    are ALL KEPT — dedup is skipped there, exact duplicates included
+    (the pairs function likewise scores nothing in such clusters); size
+    the valve to your corpus or leave it None for exact behavior."""
+    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField(id_col, id_field.dataType),
+        T.StructField("cluster", T.IntegerType()),
+    ])
+
+    def cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "cluster": []})
+        cluster = int(pdf["__bucket"].iloc[0])
+        if (max_cluster is not None and n > max_cluster) or n < 2:
+            return pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cluster": cluster}
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        A = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+        norms = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        dropped = np.zeros(n, dtype=bool)
+        chunk = 1024
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            dots = A[lo:hi] @ A.T                        # exact int64
+            scores = dots.astype(np.float64) / (
+                norms[lo:hi, None] * norms[None, :]
+            )
+            for r in range(lo, hi):
+                cols = np.nonzero(scores[r - lo, r + 1:] >= threshold)[0]
+                if len(cols):
+                    dropped[r + 1 + cols] = True
+        return pd.DataFrame({id_col: ids[~dropped], "cluster": cluster})
+
+    return d.groupBy("__bucket").applyInPandas(cluster_keep, out_schema)
 
 
 def quantize_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:

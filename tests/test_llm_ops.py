@@ -1362,3 +1362,49 @@ class TestSemanticDedup:
             vectors, n_clusters=1, threshold=0.0, iters=1, max_cluster=2
         )
         assert pairs.count() == 0
+
+    def test_cross_cluster_pairs_never_scored(self, vectors):
+        # pin the cluster SCOPING itself: at threshold -1 every scored
+        # pair passes, so the pair set must be EXACTLY the within-cluster
+        # id pairs — any cross-cluster pair appearing means the partition
+        # was ignored (review r10: the earlier assertions also held for
+        # a global scorer)
+        from holcstore_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_pairs,
+        )
+
+        clusters = {r["vec_id"]: r["cluster"] for r in semantic_dedup(
+            vectors, n_clusters=2, threshold=1.01, iters=2).collect()}
+        assert len(set(clusters.values())) == 2  # the fixture does split
+        got = {(r["id_a"], r["id_b"]) for r in semantic_dedup_pairs(
+            vectors, n_clusters=2, threshold=-1.0, iters=2).collect()}
+        want = {
+            (a, b)
+            for a in clusters for b in clusters
+            if a < b and clusters[a] == clusters[b]
+        }
+        assert got == want
+
+    def test_tiny_corpus_smaller_than_n_clusters(self, spark):
+        # review r10: the trainer used to KeyError when the corpus has
+        # fewer rows than n_lists (defaults on a 3-doc corpus)
+        from holcstore_spark.operators.similarity import semantic_dedup
+
+        rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        kept = {r["vec_id"] for r in semantic_dedup(
+            d, n_clusters=16, threshold=0.999, iters=2).collect()}
+        assert kept == {0, 2}  # the exact duplicate 1 dropped
+
+    def test_max_cluster_keeps_megacluster_whole(self, vectors):
+        # the documented valve behavior: an over-sized cluster skips
+        # dedup entirely — all members kept
+        from holcstore_spark.operators.similarity import semantic_dedup
+
+        kept = {r["vec_id"] for r in semantic_dedup(
+            vectors, n_clusters=1, threshold=0.0, iters=1,
+            max_cluster=2).collect()}
+        assert kept == {0, 1, 2, 3, 4}
