@@ -470,3 +470,17 @@ class TestPruningReviewFindings:
         with _pytest.raises(ValueError, match="integer"):
             log.commit(0, "x", 1, adds={"data": []}, removes={},
                        txn_app="app", txn_version=True)
+
+
+class TestSemanticDedupPlan:
+    def test_single_exchange_no_join(self, spark):
+        # keep-set computed per cluster inside ONE applyInPandas group
+        # pass: a pairs-materialize + anti-join formulation would show a
+        # second exchange and a join
+        from holcstore_spark.operators.similarity import semantic_dedup
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        txt = plan_text(semantic_dedup(e, n_clusters=4, threshold=0.5,
+                                       iters=1))
+        assert n_nodes(txt, "Exchange") == 1, txt
+        assert n_nodes(txt, r"\w*Join") == 0, txt
