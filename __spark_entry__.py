@@ -2308,6 +2308,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id"), F.col("cluster").cast("int"))
 
 
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: cluster-balanced sampling (similarity.py
+    cluster_balanced_sample) — the stage after SemDeDup when no domain
+    label exists: the SAME deterministic integer k-means partitions the
+    embedding space, then each cluster keeps ~sqrt(n_min·n_g) rows by
+    exact content hash (alpha=1/2 temperature). The oracle composes the
+    unrolled k-means CTEs with the HUGEINT quadratic threshold —
+    identical row sets, no float or sqrt anywhere."""
+    from holcstore_spark.operators.similarity import cluster_balanced_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(e, n_clusters=16, iters=2)
+    return out.select(F.col("vec_id"), F.col("cluster").cast("int"))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats: chars, tokens, punctuation, stopwords,
     fingerprint."""
@@ -3189,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_optimize": q_store_optimize,
         "store_txn": q_store_txn,
         "semantic_dedup": q_semantic_dedup,
+        "cluster_balance": q_cluster_balance,
         # -- (c) oldest round-8-verified block ------------------------
         "slice_with_delay": q_slice_with_delay,
         "disaggregate": q_disaggregate,
@@ -4044,6 +4060,34 @@ def oracle_sql() -> dict[str, str]:
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     """
 
+    # cluster-balanced sampling oracle: the same unrolled k-means CTEs,
+    # then the temperature_sample HUGEINT quadratic threshold per cluster
+    cluster_balance_sql = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vq AS cv
+            FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT 16)
+        ),
+        a1 AS ({_ivf_assign('seeds')}),
+        c1 AS ({_ivf_update('a1', 'seeds')}),
+        a2 AS ({_ivf_assign('c1')}),
+        c2 AS ({_ivf_update('a2', 'c1')}),
+        cand AS ({_ivf_assign('c2')}),
+        c AS (SELECT list, count(*) AS n_g FROM cand GROUP BY list),
+        m AS (SELECT min(n_g) AS n_min FROM c),
+        h AS (
+            SELECT d.vec_id, d.list, c.n_g, m.n_min,
+                   CAST('0x' || substr(
+                       md5('cb|' || CAST(d.vec_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS hv
+            FROM cand d JOIN c USING (list) CROSS JOIN m
+        )
+        SELECT vec_id, CAST(list AS INTEGER) AS cluster FROM h
+        WHERE CAST(hv AS HUGEINT) * hv * n_g
+              < CAST(n_min AS HUGEINT)
+                * CAST('18446744073709551616' AS HUGEINT)
+    """
+
     # PQ oracle: four independent 16-dim codebooks trained with the same
     # unrolled deterministic k-means as similarity_ivf, on vector slices
     def _pq_dist(a: str, b: str) -> str:
@@ -4853,6 +4897,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": similarity_ivf,
         "similarity_neardup": similarity_neardup,
         "semantic_dedup": semantic_dedup_sql,
+        "cluster_balance": cluster_balance_sql,
         "text_stats": text_stats_sql,
         "doc_fingerprints": doc_fingerprints,
         "lang_quality": lang_quality,

@@ -540,6 +540,34 @@ def semantic_dedup(
     return d.groupBy("__bucket").applyInPandas(cluster_keep, out_schema)
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cb",
+) -> DataFrame:
+    """Cluster-balanced corpus flattening — the sampling stage that
+    follows SemDeDup in a curation pipeline: partition the embedding
+    space with the deterministic integer k-means (the clusters proxy
+    topics/domains when no domain label exists), then sqrt-temperature
+    sample per cluster (alpha = 1/2 — head clusters tamed toward the
+    tail, the smallest kept whole, selection by exact content hash).
+    Returns the kept ``(id_col, cluster)`` rows.
+
+    Scale shape: centroid training + one narrow assignment pass, one
+    metadata-sized cluster-count aggregate, then a zero-shuffle
+    broadcast-threshold hash filter (see
+    :func:`~holcstore_spark.operators.sampling.temperature_sample`)."""
+    from holcstore_spark.operators.sampling import temperature_sample
+
+    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col).select(
+        F.col(id_col), F.col("__bucket").alias("cluster")
+    )
+    return temperature_sample(d, "cluster", [id_col], salt=salt)
+
+
 def quantize_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization of an embedding column — the storage
     compressor before ANN indexing at 100 TB scale (4 B float32 → 1 B

@@ -115,7 +115,7 @@ ROUND10_WINDOW_MUST = {
     # (b) execution paths changed in round 10 (+ the new optimize,
     # idempotent-txn, and semantic-dedup ops)
     "store_restore", "kv_acid_ops", "store_optimize", "store_txn",
-    "semantic_dedup",
+    "semantic_dedup", "cluster_balance",
 }
 
 

@@ -1408,3 +1408,34 @@ class TestSemanticDedup:
             vectors, n_clusters=1, threshold=0.0, iters=1,
             max_cluster=2).collect()}
         assert kept == {0, 1, 2, 3, 4}
+
+
+class TestClusterBalancedSample:
+    def test_smallest_cluster_kept_whole_heads_tamed(self, spark):
+        from math import isqrt
+
+        from holcstore_spark.operators.similarity import (
+            cluster_balanced_sample,
+        )
+
+        # two clear direction groups, sizes 12 vs 3
+        rows = [(i, [1.0 + (i % 5) * 0.001, 0.0]) for i in range(12)]
+        rows += [(100 + i, [0.0, 1.0 + i * 0.001]) for i in range(3)]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        kept = cluster_balanced_sample(d, n_clusters=2, iters=2).collect()
+        by_cluster: dict[int, int] = {}
+        for r in kept:
+            by_cluster[r["cluster"]] = by_cluster.get(r["cluster"], 0) + 1
+        sizes = sorted(by_cluster.values())
+        # the small cluster (n_min=3) is kept whole; the head keeps
+        # ~sqrt(3*12)=6 by hash (exact count is hash-dependent but must
+        # be strictly below 12 and at least 1)
+        assert sizes[0] == 3
+        assert 1 <= sizes[1] < 12
+        # and deterministic across runs
+        again = cluster_balanced_sample(d, n_clusters=2, iters=2).collect()
+        assert sorted((r["vec_id"], r["cluster"]) for r in kept) == \
+            sorted((r["vec_id"], r["cluster"]) for r in again)
+        assert isqrt(3 * 12) == 6  # the target the hash filter approximates
