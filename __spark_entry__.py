@@ -3175,74 +3175,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-10 window: (a) the 14 remaining queries whose last
-    # driver verification was round 6 (the oldest evidence left in the
-    # registry); (b) store_restore, whose execution path changed this
-    # round (restore-undo rebase-retry, and every ACID query rides the
-    # reworked orphan-sidecar vacuum bookkeeping); (c) the oldest 35 of
-    # the round-8-verified block (kv_acid_ops exercises the rewritten
-    # vacuum directly). The tail is the remaining r8-verified queries
-    # (rotate round 11) followed by the round-9-verified window.
+    # first. Round-11 window: (a) the 17 queries whose last driver
+    # verification was round 8 — the oldest evidence in the registry,
+    # including the whole exact/MinHash/Jaccard/SimHash/CC dedup family
+    # and the TPC-H trio; (b) queries whose execution paths change this
+    # round (semantic_dedup mega-cluster exact-dup fix, AttrStore.delete
+    # key-tuple bound, REST sync auth hook, update/replace-mode
+    # idempotent txn, KV driver-rewrite row cap); (c) 28 of the
+    # round-9-verified block. The tail is the remaining r9-verified
+    # queries (rotate round 12) followed by the round-10-verified window.
     return {
-        # -- (a) last driver-verified round 6 ------------------------
-        "stream_gaps": q_stream_gaps,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "stream_cusum": q_stream_cusum,
-        "bpe_merges": q_bpe_merges,
-        "seasonal_profile": q_seasonal_profile,
-        "stream_join": q_stream_join,
-        "contamination": q_contamination,
-        "tfidf_terms": q_tfidf_terms,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "time_rollup": q_time_rollup,
-        "range_join": q_range_join,
-        "event_rollup": q_event_rollup,
-        # -- (b) execution path changed this round --------------------
-        "store_restore": q_store_restore,
-        "store_optimize": q_store_optimize,
-        "store_txn": q_store_txn,
-        "semantic_dedup": q_semantic_dedup,
-        "cluster_balance": q_cluster_balance,
-        # -- (c) oldest round-8-verified block ------------------------
-        "slice_with_delay": q_slice_with_delay,
-        "disaggregate": q_disaggregate,
-        "time_slice": q_time_slice,
-        "ffill": q_ffill,
-        "normalize_minmax": q_normalize_minmax,
-        "min_step": q_min_step,
-        "next_version": q_next_version,
-        "chunk_index": q_chunk_index,
-        "freq_fix": q_freq_fix,
-        "split_at": q_split_at,
-        "store_roundtrip": q_store_roundtrip,
-        "store_set_many": q_store_set_many,
-        "store_update_overlay": q_store_update_overlay,
-        "store_delete_tombstone": q_store_delete_tombstone,
-        "store_meta_aggregates": q_store_meta_aggregates,
-        "store_max_horodate": q_store_max_horodate,
-        "store_get_batch": q_store_get_batch,
-        "store_yield_many": q_store_yield_many,
-        "store_changefeed": q_store_changefeed,
-        "store_acid_ops": q_store_acid_ops,
-        "kv_store_overlay": q_kv_store_overlay,
-        "kv_find_holes": q_kv_find_holes,
-        "kv_clear": q_kv_clear,
-        "kv_acid_ops": q_kv_acid_ops,
-        "attr_store_update": q_attr_store_update,
-        "sync_pull": q_sync_pull,
-        "rest_sync_pull": q_rest_sync_pull,
-        "sync_tombstone": q_sync_tombstone,
-        "sync_guards": q_sync_guards,
-        "sync_paged": q_sync_paged,
-        "admin_export": q_admin_export,
+        # -- (a) last driver-verified round 8 ------------------------
         "lookup_filter": q_lookup_filter,
         "token_pack": q_token_pack,
         "segment_dedup": q_segment_dedup,
-        # ====== driver 50-entry window ends here (50 above) ========
         "rebalance_mix": q_rebalance_mix,
-        # -- tail: remaining r8-verified (rotate round 11) ------------
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
         "pricing_summary": q_pricing_summary,
@@ -3250,18 +3197,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "clean_corpus": q_clean_corpus,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "clean_corpus": q_clean_corpus,
         "clean_corpus_cc": q_clean_corpus_cc,
-        # -- tail: round-9-verified window ----------------------------
+        "similarity_bruteforce": q_similarity_bruteforce,
+        # -- (b) execution path changed this round --------------------
+        "semantic_dedup": q_semantic_dedup,
+        "attr_store_update": q_attr_store_update,
+        "rest_sync_pull": q_rest_sync_pull,
+        "store_txn": q_store_txn,
+        "kv_store_overlay": q_kv_store_overlay,
+        # -- (c) oldest round-9-verified block ------------------------
+        "blob_interop": q_blob_interop,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "doc_fingerprints": q_doc_fingerprints,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
         "similarity_neardup": q_similarity_neardup,
         "text_stats": q_text_stats,
         "lang_quality": q_lang_quality,
@@ -3271,16 +3231,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "vocab_topk": q_vocab_topk,
-        "multimodal_png": q_multimodal_png,
         "dedup_representatives": q_dedup_representatives,
         "quality_filter": q_quality_filter,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_video": q_multimodal_video,
         "stats_rollup": q_stats_rollup,
         "value_histogram": q_value_histogram,
         "doc_chunks": q_doc_chunks,
         "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
+        # ====== driver 50-entry window ends here (50 above) ========
+        # -- tail: remaining r9-verified (rotate round 12) ------------
         "sliding_rollup": q_sliding_rollup,
         "stream_sliding": q_stream_sliding,
         "temperature_sample": q_temperature_sample,
@@ -3301,11 +3260,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_runs": q_constant_runs,
         "drop_bounds_na": q_drop_bounds_na,
         "combined_delay": q_combined_delay,
-        "blob_interop": q_blob_interop,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_audio": q_multimodal_audio,
         "stream_rollup": q_stream_rollup,
+        # -- tail: round-10-verified window ----------------------------
+        "stream_gaps": q_stream_gaps,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "stream_cusum": q_stream_cusum,
+        "bpe_merges": q_bpe_merges,
+        "seasonal_profile": q_seasonal_profile,
+        "stream_join": q_stream_join,
+        "contamination": q_contamination,
+        "tfidf_terms": q_tfidf_terms,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
+        "range_join": q_range_join,
+        "event_rollup": q_event_rollup,
+        "store_restore": q_store_restore,
+        "store_optimize": q_store_optimize,
+        "cluster_balance": q_cluster_balance,
+        "slice_with_delay": q_slice_with_delay,
+        "disaggregate": q_disaggregate,
+        "time_slice": q_time_slice,
+        "ffill": q_ffill,
+        "normalize_minmax": q_normalize_minmax,
+        "min_step": q_min_step,
+        "next_version": q_next_version,
+        "chunk_index": q_chunk_index,
+        "freq_fix": q_freq_fix,
+        "split_at": q_split_at,
+        "store_roundtrip": q_store_roundtrip,
+        "store_set_many": q_store_set_many,
+        "store_update_overlay": q_store_update_overlay,
+        "store_delete_tombstone": q_store_delete_tombstone,
+        "store_meta_aggregates": q_store_meta_aggregates,
+        "store_max_horodate": q_store_max_horodate,
+        "store_get_batch": q_store_get_batch,
+        "store_yield_many": q_store_yield_many,
+        "store_changefeed": q_store_changefeed,
+        "store_acid_ops": q_store_acid_ops,
+        "kv_find_holes": q_kv_find_holes,
+        "kv_clear": q_kv_clear,
+        "kv_acid_ops": q_kv_acid_ops,
+        "sync_pull": q_sync_pull,
+        "sync_tombstone": q_sync_tombstone,
+        "sync_guards": q_sync_guards,
+        "sync_paged": q_sync_paged,
+        "admin_export": q_admin_export,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -96,7 +96,15 @@ def resolve_txn(acid: bool, txn_app, txn_version) -> tuple[str, int] | None:
         raise ValueError("txn_app requires txn_version")
     if isinstance(txn_version, bool):
         raise ValueError("txn_app requires an integer txn_version")
-    return str(txn_app), int(txn_version)
+    version = int(txn_version)
+    if version < 0:
+        # the store-layer replay pre-checks compare against a watermark
+        # defaulting to -1, so a first-ever write with txn_version <= -1
+        # would be silently skipped as "already applied" (ADVICE r10)
+        raise ValueError(
+            f"txn_app requires a non-negative txn_version, got {version}"
+        )
+    return str(txn_app), version
 
 
 class FileEntry(dict):
@@ -1242,6 +1250,80 @@ class TxLog:
             for _ in range(5):
                 try:
                     snap = self.snapshot()
+                    # ADVICE r10: a commit landed by a CONCURRENT writer
+                    # between the broken restore (v_new) and this undo
+                    # must not be silently reverted — a plain diff
+                    # against `cur` would remove its files, orphan-note
+                    # them, and eventually vacuum durably-acknowledged
+                    # data with no signal to that writer. Walk the
+                    # interleaved commits: pure appends are FOLDED into
+                    # the undo target (their files stay live — they are
+                    # new paths, disjoint from both generations);
+                    # commits with removes are unfoldable (they rewrote
+                    # keys against the restored generation — re-adding
+                    # the pre-restore generation next to their rewrite
+                    # would duplicate rows) → raise the table-is-broken
+                    # error naming them instead of force-restoring.
+                    keep_paths: dict[str, set] = {
+                        t: set() for t in self.TABLES
+                    }
+                    unfoldable: list[str] = []
+                    for lv in range(v_new + 1, snap.version + 1):
+                        try:
+                            lrec = self.read(lv)
+                        except (FileNotFoundError, json.JSONDecodeError):
+                            unfoldable.append(f"v{lv} (unreadable)")
+                            continue
+                        if any(lrec["removes"].get(t)
+                               for t in self.TABLES):
+                            unfoldable.append(
+                                f"v{lv} ({lrec.get('op')!r})"
+                            )
+                            continue
+                        for t in self.TABLES:
+                            keep_paths[t] |= {
+                                e["path"]
+                                for e in lrec["adds"].get(t, [])
+                            }
+                    snap_all = {
+                        e["path"]
+                        for t in self.TABLES
+                        for e in snap.files[t]
+                    }
+                    still_dangling = [p for p in gone if p in snap_all]
+                    if not still_dangling:
+                        # concurrent rewrites superseded every dangling
+                        # reference — the table is consistent as-is and
+                        # an undo would only revert THEIR acknowledged
+                        # writes. Report the partial loss, change nothing.
+                        raise ValueError(
+                            f"restore to version {version} raced a "
+                            f"vacuum: {len(gone)} re-referenced file(s) "
+                            f"were deleted after the commit (e.g. "
+                            f"{gone[0]!r}), but concurrent commit(s) "
+                            f"have since rewritten every dangling "
+                            f"reference — the table is consistent and "
+                            f"was left untouched (part of the restored "
+                            f"generation was lost to the vacuum)"
+                        )
+                    if unfoldable:
+                        raise RuntimeError(
+                            f"restore to version {version} raced a "
+                            f"vacuum ({len(gone)} re-referenced file(s) "
+                            f"were deleted, e.g. {gone[0]!r}) AND "
+                            f"concurrent commit(s) "
+                            f"{', '.join(unfoldable)} rewrote the table "
+                            f"after the broken restore — undoing it "
+                            f"would silently revert their "
+                            f"durably-acknowledged writes. The table "
+                            f"currently references deleted files; reads "
+                            f"of those paths will fail. Repair: re-run "
+                            f"restore_commit({cur.version}) once the "
+                            f"concurrent writer quiesces (this rolls "
+                            f"back to the pre-restore file set, "
+                            f"INCLUDING those writers' changes), or "
+                            f"re-run this restore."
+                        )
                     u_adds: dict[str, list] = {}
                     u_removes: dict[str, list] = {}
                     for t in self.TABLES:
@@ -1250,7 +1332,8 @@ class TxLog:
                         u_adds[t] = [e for e in cur.files[t]
                                      if e["path"] not in snap_paths]
                         u_removes[t] = [e for e in snap.files[t]
-                                        if e["path"] not in cur_paths]
+                                        if e["path"] not in cur_paths
+                                        and e["path"] not in keep_paths[t]]
                     self.commit(
                         snap.version,
                         f"{op}-undo({version})",

@@ -32,11 +32,29 @@ may cover — a stream catching up over a long backlog drains it in
 bounded slices instead of one table-sized batch (Delta's
 maxFilesPerTrigger shape). The FIRST micro-batch of any query — fresh or
 restarted — is uncapped, by design twice over: a restarted query's start
-offset lives in Spark's checkpoint (capping from a guessed base could
-invert the offset range), and availableNow falls back to single-batch
-execution for Python sources, where a capped first batch would silently
-strand the rest of the backlog. Every batch after the first is capped;
-non-positive values are rejected (omit the option for no limit).
+offset lives in Spark's checkpoint and the Python
+``DataSourceStreamReader`` API calls ``latestOffset()`` BEFORE ever
+revealing it (the start only arrives at ``partitions(start, end)``,
+which does seed the cursor — so batch 2 onward is always capped);
+capping from a guessed base could invert the offset range. And
+availableNow falls back to single-batch execution for Python sources,
+where a capped first batch would silently strand the rest of the
+backlog. Every batch after the first is capped; non-positive values are
+rejected (omit the option for no limit).
+
+.. warning:: **Restart gap — the cap does NOT protect the first batch
+   after a restart.** A query restarting into a long backlog replays
+   the ENTIRE backlog in one uncapped micro-batch. If an oversized
+   batch is what killed the query (executor OOM), restarting reproduces
+   it — a crash loop in exactly the scenario the option targets. Until
+   the Python streaming-source API exposes the checkpointed start to
+   ``latestOffset()``, operators hitting this should either (a) raise
+   executor memory / shrink ``spark.sql.files.maxPartitionBytes`` for
+   one catch-up run, or (b) start a FRESH checkpoint with
+   ``startingVersion`` pinned just past the stuck offset — safe only
+   when the sink is idempotent (e.g. ``foreachBatch`` +
+   ``txn_app``/``txn_version``), since a new checkpoint forgets sink
+   progress.
 
 Executors read the immutable data files with pyarrow directly (no Spark
 job inside the source) — the same shared-filesystem assumption the

@@ -101,30 +101,35 @@ def test_registry_source_has_no_duplicate_keys():
 
 #: queries that MUST be inside the driver's first-50 window this round.
 #: Keep this list in sync with the rotation comment in queries():
-#: (a) the 14 remaining queries last driver-verified in round 6 — the
-#: oldest evidence left in the registry after the round-9 rotation;
-#: (b) store_restore, whose execution path changed this round (the
-#: restore-undo rebase-retry) plus kv_acid_ops, which exercises the
-#: rewritten orphan-sidecar vacuum directly.
-ROUND10_WINDOW_MUST = {
-    # (a) last driver-verified r6
-    "stream_gaps", "multimodal_resize", "multimodal_frames",
-    "stream_cusum", "bpe_merges", "seasonal_profile", "stream_join",
-    "contamination", "tfidf_terms", "asof_join", "sessionize",
-    "time_rollup", "range_join", "event_rollup",
-    # (b) execution paths changed in round 10 (+ the new optimize,
-    # idempotent-txn, and semantic-dedup ops)
-    "store_restore", "kv_acid_ops", "store_optimize", "store_txn",
-    "semantic_dedup", "cluster_balance",
+#: (a) the 17 queries whose last driver verification was round 8 — the
+#: oldest evidence left in the registry after the round-10 rotation
+#: (the whole dedup family, corpus cleaning, the TPC-H trio, the
+#: streaming dedup/session pair, token_pack, rebalance_mix,
+#: lookup_filter, similarity_bruteforce);
+#: (b) queries whose execution paths change in round 11: semantic_dedup
+#: (mega-cluster exact-dup drop), attr_store_update (AttrStore.delete
+#: key-tuple bound), rest_sync_pull (auth token hook), store_txn
+#: (update/replace-mode idempotent txn), kv_store_overlay (driver-
+#: rewrite row cap).
+ROUND11_WINDOW_MUST = {
+    # (a) last driver-verified r8
+    "lookup_filter", "token_pack", "segment_dedup", "rebalance_mix",
+    "stream_sessions", "stream_dedup", "pricing_summary", "top_revenue",
+    "regional_revenue", "dedup_exact", "dedup_minhash", "dedup_jaccard",
+    "dedup_simhash", "dedup_clusters", "clean_corpus", "clean_corpus_cc",
+    "similarity_bruteforce",
+    # (b) execution paths changed in round 11
+    "semantic_dedup", "attr_store_update", "rest_sync_pull",
+    "store_txn", "kv_store_overlay",
 }
 
 
-def test_driver_window_contains_round10_rotation_set():
+def test_driver_window_contains_round11_rotation_set():
     # every query whose evidence is stale — oldest driver rows, or whose
-    # execution path changed this round (vacuum/restore bookkeeping) —
-    # must sit inside the driver's checked first-50 window
+    # execution path changed this round — must sit inside the driver's
+    # checked first-50 window
     window = set(list(entry_mod.queries())[:50])
-    missing = ROUND10_WINDOW_MUST - window
+    missing = ROUND11_WINDOW_MUST - window
     assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND10_WINDOW_MUST - set(entry_mod.queries())
+    unknown = ROUND11_WINDOW_MUST - set(entry_mod.queries())
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"

@@ -2377,13 +2377,15 @@ class TestRound10ReviewFindings:
     """Regressions for the round-10 code-review findings on the ADVICE
     fixes themselves."""
 
-    def test_restore_undo_retry_does_not_duplicate_interleaved_write(
+    def test_restore_undo_preserves_interleaved_rewrite(
         self, spark, tmpdir, monkeypatch
     ):
-        # review #1: the undo retry must RECOMPUTE its file sets against
-        # the fresh snapshot — replaying the first attempt's fixed swap
-        # sets over an interleaved rewrite of key K would leave BOTH
-        # generations of K live (silent duplicate rows)
+        # review #1 (behavior revised by ADVICE r10): a third writer
+        # rewriting K between the restore commit and the undo must NOT
+        # have its durably-acknowledged write silently reverted. Here
+        # the rewrite supersedes every dangling reference, so the table
+        # is consistent as-is: the undo is SKIPPED, the writer's data
+        # survives, and no duplicate generation appears.
         st = acid_store(spark, tmpdir, name="undodup")
         b = ChunkStore(spark, st.path, st.config)
         st.set_ts({"site": "x"}, hourly("2024-01-01", 48, value=1.0))
@@ -2401,25 +2403,113 @@ class TestRound10ReviewFindings:
                 state["fired"] = True
                 # a third writer rewrites K between the restore commit
                 # and the undo — the undo's first attempt must conflict,
-                # and its retry must still return the table EXACTLY to
-                # the pre-restore state
+                # and its retry must leave that write intact
                 b.set_ts({"site": "x"},
                          hourly("2024-01-01", 48, value=9.0), replace=True)
             return real_commit(self, base_version, op, op_id, adds,
                                removes, **kw)
 
         monkeypatch.setattr(TxLog, "commit", interleaving_commit)
-        with pytest.raises(ValueError, match="raced a vacuum"):
+        with pytest.raises(ValueError, match="rewritten every dangling"):
             st.restore(v1)
         assert state["fired"]
         monkeypatch.undo()
         st.refresh()
         got = st.get_ts({"site": "x"})
-        assert (got == 2.0).all(), got.unique()  # pre-restore state, one gen
+        # the interleaved writer's acknowledged write SURVIVES
+        assert (got == 9.0).all(), got.unique()
         # no physical duplicates: each grid slot appears exactly once
         dup = (st.alive_data().groupBy("site", "ts").count()
                .filter("count > 1").count())
         assert dup == 0
+        # and no undo commit reverted it
+        top = st.history().collect()[0]
+        assert "restore-undo" not in top["op"]
+
+    def test_restore_undo_folds_interleaved_pure_append(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # ADVICE r10: a concurrent PURE APPEND (new key, no removes)
+        # landing between the broken restore and the undo must be folded
+        # into the undo target — its files stay live while the restore's
+        # swap is reverted
+        st = acid_store(spark, tmpdir, name="undofold")
+        b = ChunkStore(spark, st.path, st.config)
+        st.set_ts({"site": "x"}, hourly("2024-01-01", 48, value=1.0))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "x"}, hourly("2024-01-01", 48, value=2.0),
+                  replace=True)
+        TestRound10AdviceFixes._arm_vacuum_race(
+            TestRound10AdviceFixes(), st, v1, monkeypatch)
+        real_commit = TxLog.commit
+        state = {"fired": False}
+
+        def interleaving_commit(self, base_version, op, op_id, adds,
+                                removes, **kw):
+            if "restore-undo" in op and not state["fired"]:
+                state["fired"] = True
+                b.set_ts({"site": "z"},  # brand-new key: adds only
+                         hourly("2024-01-01", 24, value=7.0))
+            return real_commit(self, base_version, op, op_id, adds,
+                               removes, **kw)
+
+        monkeypatch.setattr(TxLog, "commit", interleaving_commit)
+        with pytest.raises(ValueError, match="the restore was undone"):
+            st.restore(v1)
+        assert state["fired"]
+        monkeypatch.undo()
+        st.refresh()
+        # restore swap reverted: x back to the pre-restore generation
+        assert (st.get_ts({"site": "x"}) == 2.0).all()
+        # the interleaved append survives the undo
+        assert (st.get_ts({"site": "z"}) == 7.0).all()
+        dup = (st.alive_data().groupBy("site", "ts").count()
+               .filter("count > 1").count())
+        assert dup == 0
+
+    def test_restore_undo_refuses_on_unfoldable_rewrite(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # ADVICE r10: when a concurrent commit REWROTE keys after the
+        # broken restore (removes present) and dangling references
+        # remain for OTHER keys, the undo must refuse loudly — naming
+        # the commit — instead of force-restoring over that writer's
+        # acknowledged data
+        st = acid_store(spark, tmpdir, name="undorefuse")
+        b = ChunkStore(spark, st.path, st.config)
+        st.set_ts({"site": "x"}, hourly("2024-01-01", 48, value=1.0))
+        st.set_ts({"site": "y"}, hourly("2024-01-01", 48, value=1.5))
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "x"}, hourly("2024-01-01", 48, value=2.0),
+                  replace=True)
+        st.set_ts({"site": "y"}, hourly("2024-01-01", 48, value=2.5),
+                  replace=True)
+        TestRound10AdviceFixes._arm_vacuum_race(
+            TestRound10AdviceFixes(), st, v1, monkeypatch)
+        real_commit = TxLog.commit
+        state = {"fired": False}
+
+        def interleaving_commit(self, base_version, op, op_id, adds,
+                                removes, **kw):
+            if "restore-undo" in op and not state["fired"]:
+                state["fired"] = True
+                # rewrites x only; y's restored files remain dangling
+                b.set_ts({"site": "x"},
+                         hourly("2024-01-01", 48, value=9.0), replace=True)
+            return real_commit(self, base_version, op, op_id, adds,
+                               removes, **kw)
+
+        monkeypatch.setattr(TxLog, "commit", interleaving_commit)
+        with pytest.raises(RuntimeError, match="rewrote the table"):
+            st.restore(v1)
+        assert state["fired"]
+        monkeypatch.undo()
+        st.refresh()
+        # the interleaved writer's data was NOT reverted
+        assert (st.get_ts({"site": "x"}) == 9.0).all()
+        # no undo commit landed
+        top = st.history().collect()[0]
+        assert "restore-undo" not in top["op"]
 
     def test_deep_sweep_notes_young_nested_dir_contents(self, spark, tmpdir):
         # review #2: a YOUNG nested staging dir (writer killed mid-write
@@ -2927,6 +3017,17 @@ class TestIdempotentTxn:
         with pytest.raises(ValueError, match="txn_version"):
             st.ingest_long(self._long(spark, "a", "2024-01-01", 4, 1.0),
                            mode="insert", txn_app="sink")
+        # ADVICE r10: negative versions must be rejected loudly — the
+        # store-layer replay pre-check compares against a watermark
+        # defaulting to -1, so txn_version <= -1 on a first-ever write
+        # would be silently skipped as "already applied"
+        with pytest.raises(ValueError, match="non-negative"):
+            st.ingest_long(self._long(spark, "a", "2024-01-01", 4, 1.0),
+                           mode="insert", txn_app="sink", txn_version=-1)
+        from holcstore_spark.sources.txlog import resolve_txn
+        with pytest.raises(ValueError, match="non-negative"):
+            resolve_txn(True, "sink", -5)
+        assert resolve_txn(True, "sink", 0) == ("sink", 0)
 
 
 def _mp_txn_writer(root, wid, n_batches, out_q):
