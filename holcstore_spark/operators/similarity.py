@@ -454,7 +454,10 @@ def semantic_dedup_pairs(
     the published SemDeDup recipe and groups by SEMANTIC neighborhood
     rather than random hyperplane sign. ``max_cluster`` is the same
     safety valve (drop degenerate mega-clusters before the matmul goes
-    quadratic; None = exact oracle parity).
+    quadratic; None = exact oracle parity). Note the keep-set function
+    :func:`semantic_dedup` is stricter over the valve: it still
+    collapses EXACT quantized duplicates inside an over-valve cluster,
+    while this pairs view scores nothing there.
 
     Scale shape: centroids train on exact integer sums (n_clusters ×
     dim literals, broadcast), assignment is one narrow Arrow pass, then
@@ -499,10 +502,14 @@ def semantic_dedup(
     The keep rule is cluster-LOCAL, so this never materializes the
     O(Σ cluster²) pairs: one shuffle groups each cluster and the same
     chunked int64 matmul emits the kept rows directly (≤ n rows out).
-    ``max_cluster`` caveat: members of a cluster larger than the valve
-    are ALL KEPT — dedup is skipped there, exact duplicates included
-    (the pairs function likewise scores nothing in such clusters); size
-    the valve to your corpus or leave it None for exact behavior."""
+    ``max_cluster`` caveat: a cluster larger than the valve skips the
+    quadratic NEAR-duplicate scoring, but EXACT duplicates (identical
+    quantized vectors, cosine exactly 1.0) are still collapsed to their
+    minimum id by a linearithmic row-unique pass — an over-valve
+    mega-cluster (the degenerate corpus the valve exists for is usually
+    mostly exact copies) cannot smuggle bit-identical documents through.
+    Near-duplicates below 1.0 remain un-scored there; size the valve to
+    your corpus or leave it None for exact behavior."""
     d = _assign_clusters(df, n_clusters, iters, id_col, vec_col)
     id_field = df.schema[id_col]
     out_schema = T.StructType([
@@ -515,10 +522,27 @@ def semantic_dedup(
         if n == 0:
             return pd.DataFrame({id_col: [], "cluster": []})
         cluster = int(pdf["__bucket"].iloc[0])
-        if (max_cluster is not None and n > max_cluster) or n < 2:
+        if n < 2:
             return pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "cluster": cluster}
             )
+        if max_cluster is not None and n > max_cluster:
+            # valve fired: skip the O(n²) matmul, but still collapse
+            # EXACT quantized duplicates — identical vectors score
+            # exactly 1.0 in the un-valved path, so drop them whenever
+            # the threshold would have (1.0 >= threshold). Zero vectors
+            # are exempt: their cosine is NaN in the un-valved path
+            # (NaN >= threshold is False → kept), mirror that here.
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            if threshold > 1.0:
+                return pd.DataFrame({id_col: ids, "cluster": cluster})
+            A = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+            keep = np.zeros(n, dtype=bool)
+            _, first_idx = np.unique(A, axis=0, return_index=True)
+            keep[first_idx] = True
+            keep[~(A != 0).any(axis=1)] = True  # zero vectors: NaN score
+            return pd.DataFrame({id_col: ids[keep], "cluster": cluster})
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         A = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
