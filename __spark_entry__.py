@@ -827,12 +827,19 @@ def q_store_get_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # request-sized collect only: the __mod cohort predicate prunes
         # Spark-side, so the driver never materializes the key catalog
         # (a batched point-read's request list is inherently
-        # driver-held; the catalog is not)
-        users = sorted(
-            r[0] for r in
+        # driver-held; the catalog is not). Capped so cohort selectivity
+        # drifting at larger SFs fails loudly instead of ballooning the
+        # driver list (VERDICT r10 harness nit).
+        _REQUEST_CAP = 5_000
+        user_rows = (
             store.alive_chunks({"user_id__mod": (3, 0)})
-            .select("user_id").distinct().collect()
+            .select("user_id").distinct().limit(_REQUEST_CAP + 1).collect()
         )
+        assert len(user_rows) <= _REQUEST_CAP, (
+            f"__mod cohort grew past the request cap ({_REQUEST_CAP}); "
+            "tighten the modulus for this SF"
+        )
+        users = sorted(r[0] for r in user_rows)
         asked = [{"user_id": int(u)} for u in users]
         got = store.get_many_ts(asked, start="2024-01-05", end="2024-01-20")
         rows = []

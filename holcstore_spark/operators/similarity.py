@@ -441,6 +441,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then score
@@ -462,20 +463,24 @@ def semantic_dedup_pairs(
     Scale shape: centroids train on exact integer sums (n_clusters ×
     dim literals, broadcast), assignment is one narrow Arrow pass, then
     ONE shuffle groups each cluster for the chunked int64 matmul."""
-    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col)
+    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col, centroids)
     return _within_bucket_pairs(d, df.schema[id_col], id_col, threshold,
                                 max_cluster)
 
 
 def _assign_clusters(
     df: DataFrame, n_clusters: int, iters: int, id_col: str, vec_col: str,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Shared prologue of the SemDeDup pair/keep functions: train the
-    deterministic integer k-means once and return the quantized frame
-    with its ``__bucket`` cluster assignment."""
-    centroids = train_ivf_centroids(
-        df, n_lists=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
-    )
+    deterministic integer k-means once (or reuse caller-supplied
+    ``centroids``) and return the quantized frame with its ``__bucket``
+    cluster assignment."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_lists=n_clusters, iters=iters, id_col=id_col,
+            vec_col=vec_col,
+        )
     d = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
     return d.withColumn(
         "__bucket", _assign_to_centroid(F.col("__q"), centroids)
@@ -490,6 +495,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """The keep-set of :func:`semantic_dedup_pairs`: within every
     cluster, any document with a LOWER-id near-duplicate (score ≥
@@ -509,8 +515,13 @@ def semantic_dedup(
     mega-cluster (the degenerate corpus the valve exists for is usually
     mostly exact copies) cannot smuggle bit-identical documents through.
     Near-duplicates below 1.0 remain un-scored there; size the valve to
-    your corpus or leave it None for exact behavior."""
-    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col)
+    your corpus or leave it None for exact behavior.
+
+    ``centroids``: pass :func:`train_ivf_centroids` output to reuse one
+    training pass across pipeline stages (e.g. this + the
+    cluster-balanced sampler) — training is the dominant fixed cost and
+    the clusters are the same."""
+    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col, centroids)
     id_field = df.schema[id_col]
     out_schema = T.StructType([
         T.StructField(id_col, id_field.dataType),
@@ -571,6 +582,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "cb",
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Cluster-balanced corpus flattening — the sampling stage that
     follows SemDeDup in a curation pipeline: partition the embedding
@@ -586,7 +598,8 @@ def cluster_balanced_sample(
     :func:`~holcstore_spark.operators.sampling.temperature_sample`)."""
     from holcstore_spark.operators.sampling import temperature_sample
 
-    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col).select(
+    d = _assign_clusters(df, n_clusters, iters, id_col, vec_col,
+                         centroids).select(
         F.col(id_col), F.col("__bucket").alias("cluster")
     )
     return temperature_sample(d, "cluster", [id_col], salt=salt)

@@ -3,7 +3,7 @@
 random embeddings, then times the dedup / similarity / text paths at a
 scale beyond the driver's sf0.1 parquet. Usage::
 
-    python scripts/perf_llm.py [n_docs] [dim]
+    python scripts/perf_llm.py [n_docs] [dim] [semantic]\n\n``semantic`` runs ONLY the clustered-embedding SemDeDup-lineage\nprobes in a clean session (the full harness carries ~15 persisted\nframes that inflate late-op timings).
 
 Prints one timing line per operator and a JSON summary line.
 """
@@ -20,7 +20,81 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def main(n_docs: int = 50_000, dim: int = 64) -> None:
+def _semantic_section(spark, n_docs, dim, timings, run):
+    """Clustered-embedding probes for the SemDeDup-lineage ops; returns
+    the cluster-size stats dict (the scale risk knobs)."""
+    # --- SemDeDup-lineage ops on CLUSTERED embeddings (round 11) -------
+    # Uniform random vectors are the WRONG shape for semantic_dedup —
+    # real embedding corpora are clustered, and the within-cluster
+    # quadratic work (bounded by cluster sizes) is THE risk parameter.
+    # Build a skewed mixture: 32 anchor directions, quadratically-skewed
+    # membership (head cluster ~5.6x the mean), per-vector noise, plus
+    # every 25th vector an exact copy of its cluster head — all
+    # executor-side arithmetic, no driver loops.
+    n_anchors = 32
+    u = ((F.xxhash64(F.col("vec_id") * 31 + 7) % 1000 + 1000) % 1000) / 1000.0
+    cl = F.floor(u * u * n_anchors).cast("int")  # quadratic skew
+    anchor = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            ((F.xxhash64(cl.cast("long") * 7919 + i) % 1000 + 1000) % 1000)
+            / 1000.0
+        ).cast("float"),
+    )
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            ((F.xxhash64(F.col("vec_id") * 1009 + i) % 100 + 100) % 100)
+            / 2000.0
+        ).cast("float"),
+    )
+    cvecs = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 25 == 0, anchor)  # exact dup of head
+            .otherwise(F.zip_with(anchor, noise, lambda a, b: a + b)),
+        )
+        .persist()
+    )
+    cvecs.count()
+
+    from holcstore_spark.operators.similarity import (
+        _assign_clusters,
+        cluster_balanced_sample,
+        semantic_dedup,
+    )
+
+    max_cluster = 20_000
+    run("semantic_dedup", lambda: semantic_dedup(
+        cvecs, n_clusters=n_anchors, threshold=0.95, iters=2,
+        max_cluster=max_cluster,
+    ))
+    run("cluster_balance", lambda: cluster_balanced_sample(
+        cvecs, n_clusters=n_anchors, iters=2,
+    ))
+    # cluster-size distribution + valve-fire rate (the scale risk knobs)
+    sizes = [
+        r["count"]
+        for r in _assign_clusters(cvecs, n_anchors, 2, "vec_id", "embedding")
+        .groupBy("__bucket").count().collect()
+    ]
+    sizes.sort(reverse=True)
+    cluster_stats = {
+        "n_clusters": len(sizes),
+        "max": sizes[0],
+        "p50": sizes[len(sizes) // 2],
+        "valve_fired": sum(1 for s in sizes if s > max_cluster),
+        "quad_work": sum(s * s for s in sizes),  # Σ size² ∝ matmul flops
+    }
+    print(f"# cluster_stats: {cluster_stats}", file=sys.stderr)
+
+    return cluster_stats
+
+
+def main(n_docs: int = 50_000, dim: int = 64,
+         only: str | None = None) -> None:
     from holcstore_spark import get_spark
 
     spark = get_spark(app_name="holc-perf-llm")
@@ -95,6 +169,20 @@ def main(n_docs: int = 50_000, dim: int = 64) -> None:
         timings[name] = round(time.perf_counter() - t0, 2)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    if only == "semantic":
+        cluster_stats = _semantic_section(spark, n_docs, dim, timings, run)
+        print(json.dumps({
+            "metric": "llm_semantic_total",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": timings,
+            "n_docs": n_docs,
+            "dim": dim,
+            "cluster_stats": cluster_stats,
+        }))
+        spark.stop()
+        return
+
     from holcstore_spark.operators.dedup import (
         connected_components,
         exact_dedup,
@@ -137,6 +225,8 @@ def main(n_docs: int = 50_000, dim: int = 64) -> None:
     run("prepare_corpus", lambda: prepare_corpus(corpus))
     run("collocations", lambda: bigram_collocations(docs, min_count=10, k=20))
 
+    cluster_stats = _semantic_section(spark, n_docs, dim, timings, run)
+
     print(json.dumps({
         "metric": "llm_ops_total",
         "value": round(sum(timings.values()), 2),
@@ -144,6 +234,7 @@ def main(n_docs: int = 50_000, dim: int = 64) -> None:
         "queries": timings,
         "n_docs": n_docs,
         "dim": dim,
+        "cluster_stats": cluster_stats,
     }))
     spark.stop()
 
@@ -152,4 +243,5 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 50_000,
         int(sys.argv[2]) if len(sys.argv) > 2 else 64,
+        sys.argv[3] if len(sys.argv) > 3 else None,
     )

@@ -1438,6 +1438,40 @@ class TestSemanticDedup:
         ).collect()}
         assert kept_full == {0, 20}
 
+    def test_shared_centroids_skip_retraining(self, vectors, monkeypatch):
+        # pipeline shape: semantic_dedup then cluster_balanced_sample
+        # retrain the SAME k-means — `centroids=` shares one training
+        # pass across ops with bit-identical results
+        import holcstore_spark.operators.similarity as sim
+
+        cents = sim.train_ivf_centroids(vectors, n_lists=2, iters=2)
+        base_keep = sorted((r["vec_id"], r["cluster"]) for r in
+                           sim.semantic_dedup(vectors, n_clusters=2,
+                                              threshold=0.5,
+                                              iters=2).collect())
+        base_samp = sorted(r["vec_id"] for r in
+                           sim.cluster_balanced_sample(
+                               vectors, n_clusters=2, iters=2).collect())
+
+        def boom(*a, **kw):
+            raise AssertionError("trainer must not run with centroids=")
+
+        monkeypatch.setattr(sim, "train_ivf_centroids", boom)
+        got_keep = sorted((r["vec_id"], r["cluster"]) for r in
+                          sim.semantic_dedup(vectors, n_clusters=2,
+                                             threshold=0.5, iters=2,
+                                             centroids=cents).collect())
+        got_samp = sorted(r["vec_id"] for r in
+                          sim.cluster_balanced_sample(
+                              vectors, n_clusters=2, iters=2,
+                              centroids=cents).collect())
+        got_pairs = sim.semantic_dedup_pairs(
+            vectors, n_clusters=2, threshold=0.5, iters=2,
+            centroids=cents).count()
+        assert got_keep == base_keep
+        assert got_samp == base_samp
+        assert got_pairs >= 0  # ran without the trainer
+
     def test_max_cluster_exact_dup_zero_vector_and_threshold_edges(
         self, spark
     ):
