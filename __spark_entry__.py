@@ -2315,6 +2315,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id"), F.col("cluster").cast("int"))
 
 
+def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: the max_cluster VALVE path of semantic_dedup
+    (operators/similarity.py cluster_keep) — a cluster larger than the
+    valve skips the quadratic near-dup matmul but still collapses
+    exact-quantized duplicates to their minimum id (zero vectors
+    exempt). Ten exact clones (re-id'd +1e6) are unioned in so the
+    collapse is observable; with n_clusters=4 and max_cluster=120, two
+    of the four clusters exceed the valve at sf0.01 (BOTH paths
+    exercised in one query) and all four do at sf0.1. The oracle
+    unrolls the identical k-means and applies the size-switched keep
+    rule per cluster."""
+    from holcstore_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = (
+        e.orderBy("vec_id").limit(10)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    out = semantic_dedup(
+        e.unionByName(clones), n_clusters=4, threshold=0.2, iters=2,
+        max_cluster=120,
+    )
+    return out.select(F.col("vec_id"), F.col("cluster").cast("int"))
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10: cluster-balanced sampling (similarity.py
     cluster_balanced_sample) — the stage after SemDeDup when no domain
@@ -3212,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         # -- (b) execution path changed this round --------------------
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
         "attr_store_update": q_attr_store_update,
         "rest_sync_pull": q_rest_sync_pull,
         "store_txn": q_store_txn,
@@ -3244,9 +3270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "doc_chunks": q_doc_chunks,
         "embed_quantize": q_embed_quantize,
-        "lm_surprisal": q_lm_surprisal,
         # ====== driver 50-entry window ends here (50 above) ========
         # -- tail: remaining r9-verified (rotate round 12) ------------
+        "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
         "stream_sliding": q_stream_sliding,
         "temperature_sample": q_temperature_sample,
@@ -4066,6 +4092,51 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST(list AS INTEGER) AS cluster FROM cand
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+    semantic_dedup_capped_sql = f"""
+        WITH v AS (
+            SELECT vec_id, {quant} AS vq FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, {quant}
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)
+        ),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vq AS cv
+            FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT 4)
+        ),
+        a1 AS ({_ivf_assign('seeds')}),
+        c1 AS ({_ivf_update('a1', 'seeds')}),
+        a2 AS ({_ivf_assign('c1')}),
+        c2 AS ({_ivf_update('a2', 'c1')}),
+        cand AS ({_ivf_assign('c2')}),
+        sizes AS (SELECT list, count(*) AS n FROM cand GROUP BY list),
+        small_dropped AS (
+            -- under-valve clusters: the full near-dup keep rule
+            SELECT DISTINCT c.vec_id
+            FROM cand a JOIN cand c USING (list) JOIN sizes s USING (list)
+            WHERE s.n <= 120 AND a.vec_id < c.vec_id
+              AND list_dot_product(a.vq::DOUBLE[], c.vq::DOUBLE[])
+                    / (sqrt(list_dot_product(a.vq::DOUBLE[], a.vq::DOUBLE[]))
+                       * sqrt(list_dot_product(c.vq::DOUBLE[], c.vq::DOUBLE[])))
+                  >= 0.2
+        ),
+        big_dropped AS (
+            -- over-valve clusters: ONLY exact-quantized duplicates drop
+            -- (nonzero vectors; zero vectors score NaN un-valved -> kept)
+            SELECT c.vec_id
+            FROM cand c JOIN sizes s USING (list)
+            WHERE s.n > 120
+              AND list_dot_product(c.vq::DOUBLE[], c.vq::DOUBLE[]) > 0
+              AND EXISTS (
+                  SELECT 1 FROM cand a
+                  WHERE a.list = c.list AND a.vq = c.vq
+                    AND a.vec_id < c.vec_id
+              )
+        )
+        SELECT vec_id, CAST(list AS INTEGER) AS cluster FROM cand
+        WHERE vec_id NOT IN (SELECT vec_id FROM small_dropped)
+          AND vec_id NOT IN (SELECT vec_id FROM big_dropped)
     """
 
     # cluster-balanced sampling oracle: the same unrolled k-means CTEs,
@@ -4905,6 +4976,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": similarity_ivf,
         "similarity_neardup": similarity_neardup,
         "semantic_dedup": semantic_dedup_sql,
+        "semantic_dedup_capped": semantic_dedup_capped_sql,
         "cluster_balance": cluster_balance_sql,
         "text_stats": text_stats_sql,
         "doc_fingerprints": doc_fingerprints,
