@@ -487,6 +487,43 @@ def _assign_clusters(
     )
 
 
+def _np_bisect_labels(A: "np.ndarray") -> "np.ndarray | None":
+    """Deterministic in-executor binary split of an oversized cluster
+    (bisecting-k-means step): seeds are row 0 and the row FARTHEST from
+    it (farthest-point seeding — near-duplicate rows can never both
+    become seeds, so tight groups split along real direction boundaries,
+    not through themselves), two Lloyd iterations with exact int64
+    distances, ties to the lower label, truncated-mean updates. Returns
+    None when no progress is possible (all rows identical, or one side
+    ends empty)."""
+    a0 = A[0]
+    d0 = ((A - a0) ** 2).sum(axis=1)
+    far = int(d0.argmax())  # first max — deterministic tie-break
+    if d0[far] == 0:
+        return None  # every row identical to row 0
+    cents = np.stack([a0, A[far]]).astype(np.int64)
+    na = (A * A).sum(axis=1)
+
+    def assign(c):
+        # ||a-c||² = ||a||² - 2a·c + ||c||²; n×2 ints, never n×2×dim
+        dots = A @ c.T
+        nc = (c * c).sum(axis=1)
+        return (na[:, None] - 2 * dots + nc[None, :]).argmin(axis=1)
+
+    for _ in range(2):
+        labels = assign(cents)
+        for j in (0, 1):
+            m = labels == j
+            if m.any():
+                cents[j] = np.trunc(
+                    A[m].sum(axis=0, dtype=np.int64) / int(m.sum())
+                ).astype(np.int64)
+    labels = assign(cents)
+    if labels.min() == labels.max():
+        return None  # degenerate: one side empty
+    return labels
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int = 16,
@@ -496,6 +533,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster: int | None = None,
     centroids: list[list[int]] | None = None,
+    recluster_depth: int = 0,
 ) -> DataFrame:
     """The keep-set of :func:`semantic_dedup_pairs`: within every
     cluster, any document with a LOWER-id near-duplicate (score ≥
@@ -520,7 +558,20 @@ def semantic_dedup(
     ``centroids``: pass :func:`train_ivf_centroids` output to reuse one
     training pass across pipeline stages (e.g. this + the
     cluster-balanced sampler) — training is the dominant fixed cost and
-    the clusters are the same."""
+    the clusters are the same.
+
+    ``recluster_depth``: when > 0, an over-valve cluster is BISECTED
+    (deterministic farthest-point 2-means, executed in-executor on the
+    already-grouped rows — no extra shuffle) and the keep rule recurses
+    into each half, up to this many levels; halves that shrink under
+    the valve get the full near-dup scorer, and a split that makes no
+    progress (every row identical) falls back to the exact-dup
+    collapse. Depth d extends exact near-dup scoring to clusters up to
+    roughly ``max_cluster × 2^d``. Opt-in because the result is no
+    longer identical to the single-level SQL oracle unrolling
+    (bisection boundaries can separate a near-dup pair that a full
+    O(n²) scan would have caught — the standard SemDeDup
+    approximation)."""
     d = _assign_clusters(df, n_clusters, iters, id_col, vec_col, centroids)
     id_field = df.schema[id_col]
     out_schema = T.StructType([
@@ -528,35 +579,20 @@ def semantic_dedup(
         T.StructField("cluster", T.IntegerType()),
     ])
 
-    def cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n == 0:
-            return pd.DataFrame({id_col: [], "cluster": []})
-        cluster = int(pdf["__bucket"].iloc[0])
-        if n < 2:
-            return pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "cluster": cluster}
-            )
-        if max_cluster is not None and n > max_cluster:
-            # valve fired: skip the O(n²) matmul, but still collapse
-            # EXACT quantized duplicates — identical vectors score
-            # exactly 1.0 in the un-valved path, so drop them whenever
-            # the threshold would have (1.0 >= threshold). Zero vectors
-            # are exempt: their cosine is NaN in the un-valved path
-            # (NaN >= threshold is False → kept), mirror that here.
-            pdf = pdf.sort_values(id_col)
-            ids = pdf[id_col].to_numpy()
-            if threshold > 1.0:
-                return pd.DataFrame({id_col: ids, "cluster": cluster})
-            A = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
-            keep = np.zeros(n, dtype=bool)
-            _, first_idx = np.unique(A, axis=0, return_index=True)
-            keep[first_idx] = True
-            keep[~(A != 0).any(axis=1)] = True  # zero vectors: NaN score
-            return pd.DataFrame({id_col: ids[keep], "cluster": cluster})
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy()
-        A = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+    def _exact_keep_mask(A: "np.ndarray") -> "np.ndarray":
+        # collapse EXACT quantized duplicates — identical vectors score
+        # exactly 1.0 in the un-valved path, so drop them whenever the
+        # threshold would have (1.0 >= threshold; callers guard
+        # threshold > 1.0). Zero vectors are exempt: their cosine is
+        # NaN un-valved (NaN >= threshold is False → kept).
+        keep = np.zeros(len(A), dtype=bool)
+        _, first_idx = np.unique(A, axis=0, return_index=True)
+        keep[first_idx] = True
+        keep[~(A != 0).any(axis=1)] = True
+        return keep
+
+    def _neardup_keep_mask(A: "np.ndarray") -> "np.ndarray":
+        n = len(A)
         norms = np.sqrt((A * A).sum(axis=1).astype(np.float64))
         dropped = np.zeros(n, dtype=bool)
         chunk = 1024
@@ -570,7 +606,49 @@ def semantic_dedup(
                 cols = np.nonzero(scores[r - lo, r + 1:] >= threshold)[0]
                 if len(cols):
                     dropped[r + 1 + cols] = True
-        return pd.DataFrame({id_col: ids[~dropped], "cluster": cluster})
+        return ~dropped
+
+    def _keep_mask(A: "np.ndarray", depth: int) -> "np.ndarray":
+        """Keep mask for one (sub-)cluster whose rows are sorted by id."""
+        n = len(A)
+        if n < 2:
+            return np.ones(n, dtype=bool)
+        if max_cluster is None or n <= max_cluster:
+            return _neardup_keep_mask(A)
+        if threshold > 1.0:
+            return np.ones(n, dtype=bool)
+        if depth <= 0:
+            return _exact_keep_mask(A)
+        # recursive re-cluster (recluster_depth > 0): bisect the
+        # oversized cluster (deterministic farthest-point 2-means) and
+        # recurse per half — O(n) per level instead of the O(n²) the
+        # valve exists to avoid; sub-clusters that shrink under the
+        # valve get the FULL near-dup scorer. A split that makes no
+        # progress (all rows identical) falls back to the exact-dup
+        # collapse.
+        labels = _np_bisect_labels(A)
+        if labels is None:
+            return _exact_keep_mask(A)
+        keep = np.zeros(n, dtype=bool)
+        for j in (0, 1):
+            idx = np.nonzero(labels == j)[0]
+            keep[idx] = _keep_mask(A[idx], depth - 1)
+        return keep
+
+    def cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "cluster": []})
+        cluster = int(pdf["__bucket"].iloc[0])
+        if n < 2:
+            return pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cluster": cluster}
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        A = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+        keep = _keep_mask(A, recluster_depth)
+        return pd.DataFrame({id_col: ids[keep], "cluster": cluster})
 
     return d.groupBy("__bucket").applyInPandas(cluster_keep, out_schema)
 

@@ -1438,6 +1438,69 @@ class TestSemanticDedup:
         ).collect()}
         assert kept_full == {0, 20}
 
+    def test_recluster_depth_scores_neardups_in_megacluster(self, spark):
+        # recluster_depth > 0: an over-valve cluster re-clusters locally
+        # and near-dups are caught INSIDE sub-clusters — depth 0 (the
+        # default valve) keeps them
+        from holcstore_spark.operators.similarity import semantic_dedup
+
+        # two tight direction groups, 6 members each, inside ONE
+        # over-valve k-means cluster (n_clusters=1)
+        rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(6)]
+        rows += [(100 + i, [0.0, 0.0, 1.0, 0.001 * i]) for i in range(6)]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        kw = dict(n_clusters=1, threshold=0.999, iters=1, max_cluster=4)
+        kept0 = {r["vec_id"] for r in semantic_dedup(d, **kw).collect()}
+        assert kept0 == {*range(6), *range(100, 106)}  # valve: no exact dups
+        kept1 = {r["vec_id"]
+                 for r in semantic_dedup(d, recluster_depth=2,
+                                         **kw).collect()}
+        # level 1 bisects the two direction groups; level 2 bisects each
+        # group at its midpoint — the four under-valve halves then run
+        # the FULL near-dup scorer, keeping only each half's min id
+        # (boundary survivors 3/103 are the documented approximation;
+        # the un-valved exact answer would be {0, 100})
+        assert kept1 == {0, 3, 100, 103}
+        # 12 → 4: the mega-cluster near-dups ARE scored now
+        assert len(kept1) < len(kept0)
+
+    def test_recluster_no_progress_falls_back_to_exact_collapse(
+        self, spark
+    ):
+        # all rows identical: k-means cannot split (one sub-cluster) —
+        # the recursion must fall back to the exact-dup collapse, not
+        # loop or keep everything
+        from holcstore_spark.operators.similarity import semantic_dedup
+
+        rows = [(i, [1.0, 2.0, 0.0, 0.0]) for i in range(8)]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        kept = {r["vec_id"] for r in semantic_dedup(
+            d, n_clusters=1, threshold=0.9, iters=1, max_cluster=4,
+            recluster_depth=3).collect()}
+        assert kept == {0}
+
+    def test_np_bisect_separates_groups_and_detects_degeneracy(self):
+        import numpy as np
+
+        from holcstore_spark.operators.similarity import _np_bisect_labels
+
+        # two tight direction groups: the farthest-point seeds land one
+        # per group, so the split follows the real boundary
+        A = np.array(
+            [[1000, i, 0, 0] for i in range(5)]
+            + [[0, 0, 1000, i] for i in range(5)], dtype=np.int64,
+        )
+        labels = _np_bisect_labels(A)
+        assert set(labels[:5]) == {0} and set(labels[5:]) == {1}
+        # identical rows: no progress — None, never a fake split
+        assert _np_bisect_labels(np.ones((6, 4), dtype=np.int64)) is None
+        # deterministic: same input, same labels
+        assert (labels == _np_bisect_labels(A)).all()
+
     def test_shared_centroids_skip_retraining(self, vectors, monkeypatch):
         # pipeline shape: semantic_dedup then cluster_balanced_sample
         # retrain the SAME k-means — `centroids=` shares one training
