@@ -2315,6 +2315,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id"), F.col("cluster").cast("int"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: incremental near-dup dedup against a persisted LSH
+    signature index (operators/dedup.py dedup_incremental) — the
+    production ingest shape: history (doc_id % 3 != 0) is minhash-banded
+    ONCE and stored; the new batch (doc_id % 3 == 0) hashes only itself
+    and joins band keys. Dropped iff a band bucket is shared with
+    history (history wins) or with a lower-id new doc. The oracle
+    replays the identical md5 minhash/banding in SQL and applies the
+    same two-sided rule."""
+    from holcstore_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_bands,
+    )
+
+    d = _docs_with_dups(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    index = minhash_bands(history, "text", "doc_id", 16, 4, 3)
+    kept = dedup_incremental(new, index, n_hashes=16, bands=4, shingle_k=3)
+    return kept.select("doc_id", "source")
+
+
 def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11: the max_cluster VALVE path of semantic_dedup
     (operators/similarity.py cluster_keep) — a cluster larger than the
@@ -3232,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -3269,9 +3292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_rollup": q_stats_rollup,
         "value_histogram": q_value_histogram,
         "doc_chunks": q_doc_chunks,
-        "embed_quantize": q_embed_quantize,
         # ====== driver 50-entry window ends here (50 above) ========
         # -- tail: remaining r9-verified (rotate round 12) ------------
+        "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
         "stream_sliding": q_stream_sliding,
@@ -3846,6 +3869,33 @@ def oracle_sql() -> dict[str, str]:
         FROM bands l JOIN bands r
           ON l.band_id = r.band_id AND l.band_key = r.band_key
         WHERE l.doc_id < r.doc_id
+    """
+    dedup_incremental_sql = f"""
+        WITH src AS ({_DOCS_WITH_DUPS_SQL}),
+        shingled AS ({_SHINGLES_SQL}),
+        sigs AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM shingled
+        ),
+        bands AS ({band_rows}),
+        new_bands AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+        old_bands AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+        dropped AS (
+            SELECT DISTINCT nb.doc_id FROM new_bands nb
+            WHERE EXISTS (
+                    SELECT 1 FROM old_bands ob
+                    WHERE ob.band_id = nb.band_id
+                      AND ob.band_key = nb.band_key)
+               OR EXISTS (
+                    SELECT 1 FROM new_bands nb2
+                    WHERE nb2.band_id = nb.band_id
+                      AND nb2.band_key = nb.band_key
+                      AND nb2.doc_id < nb.doc_id)
+        )
+        SELECT doc_id, source FROM src
+        WHERE doc_id % 3 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM dropped)
     """
     # transitive closure of the pair graph via recursive CTE: every node's
     # cluster id is the minimum node id it can reach
@@ -4964,6 +5014,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
+        "dedup_incremental": dedup_incremental_sql,
         "dedup_clusters": dedup_clusters,
         "dedup_representatives": dedup_representatives,
         "quality_filter": quality_filter,

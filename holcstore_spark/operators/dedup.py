@@ -406,3 +406,65 @@ def cluster_representatives(
             (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted signature index
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup dedup of a NEW batch against a persisted LSH signature
+    index — the production shape at 100 TB: the historical corpus is
+    shingled/minhashed ONCE and its ``(id, band_id, band_key)`` bands
+    (:func:`minhash_bands` output) are stored as a table; each ingest
+    batch hashes only itself and joins band keys. Append the kept
+    batch's bands to the index after each run and the cost per ingest
+    stays O(batch), never O(corpus).
+
+    Keep rule per new document: DROPPED iff it shares any band bucket
+    with an indexed document (history wins — the id spaces need not be
+    comparable), or with a lower-id NEW document (the batch-internal
+    keep-the-first rule, bucket-local like
+    :func:`minhash_candidate_pairs`). Returns the kept new rows with
+    all their columns.
+
+    Scale shape: ONE shuffle — new bands union the (already hashed,
+    text-free) index rows, grouped by band bucket; the per-bucket
+    aggregate carries only new ids. ``max_bucket`` is the same
+    pathological-bucket valve as the pairs path: oversized buckets are
+    dropped from candidate generation, so their new docs are KEPT (run
+    :func:`exact_dedup` first for boilerplate, as ``clean_corpus``
+    does).
+    """
+    nb = minhash_bands(new_docs, text, id_col, n_hashes, bands, shingle_k)
+    u = nb.withColumn("__new", F.lit(True)).unionByName(
+        index.select(F.col(id_col), "band_id", "band_key")
+        .withColumn("__new", F.lit(False))
+    )
+    g = u.groupBy("band_id", "band_key").agg(
+        F.max(F.when(~F.col("__new"), 1).otherwise(0)).alias("__has_old"),
+        F.min(F.when(F.col("__new"), F.col(id_col))).alias("__min_new"),
+        # collect_list skips nulls: only the NEW ids are carried
+        F.collect_list(F.when(F.col("__new"), F.col(id_col))).alias("__new_ids"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    if max_bucket is not None:
+        g = g.filter(F.col("__n") <= max_bucket)
+    dropped = (
+        g.select(F.explode("__new_ids").alias(id_col),
+                 "__has_old", "__min_new")
+        .filter((F.col("__has_old") == 1)
+                | (F.col(id_col) > F.col("__min_new")))
+        .select(id_col)
+        .distinct()
+    )
+    return new_docs.join(dropped, on=id_col, how="left_anti")

@@ -118,10 +118,12 @@ ROUND11_WINDOW_MUST = {
     "regional_revenue", "dedup_exact", "dedup_minhash", "dedup_jaccard",
     "dedup_simhash", "dedup_clusters", "clean_corpus", "clean_corpus_cc",
     "similarity_bruteforce",
-    # (b) execution paths changed in round 11 (+ the new valve-path
-    # oracle query, driver-verified in its debut round)
-    "semantic_dedup", "semantic_dedup_capped", "attr_store_update",
-    "rest_sync_pull", "store_txn", "kv_store_overlay",
+    # (b) execution paths changed in round 11 (+ the new valve-path and
+    # incremental-dedup oracle queries, driver-verified in their debut
+    # round)
+    "semantic_dedup", "semantic_dedup_capped", "dedup_incremental",
+    "attr_store_update", "rest_sync_pull", "store_txn",
+    "kv_store_overlay",
 }
 
 

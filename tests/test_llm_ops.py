@@ -58,6 +58,46 @@ class TestDedup:
         assert (1, 3) in got           # near dup shares most shingles
         assert (1, 4) not in got and (3, 4) not in got
 
+    def test_incremental_dedup_against_signature_index(self, spark, docs):
+        # round 11: the production incremental shape — history's bands
+        # are persisted; a new batch dedups against them + itself
+        from holcstore_spark.operators.dedup import (
+            dedup_incremental,
+            minhash_bands,
+        )
+
+        index = minhash_bands(docs, "text", "doc_id", 16, 4, 3)
+        new_rows = [
+            (101, DOC),                            # near/exact dup of history
+            (102, DOC + " extra"),                 # near dup of history (3)
+            (103, "fresh unseen content about streaming watermarks state"),
+            (104, "fresh unseen content about streaming watermarks state"),
+            (105, "entirely novel sentence with zero overlap whatsoever"),
+        ]
+        new = spark.createDataFrame(
+            pd.DataFrame(new_rows, columns=["doc_id", "text"])
+        )
+        kept = sorted(r["doc_id"] for r in dedup_incremental(
+            new, index, n_hashes=16, bands=4, shingle_k=3).collect())
+        # 101/102 collide with history (history wins); 104 collides with
+        # the lower-id NEW 103; 103 and 105 survive
+        assert kept == [103, 105]
+        # kept rows carry ALL the batch's columns
+        cols = dedup_incremental(new, index).columns
+        assert cols == ["doc_id", "text"]
+        # empty index: pure batch-internal dedup, lowest id per bucket
+        empty = index.filter(F.lit(False))
+        kept2 = sorted(r["doc_id"] for r in dedup_incremental(
+            new, empty).collect())
+        # 102 drops vs the lower-id NEW 101 (near-dups of each other),
+        # 104 vs 103 — batch-internal rule only, history forgotten
+        assert kept2 == [101, 103, 105]
+        # max_bucket valve: cap below the history bucket sizes keeps
+        # the colliding new docs (documented pathological-bucket rule)
+        kept3 = sorted(r["doc_id"] for r in dedup_incremental(
+            new, index, max_bucket=1).collect())
+        assert kept3 == [101, 102, 103, 104, 105]
+
     def test_jaccard_verify_exact_values(self, spark, docs):
         pairs = spark.createDataFrame(
             pd.DataFrame([(1, 2), (1, 3), (1, 4)], columns=["id_a", "id_b"])
