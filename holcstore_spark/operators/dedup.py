@@ -465,6 +465,10 @@ def dedup_incremental(
         .filter((F.col("__has_old") == 1)
                 | (F.col(id_col) > F.col("__min_new")))
         .select(id_col)
-        .distinct()
+        # deliberately NOT distinct(): LeftAnti ignores build-side
+        # duplicates (an id dropped by several bands anti-joins the
+        # same), and the distinct would cost a second full shuffle —
+        # plan-asserted: ONE Exchange (the bucket groupBy) plus the
+        # broadcast of the dropped ids; the batch side never shuffles
     )
     return new_docs.join(dropped, on=id_col, how="left_anti")

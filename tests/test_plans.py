@@ -484,3 +484,25 @@ class TestSemanticDedupPlan:
                                        iters=1))
         assert n_nodes(txt, "Exchange") == 1, txt
         assert n_nodes(txt, r"\w*Join") == 0, txt
+
+
+class TestIncrementalDedupPlan:
+    def test_one_exchange_plus_broadcast_anti_join(self, spark):
+        # round 11: the dropped-id set must reach the anti-join WITHOUT
+        # its own distinct() shuffle (LeftAnti ignores build-side
+        # duplicates) — exactly one Exchange (the band-bucket groupBy)
+        # and a broadcast anti-join; the batch side never shuffles
+        from pyspark.sql import functions as F
+
+        from holcstore_spark.operators.dedup import (
+            dedup_incremental,
+            minhash_bands,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        history = docs.filter(F.col("doc_id") % 3 != 0)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        index = minhash_bands(history, "text", "doc_id", 16, 4, 3)
+        txt = plan_text(dedup_incremental(new, index))
+        assert n_nodes(txt, "Exchange") == 1, txt
+        assert "BroadcastHashJoin LeftAnti" in txt, txt
