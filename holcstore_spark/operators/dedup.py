@@ -444,6 +444,21 @@ def dedup_incremental(
     dropped from candidate generation, so their new docs are KEPT (run
     :func:`exact_dedup` first for boilerplate, as ``clean_corpus``
     does).
+
+    Streaming recipe: run this INSIDE ``foreachBatch`` — each
+    micro-batch is a "new batch", the index a static table the sink
+    appends kept bands to::
+
+        def sink(batch, batch_id):
+            idx = spark.read.parquet(index_path)
+            kept = dedup_incremental(batch, idx)
+            kept.write.mode("append").parquet(out_path)
+            minhash_bands(kept).write.mode("append").parquet(index_path)
+
+    (a stream-static band join formulation would re-scan the
+    corpus-sized index once per band per micro-batch; the foreachBatch
+    shape reads it once per batch and keeps the within-batch
+    lowest-id rule).
     """
     nb = minhash_bands(new_docs, text, id_col, n_hashes, bands, shingle_k)
     u = nb.withColumn("__new", F.lit(True)).unionByName(

@@ -241,6 +241,65 @@ class TestStreamSessionsAndDedup:
         spark.catalog.dropTempView("sd_t")
         assert sorted(r["event_id"] for r in rows) == [0, 1, 2, 3, 4]
 
+    def test_stream_incremental_dedup_foreachbatch_recipe(
+        self, spark, tmp_store_path
+    ):
+        """Round 11: the documented streaming shape for
+        dedup_incremental — foreachBatch reads the persisted signature
+        index, dedups the micro-batch against history + itself, appends
+        the kept docs' bands back to the index; a doc duplicated in a
+        LATER batch is caught by the grown index."""
+        from holcstore_spark.operators.dedup import (
+            dedup_incremental,
+            minhash_bands,
+        )
+
+        src = os.path.join(tmp_store_path, "sid_src")
+        ckpt = os.path.join(tmp_store_path, "sid_ckpt")
+        idx_path = os.path.join(tmp_store_path, "sid_index")
+        out_path = os.path.join(tmp_store_path, "sid_out")
+        os.makedirs(src)
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again today for testing")
+        # history: doc 1 — seed the index before any batch
+        hist = spark.createDataFrame(
+            pd.DataFrame([(1, base)], columns=["doc_id", "text"])
+        )
+        minhash_bands(hist, "text", "doc_id", 16, 4, 3).write.parquet(idx_path)
+        # batch 1 (file a): 10 dups history, 11 fresh; batch 2 (file b):
+        # 12 dups the KEPT 11 from batch 1, 13 fresh
+        fresh1 = "completely different words about spark engines and joins"
+        fresh2 = "novel third document mentioning watermarks and state stores"
+        pd.DataFrame([(10, base + " extra"), (11, fresh1)],
+                     columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, "a.parquet"))
+
+        def sink(batch, batch_id):
+            idx = batch.sparkSession.read.parquet(idx_path)
+            kept = dedup_incremental(batch, idx, n_hashes=16, bands=4,
+                                     shingle_k=3)
+            kept.write.mode("append").parquet(out_path)
+            minhash_bands(kept, "text", "doc_id", 16, 4, 3).write.mode(
+                "append").parquet(idx_path)
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        pd.DataFrame([(12, fresh1 + " tail"), (13, fresh2)],
+                     columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, "b.parquet"))
+        q2 = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        assert q2.awaitTermination(120)
+        kept_ids = sorted(r["doc_id"]
+                          for r in spark.read.parquet(out_path).collect())
+        # 10 near-dups history(1); 12 near-dups kept 11 via the GROWN
+        # index; 11 and 13 survive
+        assert kept_ids == [11, 13]
+
 
 class TestStreamCusum:
     def test_state_continues_across_micro_batches(self, spark, tmp_store_path):
