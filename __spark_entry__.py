@@ -835,10 +835,11 @@ def q_store_get_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.alive_chunks({"user_id__mod": (3, 0)})
             .select("user_id").distinct().limit(_REQUEST_CAP + 1).collect()
         )
-        assert len(user_rows) <= _REQUEST_CAP, (
-            f"__mod cohort grew past the request cap ({_REQUEST_CAP}); "
-            "tighten the modulus for this SF"
-        )
+        if len(user_rows) > _REQUEST_CAP:  # not assert: -O must not strip it
+            raise ValueError(
+                f"__mod cohort grew past the request cap ({_REQUEST_CAP}); "
+                "tighten the modulus for this SF"
+            )
         users = sorted(r[0] for r in user_rows)
         asked = [{"user_id": int(u)} for u in users]
         got = store.get_many_ts(asked, start="2024-01-05", end="2024-01-20")
@@ -3235,7 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the TPC-H trio; (b) queries whose execution paths change this
     # round (semantic_dedup mega-cluster exact-dup fix, AttrStore.delete
     # key-tuple bound, REST sync auth hook, update/replace-mode
-    # idempotent txn, KV driver-rewrite row cap); (c) 28 of the
+    # idempotent txn, KV driver-rewrite row cap); (c) 26 of the
     # round-9-verified block. The tail is the remaining r9-verified
     # queries (rotate round 12) followed by the round-10-verified window.
     return {

@@ -80,6 +80,30 @@ class TxnAlreadyApplied(Exception):
     notes them as vacuum-able orphans on the way out)."""
 
 
+def entries_may_share_keys(a: dict, b: dict) -> bool:
+    """Can two manifest entries hold rows with the SAME key tuple?
+    Per-key bounding-box intersection over the recorded file stats;
+    missing/incomparable stats on either side are conservative (True).
+    Chunk ranges are deliberately NOT compared — the same key spans many
+    chunks, and the collisions this guards against (duplicate
+    generations / version slots for one key) are per-key, not
+    per-chunk."""
+    sa = a.get("key_stats") or None
+    sb = b.get("key_stats") or None
+    if not sa or not sb:
+        return True
+    for col, rng_a in sa.items():
+        rng_b = sb.get(col)
+        if not rng_b:
+            continue
+        try:
+            if rng_a[0] > rng_b[1] or rng_b[0] > rng_a[1]:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 def resolve_txn(acid: bool, txn_app, txn_version) -> tuple[str, int] | None:
     """Validate and normalize an idempotent-writer identity — the ONE
     place the txn argument contract lives (shared by all three stores'
@@ -1268,6 +1292,24 @@ class TxLog:
                         t: set() for t in self.TABLES
                     }
                     unfoldable: list[str] = []
+                    # the files the undo will RE-ADD (pre-restore
+                    # generation): a foldable append must be provably
+                    # key-disjoint from them — appended rows were
+                    # versioned/existence-checked against the RESTORED
+                    # generation, so a same-key append folded next to
+                    # the re-added pre-restore rows would leave two
+                    # generations (or two equal version slots) live for
+                    # that key at once (review r11). Data rows only:
+                    # meta rows resolve latest-wins by Lamport op_id.
+                    snap_all_paths = {
+                        e["path"]
+                        for t in self.TABLES
+                        for e in snap.files[t]
+                    }
+                    pre_readds = [
+                        e for e in cur.files.get("data", [])
+                        if e["path"] not in snap_all_paths
+                    ]
                     for lv in range(v_new + 1, snap.version + 1):
                         try:
                             lrec = self.read(lv)
@@ -1278,6 +1320,16 @@ class TxLog:
                                for t in self.TABLES):
                             unfoldable.append(
                                 f"v{lv} ({lrec.get('op')!r})"
+                            )
+                            continue
+                        if any(
+                            entries_may_share_keys(ae, re)
+                            for ae in lrec["adds"].get("data", [])
+                            for re in pre_readds
+                        ):
+                            unfoldable.append(
+                                f"v{lv} ({lrec.get('op')!r}, "
+                                f"key-overlapping append)"
                             )
                             continue
                         for t in self.TABLES:
@@ -1313,9 +1365,11 @@ class TxLog:
                             f"were deleted, e.g. {gone[0]!r}) AND "
                             f"concurrent commit(s) "
                             f"{', '.join(unfoldable)} rewrote the table "
-                            f"after the broken restore — undoing it "
-                            f"would silently revert their "
-                            f"durably-acknowledged writes. The table "
+                            f"(or appended key-overlapping rows) after "
+                            f"the broken restore — undoing it would "
+                            f"silently revert their durably-acknowledged "
+                            f"writes, or leave two generations of a key "
+                            f"live at once. The table "
                             f"currently references deleted files; reads "
                             f"of those paths will fail. Repair: re-run "
                             f"restore_commit({cur.version}) once the "

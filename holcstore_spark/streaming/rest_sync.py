@@ -38,6 +38,23 @@ import pandas as pd
 
 from holcstore_spark.sources.chunk_store import ChunkStore
 
+def _validate_token(auth_token: str | None) -> str | None:
+    """Reject tokens that cannot travel in an HTTP header: urllib encodes
+    headers as latin-1 (a wider token crashes the CLIENT mid-request) and
+    whitespace/control characters corrupt header framing. Printable ASCII
+    only — validated at configuration time so misconfiguration fails
+    loudly up front, not per-request."""
+    if auth_token is None:
+        return None
+    t = str(auth_token)
+    if not t or not all(33 <= ord(c) <= 126 for c in t):
+        raise ValueError(
+            "auth_token must be non-empty printable ASCII without spaces "
+            "(it travels in an HTTP Authorization header)"
+        )
+    return t
+
+
 def _coerce_filters(store: ChunkStore, raw: dict[str, str]) -> dict:
     """Query-string filter values arrive as strings; coerce them to the
     store's declared key types so predicates compare correctly."""
@@ -104,7 +121,17 @@ class _SyncHandler(BaseHTTPRequestHandler):
         if token is None:
             return True
         got = self.headers.get("Authorization", "")
-        return hmac.compare_digest(got, f"Bearer {token}")
+        # compare BYTES: compare_digest on str raises TypeError for
+        # non-ASCII input, so an attacker-sent >0x7f header byte would
+        # crash the handler with a traceback (connection reset — which
+        # the client then backoff-retries as transient) instead of
+        # returning 401. http.server decodes raw header bytes as
+        # latin-1, so encoding back as latin-1 recovers them exactly;
+        # the configured token is ASCII by _validate_token.
+        want = f"Bearer {token}"
+        return hmac.compare_digest(
+            got.encode("latin-1"), want.encode("latin-1")
+        )
 
     def do_GET(self):  # noqa: N802 (http.server API)
         if not self._authorized():
@@ -198,7 +225,7 @@ def make_sync_server(store: ChunkStore, host: str = "127.0.0.1",
         raise ValueError("REST sync requires a store created with allow_sync=True")
     srv = ThreadingHTTPServer((host, port), _SyncHandler)
     srv.store = store  # type: ignore[attr-defined]
-    srv.auth_token = auth_token  # type: ignore[attr-defined]
+    srv.auth_token = _validate_token(auth_token)  # type: ignore[attr-defined]
     return srv
 
 
@@ -236,7 +263,7 @@ class RestSyncClient:
         #: sent as ``Authorization: Bearer <token>`` on every request
         #: when set (see make_sync_server(auth_token=)). A 401/403 is
         #: terminal — retrying a bad credential cannot heal it.
-        self.auth_token = auth_token
+        self.auth_token = _validate_token(auth_token)
 
     # ------------------------------------------------------------------
     def _request(self, url: str, payload=None):

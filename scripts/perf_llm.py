@@ -3,7 +3,11 @@
 random embeddings, then times the dedup / similarity / text paths at a
 scale beyond the driver's sf0.1 parquet. Usage::
 
-    python scripts/perf_llm.py [n_docs] [dim] [semantic]\n\n``semantic`` runs ONLY the clustered-embedding SemDeDup-lineage\nprobes in a clean session (the full harness carries ~15 persisted\nframes that inflate late-op timings).
+    python scripts/perf_llm.py [n_docs] [dim] [semantic]
+
+``semantic`` runs ONLY the clustered-embedding SemDeDup-lineage
+probes in a clean session (the full harness carries ~15 persisted
+frames that inflate late-op timings).
 
 Prints one timing line per operator and a JSON summary line.
 """
@@ -64,20 +68,30 @@ def _semantic_section(spark, n_docs, dim, timings, run):
         _assign_clusters,
         cluster_balanced_sample,
         semantic_dedup,
+        train_ivf_centroids,
     )
+
+    # ONE training pass shared by all three consumers below (the
+    # centroids= passthrough exists for exactly this pipeline shape);
+    # timed separately so the fixed cost is visible
+    t0 = time.perf_counter()
+    cents = train_ivf_centroids(cvecs, n_lists=n_anchors, iters=2)
+    timings["kmeans_train"] = round(time.perf_counter() - t0, 2)
+    print(f"# kmeans_train: {timings['kmeans_train']}s", file=sys.stderr)
 
     max_cluster = 20_000
     run("semantic_dedup", lambda: semantic_dedup(
         cvecs, n_clusters=n_anchors, threshold=0.95, iters=2,
-        max_cluster=max_cluster,
+        max_cluster=max_cluster, centroids=cents,
     ))
     run("cluster_balance", lambda: cluster_balanced_sample(
-        cvecs, n_clusters=n_anchors, iters=2,
+        cvecs, n_clusters=n_anchors, iters=2, centroids=cents,
     ))
     # cluster-size distribution + valve-fire rate (the scale risk knobs)
     sizes = [
         r["count"]
-        for r in _assign_clusters(cvecs, n_anchors, 2, "vec_id", "embedding")
+        for r in _assign_clusters(cvecs, n_anchors, 2, "vec_id", "embedding",
+                                  centroids=cents)
         .groupBy("__bucket").count().collect()
     ]
     sizes.sort(reverse=True)

@@ -298,6 +298,36 @@ class TestRestAuth:
         got = client_store.get_ts({"site": "s0"})
         assert (got.dropna() == 1.0).all()
 
+    def test_non_ascii_header_is_401_not_crash(self, auth_pair):
+        # review r11: hmac.compare_digest on str raises TypeError for
+        # non-ASCII — an attacker-sent >0x7f header byte must yield a
+        # clean 401, never a handler traceback / connection reset
+        import http.client
+
+        server_store, client_store, endpoint = auth_pair
+        host, port = endpoint.removeprefix("http://").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=10)
+        conn.putrequest("GET", "/updates?since=1970-01-01T00:00:00")
+        conn.putheader("Authorization", "Bearer s\xe9cret")  # latin-1 0xe9
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 401
+        conn.close()
+
+    def test_non_header_safe_token_rejected_at_config(
+        self, spark, tmp_store_path
+    ):
+        # review r11: a token urllib cannot encode (or with spaces /
+        # control chars) must fail loudly at configuration time, not
+        # brick every request at runtime
+        store = ChunkStore(spark, os.path.join(tmp_store_path, "tkv"),
+                           ChunkStoreConfig(**CFG))
+        for bad in ["", "s\xe9cret", "has space", "tab\tchar", "emoji€"]:
+            with pytest.raises(ValueError, match="printable ASCII"):
+                make_sync_server(store, auth_token=bad)
+            with pytest.raises(ValueError, match="printable ASCII"):
+                RestSyncClient("http://x", store, auth_token=bad)
+
     def test_open_server_still_open(self, pair):
         # default unchanged: no token configured, anonymous pull works
         server_store, client_store, endpoint = pair

@@ -2467,6 +2467,70 @@ class TestRound10ReviewFindings:
                .filter("count > 1").count())
         assert dup == 0
 
+    def test_restore_undo_refuses_key_overlapping_append(
+        self, spark, tmpdir, monkeypatch
+    ):
+        # review r11: a pure append is only foldable when provably
+        # key-DISJOINT from the pre-restore generation the undo
+        # re-adds — an interleaved insert of a key INSIDE the re-added
+        # files' key range was versioned/existence-checked against the
+        # RESTORED generation, and folding it would leave two
+        # generations of that key live at once
+        st = acid_store(spark, tmpdir, name="undokeyovl")
+        b = ChunkStore(spark, st.path, st.config)
+        # ONE file spanning keys a..c: the re-added range is [a, c]
+        st.set_many_ts({("a",): hourly("2024-01-01", 24, value=1.0),
+                        ("c",): hourly("2024-01-01", 24, value=1.5)})
+        v1 = st._txlog.snapshot().version
+        st.set_ts({"site": "a"}, hourly("2024-01-01", 24, value=2.0),
+                  replace=True)
+        st.set_ts({"site": "c"}, hourly("2024-01-01", 24, value=2.5),
+                  replace=True)
+        TestRound10AdviceFixes._arm_vacuum_race(
+            TestRound10AdviceFixes(), st, v1, monkeypatch)
+        real_commit = TxLog.commit
+        state = {"fired": False}
+
+        def interleaving_commit(self, base_version, op, op_id, adds,
+                                removes, **kw):
+            if "restore-undo" in op and not state["fired"]:
+                state["fired"] = True
+                # "b" sits INSIDE [a, c]: overlap with the re-added
+                # pre-restore files cannot be ruled out
+                b.set_ts({"site": "b"},
+                         hourly("2024-01-01", 24, value=7.0))
+            return real_commit(self, base_version, op, op_id, adds,
+                               removes, **kw)
+
+        monkeypatch.setattr(TxLog, "commit", interleaving_commit)
+        with pytest.raises(RuntimeError, match="key-overlapping append"):
+            st.restore(v1)
+        assert state["fired"]
+        monkeypatch.undo()
+        st.refresh()
+        # the appended write was NOT reverted, and no undo landed
+        assert (st.get_ts({"site": "b"}) == 7.0).all()
+        top = st.history().collect()[0]
+        assert "restore-undo" not in top["op"]
+
+    def test_entries_may_share_keys_matrix(self):
+        from holcstore_spark.sources.txlog import entries_may_share_keys
+
+        a = {"key_stats": {"site": ["a", "c"]}}
+        assert entries_may_share_keys(a, {"key_stats": {"site": ["b", "b"]}})
+        assert not entries_may_share_keys(
+            a, {"key_stats": {"site": ["d", "z"]}})
+        # missing stats on either side: conservative
+        assert entries_may_share_keys(a, {"key_stats": None})
+        assert entries_may_share_keys({}, a)
+        # a second disjoint key dimension rules the pair out
+        two = {"key_stats": {"site": ["a", "c"], "kind": ["k1", "k1"]}}
+        assert not entries_may_share_keys(
+            two, {"key_stats": {"site": ["b", "b"], "kind": ["k2", "k2"]}})
+        # incomparable types: conservative
+        assert entries_may_share_keys(
+            a, {"key_stats": {"site": [1, 2]}})
+
     def test_restore_undo_refuses_on_unfoldable_rewrite(
         self, spark, tmpdir, monkeypatch
     ):
