@@ -482,8 +482,13 @@ def dedup_incremental(
         .select(id_col)
         # deliberately NOT distinct(): LeftAnti ignores build-side
         # duplicates (an id dropped by several bands anti-joins the
-        # same), and the distinct would cost a second full shuffle —
-        # plan-asserted: ONE Exchange (the bucket groupBy) plus the
-        # broadcast of the dropped ids; the batch side never shuffles
+        # same), and the distinct would cost a second full shuffle.
+        # Typical plan (asserted at test sizes): ONE Exchange (the
+        # bucket groupBy) plus a broadcast of the dropped ids — but the
+        # broadcast is SIZE-DEPENDENT, not structural: when the dropped
+        # set outgrows autoBroadcastJoinThreshold Spark falls back to a
+        # shuffled left-anti, which is the right trade (forcing
+        # F.broadcast here would instead risk driver OOM on a batch
+        # with a large dropped fraction)
     )
     return new_docs.join(dropped, on=id_col, how="left_anti")

@@ -118,6 +118,9 @@ class AttrStore:
     REWRITE_ROWS_CAP = 5_000_000
 
     def _overwrite(self, df: DataFrame) -> None:
+        import warnings
+
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
         try:
@@ -125,6 +128,15 @@ class AttrStore:
                 self.path, format="parquet"
             ).count_rows()  # footers only — no data read, no Spark job
         except (FileNotFoundError, OSError):
+            on_disk = 0
+        except pa.ArrowInvalid as exc:
+            # a malformed / partially-written footer must not crash a
+            # guard that exists only to SIZE the rewrite — the overwrite
+            # about to happen replaces the corrupt file anyway
+            warnings.warn(
+                f"unreadable parquet footer under {self.path} "
+                f"({exc}); rewrite-cap check skipped", stacklevel=2,
+            )
             on_disk = 0
         if on_disk > self.REWRITE_ROWS_CAP:
             raise ValueError(

@@ -247,6 +247,9 @@ class KeyValueStore:
         """Manifest-shaped ``{'rows': n}`` entries for the plain
         (non-ACID) layout, from parquet FOOTERS only — no data read, no
         Spark job; missing/fresh paths count as empty."""
+        import warnings
+
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
         try:
@@ -254,6 +257,15 @@ class KeyValueStore:
                                  partitioning="hive")
             return [{"rows": dataset.count_rows()}]
         except (FileNotFoundError, OSError):
+            return []
+        except pa.ArrowInvalid as exc:
+            # a malformed / partially-written footer must not crash a
+            # guard that exists only to SIZE the rewrite — the overwrite
+            # about to happen replaces the corrupt file anyway
+            warnings.warn(
+                f"unreadable parquet footer under {path} "
+                f"({exc}); rewrite-cap check skipped", stacklevel=2,
+            )
             return []
 
     def _overwrite(self, df: DataFrame, snap=None) -> None:

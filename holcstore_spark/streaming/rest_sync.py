@@ -105,6 +105,10 @@ class _SyncHandler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if status == 401:
+            # RFC 7235 §3.1: a 401 MUST name the expected scheme so
+            # generic clients know how to (re-)authenticate
+            self.send_header("WWW-Authenticate", "Bearer")
         self.end_headers()
         self.wfile.write(body)
 

@@ -109,6 +109,13 @@ def _semantic_section(spark, n_docs, dim, timings, run):
 
 def main(n_docs: int = 50_000, dim: int = 64,
          only: str | None = None) -> None:
+    if only not in (None, "semantic"):
+        # a typo ("semantics") must not silently run the 15-op full
+        # harness instead of the requested section
+        raise SystemExit(
+            f"unknown mode {only!r}; usage: perf_llm.py [n_docs] [dim] "
+            "[semantic]"
+        )
     from holcstore_spark import get_spark
 
     spark = get_spark(app_name="holc-perf-llm")
