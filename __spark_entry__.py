@@ -2292,6 +2292,25 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=3, n_lists=16, n_probe=2, iters=2)
 
 
+def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12: FILTERED ANN — IVF top-3 where the candidate side is
+    restricted to ``label IN (2, 5, 7)`` DURING candidate generation
+    (ivf_topk(filters=)): the predicate lands below the probe-list join
+    and reaches the parquet scan (plan-asserted in tests/test_plans.py),
+    so excluded vectors are never assigned, joined, or scored — the
+    retrieval-pipeline shape, vs post-filtering which silently returns
+    fewer than k rows. Training stays on the full corpus (the index is
+    built once; the filter is per-query)."""
+    from holcstore_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(
+        e, q, k=3, n_lists=16, n_probe=2, iters=2,
+        filters={"label__in": [2, 5, 7]},
+    )
+
+
 def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (all-pairs
     only within buckets); exact integer-quantized scores."""
@@ -3074,6 +3093,21 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, q, k=5, m=4, n_centroids=16, iters=2, dim=64)
 
 
+def q_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12: filtered IVF-PQ search — ADC top-5 with the candidate
+    scan restricted to ``label >= 5`` below the ADC join
+    (pq_topk(filters=)); codebooks still train on the full corpus.
+    Exact integer arithmetic end to end, same as pq_topk."""
+    from holcstore_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(
+        e, q, k=5, m=4, n_centroids=16, iters=2, dim=64,
+        filters={"label__gte": 5},
+    )
+
+
 def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUSUM through a real applyInPandasWithState stream
     (availableNow, single micro-batch source): two integers of state per
@@ -3260,6 +3294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_bruteforce": q_similarity_bruteforce,
         # -- (b) execution path changed this round --------------------
+        "similarity_filtered": q_similarity_filtered,
+        "pq_filtered": q_pq_filtered,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_capped": q_semantic_dedup_capped,
         "attr_store_update": q_attr_store_update,
@@ -4119,6 +4155,47 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rk <= 3
     """
+    # Filtered-ANN oracle: identical full-corpus k-means; only the
+    # candidate set is label-restricted (queries and training are not)
+    similarity_filtered = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vq AS cv
+            FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT 16)
+        ),
+        a1 AS ({_ivf_assign('seeds')}),
+        c1 AS ({_ivf_update('a1', 'seeds')}),
+        a2 AS ({_ivf_assign('c1')}),
+        c2 AS ({_ivf_update('a2', 'c1')}),
+        cand AS ({_ivf_assign('c2')}),
+        candf AS (
+            SELECT c.* FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+            WHERE e.label IN (2, 5, 7)
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, vq AS qq, i AS list FROM (
+                SELECT v.vec_id, v.vq, s.i,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_ivf_dist('v.vq', 's.cv')}, s.i) AS rk
+                FROM v CROSS JOIN c2 s
+                WHERE v.vec_id % 100 = 0
+            ) WHERE rk <= 2
+        ),
+        scored AS (
+            SELECT p.q_id, c.vec_id AS neighbor_id,
+                   list_dot_product(p.qq::DOUBLE[], c.vq::DOUBLE[])
+                     / (sqrt(list_dot_product(p.qq::DOUBLE[], p.qq::DOUBLE[]))
+                        * sqrt(list_dot_product(c.vq::DOUBLE[], c.vq::DOUBLE[]))) AS score
+            FROM probes p JOIN candf c USING (list)
+            WHERE c.vec_id <> p.q_id
+        )
+        SELECT q_id, neighbor_id, score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """
     # SemDeDup oracle: the SAME unrolled two-iteration k-means as
     # similarity_ivf partitions the space; pairs are scored only within
     # a cluster and every vector with a lower-id near-dup is dropped
@@ -4318,6 +4395,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN tq2 t2 ON t2.q_id = t0.q_id AND t2.i = f2.code
             JOIN tq3 t3 ON t3.q_id = t0.q_id AND t3.i = f3.code
             WHERE f0.vec_id <> t0.q_id
+        )
+        SELECT q_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist_q
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= 5
+    """
+
+    # Filtered PQ-ADC oracle: same full-corpus codebooks/codes; the
+    # candidate side drops to label >= 5 before ranking
+    pq_filtered = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        {','.join(_pq_ctes)},
+        qv AS (SELECT vec_id AS q_id, vq FROM v WHERE vec_id % 100 = 0),
+        {','.join(_tq_ctes)},
+        scored AS (
+            SELECT t0.q_id, f0.vec_id AS neighbor_id,
+                   t0.dd + t1.dd + t2.dd + t3.dd AS adc
+            FROM fin0 f0
+            JOIN embeddings emb ON emb.vec_id = f0.vec_id
+            JOIN fin1 f1 ON f1.vec_id = f0.vec_id
+            JOIN fin2 f2 ON f2.vec_id = f0.vec_id
+            JOIN fin3 f3 ON f3.vec_id = f0.vec_id
+            JOIN tq0 t0 ON t0.i = f0.code
+            JOIN tq1 t1 ON t1.q_id = t0.q_id AND t1.i = f1.code
+            JOIN tq2 t2 ON t2.q_id = t0.q_id AND t2.i = f2.code
+            JOIN tq3 t3 ON t3.q_id = t0.q_id AND t3.i = f3.code
+            WHERE f0.vec_id <> t0.q_id AND emb.label >= 5
         )
         SELECT q_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist_q
         FROM (
@@ -5026,6 +5132,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bruteforce": similarity_bruteforce,
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
+        "similarity_filtered": similarity_filtered,
         "similarity_neardup": similarity_neardup,
         "semantic_dedup": semantic_dedup_sql,
         "semantic_dedup_capped": semantic_dedup_capped_sql,
@@ -5702,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_encode": pq_encode_sql,
         "pq_topk": pq_topk_sql,
+        "pq_filtered": pq_filtered,
         "bpe_merges": bpe_merges_sql,
         # streaming CUSUM must equal the same batch prefix-sum SQL as
         # cusum_drift (single micro-batch source => in-order => identical)

@@ -312,17 +312,42 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "q_id",
+    filters: "Column | dict | None" = None,
+    centroids: "list[list[int]] | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: vectors are inverted-file-partitioned by
     nearest centroid; each query probes its ``n_probe`` closest lists and
     searches only there — candidate generation is an equi-join on the list
     id (the scale path; at 100 TB the assignment column is written once and
     the probe join prunes to ~n_probe/n_lists of the data).
+
+    ``filters``: optional attribute predicate on the CANDIDATE side —
+    either a Column or a dict in the store lookup dialect
+    (:func:`holcstore_spark.plans.predicates.attrs_filter`, e.g.
+    ``{"label__in": [2, 5]}``). Filtered search the retrieval way: the
+    predicate is applied during candidate generation, BELOW the probe
+    join, so it reaches the parquet scan (PushedFilters) and excluded
+    rows are never centroid-assigned, never join, and never score —
+    unlike post-filtering the top-k, which silently returns < k rows
+    whenever the true neighbours fail the predicate. Queries are never
+    filtered. Centroid TRAINING stays on the full corpus (the index is
+    built once; the filter is a per-query concern), so pass
+    ``centroids=`` to reuse a trained index across differently-filtered
+    searches.
+
+    ``centroids``: pre-trained list centroids (from
+    :func:`train_ivf_centroids`) — skips training.
     """
-    centroids = train_ivf_centroids(
-        candidates, n_lists=n_lists, iters=iters, id_col=id_col,
-        vec_col=vec_col,
-    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            candidates, n_lists=n_lists, iters=iters, id_col=id_col,
+            vec_col=vec_col,
+        )
+    if filters is not None:
+        from holcstore_spark.plans.predicates import attrs_filter
+
+        pred = attrs_filter(filters) if isinstance(filters, dict) else filters
+        candidates = candidates.filter(pred)
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
     ).withColumn("__list", _assign_to_centroid(F.col("__cq"), centroids))
@@ -793,6 +818,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    filters: "Column | dict | None" = None,
 ) -> DataFrame:
     """Approximate nearest neighbours over PQ codes by Asymmetric
     Distance Computation — the query stays full-precision, every
@@ -801,6 +827,13 @@ def pq_topk(
     candidate scan reads m bytes per vector instead of 4·dim, and the
     per-query lookup tables (m × n_centroids ints) broadcast as
     literals — the classic IVF-PQ read path.
+
+    ``filters``: optional candidate-side predicate (Column or lookup
+    dict, same dialect as :func:`ivf_topk`): applied to the candidate
+    scan BELOW the ADC join, so it is pushed to parquet and excluded
+    rows are never encoded or distance-ranked. Codebook training stays
+    on the full corpus — the PQ index is built once, filters are a
+    query-time concern.
 
     Everything is exact integer arithmetic on the quantized
     representation (codebooks, codes, tables, sums), so results are
@@ -815,6 +848,11 @@ def pq_topk(
 
     books: list[list[list[int]]] = []
     enc = df
+    if filters is not None:
+        from holcstore_spark.plans.predicates import attrs_filter
+
+        pred = attrs_filter(filters) if isinstance(filters, dict) else filters
+        enc = enc.filter(pred)
     for j in range(m):
         sub_df = df.select(
             F.col(id_col),

@@ -486,6 +486,34 @@ class TestSemanticDedupPlan:
         assert n_nodes(txt, r"\w*Join") == 0, txt
 
 
+class TestFilteredAnnPlan:
+    def test_ivf_filter_pushed_to_candidate_scan_below_probe_join(
+            self, spark):
+        # round 12: ivf_topk(filters=) must place the attribute predicate
+        # BELOW the probe-list join — i.e. pushed into the candidate
+        # parquet scan (PushedFilters), so pruned rows are never
+        # centroid-assigned, joined, or scored. A post-filter formulation
+        # would show the label predicate in a Filter ABOVE the join and
+        # no In(label,...) at any scan.
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 100 == 0)
+        txt = plan_text(ivf_topk(e, q, k=3, n_lists=4, n_probe=2, iters=1,
+                                 filters={"label__in": [2, 5, 7]}))
+        assert "PushedFilters" in txt, txt
+        assert "In(label, [2,5,7])" in txt, txt
+
+    def test_pq_filter_pushed_to_candidate_scan_below_adc_join(self, spark):
+        from holcstore_spark.operators.similarity import pq_topk
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 100 == 0)
+        txt = plan_text(pq_topk(e, q, k=3, m=4, n_centroids=4, iters=1,
+                                dim=64, filters={"label__gte": 5}))
+        assert "GreaterThanOrEqual(label,5)" in txt, txt
+
+
 class TestIncrementalDedupPlan:
     def test_one_exchange_plus_broadcast_anti_join(self, spark):
         # round 11: the dropped-id set must reach the anti-join WITHOUT
