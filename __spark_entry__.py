@@ -2357,6 +2357,44 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12: EXACTLY-ONCE managed dedup index under crash replay
+    (sources/band_index.py BandIndex) — the history bands are committed
+    to a transactional index (txn 0), the new batch is ingested with
+    txn_version=1, and then the SAME batch is ingested AGAIN with the
+    same txn_version, simulating a foreachBatch retry after checkpoint
+    loss. The replay must commit nothing (watermark skip — a duplicated
+    band row would silently strengthen drop pressure on future batches)
+    and return the IDENTICAL kept set, which is what the oracle checks:
+    it computes the SINGLE-application kept set in SQL (the
+    dedup_incremental rule), so any replay drift hash-mismatches.
+    Idempotence across the replay comes from exclude_self band
+    bookkeeping (operators/dedup.py) + Delta-style txn watermarks in
+    the commit log (reference parity: the sync client's crash-resume
+    contract, ts_sync.py:204-261, applied to the dedup feed)."""
+    import shutil
+    from holcstore_spark.operators.dedup import minhash_bands
+    from holcstore_spark.sources.band_index import BandIndex
+
+    d = _docs_with_dups(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    path = tempfile.mkdtemp(prefix="holc_bandidx_")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = BandIndex(spark, path)
+    assert idx.append_bands(
+        minhash_bands(history), txn_app="entry", txn_version=0
+    )
+    first = idx.ingest(new, txn_app="entry", txn_version=1)
+    n_first, rows_first = first.count(), idx.df().count()
+    replayed = idx.ingest(new, txn_app="entry", txn_version=1)
+    if idx.df().count() != rows_first:
+        raise AssertionError("replay double-appended index bands")
+    if replayed.count() != n_first:
+        raise AssertionError("replayed kept set differs from first run")
+    return replayed.select("doc_id", "source")
+
+
 def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11: the max_cluster VALVE path of semantic_dedup
     (operators/similarity.py cluster_keep) — a cluster larger than the
@@ -3290,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_index_replay": q_dedup_index_replay,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -5122,6 +5161,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_incremental": dedup_incremental_sql,
+        "dedup_index_replay": dedup_incremental_sql,
         "dedup_clusters": dedup_clusters,
         "dedup_representatives": dedup_representatives,
         "quality_filter": quality_filter,

@@ -421,6 +421,7 @@ def dedup_incremental(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Near-dup dedup of a NEW batch against a persisted LSH signature
     index — the production shape at 100 TB: the historical corpus is
@@ -458,7 +459,17 @@ def dedup_incremental(
     (a stream-static band join formulation would re-scan the
     corpus-sized index once per band per micro-batch; the foreachBatch
     shape reads it once per batch and keeps the within-batch
-    lowest-id rule).
+    lowest-id rule). For an EXACTLY-ONCE managed version of this loop
+    (idempotent index appends surviving checkpoint-loss replays, plus
+    small-file binpack) use :class:`holcstore_spark.sources.band_index.
+    BandIndex` instead of hand-rolling the sink.
+
+    ``exclude_self``: an index row whose id EQUALS the new doc's id
+    never counts as a history hit (min/max-old-id bookkeeping — no
+    extra shuffle). This is what makes a replayed batch idempotent
+    against an index that already contains the batch's own bands
+    (BandIndex.ingest sets it); the default False keeps the two-sided
+    rule where id spaces need not be comparable.
     """
     nb = minhash_bands(new_docs, text, id_col, n_hashes, bands, shingle_k)
     u = nb.withColumn("__new", F.lit(True)).unionByName(
@@ -466,7 +477,11 @@ def dedup_incremental(
         .withColumn("__new", F.lit(False))
     )
     g = u.groupBy("band_id", "band_key").agg(
-        F.max(F.when(~F.col("__new"), 1).otherwise(0)).alias("__has_old"),
+        # min/max OLD id instead of a has-old flag: lets exclude_self
+        # distinguish "the only indexed doc in this bucket is me" from a
+        # genuine history hit without a countDistinct expand
+        F.min(F.when(~F.col("__new"), F.col(id_col))).alias("__min_old"),
+        F.max(F.when(~F.col("__new"), F.col(id_col))).alias("__max_old"),
         F.min(F.when(F.col("__new"), F.col(id_col))).alias("__min_new"),
         # collect_list skips nulls: only the NEW ids are carried
         F.collect_list(F.when(F.col("__new"), F.col(id_col))).alias("__new_ids"),
@@ -474,11 +489,20 @@ def dedup_incremental(
     )
     if max_bucket is not None:
         g = g.filter(F.col("__n") <= max_bucket)
+    exploded = g.select(
+        F.explode("__new_ids").alias(id_col),
+        "__min_old", "__max_old", "__min_new",
+    )
+    if exclude_self:
+        old_hit = F.col("__min_old").isNotNull() & (
+            (F.col("__min_old") != F.col(id_col))
+            | (F.col("__max_old") != F.col(id_col))
+        )
+    else:
+        old_hit = F.col("__min_old").isNotNull()
     dropped = (
-        g.select(F.explode("__new_ids").alias(id_col),
-                 "__has_old", "__min_new")
-        .filter((F.col("__has_old") == 1)
-                | (F.col(id_col) > F.col("__min_new")))
+        exploded
+        .filter(old_hit | (F.col(id_col) > F.col("__min_new")))
         .select(id_col)
         # deliberately NOT distinct(): LeftAnti ignores build-side
         # duplicates (an id dropped by several bands anti-joins the

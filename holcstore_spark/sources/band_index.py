@@ -1,0 +1,296 @@
+"""Managed MinHash-band index for exactly-once incremental dedup.
+
+:func:`holcstore_spark.operators.dedup.dedup_incremental` documents the
+production ingest loop (hash the batch, join a persisted bands table,
+append the kept bands). Hand-rolling that sink with bare
+``write.mode("append")`` has a crash window: a foreachBatch retry after
+checkpoint loss re-appends the batch's bands, and a duplicated band row
+silently strengthens drop pressure on every future batch. ``BandIndex``
+closes it the same way the stores' bulk writes do — the appends go
+through the shared file-manifest transaction log
+(:class:`holcstore_spark.sources.txlog.TxLog`) with Delta-style
+``(txn_app, txn_version)`` watermarks, so a replayed batch commits
+nothing and recomputes the identical kept set (reference parity: the
+same idempotent-resume contract the sync client keeps across crashed
+pulls, /root/reference/hostore/utils/ts_sync.py:204-261).
+
+Index schema: ``(id_col, band_id int, band_key string)`` —
+:func:`minhash_bands` output. Files are staged one-per-band (band_id
+plays the chunk role in the manifest), which gives the manifest tight
+per-file band stats and makes :meth:`optimize` a per-band small-file
+binpack, O(fragmentation) like the stores' optimize, never O(index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class BandIndex:
+    """A transactional LSH band table + the exactly-once ingest loop.
+
+    ``ingest(batch, txn_app=, txn_version=)`` is the one-call version of
+    the dedup_incremental streaming recipe::
+
+        idx = BandIndex(spark, path)
+
+        def sink(batch, batch_id):
+            kept = idx.ingest(batch, txn_app="my_stream",
+                              txn_version=batch_id)
+            kept.write.mode("append").parquet(out_path)
+
+    Crash anywhere and the replayed micro-batch returns the same kept
+    rows while the index append lands exactly once. The recomputation
+    is idempotent because the dedup runs with ``exclude_self=True``: a
+    doc's own (already committed) bands never count as a history hit,
+    and every cross-doc relation the first application saw is
+    reproduced by the surviving kept bands.
+    """
+
+    #: MinHash parameters are FROZEN at index creation (band keys from
+    #: different (n_hashes, bands, shingle_k) are not comparable — a
+    #: silent param change would stop matching history entirely)
+    _CONFIG_FILE = "_index_config.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        id_type: str = "long",
+        n_hashes: int = 16,
+        bands: int = 4,
+        shingle_k: int = 3,
+    ):
+        from holcstore_spark.session import ensure_engine_conf
+        from holcstore_spark.sources.txlog import TxLog
+
+        ensure_engine_conf(spark)
+        self.spark = spark
+        self.path = path
+        self.params = {
+            "id_col": id_col,
+            "id_type": id_type,
+            "n_hashes": int(n_hashes),
+            "bands": int(bands),
+            "shingle_k": int(shingle_k),
+        }
+        self._check_or_save_params()
+        self._txlog = TxLog(path)
+
+    # -- frozen params -------------------------------------------------
+    def _check_or_save_params(self) -> None:
+        target = os.path.join(self.path, self._CONFIG_FILE)
+        payload = json.dumps(self.params, indent=1, sort_keys=True)
+        if os.path.exists(target):
+            with open(target) as f:
+                existing = json.load(f)
+            if existing != self.params:
+                raise ValueError(
+                    f"band index at {self.path} was created with "
+                    f"{existing}, incompatible with requested "
+                    f"{self.params} — band keys from different MinHash "
+                    "parameters are not comparable; create a new index "
+                    "(and re-hash history) to change them"
+                )
+            return
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{target}.tmp-{os.getpid()}-{id(self)}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, target)
+
+    # -- read side -------------------------------------------------------
+    def _schema(self) -> T.StructType:
+        return T.StructType([
+            T.StructField(
+                self.params["id_col"],
+                getattr(T, {
+                    "long": "LongType", "int": "IntegerType",
+                    "string": "StringType",
+                }[self.params["id_type"]])(),
+            ),
+            T.StructField("band_id", T.IntegerType()),
+            T.StructField("band_key", T.StringType()),
+        ])
+
+    def df(self, snap=None) -> DataFrame:
+        """Live band rows at a snapshot (default: latest)."""
+        snap = snap if snap is not None else self._txlog.snapshot()
+        files = snap.paths("data", self.path)
+        if not files:
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.schema(self._schema()).parquet(*files)
+
+    def last_txn_version(self, txn_app) -> int:
+        """Highest committed txn_version for an app (-1 = none) — the
+        watermark a restarting stream reads to skip replayed batches."""
+        return self._txlog.snapshot().app_versions.get(str(txn_app), -1)
+
+    # -- write side ------------------------------------------------------
+    def _stage(self, bands_df: DataFrame) -> list:
+        """Write band rows as EXACTLY one file per band_id (band_id is
+        the manifest chunk axis, band_key-sorted for tight key stats).
+        A single range/hash-partitioned write can emit a band-SPANNING
+        file (sampled boundaries / hash collisions at tiny partition
+        counts), which binpack_candidates would then exclude from every
+        future optimize — so the frame is materialized once
+        (localCheckpoint: the minhash UDF lineage must not re-run per
+        band) and each band writes its own file."""
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
+
+        bands_df = safe_local_checkpoint(bands_df)
+        entries = []
+        for b in range(self.params["bands"]):
+            part = bands_df.filter(F.col("band_id") == b)
+            if not part.take(1):
+                continue  # empty batch slice: stage nothing for it
+            abs_dir, rel_dir = self._txlog.new_staging_dir()
+            (
+                part.coalesce(1).sortWithinPartitions("band_key")
+                .write.mode("overwrite").parquet(abs_dir)
+            )
+            entries.extend(self._txlog.collect_entries(
+                abs_dir, rel_dir, key_cols=("band_key",),
+                chunk_col="band_id",
+            ))
+        return entries
+
+    def append_bands(
+        self, bands_df: DataFrame, txn_app=None, txn_version=None,
+    ) -> bool:
+        """Append pre-computed band rows as ONE idempotent commit.
+        Returns False when ``(txn_app, txn_version)`` was already
+        applied (nothing staged, nothing committed)."""
+        from holcstore_spark.sources.txlog import TxLog, resolve_txn
+
+        txn_id = resolve_txn(True, txn_app, txn_version)
+        snap = self._txlog.snapshot()
+        if txn_id is not None and (
+            txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
+        ):
+            return False
+        adds = self._stage(bands_df.select(*self._schema().fieldNames()))
+        committed = self._txlog.commit_idempotent(
+            snap.version, "append", TxLog.next_op_id(snap),
+            {"data": adds}, {},
+            touched=None,  # pure append: commutes with everything
+            txn_app=txn_id[0] if txn_id else None,
+            txn_version=txn_id[1] if txn_id else None,
+        )
+        return committed is not None
+
+    def ingest(
+        self,
+        new_docs: DataFrame,
+        text: str = "text",
+        txn_app=None,
+        txn_version=None,
+        max_bucket: int | None = None,
+    ) -> DataFrame:
+        """Dedup ``new_docs`` against the index and append the KEPT
+        docs' bands exactly once; returns the kept rows.
+
+        The kept set is computed with ``exclude_self=True`` against the
+        snapshot the append commits over, so a replayed batch (same
+        ``txn_app``/``txn_version`` after checkpoint loss) sees its own
+        first-application bands in the index, skips the commit via the
+        watermark, and STILL returns the identical kept rows — the
+        exactly-once contract for the whole foreachBatch body.
+        """
+        from holcstore_spark.operators.dedup import (
+            dedup_incremental,
+            minhash_bands,
+        )
+        from holcstore_spark.sources.txlog import TxLog, resolve_txn
+
+        p = self.params
+        txn_id = resolve_txn(True, txn_app, txn_version)
+        snap = self._txlog.snapshot()
+        kept = dedup_incremental(
+            new_docs, self.df(snap), text=text, id_col=p["id_col"],
+            n_hashes=p["n_hashes"], bands=p["bands"],
+            shingle_k=p["shingle_k"], max_bucket=max_bucket,
+            exclude_self=True,
+        )
+        if txn_id is not None and (
+            txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
+        ):
+            return kept  # replay: bands already live, commit skipped
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
+
+        # materialize once: the kept set is both returned to the caller
+        # and re-hashed for the index append — without this the dedup
+        # (and the batch's minhash UDF) would run twice
+        kept = safe_local_checkpoint(kept)
+        adds = self._stage(minhash_bands(
+            kept, text, p["id_col"], p["n_hashes"], p["bands"],
+            p["shingle_k"],
+        ))
+        self._txlog.commit_idempotent(
+            snap.version, "ingest", TxLog.next_op_id(snap),
+            {"data": adds}, {},
+            touched=None,
+            txn_app=txn_id[0] if txn_id else None,
+            txn_version=txn_id[1] if txn_id else None,
+        )
+        return kept
+
+    # -- maintenance -----------------------------------------------------
+    def optimize(self, min_files: int = 4, max_bands: int = 64) -> int:
+        """Per-band small-file binpack (the stores' ``optimize``
+        contract on the index): every ingest stages one file per band,
+        so a long-lived index accretes O(ingests × bands) small files;
+        this repacks the bands whose live file count reached
+        ``min_files`` into one file each, as a row-preserving
+        ``compacting=True`` commit (change-feed invisible, commutes
+        with concurrent ingests). Cost is O(fragmentation), never
+        O(index). Returns the number of bands repacked."""
+        from holcstore_spark.sources.txlog import (
+            TxLog,
+            binpack_candidates,
+            exact_rows,
+        )
+
+        snap = self._txlog.snapshot()
+        cands, by_band = binpack_candidates(
+            snap.files["data"], min_files, max_bands
+        )
+        if not cands:
+            return 0
+        adds, removes = [], []
+        for b in cands:
+            paths = [os.path.join(self.path, e["path"]) for e in by_band[b]]
+            src = self.spark.read.schema(self._schema()).parquet(*paths)
+            abs_dir, rel_dir = self._txlog.new_staging_dir()
+            (
+                src.coalesce(1).sortWithinPartitions("band_id", "band_key")
+                .write.mode("overwrite").parquet(abs_dir)
+            )
+            adds.extend(self._txlog.collect_entries(
+                abs_dir, rel_dir, key_cols=("band_key",),
+                chunk_col="band_id",
+            ))
+            removes.extend(by_band[b])
+        if exact_rows(adds) != exact_rows(removes):
+            raise RuntimeError(
+                f"optimize repack row mismatch: staged {exact_rows(adds)} "
+                f"rows for {exact_rows(removes)} source rows across bands "
+                f"{sorted(cands)}"
+            )
+        self._txlog.commit(
+            snap.version, "optimize", TxLog.next_op_id(snap),
+            {"data": adds}, {"data": removes},
+            touched=set(cands), compacting=True,
+        )
+        return len(cands)
+
+    def vacuum(self, retention_seconds: float = 3600.0,
+               deep: bool = False) -> int:
+        """Reclaim unreferenced files (see TxLog.vacuum_files)."""
+        return self._txlog.vacuum_files(retention_seconds, deep=deep)
