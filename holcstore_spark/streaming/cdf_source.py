@@ -46,9 +46,26 @@ rejected (omit the option for no limit).
    after a restart.** A query restarting into a long backlog replays
    the ENTIRE backlog in one uncapped micro-batch. If an oversized
    batch is what killed the query (executor OOM), restarting reproduces
-   it — a crash loop in exactly the scenario the option targets. Until
-   the Python streaming-source API exposes the checkpointed start to
-   ``latestOffset()``, operators hitting this should either (a) raise
+   it — a crash loop in exactly the scenario the option targets.
+
+   Re-probed against pyspark 4.1.2 (round 12), still API-blocked —
+   the exact evidence, so this claim stays falsifiable:
+   ``pyspark/sql/streaming/python_streaming_source_runner.py`` speaks a
+   four-function protocol (func ids 884 initialOffset / 885
+   latestOffset / 886 partitions / 887 commit); ``latest_offset_func``
+   calls ``reader.latestOffset()`` with NO arguments and nothing in the
+   handshake transmits the checkpointed offset before it — the start
+   first reaches Python at ``partitions(start, end)`` (886). On restart
+   the JVM replans from its own offset log, so a committed-last-batch
+   restart goes straight to 885 uncapped. The alternative
+   ``SimpleDataSourceStreamReader`` API DOES receive the start
+   (``read(start)``), but it prefetches records on the DRIVER — a
+   non-starter for a file-partition CDC source (the whole point is
+   executor-side pyarrow reads). Re-test when the runner protocol
+   grows a start-aware latestOffset (Scala's
+   ``SupportsAdmissionControl.latestOffset(start, limit)`` shape).
+
+   Until then, operators hitting this should either (a) raise
    executor memory / shrink ``spark.sql.files.maxPartitionBytes`` for
    one catch-up run, or (b) start a FRESH checkpoint with
    ``startingVersion`` pinned just past the stuck offset — safe only
