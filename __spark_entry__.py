@@ -3302,74 +3302,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-11 window: (a) the 17 queries whose last driver
-    # verification was round 8 — the oldest evidence in the registry,
-    # including the whole exact/MinHash/Jaccard/SimHash/CC dedup family
-    # and the TPC-H trio; (b) queries whose execution paths change this
-    # round (semantic_dedup mega-cluster exact-dup fix, AttrStore.delete
-    # key-tuple bound, REST sync auth hook, update/replace-mode
-    # idempotent txn, KV driver-rewrite row cap); (c) 26 of the
-    # round-9-verified block. The tail is the remaining r9-verified
-    # queries (rotate round 12) followed by the round-10-verified window.
+    # first. Round-12 window: (a) the 23 queries whose last driver
+    # verification was round 9 — the oldest evidence in the registry
+    # (overlay/interval/island core, the TPC-H forecast trio, the CDF
+    # pair, the r9 LLM tail); (b) queries new or changed-path this
+    # round (filtered ANN ×2, the exactly-once dedup-index replay, the
+    # dedup_incremental min/max-old refactor, and the ivf/pq entry
+    # points whose signatures grew filters=); (c) 21 of the
+    # round-10-verified block. The tail is the rest of the r10 block
+    # (rotate round 13) followed by the round-11-verified window.
     return {
-        # -- (a) last driver-verified round 8 ------------------------
-        "lookup_filter": q_lookup_filter,
-        "token_pack": q_token_pack,
-        "segment_dedup": q_segment_dedup,
-        "rebalance_mix": q_rebalance_mix,
-        "stream_sessions": q_stream_sessions,
-        "stream_dedup": q_stream_dedup,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue": q_top_revenue,
-        "regional_revenue": q_regional_revenue,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_index_replay": q_dedup_index_replay,
-        "clean_corpus": q_clean_corpus,
-        "clean_corpus_cc": q_clean_corpus_cc,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        # -- (b) execution path changed this round --------------------
-        "similarity_filtered": q_similarity_filtered,
-        "pq_filtered": q_pq_filtered,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_capped": q_semantic_dedup_capped,
-        "attr_store_update": q_attr_store_update,
-        "rest_sync_pull": q_rest_sync_pull,
-        "store_txn": q_store_txn,
-        "kv_store_overlay": q_kv_store_overlay,
-        # -- (c) oldest round-9-verified block ------------------------
-        "blob_interop": q_blob_interop,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "doc_fingerprints": q_doc_fingerprints,
-        "similarity_neardup": q_similarity_neardup,
-        "text_stats": q_text_stats,
-        "lang_quality": q_lang_quality,
-        "token_bpe": q_token_bpe,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "repetition_stats": q_repetition_stats,
-        "pii_redact": q_pii_redact,
-        "vocab_topk": q_vocab_topk,
-        "dedup_representatives": q_dedup_representatives,
-        "quality_filter": q_quality_filter,
-        "stats_rollup": q_stats_rollup,
-        "value_histogram": q_value_histogram,
-        "doc_chunks": q_doc_chunks,
-        # ====== driver 50-entry window ends here (50 above) ========
-        # -- tail: remaining r9-verified (rotate round 12) ------------
+        # -- (a) last driver-verified round 9 ------------------------
         "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
@@ -3393,7 +3336,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_bounds_na": q_drop_bounds_na,
         "combined_delay": q_combined_delay,
         "stream_rollup": q_stream_rollup,
-        # -- tail: round-10-verified window ----------------------------
+        # -- (b) new or execution path changed this round --------------
+        "similarity_filtered": q_similarity_filtered,
+        "pq_filtered": q_pq_filtered,
+        "dedup_index_replay": q_dedup_index_replay,
+        "dedup_incremental": q_dedup_incremental,
+        "similarity_ivf": q_similarity_ivf,
+        "pq_topk": q_pq_topk,
+        # -- (c) oldest round-10-verified block ------------------------
         "stream_gaps": q_stream_gaps,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -3415,6 +3365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
         "ffill": q_ffill,
+        # ====== driver 50-entry window ends here (50 above) ========
+        # -- tail: rest of the r10-verified block (rotate round 13) ----
         "normalize_minmax": q_normalize_minmax,
         "min_step": q_min_step,
         "next_version": q_next_version,
@@ -3439,7 +3391,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_guards": q_sync_guards,
         "sync_paged": q_sync_paged,
         "admin_export": q_admin_export,
+        # -- tail: round-11-verified window ----------------------------
+        "lookup_filter": q_lookup_filter,
+        "token_pack": q_token_pack,
+        "segment_dedup": q_segment_dedup,
+        "rebalance_mix": q_rebalance_mix,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "regional_revenue": q_regional_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "clean_corpus": q_clean_corpus,
+        "clean_corpus_cc": q_clean_corpus_cc,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
+        "attr_store_update": q_attr_store_update,
+        "rest_sync_pull": q_rest_sync_pull,
+        "store_txn": q_store_txn,
+        "kv_store_overlay": q_kv_store_overlay,
+        "blob_interop": q_blob_interop,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "pq_encode": q_pq_encode,
+        "similarity_lsh": q_similarity_lsh,
+        "doc_fingerprints": q_doc_fingerprints,
+        "similarity_neardup": q_similarity_neardup,
+        "text_stats": q_text_stats,
+        "lang_quality": q_lang_quality,
+        "token_bpe": q_token_bpe,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "vocab_topk": q_vocab_topk,
+        "dedup_representatives": q_dedup_representatives,
+        "quality_filter": q_quality_filter,
+        "stats_rollup": q_stats_rollup,
+        "value_histogram": q_value_histogram,
+        "doc_chunks": q_doc_chunks,
     }
+
 
 def oracle_sql() -> dict[str, str]:
     ev = _EVENTS_VERSIONED_SQL

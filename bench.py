@@ -30,6 +30,18 @@ BENCH_QUERIES = [
     "store_roundtrip",
 ]
 
+#: round 12: the LLM-pipeline ops, timed as a SEPARATE metric block —
+#: the headline list (and its total, the baseline gate) is unchanged so
+#: BENCH_r* stays comparable across rounds, but the dedup family is
+#: where new code lands round over round and a perf regression there
+#: was previously invisible to the driver's per-round record
+LLM_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash",
+    "semantic_dedup",
+    "dedup_incremental",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,7 +58,7 @@ def main() -> None:
     )
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
         t0 = time.perf_counter()
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + LLM_QUERIES:
             qs[name](spark, warm_dir).count()   # codegen-compile each plan shape
         print(f"# warm-up at {warm_dir}: {time.perf_counter() - t0:.3f}s",
               file=sys.stderr)
@@ -58,6 +70,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
+    # LLM-ops block: timed AFTER the headline total is closed so the
+    # baseline-gate number is untouched
+    llm_timings: dict[str, float] = {}
+    t_llm = time.perf_counter()
+    for name in LLM_QUERIES:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        llm_timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# llm {name}: {llm_timings[name]:.3f}s ({n} rows)",
+              file=sys.stderr)
+    llm_total = round(time.perf_counter() - t_llm, 3)
     spark.stop()
     print(json.dumps({
         "metric": "headline_total",
@@ -65,6 +88,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "llm_ops": {"metric": "llm_total", "value": llm_total,
+                    "unit": "sec", "queries": llm_timings},
     }))
 
 

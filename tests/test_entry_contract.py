@@ -111,28 +111,30 @@ def test_registry_source_has_no_duplicate_keys():
 #: key-tuple bound), rest_sync_pull (auth token hook), store_txn
 #: (update/replace-mode idempotent txn), kv_store_overlay (driver-
 #: rewrite row cap).
-ROUND11_WINDOW_MUST = {
-    # (a) last driver-verified r8
-    "lookup_filter", "token_pack", "segment_dedup", "rebalance_mix",
-    "stream_sessions", "stream_dedup", "pricing_summary", "top_revenue",
-    "regional_revenue", "dedup_exact", "dedup_minhash", "dedup_jaccard",
-    "dedup_simhash", "dedup_clusters", "clean_corpus", "clean_corpus_cc",
-    "similarity_bruteforce",
-    # (b) execution paths changed in round 11 (+ the new valve-path and
-    # incremental-dedup oracle queries, driver-verified in their debut
-    # round)
-    "semantic_dedup", "semantic_dedup_capped", "dedup_incremental",
-    "attr_store_update", "rest_sync_pull", "store_txn",
-    "kv_store_overlay",
+ROUND12_WINDOW_MUST = {
+    # (a) last driver-verified r9 — the 23 queries the r11 verdict
+    # demanded rotate in
+    "embed_quantize", "lm_surprisal", "sliding_rollup", "stream_sliding",
+    "temperature_sample", "collocations", "normalize_text", "corpus_prep",
+    "rolling_stats", "forecast_revenue", "order_priority", "large_orders",
+    "cusum_drift", "store_cdf", "stream_cdf", "overlay_merge",
+    "completeness_holes", "merge_intervals", "interval_algebra",
+    "constant_runs", "drop_bounds_na", "combined_delay", "stream_rollup",
+    # (b) new or changed-path in round 12: filtered ANN, the
+    # exactly-once dedup-index replay, the dedup_incremental
+    # min/max-old refactor, and the ivf/pq entry points whose
+    # signatures grew filters=
+    "similarity_filtered", "pq_filtered", "dedup_index_replay",
+    "dedup_incremental", "similarity_ivf", "pq_topk",
 }
 
 
-def test_driver_window_contains_round11_rotation_set():
+def test_driver_window_contains_round12_rotation_set():
     # every query whose evidence is stale — oldest driver rows, or whose
     # execution path changed this round — must sit inside the driver's
     # checked first-50 window
     window = set(list(entry_mod.queries())[:50])
-    missing = ROUND11_WINDOW_MUST - window
+    missing = ROUND12_WINDOW_MUST - window
     assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND11_WINDOW_MUST - set(entry_mod.queries())
+    unknown = ROUND12_WINDOW_MUST - set(entry_mod.queries())
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
