@@ -85,6 +85,21 @@ def cosine_q_arrow(a: Column, b: Column) -> Column:
     return cos(a, b)
 
 
+def _apply_filters(df: DataFrame, filters) -> DataFrame:
+    """Shared candidate-side predicate for every ANN entry point: a
+    Column, or a dict in the store lookup dialect (attrs_filter). The
+    filter is applied BEFORE quantization/bucketing/encoding, so it
+    reaches the parquet scan and excluded rows never enter candidate
+    generation."""
+    if filters is None:
+        return df
+    from holcstore_spark.plans.predicates import attrs_filter
+
+    return df.filter(
+        attrs_filter(filters) if isinstance(filters, dict) else filters
+    )
+
+
 def brute_force_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -92,11 +107,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "q_id",
+    filters: "Column | dict | None" = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbours for each query vector.
 
     Output: q_id, neighbor_id, score — ties broken by neighbor_id asc.
+    ``filters``: optional candidate-side predicate (see
+    :func:`_apply_filters`) — the exact-search twin of the filtered
+    ANN paths, used as their recall reference.
     """
+    candidates = _apply_filters(candidates, filters)
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
     )
@@ -190,12 +210,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "q_id",
+    filters: "Column | dict | None" = None,
 ) -> DataFrame:
     """Approximate top-k: candidates considered only within the query's
     LSH bucket (equi-join on bucket key — the 100 TB path).
 
-    Output: q_id, neighbor_id, score.
+    Output: q_id, neighbor_id, score. ``filters``: candidate-side
+    predicate applied below the bucket join (excluded rows are never
+    hashed or scored), same dialect as :func:`ivf_topk`.
     """
+    candidates = _apply_filters(candidates, filters)
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
     ).withColumn("__bucket", lsh_bucket_arrow(F.col("__cq"), n_planes, dim))
@@ -343,11 +367,7 @@ def ivf_topk(
             candidates, n_lists=n_lists, iters=iters, id_col=id_col,
             vec_col=vec_col,
         )
-    if filters is not None:
-        from holcstore_spark.plans.predicates import attrs_filter
-
-        pred = attrs_filter(filters) if isinstance(filters, dict) else filters
-        candidates = candidates.filter(pred)
+    candidates = _apply_filters(candidates, filters)
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
     ).withColumn("__list", _assign_to_centroid(F.col("__cq"), centroids))
@@ -847,12 +867,7 @@ def pq_topk(
     import numpy as np
 
     books: list[list[list[int]]] = []
-    enc = df
-    if filters is not None:
-        from holcstore_spark.plans.predicates import attrs_filter
-
-        pred = attrs_filter(filters) if isinstance(filters, dict) else filters
-        enc = enc.filter(pred)
+    enc = _apply_filters(df, filters)
     for j in range(m):
         sub_df = df.select(
             F.col(id_col),

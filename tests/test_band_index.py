@@ -103,6 +103,69 @@ class TestExactlyOnceIngest:
         assert out.count() == 1
 
 
+class TestRealStreamReplay:
+    def test_foreachbatch_survives_checkpoint_loss(self, spark,
+                                                   tmp_store_path):
+        """The documented streaming recipe, driven through a REAL
+        Structured Streaming query: foreachBatch ingests each
+        micro-batch into the BandIndex with txn_version=batch_id, the
+        checkpoint is then DELETED (worst-case driver crash) and the
+        query re-run — batch ids restart at 0, every batch replays, and
+        the index must end bit-identical to the single application."""
+        import shutil
+
+        src = os.path.join(tmp_store_path, "src")
+        ckpt = os.path.join(tmp_store_path, "ckpt")
+        out = os.path.join(tmp_store_path, "out")
+        os.makedirs(src)
+        pd.DataFrame({
+            "doc_id": [1, 2, 10],
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",
+                "completely different text about spark dataframes here",
+                "the quick brown fox jumps over the lazy dog today",
+            ],
+        }).to_parquet(os.path.join(src, "b0.parquet"))
+        idx = BandIndex(spark, os.path.join(tmp_store_path, "idx"))
+
+        def sink(batch, batch_id):
+            kept = idx.ingest(batch, txn_app="stream",
+                              txn_version=batch_id)
+            # per-batch overwrite = replay-idempotent output
+            kept.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={batch_id}")
+            )
+
+        def run():
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+
+        run()
+        rows_1 = sorted(map(tuple, idx.df().collect()))
+        kept_1 = sorted(
+            r["doc_id"] for r in
+            spark.read.parquet(os.path.join(out, "batch=0")).collect()
+        )
+        assert kept_1 == [1, 2]  # 10 near-dups 1
+        assert idx.last_txn_version("stream") == 0
+        shutil.rmtree(ckpt)  # driver crash, checkpoint gone
+        run()                # batch 0 replays wholesale
+        assert sorted(map(tuple, idx.df().collect())) == rows_1, \
+            "replayed stream changed the index"
+        kept_2 = sorted(
+            r["doc_id"] for r in
+            spark.read.parquet(os.path.join(out, "batch=0")).collect()
+        )
+        assert kept_2 == kept_1
+
+
 class TestIndexMaintenance:
     def test_optimize_binpacks_and_preserves_results(
             self, spark, tmp_store_path, corpus):

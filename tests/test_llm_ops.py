@@ -356,6 +356,29 @@ class TestSimilarity:
             if key in exact_scores:
                 assert r["score"] == pytest.approx(exact_scores[key])
 
+    def test_lsh_and_bruteforce_filtered_agree(self, vectors):
+        # round 12: filters= on the remaining ANN entry points — the
+        # filtered brute force is exact over the filtered candidates,
+        # and filtered LSH returns a subset of it with identical exact
+        # scores and only predicate-passing neighbours
+        from holcstore_spark.operators.similarity import lsh_topk
+
+        labeled = vectors.withColumn("label", F.col("vec_id") % 2)
+        q = labeled.filter(F.col("vec_id") == 0)
+        bf = {
+            (r["q_id"], r["neighbor_id"]): r["score"]
+            for r in brute_force_topk(labeled, q, k=4,
+                                      filters={"label": 1}).collect()
+        }
+        assert set(n for _, n in bf) == {1, 3}  # odd ids only
+        out = lsh_topk(labeled, q, k=4, n_planes=2, dim=4,
+                       filters={"label": 1}).collect()
+        for r in out:
+            assert r["neighbor_id"] % 2 == 1
+            assert r["score"] == pytest.approx(
+                bf[(r["q_id"], r["neighbor_id"])]
+            )
+
     def test_pq_filtered_neighbors_respect_predicate(self, spark):
         from holcstore_spark.operators.similarity import pq_topk
 
