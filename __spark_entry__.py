@@ -2382,9 +2382,11 @@ def q_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="holc_bandidx_")
     shutil.rmtree(path, ignore_errors=True)
     idx = BandIndex(spark, path)
-    assert idx.append_bands(
+    # NOT under a bare assert: -O would strip the whole call
+    if not idx.append_bands(
         minhash_bands(history), txn_app="entry", txn_version=0
-    )
+    ):
+        raise AssertionError("fresh index refused the history append")
     first = idx.ingest(new, txn_app="entry", txn_version=1)
     n_first, rows_first = first.count(), idx.df().count()
     replayed = idx.ingest(new, txn_app="entry", txn_version=1)

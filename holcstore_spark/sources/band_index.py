@@ -71,6 +71,10 @@ class BandIndex:
         from holcstore_spark.sources.txlog import TxLog
 
         ensure_engine_conf(spark)
+        if id_type not in ("long", "int", "string"):
+            raise ValueError(
+                f"unsupported id_type {id_type!r}; one of long/int/string"
+            )
         self.spark = spark
         self.path = path
         self.params = {
@@ -202,6 +206,14 @@ class BandIndex:
         first-application bands in the index, skips the commit via the
         watermark, and STILL returns the identical kept rows — the
         exactly-once contract for the whole foreachBatch body.
+
+        Concurrency: batches are expected to arrive SEQUENTIALLY per
+        stream (Structured Streaming's foreachBatch guarantee). Two
+        ingests racing from different writers both commit safely (pure
+        appends commute), but each computes its kept set against a
+        snapshot that predates the other — cross-batch near-dups can
+        then both survive, the same blind-append semantics the stores
+        document for unidentified concurrent inserts.
         """
         from holcstore_spark.operators.dedup import (
             dedup_incremental,
