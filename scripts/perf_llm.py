@@ -107,23 +107,10 @@ def _semantic_section(spark, n_docs, dim, timings, run):
     return cluster_stats
 
 
-def main(n_docs: int = 50_000, dim: int = 64,
-         only: str | None = None) -> None:
-    if only not in (None, "semantic"):
-        # a typo ("semantics") must not silently run the 15-op full
-        # harness instead of the requested section
-        raise SystemExit(
-            f"unknown mode {only!r}; usage: perf_llm.py [n_docs] [dim] "
-            "[semantic]"
-        )
-    from holcstore_spark import get_spark
-
-    spark = get_spark(app_name="holc-perf-llm")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
-
-    # synthetic corpus: ~60-word docs from a 500-word vocab; every 10th doc
-    # is a near-dup of its predecessor (first 50 words shared), every 25th
-    # an exact dup — all generated executor-side
+def _gen_docs(spark, n_docs: int):
+    """Synthetic corpus: ~60-word docs from a 500-word vocab; every 10th
+    doc a near-dup of its predecessor (first 50 words shared), every
+    25th an exact dup — all generated executor-side."""
     words = F.transform(
         F.sequence(F.lit(0), F.lit(59)),
         lambda i: F.concat(
@@ -143,7 +130,7 @@ def main(n_docs: int = 50_000, dim: int = 64,
         ),
         F.slice(words, 51, 10),
     )
-    docs = (
+    return (
         spark.range(n_docs)
         .withColumn(
             "text",
@@ -162,8 +149,80 @@ def main(n_docs: int = 50_000, dim: int = 64,
             .otherwise(F.concat_ws(" ", words)),
         )
         .withColumnRenamed("id", "doc_id")
-        .persist()
     )
+
+
+def _incremental_section(spark, n_docs, timings, run):
+    """Managed dedup-index probes (round 12): the BandIndex production
+    claim measured — history is hashed ONCE into the persisted index,
+    so the per-ingest cost is O(batch); the un-managed alternative
+    re-hashes the whole history every ingest. Batch = 10% of corpus."""
+    import shutil
+    import tempfile
+
+    from holcstore_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_bands,
+    )
+    from holcstore_spark.sources.band_index import BandIndex
+
+    docs = _gen_docs(spark, n_docs).persist()
+    docs.count()
+    # FIXED batch size: the claim under test is that per-ingest cost
+    # tracks the batch, not the history — so history scales with n_docs
+    # while the batch stays 5k and the vs-stored timing should stay flat
+    cut = n_docs - 5_000
+    history = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    path = tempfile.mkdtemp(prefix="holc_perf_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = BandIndex(spark, path)
+    # one-time: hash the history into the managed index
+    run("index_build_history", lambda: (
+        idx.append_bands(minhash_bands(history), txn_app="perf",
+                         txn_version=0),
+        idx.df(),
+    )[1])
+    # the CLAIM, isolated: per-ingest dedup COMPUTE against the stored
+    # (already-hashed, text-free) bands — O(batch) hashing...
+    run("dedup_vs_stored_index", lambda: dedup_incremental(
+        batch, idx.df(),
+    ))
+    # ...vs the un-persisted formulation that re-hashes the WHOLE
+    # history corpus every ingest — O(corpus) hashing
+    run("dedup_rehash_history", lambda: dedup_incremental(
+        batch, minhash_bands(history),
+    ))
+    # end-to-end managed ingest: the compute above PLUS the exactly-once
+    # band append (localCheckpoint, per-band staged files, txn commit)
+    run("ingest_batch_managed", lambda: idx.ingest(
+        batch, txn_app="perf", txn_version=1
+    ))
+    # index maintenance: binpack the per-ingest small files
+    t0 = time.perf_counter()
+    n_packed = idx.optimize(min_files=2)
+    timings["index_optimize"] = round(time.perf_counter() - t0, 2)
+    print(f"index_optimize: {timings['index_optimize']}s "
+          f"({n_packed} bands repacked)")
+    docs.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def main(n_docs: int = 50_000, dim: int = 64,
+         only: str | None = None) -> None:
+    if only not in (None, "semantic", "incremental"):
+        # a typo ("semantics") must not silently run the 15-op full
+        # harness instead of the requested section
+        raise SystemExit(
+            f"unknown mode {only!r}; usage: perf_llm.py [n_docs] [dim] "
+            "[semantic|incremental]"
+        )
+    from holcstore_spark import get_spark
+
+    spark = get_spark(app_name="holc-perf-llm")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    docs = _gen_docs(spark, n_docs).persist()
     docs.count()
 
     vecs = (
@@ -200,6 +259,19 @@ def main(n_docs: int = 50_000, dim: int = 64,
             "n_docs": n_docs,
             "dim": dim,
             "cluster_stats": cluster_stats,
+        }))
+        spark.stop()
+        return
+
+    if only == "incremental":
+        docs.unpersist()  # the section builds its own persisted corpus
+        _incremental_section(spark, n_docs, timings, run)
+        print(json.dumps({
+            "metric": "llm_incremental_total",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": timings,
+            "n_docs": n_docs,
         }))
         spark.stop()
         return
