@@ -2311,6 +2311,33 @@ def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12: PERSISTED IVF index (sources/vector_index.py
+    VectorIndex) — the production ANN shape: train once at first
+    append (centroids persisted as a versioned CentroidStore), store
+    quantized vectors clustered by list in transaction-log-managed
+    files (one per list, so the manifest's per-file list range lets a
+    probe read open ONLY the probed lists' files), then search. With
+    the whole corpus appended in one batch, training is identical to
+    similarity_ivf's (same deterministic k-means, lowest-id seeds), so
+    the SAME oracle must hash-match — the persisted path can hide no
+    drift."""
+    import shutil
+    from holcstore_spark.sources.vector_index import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    path = tempfile.mkdtemp(prefix="holc_vecidx_")
+    shutil.rmtree(path, ignore_errors=True)
+    vi = VectorIndex(spark, path, n_lists=16, iters=2, dim=64)
+    if not vi.append(e, txn_app="entry", txn_version=0):
+        raise AssertionError("fresh index refused the append")
+    # crash-replay must be refused without changing the result
+    if vi.append(e, txn_app="entry", txn_version=0):
+        raise AssertionError("replayed append was not skipped")
+    return vi.topk(q, k=3, n_probe=2)
+
+
 def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (all-pairs
     only within buckets); exact integer-quantized scores."""
@@ -3345,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "similarity_ivf": q_similarity_ivf,
         "pq_topk": q_pq_topk,
+        "ivf_persisted": q_ivf_persisted,
         # -- (c) oldest round-10-verified block ------------------------
         "stream_gaps": q_stream_gaps,
         "multimodal_resize": q_multimodal_resize,
@@ -3366,9 +3394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_with_delay": q_slice_with_delay,
         "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
-        "ffill": q_ffill,
         # ====== driver 50-entry window ends here (50 above) ========
         # -- tail: rest of the r10-verified block (rotate round 13) ----
+        "ffill": q_ffill,
         "normalize_minmax": q_normalize_minmax,
         "min_step": q_min_step,
         "next_version": q_next_version,
@@ -5175,6 +5203,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bruteforce": similarity_bruteforce,
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
+        "ivf_persisted": similarity_ivf,
         "similarity_filtered": similarity_filtered,
         "similarity_neardup": similarity_neardup,
         "semantic_dedup": semantic_dedup_sql,

@@ -1,0 +1,350 @@
+"""Managed, persisted IVF index for embedding search.
+
+:func:`holcstore_spark.operators.similarity.ivf_topk` trains and assigns
+per call — right for exploration, wrong at 100 TB, where the inverted
+file is BUILT ONCE (train, assign, store vectors clustered by list) and
+every query batch only probes its ``n_probe`` closest lists.
+``VectorIndex`` is that production shape, the ANN twin of
+:class:`~holcstore_spark.sources.band_index.BandIndex`:
+
+- the trained centroids persist as a versioned
+  :class:`~holcstore_spark.sources.centroid_store.CentroidStore` under
+  the index path, so every append and every search shares the SAME
+  space partition (re-training would silently shuffle which vectors are
+  ever compared);
+- vector rows ``(id, list, vec_q [, attr cols])`` live in immutable
+  parquet files managed by the shared transaction log, staged one file
+  per list — ``list`` plays the chunk role, so the manifest's per-file
+  list range makes a probe read open ONLY the probed lists' files
+  (verified via ``inputFiles()`` in tests): at 100 TB a 2-of-64-list
+  probe touches ~3% of the index bytes, the IVF read path;
+- appends are idempotent via Delta-style ``(txn_app, txn_version)``
+  watermarks — a crashed ingest replay commits nothing;
+- ``optimize()`` binpacks each list's accumulated small files
+  (row-preserving compacting commit), ``vacuum()`` reclaims.
+
+``attr_cols`` (frozen at creation) stores attribute columns alongside
+the vectors so FILTERED search (``topk(filters=)``) pushes its
+predicate into the pruned index scan itself — filters and list pruning
+compose in one read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class VectorIndex:
+    """Build once, append incrementally, probe-search many times.
+
+    Typical lifecycle::
+
+        vi = VectorIndex(spark, path, n_lists=64, dim=64)
+        vi.append(day0, txn_app="ingest", txn_version=0)   # trains v1
+        vi.append(day1, txn_app="ingest", txn_version=1)   # reuses v1
+        hits = vi.topk(queries, k=10, n_probe=4,
+                       filters={"lang": "en"})
+    """
+
+    _CONFIG_FILE = "_index_config.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_lists: int = 16,
+        iters: int = 2,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        id_type: str = "long",
+        attr_cols: tuple[str, ...] = (),
+    ):
+        from holcstore_spark.session import ensure_engine_conf
+        from holcstore_spark.sources.centroid_store import CentroidStore
+        from holcstore_spark.sources.txlog import TxLog
+
+        ensure_engine_conf(spark)
+        if id_type not in ("long", "int", "string"):
+            raise ValueError(
+                f"unsupported id_type {id_type!r}; one of long/int/string"
+            )
+        self.spark = spark
+        self.path = path
+        self.params = {
+            "n_lists": int(n_lists),
+            "iters": int(iters),
+            "dim": int(dim),
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "id_type": id_type,
+            "attr_cols": list(attr_cols),
+        }
+        self._check_or_save_params()
+        self._txlog = TxLog(path)
+        self._centroids = CentroidStore(os.path.join(path, "_centroids"))
+
+    # -- frozen params ---------------------------------------------------
+    def _check_or_save_params(self) -> None:
+        target = os.path.join(self.path, self._CONFIG_FILE)
+        payload = json.dumps(self.params, indent=1, sort_keys=True)
+        if os.path.exists(target):
+            with open(target) as f:
+                existing = json.load(f)
+            if existing != self.params:
+                raise ValueError(
+                    f"vector index at {self.path} was created with "
+                    f"{existing}, incompatible with requested "
+                    f"{self.params} — the space partition and stored "
+                    "columns are frozen; create a new index to change "
+                    "them"
+                )
+            return
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{target}.tmp-{os.getpid()}-{id(self)}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, target)
+
+    def _space_params(self) -> dict:
+        return {"n_clusters": self.params["n_lists"],
+                "iters": self.params["iters"],
+                "dim": self.params["dim"]}
+
+    def centroids(self) -> list[list[int]]:
+        """The index's trained centroids (param-checked)."""
+        cents, _ = self._centroids.require(self._space_params())
+        return cents
+
+    # -- schema / read -----------------------------------------------------
+    def _schema(self) -> T.StructType:
+        id_t = {"long": T.LongType(), "int": T.IntegerType(),
+                "string": T.StringType()}[self.params["id_type"]]
+        fields = [
+            T.StructField(self.params["id_col"], id_t),
+            T.StructField("list", T.IntegerType()),
+            T.StructField("vec_q", T.ArrayType(T.LongType())),
+        ]
+        # attr columns ride along as strings? no — preserved as-is is
+        # impossible without a declared type; strings keep the frozen
+        # config simple and the lookup dialect works on strings
+        fields += [T.StructField(c, T.StringType())
+                   for c in self.params["attr_cols"]]
+        return T.StructType(fields)
+
+    def df(self, lists: "list[int] | None" = None) -> DataFrame:
+        """Live index rows; ``lists`` prunes the read to files whose
+        manifest list range overlaps the probed lists — the files of
+        un-probed lists are never opened (manifest-level skipping, the
+        same machinery as the stores' chunk pruning)."""
+        snap = self._txlog.snapshot()
+        entries = snap.files["data"]
+        if lists is not None:
+            want = set(int(x) for x in lists)
+            kept = []
+            for e in entries:
+                lo, hi = e.get("chunk_min"), e.get("chunk_max")
+                if lo is None:  # stat-less file: conservative, keep
+                    kept.append(e)
+                elif any(lo <= x <= hi for x in want):
+                    kept.append(e)
+            entries = kept
+        if not entries:
+            return self.spark.createDataFrame([], self._schema())
+        paths = [os.path.join(self.path, e["path"]) for e in entries]
+        out = self.spark.read.schema(self._schema()).parquet(*paths)
+        if lists is not None:
+            out = out.filter(F.col("list").isin(sorted(want)))
+        return out
+
+    def last_txn_version(self, txn_app) -> int:
+        return self._txlog.snapshot().app_versions.get(str(txn_app), -1)
+
+    # -- write -------------------------------------------------------------
+    def _assigned(self, df: DataFrame) -> DataFrame:
+        from holcstore_spark.operators.similarity import (
+            _assign_to_centroid,
+            quantized,
+        )
+
+        p = self.params
+        cents = self.centroids()
+        cols = [F.col(p["id_col"]),
+                quantized(p["vec_col"]).alias("vec_q")]
+        cols += [F.col(c).cast("string").alias(c) for c in p["attr_cols"]]
+        d = df.select(*cols)
+        return d.withColumn(
+            "list", _assign_to_centroid(F.col("vec_q"), cents).cast("int")
+        ).select(*self._schema().fieldNames())
+
+    def _stage(self, assigned: DataFrame) -> list:
+        """One file per list (list = manifest chunk axis): a single
+        range-partitioned write can emit list-SPANNING files on skewed
+        samples, which would dodge binpack forever — so materialize
+        once and write per list, as BandIndex does per band."""
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
+
+        assigned = safe_local_checkpoint(assigned)
+        entries = []
+        for lst in range(self.params["n_lists"]):
+            part = assigned.filter(F.col("list") == lst)
+            if not part.take(1):
+                continue
+            abs_dir, rel_dir = self._txlog.new_staging_dir()
+            (
+                part.coalesce(1)
+                .sortWithinPartitions(self.params["id_col"])
+                .write.mode("overwrite").parquet(abs_dir)
+            )
+            entries.extend(self._txlog.collect_entries(
+                abs_dir, rel_dir, key_cols=(), chunk_col="list",
+            ))
+        return entries
+
+    def append(
+        self, df: DataFrame, txn_app=None, txn_version=None,
+    ) -> bool:
+        """Assign ``df``'s vectors into the index and commit — training
+        happens EXACTLY ONCE, on the first append (persisted as
+        centroid version 1); later appends reuse that space. Idempotent
+        under ``(txn_app, txn_version)`` replay: returns False and
+        commits nothing."""
+        from holcstore_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+        from holcstore_spark.sources.txlog import TxLog, resolve_txn
+
+        p = self.params
+        txn_id = resolve_txn(True, txn_app, txn_version)
+        snap = self._txlog.snapshot()
+        if txn_id is not None and (
+            txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
+        ):
+            return False
+        if self._centroids.latest_version() is None:
+            cents = train_ivf_centroids(
+                df, n_lists=p["n_lists"], iters=p["iters"],
+                id_col=p["id_col"], vec_col=p["vec_col"], dim=p["dim"],
+            )
+            self._centroids.save(cents, self._space_params())
+        adds = self._stage(self._assigned(df))
+        committed = self._txlog.commit_idempotent(
+            snap.version, "append", TxLog.next_op_id(snap),
+            {"data": adds}, {},
+            touched=None,
+            txn_app=txn_id[0] if txn_id else None,
+            txn_version=txn_id[1] if txn_id else None,
+        )
+        return committed is not None
+
+    # -- search --------------------------------------------------------------
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 3,
+        n_probe: int = 2,
+        query_id: str = "q_id",
+        filters: "F.Column | dict | None" = None,
+    ) -> DataFrame:
+        """IVF probe search over the persisted index: each query's
+        ``n_probe`` nearest lists are computed against the stored
+        centroids, the UNION of probed lists prunes the index read at
+        the manifest (only those lists' files open), and scoring joins
+        on the list id exactly like :func:`ivf_topk` — same integer
+        arithmetic, same deterministic ties, so results equal the
+        in-memory operator given the same centroids.
+
+        ``filters``: attribute predicate over the index's stored
+        ``attr_cols`` (Column or lookup dict) — applied INSIDE the
+        pruned scan, below the probe join.
+        """
+        from holcstore_spark.operators.similarity import (
+            _apply_filters,
+            _probe_lists,
+            cosine_q_arrow,
+            quantized,
+        )
+        from pyspark.sql import Window
+
+        p = self.params
+        cents = self.centroids()
+        qry = queries.select(
+            F.col(p["id_col"]).alias(query_id),
+            quantized(p["vec_col"]).alias("__qq"),
+        ).withColumn("__probe", _probe_lists(F.col("__qq"), cents, n_probe))
+        # queries are small by contract (they broadcast anyway); the
+        # probed-list union is at most n_lists ints
+        probe_lists = sorted({
+            int(x) for r in qry.select("__probe").collect()
+            for x in r["__probe"]
+        })
+        cand = _apply_filters(self.df(lists=probe_lists), filters).select(
+            F.col(p["id_col"]).alias("neighbor_id"),
+            F.col("list"), F.col("vec_q").alias("__cq"),
+        )
+        q = qry.withColumn("list", F.explode("__probe")).drop("__probe")
+        scored = cand.join(F.broadcast(q), on="list").filter(
+            F.col("neighbor_id") != F.col(query_id)
+        ).withColumn("score", cosine_q_arrow(F.col("__qq"), F.col("__cq")))
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select(query_id, "neighbor_id", "score")
+        )
+
+    # -- maintenance -----------------------------------------------------
+    def optimize(self, min_files: int = 4, max_lists: int = 64) -> int:
+        """Per-list small-file binpack — same contract as
+        BandIndex.optimize: row-preserving compacting commit,
+        O(fragmentation), never O(index)."""
+        from holcstore_spark.sources.txlog import (
+            TxLog,
+            binpack_candidates,
+            exact_rows,
+        )
+
+        snap = self._txlog.snapshot()
+        cands, by_list = binpack_candidates(
+            snap.files["data"], min_files, max_lists
+        )
+        if not cands:
+            return 0
+        adds, removes = [], []
+        for lst in cands:
+            paths = [os.path.join(self.path, e["path"])
+                     for e in by_list[lst]]
+            src = self.spark.read.schema(self._schema()).parquet(*paths)
+            abs_dir, rel_dir = self._txlog.new_staging_dir()
+            (
+                src.coalesce(1)
+                .sortWithinPartitions(self.params["id_col"])
+                .write.mode("overwrite").parquet(abs_dir)
+            )
+            adds.extend(self._txlog.collect_entries(
+                abs_dir, rel_dir, key_cols=(), chunk_col="list",
+            ))
+            removes.extend(by_list[lst])
+        if exact_rows(adds) != exact_rows(removes):
+            raise RuntimeError(
+                f"optimize repack row mismatch: staged "
+                f"{exact_rows(adds)} rows for {exact_rows(removes)} "
+                f"source rows across lists {sorted(cands)}"
+            )
+        self._txlog.commit(
+            snap.version, "optimize", TxLog.next_op_id(snap),
+            {"data": adds}, {"data": removes},
+            touched=set(cands), compacting=True,
+        )
+        return len(cands)
+
+    def vacuum(self, retention_seconds: float = 3600.0,
+               deep: bool = False) -> int:
+        return self._txlog.vacuum_files(retention_seconds, deep=deep)

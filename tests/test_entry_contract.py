@@ -125,7 +125,7 @@ ROUND12_WINDOW_MUST = {
     # min/max-old refactor, and the ivf/pq entry points whose
     # signatures grew filters=
     "similarity_filtered", "pq_filtered", "dedup_index_replay",
-    "dedup_incremental", "similarity_ivf", "pq_topk",
+    "dedup_incremental", "similarity_ivf", "pq_topk", "ivf_persisted",
 }
 
 

@@ -1,0 +1,136 @@
+"""VectorIndex: the persisted, transactional IVF index (round 12) —
+build once / append incrementally / probe-search with manifest-level
+list pruning, exactly-once appends, per-list binpack."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from holcstore_spark.sources.vector_index import VectorIndex
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _pairs(rows):
+    return sorted((r["q_id"], r["neighbor_id"], r["score"]) for r in rows)
+
+
+class TestSearchParity:
+    def test_topk_equals_inmemory_ivf_with_same_centroids(
+            self, spark, tmp_store_path, emb):
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        assert vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        got = vi.topk(q, k=3, n_probe=2).collect()
+        want = ivf_topk(emb, q, k=3, n_lists=4, n_probe=2,
+                        centroids=vi.centroids()).collect()
+        assert _pairs(got) == _pairs(want)
+
+    def test_incremental_appends_equal_one_shot(self, spark,
+                                                tmp_store_path, emb):
+        # two appends into the SAME persisted space == one append of the
+        # union (the centroid persistence contract, applied to ANN)
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        b1 = emb.filter(F.col("vec_id") % 2 == 0)
+        b2 = emb.filter(F.col("vec_id") % 2 == 1)
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        assert vi.append(b1, txn_app="b", txn_version=0)  # trains v1
+        assert vi.append(b2, txn_app="b", txn_version=1)  # reuses v1
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        got = vi.topk(q, k=3, n_probe=2).collect()
+        want = ivf_topk(emb, q, k=3, n_probe=2,
+                        centroids=vi.centroids()).collect()
+        assert _pairs(got) == _pairs(want)
+
+    def test_filtered_topk_matches_filtered_inmemory(
+            self, spark, tmp_store_path, emb):
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64,
+                         attr_cols=("label",))
+        assert vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        got = vi.topk(q, k=3, n_probe=4,
+                      filters=F.col("label").isin("2", "5", "7")).collect()
+        want = ivf_topk(emb, q, k=3, n_probe=4,
+                        centroids=vi.centroids(),
+                        filters=F.col("label").isin(2, 5, 7)).collect()
+        assert _pairs(got) == _pairs(want)
+        labels = {r["vec_id"]: r["label"] for r in
+                  emb.select("vec_id", "label").collect()}
+        assert all(labels[n] in (2, 5, 7) for _, n, _ in _pairs(got))
+
+
+class TestManifestPruning:
+    def test_probe_read_opens_only_probed_lists_files(
+            self, spark, tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        n_live = len(vi._txlog.snapshot().files["data"])
+        assert n_live >= 3  # one file per non-empty list
+        pruned = vi.df(lists=[0])
+        assert len(pruned.inputFiles()) < n_live
+        assert len(pruned.inputFiles()) <= 1
+        full = vi.df()
+        assert len(full.inputFiles()) == n_live
+        # pruned read returns exactly list 0's rows
+        assert pruned.filter(F.col("list") != 0).count() == 0
+        assert pruned.count() == full.filter(F.col("list") == 0).count()
+
+
+class TestExactlyOnceAppend:
+    def test_replayed_append_commits_nothing(self, spark,
+                                             tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        assert vi.append(emb, txn_app="b", txn_version=0) is True
+        n = vi.df().count()
+        v = vi._txlog.snapshot().version
+        assert vi.append(emb, txn_app="b", txn_version=0) is False
+        assert vi.df().count() == n
+        assert vi._txlog.snapshot().version == v
+        assert vi.last_txn_version("b") == 0
+
+
+class TestMaintenance:
+    def test_optimize_binpacks_and_search_unchanged(
+            self, spark, tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        # 3 appends -> every list accumulates >=2 files
+        thirds = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+        for v, b in enumerate(thirds):
+            vi.append(b, txn_app="b", txn_version=v)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        before = _pairs(vi.topk(q, k=3, n_probe=2).collect())
+        files_before = len(vi._txlog.snapshot().files["data"])
+        assert vi.optimize(min_files=3) >= 1
+        assert len(vi._txlog.snapshot().files["data"]) < files_before
+        assert _pairs(vi.topk(q, k=3, n_probe=2).collect()) == before
+        assert vi.vacuum(retention_seconds=0.0) > 0
+        assert _pairs(vi.topk(q, k=3, n_probe=2).collect()) == before
+
+
+class TestFrozenParams:
+    def test_mismatched_reopen_refused(self, spark, tmp_store_path, emb):
+        p = os.path.join(tmp_store_path, "vi")
+        VectorIndex(spark, p, n_lists=4, dim=64)
+        VectorIndex(spark, p, n_lists=4, dim=64)  # same: fine
+        with pytest.raises(ValueError, match="frozen"):
+            VectorIndex(spark, p, n_lists=8, dim=64)
+        with pytest.raises(ValueError, match="frozen"):
+            VectorIndex(spark, p, n_lists=4, dim=64, attr_cols=("label",))
