@@ -469,7 +469,13 @@ def dedup_incremental(
     extra shuffle). This is what makes a replayed batch idempotent
     against an index that already contains the batch's own bands
     (BandIndex.ingest sets it); the default False keeps the two-sided
-    rule where id spaces need not be comparable.
+    rule where id spaces need not be comparable. In this mode
+    ``max_bucket`` counts ONLY the bucket's NEW rows: (a) that is the
+    actual cost driver here (the old side contributes constant-space
+    min/max aggregates; only the new ids are collect_list'ed), and
+    (b) counting old rows would let a replay — whose bucket now also
+    holds the batch's own committed bands — flip the valve and change
+    the kept set, breaking the exactly-once contract.
     """
     nb = minhash_bands(new_docs, text, id_col, n_hashes, bands, shingle_k)
     u = nb.withColumn("__new", F.lit(True)).unionByName(
@@ -485,7 +491,11 @@ def dedup_incremental(
         F.min(F.when(F.col("__new"), F.col(id_col))).alias("__min_new"),
         # collect_list skips nulls: only the NEW ids are carried
         F.collect_list(F.when(F.col("__new"), F.col(id_col))).alias("__new_ids"),
-        F.count(F.lit(1)).alias("__n"),
+        # valve size: new-only under exclude_self (replay-invariant and
+        # cost-accurate — see docstring), total rows otherwise (the r11
+        # oracle-matched semantics)
+        (F.count(F.when(F.col("__new"), 1)) if exclude_self
+         else F.count(F.lit(1))).alias("__n"),
     )
     if max_bucket is not None:
         g = g.filter(F.col("__n") <= max_bucket)

@@ -118,8 +118,6 @@ class AttrStore:
     REWRITE_ROWS_CAP = 5_000_000
 
     def _overwrite(self, df: DataFrame) -> None:
-        import warnings
-
         import pyarrow as pa
         import pyarrow.dataset as ds
 
@@ -129,15 +127,15 @@ class AttrStore:
             ).count_rows()  # footers only — no data read, no Spark job
         except (FileNotFoundError, OSError):
             on_disk = 0
-        except pa.ArrowInvalid as exc:
-            # a malformed / partially-written footer must not crash a
-            # guard that exists only to SIZE the rewrite — the overwrite
-            # about to happen replaces the corrupt file anyway
-            warnings.warn(
-                f"unreadable parquet footer under {self.path} "
-                f"({exc}); rewrite-cap check skipped", stacklevel=2,
+        except pa.ArrowInvalid:
+            # a corrupt / partially-written footer must not crash the
+            # guard — but one bad file must not DISABLE the cap either:
+            # count the readable footers, warn per unreadable one
+            from holcstore_spark.sources.io_util import (
+                sum_readable_footers,
             )
-            on_disk = 0
+
+            on_disk = sum_readable_footers(self.path)
         if on_disk > self.REWRITE_ROWS_CAP:
             raise ValueError(
                 f"full-table rewrite of ~{on_disk} rows is above "

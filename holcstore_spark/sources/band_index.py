@@ -107,7 +107,15 @@ class BandIndex:
         tmp = f"{target}.tmp-{os.getpid()}-{id(self)}"
         with open(tmp, "w") as f:
             f.write(payload)
-        os.replace(tmp, target)
+        try:
+            # first-wins claim (os.link never overwrites): two racing
+            # creators with DIFFERENT params must not last-writer-win —
+            # the loser re-validates against what actually landed
+            os.link(tmp, target)
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            self._check_or_save_params()
 
     # -- read side -------------------------------------------------------
     def _schema(self) -> T.StructType:
@@ -149,11 +157,15 @@ class BandIndex:
         from holcstore_spark.sources.io_util import safe_local_checkpoint
 
         bands_df = safe_local_checkpoint(bands_df)
+        # ONE job finds the non-empty bands (a per-band take(1) probe
+        # would scan the checkpointed frame once per band)
+        non_empty = sorted(
+            r["band_id"] for r in
+            bands_df.select("band_id").distinct().collect()
+        )
         entries = []
-        for b in range(self.params["bands"]):
+        for b in non_empty:
             part = bands_df.filter(F.col("band_id") == b)
-            if not part.take(1):
-                continue  # empty batch slice: stage nothing for it
             abs_dir, rel_dir = self._txlog.new_staging_dir()
             (
                 part.coalesce(1).sortWithinPartitions("band_key")
@@ -165,12 +177,43 @@ class BandIndex:
             ))
         return entries
 
+    def _validate_band_shape(self, bands_df: DataFrame) -> None:
+        """Structural guard on pre-computed band rows: band keys hashed
+        with different ``(n_hashes, bands)`` are incomparable — the
+        exact hazard the frozen params exist to prevent would otherwise
+        re-enter through append_bands. band_id must lie in [0, bands)
+        and band_key must be n_hashes/bands 8-hex segments. Checked on
+        a bounded sample (one small job); ``shingle_k`` is not
+        detectable from rows and stays on the honor system."""
+        p = self.params
+        rpb = p["n_hashes"] // p["bands"]
+        pattern = "^[0-9a-f]{8}" + r"(\|[0-9a-f]{8})" + f"{{{rpb - 1}}}$"
+        bad = (
+            bands_df.limit(1000)
+            .filter(
+                (F.col("band_id") < 0)
+                | (F.col("band_id") >= p["bands"])
+                | ~F.col("band_key").rlike(pattern)
+            )
+            .take(1)
+        )
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                f"band row (band_id={r['band_id']}, "
+                f"band_key={r['band_key']!r}) does not match this "
+                f"index's frozen MinHash params {p} — bands hashed with "
+                "different (n_hashes, bands) are not comparable; use "
+                "minhash_bands with the index's parameters"
+            )
+
     def append_bands(
         self, bands_df: DataFrame, txn_app=None, txn_version=None,
     ) -> bool:
         """Append pre-computed band rows as ONE idempotent commit.
         Returns False when ``(txn_app, txn_version)`` was already
-        applied (nothing staged, nothing committed)."""
+        applied (nothing staged, nothing committed). Rows are
+        shape-checked against the frozen MinHash params (sampled)."""
         from holcstore_spark.sources.txlog import TxLog, resolve_txn
 
         txn_id = resolve_txn(True, txn_app, txn_version)
@@ -179,6 +222,7 @@ class BandIndex:
             txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
         ):
             return False
+        self._validate_band_shape(bands_df)
         adds = self._stage(bands_df.select(*self._schema().fieldNames()))
         committed = self._txlog.commit_idempotent(
             snap.version, "append", TxLog.next_op_id(snap),

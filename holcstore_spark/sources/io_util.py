@@ -48,3 +48,30 @@ def has_parquet(path: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+def sum_readable_footers(path: str) -> int:
+    """Total row count across the readable parquet footers under
+    ``path``, warning per unreadable file instead of failing — the
+    fallback the REWRITE_ROWS_CAP guards use when pyarrow dataset
+    discovery chokes on one corrupt / partially-written file (a single
+    bad file next to 100M healthy rows must neither crash the write
+    nor silently disable the cap)."""
+    import warnings
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            try:
+                total += pq.ParquetFile(fp).metadata.num_rows
+            except Exception as exc:  # ArrowInvalid, OSError, ...
+                warnings.warn(
+                    f"unreadable parquet footer {fp} ({exc}); "
+                    "counted as 0 rows in the rewrite-cap check",
+                    stacklevel=2,
+                )
+    return total

@@ -247,8 +247,6 @@ class KeyValueStore:
         """Manifest-shaped ``{'rows': n}`` entries for the plain
         (non-ACID) layout, from parquet FOOTERS only — no data read, no
         Spark job; missing/fresh paths count as empty."""
-        import warnings
-
         import pyarrow as pa
         import pyarrow.dataset as ds
 
@@ -258,15 +256,17 @@ class KeyValueStore:
             return [{"rows": dataset.count_rows()}]
         except (FileNotFoundError, OSError):
             return []
-        except pa.ArrowInvalid as exc:
+        except pa.ArrowInvalid:
             # a malformed / partially-written footer must not crash a
-            # guard that exists only to SIZE the rewrite — the overwrite
-            # about to happen replaces the corrupt file anyway
-            warnings.warn(
-                f"unreadable parquet footer under {path} "
-                f"({exc}); rewrite-cap check skipped", stacklevel=2,
+            # guard that exists only to SIZE the rewrite — but it must
+            # not DISABLE it either (one bad file next to 100M healthy
+            # rows would skip the cap exactly when it matters): count
+            # the readable footers, warn per unreadable one
+            from holcstore_spark.sources.io_util import (
+                sum_readable_footers,
             )
-            return []
+
+            return [{"rows": sum_readable_footers(path)}]
 
     def _overwrite(self, df: DataFrame, snap=None) -> None:
         if self._acid:

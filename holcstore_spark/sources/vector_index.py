@@ -63,7 +63,7 @@ class VectorIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         id_type: str = "long",
-        attr_cols: tuple[str, ...] = (),
+        attr_cols: "tuple[str, ...] | dict[str, str]" = (),
     ):
         from holcstore_spark.session import ensure_engine_conf
         from holcstore_spark.sources.centroid_store import CentroidStore
@@ -74,6 +74,19 @@ class VectorIndex:
             raise ValueError(
                 f"unsupported id_type {id_type!r}; one of long/int/string"
             )
+        # attr columns carry a DECLARED type (dict col -> type; a bare
+        # tuple means all-string): storing e.g. an int label as string
+        # would make numeric filters run through an implicit cast that
+        # BLOCKS parquet pushdown — the whole point of storing attrs in
+        # the index
+        attrs = (dict(attr_cols) if isinstance(attr_cols, dict)
+                 else {c: "string" for c in attr_cols})
+        for c, t in attrs.items():
+            if t not in ("string", "int", "long", "double"):
+                raise ValueError(
+                    f"unsupported attr type {t!r} for {c!r}; one of "
+                    "string/int/long/double"
+                )
         self.spark = spark
         self.path = path
         self.params = {
@@ -83,7 +96,7 @@ class VectorIndex:
             "id_col": id_col,
             "vec_col": vec_col,
             "id_type": id_type,
-            "attr_cols": list(attr_cols),
+            "attr_cols": attrs,
         }
         self._check_or_save_params()
         self._txlog = TxLog(path)
@@ -109,7 +122,15 @@ class VectorIndex:
         tmp = f"{target}.tmp-{os.getpid()}-{id(self)}"
         with open(tmp, "w") as f:
             f.write(payload)
-        os.replace(tmp, target)
+        try:
+            # first-wins claim (os.link never overwrites): two racing
+            # creators with DIFFERENT params must not last-writer-win —
+            # the loser re-validates against what actually landed
+            os.link(tmp, target)
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            self._check_or_save_params()
 
     def _space_params(self) -> dict:
         return {"n_clusters": self.params["n_lists"],
@@ -117,24 +138,30 @@ class VectorIndex:
                 "dim": self.params["dim"]}
 
     def centroids(self) -> list[list[int]]:
-        """The index's trained centroids (param-checked)."""
-        cents, _ = self._centroids.require(self._space_params())
+        """The index's trained centroids (param-checked) — ALWAYS
+        version 1: index rows are physically clustered by the space
+        that assigned them, so the space can never change for the life
+        of the index. Pinning v1 also closes the concurrent-first-append
+        race: two racing creators may both train and save (v1 and v2 —
+        CentroidStore.save claims slots first-wins), but every
+        assignment and every search loads v1, so the loser's v2 is a
+        harmless orphan rather than a silent fork of the space."""
+        cents, _ = self._centroids.require(self._space_params(), version=1)
         return cents
 
     # -- schema / read -----------------------------------------------------
     def _schema(self) -> T.StructType:
         id_t = {"long": T.LongType(), "int": T.IntegerType(),
                 "string": T.StringType()}[self.params["id_type"]]
+        type_of = {"string": T.StringType(), "int": T.IntegerType(),
+                   "long": T.LongType(), "double": T.DoubleType()}
         fields = [
             T.StructField(self.params["id_col"], id_t),
             T.StructField("list", T.IntegerType()),
             T.StructField("vec_q", T.ArrayType(T.LongType())),
         ]
-        # attr columns ride along as strings? no — preserved as-is is
-        # impossible without a declared type; strings keep the frozen
-        # config simple and the lookup dialect works on strings
-        fields += [T.StructField(c, T.StringType())
-                   for c in self.params["attr_cols"]]
+        fields += [T.StructField(c, type_of[t])
+                   for c, t in self.params["attr_cols"].items()]
         return T.StructType(fields)
 
     def df(self, lists: "list[int] | None" = None) -> DataFrame:
@@ -176,7 +203,8 @@ class VectorIndex:
         cents = self.centroids()
         cols = [F.col(p["id_col"]),
                 quantized(p["vec_col"]).alias("vec_q")]
-        cols += [F.col(c).cast("string").alias(c) for c in p["attr_cols"]]
+        cols += [F.col(c).cast(t).alias(c)
+                 for c, t in p["attr_cols"].items()]
         d = df.select(*cols)
         return d.withColumn(
             "list", _assign_to_centroid(F.col("vec_q"), cents).cast("int")
@@ -190,11 +218,15 @@ class VectorIndex:
         from holcstore_spark.sources.io_util import safe_local_checkpoint
 
         assigned = safe_local_checkpoint(assigned)
+        # ONE job finds the non-empty lists (a per-list take(1) probe
+        # would scan the checkpointed batch once per list)
+        non_empty = sorted(
+            r["list"] for r in
+            assigned.select("list").distinct().collect()
+        )
         entries = []
-        for lst in range(self.params["n_lists"]):
+        for lst in non_empty:
             part = assigned.filter(F.col("list") == lst)
-            if not part.take(1):
-                continue
             abs_dir, rel_dir = self._txlog.new_staging_dir()
             (
                 part.coalesce(1)

@@ -3,11 +3,13 @@
 random embeddings, then times the dedup / similarity / text paths at a
 scale beyond the driver's sf0.1 parquet. Usage::
 
-    python scripts/perf_llm.py [n_docs] [dim] [semantic]
+    python scripts/perf_llm.py [n_docs] [dim] [semantic|incremental]
 
 ``semantic`` runs ONLY the clustered-embedding SemDeDup-lineage
 probes in a clean session (the full harness carries ~15 persisted
-frames that inflate late-op timings).
+frames that inflate late-op timings); ``incremental`` runs ONLY the
+managed dedup-index probes (fixed 5k batch vs n_docs-5k history —
+the O(batch)-per-ingest claim).
 
 Prints one timing line per operator and a JSON summary line.
 """
@@ -152,11 +154,11 @@ def _gen_docs(spark, n_docs: int):
     )
 
 
-def _incremental_section(spark, n_docs, timings, run):
+def _incremental_section(spark, docs, n_docs, timings, run):
     """Managed dedup-index probes (round 12): the BandIndex production
     claim measured — history is hashed ONCE into the persisted index,
     so the per-ingest cost is O(batch); the un-managed alternative
-    re-hashes the whole history every ingest. Batch = 10% of corpus."""
+    re-hashes the whole history every ingest. Batch fixed at 5k."""
     import shutil
     import tempfile
 
@@ -165,12 +167,15 @@ def _incremental_section(spark, n_docs, timings, run):
         minhash_bands,
     )
     from holcstore_spark.sources.band_index import BandIndex
-
-    docs = _gen_docs(spark, n_docs).persist()
-    docs.count()
     # FIXED batch size: the claim under test is that per-ingest cost
     # tracks the batch, not the history — so history scales with n_docs
     # while the batch stays 5k and the vs-stored timing should stay flat
+    if n_docs <= 10_000:
+        raise SystemExit(
+            "incremental mode needs n_docs > 10000 (history = n_docs - "
+            "5000 must dwarf the fixed 5k batch for the probe to mean "
+            "anything)"
+        )
     cut = n_docs - 5_000
     history = docs.filter(F.col("doc_id") < cut)
     batch = docs.filter(F.col("doc_id") >= cut)
@@ -222,6 +227,46 @@ def main(n_docs: int = 50_000, dim: int = 64,
     spark = get_spark(app_name="holc-perf-llm")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn().count()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # mode branches come BEFORE the shared corpus/embedding builds: the
+    # semantic section generates its own clustered vectors and the
+    # incremental section only needs docs — materializing an unused
+    # n_docs × dim embedding frame would just pollute the probe
+    if only == "semantic":
+        cluster_stats = _semantic_section(spark, n_docs, dim, timings, run)
+        print(json.dumps({
+            "metric": "llm_semantic_total",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": timings,
+            "n_docs": n_docs,
+            "dim": dim,
+            "cluster_stats": cluster_stats,
+        }))
+        spark.stop()
+        return
+
+    if only == "incremental":
+        docs = _gen_docs(spark, n_docs).persist()
+        docs.count()
+        _incremental_section(spark, docs, n_docs, timings, run)
+        print(json.dumps({
+            "metric": "llm_incremental_total",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": timings,
+            "n_docs": n_docs,
+        }))
+        spark.stop()
+        return
+
     docs = _gen_docs(spark, n_docs).persist()
     docs.count()
 
@@ -240,41 +285,6 @@ def main(n_docs: int = 50_000, dim: int = 64,
         .persist()
     )
     vecs.count()
-
-    timings: dict[str, float] = {}
-
-    def run(name, fn):
-        t0 = time.perf_counter()
-        n = fn().count()
-        timings[name] = round(time.perf_counter() - t0, 2)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-
-    if only == "semantic":
-        cluster_stats = _semantic_section(spark, n_docs, dim, timings, run)
-        print(json.dumps({
-            "metric": "llm_semantic_total",
-            "value": round(sum(timings.values()), 2),
-            "unit": "sec",
-            "queries": timings,
-            "n_docs": n_docs,
-            "dim": dim,
-            "cluster_stats": cluster_stats,
-        }))
-        spark.stop()
-        return
-
-    if only == "incremental":
-        docs.unpersist()  # the section builds its own persisted corpus
-        _incremental_section(spark, n_docs, timings, run)
-        print(json.dumps({
-            "metric": "llm_incremental_total",
-            "value": round(sum(timings.values()), 2),
-            "unit": "sec",
-            "queries": timings,
-            "n_docs": n_docs,
-        }))
-        spark.stop()
-        return
 
     from holcstore_spark.operators.dedup import (
         connected_components,

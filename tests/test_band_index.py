@@ -92,6 +92,47 @@ class TestExactlyOnceIngest:
         assert idx.append_bands(bands) is True
         assert idx.df().count() == 2 * n
 
+    def test_replay_with_max_bucket_valve_is_still_idempotent(
+            self, spark, tmp_store_path):
+        # round-12 review finding: with the valve counting ALL bucket
+        # rows, a replay — whose buckets also hold the batch's own
+        # committed bands — could flip the valve and change the kept
+        # set; under exclude_self the valve now counts NEW rows only
+        idx = BandIndex(spark, os.path.join(tmp_store_path, "idx"))
+        batch = docs_df(spark, [
+            (1, "duplicate pair text sharing every single band key yes"),
+            (2, "duplicate pair text sharing every single band key yes"),
+        ])
+        kept_1 = sorted(
+            r["doc_id"] for r in
+            idx.ingest(batch, txn_app="s", txn_version=0,
+                       max_bucket=2).collect()
+        )
+        assert kept_1 == [1]  # 2 dropped by the within-batch rule
+        replay = sorted(
+            r["doc_id"] for r in
+            idx.ingest(batch, txn_app="s", txn_version=0,
+                       max_bucket=2).collect()
+        )
+        assert replay == kept_1, \
+            "valve flipped on replay: kept set changed"
+
+    def test_append_bands_rejects_mismatched_minhash_shape(
+            self, spark, tmp_store_path, corpus):
+        from holcstore_spark.operators.dedup import minhash_bands
+
+        history, _, _ = corpus
+        idx = BandIndex(spark, os.path.join(tmp_store_path, "idx"))
+        # 8/4 gives 2 hex segments per key vs the frozen 16/4's 4
+        wrong = minhash_bands(history, n_hashes=8, bands=4)
+        with pytest.raises(ValueError, match="not comparable"):
+            idx.append_bands(wrong, txn_app="a", txn_version=0)
+        assert idx.df().count() == 0
+        # same segments-per-band but out-of-range band ids also refuse
+        too_many_bands = minhash_bands(history, n_hashes=32, bands=8)
+        with pytest.raises(ValueError, match="not comparable"):
+            idx.append_bands(too_many_bands, txn_app="a", txn_version=0)
+
     def test_kept_rows_keep_all_columns(self, spark, tmp_store_path):
         d = spark.createDataFrame(pd.DataFrame(
             [(1, "some text body here words", "en")],

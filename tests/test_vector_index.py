@@ -58,13 +58,15 @@ class TestSearchParity:
             self, spark, tmp_store_path, emb):
         from holcstore_spark.operators.similarity import ivf_topk
 
+        # attrs carry their DECLARED type (review finding: stringly
+        # attrs would block numeric-filter pushdown on the index scan)
         vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
                          n_lists=4, iters=2, dim=64,
-                         attr_cols=("label",))
+                         attr_cols={"label": "long"})
         assert vi.append(emb, txn_app="b", txn_version=0)
         q = emb.filter(F.col("vec_id") % 100 == 0)
         got = vi.topk(q, k=3, n_probe=4,
-                      filters=F.col("label").isin("2", "5", "7")).collect()
+                      filters={"label__in": [2, 5, 7]}).collect()
         want = ivf_topk(emb, q, k=3, n_probe=4,
                         centroids=vi.centroids(),
                         filters=F.col("label").isin(2, 5, 7)).collect()
