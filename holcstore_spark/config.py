@@ -113,23 +113,27 @@ class ChunkStoreConfig:
         return replace(self, acid=True)
 
     def save(self, path: str) -> None:
-        """Idempotent + atomic: concurrent store opens on the same path
-        (ACID multi-writer) must never observe a truncated config — the
-        unchanged-content fast path skips the write entirely and the
-        rewrite goes through a temp file + atomic rename."""
+        """Idempotent + atomic + FIRST-wins: concurrent store opens on
+        the same path (ACID multi-writer) must never observe a
+        truncated config, and two racing CREATORS with different
+        configs must not last-writer-win — the claim goes through
+        os.link (never overwrites) and the loser validates against what
+        actually landed, raising the same error check_compatible
+        would."""
+        from holcstore_spark.sources.io_util import claim_file_first_wins
+
         os.makedirs(path, exist_ok=True)
         target = os.path.join(path, "_store_config.json")
         payload = json.dumps(asdict(self), indent=1)
-        try:
-            with open(target) as f:
-                if f.read() == payload:
-                    return
-        except (FileNotFoundError, OSError):
-            pass
-        tmp = f"{target}.tmp-{os.getpid()}-{id(self)}"
-        with open(tmp, "w") as f:
-            f.write(payload)
-        os.replace(tmp, target)
+        landed = claim_file_first_wins(target, payload)
+        if landed != payload:
+            # formatting may differ for a semantically identical config
+            existing = self.load(path)
+            if existing != self:
+                raise ValueError(
+                    f"store at {path} was created with {existing}, "
+                    f"incompatible with requested {self}"
+                )
 
     @classmethod
     def load(cls, path: str) -> "ChunkStoreConfig":

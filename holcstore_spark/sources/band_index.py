@@ -89,33 +89,20 @@ class BandIndex:
 
     # -- frozen params -------------------------------------------------
     def _check_or_save_params(self) -> None:
+        from holcstore_spark.sources.io_util import claim_file_first_wins
+
         target = os.path.join(self.path, self._CONFIG_FILE)
         payload = json.dumps(self.params, indent=1, sort_keys=True)
-        if os.path.exists(target):
-            with open(target) as f:
-                existing = json.load(f)
-            if existing != self.params:
-                raise ValueError(
-                    f"band index at {self.path} was created with "
-                    f"{existing}, incompatible with requested "
-                    f"{self.params} — band keys from different MinHash "
-                    "parameters are not comparable; create a new index "
-                    "(and re-hash history) to change them"
-                )
-            return
         os.makedirs(self.path, exist_ok=True)
-        tmp = f"{target}.tmp-{os.getpid()}-{id(self)}"
-        with open(tmp, "w") as f:
-            f.write(payload)
-        try:
-            # first-wins claim (os.link never overwrites): two racing
-            # creators with DIFFERENT params must not last-writer-win —
-            # the loser re-validates against what actually landed
-            os.link(tmp, target)
-            os.unlink(tmp)
-        except FileExistsError:
-            os.unlink(tmp)
-            self._check_or_save_params()
+        existing = json.loads(claim_file_first_wins(target, payload))
+        if existing != self.params:
+            raise ValueError(
+                f"band index at {self.path} was created with "
+                f"{existing}, incompatible with requested "
+                f"{self.params} — band keys from different MinHash "
+                "parameters are not comparable; create a new index "
+                "(and re-hash history) to change them"
+            )
 
     # -- read side -------------------------------------------------------
     def _schema(self) -> T.StructType:
@@ -159,10 +146,14 @@ class BandIndex:
         bands_df = safe_local_checkpoint(bands_df)
         # ONE job finds the non-empty bands (a per-band take(1) probe
         # would scan the checkpointed frame once per band)
-        non_empty = sorted(
-            r["band_id"] for r in
-            bands_df.select("band_id").distinct().collect()
-        )
+        band_ids = [r["band_id"] for r in
+                    bands_df.select("band_id").distinct().collect()]
+        if any(b is None for b in band_ids):
+            raise ValueError(
+                "band rows with NULL band_id cannot be staged — the "
+                "band id is the index's manifest chunk axis"
+            )
+        non_empty = sorted(band_ids)
         entries = []
         for b in non_empty:
             part = bands_df.filter(F.col("band_id") == b)
@@ -191,7 +182,11 @@ class BandIndex:
         bad = (
             bands_df.limit(1000)
             .filter(
-                (F.col("band_id") < 0)
+                # NULLs must be caught explicitly: (NULL < 0) is NULL
+                # under three-valued logic and filter() would drop it
+                F.col("band_id").isNull()
+                | F.col("band_key").isNull()
+                | (F.col("band_id") < 0)
                 | (F.col("band_id") >= p["bands"])
                 | ~F.col("band_key").rlike(pattern)
             )

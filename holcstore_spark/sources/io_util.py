@@ -75,3 +75,28 @@ def sum_readable_footers(path: str) -> int:
                     stacklevel=2,
                 )
     return total
+
+def claim_file_first_wins(target: str, payload: str) -> str:
+    """Atomically claim ``target`` with ``payload`` — FIRST writer wins
+    (os.link never overwrites, unlike os.replace's silent
+    last-writer-wins). Returns the content that actually lives at
+    ``target`` afterwards, so callers can validate what landed against
+    what they wanted and raise their own domain error on mismatch.
+    Shared by the frozen-config writers (store config, band index,
+    vector index)."""
+    try:
+        with open(target) as f:
+            return f.read()
+    except FileNotFoundError:
+        pass
+    tmp = f"{target}.tmp-{os.getpid()}-{id(payload)}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    try:
+        os.link(tmp, target)
+        os.unlink(tmp)
+        return payload
+    except FileExistsError:
+        os.unlink(tmp)
+        with open(target) as f:
+            return f.read()

@@ -104,33 +104,25 @@ class VectorIndex:
 
     # -- frozen params ---------------------------------------------------
     def _check_or_save_params(self) -> None:
+        from holcstore_spark.sources.io_util import claim_file_first_wins
+
         target = os.path.join(self.path, self._CONFIG_FILE)
         payload = json.dumps(self.params, indent=1, sort_keys=True)
-        if os.path.exists(target):
-            with open(target) as f:
-                existing = json.load(f)
-            if existing != self.params:
-                raise ValueError(
-                    f"vector index at {self.path} was created with "
-                    f"{existing}, incompatible with requested "
-                    f"{self.params} — the space partition and stored "
-                    "columns are frozen; create a new index to change "
-                    "them"
-                )
-            return
         os.makedirs(self.path, exist_ok=True)
-        tmp = f"{target}.tmp-{os.getpid()}-{id(self)}"
-        with open(tmp, "w") as f:
-            f.write(payload)
-        try:
-            # first-wins claim (os.link never overwrites): two racing
-            # creators with DIFFERENT params must not last-writer-win —
-            # the loser re-validates against what actually landed
-            os.link(tmp, target)
-            os.unlink(tmp)
-        except FileExistsError:
-            os.unlink(tmp)
-            self._check_or_save_params()
+        existing = json.loads(claim_file_first_wins(target, payload))
+        # configs written before attr types were declared stored a bare
+        # name LIST (= all-string) — normalize so they stay openable
+        if isinstance(existing.get("attr_cols"), list):
+            existing["attr_cols"] = {
+                c: "string" for c in existing["attr_cols"]
+            }
+        if existing != self.params:
+            raise ValueError(
+                f"vector index at {self.path} was created with "
+                f"{existing}, incompatible with requested "
+                f"{self.params} — the space partition and stored "
+                "columns are frozen; create a new index to change them"
+            )
 
     def _space_params(self) -> dict:
         return {"n_clusters": self.params["n_lists"],
@@ -146,7 +138,16 @@ class VectorIndex:
         CentroidStore.save claims slots first-wins), but every
         assignment and every search loads v1, so the loser's v2 is a
         harmless orphan rather than a silent fork of the space."""
-        cents, _ = self._centroids.require(self._space_params(), version=1)
+        try:
+            cents, _ = self._centroids.require(
+                self._space_params(), version=1
+            )
+        except FileNotFoundError:
+            raise ValueError(
+                f"vector index at {self.path} has no trained centroids "
+                "yet — append() a first batch to train (and persist) "
+                "the space"
+            ) from None
         return cents
 
     # -- schema / read -----------------------------------------------------
@@ -220,10 +221,14 @@ class VectorIndex:
         assigned = safe_local_checkpoint(assigned)
         # ONE job finds the non-empty lists (a per-list take(1) probe
         # would scan the checkpointed batch once per list)
-        non_empty = sorted(
-            r["list"] for r in
-            assigned.select("list").distinct().collect()
-        )
+        lists = [r["list"] for r in
+                 assigned.select("list").distinct().collect()]
+        if any(x is None for x in lists):
+            raise ValueError(
+                "rows with NULL list assignment cannot be staged — "
+                "check the vector column for nulls"
+            )
+        non_empty = sorted(lists)
         entries = []
         for lst in non_empty:
             part = assigned.filter(F.col("list") == lst)

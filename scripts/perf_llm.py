@@ -170,12 +170,6 @@ def _incremental_section(spark, docs, n_docs, timings, run):
     # FIXED batch size: the claim under test is that per-ingest cost
     # tracks the batch, not the history — so history scales with n_docs
     # while the batch stays 5k and the vs-stored timing should stay flat
-    if n_docs <= 10_000:
-        raise SystemExit(
-            "incremental mode needs n_docs > 10000 (history = n_docs - "
-            "5000 must dwarf the fixed 5k batch for the probe to mean "
-            "anything)"
-        )
     cut = n_docs - 5_000
     history = docs.filter(F.col("doc_id") < cut)
     batch = docs.filter(F.col("doc_id") >= cut)
@@ -221,6 +215,14 @@ def main(n_docs: int = 50_000, dim: int = 64,
         raise SystemExit(
             f"unknown mode {only!r}; usage: perf_llm.py [n_docs] [dim] "
             "[semantic|incremental]"
+        )
+    if only == "incremental" and n_docs <= 10_000:
+        # argument errors exit BEFORE any Spark work (session start,
+        # warm-up, corpus build)
+        raise SystemExit(
+            "incremental mode needs n_docs > 10000 (history = n_docs - "
+            "5000 must dwarf the fixed 5k batch for the probe to mean "
+            "anything)"
         )
     from holcstore_spark import get_spark
 

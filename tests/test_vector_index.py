@@ -127,6 +127,16 @@ class TestMaintenance:
         assert _pairs(vi.topk(q, k=3, n_probe=2).collect()) == before
 
 
+class TestEmptyIndex:
+    def test_search_before_first_append_raises_friendly(
+            self, spark, tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, dim=64)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        with pytest.raises(ValueError, match="no trained centroids"):
+            vi.topk(q, k=3)
+
+
 class TestFrozenParams:
     def test_mismatched_reopen_refused(self, spark, tmp_store_path, emb):
         p = os.path.join(tmp_store_path, "vi")
