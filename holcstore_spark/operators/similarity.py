@@ -283,6 +283,41 @@ def _probe_lists(vec_q: Column, centroids: list[list[int]], n_probe: int) -> Col
     return probe(c)
 
 
+def _validate_centroids(
+    centroids, dim: "int | None" = None
+) -> None:
+    """Structural guard on caller-supplied pre-trained centroids
+    (ADVICE r12): they must be a non-empty rectangular int matrix —
+    a ragged or empty list would surface as an opaque numpy broadcast
+    error (or worse, an object-dtype array) deep inside the assignment
+    UDF. ``dim``, when known, pins the expected width. Scale is not
+    detectable from values and stays documented: centroids must come
+    from :func:`train_ivf_centroids` at the library's quantization
+    scale 1000 (``VectorIndex`` enforces this structurally via
+    CentroidStore space params)."""
+    if not centroids:
+        raise ValueError("centroids= is empty — train with "
+                         "train_ivf_centroids or pass None to train here")
+    widths = {len(c) for c in centroids}
+    if len(widths) != 1:
+        raise ValueError(
+            f"centroids= is ragged (widths {sorted(widths)}); every "
+            "centroid must have the embedding dimension"
+        )
+    if dim is not None and widths != {int(dim)}:
+        raise ValueError(
+            f"centroids= width {widths.pop()} != expected dim {dim}"
+        )
+    for c in centroids:
+        for x in c:
+            if not isinstance(x, int) or isinstance(x, bool):
+                raise ValueError(
+                    "centroids= must be integer-quantized (scale 1000, "
+                    "train_ivf_centroids output); got "
+                    f"{type(x).__name__} component {x!r}"
+                )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_lists: int = 16,
@@ -360,13 +395,17 @@ def ivf_topk(
     searches.
 
     ``centroids``: pre-trained list centroids (from
-    :func:`train_ivf_centroids`) — skips training.
+    :func:`train_ivf_centroids` — they MUST come from the library's
+    quantization scale 1000; centroids trained at another scale would
+    silently mis-assign lists and mis-rank) — skips training.
     """
     if centroids is None:
         centroids = train_ivf_centroids(
             candidates, n_lists=n_lists, iters=iters, id_col=id_col,
             vec_col=vec_col,
         )
+    else:
+        _validate_centroids(centroids)
     candidates = _apply_filters(candidates, filters)
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
@@ -526,6 +565,8 @@ def _assign_clusters(
             df, n_lists=n_clusters, iters=iters, id_col=id_col,
             vec_col=vec_col,
         )
+    else:
+        _validate_centroids(centroids)
     d = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
     return d.withColumn(
         "__bucket", _assign_to_centroid(F.col("__q"), centroids)

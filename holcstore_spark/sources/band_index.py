@@ -132,6 +132,19 @@ class BandIndex:
         return self._txlog.snapshot().app_versions.get(str(txn_app), -1)
 
     # -- write side ------------------------------------------------------
+    def _typed(self, bands_df: DataFrame) -> DataFrame:
+        """Project to the index schema with the id CAST to the frozen
+        id_type — a band frame whose id column's physical type differs
+        (int vs the declared long, say) would otherwise commit parquet
+        files that only fail later, at read time, when df() forces
+        _schema() over them (ADVICE r12)."""
+        p = self.params
+        return bands_df.select(
+            F.col(p["id_col"]).cast(p["id_type"]).alias(p["id_col"]),
+            F.col("band_id").cast("int").alias("band_id"),
+            F.col("band_key").cast("string").alias("band_key"),
+        )
+
     def _stage(self, bands_df: DataFrame) -> list:
         """Write band rows as EXACTLY one file per band_id (band_id is
         the manifest chunk axis, band_key-sorted for tight key stats).
@@ -218,7 +231,7 @@ class BandIndex:
         ):
             return False
         self._validate_band_shape(bands_df)
-        adds = self._stage(bands_df.select(*self._schema().fieldNames()))
+        adds = self._stage(self._typed(bands_df))
         committed = self._txlog.commit_idempotent(
             snap.version, "append", TxLog.next_op_id(snap),
             {"data": adds}, {},
@@ -279,10 +292,10 @@ class BandIndex:
         # and re-hashed for the index append — without this the dedup
         # (and the batch's minhash UDF) would run twice
         kept = safe_local_checkpoint(kept)
-        adds = self._stage(minhash_bands(
+        adds = self._stage(self._typed(minhash_bands(
             kept, text, p["id_col"], p["n_hashes"], p["bands"],
             p["shingle_k"],
-        ))
+        )))
         self._txlog.commit_idempotent(
             snap.version, "ingest", TxLog.next_op_id(snap),
             {"data": adds}, {},

@@ -61,9 +61,14 @@ def sum_readable_footers(path: str) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # mirror pyarrow dataset discovery's ignore_prefixes ('.', '_'):
+        # the primary counter never sees staged/tx-log/hidden dirs, so
+        # the fallback must not either — over-counting not-yet-vacuumed
+        # dead files would spuriously trip REWRITE_ROWS_CAP (ADVICE r12)
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
-            if not f.endswith(".parquet"):
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
                 continue
             fp = os.path.join(root, f)
             try:

@@ -202,7 +202,11 @@ class VectorIndex:
 
         p = self.params
         cents = self.centroids()
-        cols = [F.col(p["id_col"]),
+        # the id gets the same declared-type treatment as attr_cols: an
+        # id column whose physical type differs from the frozen id_type
+        # would commit parquet files that only fail at READ time, when
+        # _schema() is forced over them (ADVICE r12)
+        cols = [F.col(p["id_col"]).cast(p["id_type"]).alias(p["id_col"]),
                 quantized(p["vec_col"]).alias("vec_q")]
         cols += [F.col(c).cast(t).alias(c)
                  for c, t in p["attr_cols"].items()]
@@ -308,14 +312,21 @@ class VectorIndex:
         )
         from pyspark.sql import Window
 
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
+
         p = self.params
         cents = self.centroids()
         qry = queries.select(
             F.col(p["id_col"]).alias(query_id),
             quantized(p["vec_col"]).alias("__qq"),
         ).withColumn("__probe", _probe_lists(F.col("__qq"), cents, n_probe))
-        # queries are small by contract (they broadcast anyway); the
-        # probed-list union is at most n_lists ints
+        # the query frame is evaluated TWICE (probe-list collect below,
+        # then the broadcast join) — materialize once so a
+        # non-deterministic source cannot yield a probe-list set
+        # inconsistent with the joined __probe values (ADVICE r12);
+        # queries are small by contract (they broadcast anyway)
+        qry = safe_local_checkpoint(qry)
+        # the probed-list union is at most n_lists ints
         probe_lists = sorted({
             int(x) for r in qry.select("__probe").collect()
             for x in r["__probe"]

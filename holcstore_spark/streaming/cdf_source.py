@@ -48,7 +48,8 @@ rejected (omit the option for no limit).
    batch is what killed the query (executor OOM), restarting reproduces
    it — a crash loop in exactly the scenario the option targets.
 
-   Re-probed against pyspark 4.1.2 (round 12), still API-blocked —
+   Re-probed against pyspark 4.1.2 (rounds 12 and 13 — the installed
+   runner is byte-identical between probes), still API-blocked —
    the exact evidence, so this claim stays falsifiable:
    ``pyspark/sql/streaming/python_streaming_source_runner.py`` speaks a
    four-function protocol (func ids 884 initialOffset / 885

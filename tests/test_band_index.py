@@ -284,3 +284,22 @@ class TestExcludeSelf:
             (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
         ])
         assert dedup_incremental(dup, own, exclude_self=True).count() == 0
+
+
+class TestDeclaredIdType:
+    def test_append_bands_casts_id_to_frozen_type(self, spark,
+                                                  tmp_store_path, corpus):
+        # ADVICE r12: band frames with a narrower physical id type must
+        # be cast to the frozen id_type before staging, not at read time
+        import os
+
+        from holcstore_spark.operators.dedup import minhash_bands
+
+        history, _b1, _b2 = corpus
+        idx = BandIndex(spark, os.path.join(tmp_store_path, "bi"))
+        bands = minhash_bands(history).withColumn(
+            "doc_id", F.col("doc_id").cast("int"))
+        assert idx.append_bands(bands, txn_app="b", txn_version=0)
+        out = idx.df()
+        assert dict(out.dtypes)["doc_id"] == "bigint"
+        assert out.count() == bands.count()

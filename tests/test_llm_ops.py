@@ -291,6 +291,19 @@ class TestSimilarity:
         # probing every list == exhaustive: scores match brute force exactly
         assert {r["neighbor_id"]: r["score"] for r in rows} == bf
 
+    def test_ivf_pretrained_centroids_shape_validated(self, vectors):
+        # ADVICE r12: wrong-shape pre-trained centroids must error
+        # loudly instead of silently mis-assigning lists
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        q = vectors.filter(F.col("vec_id") == 0)
+        with pytest.raises(ValueError, match="empty"):
+            ivf_topk(vectors, q, centroids=[])
+        with pytest.raises(ValueError, match="ragged"):
+            ivf_topk(vectors, q, centroids=[[1, 2, 3, 4], [1, 2]])
+        with pytest.raises(ValueError, match="integer-quantized"):
+            ivf_topk(vectors, q, centroids=[[0.1, 0.2, 0.3, 0.4]])
+
     def test_ivf_filtered_full_probe_equals_postfiltered_bruteforce(
             self, vectors):
         # round 12: probing EVERY list makes filtered IVF exhaustive over

@@ -146,3 +146,21 @@ class TestFrozenParams:
             VectorIndex(spark, p, n_lists=8, dim=64)
         with pytest.raises(ValueError, match="frozen"):
             VectorIndex(spark, p, n_lists=4, dim=64, attr_cols=("label",))
+
+
+class TestDeclaredIdType:
+    def test_append_casts_id_to_frozen_type(self, spark, tmp_store_path,
+                                            emb):
+        # ADVICE r12: an id column whose physical type differs from the
+        # declared id_type must not commit files that fail at read time
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)  # id_type="long"
+        assert vi.append(
+            emb.withColumn("vec_id", F.col("vec_id").cast("int")),
+            txn_app="b", txn_version=0,
+        )
+        out = vi.df()
+        assert dict(out.dtypes)["vec_id"] == "bigint"
+        assert out.count() == emb.count()
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        assert vi.topk(q, k=3, n_probe=2).count() > 0
