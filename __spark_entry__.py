@@ -2424,6 +2424,48 @@ def q_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replayed.select("doc_id", "source")
 
 
+def q_dedup_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: REPLAY-SAFE DELETION from the managed dedup index
+    (sources/index_base.py ForgetMixin + band_index.py) — the
+    takedown / right-to-erasure path: history bands are committed
+    (txn 0), then every history doc with doc_id % 10 == 0 (the exact-
+    duplicate sources in _docs_with_dups) is FORGOTTEN via delete()
+    (a tombstone commit — O(ids), no data rewrite), and the new batch
+    is ingested. The oracle computes the kept set with those docs'
+    bands REMOVED from history, so it proves the deleted docs no
+    longer suppress their new near-duplicates (their +1,000,000 copies
+    now survive) while every other suppression still holds. The delete
+    is replayed in-query with the same (txn_app, txn_version) and must
+    commit nothing — same watermark machinery as the appends
+    (reference parity: the stores' soft-delete contract,
+    chunk_timeserie_store.py:30-52, applied to the index)."""
+    import shutil
+    from holcstore_spark.operators.dedup import minhash_bands
+    from holcstore_spark.sources.band_index import BandIndex
+
+    d = _docs_with_dups(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    path = tempfile.mkdtemp(prefix="holc_bandidx_")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = BandIndex(spark, path)
+    if not idx.append_bands(
+        minhash_bands(history), txn_app="entry", txn_version=0
+    ):
+        raise AssertionError("fresh index refused the history append")
+    forget = history.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    if not idx.delete(forget, txn_app="forget", txn_version=0):
+        raise AssertionError("fresh delete was refused")
+    v = idx._txlog.snapshot().version
+    # crash-replayed delete must be refused without changing anything
+    if idx.delete(forget, txn_app="forget", txn_version=0):
+        raise AssertionError("replayed delete was not skipped")
+    if idx._txlog.snapshot().version != v:
+        raise AssertionError("replayed delete committed something")
+    kept = idx.ingest(new, txn_app="entry", txn_version=1)
+    return kept.select("doc_id", "source")
+
+
 def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11: the max_cluster VALVE path of semantic_dedup
     (operators/similarity.py cluster_keep) — a cluster larger than the
@@ -3368,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) new or execution path changed this round --------------
         "similarity_filtered": q_similarity_filtered,
         "pq_filtered": q_pq_filtered,
+        "dedup_index_forget": q_dedup_index_forget,
         "dedup_index_replay": q_dedup_index_replay,
         "dedup_incremental": q_dedup_incremental,
         "similarity_ivf": q_similarity_ivf,
@@ -5193,6 +5236,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup_minhash,
         "dedup_incremental": dedup_incremental_sql,
         "dedup_index_replay": dedup_incremental_sql,
+        # forget oracle = the SAME incremental chain with the deleted
+        # docs' bands removed from history (derived by predicate
+        # injection so the CTE chain can never drift out of sync)
+        "dedup_index_forget": dedup_incremental_sql.replace(
+            "WHERE doc_id % 3 <> 0",
+            "WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 0",
+        ),
         "dedup_clusters": dedup_clusters,
         "dedup_representatives": dedup_representatives,
         "quality_filter": quality_filter,

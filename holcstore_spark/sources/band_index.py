@@ -30,8 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from holcstore_spark.sources.index_base import ForgetMixin
 
-class BandIndex:
+
+class BandIndex(ForgetMixin):
     """A transactional LSH band table + the exactly-once ingest loop.
 
     ``ingest(batch, txn_app=, txn_version=)`` is the one-call version of
@@ -119,12 +121,16 @@ class BandIndex:
         ])
 
     def df(self, snap=None) -> DataFrame:
-        """Live band rows at a snapshot (default: latest)."""
+        """Live band rows at a snapshot (default: latest) — rows of
+        DELETED ids are masked out (see :meth:`delete`), so a forgotten
+        document's bands stop suppressing new near-duplicates from the
+        delete commit on."""
         snap = snap if snap is not None else self._txlog.snapshot()
         files = snap.paths("data", self.path)
         if not files:
             return self.spark.createDataFrame([], self._schema())
-        return self.spark.read.schema(self._schema()).parquet(*files)
+        out = self.spark.read.schema(self._schema()).parquet(*files)
+        return self._mask_deleted(out, snap)
 
     def last_txn_version(self, txn_app) -> int:
         """Highest committed txn_version for an app (-1 = none) — the
@@ -327,30 +333,43 @@ class BandIndex:
         )
         if not cands:
             return 0
+        has_tomb = bool(snap.files["meta"])
         adds, removes = [], []
         for b in cands:
             paths = [os.path.join(self.path, e["path"]) for e in by_band[b]]
             src = self.spark.read.schema(self._schema()).parquet(*paths)
+            # physical erasure: rows of deleted ids (already masked
+            # from every read) are dropped from the repacked files —
+            # optimize(min_files=1) is the full erasure pass
+            src = self._mask_deleted(src, snap)
             abs_dir, rel_dir = self._txlog.new_staging_dir()
             (
                 src.coalesce(1).sortWithinPartitions("band_id", "band_key")
                 .write.mode("overwrite").parquet(abs_dir)
             )
-            adds.extend(self._txlog.collect_entries(
+            adds.extend(e for e in self._txlog.collect_entries(
                 abs_dir, rel_dir, key_cols=("band_key",),
                 chunk_col="band_id",
-            ))
+            ) if e["rows"])  # a fully-erased band stages no live file
             removes.extend(by_band[b])
-        if exact_rows(adds) != exact_rows(removes):
+        purged = exact_rows(adds) != exact_rows(removes)
+        if purged and not has_tomb:
             raise RuntimeError(
                 f"optimize repack row mismatch: staged {exact_rows(adds)} "
                 f"rows for {exact_rows(removes)} source rows across bands "
                 f"{sorted(cands)}"
             )
+        if purged and exact_rows(adds) > exact_rows(removes):
+            raise RuntimeError(
+                "optimize erasure GAINED rows: staged "
+                f"{exact_rows(adds)} for {exact_rows(removes)} source"
+            )
         self._txlog.commit(
             snap.version, "optimize", TxLog.next_op_id(snap),
             {"data": adds}, {"data": removes},
-            touched=set(cands), compacting=True,
+            # a repack that erased rows is a data change, not a pure
+            # layout change — it must not claim compacting
+            touched=set(cands), compacting=not purged,
         )
         return len(cands)
 

@@ -1,0 +1,145 @@
+"""Shared forget/tombstone machinery for the managed indexes.
+
+The stores got soft delete in round 2 (reference parity: the chunk
+store's tombstone contract, /root/reference/hostore/models/
+chunk_timeserie_store.py:30-52). The managed indexes
+(:class:`~holcstore_spark.sources.band_index.BandIndex`,
+:class:`~holcstore_spark.sources.vector_index.VectorIndex`) need the
+same capability for a different reason: at 100 TB the index outlives
+any single corpus, and a takedown / right-to-erasure request must make
+a document stop existing — its bands must stop suppressing new
+near-duplicates, its vector must stop being returned as a neighbour,
+and its bytes must be physically reclaimable.
+
+Design (Delta-style deletion vectors, at id granularity):
+
+- ``delete(ids)`` commits a tiny TOMBSTONE file (just the ids) into the
+  transaction log's ``meta`` table — O(ids), never a data rewrite, and
+  idempotent under ``(txn_app, txn_version)`` replay exactly like the
+  appends, so a crashed delete replays to nothing.
+- every read (``df()``, and therefore every dedup/search built on it)
+  anti-joins the tombstone set: deleted ids are invisible from the
+  commit on. The mask is broadcast — tombstones are takedown lists,
+  metadata-sized by nature.
+- ``optimize()`` physically drops masked rows while it binpacks
+  (``optimize(min_files=1)`` is the full erasure pass over every
+  fragmented-or-not chunk); a repack that dropped rows commits as a
+  data change (``compacting=False``), a pure binpack keeps the
+  row-preservation proof.
+- tombstones are PERMANENT forget markers: they are never dropped, so
+  a deleted id can never silently return through a later append (the
+  forget applies to future appends too). Re-using a forgotten id
+  requires a new index — the semantics a takedown wants.
+
+Interleaving note: a tombstone committed BETWEEN a batch's first
+ingest and its crash-replay changes what the replayed kept-set
+recomputation sees (the replay still commits nothing — the index
+cannot corrupt — but the returned rows can differ). Sequencing deletes
+through the same stream as the ingests avoids this, the same
+single-writer guidance the blind-append semantics already document.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ID_TYPES = {"long": T.LongType, "int": T.IntegerType,
+             "string": T.StringType}
+
+
+class ForgetMixin:
+    """delete()/tombstones()/_mask_deleted() over a TxLog-managed index.
+
+    Host class contract: ``self.spark``, ``self._txlog``,
+    ``self.params["id_col"]`` and ``self.params["id_type"]``
+    (long/int/string).
+    """
+
+    def _tombstone_schema(self) -> T.StructType:
+        p = self.params
+        return T.StructType(
+            [T.StructField(p["id_col"], _ID_TYPES[p["id_type"]]())]
+        )
+
+    def _ids_frame(self, ids) -> DataFrame:
+        """Normalize ``ids`` (DataFrame with the id column, or a plain
+        iterable of values) to a distinct single-column frame in the
+        frozen id type."""
+        p = self.params
+        if isinstance(ids, DataFrame):
+            d = ids.select(
+                F.col(p["id_col"]).cast(p["id_type"]).alias(p["id_col"])
+            )
+        else:
+            d = self.spark.createDataFrame(
+                [(x,) for x in ids], self._tombstone_schema()
+            )
+        return d.filter(F.col(p["id_col"]).isNotNull()).distinct()
+
+    def tombstones(self, snap=None) -> DataFrame:
+        """The deleted-id set at a snapshot (default latest)."""
+        snap = snap if snap is not None else self._txlog.snapshot()
+        files = snap.paths("meta", self.path)
+        if not files:
+            return self.spark.createDataFrame(
+                [], self._tombstone_schema()
+            )
+        return (
+            self.spark.read.schema(self._tombstone_schema())
+            .parquet(*files)
+            .distinct()
+        )
+
+    def _mask_deleted(self, df: DataFrame, snap) -> DataFrame:
+        """Anti-join the tombstone set — a no-op (zero plan overhead)
+        while the index has no deletes. Broadcast by contract:
+        tombstones are takedown lists, metadata-sized; an erasure
+        workload big enough to overflow a broadcast should rebuild the
+        index instead."""
+        if not snap.files["meta"]:
+            return df
+        return df.join(
+            F.broadcast(self.tombstones(snap)),
+            on=self.params["id_col"], how="left_anti",
+        )
+
+    def delete(self, ids, txn_app=None, txn_version=None) -> bool:
+        """Forget ``ids``: from this commit on they are excluded from
+        every read (and therefore from dedup history / search results),
+        and their rows are physically dropped by the next
+        :meth:`optimize` that touches their files
+        (``optimize(min_files=1)`` = full erasure pass). Idempotent
+        under ``(txn_app, txn_version)`` replay: returns False and
+        commits nothing. Deleting ids the index never held is allowed
+        (the tombstone simply pre-forgets them)."""
+        from holcstore_spark.sources.txlog import TxLog, resolve_txn
+
+        txn_id = resolve_txn(True, txn_app, txn_version)
+        snap = self._txlog.snapshot()
+        if txn_id is not None and (
+            txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
+        ):
+            return False
+        p = self.params
+        abs_dir, rel_dir = self._txlog.new_staging_dir()
+        (
+            self._ids_frame(ids).coalesce(1)
+            .sortWithinPartitions(p["id_col"])
+            .write.mode("overwrite").parquet(abs_dir)
+        )
+        adds = self._txlog.collect_entries(abs_dir, rel_dir)
+        committed = self._txlog.commit_idempotent(
+            snap.version, "delete", TxLog.next_op_id(snap),
+            {"meta": adds}, {},
+            # masks are read-time and monotonic: two deletes commute,
+            # and delete+append commutes because the mask applies to
+            # future appends of the id as well (forget semantics)
+            touched=None,
+            txn_app=txn_id[0] if txn_id else None,
+            txn_version=txn_id[1] if txn_id else None,
+        )
+        return committed is not None

@@ -38,8 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from holcstore_spark.sources.index_base import ForgetMixin
 
-class VectorIndex:
+
+class VectorIndex(ForgetMixin):
     """Build once, append incrementally, probe-search many times.
 
     Typical lifecycle::
@@ -188,7 +190,9 @@ class VectorIndex:
         out = self.spark.read.schema(self._schema()).parquet(*paths)
         if lists is not None:
             out = out.filter(F.col("list").isin(sorted(want)))
-        return out
+        # DELETED ids are masked out (see delete()): a forgotten vector
+        # is never scored as a neighbour from the delete commit on
+        return self._mask_deleted(out, snap)
 
     def last_txn_version(self, txn_app) -> int:
         return self._txlog.snapshot().app_versions.get(str(txn_app), -1)
@@ -365,31 +369,44 @@ class VectorIndex:
         )
         if not cands:
             return 0
+        has_tomb = bool(snap.files["meta"])
         adds, removes = [], []
         for lst in cands:
             paths = [os.path.join(self.path, e["path"])
                      for e in by_list[lst]]
             src = self.spark.read.schema(self._schema()).parquet(*paths)
+            # physical erasure: deleted vectors (already masked from
+            # every read) are dropped from the repacked files —
+            # optimize(min_files=1) is the full erasure pass
+            src = self._mask_deleted(src, snap)
             abs_dir, rel_dir = self._txlog.new_staging_dir()
             (
                 src.coalesce(1)
                 .sortWithinPartitions(self.params["id_col"])
                 .write.mode("overwrite").parquet(abs_dir)
             )
-            adds.extend(self._txlog.collect_entries(
+            adds.extend(e for e in self._txlog.collect_entries(
                 abs_dir, rel_dir, key_cols=(), chunk_col="list",
-            ))
+            ) if e["rows"])  # a fully-erased list stages no live file
             removes.extend(by_list[lst])
-        if exact_rows(adds) != exact_rows(removes):
+        purged = exact_rows(adds) != exact_rows(removes)
+        if purged and not has_tomb:
             raise RuntimeError(
                 f"optimize repack row mismatch: staged "
                 f"{exact_rows(adds)} rows for {exact_rows(removes)} "
                 f"source rows across lists {sorted(cands)}"
             )
+        if purged and exact_rows(adds) > exact_rows(removes):
+            raise RuntimeError(
+                "optimize erasure GAINED rows: staged "
+                f"{exact_rows(adds)} for {exact_rows(removes)} source"
+            )
         self._txlog.commit(
             snap.version, "optimize", TxLog.next_op_id(snap),
             {"data": adds}, {"data": removes},
-            touched=set(cands), compacting=True,
+            # a repack that erased rows is a data change, not a pure
+            # layout change — it must not claim compacting
+            touched=set(cands), compacting=not purged,
         )
         return len(cands)
 

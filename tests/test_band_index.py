@@ -303,3 +303,91 @@ class TestDeclaredIdType:
         out = idx.df()
         assert dict(out.dtypes)["doc_id"] == "bigint"
         assert out.count() == bands.count()
+
+
+class TestForget:
+    """delete() — replay-safe tombstones + physical erasure (round 13)."""
+
+    def test_deleted_doc_stops_suppressing_neardups(
+            self, spark, tmp_store_path, corpus):
+        from holcstore_spark.operators.dedup import minhash_bands
+
+        history, batch1, _b2 = corpus
+        p = os.path.join(tmp_store_path, "bi")
+        idx = BandIndex(spark, p)
+        assert idx.append_bands(minhash_bands(history),
+                                txn_app="s", txn_version=0)
+        # doc 10 near-dups history doc 1 -> suppressed
+        kept_before = {r["doc_id"] for r in
+                       idx.ingest(batch1, txn_app="s", txn_version=1)
+                       .select("doc_id").collect()}
+        assert 10 not in kept_before
+        # forget doc 1: its bands must stop suppressing new near-dups
+        p2 = os.path.join(tmp_store_path, "bi2")
+        idx2 = BandIndex(spark, p2)
+        assert idx2.append_bands(minhash_bands(history),
+                                 txn_app="s", txn_version=0)
+        assert idx2.delete([1], txn_app="del", txn_version=0)
+        assert idx2.df().filter(F.col("doc_id") == 1).count() == 0
+        kept_after = {r["doc_id"] for r in
+                      idx2.ingest(batch1, txn_app="s", txn_version=1)
+                      .select("doc_id").collect()}
+        assert 10 in kept_after
+        assert kept_after - {10} == kept_before
+
+    def test_replayed_delete_commits_nothing(self, spark, tmp_store_path,
+                                             corpus):
+        from holcstore_spark.operators.dedup import minhash_bands
+
+        history, _b1, _b2 = corpus
+        idx = BandIndex(spark, os.path.join(tmp_store_path, "bi"))
+        idx.append_bands(minhash_bands(history), txn_app="s",
+                         txn_version=0)
+        assert idx.delete([1], txn_app="del", txn_version=0) is True
+        v = idx._txlog.snapshot().version
+        n_meta = len(idx._txlog.snapshot().files["meta"])
+        assert idx.delete([1], txn_app="del", txn_version=0) is False
+        assert idx._txlog.snapshot().version == v
+        assert len(idx._txlog.snapshot().files["meta"]) == n_meta
+        assert idx.df().filter(F.col("doc_id") == 1).count() == 0
+
+    def test_optimize_physically_erases_deleted_rows(
+            self, spark, tmp_store_path, corpus):
+        from holcstore_spark.operators.dedup import minhash_bands
+
+        history, batch1, _b2 = corpus
+        idx = BandIndex(spark, os.path.join(tmp_store_path, "bi"))
+        idx.append_bands(minhash_bands(history), txn_app="s",
+                         txn_version=0)
+        idx.ingest(batch1, txn_app="s", txn_version=1)
+        assert idx.delete([1, 11], txn_app="del", txn_version=0)
+        before = {(r["doc_id"], r["band_id"], r["band_key"])
+                  for r in idx.df().collect()}
+        # full erasure pass: every band repacks, dead rows dropped
+        assert idx.optimize(min_files=1) >= 1
+        snap = idx._txlog.snapshot()
+        raw = spark.read.schema(idx._schema()).parquet(
+            *snap.paths("data", idx.path))
+        assert raw.filter(F.col("doc_id").isin(1, 11)).count() == 0
+        after = {(r["doc_id"], r["band_id"], r["band_key"])
+                 for r in idx.df().collect()}
+        assert after == before  # reads unchanged by the erasure
+        assert idx.vacuum(retention_seconds=0.0) > 0
+
+    def test_optimize_without_tombstones_still_row_preserving(
+            self, spark, tmp_store_path, corpus):
+        from holcstore_spark.operators.dedup import minhash_bands
+        from holcstore_spark.sources.txlog import exact_rows
+
+        history, batch1, batch2 = corpus
+        idx = BandIndex(spark, os.path.join(tmp_store_path, "bi"))
+        idx.append_bands(minhash_bands(history), txn_app="s",
+                         txn_version=0)
+        idx.ingest(batch1, txn_app="s", txn_version=1)
+        idx.ingest(batch2, txn_app="s", txn_version=2)
+        n = idx.df().count()
+        assert idx.optimize(min_files=2) >= 1
+        assert idx.df().count() == n
+        # the commit claimed compacting (row-preserving layout change)
+        last = idx._txlog.read(idx._txlog.last_version())
+        assert last["op"] == "optimize" and last["compacting"] is True

@@ -164,3 +164,66 @@ class TestDeclaredIdType:
         assert out.count() == emb.count()
         q = emb.filter(F.col("vec_id") % 100 == 0)
         assert vi.topk(q, k=3, n_probe=2).count() > 0
+
+
+class TestForget:
+    """delete() — replay-safe tombstones + physical erasure (round 13)."""
+
+    def test_deleted_vector_never_returned(self, spark, tmp_store_path,
+                                           emb):
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        top1 = vi.topk(q, k=1, n_probe=4).collect()[0]["neighbor_id"]
+        assert vi.delete([top1], txn_app="del", txn_version=0)
+        got = vi.topk(q, k=3, n_probe=4).collect()
+        assert top1 not in {r["neighbor_id"] for r in got}
+        # masked search == in-memory search over the corpus minus the id
+        want = ivf_topk(emb.filter(F.col("vec_id") != top1), q, k=3,
+                        n_probe=4, centroids=vi.centroids()).collect()
+        assert _pairs(got) == _pairs(want)
+
+    def test_replayed_delete_commits_nothing(self, spark, tmp_store_path,
+                                             emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        assert vi.delete([2, 4], txn_app="del", txn_version=0) is True
+        v = vi._txlog.snapshot().version
+        assert vi.delete([2, 4], txn_app="del", txn_version=0) is False
+        assert vi._txlog.snapshot().version == v
+        assert vi.df().filter(F.col("vec_id").isin(2, 4)).count() == 0
+
+    def test_optimize_physically_erases_and_search_unchanged(
+            self, spark, tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        dead = [r["vec_id"] for r in
+                emb.filter(F.col("vec_id") % 7 == 3)
+                .select("vec_id").collect()]
+        assert vi.delete(dead, txn_app="del", txn_version=0)
+        masked = _pairs(vi.topk(q, k=3, n_probe=4).collect())
+        assert vi.optimize(min_files=1) >= 1
+        snap = vi._txlog.snapshot()
+        raw = spark.read.schema(vi._schema()).parquet(
+            *snap.paths("data", vi.path))
+        assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
+        assert _pairs(vi.topk(q, k=3, n_probe=4).collect()) == masked
+        assert vi.vacuum(retention_seconds=0.0) > 0
+        assert _pairs(vi.topk(q, k=3, n_probe=4).collect()) == masked
+
+    def test_delete_accepts_dataframe_ids(self, spark, tmp_store_path,
+                                          emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        n = vi.df().count()
+        dead = emb.filter(F.col("vec_id") < 10).select("vec_id")
+        k = dead.count()
+        assert vi.delete(dead, txn_app="del", txn_version=0)
+        assert vi.df().count() == n - k
