@@ -211,6 +211,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id: str = "q_id",
     filters: "Column | dict | None" = None,
+    min_results: "int | None" = None,
 ) -> DataFrame:
     """Approximate top-k: candidates considered only within the query's
     LSH bucket (equi-join on bucket key — the 100 TB path).
@@ -233,11 +234,17 @@ def lsh_topk(
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(query_id, "neighbor_id", "score")
     )
+    if min_results is not None:
+        out = _require_min_results(
+            out, qry.select(query_id), query_id, min(int(min_results), k),
+            "use fewer n_planes (coarser buckets), or drop filters=",
+        )
+    return out
 
 
 def _dist_matrix(vs, centroids):
@@ -281,6 +288,38 @@ def _probe_lists(vec_q: Column, centroids: list[list[int]], n_probe: int) -> Col
 
     c = F.col(vec_q) if isinstance(vec_q, str) else vec_q
     return probe(c)
+
+
+def _require_min_results(
+    out: DataFrame, q_ids: DataFrame, query_id: str, want: int, hint: str,
+) -> DataFrame:
+    """The loud half of the selectivity contract (VERDICT r12): a
+    highly selective ``filters=`` can shrink a probe/bucket-local
+    candidate pool below ``k`` — a SILENT short result even though
+    matching neighbours exist outside the probed scope. With
+    ``min_results`` set the operator EVALUATES the (queries × k)-sized
+    result once (checkpointed, so the caller pays no recompute) and
+    raises naming the short queries instead of returning quietly. The
+    managed :meth:`VectorIndex.topk` escalates probes automatically;
+    these per-call operators can't (re-probing re-does assignment), so
+    they refuse loudly."""
+    from holcstore_spark.sources.io_util import safe_local_checkpoint
+
+    out = safe_local_checkpoint(out)
+    counts = out.groupBy(query_id).agg(F.count(F.lit(1)).alias("__n"))
+    short = (
+        q_ids.distinct().join(counts, on=query_id, how="left")
+        .filter(F.coalesce(F.col("__n"), F.lit(0)) < want)
+        .select(query_id).limit(20).collect()
+    )
+    if short:
+        ids = sorted(r[query_id] for r in short)
+        raise ValueError(
+            f"queries {ids} returned fewer than min_results={want} "
+            f"neighbours — the filter is too selective for the probed "
+            f"candidate pool; {hint}"
+        )
+    return out
 
 
 def _validate_centroids(
@@ -373,6 +412,7 @@ def ivf_topk(
     query_id: str = "q_id",
     filters: "Column | dict | None" = None,
     centroids: "list[list[int]] | None" = None,
+    min_results: "int | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: vectors are inverted-file-partitioned by
     nearest centroid; each query probes its ``n_probe`` closest lists and
@@ -426,11 +466,18 @@ def ivf_topk(
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(query_id, "neighbor_id", "score")
     )
+    if min_results is not None:
+        out = _require_min_results(
+            out, qry.select(query_id), query_id, min(int(min_results), k),
+            "raise n_probe (VectorIndex.topk(min_results=) escalates "
+            "automatically), or drop filters=",
+        )
+    return out
 
 
 def cosine_near_dup_pairs(

@@ -295,6 +295,7 @@ class VectorIndex(ForgetMixin):
         n_probe: int = 2,
         query_id: str = "q_id",
         filters: "F.Column | dict | None" = None,
+        min_results: "int | None" = None,
     ) -> DataFrame:
         """IVF probe search over the persisted index: each query's
         ``n_probe`` nearest lists are computed against the stored
@@ -307,29 +308,81 @@ class VectorIndex(ForgetMixin):
         ``filters``: attribute predicate over the index's stored
         ``attr_cols`` (Column or lookup dict) — applied INSIDE the
         pruned scan, below the probe join.
+
+        ``min_results``: the selectivity guard (VERDICT r12). A highly
+        selective filter can shrink the PROBED candidate pool below
+        ``k`` — a silent short result even though matching neighbours
+        exist in un-probed lists. With ``min_results=m`` set, queries
+        returning fewer than ``m`` rows are re-searched with doubled
+        ``n_probe`` (only the short queries — satisfied queries keep
+        their original-probe results) until they reach ``m`` rows or
+        probing is exhaustive (``n_probe == n_lists``, at which point a
+        short result is GENUINE scarcity: the filtered corpus holds
+        fewer than ``m`` matches, and exhaustive probing equals exact
+        filtered search). Escalation is driver-paced — at most
+        log2(n_lists) extra rounds, each re-reading only the escalated
+        queries' probed lists.
         """
         from holcstore_spark.operators.similarity import (
-            _apply_filters,
             _probe_lists,
-            cosine_q_arrow,
             quantized,
         )
-        from pyspark.sql import Window
-
         from holcstore_spark.sources.io_util import safe_local_checkpoint
 
         p = self.params
         cents = self.centroids()
-        qry = queries.select(
+        base = queries.select(
             F.col(p["id_col"]).alias(query_id),
             quantized(p["vec_col"]).alias("__qq"),
-        ).withColumn("__probe", _probe_lists(F.col("__qq"), cents, n_probe))
-        # the query frame is evaluated TWICE (probe-list collect below,
-        # then the broadcast join) — materialize once so a
-        # non-deterministic source cannot yield a probe-list set
-        # inconsistent with the joined __probe values (ADVICE r12);
+        )
+        # the query frame is evaluated multiple times (probe-list
+        # collect, the broadcast join, escalation rounds) — materialize
+        # once so a non-deterministic source cannot yield a probe-list
+        # set inconsistent with the joined __probe values (ADVICE r12);
         # queries are small by contract (they broadcast anyway)
-        qry = safe_local_checkpoint(qry)
+        base = safe_local_checkpoint(base)
+        res = self._topk_once(base, k, n_probe, query_id, filters,
+                              cents, _probe_lists)
+        if min_results is None:
+            return res
+        want = min(int(min_results), k)
+        n_lists = p["n_lists"]
+        while n_probe < n_lists:
+            n_probe = min(n_probe * 2, n_lists)
+            counts = res.groupBy(query_id).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            short = [
+                r[query_id]
+                for r in base.select(query_id).distinct()
+                .join(counts, on=query_id, how="left")
+                .filter(F.coalesce(F.col("__n"), F.lit(0)) < want)
+                .collect()
+            ]
+            if not short:
+                break
+            sub = base.filter(F.col(query_id).isin(short))
+            res = res.filter(~F.col(query_id).isin(short)).unionByName(
+                self._topk_once(sub, k, n_probe, query_id, filters,
+                                cents, _probe_lists)
+            )
+        return res
+
+    def _topk_once(self, qry, k, n_probe, query_id, filters, cents,
+                   _probe_lists) -> DataFrame:
+        """One probe-search pass over a materialized query frame
+        ``(query_id, __qq)`` — the :meth:`topk` docstring describes the
+        plan shape."""
+        from holcstore_spark.operators.similarity import (
+            _apply_filters,
+            cosine_q_arrow,
+        )
+        from pyspark.sql import Window
+
+        p = self.params
+        qry = qry.withColumn(
+            "__probe", _probe_lists(F.col("__qq"), cents, n_probe)
+        )
         # the probed-list union is at most n_lists ints
         probe_lists = sorted({
             int(x) for r in qry.select("__probe").collect()

@@ -1747,3 +1747,33 @@ class TestClusterBalancedSample:
         assert sorted((r["vec_id"], r["cluster"]) for r in kept) == \
             sorted((r["vec_id"], r["cluster"]) for r in again)
         assert isqrt(3 * 12) == 6  # the target the hash filter approximates
+
+
+class TestMinResultsContract:
+    """The loud half of the round-13 selectivity guard on the raw
+    per-call operators (the managed index escalates instead)."""
+
+    def test_ivf_min_results_raises_on_selective_filter(self, vectors):
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        q = vectors.filter(F.col("vec_id") == 0)
+        # pool of <=2 after self-exclusion can never satisfy k=3
+        with pytest.raises(ValueError, match="min_results"):
+            ivf_topk(vectors, q, k=3, n_lists=2, n_probe=2, iters=1,
+                     filters=F.col("vec_id") < 2, min_results=3)
+
+    def test_ivf_min_results_passes_when_satisfied(self, vectors):
+        from holcstore_spark.operators.similarity import ivf_topk
+
+        q = vectors.filter(F.col("vec_id") == 0)
+        out = ivf_topk(vectors, q, k=3, n_lists=2, n_probe=2, iters=1,
+                       min_results=3)
+        assert out.count() == 3
+
+    def test_lsh_min_results_raises_on_selective_filter(self, vectors):
+        from holcstore_spark.operators.similarity import lsh_topk
+
+        q = vectors.filter(F.col("vec_id") == 0)
+        with pytest.raises(ValueError, match="min_results"):
+            lsh_topk(vectors, q, k=3, n_planes=2, dim=4,
+                     filters=F.col("vec_id") < 2, min_results=3)

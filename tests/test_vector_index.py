@@ -227,3 +227,51 @@ class TestForget:
         k = dead.count()
         assert vi.delete(dead, txn_app="del", txn_version=0)
         assert vi.df().count() == n - k
+
+
+class TestSelectivityGuard:
+    """min_results= (round 13): selective filters must not silently
+    return fewer than k neighbours when matches exist in un-probed
+    lists."""
+
+    def test_auto_probe_escalation_reaches_full_k(self, spark,
+                                                  tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=16, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        flt = F.col("vec_id") < 10  # ~2% of sf0.001
+        # without the guard: at n_probe=1 at least one query is short
+        bare = vi.topk(q, k=5, n_probe=1, filters=flt)
+        bare_counts = {r["q_id"]: r["n"] for r in
+                       bare.groupBy("q_id").agg(F.count(F.lit(1))
+                                                .alias("n")).collect()}
+        assert min(bare_counts.values(), default=0) < 5 \
+            or len(bare_counts) < q.count()
+        # with the guard: every query reaches full k (pool >= 9 per
+        # query after self-exclusion)
+        out = vi.topk(q, k=5, n_probe=1, filters=flt, min_results=5)
+        counts = {r["q_id"]: r["n"] for r in
+                  out.groupBy("q_id").agg(F.count(F.lit(1))
+                                          .alias("n")).collect()}
+        assert len(counts) == q.count()
+        assert set(counts.values()) == {5}
+        assert all(r["neighbor_id"] < 10 for r in out.collect())
+
+    def test_exhaustive_escalation_equals_exact_filtered_search(
+            self, spark, tmp_store_path, emb):
+        from holcstore_spark.operators.similarity import brute_force_topk
+
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=16, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        # pool of 3: genuine scarcity — escalation must go exhaustive
+        # and return the exact filtered neighbours, short by honesty
+        got = vi.topk(q, k=5, n_probe=1, filters=F.col("vec_id") < 3,
+                      min_results=5)
+        want = brute_force_topk(emb, q, k=5,
+                                filters=F.col("vec_id") < 3)
+        assert _pairs(got.collect()) == _pairs(want.collect())
+
+
