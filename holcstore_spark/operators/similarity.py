@@ -364,6 +364,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    pre_quantized: bool = False,
 ) -> list[list[int]]:
     """Deterministic k-means-lite in quantized integer space.
 
@@ -372,8 +373,18 @@ def train_ivf_centroids(
     mean per (list, dimension) with exact decimal sums, re-quantized to
     longs — so the trained centroids are bit-reproducible run to run.
     Centroids are tiny (n_lists × dim) and travel as broadcast literals.
+
+    ``pre_quantized``: ``vec_col`` already holds scale-1000 quantized
+    long arrays (e.g. a VectorIndex's stored ``vec_q``) — skip the
+    quantization step so training over stored vectors is bit-identical
+    to training over their raw source (re-quantizing quantized values
+    would scale them twice).
     """
-    q = df.select(F.col(id_col), quantized(vec_col).alias("__q"))
+    q = df.select(
+        F.col(id_col),
+        (F.col(vec_col) if pre_quantized
+         else quantized(vec_col)).alias("__q"),
+    )
     seed_rows = q.orderBy(id_col).limit(n_lists).collect()
     centroids = [list(r["__q"]) for r in seed_rows]
     # a corpus smaller than n_lists seeds fewer centroids: the effective

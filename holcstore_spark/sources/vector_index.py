@@ -131,18 +131,36 @@ class VectorIndex(ForgetMixin):
                 "iters": self.params["iters"],
                 "dim": self.params["dim"]}
 
-    def centroids(self) -> list[list[int]]:
-        """The index's trained centroids (param-checked) — ALWAYS
-        version 1: index rows are physically clustered by the space
-        that assigned them, so the space can never change for the life
-        of the index. Pinning v1 also closes the concurrent-first-append
-        race: two racing creators may both train and save (v1 and v2 —
-        CentroidStore.save claims slots first-wins), but every
-        assignment and every search loads v1, so the loser's v2 is a
-        harmless orphan rather than a silent fork of the space."""
+    def active_space_version(self, snap=None) -> int:
+        """The centroid version that assigned the CURRENT live files —
+        carried by the files themselves (each manifest entry is stamped
+        with the ``space_v`` it was assigned under; pre-retrain entries
+        default to 1), so any snapshot is either wholly one space or a
+        detectably MIXED state. Mixed happens only when an append
+        interleaves a :meth:`retrain` (its rows were assigned under the
+        old space but landed after the swap): reads REFUSE it loudly —
+        probing version-A centroids against version-B lists would
+        silently search the wrong files — and :meth:`retrain` is the
+        remediation (it re-derives every assignment from the stored
+        vectors, ignoring ``list``). An index emptied of every live
+        file reverts to version 1 (the bootstrap pin that keeps a
+        concurrent-first-append race from forking the space: the racing
+        loser's extra saved version is a harmless orphan)."""
+        snap = snap if snap is not None else self._txlog.snapshot()
+        vs = {int(e.get("space_v", 1)) for e in snap.files["data"]}
+        if len(vs) > 1:
+            raise ValueError(
+                f"vector index at {self.path} holds files from "
+                f"multiple centroid versions {sorted(vs)} — an append "
+                "interleaved a retrain; run retrain() to reassign "
+                "everything under one space"
+            )
+        return vs.pop() if vs else 1
+
+    def _cents_for(self, version: int) -> list[list[int]]:
         try:
             cents, _ = self._centroids.require(
-                self._space_params(), version=1
+                self._space_params(), version=version
             )
         except FileNotFoundError:
             raise ValueError(
@@ -151,6 +169,12 @@ class VectorIndex(ForgetMixin):
                 "the space"
             ) from None
         return cents
+
+    def centroids(self) -> list[list[int]]:
+        """The centroids of the index's ACTIVE space version (see
+        :meth:`active_space_version`), param-checked against the frozen
+        space parameters."""
+        return self._cents_for(self.active_space_version())
 
     # -- schema / read -----------------------------------------------------
     def _schema(self) -> T.StructType:
@@ -173,6 +197,7 @@ class VectorIndex(ForgetMixin):
         un-probed lists are never opened (manifest-level skipping, the
         same machinery as the stores' chunk pruning)."""
         snap = self._txlog.snapshot()
+        self.active_space_version(snap)  # refuse mixed-version reads
         entries = snap.files["data"]
         if lists is not None:
             want = set(int(x) for x in lists)
@@ -198,14 +223,13 @@ class VectorIndex(ForgetMixin):
         return self._txlog.snapshot().app_versions.get(str(txn_app), -1)
 
     # -- write -------------------------------------------------------------
-    def _assigned(self, df: DataFrame) -> DataFrame:
+    def _assigned(self, df: DataFrame, cents: list) -> DataFrame:
         from holcstore_spark.operators.similarity import (
             _assign_to_centroid,
             quantized,
         )
 
         p = self.params
-        cents = self.centroids()
         # the id gets the same declared-type treatment as attr_cols: an
         # id column whose physical type differs from the frozen id_type
         # would commit parquet files that only fail at READ time, when
@@ -219,11 +243,13 @@ class VectorIndex(ForgetMixin):
             "list", _assign_to_centroid(F.col("vec_q"), cents).cast("int")
         ).select(*self._schema().fieldNames())
 
-    def _stage(self, assigned: DataFrame) -> list:
+    def _stage(self, assigned: DataFrame, space_v: int) -> list:
         """One file per list (list = manifest chunk axis): a single
         range-partitioned write can emit list-SPANNING files on skewed
         samples, which would dodge binpack forever — so materialize
-        once and write per list, as BandIndex does per band."""
+        once and write per list, as BandIndex does per band. Every
+        entry is stamped with the centroid version that assigned it
+        (the mixed-version read guard's evidence)."""
         from holcstore_spark.sources.io_util import safe_local_checkpoint
 
         assigned = safe_local_checkpoint(assigned)
@@ -246,9 +272,11 @@ class VectorIndex(ForgetMixin):
                 .sortWithinPartitions(self.params["id_col"])
                 .write.mode("overwrite").parquet(abs_dir)
             )
-            entries.extend(self._txlog.collect_entries(
+            for e in self._txlog.collect_entries(
                 abs_dir, rel_dir, key_cols=(), chunk_col="list",
-            ))
+            ):
+                e["space_v"] = int(space_v)
+                entries.append(e)
         return entries
 
     def append(
@@ -277,7 +305,12 @@ class VectorIndex(ForgetMixin):
                 id_col=p["id_col"], vec_col=p["vec_col"], dim=p["dim"],
             )
             self._centroids.save(cents, self._space_params())
-        adds = self._stage(self._assigned(df))
+        # assign under the ACTIVE space (v1 until a retrain swaps it);
+        # an interleaved retrain turns this append into a mixed-version
+        # state that reads refuse and retrain() repairs
+        v_used = self.active_space_version(snap)
+        adds = self._stage(self._assigned(df, self._cents_for(v_used)),
+                           space_v=v_used)
         committed = self._txlog.commit_idempotent(
             snap.version, "append", TxLog.next_op_id(snap),
             {"data": adds}, {},
@@ -286,6 +319,81 @@ class VectorIndex(ForgetMixin):
             txn_version=txn_id[1] if txn_id else None,
         )
         return committed is not None
+
+    def retrain(self, txn_app=None, txn_version=None) -> "int | None":
+        """Train a NEW centroid version on the index's current live
+        vectors and reassign every row under it — ONE transactional
+        commit that swaps the whole inverted file (adds every list's
+        new files, removes every old file, ``touched="all"``), the
+        remediation for distribution drift: an index whose space was
+        trained on day-0 data degrades as the corpus moves (vectors
+        pile into few lists; probes miss true neighbours), and the only
+        alternative is an out-of-band rebuild.
+
+        Deliberately O(index) — a retrain IS a rebuild, just
+        transactional: readers see the old space until the single
+        commit lands, then the new one; never a mix (an append racing
+        this commit produces the mixed-version state that reads refuse
+        and a follow-up retrain repairs — retrain itself reads the raw
+        entries and ignores the stored ``list``, so it can always run).
+        Training is bit-identical to a fresh index built from the same
+        live rows: the stored quantized vectors feed the deterministic
+        trainer with ``pre_quantized=True`` (re-quantizing would scale
+        twice). Deleted rows do not survive the rewrite (the reassigned
+        frame is tombstone-masked), and the replaced files become
+        vacuum-reclaimable. Idempotent under ``(txn_app,
+        txn_version)`` replay: returns None and commits nothing.
+
+        Returns the new centroid version number."""
+        from holcstore_spark.operators.similarity import (
+            _assign_to_centroid,
+            train_ivf_centroids,
+        )
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
+        from holcstore_spark.sources.txlog import TxLog, resolve_txn
+
+        p = self.params
+        txn_id = resolve_txn(True, txn_app, txn_version)
+        snap = self._txlog.snapshot()
+        if txn_id is not None and (
+            txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
+        ):
+            return None
+        entries = snap.files["data"]
+        if not entries:
+            raise ValueError(
+                f"vector index at {self.path} holds no live files — "
+                "nothing to retrain; append() first"
+            )
+        paths = [os.path.join(self.path, e["path"]) for e in entries]
+        rows = self.spark.read.schema(self._schema()).parquet(*paths)
+        rows = self._mask_deleted(rows, snap).drop("list")
+        # materialized once: the frame feeds training (iters+1 passes)
+        # AND the reassignment write
+        rows = safe_local_checkpoint(rows)
+        if not rows.take(1):
+            raise ValueError(
+                f"vector index at {self.path} has no live rows (all "
+                "deleted) — nothing to retrain"
+            )
+        cents = train_ivf_centroids(
+            rows, n_lists=p["n_lists"], iters=p["iters"],
+            id_col=p["id_col"], vec_col="vec_q", dim=p["dim"],
+            pre_quantized=True,
+        )
+        new_v = self._centroids.save(cents, self._space_params())
+        assigned = rows.withColumn(
+            "list", _assign_to_centroid(F.col("vec_q"), cents).cast("int")
+        ).select(*self._schema().fieldNames())
+        adds = self._stage(assigned, space_v=new_v)
+        committed = self._txlog.commit_idempotent(
+            snap.version, "retrain", TxLog.next_op_id(snap),
+            {"data": adds}, {"data": entries},
+            touched="all",
+            txn_app=txn_id[0] if txn_id else None,
+            txn_version=txn_id[1] if txn_id else None,
+        )
+        return new_v if committed is not None else None
 
     # -- search --------------------------------------------------------------
     def topk(
@@ -438,9 +546,20 @@ class VectorIndex(ForgetMixin):
                 .sortWithinPartitions(self.params["id_col"])
                 .write.mode("overwrite").parquet(abs_dir)
             )
-            adds.extend(e for e in self._txlog.collect_entries(
+            svs = {int(e.get("space_v", 1)) for e in by_list[lst]}
+            if len(svs) > 1:
+                raise ValueError(
+                    f"list {lst} holds files from multiple centroid "
+                    f"versions {sorted(svs)} — run retrain() before "
+                    "optimize() on a mixed-version index"
+                )
+            for e in self._txlog.collect_entries(
                 abs_dir, rel_dir, key_cols=(), chunk_col="list",
-            ) if e["rows"])  # a fully-erased list stages no live file
+            ):
+                if e["rows"]:  # a fully-erased list stages no live file
+                    e["space_v"] = svs.pop() if svs else 1
+                    adds.append(e)
+                    svs.add(e["space_v"])
             removes.extend(by_list[lst])
         purged = exact_rows(adds) != exact_rows(removes)
         if purged and not has_tomb:

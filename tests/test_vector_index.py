@@ -275,3 +275,138 @@ class TestSelectivityGuard:
         assert _pairs(got.collect()) == _pairs(want.collect())
 
 
+
+
+class TestRetrain:
+    """retrain() (round 13): transactional centroid-version swap."""
+
+    def test_retrain_equals_fresh_build_bit_exactly(
+            self, spark, tmp_store_path, emb):
+        b1 = emb.filter(F.col("vec_id") < 40)
+        b2 = emb.filter(F.col("vec_id") >= 40)
+        q = emb.filter(F.col("vec_id") % 50 == 7)
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=16, iters=2, dim=64)
+        vi.append(b1, txn_app="b", txn_version=0)  # space trained on b1
+        vi.append(b2, txn_app="b", txn_version=1)
+        assert vi.retrain(txn_app="rt", txn_version=0) == 2
+        assert vi.active_space_version() == 2
+        fresh = VectorIndex(spark, os.path.join(tmp_store_path, "vi2"),
+                            n_lists=16, iters=2, dim=64)
+        fresh.append(emb, txn_app="b", txn_version=0)
+        # same live rows -> identical deterministic training -> search
+        # results equal a fresh-built index bit-for-bit
+        assert vi.centroids() == fresh.centroids()
+        assert _pairs(vi.topk(q, k=5, n_probe=4).collect()) == \
+            _pairs(fresh.topk(q, k=5, n_probe=4).collect())
+
+    def test_retrain_restores_recall_under_drift(self, spark,
+                                                 tmp_store_path):
+        from pyspark.sql import types as T
+
+        from holcstore_spark.operators.similarity import brute_force_topk
+
+        DIM = 64
+
+        def vec(f):
+            return [float(f(d)) for d in range(DIM)]
+
+        rows = []
+        # day-0 corpus: 16 well-separated anchors e_i*10 (ids 100..115,
+        # HIGHER than the drifted batch so the retrain's lowest-id seeds
+        # come from the drifted data)
+        for i in range(16):
+            rows.append(
+                (100 + i, vec(lambda d, i=i: 10.0 if d == i else 0.0), 0))
+        # drift: near-duplicate PAIRS at the midpoints between
+        # consecutive anchors, each member biased toward a different
+        # anchor — the true nearest neighbour sits just across a day-0
+        # list boundary, so probe-1 search under the stale space misses
+        # every partner
+        for i in range(16):
+            j = (i + 1) % 16
+            u = vec(lambda d, i=i, j=j:
+                    5.2 if d == i else (4.8 if d == j else 0.0))
+            w = vec(lambda d, i=i, j=j:
+                    4.8 if d == i else (5.2 if d == j else 0.0))
+            rows.append((2 * i, u, 1))
+            rows.append((2 * i + 1, w, 1))
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("batch", T.IntegerType()),
+        ])
+        df = spark.createDataFrame(rows, schema)
+        b1 = df.filter(F.col("batch") == 0).select("vec_id", "embedding")
+        b2 = df.filter(F.col("batch") == 1).select("vec_id", "embedding")
+        full = df.select("vec_id", "embedding")
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=16, iters=2, dim=DIM)
+        vi.append(b1, txn_app="b", txn_version=0)
+        vi.append(b2, txn_app="b", txn_version=1)
+
+        def recall_at_1():
+            got = {(r["q_id"], r["neighbor_id"]) for r in
+                   vi.topk(b2, k=1, n_probe=1).collect()}
+            want = {(r["q_id"], r["neighbor_id"]) for r in
+                    brute_force_topk(full, b2, k=1).collect()}
+            return len(got & want) / len(want)
+
+        assert recall_at_1() == 0.0   # stale space splits every pair
+        assert vi.retrain(txn_app="rt", txn_version=0) == 2
+        assert recall_at_1() == 1.0   # new space reunites them
+
+    def test_retrain_replay_idempotent(self, spark, tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        assert vi.retrain(txn_app="rt", txn_version=0) == 2
+        v = vi._txlog.snapshot().version
+        assert vi.retrain(txn_app="rt", txn_version=0) is None
+        assert vi._txlog.snapshot().version == v
+        assert vi.active_space_version() == 2
+        # old files became unreferenced at the swap: reclaimable
+        assert vi.vacuum(retention_seconds=0.0) > 0
+
+    def test_retrain_purges_deleted_rows(self, spark, tmp_store_path,
+                                         emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        assert vi.delete([3, 5, 8], txn_app="del", txn_version=0)
+        vi.retrain(txn_app="rt", txn_version=0)
+        snap = vi._txlog.snapshot()
+        raw = spark.read.schema(vi._schema()).parquet(
+            *snap.paths("data", vi.path))
+        assert raw.filter(F.col("vec_id").isin(3, 5, 8)).count() == 0
+        assert raw.count() == emb.count() - 3
+
+    def test_mixed_version_reads_refused(self, spark, tmp_store_path,
+                                         emb):
+        from holcstore_spark.sources.txlog import TxLog
+
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb.filter(F.col("vec_id") < 400), txn_app="b",
+                  txn_version=0)
+        vi.retrain(txn_app="rt", txn_version=0)
+        # simulate the race: an append whose rows were assigned under
+        # the OLD space lands after the swap (white-box: stage rows
+        # stamped with space_v=1)
+        late = emb.filter(F.col("vec_id") >= 400)
+        snap = vi._txlog.snapshot()
+        adds = vi._stage(vi._assigned(late, vi._cents_for(1)), space_v=1)
+        vi._txlog.commit(
+            snap.version, "append", TxLog.next_op_id(snap),
+            {"data": adds}, {}, touched=None,
+        )
+        with pytest.raises(ValueError, match="multiple centroid"):
+            vi.df().count()
+        with pytest.raises(ValueError, match="multiple centroid"):
+            vi.topk(emb.limit(3), k=1)
+        # retrain is the documented remediation: it ignores the stored
+        # list assignments and rebuilds one consistent space
+        assert vi.retrain(txn_app="rt", txn_version=1) == 3
+        assert vi.df().count() == emb.count()
+        assert vi.topk(emb.filter(F.col("vec_id") % 100 == 0),
+                       k=3, n_probe=2).count() > 0
