@@ -2338,6 +2338,35 @@ def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vi.topk(q, k=3, n_probe=2)
 
 
+def q_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: PERSISTED IVF-PQ (sources/vector_index.py
+    VectorIndex(pq_m=4)) — the actual 100 TB ANN read path, both
+    compressions at once: vectors are clustered by IVF list (manifest
+    pruning opens only probed lists' files) AND product-quantized
+    (m=4 codes per vector), and ``topk(mode='adc')`` ranks by
+    Asymmetric Distance Computation reading ONLY (id, list, pq_code) —
+    the dim-sized vec_q column chunks are never touched (plan-asserted
+    in tests/test_vector_index.py). With the whole corpus appended in
+    one batch, the IVF space and the PQ codebooks train exactly like
+    similarity_ivf / pq_topk, so the oracle composes those two verified
+    CTE chains with a probe-list restriction — the persisted layout can
+    hide no drift. A replayed append is refused in-query."""
+    import shutil
+    from holcstore_spark.sources.vector_index import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    path = tempfile.mkdtemp(prefix="holc_ivfpq_")
+    shutil.rmtree(path, ignore_errors=True)
+    vi = VectorIndex(spark, path, n_lists=16, iters=2, dim=64,
+                     pq_m=4, pq_centroids=16)
+    if not vi.append(e, txn_app="entry", txn_version=0):
+        raise AssertionError("fresh index refused the append")
+    if vi.append(e, txn_app="entry", txn_version=0):
+        raise AssertionError("replayed append was not skipped")
+    return vi.topk(q, k=5, n_probe=2, mode="adc")
+
+
 def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (all-pairs
     only within buckets); exact integer-quantized scores."""
@@ -3416,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "pq_topk": q_pq_topk,
         "ivf_persisted": q_ivf_persisted,
+        "ivfpq_persisted": q_ivfpq_persisted,
         # -- (c) oldest round-10-verified block ------------------------
         "stream_gaps": q_stream_gaps,
         "multimodal_resize": q_multimodal_resize,
@@ -4546,6 +4576,57 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rk <= 5
     """
 
+    # Persisted IVF-PQ oracle: the similarity_ivf k-means chain supplies
+    # list assignments + per-query probe lists; the pq chain supplies
+    # codebooks/codes/ADC tables; candidates are restricted to each
+    # query's probed lists before ranking — exactly VectorIndex(pq_m=4)
+    # .topk(mode='adc') after a full-corpus first append
+    ivfpq_persisted_sql = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vq AS cv
+            FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT 16)
+        ),
+        a1 AS ({_ivf_assign('seeds')}),
+        c1 AS ({_ivf_update('a1', 'seeds')}),
+        a2 AS ({_ivf_assign('c1')}),
+        c2 AS ({_ivf_update('a2', 'c1')}),
+        cand AS ({_ivf_assign('c2')}),
+        {','.join(_pq_ctes)},
+        qv AS (SELECT vec_id AS q_id, vq FROM v WHERE vec_id % 100 = 0),
+        {','.join(_tq_ctes)},
+        probes AS (
+            SELECT vec_id AS q_id, i AS list FROM (
+                SELECT v.vec_id, s.i,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_ivf_dist('v.vq', 's.cv')}, s.i) AS rk
+                FROM v CROSS JOIN c2 s
+                WHERE v.vec_id % 100 = 0
+            ) WHERE rk <= 2
+        ),
+        scored AS (
+            SELECT t0.q_id, f0.vec_id AS neighbor_id,
+                   t0.dd + t1.dd + t2.dd + t3.dd AS adc
+            FROM fin0 f0
+            JOIN fin1 f1 ON f1.vec_id = f0.vec_id
+            JOIN fin2 f2 ON f2.vec_id = f0.vec_id
+            JOIN fin3 f3 ON f3.vec_id = f0.vec_id
+            JOIN cand c ON c.vec_id = f0.vec_id
+            JOIN tq0 t0 ON t0.i = f0.code
+            JOIN tq1 t1 ON t1.q_id = t0.q_id AND t1.i = f1.code
+            JOIN tq2 t2 ON t2.q_id = t0.q_id AND t2.i = f2.code
+            JOIN tq3 t3 ON t3.q_id = t0.q_id AND t3.i = f3.code
+            JOIN probes pr ON pr.q_id = t0.q_id AND pr.list = c.list
+            WHERE f0.vec_id <> t0.q_id
+        )
+        SELECT q_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist_q
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= 5
+    """
+
     # BPE oracle: unroll 4 training rounds; each round counts true token
     # pairs (from split, never substrings) and applies the winner with a
     # plain space-sentinel replace — identical semantics to the engine
@@ -5254,6 +5335,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
         "ivf_persisted": similarity_ivf,
+        "ivfpq_persisted": ivfpq_persisted_sql,
         "similarity_filtered": similarity_filtered,
         "similarity_neardup": similarity_neardup,
         "semantic_dedup": semantic_dedup_sql,

@@ -66,6 +66,8 @@ class VectorIndex(ForgetMixin):
         vec_col: str = "embedding",
         id_type: str = "long",
         attr_cols: "tuple[str, ...] | dict[str, str]" = (),
+        pq_m: "int | None" = None,
+        pq_centroids: int = 16,
     ):
         from holcstore_spark.session import ensure_engine_conf
         from holcstore_spark.sources.centroid_store import CentroidStore
@@ -76,6 +78,16 @@ class VectorIndex(ForgetMixin):
             raise ValueError(
                 f"unsupported id_type {id_type!r}; one of long/int/string"
             )
+        if pq_m is not None:
+            if int(dim) % int(pq_m) != 0:
+                raise ValueError(
+                    f"dim={dim} must be divisible by pq_m={pq_m}"
+                )
+            if not 1 <= int(pq_centroids) <= 256:
+                raise ValueError(
+                    "pq_centroids must be in [1, 256] (codes are meant "
+                    "to fit one byte per subspace)"
+                )
         # attr columns carry a DECLARED type (dict col -> type; a bare
         # tuple means all-string): storing e.g. an int label as string
         # would make numeric filters run through an implicit cast that
@@ -99,10 +111,20 @@ class VectorIndex(ForgetMixin):
             "vec_col": vec_col,
             "id_type": id_type,
             "attr_cols": attrs,
+            "pq_m": None if pq_m is None else int(pq_m),
+            "pq_centroids": int(pq_centroids),
         }
         self._check_or_save_params()
         self._txlog = TxLog(path)
         self._centroids = CentroidStore(os.path.join(path, "_centroids"))
+        # per-subspace PQ codebook stores (empty for non-PQ indexes);
+        # codebooks are FROZEN for the index's life — the stored codes
+        # were encoded against them, so re-training the books would
+        # require re-encoding every row (a rebuild, not a retrain)
+        self._pq_stores = [
+            CentroidStore(os.path.join(path, "_pq", f"sub{j}"))
+            for j in range(self.params["pq_m"] or 0)
+        ]
 
     # -- frozen params ---------------------------------------------------
     def _check_or_save_params(self) -> None:
@@ -118,6 +140,9 @@ class VectorIndex(ForgetMixin):
             existing["attr_cols"] = {
                 c: "string" for c in existing["attr_cols"]
             }
+        # configs written before PQ support lack these keys (= no PQ)
+        existing.setdefault("pq_m", None)
+        existing.setdefault("pq_centroids", 16)
         if existing != self.params:
             raise ValueError(
                 f"vector index at {self.path} was created with "
@@ -130,6 +155,33 @@ class VectorIndex(ForgetMixin):
         return {"n_clusters": self.params["n_lists"],
                 "iters": self.params["iters"],
                 "dim": self.params["dim"]}
+
+    def _pq_space_params(self) -> dict:
+        p = self.params
+        return {"n_clusters": p["pq_centroids"], "iters": p["iters"],
+                "dim": p["dim"] // p["pq_m"]}
+
+    def pq_books(self) -> list[list[list[int]]]:
+        """The index's m trained PQ codebooks — pinned to version 1
+        forever (the stored codes were encoded against them; see
+        __init__). Raises before the first append."""
+        if not self.params["pq_m"]:
+            raise ValueError(
+                f"vector index at {self.path} was created without "
+                "pq_m — not a PQ index"
+            )
+        books = []
+        for st in self._pq_stores:
+            try:
+                b, _ = st.require(self._pq_space_params(), version=1)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"vector index at {self.path} has no trained PQ "
+                    "codebooks yet — append() a first batch to train "
+                    "(and persist) them"
+                ) from None
+            books.append(b)
+        return books
 
     def active_space_version(self, snap=None) -> int:
         """The centroid version that assigned the CURRENT live files —
@@ -187,6 +239,10 @@ class VectorIndex(ForgetMixin):
             T.StructField("list", T.IntegerType()),
             T.StructField("vec_q", T.ArrayType(T.LongType())),
         ]
+        if self.params["pq_m"]:
+            fields.append(
+                T.StructField("pq_code", T.ArrayType(T.IntegerType()))
+            )
         fields += [T.StructField(c, type_of[t])
                    for c, t in self.params["attr_cols"].items()]
         return T.StructType(fields)
@@ -239,6 +295,19 @@ class VectorIndex(ForgetMixin):
         cols += [F.col(c).cast(t).alias(c)
                  for c, t in p["attr_cols"].items()]
         d = df.select(*cols)
+        if p["pq_m"]:
+            # PQ codes from slices of the quantized vector — identical
+            # to pq_encode's quantized(slice(raw)) because element-wise
+            # quantization commutes with slicing
+            books = self.pq_books()
+            sub = p["dim"] // p["pq_m"]
+            codes = [
+                _assign_to_centroid(
+                    F.slice(F.col("vec_q"), j * sub + 1, sub), books[j]
+                ).cast("int")
+                for j in range(p["pq_m"])
+            ]
+            d = d.withColumn("pq_code", F.array(*codes))
         return d.withColumn(
             "list", _assign_to_centroid(F.col("vec_q"), cents).cast("int")
         ).select(*self._schema().fieldNames())
@@ -305,6 +374,24 @@ class VectorIndex(ForgetMixin):
                 id_col=p["id_col"], vec_col=p["vec_col"], dim=p["dim"],
             )
             self._centroids.save(cents, self._space_params())
+        if p["pq_m"] and self._pq_stores[0].latest_version() is None:
+            # one deterministic codebook per subspace, trained on the
+            # raw slices exactly like pq_encode/pq_topk (so a
+            # full-corpus first append shares their oracle); racing
+            # first appends both train, v1 wins first (same pinning
+            # rationale as the IVF space)
+            sub = p["dim"] // p["pq_m"]
+            for j, store in enumerate(self._pq_stores):
+                sub_df = df.select(
+                    F.col(p["id_col"]),
+                    F.slice(F.col(p["vec_col"]), j * sub + 1, sub)
+                    .alias("__sub"),
+                )
+                book = train_ivf_centroids(
+                    sub_df, n_lists=p["pq_centroids"], iters=p["iters"],
+                    id_col=p["id_col"], vec_col="__sub", dim=sub,
+                )
+                store.save(book, self._pq_space_params())
         # assign under the ACTIVE space (v1 until a retrain swaps it);
         # an interleaved retrain turns this append into a mixed-version
         # state that reads refuse and retrain() repairs
@@ -404,6 +491,7 @@ class VectorIndex(ForgetMixin):
         query_id: str = "q_id",
         filters: "F.Column | dict | None" = None,
         min_results: "int | None" = None,
+        mode: str = "exact",
     ) -> DataFrame:
         """IVF probe search over the persisted index: each query's
         ``n_probe`` nearest lists are computed against the stored
@@ -430,6 +518,17 @@ class VectorIndex(ForgetMixin):
         filtered search). Escalation is driver-paced — at most
         log2(n_lists) extra rounds, each re-reading only the escalated
         queries' probed lists.
+
+        ``mode``: ``"exact"`` scores stored quantized vectors
+        (columns ``q_id, neighbor_id, score``); ``"adc"`` (PQ indexes
+        only) ranks by Asymmetric Distance Computation over the stored
+        ``pq_code`` — the IVF-PQ read path: the scan inside the pruned
+        probed lists reads ONLY (id, list, pq_code), never the
+        dim-sized ``vec_q`` column chunks (plan-asserted in tests), so
+        the per-vector read cost is m codes instead of dim longs.
+        Same integer arithmetic as :func:`pq_topk` (columns ``q_id,
+        neighbor_id, adc_dist_q``), same deterministic ties
+        (adc asc, neighbor asc).
         """
         from holcstore_spark.operators.similarity import (
             _probe_lists,
@@ -438,6 +537,13 @@ class VectorIndex(ForgetMixin):
         from holcstore_spark.sources.io_util import safe_local_checkpoint
 
         p = self.params
+        if mode not in ("exact", "adc"):
+            raise ValueError(f"unknown mode {mode!r}; exact or adc")
+        if mode == "adc" and not p["pq_m"]:
+            raise ValueError(
+                f"vector index at {self.path} was created without "
+                "pq_m — ADC search needs stored PQ codes"
+            )
         cents = self.centroids()
         base = queries.select(
             F.col(p["id_col"]).alias(query_id),
@@ -450,7 +556,7 @@ class VectorIndex(ForgetMixin):
         # queries are small by contract (they broadcast anyway)
         base = safe_local_checkpoint(base)
         res = self._topk_once(base, k, n_probe, query_id, filters,
-                              cents, _probe_lists)
+                              cents, _probe_lists, mode)
         if min_results is None:
             return res
         want = min(int(min_results), k)
@@ -472,12 +578,12 @@ class VectorIndex(ForgetMixin):
             sub = base.filter(F.col(query_id).isin(short))
             res = res.filter(~F.col(query_id).isin(short)).unionByName(
                 self._topk_once(sub, k, n_probe, query_id, filters,
-                                cents, _probe_lists)
+                                cents, _probe_lists, mode)
             )
         return res
 
     def _topk_once(self, qry, k, n_probe, query_id, filters, cents,
-                   _probe_lists) -> DataFrame:
+                   _probe_lists, mode) -> DataFrame:
         """One probe-search pass over a materialized query frame
         ``(query_id, __qq)`` — the :meth:`topk` docstring describes the
         plan shape."""
@@ -496,6 +602,8 @@ class VectorIndex(ForgetMixin):
             int(x) for r in qry.select("__probe").collect()
             for x in r["__probe"]
         })
+        if mode == "adc":
+            return self._adc_once(qry, k, query_id, filters, probe_lists)
         cand = _apply_filters(self.df(lists=probe_lists), filters).select(
             F.col(p["id_col"]).alias("neighbor_id"),
             F.col("list"), F.col("vec_q").alias("__cq"),
@@ -511,6 +619,68 @@ class VectorIndex(ForgetMixin):
             scored.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .select(query_id, "neighbor_id", "score")
+        )
+
+    def _adc_once(self, qry, k, query_id, filters, probe_lists
+                  ) -> DataFrame:
+        """ADC ranking inside the pruned probed lists: the per-query
+        lookup tables (m × pq_centroids exact int squared distances,
+        query slice vs every codebook centroid) are built driver-side
+        from the tiny broadcast codebooks — :func:`pq_topk`'s table
+        shape — and the candidate scan reads only (id, list, pq_code);
+        the distance is m ``element_at`` lookups per candidate."""
+        import numpy as np
+
+        from holcstore_spark.operators.similarity import _apply_filters
+
+        from pyspark.sql import Window
+
+        p = self.params
+        m, sub = p["pq_m"], p["dim"] // p["pq_m"]
+        books = [np.asarray(b, dtype=np.int64) for b in self.pq_books()]
+        rows = qry.select(query_id, "__qq", "__probe").collect()
+        table_rows = []
+        for r in rows:
+            qv = np.asarray(list(r["__qq"]), dtype=np.int64)
+            tables = []
+            for j in range(m):
+                qs = qv[j * sub: (j + 1) * sub]
+                tables.append(
+                    ((books[j] - qs) ** 2).sum(axis=1)
+                    .astype(int).tolist()
+                )
+            table_rows.append(
+                (r[query_id], [int(x) for x in r["__probe"]], *tables)
+            )
+        tschema = T.StructType(
+            [T.StructField(query_id, qry.schema[query_id].dataType),
+             T.StructField("__probe", T.ArrayType(T.IntegerType()))]
+            + [T.StructField(f"__t{j}", T.ArrayType(T.LongType()))
+               for j in range(m)]
+        )
+        tdf = self.spark.createDataFrame(table_rows, tschema)
+        q = tdf.withColumn("list", F.explode("__probe")).drop("__probe")
+        cand = _apply_filters(self.df(lists=probe_lists), filters).select(
+            F.col(p["id_col"]).alias("neighbor_id"),
+            F.col("list"), F.col("pq_code"),
+        )
+        joined = cand.join(F.broadcast(q), on="list").filter(
+            F.col("neighbor_id") != F.col(query_id)
+        )
+        adc = F.element_at(F.col("__t0"), F.col("pq_code").getItem(0) + 1)
+        for j in range(1, m):
+            adc = adc + F.element_at(
+                F.col(f"__t{j}"), F.col("pq_code").getItem(j) + 1
+            )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("__adc").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            joined.withColumn("__adc", adc)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select(query_id, "neighbor_id",
+                    F.col("__adc").alias("adc_dist_q"))
         )
 
     # -- maintenance -----------------------------------------------------

@@ -410,3 +410,105 @@ class TestRetrain:
         assert vi.df().count() == emb.count()
         assert vi.topk(emb.filter(F.col("vec_id") % 100 == 0),
                        k=3, n_probe=2).count() > 0
+
+
+def _adc_pairs(rows):
+    return sorted((r["q_id"], r["neighbor_id"], r["adc_dist_q"])
+                  for r in rows)
+
+
+class TestIvfPq:
+    """Persisted IVF-PQ (round 13): PQ codes stored clustered by list;
+    ADC search inside the pruned probed lists."""
+
+    def _pq_index(self, spark, path, emb):
+        vi = VectorIndex(spark, path, n_lists=4, iters=2, dim=64,
+                         pq_m=4, pq_centroids=8)
+        assert vi.append(emb, txn_app="b", txn_version=0)
+        return vi
+
+    def test_exhaustive_adc_equals_pq_topk_bit_exactly(
+            self, spark, tmp_store_path, emb):
+        from holcstore_spark.operators.similarity import pq_topk
+
+        vi = self._pq_index(spark, os.path.join(tmp_store_path, "vi"),
+                            emb)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        got = vi.topk(q, k=5, n_probe=4, mode="adc").collect()
+        want = pq_topk(emb, q, k=5, m=4, n_centroids=8, iters=2,
+                       dim=64).collect()
+        assert _adc_pairs(got) == _adc_pairs(want)
+
+    def test_adc_scan_never_reads_vec_q(self, spark, tmp_store_path,
+                                        emb):
+        import re
+
+        vi = self._pq_index(spark, os.path.join(tmp_store_path, "vi"),
+                            emb)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        out = vi.topk(q, k=5, n_probe=2, mode="adc")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        reads = re.findall(r"ReadSchema: [^\n]*", plan)
+        idx_reads = [r for r in reads if "pq_code" in r]
+        assert idx_reads, "no index scan found in the plan"
+        # the bytes-read reduction: the dim-sized vec_q column chunks
+        # are never decoded on the ADC path — m codes per vector only
+        assert all("vec_q" not in r for r in idx_reads)
+
+    def test_adc_respects_tombstones_and_filters(self, spark,
+                                                 tmp_store_path, emb):
+        p = os.path.join(tmp_store_path, "vi")
+        vi = VectorIndex(spark, p, n_lists=4, iters=2, dim=64,
+                         pq_m=4, pq_centroids=8,
+                         attr_cols={"label": "long"})
+        assert vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        top1 = vi.topk(q, k=1, n_probe=4,
+                       mode="adc").collect()[0]["neighbor_id"]
+        assert vi.delete([top1], txn_app="del", txn_version=0)
+        got = vi.topk(q, k=5, n_probe=4, mode="adc",
+                      filters={"label__gte": 5}).collect()
+        labels = {r["vec_id"]: r["label"] for r in
+                  emb.select("vec_id", "label").collect()}
+        assert top1 not in {r["neighbor_id"] for r in got}
+        assert all(labels[r["neighbor_id"]] >= 5 for r in got)
+
+    def test_retrain_preserves_pq_codes(self, spark, tmp_store_path,
+                                        emb):
+        vi = self._pq_index(spark, os.path.join(tmp_store_path, "vi"),
+                            emb.filter(F.col("vec_id") < 300))
+        vi.append(emb.filter(F.col("vec_id") >= 300), txn_app="b",
+                  txn_version=1)
+        codes_before = {r["vec_id"]: list(r["pq_code"]) for r in
+                        vi.df().select("vec_id", "pq_code").collect()}
+        assert vi.retrain(txn_app="rt", txn_version=0) == 2
+        codes_after = {r["vec_id"]: list(r["pq_code"]) for r in
+                       vi.df().select("vec_id", "pq_code").collect()}
+        # the IVF space swapped; the PQ encoding (frozen codebooks) is
+        # untouched by a retrain
+        assert codes_after == codes_before
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        assert vi.topk(q, k=5, n_probe=4, mode="adc").count() > 0
+
+    def test_adc_mode_refused_without_pq(self, spark, tmp_store_path,
+                                         emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        with pytest.raises(ValueError, match="without\\s+pq_m"):
+            vi.topk(q, k=3, mode="adc")
+        with pytest.raises(ValueError, match="unknown mode"):
+            vi.topk(q, k=3, mode="cosine")
+
+    def test_pq_params_frozen(self, spark, tmp_store_path):
+        p = os.path.join(tmp_store_path, "vi")
+        VectorIndex(spark, p, n_lists=4, dim=64, pq_m=4)
+        VectorIndex(spark, p, n_lists=4, dim=64, pq_m=4)  # same: fine
+        with pytest.raises(ValueError, match="frozen"):
+            VectorIndex(spark, p, n_lists=4, dim=64, pq_m=8)
+        with pytest.raises(ValueError, match="frozen"):
+            VectorIndex(spark, p, n_lists=4, dim=64)
+        with pytest.raises(ValueError, match="divisible"):
+            VectorIndex(spark, os.path.join(tmp_store_path, "vi2"),
+                        n_lists=4, dim=64, pq_m=7)
