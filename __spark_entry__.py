@@ -3402,73 +3402,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-12 window: (a) the 23 queries whose last driver
-    # verification was round 9 — the oldest evidence in the registry
-    # (overlay/interval/island core, the TPC-H forecast trio, the CDF
-    # pair, the r9 LLM tail); (b) queries new or changed-path this
-    # round (filtered ANN ×2, the exactly-once dedup-index replay, the
-    # dedup_incremental min/max-old refactor, and the ivf/pq entry
-    # points whose signatures grew filters=); (c) 21 of the
-    # round-10-verified block. The tail is the rest of the r10 block
-    # (rotate round 13) followed by the round-11-verified window.
+    # first. Round-13 window: (a) the 26 queries whose last driver
+    # verification was round 10 — the whole store/sync/admin tail the
+    # r12 verdict demanded, plus ffill; (b) queries new or changed-path
+    # this round (index deletion/forget, persisted IVF-PQ, the
+    # version-plumbed persisted IVF, the masked band-index replay, and
+    # the ivf entry point whose signature grew min_results=); (c) 19 of
+    # the round-11-verified block, oldest first. The tail is the rest
+    # of the r11 block (rotate round 14) followed by the r12-verified
+    # window.
     return {
-        # -- (a) last driver-verified round 9 ------------------------
-        "embed_quantize": q_embed_quantize,
-        "lm_surprisal": q_lm_surprisal,
-        "sliding_rollup": q_sliding_rollup,
-        "stream_sliding": q_stream_sliding,
-        "temperature_sample": q_temperature_sample,
-        "collocations": q_collocations,
-        "normalize_text": q_normalize_text,
-        "corpus_prep": q_corpus_prep,
-        "rolling_stats": q_rolling_stats,
-        "forecast_revenue": q_forecast_revenue,
-        "order_priority": q_order_priority,
-        "large_orders": q_large_orders,
-        "cusum_drift": q_cusum_drift,
-        "store_cdf": q_store_cdf,
-        "stream_cdf": q_stream_cdf,
-        "overlay_merge": q_overlay_merge,
-        "completeness_holes": q_completeness_holes,
-        "merge_intervals": q_merge_intervals,
-        "interval_algebra": q_interval_algebra,
-        "constant_runs": q_constant_runs,
-        "drop_bounds_na": q_drop_bounds_na,
-        "combined_delay": q_combined_delay,
-        "stream_rollup": q_stream_rollup,
-        # -- (b) new or execution path changed this round --------------
-        "similarity_filtered": q_similarity_filtered,
-        "pq_filtered": q_pq_filtered,
-        "dedup_index_forget": q_dedup_index_forget,
-        "dedup_index_replay": q_dedup_index_replay,
-        "dedup_incremental": q_dedup_incremental,
-        "similarity_ivf": q_similarity_ivf,
-        "pq_topk": q_pq_topk,
-        "ivf_persisted": q_ivf_persisted,
-        "ivfpq_persisted": q_ivfpq_persisted,
-        # -- (c) oldest round-10-verified block ------------------------
-        "stream_gaps": q_stream_gaps,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "stream_cusum": q_stream_cusum,
-        "bpe_merges": q_bpe_merges,
-        "seasonal_profile": q_seasonal_profile,
-        "stream_join": q_stream_join,
-        "contamination": q_contamination,
-        "tfidf_terms": q_tfidf_terms,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "time_rollup": q_time_rollup,
-        "range_join": q_range_join,
-        "event_rollup": q_event_rollup,
-        "store_restore": q_store_restore,
-        "store_optimize": q_store_optimize,
-        "cluster_balance": q_cluster_balance,
-        "slice_with_delay": q_slice_with_delay,
-        "disaggregate": q_disaggregate,
-        "time_slice": q_time_slice,
-        # ====== driver 50-entry window ends here (50 above) ========
-        # -- tail: rest of the r10-verified block (rotate round 13) ----
+        # -- (a) r10-aged store/sync/admin tail (rotate per VERDICT r12)
         "ffill": q_ffill,
         "normalize_minmax": q_normalize_minmax,
         "min_step": q_min_step,
@@ -3486,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_yield_many": q_store_yield_many,
         "store_changefeed": q_store_changefeed,
         "store_acid_ops": q_store_acid_ops,
+        "store_txn": q_store_txn,
         "kv_find_holes": q_kv_find_holes,
         "kv_clear": q_kv_clear,
         "kv_acid_ops": q_kv_acid_ops,
@@ -3494,7 +3439,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_guards": q_sync_guards,
         "sync_paged": q_sync_paged,
         "admin_export": q_admin_export,
-        # -- tail: round-11-verified window ----------------------------
+        # -- (b) new or execution path changed this round --------------
+        "dedup_index_forget": q_dedup_index_forget,
+        "ivfpq_persisted": q_ivfpq_persisted,
+        "ivf_persisted": q_ivf_persisted,
+        "dedup_index_replay": q_dedup_index_replay,
+        "similarity_ivf": q_similarity_ivf,
+        # -- (c) oldest round-11-verified fill --------------------------
         "lookup_filter": q_lookup_filter,
         "token_pack": q_token_pack,
         "segment_dedup": q_segment_dedup,
@@ -3514,9 +3465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_capped": q_semantic_dedup_capped,
+        # ====== driver 50-entry window ends here (50 above) ========
+        # -- tail: rest of the round-11-verified block (rotate r14) ----
         "attr_store_update": q_attr_store_update,
         "rest_sync_pull": q_rest_sync_pull,
-        "store_txn": q_store_txn,
         "kv_store_overlay": q_kv_store_overlay,
         "blob_interop": q_blob_interop,
         "multimodal_meta": q_multimodal_meta,
@@ -3540,8 +3492,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "quality_filter": q_quality_filter,
         "stats_rollup": q_stats_rollup,
+        # -- tail: round-12-verified window ----------------------------
+        "disaggregate": q_disaggregate,
+        "time_slice": q_time_slice,
         "value_histogram": q_value_histogram,
         "doc_chunks": q_doc_chunks,
+        "embed_quantize": q_embed_quantize,
+        "lm_surprisal": q_lm_surprisal,
+        "sliding_rollup": q_sliding_rollup,
+        "stream_sliding": q_stream_sliding,
+        "temperature_sample": q_temperature_sample,
+        "collocations": q_collocations,
+        "normalize_text": q_normalize_text,
+        "corpus_prep": q_corpus_prep,
+        "rolling_stats": q_rolling_stats,
+        "forecast_revenue": q_forecast_revenue,
+        "order_priority": q_order_priority,
+        "large_orders": q_large_orders,
+        "cusum_drift": q_cusum_drift,
+        "store_cdf": q_store_cdf,
+        "stream_cdf": q_stream_cdf,
+        "overlay_merge": q_overlay_merge,
+        "completeness_holes": q_completeness_holes,
+        "merge_intervals": q_merge_intervals,
+        "interval_algebra": q_interval_algebra,
+        "constant_runs": q_constant_runs,
+        "drop_bounds_na": q_drop_bounds_na,
+        "combined_delay": q_combined_delay,
+        "stream_rollup": q_stream_rollup,
+        "similarity_filtered": q_similarity_filtered,
+        "pq_filtered": q_pq_filtered,
+        "dedup_incremental": q_dedup_incremental,
+        "pq_topk": q_pq_topk,
+        "stream_gaps": q_stream_gaps,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "stream_cusum": q_stream_cusum,
+        "bpe_merges": q_bpe_merges,
+        "seasonal_profile": q_seasonal_profile,
+        "stream_join": q_stream_join,
+        "contamination": q_contamination,
+        "tfidf_terms": q_tfidf_terms,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
+        "range_join": q_range_join,
+        "event_rollup": q_event_rollup,
+        "store_restore": q_store_restore,
+        "store_optimize": q_store_optimize,
+        "cluster_balance": q_cluster_balance,
+        "slice_with_delay": q_slice_with_delay,
     }
 
 

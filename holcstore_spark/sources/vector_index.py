@@ -723,13 +723,13 @@ class VectorIndex(ForgetMixin):
                     f"versions {sorted(svs)} — run retrain() before "
                     "optimize() on a mixed-version index"
                 )
+            sv = svs.pop()  # the repack preserves the source space
             for e in self._txlog.collect_entries(
                 abs_dir, rel_dir, key_cols=(), chunk_col="list",
             ):
                 if e["rows"]:  # a fully-erased list stages no live file
-                    e["space_v"] = svs.pop() if svs else 1
+                    e["space_v"] = sv
                     adds.append(e)
-                    svs.add(e["space_v"])
             removes.extend(by_list[lst])
         purged = exact_rows(adds) != exact_rows(removes)
         if purged and not has_tomb:

@@ -111,30 +111,31 @@ def test_registry_source_has_no_duplicate_keys():
 #: key-tuple bound), rest_sync_pull (auth token hook), store_txn
 #: (update/replace-mode idempotent txn), kv_store_overlay (driver-
 #: rewrite row cap).
-ROUND12_WINDOW_MUST = {
-    # (a) last driver-verified r9 — the 23 queries the r11 verdict
-    # demanded rotate in
-    "embed_quantize", "lm_surprisal", "sliding_rollup", "stream_sliding",
-    "temperature_sample", "collocations", "normalize_text", "corpus_prep",
-    "rolling_stats", "forecast_revenue", "order_priority", "large_orders",
-    "cusum_drift", "store_cdf", "stream_cdf", "overlay_merge",
-    "completeness_holes", "merge_intervals", "interval_algebra",
-    "constant_runs", "drop_bounds_na", "combined_delay", "stream_rollup",
-    # (b) new or changed-path in round 12: filtered ANN, the
-    # exactly-once dedup-index replay, the dedup_incremental
-    # min/max-old refactor, and the ivf/pq entry points whose
-    # signatures grew filters=
-    "similarity_filtered", "pq_filtered", "dedup_index_replay",
-    "dedup_incremental", "similarity_ivf", "pq_topk", "ivf_persisted",
+ROUND13_WINDOW_MUST = {
+    # (a) last driver-verified r10 — the store/sync/admin tail the r12
+    # verdict demanded rotate in, plus ffill
+    "ffill", "normalize_minmax", "min_step", "next_version",
+    "chunk_index", "freq_fix", "split_at", "store_roundtrip",
+    "store_set_many", "store_update_overlay", "store_delete_tombstone",
+    "store_meta_aggregates", "store_max_horodate", "store_get_batch",
+    "store_yield_many", "store_changefeed", "store_acid_ops",
+    "store_txn", "kv_find_holes", "kv_clear", "kv_acid_ops",
+    "sync_pull", "sync_tombstone", "sync_guards", "sync_paged",
+    "admin_export",
+    # (b) new or changed-path in round 13: index deletion/forget,
+    # persisted IVF-PQ, the version-plumbed persisted IVF, the masked
+    # band-index replay, and the ivf entry point that grew min_results=
+    "dedup_index_forget", "ivfpq_persisted", "ivf_persisted",
+    "dedup_index_replay", "similarity_ivf",
 }
 
 
-def test_driver_window_contains_round12_rotation_set():
+def test_driver_window_contains_round13_rotation_set():
     # every query whose evidence is stale — oldest driver rows, or whose
     # execution path changed this round — must sit inside the driver's
     # checked first-50 window
     window = set(list(entry_mod.queries())[:50])
-    missing = ROUND12_WINDOW_MUST - window
+    missing = ROUND13_WINDOW_MUST - window
     assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND12_WINDOW_MUST - set(entry_mod.queries())
+    unknown = ROUND13_WINDOW_MUST - set(entry_mod.queries())
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
