@@ -271,7 +271,12 @@ class BandIndex(ForgetMixin):
         appends commute), but each computes its kept set against a
         snapshot that predates the other — cross-batch near-dups can
         then both survive, the same blind-append semantics the stores
-        document for unidentified concurrent inserts.
+        document for unidentified concurrent inserts. A
+        :meth:`~holcstore_spark.sources.index_base.ForgetMixin.delete`
+        landing between a batch's first application and its crash
+        replay similarly changes what the replayed recomputation sees
+        (the commit is still skipped); sequence deletes through the
+        same stream to avoid it.
         """
         from holcstore_spark.operators.dedup import (
             dedup_incremental,

@@ -125,9 +125,16 @@ class ForgetMixin:
         ):
             return False
         p = self.params
+        ids_df = self._ids_frame(ids)
+        if not ids_df.take(1):
+            # an empty delete commits nothing — a 0-row tombstone file
+            # would permanently activate the read-side mask join for a
+            # no-op. Skipping the watermark is safe: replaying this
+            # batch re-runs the same no-op.
+            return False
         abs_dir, rel_dir = self._txlog.new_staging_dir()
         (
-            self._ids_frame(ids).coalesce(1)
+            ids_df.coalesce(1)
             .sortWithinPartitions(p["id_col"])
             .write.mode("overwrite").parquet(abs_dir)
         )

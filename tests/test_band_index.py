@@ -391,3 +391,17 @@ class TestForget:
         # the commit claimed compacting (row-preserving layout change)
         last = idx._txlog.read(idx._txlog.last_version())
         assert last["op"] == "optimize" and last["compacting"] is True
+
+    def test_empty_delete_is_a_noop(self, spark, tmp_store_path, corpus):
+        from holcstore_spark.operators.dedup import minhash_bands
+
+        history, _b1, _b2 = corpus
+        idx = BandIndex(spark, os.path.join(tmp_store_path, "bi"))
+        idx.append_bands(minhash_bands(history), txn_app="s",
+                         txn_version=0)
+        v = idx._txlog.snapshot().version
+        assert idx.delete([], txn_app="del", txn_version=0) is False
+        assert idx._txlog.snapshot().version == v
+        assert not idx._txlog.snapshot().files["meta"]
+        # the mask path stays inactive: df() plan is unchanged
+        assert idx.df().count() == minhash_bands(history).count()
