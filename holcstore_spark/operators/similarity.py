@@ -290,6 +290,26 @@ def _probe_lists(vec_q: Column, centroids: list[list[int]], n_probe: int) -> Col
     return probe(c)
 
 
+def _short_query_ids(
+    out: DataFrame, q_ids: DataFrame, query_id: str, want: int,
+    limit: "int | None" = None,
+) -> list:
+    """Query ids with fewer than ``want`` rows in ``out`` — including
+    queries with ZERO rows (absent from out entirely), which a bare
+    groupBy-count would miss. Shared by the managed index's escalation
+    loop and the per-call operators' loud contract so the two guards
+    can never drift apart."""
+    counts = out.groupBy(query_id).agg(F.count(F.lit(1)).alias("__n"))
+    short = (
+        q_ids.distinct().join(counts, on=query_id, how="left")
+        .filter(F.coalesce(F.col("__n"), F.lit(0)) < want)
+        .select(query_id)
+    )
+    if limit is not None:
+        short = short.limit(limit)
+    return [r[query_id] for r in short.collect()]
+
+
 def _require_min_results(
     out: DataFrame, q_ids: DataFrame, query_id: str, want: int, hint: str,
 ) -> DataFrame:
@@ -306,18 +326,12 @@ def _require_min_results(
     from holcstore_spark.sources.io_util import safe_local_checkpoint
 
     out = safe_local_checkpoint(out)
-    counts = out.groupBy(query_id).agg(F.count(F.lit(1)).alias("__n"))
-    short = (
-        q_ids.distinct().join(counts, on=query_id, how="left")
-        .filter(F.coalesce(F.col("__n"), F.lit(0)) < want)
-        .select(query_id).limit(20).collect()
-    )
+    short = _short_query_ids(out, q_ids, query_id, want, limit=20)
     if short:
-        ids = sorted(r[query_id] for r in short)
         raise ValueError(
-            f"queries {ids} returned fewer than min_results={want} "
-            f"neighbours — the filter is too selective for the probed "
-            f"candidate pool; {hint}"
+            f"queries {sorted(short)} returned fewer than "
+            f"min_results={want} neighbours — the filter is too "
+            f"selective for the probed candidate pool; {hint}"
         )
     return out
 
@@ -334,7 +348,13 @@ def _validate_centroids(
     from :func:`train_ivf_centroids` at the library's quantization
     scale 1000 (``VectorIndex`` enforces this structurally via
     CentroidStore space params)."""
-    if not centroids:
+    import numbers
+
+    # len()-based emptiness and numbers.Integral: a numpy 2-D array or
+    # np.int64 components are legitimate here (callers routinely carry
+    # trained centroids through numpy) — `if not centroids` would crash
+    # on an ndarray and isinstance(x, int) would reject np.int64
+    if len(centroids) == 0:
         raise ValueError("centroids= is empty — train with "
                          "train_ivf_centroids or pass None to train here")
     widths = {len(c) for c in centroids}
@@ -349,7 +369,7 @@ def _validate_centroids(
         )
     for c in centroids:
         for x in c:
-            if not isinstance(x, int) or isinstance(x, bool):
+            if not isinstance(x, numbers.Integral) or isinstance(x, bool):
                 raise ValueError(
                     "centroids= must be integer-quantized (scale 1000, "
                     "train_ivf_centroids output); got "

@@ -338,8 +338,23 @@ class BandIndex(ForgetMixin):
         )
         if not cands:
             return 0
-        has_tomb = bool(snap.files["meta"])
-        adds, removes = [], []
+        # the EXACT erasure invariant: staged rows must equal source
+        # rows minus the tombstone-matched rows, counted independently
+        # (one extra job over the repacked files) — a shortfall beyond
+        # the known-dead rows is a repack bug, not an erasure, and must
+        # still raise (review r13: conditioning the proof on "any
+        # tombstone exists" silently blessed any loss)
+        cand_paths = [os.path.join(self.path, e["path"])
+                      for b in cands for e in by_band[b]]
+        dead = 0
+        if snap.files["meta"]:
+            raw = self.spark.read.schema(self._schema()).parquet(
+                *cand_paths)
+            dead = raw.join(
+                F.broadcast(self.tombstones(snap)),
+                on=self.params["id_col"], how="left_semi",
+            ).count()
+        adds, removes, dropped = [], [], []
         for b in cands:
             paths = [os.path.join(self.path, e["path"]) for e in by_band[b]]
             src = self.spark.read.schema(self._schema()).parquet(*paths)
@@ -352,29 +367,33 @@ class BandIndex(ForgetMixin):
                 src.coalesce(1).sortWithinPartitions("band_id", "band_key")
                 .write.mode("overwrite").parquet(abs_dir)
             )
-            adds.extend(e for e in self._txlog.collect_entries(
+            for e in self._txlog.collect_entries(
                 abs_dir, rel_dir, key_cols=("band_key",),
                 chunk_col="band_id",
-            ) if e["rows"])  # a fully-erased band stages no live file
+            ):
+                if e["rows"]:
+                    adds.append(e)
+                else:
+                    # a fully-erased band stages no live file; note the
+                    # empty staged file so the default sidecar-driven
+                    # vacuum reclaims it (it is referenced nowhere)
+                    dropped.append(e["path"])
             removes.extend(by_band[b])
-        purged = exact_rows(adds) != exact_rows(removes)
-        if purged and not has_tomb:
+        staged, source = exact_rows(adds), exact_rows(removes)
+        if staged != source - dead:
             raise RuntimeError(
-                f"optimize repack row mismatch: staged {exact_rows(adds)} "
-                f"rows for {exact_rows(removes)} source rows across bands "
-                f"{sorted(cands)}"
+                f"optimize repack row mismatch: staged {staged} rows "
+                f"for {source} source rows with {dead} tombstoned "
+                f"across bands {sorted(cands)}"
             )
-        if purged and exact_rows(adds) > exact_rows(removes):
-            raise RuntimeError(
-                "optimize erasure GAINED rows: staged "
-                f"{exact_rows(adds)} for {exact_rows(removes)} source"
-            )
+        if dropped:
+            self._txlog.note_orphans(dropped)
         self._txlog.commit(
             snap.version, "optimize", TxLog.next_op_id(snap),
             {"data": adds}, {"data": removes},
             # a repack that erased rows is a data change, not a pure
             # layout change — it must not claim compacting
-            touched=set(cands), compacting=not purged,
+            touched=set(cands), compacting=dead == 0,
         )
         return len(cands)
 

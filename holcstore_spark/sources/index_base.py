@@ -124,8 +124,14 @@ class ForgetMixin:
             txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
         ):
             return False
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
+
         p = self.params
-        ids_df = self._ids_frame(ids)
+        # materialized once: the frame is evaluated by the emptiness
+        # probe AND the staging write — a non-deterministic ids source
+        # (limit/sample) must not tombstone different ids than were
+        # checked, since tombstones are permanent
+        ids_df = safe_local_checkpoint(self._ids_frame(ids))
         if not ids_df.take(1):
             # an empty delete commits nothing — a 0-row tombstone file
             # would permanently activate the read-side mask join for a

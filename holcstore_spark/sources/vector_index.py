@@ -247,12 +247,17 @@ class VectorIndex(ForgetMixin):
                    for c, t in self.params["attr_cols"].items()]
         return T.StructType(fields)
 
-    def df(self, lists: "list[int] | None" = None) -> DataFrame:
+    def df(self, lists: "list[int] | None" = None,
+           snap=None) -> DataFrame:
         """Live index rows; ``lists`` prunes the read to files whose
         manifest list range overlaps the probed lists — the files of
         un-probed lists are never opened (manifest-level skipping, the
-        same machinery as the stores' chunk pruning)."""
-        snap = self._txlog.snapshot()
+        same machinery as the stores' chunk pruning). ``snap`` pins the
+        read to a caller-held snapshot — search MUST pass the snapshot
+        its probe lists were derived from, or a retrain completing
+        mid-search would silently match old-space probe ids against
+        new-space-clustered files (review r13)."""
+        snap = snap if snap is not None else self._txlog.snapshot()
         self.active_space_version(snap)  # refuse mixed-version reads
         entries = snap.files["data"]
         if lists is not None:
@@ -532,6 +537,7 @@ class VectorIndex(ForgetMixin):
         """
         from holcstore_spark.operators.similarity import (
             _probe_lists,
+            _short_query_ids,
             quantized,
         )
         from holcstore_spark.sources.io_util import safe_local_checkpoint
@@ -544,7 +550,19 @@ class VectorIndex(ForgetMixin):
                 f"vector index at {self.path} was created without "
                 "pq_m — ADC search needs stored PQ codes"
             )
-        cents = self.centroids()
+        if k < 1 or n_probe < 1:
+            # n_probe=0 would also never grow under the doubling
+            # escalation (0*2 == 0: an infinite driver loop)
+            raise ValueError(f"k ({k}) and n_probe ({n_probe}) must "
+                             "be >= 1")
+        # ONE snapshot for the whole search: centroids, every probe
+        # round, and every file read come from the same manifest state,
+        # so a retrain completing mid-search cannot pair old-space
+        # probe ids with new-space-clustered files (review r13) — the
+        # search sees wholly the pre- or post-retrain index, never a
+        # mix
+        snap = self._txlog.snapshot()
+        cents = self._cents_for(self.active_space_version(snap))
         base = queries.select(
             F.col(p["id_col"]).alias(query_id),
             quantized(p["vec_col"]).alias("__qq"),
@@ -556,34 +574,32 @@ class VectorIndex(ForgetMixin):
         # queries are small by contract (they broadcast anyway)
         base = safe_local_checkpoint(base)
         res = self._topk_once(base, k, n_probe, query_id, filters,
-                              cents, _probe_lists, mode)
+                              cents, _probe_lists, mode, snap)
         if min_results is None:
             return res
         want = min(int(min_results), k)
         n_lists = p["n_lists"]
         while n_probe < n_lists:
             n_probe = min(n_probe * 2, n_lists)
-            counts = res.groupBy(query_id).agg(
-                F.count(F.lit(1)).alias("__n")
+            # materialize each round: the counts collect and the next
+            # union would otherwise re-execute every prior round's
+            # probe search (O(rounds²) scan work), and the caller's
+            # first action would re-run the whole chain once more
+            res = safe_local_checkpoint(res)
+            short = _short_query_ids(
+                res, base.select(query_id), query_id, want
             )
-            short = [
-                r[query_id]
-                for r in base.select(query_id).distinct()
-                .join(counts, on=query_id, how="left")
-                .filter(F.coalesce(F.col("__n"), F.lit(0)) < want)
-                .collect()
-            ]
             if not short:
                 break
             sub = base.filter(F.col(query_id).isin(short))
             res = res.filter(~F.col(query_id).isin(short)).unionByName(
                 self._topk_once(sub, k, n_probe, query_id, filters,
-                                cents, _probe_lists, mode)
+                                cents, _probe_lists, mode, snap)
             )
         return res
 
     def _topk_once(self, qry, k, n_probe, query_id, filters, cents,
-                   _probe_lists, mode) -> DataFrame:
+                   _probe_lists, mode, snap) -> DataFrame:
         """One probe-search pass over a materialized query frame
         ``(query_id, __qq)`` — the :meth:`topk` docstring describes the
         plan shape."""
@@ -603,8 +619,11 @@ class VectorIndex(ForgetMixin):
             for x in r["__probe"]
         })
         if mode == "adc":
-            return self._adc_once(qry, k, query_id, filters, probe_lists)
-        cand = _apply_filters(self.df(lists=probe_lists), filters).select(
+            return self._adc_once(qry, k, query_id, filters, probe_lists,
+                                  snap)
+        cand = _apply_filters(
+            self.df(lists=probe_lists, snap=snap), filters
+        ).select(
             F.col(p["id_col"]).alias("neighbor_id"),
             F.col("list"), F.col("vec_q").alias("__cq"),
         )
@@ -621,7 +640,7 @@ class VectorIndex(ForgetMixin):
             .select(query_id, "neighbor_id", "score")
         )
 
-    def _adc_once(self, qry, k, query_id, filters, probe_lists
+    def _adc_once(self, qry, k, query_id, filters, probe_lists, snap
                   ) -> DataFrame:
         """ADC ranking inside the pruned probed lists: the per-query
         lookup tables (m × pq_centroids exact int squared distances,
@@ -660,7 +679,9 @@ class VectorIndex(ForgetMixin):
         )
         tdf = self.spark.createDataFrame(table_rows, tschema)
         q = tdf.withColumn("list", F.explode("__probe")).drop("__probe")
-        cand = _apply_filters(self.df(lists=probe_lists), filters).select(
+        cand = _apply_filters(
+            self.df(lists=probe_lists, snap=snap), filters
+        ).select(
             F.col(p["id_col"]).alias("neighbor_id"),
             F.col("list"), F.col("pq_code"),
         )
@@ -700,8 +721,35 @@ class VectorIndex(ForgetMixin):
         )
         if not cands:
             return 0
-        has_tomb = bool(snap.files["meta"])
-        adds, removes = [], []
+        # mixed-version refusal is pure manifest math — check every
+        # candidate BEFORE any repack IO (review r13: raising after
+        # list 1's full read+write wasted the work and left staged
+        # orphans with no sidecar note)
+        for lst in cands:
+            svs = {int(e.get("space_v", 1)) for e in by_list[lst]}
+            if len(svs) > 1:
+                raise ValueError(
+                    f"list {lst} holds files from multiple centroid "
+                    f"versions {sorted(svs)} — run retrain() before "
+                    "optimize() on a mixed-version index"
+                )
+        cand_paths = [os.path.join(self.path, e["path"])
+                      for lst in cands for e in by_list[lst]]
+        # the EXACT erasure invariant: staged rows must equal source
+        # rows minus the tombstone-matched rows, counted independently
+        # (one extra metadata-cheap job over the repacked files) — a
+        # shortfall beyond the known-dead rows is a repack bug, not an
+        # erasure, and must still raise (review r13: conditioning the
+        # proof on "any tombstone exists" silently blessed any loss)
+        dead = 0
+        if snap.files["meta"]:
+            raw = self.spark.read.schema(self._schema()).parquet(
+                *cand_paths)
+            dead = raw.join(
+                F.broadcast(self.tombstones(snap)),
+                on=self.params["id_col"], how="left_semi",
+            ).count()
+        adds, removes, dropped = [], [], []
         for lst in cands:
             paths = [os.path.join(self.path, e["path"])
                      for e in by_list[lst]]
@@ -716,39 +764,35 @@ class VectorIndex(ForgetMixin):
                 .sortWithinPartitions(self.params["id_col"])
                 .write.mode("overwrite").parquet(abs_dir)
             )
-            svs = {int(e.get("space_v", 1)) for e in by_list[lst]}
-            if len(svs) > 1:
-                raise ValueError(
-                    f"list {lst} holds files from multiple centroid "
-                    f"versions {sorted(svs)} — run retrain() before "
-                    "optimize() on a mixed-version index"
-                )
-            sv = svs.pop()  # the repack preserves the source space
+            sv = int(by_list[lst][0].get("space_v", 1))
             for e in self._txlog.collect_entries(
                 abs_dir, rel_dir, key_cols=(), chunk_col="list",
             ):
-                if e["rows"]:  # a fully-erased list stages no live file
+                if e["rows"]:
                     e["space_v"] = sv
                     adds.append(e)
+                else:
+                    # a fully-erased list stages no live file; note the
+                    # empty staged file so the default sidecar-driven
+                    # vacuum reclaims it (it is referenced nowhere)
+                    dropped.append(e["path"])
+        for lst in cands:
             removes.extend(by_list[lst])
-        purged = exact_rows(adds) != exact_rows(removes)
-        if purged and not has_tomb:
+        staged, source = exact_rows(adds), exact_rows(removes)
+        if staged != source - dead:
             raise RuntimeError(
-                f"optimize repack row mismatch: staged "
-                f"{exact_rows(adds)} rows for {exact_rows(removes)} "
-                f"source rows across lists {sorted(cands)}"
+                f"optimize repack row mismatch: staged {staged} rows "
+                f"for {source} source rows with {dead} tombstoned "
+                f"across lists {sorted(cands)}"
             )
-        if purged and exact_rows(adds) > exact_rows(removes):
-            raise RuntimeError(
-                "optimize erasure GAINED rows: staged "
-                f"{exact_rows(adds)} for {exact_rows(removes)} source"
-            )
+        if dropped:
+            self._txlog.note_orphans(dropped)
         self._txlog.commit(
             snap.version, "optimize", TxLog.next_op_id(snap),
             {"data": adds}, {"data": removes},
             # a repack that erased rows is a data change, not a pure
             # layout change — it must not claim compacting
-            touched=set(cands), compacting=not purged,
+            touched=set(cands), compacting=dead == 0,
         )
         return len(cands)
 

@@ -1777,3 +1777,21 @@ class TestMinResultsContract:
         with pytest.raises(ValueError, match="min_results"):
             lsh_topk(vectors, q, k=3, n_planes=2, dim=4,
                      filters=F.col("vec_id") < 2, min_results=3)
+
+    def test_numpy_centroids_accepted(self, vectors):
+        # review r13: np.int64 components / ndarray rows are legitimate
+        # trained centroids and must pass validation
+        import numpy as np
+
+        from holcstore_spark.operators.similarity import (
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        q = vectors.filter(F.col("vec_id") == 0)
+        cents = train_ivf_centroids(vectors, n_lists=2, iters=1, dim=4)
+        np_cents = list(np.asarray(cents, dtype=np.int64))
+        out = ivf_topk(vectors, q, k=4, n_probe=2, centroids=np_cents)
+        base = ivf_topk(vectors, q, k=4, n_probe=2, centroids=cents)
+        assert sorted(map(tuple, out.collect())) == \
+            sorted(map(tuple, base.collect()))

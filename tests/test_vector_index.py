@@ -512,3 +512,70 @@ class TestIvfPq:
         with pytest.raises(ValueError, match="divisible"):
             VectorIndex(spark, os.path.join(tmp_store_path, "vi2"),
                         n_lists=4, dim=64, pq_m=7)
+
+
+class TestReviewFindingsRound13:
+    def test_invalid_k_and_n_probe_rejected(self, spark, tmp_store_path,
+                                            emb):
+        # review r13: n_probe=0 would loop forever under min_results
+        # escalation (0*2 == 0); both are rejected up front
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        with pytest.raises(ValueError, match="must be >= 1"):
+            vi.topk(q, k=3, n_probe=0, min_results=3)
+        with pytest.raises(ValueError, match="must be >= 1"):
+            vi.topk(q, k=0)
+
+    def test_optimize_raises_on_row_loss_beyond_tombstones(
+            self, spark, tmp_store_path, emb, monkeypatch):
+        # review r13: with a tombstone present, a repack that loses
+        # UNRELATED live rows must still raise — the erasure invariant
+        # is exact (staged == source - tombstone-matched), not "any
+        # shortfall is fine once deletes exist"
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb.filter(F.col("vec_id") % 2 == 0), txn_app="b",
+                  txn_version=0)
+        vi.append(emb.filter(F.col("vec_id") % 2 == 1), txn_app="b",
+                  txn_version=1)
+        assert vi.delete([2, 4], txn_app="del", txn_version=0)
+        real_mask = VectorIndex._mask_deleted
+
+        def lossy_mask(self, df, snap):
+            # simulate a masking bug that drops one extra live row
+            return real_mask(self, df, snap).filter(
+                F.col("vec_id") != 7)
+
+        monkeypatch.setattr(VectorIndex, "_mask_deleted", lossy_mask)
+        with pytest.raises(RuntimeError, match="row mismatch"):
+            vi.optimize(min_files=1)
+
+    def test_full_erasure_stages_are_orphan_noted(self, spark,
+                                                  tmp_store_path, emb):
+        # review r13: a fully-erased list's 0-row staged file must be
+        # reclaimable by the default sidecar-driven vacuum
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(emb, txn_app="b", txn_version=0)
+        # tombstone one whole list
+        one_list = [r["vec_id"] for r in
+                    vi.df().filter(F.col("list") == 0)
+                    .select("vec_id").collect()]
+        assert one_list
+        assert vi.delete(one_list, txn_app="del", txn_version=0)
+        assert vi.optimize(min_files=1) >= 1
+        reclaimed = vi.vacuum(retention_seconds=0.0)
+        assert reclaimed > 0
+        # no unreferenced parquet remains anywhere under files/
+        live = {e["path"] for t in ("data", "meta")
+                for e in vi._txlog.snapshot().files[t]}
+        on_disk = set()
+        froot = os.path.join(vi.path, "files")
+        for root, _dirs, files in os.walk(froot):
+            for f in files:
+                if f.endswith(".parquet"):
+                    on_disk.add(os.path.relpath(
+                        os.path.join(root, f), vi.path))
+        assert on_disk <= live, f"leaked: {sorted(on_disk - live)}"
