@@ -3383,6 +3383,52 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SPAN stats — exact-substring dedup (Lee
+    et al. 2022) as rolling 8-token gram hashing: the globally-first
+    occurrence of a duplicated k-gram keeps its tokens, every later
+    occurrence marks its span for removal. Per doc: token counts before
+    / after span removal."""
+    from holcstore_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), k=8)
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs top-3 cosine neighbour graph over the embedding corpus,
+    IVF-blocked: both sides are corpus-sized, so the probe join is a
+    SHUFFLE equi-join on the list id (never a broadcast, never n²).
+    Same deterministic integer k-means as similarity_ivf, so the oracle
+    unrolls the identical two Lloyd iterations."""
+    from holcstore_spark.operators.similarity import knn_graph
+
+    return knn_graph(
+        _t(spark, sf_dir, "embeddings"), k=3, n_lists=16, n_probe=2, iters=2
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain cap: at most 20 documents per source,
+    longest-first (n_chars desc, doc_id tiebreak) — one hash shuffle on
+    the group key plus a bounded row_number window."""
+    from holcstore_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"), group="source", cap=20
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) unigram importance weights against the
+    French-language slice as the target domain — add-one-smoothed
+    log2(p_target/p_corpus) per token, quantized to whole bits via
+    integer log2 (length(bin(n))) so the score is exact integer
+    arithmetic, bit-reproducible cross-engine."""
+    from holcstore_spark.operators.text import dsir_bits
+
+    return dsir_bits(_t(spark, sf_dir, "documents"), F.col("lang") == "fr")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3406,8 +3452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification was round 10 — the whole store/sync/admin tail the
     # r12 verdict demanded, plus ffill; (b) queries new or changed-path
     # this round (index deletion/forget, persisted IVF-PQ, the
-    # version-plumbed persisted IVF, the masked band-index replay, and
-    # the ivf entry point whose signature grew min_results=); (c) 19 of
+    # version-plumbed persisted IVF, the masked band-index replay, the
+    # ivf entry point whose signature grew min_results=, and the four
+    # NEW round-13 operators: duplicate-span dedup, the KNN graph, the
+    # per-domain cap and DSIR selection); (c) 15 of
     # the round-11-verified block, oldest first. The tail is the rest
     # of the r11 block (rotate round 14) followed by the r12-verified
     # window.
@@ -3445,6 +3493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_persisted": q_ivf_persisted,
         "dedup_index_replay": q_dedup_index_replay,
         "similarity_ivf": q_similarity_ivf,
+        "dedup_spans": q_dedup_spans,
+        "knn_graph": q_knn_graph,
+        "domain_cap": q_domain_cap,
+        "dsir_select": q_dsir_select,
         # -- (c) oldest round-11-verified fill --------------------------
         "lookup_filter": q_lookup_filter,
         "token_pack": q_token_pack,
@@ -3461,12 +3513,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
+        # ====== driver 50-entry window ends here (50 above) ========
+        # -- tail: rest of the round-11-verified block (rotate r14) ----
+        # (clean_corpus_cc / similarity_bruteforce / semantic_dedup /
+        #  semantic_dedup_capped were displaced from the r13 window by
+        #  the four NEW round-13 queries above — still r11-verified,
+        #  first in line for the r14 rotation)
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_bruteforce": q_similarity_bruteforce,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_capped": q_semantic_dedup_capped,
-        # ====== driver 50-entry window ends here (50 above) ========
-        # -- tail: rest of the round-11-verified block (rotate r14) ----
         "attr_store_update": q_attr_store_update,
         "rest_sync_pull": q_rest_sync_pull,
         "kv_store_overlay": q_kv_store_overlay,
@@ -4336,6 +4392,44 @@ def oracle_sql() -> dict[str, str]:
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """
+    # KNN-graph oracle: the SAME unrolled two-iteration k-means as
+    # similarity_ivf; every vector probes its 2 nearest lists and ranks
+    # the probed lists' members (never itself) — the all-pairs twin of
+    # the similarity_ivf chain
+    knn_graph_sql = f"""
+        WITH v AS (SELECT vec_id, {quant} AS vq FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, vq AS cv
+            FROM (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT 16)
+        ),
+        a1 AS ({_ivf_assign('seeds')}),
+        c1 AS ({_ivf_update('a1', 'seeds')}),
+        a2 AS ({_ivf_assign('c1')}),
+        c2 AS ({_ivf_update('a2', 'c1')}),
+        cand AS ({_ivf_assign('c2')}),
+        probes AS (
+            SELECT vec_id AS src_id, vq AS qq, i AS list FROM (
+                SELECT v.vec_id, v.vq, s.i,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_ivf_dist('v.vq', 's.cv')}, s.i) AS rk
+                FROM v CROSS JOIN c2 s
+            ) WHERE rk <= 2
+        ),
+        scored AS (
+            SELECT p.src_id, c.vec_id AS neighbor_id,
+                   list_dot_product(p.qq::DOUBLE[], c.vq::DOUBLE[])
+                     / (sqrt(list_dot_product(p.qq::DOUBLE[], p.qq::DOUBLE[]))
+                        * sqrt(list_dot_product(c.vq::DOUBLE[], c.vq::DOUBLE[]))) AS score
+            FROM probes p JOIN cand c USING (list)
+            WHERE c.vec_id <> p.src_id
+        )
+        SELECT src_id, neighbor_id, score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src_id ORDER BY score DESC, neighbor_id ASC) AS rk
             FROM scored
         ) WHERE rk <= 3
     """
@@ -5334,6 +5428,75 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bruteforce": similarity_bruteforce,
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
+        "knn_graph": knn_graph_sql,
+        # exact-substring (duplicate-span) dedup: rolling 8-token gram
+        # hashes; the globally-first occurrence (min doc_id·2^20+pos)
+        # keeps its tokens, later occurrences mark their k positions
+        "dedup_spans": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i AS pos,
+                       substr(md5(array_to_string(
+                           ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 16) AS h,
+                       doc_id * 1048576 + i AS okey
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                      FROM toks WHERE len(ws) >= 8)
+            ),
+            agg AS (SELECT h, count(*) AS occ, min(okey) AS frst
+                    FROM grams GROUP BY h),
+            removed AS (
+                SELECT g.* FROM grams g JOIN agg a USING (h)
+                WHERE occ >= 2 AND okey <> frst
+            ),
+            cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS c
+                    FROM removed),
+            dup AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(len(ws) - coalesce(dup_tokens, 0) AS BIGINT) AS kept_tokens,
+                   coalesce(dup_tokens, 0) / CAST(greatest(len(ws), 1) AS DOUBLE)
+                       AS dup_frac
+            FROM toks t LEFT JOIN dup USING (doc_id)
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        # DSIR importance weights in whole bits: add-one-smoothed
+        # log2(p_fr / p_corpus) per token via integer bit-length —
+        # bits((ct+1)(Nc+V)) - bits((cc+1)(Nt+V)), exact BIGINT products
+        "dsir_select": """
+            WITH t AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ),
+            t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+            tt AS (SELECT t2.tok FROM t2 JOIN documents d USING (doc_id)
+                   WHERE d.lang = 'fr'),
+            cc AS (SELECT tok, count(*) AS cc FROM t2 GROUP BY tok),
+            ct AS (SELECT tok, count(*) AS ct FROM tt GROUP BY tok),
+            s AS (SELECT (SELECT CAST(sum(cc) AS BIGINT) FROM cc) AS n_c,
+                         (SELECT count(*) FROM cc) AS v,
+                         (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM ct)
+                             AS n_t)
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(length(bin((coalesce(ct, 0) + 1) * (n_c + v)))
+                          - length(bin((cc + 1) * (n_t + v)))) AS BIGINT)
+                       AS dsir_bits,
+                   CAST(sum(length(bin((coalesce(ct, 0) + 1) * (n_c + v)))
+                          - length(bin((cc + 1) * (n_t + v)))) AS DOUBLE)
+                       / count(*) AS mean_bits
+            FROM t2 JOIN cc USING (tok) LEFT JOIN ct USING (tok) CROSS JOIN s
+            GROUP BY doc_id
+        """,
         "ivf_persisted": similarity_ivf,
         "ivfpq_persisted": ivfpq_persisted_sql,
         "similarity_filtered": similarity_filtered,

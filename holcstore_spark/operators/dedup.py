@@ -526,3 +526,208 @@ def dedup_incremental(
         # with a large dropped fraction)
     )
     return new_docs.join(dropped, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate SPAN removal (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_POS_BITS = 20  # positions per doc fit in 2^20; keeps the keeper key a BIGINT
+
+
+def _span_occurrences(
+    df: DataFrame, text: str, id_col: str, k: int, sep: str
+):
+    """Shared gram-occurrence frame for the span-dedup family: one row
+    per (doc, position) rolling k-token gram, with a portable 16-hex
+    md5 gram hash and an encoded BIGINT occurrence key for the global
+    keep-the-first rule."""
+    from pyspark.sql.types import NumericType
+
+    key_type = df.schema[id_col].dataType
+    if not isinstance(key_type, NumericType):
+        raise TypeError(
+            f"duplicate-span dedup requires a numeric id to encode the "
+            f"keep-first occurrence key: {id_col!r} is "
+            f"{key_type.simpleString()}"
+        )
+    toks = F.split(F.col(text) if isinstance(text, str) else F.col(text), sep)
+    limit = 1 << _SPAN_POS_BITS
+    n = F.size(toks)
+    # fail loudly instead of colliding occurrence keys on a pathological doc
+    n = F.when(
+        n < limit, n
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"duplicate-span dedup: document exceeds {limit - 1} "
+                      f"tokens (id="),
+                F.col(id_col).cast("string"), F.lit(")"),
+            )
+        ).cast("int")
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+    )
+    grams = base.select(
+        id_col,
+        "__n",
+        # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a doc
+        # shorter than k tokens must explode an empty array, not that
+        F.explode(
+            F.when(
+                F.col("__n") >= k,
+                F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__pos"),
+        "__toks",
+    ).select(
+        id_col,
+        "__pos",
+        F.substring(
+            F.md5(F.concat_ws(sep, F.slice(F.col("__toks"), F.col("__pos"), k))),
+            1, 16,
+        ).alias("__h"),
+        (F.col(id_col).cast("long") * limit + F.col("__pos")).alias("__key"),
+    )
+    per_doc = base.select(id_col, F.col("__n").alias("n_tokens"))
+    return grams, per_doc
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    sep: str = " ",
+) -> DataFrame:
+    """Cross-document duplicate-SPAN statistics — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed as rolling k-token gram
+    hashing instead of a suffix array: a span of ``k`` consecutive
+    tokens is DUPLICATED at a given occurrence when the same k-gram
+    occurs anywhere else in the corpus (another document, or earlier in
+    the same document) at a strictly smaller (id, position) key. The
+    globally-first occurrence keeps its tokens; every later occurrence
+    marks its k positions for removal.
+
+    Output per document: ``n_tokens``, ``dup_tokens`` (distinct token
+    positions covered by at least one removed occurrence),
+    ``kept_tokens`` and ``dup_frac``. Use
+    :func:`strip_duplicate_spans` to materialize the cleaned text.
+
+    Scale shape (no suffix array, no cross join): explode to one row
+    per gram occurrence (factor = tokens/doc, bounded) → ONE wide
+    shuffle on the 16-hex gram hash computing (occurrences, min key)
+    with map-side partial aggregation → hash equi-join back → the k×
+    coverage explode stays partitioned by document for the final
+    per-doc distinct+count. Skewed grams (boilerplate repeated millions
+    of times) produce ONE aggregate row each — skew lives in the
+    pre-aggregated explode, which AQE splits; there is no bucket-list
+    materialization. Reference scope: beyond-reference (the reference
+    engine has no substring dedup; SURVEY.md §2 dedup family D*)."""
+    grams, per_doc = _span_occurrences(df, text, id_col, k, sep)
+    agg = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min("__key").alias("__first"),
+    )
+    removed = (
+        grams.join(agg, on="__h")
+        .filter((F.col("__occ") >= 2) & (F.col("__key") != F.col("__first")))
+    )
+    covered = (
+        removed.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+            ).alias("__cov"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        per_doc.join(covered, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("dup_tokens"), F.lit(0)))
+            .cast("long").alias("kept_tokens"),
+            (F.coalesce(F.col("dup_tokens"), F.lit(0)) /
+             F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+             ).alias("dup_frac"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize the cleaned corpus under the
+    :func:`duplicate_span_stats` rule: every token position covered by
+    a removed duplicate occurrence is dropped; survivors re-join in
+    original order. Returns (id, text_clean, kept_tokens) — token
+    count of ``text_clean`` equals ``kept_tokens`` from the stats op
+    by construction (pytest-asserted).
+
+    The rebuild is doc-partitioned: token positions and the covered
+    set shuffle on the id, and the sort back into document order is an
+    ``array_sort`` over an in-executor collected struct array — bounded
+    by the (already enforced) per-document token cap, never by corpus
+    size."""
+    grams, _ = _span_occurrences(df, text, id_col, k, sep)
+    agg = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min("__key").alias("__first"),
+    )
+    covered = (
+        grams.join(agg, on="__h")
+        .filter((F.col("__occ") >= 2) & (F.col("__key") != F.col("__first")))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    toks = F.split(F.col(text) if isinstance(text, str) else F.col(text), sep)
+    positions = df.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("__p0", "__tok"),
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__tok")
+    kept = positions.join(covered, on=[id_col, "__pos"], how="left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+            ).alias("__arr")
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                sep, F.transform(F.col("__arr"), lambda s: s["__tok"])
+            ).alias("text_clean"),
+            F.size(F.col("__arr")).cast("long").alias("kept_tokens"),
+        )
+    )
+    # documents whose every token was stripped (or that had no tokens)
+    # still belong to the corpus: left join from the source keeps them
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long")
+            .alias("kept_tokens"),
+        )
+    )

@@ -232,3 +232,40 @@ def temperature_sample(
         .filter(F.col("__thr").isNull() | (h < F.col("__thr")))
         .drop("__thr")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group: str | list[str] = "source",
+    cap: int = 100,
+    order_by: "list[Column] | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap — the RefinedWeb/C4 per-DOMAIN cap that
+    stops one crawl domain from dominating the training mix: keep at
+    most ``cap`` rows per ``group``, best-first.
+
+    ``order_by`` decides which rows survive (default: longest first by
+    ``n_chars`` if present, then ``id_col`` ascending as the total
+    tiebreak — the ordering must be total or the cap is
+    non-deterministic). Returns the surviving rows with all columns.
+
+    Scale shape: one hash shuffle on the group key + a bounded
+    row_number window — no global sort, no collect. A mega-domain is
+    one hot partition: AQE's skew handling does not split window
+    partitions, so for web-scale domain skew pre-aggregate candidates
+    per domain (filter obvious rejects first) or raise
+    spark.sql.shuffle.partitions; the window itself streams rows and
+    spills, it does not buffer the domain in memory.
+    """
+    groups = [group] if isinstance(group, str) else list(group)
+    if order_by is None:
+        order_by = (
+            [F.col("n_chars").desc()] if "n_chars" in df.columns else []
+        ) + [F.col(id_col).asc()]
+    w = Window.partitionBy(*groups).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -1042,3 +1042,77 @@ def pq_topk(
             F.col("__adc").alias("adc_dist_q"),
         )
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "list[list[int]] | None" = None,
+    filters: "Column | dict | None" = None,
+    exact: bool = False,
+) -> DataFrame:
+    """All-pairs k-nearest-neighbour GRAPH over one corpus — every vector
+    gets its top-``k`` cosine neighbours. The building block for
+    embedding-space corpus maps, SemDeDup-style cluster pruning and
+    graph-based diversity sampling.
+
+    The plan shape is what distinguishes this from :func:`ivf_topk`:
+    there the QUERY side is small and travels as a broadcast; here both
+    sides are the corpus, so the probe join is a SHUFFLE equi-join on
+    the IVF list id — each side repartitions by list, no corpus-sized
+    broadcast, no n² cross join. Per-list candidate volume is
+    n·n_probe/n_lists on average; a skewed list is an AQE skew-join
+    split, not a driver OOM.
+
+    ``exact=True`` bypasses the IVF blocking (n² cross join) — the
+    recall reference for tests and tiny corpora only.
+
+    Source-side rows always probe their ``n_probe`` nearest lists;
+    candidate-side rows live in their single home list. ``filters``
+    restricts the CANDIDATE side only (same contract as
+    :func:`ivf_topk`). Ties break by neighbour id ascending. A vector
+    is never its own neighbour.
+    """
+    src = df.select(
+        F.col(id_col).alias("src_id"), quantized(vec_col).alias("__qq")
+    )
+    cand_base = _apply_filters(df, filters)
+    cand = cand_base.select(
+        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
+    )
+    if exact:
+        scored = src.crossJoin(cand)
+    else:
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                df, n_lists=n_lists, iters=iters, id_col=id_col,
+                vec_col=vec_col,
+            )
+        else:
+            _validate_centroids(centroids)
+        cand = cand.withColumn(
+            "__list", _assign_to_centroid(F.col("__cq"), centroids)
+        )
+        src = src.withColumn(
+            "__list",
+            F.explode(_probe_lists(F.col("__qq"), centroids, n_probe)),
+        )
+        # both sides are corpus-sized: a plain (shuffled) equi-join on the
+        # list id — deliberately NOT F.broadcast
+        scored = src.join(cand, on="__list")
+    scored = scored.filter(F.col("neighbor_id") != F.col("src_id")).withColumn(
+        "score", cosine_q_arrow(F.col("__qq"), F.col("__cq"))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("src_id", "neighbor_id", "score")
+    )

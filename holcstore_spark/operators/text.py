@@ -724,3 +724,78 @@ def bpe_apply(
             c, F.lit(f" {pair} "), F.lit(" " + pair.replace(" ", "") + " ")
         )
     return df.withColumn(out, F.trim(c))
+
+
+def dsir_bits(
+    df: DataFrame,
+    target_filter: Column,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    reduced to unigram features: per document, the importance weight of
+    its tokens under a TARGET-domain unigram LM vs the full-corpus LM —
+    rank by the weight and keep the top fraction to tilt the mix toward
+    the target domain without discarding tail coverage.
+
+    ``target_filter`` is a Column predicate selecting the target-domain
+    rows WITHIN ``df`` (e.g. ``F.col("lang") == "en"`` or a curated-set
+    membership flag).
+
+    The weight is quantized to whole bits via the same integer-log2
+    trick as :func:`unigram_surprisal` — for each token occurrence,
+    ``bits((ct+1)·(Nc+V)) - bits((cc+1)·(Nt+V))`` with
+    ``bits(n) = length(bin(n))``: add-one-smoothed
+    ``log2 p_target(tok) - log2 p_corpus(tok)`` in exact integer
+    arithmetic (products stay far below 2^63 for any realistic corpus
+    shard), bit-reproducible in any engine. Positive = more
+    target-like than corpus-average.
+
+    Scale shape: token explode → ONE shuffle on the token for the
+    corpus counts; the target counts aggregate shuffles on the same key
+    and both joins back are co-partitioned; the three corpus scalars
+    (target total, corpus total, vocabulary size) travel as a broadcast
+    1-row frame; the final per-doc aggregate shuffles on the id.
+    Nothing collects on the driver.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text, sep)).alias("__tok"))
+        .where(F.col("__tok") != "")
+    )
+    tgt_toks = (
+        df.filter(target_filter)
+        .select(F.explode(tokens(text, sep)).alias("__tok"))
+        .where(F.col("__tok") != "")
+    )
+    cc = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cc"))
+    ct = tgt_toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__ct"))
+    scal = (
+        cc.agg(
+            F.sum("__cc").alias("__n_c"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+        .crossJoin(
+            ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__n_t"))
+        )
+    )
+    joined = (
+        toks.join(cc, on="__tok")
+        .join(ct, on="__tok", how="left")
+        .crossJoin(F.broadcast(scal))
+    )
+    ct1 = F.coalesce(F.col("__ct"), F.lit(0)) + 1
+    cc1 = F.col("__cc") + 1
+    bits_num = F.length(F.bin(ct1 * (F.col("__n_c") + F.col("__v"))))
+    bits_den = F.length(F.bin(cc1 * (F.col("__n_t") + F.col("__v"))))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((bits_num - bits_den).cast("long")).alias("dsir_bits"),
+        )
+        .withColumn(
+            "mean_bits",
+            F.col("dsir_bits").cast("double") / F.col("n_tokens"),
+        )
+    )

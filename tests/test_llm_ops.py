@@ -1795,3 +1795,136 @@ class TestMinResultsContract:
         base = ivf_topk(vectors, q, k=4, n_probe=2, centroids=cents)
         assert sorted(map(tuple, out.collect())) == \
             sorted(map(tuple, base.collect()))
+
+
+class TestDuplicateSpans:
+    """Exact-substring (duplicate-span) dedup — Lee et al. 2022 shape."""
+
+    @pytest.fixture()
+    def span_docs(self, spark):
+        rows = [
+            (1, "a b c d e f g h i j"),               # the original
+            (2, "x a b c d e f g h i j y"),           # embeds doc 1's span
+            (3, "short doc"),                          # < k tokens: no grams
+            (4, "a b c d e f g h a b c d e f g h"),   # self-repeat + doc-1 gram
+            (5, "unique words only here nothing shared at all ok fine"),
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+
+    def test_stats_keep_first_and_self_repeats(self, span_docs):
+        from holcstore_spark.operators.dedup import duplicate_span_stats
+
+        out = {r["doc_id"]: r for r in duplicate_span_stats(span_docs, k=8).collect()}
+        assert len(out) == 5
+        # doc 1 is the globally-first occurrence: nothing removed
+        assert out[1]["dup_tokens"] == 0 and out[1]["kept_tokens"] == 10
+        # doc 2's embedded copy of the 10-token region is fully removed
+        assert out[2]["dup_tokens"] == 10 and out[2]["kept_tokens"] == 2
+        # doc 3 is shorter than k: no grams, nothing to remove
+        assert out[3]["dup_tokens"] == 0 and out[3]["n_tokens"] == 2
+        # doc 4: its 'a..h' grams lose to doc 1 AND its second half
+        # repeats its first — everything goes
+        assert out[4]["dup_tokens"] == 16 and out[4]["kept_tokens"] == 0
+        assert out[5]["dup_tokens"] == 0
+
+    def test_strip_matches_stats_kept_counts(self, span_docs):
+        from holcstore_spark.operators.dedup import (
+            duplicate_span_stats,
+            strip_duplicate_spans,
+        )
+
+        stats = {r["doc_id"]: r["kept_tokens"]
+                 for r in duplicate_span_stats(span_docs, k=8).collect()}
+        stripped = {r["doc_id"]: r
+                    for r in strip_duplicate_spans(span_docs, k=8).collect()}
+        assert set(stripped) == set(stats)
+        for doc_id, kept in stats.items():
+            assert stripped[doc_id]["kept_tokens"] == kept
+            txt = stripped[doc_id]["text_clean"]
+            n = len([t for t in txt.split(" ") if t != ""]) if txt else 0
+            assert n == kept
+        # survivors keep original order
+        assert stripped[2]["text_clean"] == "x y"
+
+    def test_non_numeric_id_refused(self, spark):
+        from holcstore_spark.operators.dedup import duplicate_span_stats
+
+        d = spark.createDataFrame(
+            pd.DataFrame([("a", "x y z")], columns=["doc_id", "text"])
+        )
+        with pytest.raises(TypeError, match="numeric id"):
+            duplicate_span_stats(d, k=2)
+
+
+class TestKnnGraph:
+    def test_exact_mode_matches_bruteforce_per_source(self, vectors):
+        from holcstore_spark.operators.similarity import knn_graph
+
+        out = knn_graph(vectors, k=2, exact=True).collect()
+        per_src = {}
+        for r in out:
+            per_src.setdefault(r["src_id"], []).append(r["neighbor_id"])
+        # every vector gets neighbours, never itself
+        assert set(per_src) == {0, 1, 2, 3, 4}
+        for src, nbrs in per_src.items():
+            assert src not in nbrs and len(nbrs) == 2
+        bf = brute_force_topk(
+            vectors, vectors.filter(F.col("vec_id") == 0), k=2
+        ).collect()
+        assert sorted(n["neighbor_id"] for n in bf) == sorted(per_src[0])
+
+    def test_blocked_exhaustive_probe_equals_exact(self, vectors):
+        from holcstore_spark.operators.similarity import knn_graph
+
+        exact = sorted(map(tuple, knn_graph(vectors, k=2, exact=True).collect()))
+        # probing every list == exhaustive search
+        blocked = sorted(map(tuple, knn_graph(
+            vectors, k=2, n_lists=2, n_probe=2, iters=1
+        ).collect()))
+        assert blocked == exact
+
+    def test_candidate_filters_restrict_neighbors_only(self, vectors):
+        from holcstore_spark.operators.similarity import knn_graph
+
+        out = knn_graph(
+            vectors, k=2, n_lists=2, n_probe=2, iters=1,
+            filters=F.col("vec_id") != 1,
+        ).collect()
+        assert all(r["neighbor_id"] != 1 for r in out)
+        # vec 1 is still a SOURCE (filters restrict candidates only)
+        assert any(r["src_id"] == 1 for r in out)
+
+
+class TestDsirBits:
+    def test_target_domain_scores_higher(self, spark):
+        from holcstore_spark.operators.text import dsir_bits
+
+        rows = [
+            (1, "alpha beta gamma alpha beta", "t"),
+            (2, "alpha beta gamma beta alpha", "t"),
+            (3, "delta epsilon zeta eta theta", "c"),
+            (4, "delta zeta eta theta epsilon", "c"),
+        ]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "dom"])
+        )
+        out = {r["doc_id"]: r for r in dsir_bits(d, F.col("dom") == "t").collect()}
+        # target-vocab docs outscore the off-target docs
+        assert out[1]["dsir_bits"] > out[3]["dsir_bits"]
+        assert out[2]["dsir_bits"] > out[4]["dsir_bits"]
+        assert out[1]["n_tokens"] == 5
+        assert out[1]["mean_bits"] == pytest.approx(out[1]["dsir_bits"] / 5)
+
+    def test_empty_target_defined_everywhere(self, spark):
+        from holcstore_spark.operators.text import dsir_bits
+
+        rows = [(1, "a b c", "x"), (2, "d e f", "x")]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "dom"])
+        )
+        # no rows match the target: add-one smoothing keeps every score
+        # finite and the op total (no crash, all docs present)
+        out = dsir_bits(d, F.col("dom") == "nope").collect()
+        assert {r["doc_id"] for r in out} == {1, 2}

@@ -233,3 +233,37 @@ class TestTemperatureSample:
         )
         rows = temperature_sample(df, "lang", ["doc_id"]).collect()
         assert all(r["lang"] == "en" for r in rows)
+
+
+class TestCapPerGroup:
+    @pytest.fixture()
+    def domains(self, spark):
+        rows = [
+            (i, "big" if i < 10 else "small", 100 - i) for i in range(13)
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+        )
+
+    def test_cap_keeps_best_first(self, domains):
+        from holcstore_spark.operators.sampling import cap_per_group
+
+        out = cap_per_group(domains, group="source", cap=4).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r["doc_id"])
+        # big domain capped to its 4 longest (n_chars desc = lowest ids)
+        assert sorted(by_src["big"]) == [0, 1, 2, 3]
+        # small domain is under the cap: untouched
+        assert sorted(by_src["small"]) == [10, 11, 12]
+
+    def test_custom_order_and_schema_preserved(self, domains):
+        from holcstore_spark.operators.sampling import cap_per_group
+
+        out = cap_per_group(
+            domains, group="source", cap=2,
+            order_by=[F.col("doc_id").desc()],
+        )
+        assert out.columns == ["doc_id", "source", "n_chars"]
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [8, 9, 11, 12]
