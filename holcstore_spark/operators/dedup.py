@@ -18,7 +18,6 @@ fixed-width.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,42 +94,69 @@ def minhash_signature(
     return [one(j) for j in range(n_hashes)]
 
 
-def _minhash_signature_udf(
-    text: str, n_hashes: int, shingle_k: int, sep: str = " "
-) -> "F.Column":
-    """The full minhash signature as ONE vectorized pandas UDF call —
-    bit-identical to :func:`minhash_signature` over
-    :func:`token_shingles` (same literal split, same k-token shingles
-    with short-doc collapse, same seed-prefixed md5 / first-8-hex / min,
-    so the DuckDB oracles are untouched).
+def _minhash_signature_agg(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    n_hashes: int,
+    shingle_k: int,
+    sep: str = " ",
+) -> DataFrame:
+    """Per-document minhash signature as (id, mh_0..mh_{n-1}) — shingle
+    explode → n_hashes whole-stage-codegen JVM md5 projections → one
+    map-side-combined ``min`` aggregate per document. Bit-identical to
+    :func:`minhash_signature` over :func:`token_shingles` (same shingle
+    construction, same seed-prefixed md5 / first-8-hex / min), so the
+    DuckDB oracles are untouched. Assumes ``id_col`` is unique per
+    document (duplicate ids would merge signatures).
 
-    Why not the Column formulation: each of the n_hashes mins embeds the
-    whole shingle expression, and interpreted higher-order functions
-    evaluate it n_hashes times per row — ~16 md5 sweeps over every
-    shingle per document per join side (observed: the sf0.1 band
-    self-join spent 94 s evaluating signatures, vs ~3 s here). One
-    hashlib pass per (seed, distinct shingle) in an Arrow batch is the
-    scale path; min over the distinct set equals min over the multiset.
+    Why this shape and not the alternatives, measured at sf0.1 (fresh
+    lineage per run — repeated collects on one DataFrame reuse shuffle
+    map outputs and lie):
+
+    - the Column HOF formulation (``array_min(transform(...))`` per
+      seed) re-evaluates the whole interpreted shingle expression once
+      per seed per row — the sf0.1 band self-join spent 94 s in it;
+    - a vectorized pandas UDF (one hashlib pass per (seed, shingle))
+      pays Arrow transfer of the full text plus Python-loop md5 —
+      within ~20% of the JVM path at equal parallelism;
+    - this explode+agg keeps the ~n_hashes·shingles md5s JVM-side
+      inside whole-stage codegen, and the added per-document shuffle is
+      SIGNATURE-sized (n_docs × n_hashes × 8 B hex after map-side
+      partial min), never text-sized.
+
+    The hash work dominates, so parallelism is everything: a small
+    corpus read as ONE parquet partition would hash single-task. When
+    the source has fewer partitions than the cluster's parallelism, the
+    (id, text) projection is hash-repartitioned by id FIRST — text-sized
+    shuffle, but only in the small-input case where that is trivial —
+    and the groupBy then reuses that partitioning (no second exchange).
+    At 100 TB the input has thousands of partitions and the guard never
+    fires: the only shuffle is the signature-sized aggregate.
     """
-    import hashlib
-
-    @F.pandas_udf("array<string>")
-    def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = t.split(sep)
-            n = max(len(toks) - (shingle_k - 1), 1)
-            shingles = {sep.join(toks[i:i + shingle_k]) for i in range(n)}
-            out.append([
-                min(
-                    hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:8]
-                    for s in shingles
-                )
-                for j in range(n_hashes)
-            ])
-        return pd.Series(out)
-
-    return sig(F.col(text))
+    src = df.select(
+        F.col(id_col),
+        (F.col(text) if isinstance(text, str) else text).alias("__t"),
+    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, F.col(id_col))
+    sh = src.select(
+        F.col(id_col),
+        F.explode(token_shingles("__t", shingle_k, sep)).alias("__s"),
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}|"), F.col("__s"))), 1, 8
+            ).alias(f"mh_{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"mh_{j}").alias(f"mh_{j}") for j in range(n_hashes)]
+    )
 
 
 def minhash_bands(
@@ -144,17 +170,15 @@ def minhash_bands(
     """(id, band_id, band_key) — one row per document per band; documents
     sharing a band_key in a band are near-dup candidates.
 
-    The signature is computed ONCE per document and exploded into band
-    rows (a union of per-band branches would recompute the n_hashes md5
-    sweeps once per band — 4× the hash work at 100 TB)."""
+    The signature is computed ONCE per document (see
+    :func:`_minhash_signature_agg` for the measured plan choice) and
+    exploded into band rows (a union of per-band branches would
+    recompute the n_hashes md5 sweeps once per band — 4× the hash work
+    at 100 TB)."""
     if n_hashes % bands:
         raise ValueError(f"n_hashes ({n_hashes}) must be divisible by bands ({bands})")
     rows_per_band = n_hashes // bands
-    sig = _minhash_signature_udf(text, n_hashes, shingle_k)
-    d = df.select(
-        F.col(id_col),
-        *[sig[j].alias(f"mh_{j}") for j in range(n_hashes)],
-    )
+    d = _minhash_signature_agg(df, text, id_col, n_hashes, shingle_k)
     bands_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -438,8 +462,10 @@ def dedup_incremental(
     :func:`minhash_candidate_pairs`). Returns the kept new rows with
     all their columns.
 
-    Scale shape: ONE shuffle — new bands union the (already hashed,
-    text-free) index rows, grouped by band bucket; the per-bucket
+    Scale shape: the new batch's signature aggregate (signature-sized,
+    map-side combined — see :func:`_minhash_signature_agg`) plus ONE
+    wide shuffle — new bands union the (already hashed, text-free)
+    index rows, grouped by band bucket; the per-bucket
     aggregate carries only new ids. ``max_bucket`` is the same
     pathological-bucket valve as the pairs path: oversized buckets are
     dropped from candidate generation, so their new docs are KEPT (run
@@ -517,8 +543,9 @@ def dedup_incremental(
         # deliberately NOT distinct(): LeftAnti ignores build-side
         # duplicates (an id dropped by several bands anti-joins the
         # same), and the distinct would cost a second full shuffle.
-        # Typical plan (asserted at test sizes): ONE Exchange (the
-        # bucket groupBy) plus a broadcast of the dropped ids — but the
+        # Typical plan (asserted at test sizes): the bucket-groupBy
+        # Exchange plus the signature aggregates' signature-sized
+        # Exchanges, then a broadcast of the dropped ids — but the
         # broadcast is SIZE-DEPENDENT, not structural: when the dropped
         # set outgrows autoBroadcastJoinThreshold Spark falls back to a
         # shuffled left-anti, which is the right trade (forcing

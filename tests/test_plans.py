@@ -515,11 +515,14 @@ class TestFilteredAnnPlan:
 
 
 class TestIncrementalDedupPlan:
-    def test_one_exchange_plus_broadcast_anti_join(self, spark):
-        # round 11: the dropped-id set must reach the anti-join WITHOUT
-        # its own distinct() shuffle (LeftAnti ignores build-side
-        # duplicates) — exactly one Exchange (the band-bucket groupBy)
-        # and a broadcast anti-join; the batch side never shuffles
+    def test_bounded_exchanges_plus_broadcast_anti_join(self, spark):
+        # round 11/13: the dropped-id set must reach the anti-join
+        # WITHOUT its own distinct() shuffle (LeftAnti ignores
+        # build-side duplicates) and via a broadcast. Exchanges: the
+        # band-bucket groupBy plus one SIGNATURE-sized per-document
+        # min-aggregate per live minhash_bands call (r13 — both sides
+        # are computed live here; production reads the index side from
+        # parquet, pre-hashed). The raw batch rows never shuffle.
         from pyspark.sql import functions as F
 
         from holcstore_spark.operators.dedup import (
@@ -532,5 +535,10 @@ class TestIncrementalDedupPlan:
         new = docs.filter(F.col("doc_id") % 3 == 0)
         index = minhash_bands(history, "text", "doc_id", 16, 4, 3)
         txt = plan_text(dedup_incremental(new, index))
-        assert n_nodes(txt, "Exchange") == 1, txt
+        # bucket groupBy + 2 live signature aggregates — and no more
+        # (a distinct on the dropped ids would add a fourth)
+        assert n_nodes(txt, "Exchange") == 3, txt
         assert "BroadcastHashJoin LeftAnti" in txt, txt
+        # the signature aggregates are map-side combined: partial
+        # HashAggregates appear below their Exchanges
+        assert txt.count("partial_min") >= 1 or "partial" in txt.lower(), txt
