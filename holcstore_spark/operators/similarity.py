@@ -1063,11 +1063,19 @@ def knn_graph(
 
     The plan shape is what distinguishes this from :func:`ivf_topk`:
     there the QUERY side is small and travels as a broadcast; here both
-    sides are the corpus, so the probe join is a SHUFFLE equi-join on
-    the IVF list id — each side repartitions by list, no corpus-sized
-    broadcast, no n² cross join. Per-list candidate volume is
-    n·n_probe/n_lists on average; a skewed list is an AQE skew-join
-    split, not a driver OOM.
+    sides are the corpus, so the per-list scoring is a COGROUP on the
+    IVF list id (`groupBy(list).cogroup(...).applyInPandas`): each
+    side shuffles by list ONCE, vectors cross the Arrow boundary once
+    per (probe, list) membership — never once per PAIR — and the S×C
+    cosine block is one chunked int64 numpy matmul per list, the same
+    engine discipline as :func:`_within_bucket_pairs`. (The naive
+    formulation — equi-join on the list then a scalar cosine UDF —
+    materializes n·n_probe·n/n_lists pair rows each carrying BOTH
+    vectors: measured 151 s at 50k×64-dim/64 lists vs ~4 s for this
+    shape.) Each list emits only its local top-k per source, so the
+    final global window ranks n_probe·k rows per source, not the
+    candidate volume. A skewed list is chunked inside the matmul, not
+    a driver OOM; no corpus-sized broadcast, no n² cross join.
 
     ``exact=True`` bypasses the IVF blocking (n² cross join) — the
     recall reference for tests and tiny corpora only.
@@ -1075,8 +1083,9 @@ def knn_graph(
     Source-side rows always probe their ``n_probe`` nearest lists;
     candidate-side rows live in their single home list. ``filters``
     restricts the CANDIDATE side only (same contract as
-    :func:`ivf_topk`). Ties break by neighbour id ascending. A vector
-    is never its own neighbour.
+    :func:`ivf_topk`). Ties break by neighbour id ascending; zero-norm
+    vectors score NULL and rank last (the :func:`cosine_q_arrow`
+    contract). A vector is never its own neighbour.
     """
     src = df.select(
         F.col(id_col).alias("src_id"), quantized(vec_col).alias("__qq")
@@ -1086,7 +1095,11 @@ def knn_graph(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("__cq")
     )
     if exact:
-        scored = src.crossJoin(cand)
+        scored = (
+            src.crossJoin(cand)
+            .filter(F.col("neighbor_id") != F.col("src_id"))
+            .withColumn("score", cosine_q_arrow(F.col("__qq"), F.col("__cq")))
+        )
     else:
         if centroids is None:
             centroids = train_ivf_centroids(
@@ -1102,12 +1115,57 @@ def knn_graph(
             "__list",
             F.explode(_probe_lists(F.col("__qq"), centroids, n_probe)),
         )
-        # both sides are corpus-sized: a plain (shuffled) equi-join on the
-        # list id — deliberately NOT F.broadcast
-        scored = src.join(cand, on="__list")
-    scored = scored.filter(F.col("neighbor_id") != F.col("src_id")).withColumn(
-        "score", cosine_q_arrow(F.col("__qq"), F.col("__cq"))
-    )
+        id_field = df.schema[id_col]
+        out_schema = T.StructType([
+            T.StructField("src_id", id_field.dataType),
+            T.StructField("neighbor_id", id_field.dataType),
+            T.StructField("score", T.DoubleType()),
+        ])
+        top = int(k)
+
+        def list_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
+            s_ids = left["src_id"].to_numpy()
+            c_ids = right["neighbor_id"].to_numpy()
+            S = np.stack(left["__qq"].to_numpy()).astype(np.int64)
+            C = np.stack(right["__cq"].to_numpy()).astype(np.int64)
+            sn = np.sqrt((S * S).sum(axis=1).astype(np.float64))
+            cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            out = []
+            chunk = 1024
+            for lo in range(0, len(S), chunk):
+                hi = min(lo + chunk, len(S))
+                dots = S[lo:hi] @ C.T                    # exact int64
+                denom = sn[lo:hi, None] * cn[None, :]
+                zero = denom == 0
+                scores = dots.astype(np.float64) / np.where(zero, 1.0, denom)
+                scores[zero] = np.nan                    # NULL contract
+                for r in range(lo, hi):
+                    row = scores[r - lo].copy()
+                    mask = c_ids == s_ids[r]             # never self
+                    row[mask] = np.nan
+                    keep = ~mask
+                    # order: score desc (NaN last via -score asc), id asc
+                    order = np.lexsort((c_ids, -row))
+                    order = order[keep[order]][:top]
+                    if len(order):
+                        sc = pd.array(row[order], dtype="Float64")
+                        sc[np.isnan(row[order])] = pd.NA
+                        out.append(pd.DataFrame({
+                            "src_id": np.full(len(order), s_ids[r]),
+                            "neighbor_id": c_ids[order],
+                            "score": sc,
+                        }))
+            if not out:
+                return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
+            return pd.concat(out, ignore_index=True)
+
+        scored = (
+            src.groupBy("__list")
+            .cogroup(cand.groupBy("__list"))
+            .applyInPandas(list_topk, schema=out_schema)
+        )
     w = Window.partitionBy("src_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )

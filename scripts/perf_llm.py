@@ -305,6 +305,34 @@ def main(n_docs: int = 50_000, dim: int = 64,
     run("connected_components", lambda: connected_components(pairs_c))
     run("text_stats", lambda: text_stats(docs))
     run("segment_dup_stats", lambda: segment_dup_stats(docs))
+
+    # round 13: exact-substring (duplicate-span) dedup — the synthetic
+    # corpus's 10%/4% near/exact dup rates make the gram-hash skew real
+    from holcstore_spark.operators.dedup import duplicate_span_stats
+
+    run("duplicate_spans", lambda: duplicate_span_stats(docs, k=8))
+
+    # round 13: all-pairs KNN graph, IVF-blocked (shuffle equi-join on
+    # the list id — the corpus-sized-both-sides shape; 64 lists keeps
+    # per-list candidate volume ~n/64)
+    from holcstore_spark.operators.similarity import knn_graph
+
+    run("knn_graph", lambda: knn_graph(
+        vecs, k=3, n_lists=64, n_probe=2, iters=1
+    ))
+
+    # round 13: per-domain cap + DSIR selection over a synthetic
+    # 997-domain assignment
+    from holcstore_spark.operators.sampling import cap_per_group
+    from holcstore_spark.operators.text import dsir_bits
+
+    domained = docs.withColumn(
+        "source", F.concat(F.lit("d"), F.col("doc_id") % 997)
+    ).withColumn("n_chars", F.length("text"))
+    run("domain_cap", lambda: cap_per_group(domained, group="source", cap=30))
+    run("dsir_bits", lambda: dsir_bits(
+        docs, F.col("doc_id") % 4 == 0
+    ))
     run("pack_manifest", lambda: pack_manifest(docs))
     run("cosine_near_dup", lambda: cosine_near_dup_pairs(
         vecs, threshold=0.95, n_planes=8, dim=dim, max_bucket=5000

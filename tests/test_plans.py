@@ -542,3 +542,33 @@ class TestIncrementalDedupPlan:
         # the signature aggregates are map-side combined: partial
         # HashAggregates appear below their Exchanges
         assert txt.count("partial_min") >= 1 or "partial" in txt.lower(), txt
+
+
+class TestKnnGraphPlan:
+    def test_blocked_scoring_is_cogroup_never_pair_join(self, spark):
+        # round 13: both knn_graph sides are corpus-sized. The per-list
+        # scoring must be ONE FlatMapCoGroupsInPandas on the list id —
+        # vectors cross the Arrow boundary once per (probe, list)
+        # membership, never once per pair — with no join node of any
+        # kind (a pair-materializing equi-join was measured 151 s vs
+        # ~4 s at 50k×64-dim) and no cross join / corpus broadcast.
+        # Exchanges: the two cogroup sides + the final top-k window.
+        from holcstore_spark.operators.similarity import knn_graph
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        txt = plan_text(knn_graph(emb, k=2, n_lists=4, n_probe=2, iters=1))
+        assert n_nodes(txt, "FlatMapCoGroupsInPandas") == 1, txt
+        assert n_nodes(txt, r"\w*Join") == 0, txt
+        assert n_nodes(txt, "CartesianProduct") == 0, txt
+        assert n_nodes(txt, "Exchange") == 3, txt
+        assert n_nodes(txt, "Window") == 1, txt
+
+    def test_exact_mode_is_the_only_cross_join(self, spark):
+        # the n² reference mode is explicit opt-in and must broadcast
+        # one side rather than nested-loop both
+        from holcstore_spark.operators.similarity import knn_graph
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        txt = plan_text(knn_graph(emb, k=2, exact=True))
+        assert n_nodes(txt, "BroadcastNestedLoopJoin") + n_nodes(
+            txt, "CartesianProduct") >= 1, txt
