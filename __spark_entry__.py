@@ -3418,6 +3418,46 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-domain admission quota through a real
+    applyInPandasWithState stream (availableNow): one integer of state
+    per source admits at most 20 documents first-come (id order within
+    the batch) — on a single-batch run the admitted set must equal the
+    batch row_number SQL exactly."""
+    from holcstore_spark.streaming.stateful import stream_domain_cap
+
+    src = tempfile.mkdtemp(prefix="holc_quota_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_quota_ckpt_")
+    name = "stream_quota_sink"
+    try:
+        (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "doc_id long, source string, n_chars long"
+        ).parquet(src)
+        kept = stream_domain_cap(stream, group="source", cap=20)
+        q = (
+            kept.writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 300)
+        out = spark.table(name).select("doc_id", "source", "n_chars")
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023) unigram importance weights against the
     French-language slice as the target domain — add-one-smoothed
@@ -3497,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "domain_cap": q_domain_cap,
         "dsir_select": q_dsir_select,
+        "stream_quota": q_stream_quota,
         # -- (c) oldest round-11-verified fill --------------------------
         "lookup_filter": q_lookup_filter,
         "token_pack": q_token_pack,
@@ -3512,13 +3553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        "clean_corpus": q_clean_corpus,
         # ====== driver 50-entry window ends here (50 above) ========
         # -- tail: rest of the round-11-verified block (rotate r14) ----
-        # (clean_corpus_cc / similarity_bruteforce / semantic_dedup /
-        #  semantic_dedup_capped were displaced from the r13 window by
-        #  the four NEW round-13 queries above — still r11-verified,
-        #  first in line for the r14 rotation)
+        # (clean_corpus / clean_corpus_cc / similarity_bruteforce /
+        #  semantic_dedup / semantic_dedup_capped were displaced from
+        #  the r13 window by the five NEW round-13 queries above —
+        #  still r11-verified, first in line for the r14 rotation)
+        "clean_corpus": q_clean_corpus,
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_bruteforce": q_similarity_bruteforce,
         "semantic_dedup": q_semantic_dedup,
@@ -5467,6 +5508,17 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (
                            PARTITION BY source
                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        # streaming quota on a single availableNow batch == first-come
+        # admission in id order — the batch row_number twin
+        "stream_quota": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY doc_id ASC) AS rn
                 FROM documents
             ) WHERE rn <= 20
         """,

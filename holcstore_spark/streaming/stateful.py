@@ -190,3 +190,55 @@ def stream_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_domain_cap(
+    stream: DataFrame,
+    group: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming per-domain admission quota — the stateful twin of the
+    batch ``operators.sampling.cap_per_group``: per group, admit
+    documents until ``cap`` is reached and drop everything after, with
+    ONE integer of state per group (the admitted count), so the quota
+    holds across micro-batches, restarts and checkpoint resumes.
+
+    Admission order differs from the batch op by necessity: a stream
+    cannot rank against future arrivals, so the quota is FIRST-COME
+    (micro-batch order, then ``id_col`` ascending within a batch — the
+    within-batch sort makes each batch deterministic regardless of
+    scan order). On a single-batch (availableNow) run the kept set
+    therefore equals the batch SQL ``row_number() OVER (PARTITION BY
+    group ORDER BY id) <= cap`` — the oracle twin; across batches the
+    state continues exactly (pytest-proven via a checkpoint-resumed
+    second run).
+
+    State is O(groups); the grouping shuffle is the same hash on the
+    domain key the batch op uses. Emits admitted rows with all their
+    columns (append mode).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    out_schema = stream.schema
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n0,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(pdfs)).sort_values(id_col, kind="mergesort")
+        room = cap - n0
+        if room > 0:
+            kept = pdf.iloc[:room]
+            state.update((int(n0 + len(kept)),))
+            yield kept
+        # full quota: no emission, state untouched (already at cap)
+
+    return stream.groupBy(group).applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -734,3 +734,83 @@ class TestChangesRateLimit:
         with pytest.raises(ValueError, match="keys must be"):
             st.set_many_ts({("b",): pd.Series(1.0, index=idx)},
                            keys=("wrong",), txn_app="job", txn_version=7)
+
+
+class TestStreamDomainCap:
+    def test_quota_continues_across_micro_batches(self, spark, tmp_store_path):
+        # two files -> two micro-batches; the per-domain quota must be
+        # consumed ACROSS the boundary (batch 2 alone would admit 3)
+        from holcstore_spark.streaming.stateful import stream_domain_cap
+
+        src = os.path.join(tmp_store_path, "quota_src")
+        ckpt = os.path.join(tmp_store_path, "quota_ckpt")
+        os.makedirs(src)
+        # domain d has 3 docs in file a and 3 in file b; cap 4 admits
+        # all of batch 1 and only the FIRST (lowest-id) doc of batch 2
+        pd.DataFrame({"doc_id": [1, 2, 3], "source": "d"}).to_parquet(
+            os.path.join(src, "a.parquet"))
+        pd.DataFrame({"doc_id": [6, 5, 4], "source": "d"}).to_parquet(
+            os.path.join(src, "b.parquet"))
+        stream = spark.readStream.schema(
+            "doc_id long, source string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        kept = stream_domain_cap(stream, group="source", cap=4)
+        q = (
+            kept.writeStream.format("memory").queryName("quota")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).outputMode("append").start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM quota").collect())
+        # within-batch id sort admits 4 (not 6 or 5) from batch 2
+        assert got == [1, 2, 3, 4]
+
+    def test_quota_survives_checkpoint_resume(self, spark, tmp_store_path):
+        # the state is durable: a SECOND availableNow run resuming the
+        # same checkpoint sees the first run's admitted counts
+        from holcstore_spark.streaming.stateful import stream_domain_cap
+
+        src = os.path.join(tmp_store_path, "quota2_src")
+        ckpt = os.path.join(tmp_store_path, "quota2_ckpt")
+        sink = os.path.join(tmp_store_path, "quota2_sink")
+        os.makedirs(src)
+
+        def run_once():
+            # a FILE sink — memory sinks refuse checkpoint recovery, and
+            # resuming the checkpoint is the whole point here
+            stream = spark.readStream.schema(
+                "doc_id long, source string"
+            ).parquet(src)
+            q = (
+                stream_domain_cap(stream, group="source", cap=2)
+                .writeStream.format("parquet").option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).outputMode("append").start()
+            )
+            assert q.awaitTermination(120)
+
+        pd.DataFrame({"doc_id": [10, 11], "source": "d"}).to_parquet(
+            os.path.join(src, "a.parquet"))
+        run_once()
+        # quota for d is now exhausted; a resumed run must admit nothing
+        pd.DataFrame({"doc_id": [1, 2], "source": "d"}).to_parquet(
+            os.path.join(src, "b.parquet"))
+        pd.DataFrame({"doc_id": [3], "source": "e"}).to_parquet(
+            os.path.join(src, "c.parquet"))
+        run_once()
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(sink).collect()
+        )
+        # d stays at its first-run admissions; fresh domain e admits
+        assert got == [3, 10, 11]
+
+    def test_cap_validated(self, spark, tmp_store_path):
+        from holcstore_spark.streaming.stateful import stream_domain_cap
+
+        empty = os.path.join(tmp_store_path, "quota_empty")
+        os.makedirs(empty)
+        with pytest.raises(ValueError, match="cap must be >= 1"):
+            stream_domain_cap(
+                spark.readStream.schema("doc_id long, source string")
+                .parquet(empty), cap=0,
+            )
