@@ -141,9 +141,14 @@ def _minhash_signature_agg(
     target = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, F.col(id_col))
+    # distinct WITHIN each document before hashing: min over the distinct
+    # shingle set equals min over the multiset, and a boilerplate-heavy
+    # document stops paying n_hashes md5s per repeated occurrence
     sh = src.select(
         F.col(id_col),
-        F.explode(token_shingles("__t", shingle_k, sep)).alias("__s"),
+        F.explode(
+            F.array_distinct(token_shingles("__t", shingle_k, sep))
+        ).alias("__s"),
     )
     hashed = sh.select(
         id_col,
@@ -568,27 +573,42 @@ def _span_occurrences(
     """Shared gram-occurrence frame for the span-dedup family: one row
     per (doc, position) rolling k-token gram, with a portable 16-hex
     md5 gram hash and an encoded BIGINT occurrence key for the global
-    keep-the-first rule."""
-    from pyspark.sql.types import NumericType
+    keep-the-first rule. NULL text counts as zero tokens (matching the
+    strip function's empty-clean-text treatment)."""
+    import re
+
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
 
     key_type = df.schema[id_col].dataType
-    if not isinstance(key_type, NumericType):
+    if not isinstance(key_type, (ByteType, ShortType, IntegerType, LongType)):
+        # fractional ids would truncate in the cast (5.2 and 5.7 collide
+        # to the same key base, merging two documents' occurrences)
         raise TypeError(
-            f"duplicate-span dedup requires a numeric id to encode the "
+            f"duplicate-span dedup requires an INTEGRAL id to encode the "
             f"keep-first occurrence key: {id_col!r} is "
             f"{key_type.simpleString()}"
         )
-    toks = F.split(F.col(text) if isinstance(text, str) else F.col(text), sep)
+    # F.split takes a regex; escape so the split matches the literal-sep
+    # semantics of the gram concat_ws, the strip rejoin and the SQL oracle
+    tcol = F.col(text) if isinstance(text, str) else text
+    toks = F.split(tcol, re.escape(sep))
     limit = 1 << _SPAN_POS_BITS
-    n = F.size(toks)
-    # fail loudly instead of colliding occurrence keys on a pathological doc
+    id_cap = 1 << (63 - _SPAN_POS_BITS)  # id·2^20 must not wrap BIGINT
+    # NULL text → 0 tokens (F.size of a null array is -1, not NULL)
+    n = F.when(tcol.isNull(), F.lit(0)).otherwise(F.size(toks))
+    # fail loudly instead of corrupting keep-first keys: oversized docs
+    # would collide positions; oversized |id| would WRAP the multiply
+    # (silently electing an arbitrary occurrence as "globally first")
+    bad = (n >= limit) | (F.abs(F.col(id_col).cast("long")) >= id_cap)
     n = F.when(
-        n < limit, n
+        ~bad, n
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"duplicate-span dedup: document exceeds {limit - 1} "
-                      f"tokens (id="),
+                      f"tokens or |id| >= 2^{63 - _SPAN_POS_BITS} (id="),
                 F.col(id_col).cast("string"), F.lit(")"),
             )
         ).cast("int")
@@ -725,7 +745,13 @@ def strip_duplicate_spans(
         )
         .distinct()
     )
-    toks = F.split(F.col(text) if isinstance(text, str) else F.col(text), sep)
+    import re
+
+    # same literal-sep escape as _span_occurrences: the position space
+    # must be identical on both sides of the covered anti-join
+    toks = F.split(
+        F.col(text) if isinstance(text, str) else text, re.escape(sep)
+    )
     positions = df.select(
         F.col(id_col),
         F.posexplode(toks).alias("__p0", "__tok"),

@@ -1123,6 +1123,18 @@ def knn_graph(
         ])
         top = int(k)
 
+        def _row_topk(neg, ids, kk):
+            """Exact top-kk of one row by (neg asc, id asc): a vectorized
+            partition finds the kk-th threshold, the (small) candidate
+            set at-or-under it gets the exact lexsort tie-break."""
+            if len(neg) <= kk:
+                order = np.lexsort((ids, neg))
+                return neg[order], ids[order]
+            t = np.partition(neg, kk - 1)[kk - 1]
+            cand = np.flatnonzero(neg <= t)
+            order = cand[np.lexsort((ids[cand], neg[cand]))][:kk]
+            return neg[order], ids[order]
+
         def list_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0 or len(right) == 0:
                 return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
@@ -1132,34 +1144,53 @@ def knn_graph(
             C = np.stack(right["__cq"].to_numpy()).astype(np.int64)
             sn = np.sqrt((S * S).sum(axis=1).astype(np.float64))
             cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
-            out = []
-            chunk = 1024
-            for lo in range(0, len(S), chunk):
-                hi = min(lo + chunk, len(S))
-                dots = S[lo:hi] @ C.T                    # exact int64
-                denom = sn[lo:hi, None] * cn[None, :]
-                zero = denom == 0
-                scores = dots.astype(np.float64) / np.where(zero, 1.0, denom)
-                scores[zero] = np.nan                    # NULL contract
-                for r in range(lo, hi):
-                    row = scores[r - lo].copy()
-                    mask = c_ids == s_ids[r]             # never self
-                    row[mask] = np.nan
-                    keep = ~mask
-                    # order: score desc (NaN last via -score asc), id asc
-                    order = np.lexsort((c_ids, -row))
-                    order = order[keep[order]][:top]
-                    if len(order):
-                        sc = pd.array(row[order], dtype="Float64")
-                        sc[np.isnan(row[order])] = pd.NA
-                        out.append(pd.DataFrame({
-                            "src_id": np.full(len(order), s_ids[r]),
-                            "neighbor_id": c_ids[order],
-                            "score": sc,
-                        }))
-            if not out:
+            out_sid, out_nid, out_neg = [], [], []
+            # BOTH axes chunk, so a skewed list costs s_chunk × c_chunk
+            # memory (≈32 MB), never s_chunk × C; blocks merge through a
+            # running per-row top-k. Zero-norm/self scores become a -inf
+            # sentinel (emitted as NULL) so ranking is NaN-free: every
+            # real cosine is >= -1, so -inf ranks after all real scores
+            # with id tie-break — Spark's desc_nulls_last contract.
+            s_chunk, c_chunk = 512, 8192
+            for lo in range(0, len(S), s_chunk):
+                hi = min(lo + s_chunk, len(S))
+                run_neg = [None] * (hi - lo)
+                run_ids = [None] * (hi - lo)
+                for clo in range(0, len(C), c_chunk):
+                    chi = min(clo + c_chunk, len(C))
+                    dots = S[lo:hi] @ C[clo:chi].T       # exact int64
+                    denom = sn[lo:hi, None] * cn[None, clo:chi]
+                    invalid = (denom == 0) | (
+                        c_ids[None, clo:chi] == s_ids[lo:hi, None]
+                    )
+                    scores = dots.astype(np.float64) / np.where(invalid, 1.0, denom)
+                    neg = -scores
+                    neg[denom == 0] = np.inf             # NULL sentinel
+                    ids_blk = c_ids[clo:chi]
+                    self_mask = ids_blk[None, :] == s_ids[lo:hi, None]
+                    for r in range(hi - lo):
+                        keep = ~self_mask[r]
+                        bn, bi = _row_topk(neg[r][keep], ids_blk[keep], top)
+                        if run_neg[r] is not None:
+                            bn = np.concatenate([run_neg[r], bn])
+                            bi = np.concatenate([run_ids[r], bi])
+                            bn, bi = _row_topk(bn, bi, top)
+                        run_neg[r], run_ids[r] = bn, bi
+                for r in range(hi - lo):
+                    if run_neg[r] is not None and len(run_neg[r]):
+                        out_sid.append(np.full(len(run_neg[r]), s_ids[lo + r]))
+                        out_nid.append(run_ids[r])
+                        out_neg.append(run_neg[r])
+            if not out_sid:
                 return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
-            return pd.concat(out, ignore_index=True)
+            neg_all = np.concatenate(out_neg)
+            sc = pd.array(-neg_all, dtype="Float64")
+            sc[np.isinf(neg_all)] = pd.NA
+            return pd.DataFrame({
+                "src_id": np.concatenate(out_sid),
+                "neighbor_id": np.concatenate(out_nid),
+                "score": sc,
+            })
 
         scored = (
             src.groupBy("__list")

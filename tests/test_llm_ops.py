@@ -1854,7 +1854,7 @@ class TestDuplicateSpans:
         d = spark.createDataFrame(
             pd.DataFrame([("a", "x y z")], columns=["doc_id", "text"])
         )
-        with pytest.raises(TypeError, match="numeric id"):
+        with pytest.raises(TypeError, match="INTEGRAL id"):
             duplicate_span_stats(d, k=2)
 
 
@@ -1928,3 +1928,59 @@ class TestDsirBits:
         # finite and the op total (no crash, all docs present)
         out = dsir_bits(d, F.col("dom") == "nope").collect()
         assert {r["doc_id"] for r in out} == {1, 2}
+
+
+class TestSpanDedupReviewFindings:
+    """Round-13 review pass: edge inputs the first cut got wrong."""
+
+    def test_null_text_counts_zero_tokens(self, spark):
+        from holcstore_spark.operators.dedup import (
+            duplicate_span_stats,
+            strip_duplicate_spans,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a b c"), (2, None)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in duplicate_span_stats(d, k=2).collect()}
+        # F.size(split(NULL)) is -1 under non-ANSI; the op must say 0
+        assert out[2]["n_tokens"] == 0 and out[2]["kept_tokens"] == 0
+        stripped = {r["doc_id"]: r for r in strip_duplicate_spans(d, k=2).collect()}
+        assert stripped[2]["text_clean"] == "" and stripped[2]["kept_tokens"] == 0
+
+    def test_column_text_and_custom_sep(self, spark):
+        from holcstore_spark.operators.dedup import duplicate_span_stats
+
+        # sep='|' is a regex metachar: an unescaped split would shatter
+        # every character; Column-valued text must also be accepted
+        d = spark.createDataFrame(
+            [(1, "A|B|C|D"), (2, "x|a|b|c|d|y")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in duplicate_span_stats(
+                d, text=F.lower(F.col("text")), k=4, sep="|"
+            ).collect()
+        }
+        assert out[1]["n_tokens"] == 4 and out[1]["dup_tokens"] == 0
+        # doc 2 embeds doc 1's lowercase 4-gram
+        assert out[2]["n_tokens"] == 6 and out[2]["dup_tokens"] == 4
+
+    def test_oversized_id_refused_loudly(self, spark):
+        from holcstore_spark.operators.dedup import duplicate_span_stats
+
+        d = spark.createDataFrame(
+            [(1 << 50, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="duplicate-span dedup"):
+            duplicate_span_stats(d, k=2).collect()
+
+    def test_fractional_id_type_refused(self, spark):
+        from holcstore_spark.operators.dedup import duplicate_span_stats
+
+        d = spark.createDataFrame(
+            [(1.5, "a b c")], "doc_id double, text string"
+        )
+        with pytest.raises(TypeError, match="INTEGRAL id"):
+            duplicate_span_stats(d, k=2)
