@@ -3458,6 +3458,18 @@ def q_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-10 for the query {hash, join, scan} — rational
+    idf (no ln) and integer micro-unit contribution quantization make
+    the cross-term sum exact integer arithmetic, bit-reproducible
+    cross-engine; distributed TakeOrdered cuts to k before ranking."""
+    from holcstore_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "scan"], k=10
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023) unigram importance weights against the
     French-language slice as the target domain — add-one-smoothed
@@ -3538,8 +3550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "dsir_select": q_dsir_select,
         "stream_quota": q_stream_quota,
+        "bm25_search": q_bm25_search,
         # -- (c) oldest round-11-verified fill --------------------------
-        "lookup_filter": q_lookup_filter,
         "token_pack": q_token_pack,
         "segment_dedup": q_segment_dedup,
         "rebalance_mix": q_rebalance_mix,
@@ -3555,10 +3567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         # ====== driver 50-entry window ends here (50 above) ========
         # -- tail: rest of the round-11-verified block (rotate r14) ----
-        # (clean_corpus / clean_corpus_cc / similarity_bruteforce /
-        #  semantic_dedup / semantic_dedup_capped were displaced from
-        #  the r13 window by the five NEW round-13 queries above —
-        #  still r11-verified, first in line for the r14 rotation)
+        # (lookup_filter / clean_corpus / clean_corpus_cc /
+        #  similarity_bruteforce / semantic_dedup / semantic_dedup_capped
+        #  were displaced from the r13 window by the six NEW round-13
+        #  queries above — still r11-verified, first in line for r14)
+        "lookup_filter": q_lookup_filter,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_cc": q_clean_corpus_cc,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -5510,6 +5523,51 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM documents
             ) WHERE rn <= 20
+        """,
+        # BM25 with the rational idf core (no ln) and per-term integer
+        # micro-unit quantization (floor(x·1e6+0.5)) so the cross-term
+        # sum is exact; constants repr()'d from the same Python doubles
+        # the Spark plan uses
+        "bm25_search": f"""
+            WITH dl AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN 0
+                            ELSE len(string_split(text, ' ')) END AS dl
+                FROM documents
+            ),
+            s AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+            hits AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+                WHERE tok IN ('hash', 'join', 'scan')
+            ),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM hits GROUP BY doc_id, tok),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            contrib AS (
+                SELECT t.doc_id,
+                       CAST(floor((
+                           ((CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                              / (d.df + 0.5))
+                           * ((t.tf * {1.2 + 1.0!r})
+                              / (t.tf + {1.2!r} * ({1.0 - 0.75!r}
+                                 + {0.75!r} * (l.dl
+                                   / (CAST(s.total_dl AS DOUBLE)
+                                      / s.n_docs)))))
+                       ) * 1000000.0 + 0.5) AS BIGINT) AS q
+                FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
+                CROSS JOIN s
+            ),
+            per AS (SELECT doc_id, count(*) AS n_terms,
+                           CAST(sum(q) AS BIGINT) AS score_micro
+                    FROM contrib GROUP BY doc_id)
+            SELECT doc_id, n_terms, score_micro,
+                   score_micro / 1000000.0 AS score,
+                   CAST(row_number() OVER (
+                       ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+            FROM per ORDER BY score_micro DESC, doc_id ASC LIMIT 10
         """,
         # streaming quota on a single availableNow batch == first-come
         # admission in id order — the batch row_number twin

@@ -40,6 +40,11 @@ LLM_QUERIES = [
     "dedup_minhash",
     "semantic_dedup",
     "dedup_incremental",
+    # round 13: the block grew by the two new heavy curation ops —
+    # llm_total is therefore not comparable to r12's (per-query rows
+    # are); the headline gate is still untouched
+    "dedup_spans",
+    "knn_graph",
 ]
 
 

@@ -799,3 +799,115 @@ def dsir_bits(
             F.col("dsir_bits").cast("double") / F.col("n_tokens"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """BM25 keyword-search top-``k`` — the lexical retrieval twin of the
+    embedding search family (hybrid search pairs this with
+    :func:`~holcstore_spark.operators.similarity.brute_force_topk` /
+    the VectorIndex).
+
+    Engine-portable scoring, two disciplines composed: the idf factor
+    is the RATIONAL BM25 core ``(N - df + 0.5) / (df + 0.5)`` (no
+    ``ln`` — order-isomorphic for fixed N, IEEE-exact everywhere, as in
+    :func:`tfidf_top_terms`), and each term's contribution is quantized
+    to integer MICRO-units (``floor(x·10^6 + 0.5)``) before the
+    cross-term sum — float summation order is engine- and
+    partition-dependent, integer summation is exact. The reported
+    ``score`` is the micro-unit sum divided once by 10^6. Documents
+    matching no query term are absent (their BM25 score is 0).
+
+    Scale shape: the token explode filters to the (tiny, broadcast
+    literal) query-term set BEFORE the per-(doc, term) count, so the
+    wide work is O(matching tokens), not O(corpus tokens); document
+    lengths aggregate map-side; the two corpus scalars (N, avgdl) ride
+    a broadcast 1-row frame; one per-doc window cuts the top-k.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    toks = tokens(text, sep)
+    tcol = F.col(text) if isinstance(text, str) else text
+    dl_frame = df.select(
+        F.col(id_col),
+        F.when(tcol.isNull(), F.lit(0)).otherwise(F.size(toks)).alias("__dl"),
+    )
+    stats = dl_frame.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__total_dl"),
+    )
+    hits = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .where(F.col("__t").isin(list(query_terms)))
+    )
+    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # constants as exact Python doubles; the SQL oracle embeds repr() of
+    # the SAME values so both engines parse identical doubles
+    k1p1, one_b, bb = float(k1) + 1.0, 1.0 - float(b), float(b)
+    scored = (
+        tf.join(dfreq, on="__t")
+        .join(dl_frame, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__contrib",
+            (
+                (
+                    (F.col("__n_docs").cast("double") - F.col("__df") + F.lit(0.5))
+                    / (F.col("__df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("__tf") * F.lit(k1p1))
+                    / (
+                        F.col("__tf")
+                        + F.lit(float(k1))
+                        * (
+                            F.lit(one_b)
+                            + F.lit(bb)
+                            * (
+                                F.col("__dl")
+                                / (
+                                    F.col("__total_dl").cast("double")
+                                    / F.col("__n_docs")
+                                )
+                            )
+                        )
+                    )
+                )
+            ),
+        )
+        # micro-unit quantization: floor(x·1e6 + 0.5) — exact integer
+        # summation; float Σ would be partition-order dependent
+        .withColumn(
+            "__q", F.floor(F.col("__contrib") * F.lit(1000000.0) + F.lit(0.5))
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("__q").alias("score_micro"),
+    )
+    # distributed TakeOrdered cuts to k BEFORE any single-task work; the
+    # rank window then orders <= k rows (a corpus-wide unpartitioned
+    # row_number would funnel every matching doc through one task)
+    top = per_doc.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(int(k))
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            id_col,
+            "n_terms",
+            F.col("score_micro").cast("long").alias("score_micro"),
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+            "rank",
+        )
+    )

@@ -1984,3 +1984,53 @@ class TestSpanDedupReviewFindings:
         )
         with pytest.raises(TypeError, match="INTEGRAL id"):
             duplicate_span_stats(d, k=2)
+
+
+class TestBm25:
+    @pytest.fixture()
+    def corpus(self, spark):
+        rows = [
+            (1, "spark shuffle join join join"),       # tf(join)=3, short
+            (2, "spark " * 20 + "join"),                # tf(join)=1, long
+            (3, "spark scan filter pushdown prune"),    # no query term hit
+            (4, "join once here and nothing else"),     # tf(join)=1, short
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+
+    def test_tf_saturation_and_length_norm(self, corpus):
+        from holcstore_spark.operators.text import bm25_topk
+
+        out = bm25_topk(corpus, ["join"], k=10).collect()
+        got = {r["doc_id"]: r for r in out}
+        # doc 3 matches nothing: absent
+        assert 3 not in got and set(got) == {1, 2, 4}
+        # higher tf wins; equal tf → shorter doc wins (length norm)
+        assert got[1]["score_micro"] > got[4]["score_micro"]
+        assert got[4]["score_micro"] > got[2]["score_micro"]
+        assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+        assert got[1]["score"] == pytest.approx(got[1]["score_micro"] / 1e6)
+
+    def test_multi_term_sums_and_n_terms(self, corpus):
+        from holcstore_spark.operators.text import bm25_topk
+
+        both = {r["doc_id"]: r for r in
+                bm25_topk(corpus, ["join", "scan"], k=10).collect()}
+        only_j = {r["doc_id"]: r for r in
+                  bm25_topk(corpus, ["join"], k=10).collect()}
+        # doc 3 now matches via 'scan'
+        assert both[3]["n_terms"] == 1
+        # integer micro-unit sums: the join-term contribution may shift
+        # with N/df unchanged here (same corpus), so doc 1's two-query
+        # score >= its single-term score
+        assert both[1]["score_micro"] >= only_j[1]["score_micro"]
+        assert both[1]["n_terms"] == 1  # doc 1 has no 'scan'
+
+    def test_k_cut_and_empty_query_refused(self, corpus):
+        from holcstore_spark.operators.text import bm25_topk
+
+        top1 = bm25_topk(corpus, ["join"], k=1).collect()
+        assert len(top1) == 1 and top1[0]["doc_id"] == 1
+        with pytest.raises(ValueError, match="at least one query term"):
+            bm25_topk(corpus, [])

@@ -572,3 +572,22 @@ class TestKnnGraphPlan:
         txt = plan_text(knn_graph(emb, k=2, exact=True))
         assert n_nodes(txt, "BroadcastNestedLoopJoin") + n_nodes(
             txt, "CartesianProduct") >= 1, txt
+
+
+class TestBm25Plan:
+    def test_topk_is_distributed_take_ordered(self, spark):
+        # the k cut must be TakeOrdered (distributed partial top-k),
+        # never an unpartitioned corpus-wide row_number window; the
+        # rank window runs AFTER the limit, over <= k rows
+        from holcstore_spark.operators.text import bm25_topk
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(20),
+            "text": [f"alpha beta w{i}" for i in range(20)],
+        }))
+        txt = plan_text(bm25_topk(d, ["alpha", "beta"], k=3))
+        assert "TakeOrdered" in txt, txt
+        # exactly one Window node and it sits above the TakeOrdered
+        assert n_nodes(txt, "Window") == 1, txt
+        assert txt.index("TakeOrdered") > txt.index("Window") or \
+            "TakeOrderedAndProject" in txt, txt
