@@ -3505,9 +3505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r12 verdict demanded, plus ffill; (b) queries new or changed-path
     # this round (index deletion/forget, persisted IVF-PQ, the
     # version-plumbed persisted IVF, the masked band-index replay, the
-    # ivf entry point whose signature grew min_results=, and the four
+    # ivf entry point whose signature grew min_results=, and the SIX
     # NEW round-13 operators: duplicate-span dedup, the KNN graph, the
-    # per-domain cap and DSIR selection); (c) 15 of
+    # per-domain cap, DSIR selection, the streaming quota and BM25
+    # search); (c) 13 of
     # the round-11-verified block, oldest first. The tail is the rest
     # of the r11 block (rotate round 14) followed by the r12-verified
     # window.
@@ -5527,7 +5528,10 @@ def oracle_sql() -> dict[str, str]:
         # BM25 with the rational idf core (no ln) and per-term integer
         # micro-unit quantization (floor(x·1e6+0.5)) so the cross-term
         # sum is exact; constants repr()'d from the same Python doubles
-        # the Spark plan uses
+        # the Spark plan uses AND cast to DOUBLE explicitly — DuckDB
+        # parses a bare 2.2 as DECIMAL(2,1), and bigint×decimal is exact
+        # decimal arithmetic whose double conversion differs by ~1 ulp
+        # from Spark's double multiply (review r13: a latent floor-flip)
         "bm25_search": f"""
             WITH dl AS (
                 SELECT doc_id,
@@ -5551,9 +5555,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor((
                            ((CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
                               / (d.df + 0.5))
-                           * ((t.tf * {1.2 + 1.0!r})
-                              / (t.tf + {1.2!r} * ({1.0 - 0.75!r}
-                                 + {0.75!r} * (l.dl
+                           * ((t.tf * CAST({1.2 + 1.0!r} AS DOUBLE))
+                              / (t.tf + CAST({1.2!r} AS DOUBLE)
+                                 * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                                 + CAST({0.75!r} AS DOUBLE) * (l.dl
                                    / (CAST(s.total_dl AS DOUBLE)
                                       / s.n_docs)))))
                        ) * 1000000.0 + 0.5) AS BIGINT) AS q

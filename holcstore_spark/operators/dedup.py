@@ -575,11 +575,11 @@ def _span_occurrences(
     md5 gram hash and an encoded BIGINT occurrence key for the global
     keep-the-first rule. NULL text counts as zero tokens (matching the
     strip function's empty-clean-text treatment)."""
-    import re
-
     from pyspark.sql.types import (
         ByteType, IntegerType, LongType, ShortType,
     )
+
+    from holcstore_spark.operators.text import tokens
 
     key_type = df.schema[id_col].dataType
     if not isinstance(key_type, (ByteType, ShortType, IntegerType, LongType)):
@@ -590,18 +590,21 @@ def _span_occurrences(
             f"keep-first occurrence key: {id_col!r} is "
             f"{key_type.simpleString()}"
         )
-    # F.split takes a regex; escape so the split matches the literal-sep
-    # semantics of the gram concat_ws, the strip rejoin and the SQL oracle
+    # tokens() escapes sep, matching the literal-sep semantics of the
+    # gram concat_ws, the strip rejoin and the SQL oracle
     tcol = F.col(text) if isinstance(text, str) else text
-    toks = F.split(tcol, re.escape(sep))
+    toks = tokens(tcol, sep)
     limit = 1 << _SPAN_POS_BITS
     id_cap = 1 << (63 - _SPAN_POS_BITS)  # id·2^20 must not wrap BIGINT
     # NULL text → 0 tokens (F.size of a null array is -1, not NULL)
     n = F.when(tcol.isNull(), F.lit(0)).otherwise(F.size(toks))
     # fail loudly instead of corrupting keep-first keys: oversized docs
     # would collide positions; oversized |id| would WRAP the multiply
-    # (silently electing an arbitrary occurrence as "globally first")
-    bad = (n >= limit) | (F.abs(F.col(id_col).cast("long")) >= id_cap)
+    # (silently electing an arbitrary occurrence as "globally first").
+    # Two-sided compare, NOT F.abs — abs(Long.MIN_VALUE) wraps negative
+    # in non-ANSI Spark and would slip through an abs() guard
+    idl = F.col(id_col).cast("long")
+    bad = (n >= limit) | (idl >= id_cap) | (idl <= -id_cap)
     n = F.when(
         ~bad, n
     ).otherwise(
@@ -745,13 +748,11 @@ def strip_duplicate_spans(
         )
         .distinct()
     )
-    import re
+    from holcstore_spark.operators.text import tokens
 
-    # same literal-sep escape as _span_occurrences: the position space
+    # same literal-sep tokens() as _span_occurrences: the position space
     # must be identical on both sides of the covered anti-join
-    toks = F.split(
-        F.col(text) if isinstance(text, str) else text, re.escape(sep)
-    )
+    toks = tokens(text, sep)
     positions = df.select(
         F.col(id_col),
         F.posexplode(toks).alias("__p0", "__tok"),

@@ -1160,14 +1160,12 @@ def knn_graph(
                     chi = min(clo + c_chunk, len(C))
                     dots = S[lo:hi] @ C[clo:chi].T       # exact int64
                     denom = sn[lo:hi, None] * cn[None, clo:chi]
-                    invalid = (denom == 0) | (
-                        c_ids[None, clo:chi] == s_ids[lo:hi, None]
-                    )
-                    scores = dots.astype(np.float64) / np.where(invalid, 1.0, denom)
-                    neg = -scores
-                    neg[denom == 0] = np.inf             # NULL sentinel
+                    zero = denom == 0
                     ids_blk = c_ids[clo:chi]
                     self_mask = ids_blk[None, :] == s_ids[lo:hi, None]
+                    scores = dots.astype(np.float64) / np.where(zero, 1.0, denom)
+                    neg = -scores
+                    neg[zero] = np.inf                   # NULL sentinel
                     for r in range(hi - lo):
                         keep = ~self_mask[r]
                         bn, bi = _row_topk(neg[r][keep], ids_blk[keep], top)

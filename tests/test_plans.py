@@ -587,7 +587,9 @@ class TestBm25Plan:
         }))
         txt = plan_text(bm25_topk(d, ["alpha", "beta"], k=3))
         assert "TakeOrdered" in txt, txt
-        # exactly one Window node and it sits above the TakeOrdered
+        # exactly one Window node, ABOVE the TakeOrdered in the tree
+        # (formatted explain prints root first, so the Window's text
+        # position must precede the TakeOrdered's) — the rank window
+        # runs over the <= k survivors, never the corpus
         assert n_nodes(txt, "Window") == 1, txt
-        assert txt.index("TakeOrdered") > txt.index("Window") or \
-            "TakeOrderedAndProject" in txt, txt
+        assert txt.index("Window") < txt.index("TakeOrdered"), txt
