@@ -3470,6 +3470,33 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 ({hash, join, scan}) fused
+    with exact cosine top-10 around query vector 0 by reciprocal-rank
+    fusion (1/(60+rank), a fixed binary expression tree — no float
+    aggregation order anywhere). Documents strong in either ranking
+    surface; ties break by id."""
+    from holcstore_spark.operators.similarity import brute_force_topk, rrf_fuse
+    from holcstore_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["hash", "join", "scan"], k=10).select(
+        "doc_id", "rank"
+    )
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    vec_rank = (
+        vec.withColumn("rank", F.row_number().over(w))
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([bm, vec_rank], id_col="doc_id", k=10)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023) unigram importance weights against the
     French-language slice as the target domain — add-one-smoothed
@@ -3505,10 +3532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r12 verdict demanded, plus ffill; (b) queries new or changed-path
     # this round (index deletion/forget, persisted IVF-PQ, the
     # version-plumbed persisted IVF, the masked band-index replay, the
-    # ivf entry point whose signature grew min_results=, and the SIX
+    # ivf entry point whose signature grew min_results=, and the SEVEN
     # NEW round-13 operators: duplicate-span dedup, the KNN graph, the
-    # per-domain cap, DSIR selection, the streaming quota and BM25
-    # search); (c) 13 of
+    # per-domain cap, DSIR selection, the streaming quota, BM25 search
+    # and RRF hybrid search); (c) 12 of
     # the round-11-verified block, oldest first. The tail is the rest
     # of the r11 block (rotate round 14) followed by the r12-verified
     # window.
@@ -3552,8 +3579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "stream_quota": q_stream_quota,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         # -- (c) oldest round-11-verified fill --------------------------
-        "token_pack": q_token_pack,
         "segment_dedup": q_segment_dedup,
         "rebalance_mix": q_rebalance_mix,
         "stream_sessions": q_stream_sessions,
@@ -3568,10 +3595,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         # ====== driver 50-entry window ends here (50 above) ========
         # -- tail: rest of the round-11-verified block (rotate r14) ----
-        # (lookup_filter / clean_corpus / clean_corpus_cc /
+        # (token_pack / lookup_filter / clean_corpus / clean_corpus_cc /
         #  similarity_bruteforce / semantic_dedup / semantic_dedup_capped
-        #  were displaced from the r13 window by the six NEW round-13
+        #  were displaced from the r13 window by the seven NEW round-13
         #  queries above — still r11-verified, first in line for r14)
+        "token_pack": q_token_pack,
         "lookup_filter": q_lookup_filter,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_cc": q_clean_corpus_cc,
@@ -4308,6 +4336,85 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rk
             FROM scored
         ) WHERE rk <= 3
+    """
+    # RRF hybrid: the verified bm25 chain + the verified bruteforce
+    # chain (query vector 0), fused by 1/(60+rank) as a FIXED binary
+    # double expression — every float literal CAST AS DOUBLE (DuckDB
+    # would otherwise do exact DECIMAL arithmetic; see bm25_search)
+    hybrid_search_sql = f"""
+        WITH dl AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE len(string_split(text, ' ')) END AS dl
+            FROM documents
+        ),
+        s AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        hits AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+            WHERE tok IN ('hash', 'join', 'scan')
+        ),
+        tfx AS (SELECT doc_id, tok, count(*) AS tf
+                FROM hits GROUP BY doc_id, tok),
+        dfq AS (SELECT tok, count(*) AS df FROM tfx GROUP BY tok),
+        contrib AS (
+            SELECT t.doc_id,
+                   CAST(floor((
+                       ((CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                          / (d.df + 0.5))
+                       * ((t.tf * CAST({1.2 + 1.0!r} AS DOUBLE))
+                          / (t.tf + CAST({1.2!r} AS DOUBLE)
+                             * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                             + CAST({0.75!r} AS DOUBLE) * (l.dl
+                               / (CAST(s.total_dl AS DOUBLE)
+                                  / s.n_docs)))))
+                   ) * 1000000.0 + 0.5) AS BIGINT) AS q
+            FROM tfx t JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
+            CROSS JOIN s
+        ),
+        bm AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY score_micro DESC, doc_id ASC) AS r
+            FROM (SELECT doc_id, CAST(sum(q) AS BIGINT) AS score_micro
+                  FROM contrib GROUP BY doc_id)
+            ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+        ),
+        qv AS (SELECT {quant} AS qq FROM embeddings WHERE vec_id = 0),
+        cv AS (SELECT vec_id AS neighbor_id, {quant} AS cq FROM embeddings),
+        vscored AS (
+            SELECT c.neighbor_id,
+                   list_dot_product(qq::DOUBLE[], cq::DOUBLE[])
+                     / (sqrt(list_dot_product(qq::DOUBLE[], qq::DOUBLE[]))
+                        * sqrt(list_dot_product(cq::DOUBLE[], cq::DOUBLE[]))) AS score
+            FROM qv CROSS JOIN cv c
+            WHERE c.neighbor_id <> 0
+        ),
+        vec AS (
+            SELECT neighbor_id AS doc_id,
+                   row_number() OVER (
+                       ORDER BY score DESC, neighbor_id ASC) AS r
+            FROM vscored ORDER BY score DESC, neighbor_id ASC LIMIT 10
+        ),
+        fused AS (
+            SELECT coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+                   (CASE WHEN bm.r IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN vec.r IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_lists,
+                   (coalesce(CAST(1.0 AS DOUBLE)
+                             / (CAST(60.0 AS DOUBLE) + bm.r),
+                             CAST(0.0 AS DOUBLE))
+                    + coalesce(CAST(1.0 AS DOUBLE)
+                               / (CAST(60.0 AS DOUBLE) + vec.r),
+                               CAST(0.0 AS DOUBLE))) AS rrf_score
+            FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
+        )
+        SELECT doc_id, n_lists, rrf_score,
+               CAST(row_number() OVER (
+                   ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS fused_rank
+        FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
     """
     signs = _lsh_sign_vectors(4, 64)
     bucket_bits = " || ".join(
@@ -5484,6 +5591,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": similarity_lsh,
         "similarity_ivf": similarity_ivf,
         "knn_graph": knn_graph_sql,
+        "hybrid_search": hybrid_search_sql,
         # exact-substring (duplicate-span) dedup: rolling 8-token gram
         # hashes; the globally-first occurrence (min doc_id·2^20+pos)
         # keeps its tokens, later occurrences mark their k positions

@@ -1203,3 +1203,66 @@ def knn_graph(
         .filter(F.col("__rk") <= k)
         .select("src_id", "neighbor_id", "score")
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner: fuse N ranked lists (e.g. BM25 lexical +
+    ANN vector retrieval) by ``Σ 1/(c + rank)``, which rewards items
+    ranked well ANYWHERE without requiring comparable scores.
+
+    Determinism: each contribution is one IEEE divide of exact ints and
+    the cross-list sum is a FIXED binary expression tree (a coalesce
+    chain over the N inputs, not an aggregation), so the result is
+    bit-reproducible cross-engine — float aggregation order never
+    enters. Ties break by id ascending. Items missing from a list
+    contribute 0 for it.
+
+    Scale shape: N-1 full-outer equi-joins on the id over TOP-k' ranked
+    lists (each input is already a bounded retrieval result — fusion
+    inputs are k'-sized, never corpus-sized), then a distributed
+    TakeOrdered cut to ``k``; the rank window orders <= k rows.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    if len(rankings) > 16:
+        raise ValueError("rrf_fuse: too many rankings (max 16)")
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(id_col), F.col(rank_col).alias(f"__r{i}")
+        )
+        fused = side if fused is None else fused.join(
+            side, on=id_col, how="full_outer"
+        )
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        for i in range(len(rankings))
+    ]
+    score = contribs[0]
+    for cexpr in contribs[1:]:
+        score = score + cexpr
+    n_lists = sum(
+        (F.col(f"__r{i}").isNotNull().cast("int"))
+        for i in range(len(rankings))
+    )
+    scored = fused.select(
+        F.col(id_col),
+        n_lists.alias("n_lists"),
+        score.alias("rrf_score"),
+    )
+    top = scored.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(int(k))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return top.withColumn("fused_rank", F.row_number().over(w)).select(
+        id_col, "n_lists", "rrf_score", "fused_rank"
+    )

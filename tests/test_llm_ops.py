@@ -2034,3 +2034,38 @@ class TestBm25:
         assert len(top1) == 1 and top1[0]["doc_id"] == 1
         with pytest.raises(ValueError, match="at least one query term"):
             bm25_topk(corpus, [])
+
+
+class TestRrfFuse:
+    def _rank(self, spark, pairs):
+        return spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["doc_id", "rank"])
+        )
+
+    def test_fusion_rewards_presence_in_both(self, spark):
+        from holcstore_spark.operators.similarity import rrf_fuse
+
+        a = self._rank(spark, [(1, 1), (2, 2), (3, 3)])
+        b = self._rank(spark, [(2, 1), (4, 2)])
+        out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+        # doc 2 appears in both lists: highest fused score
+        assert min(out, key=lambda d: out[d]["fused_rank"]) == 2
+        assert out[2]["n_lists"] == 2 and out[1]["n_lists"] == 1
+        assert out[2]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61)
+        # single-list docs contribute only their own term
+        assert out[4]["rrf_score"] == pytest.approx(1 / 62)
+
+    def test_ties_break_by_id_and_k_cuts(self, spark):
+        from holcstore_spark.operators.similarity import rrf_fuse
+
+        a = self._rank(spark, [(7, 1), (5, 1)])  # impossible real ranks,
+        # but exercises the tie: equal contributions → lower id first
+        out = rrf_fuse([a], k=1).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 5
+        assert out[0]["fused_rank"] == 1
+
+    def test_arg_validation(self, spark):
+        from holcstore_spark.operators.similarity import rrf_fuse
+
+        with pytest.raises(ValueError, match="at least one ranking"):
+            rrf_fuse([])
