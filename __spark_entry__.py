@@ -3394,6 +3394,25 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(_t(spark, sf_dir, "documents"), k=8)
 
 
+def q_dedup_spans_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-span dedup — the production shape: history
+    (docs with id % 3 != 0) is gram-hashed ONCE into a distinct-hash
+    index; the ingest batch (id % 3 == 0) hashes only itself. An
+    occurrence is removed when its 8-gram exists in the index (history
+    wins) or a smaller in-batch key carries it."""
+    from holcstore_spark.operators.dedup import (
+        duplicate_span_stats_incremental,
+        span_gram_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return duplicate_span_stats_incremental(
+        batch, span_gram_index(hist, k=8), k=8
+    )
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs top-3 cosine neighbour graph over the embedding corpus,
     IVF-blocked: both sides are corpus-sized, so the probe join is a
@@ -3532,10 +3551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r12 verdict demanded, plus ffill; (b) queries new or changed-path
     # this round (index deletion/forget, persisted IVF-PQ, the
     # version-plumbed persisted IVF, the masked band-index replay, the
-    # ivf entry point whose signature grew min_results=, and the SEVEN
-    # NEW round-13 operators: duplicate-span dedup, the KNN graph, the
-    # per-domain cap, DSIR selection, the streaming quota, BM25 search
-    # and RRF hybrid search); (c) 12 of
+    # ivf entry point whose signature grew min_results=, and the EIGHT
+    # NEW round-13 operators: duplicate-span dedup (one-shot AND
+    # incremental-vs-gram-index), the KNN graph, the per-domain cap,
+    # DSIR selection, the streaming quota, BM25 search
+    # and RRF hybrid search); (c) 11 of
     # the round-11-verified block, oldest first. The tail is the rest
     # of the r11 block (rotate round 14) followed by the r12-verified
     # window.
@@ -3580,8 +3600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quota": q_stream_quota,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
+        "dedup_spans_incr": q_dedup_spans_incr,
         # -- (c) oldest round-11-verified fill --------------------------
-        "segment_dedup": q_segment_dedup,
         "rebalance_mix": q_rebalance_mix,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
@@ -3595,10 +3615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         # ====== driver 50-entry window ends here (50 above) ========
         # -- tail: rest of the round-11-verified block (rotate r14) ----
-        # (token_pack / lookup_filter / clean_corpus / clean_corpus_cc /
-        #  similarity_bruteforce / semantic_dedup / semantic_dedup_capped
-        #  were displaced from the r13 window by the seven NEW round-13
-        #  queries above — still r11-verified, first in line for r14)
+        # (segment_dedup / token_pack / lookup_filter / clean_corpus /
+        #  clean_corpus_cc / similarity_bruteforce / semantic_dedup /
+        #  semantic_dedup_capped were displaced from the r13 window by
+        #  the eight NEW round-13 queries above — still r11-verified,
+        #  first in line for r14)
+        "segment_dedup": q_segment_dedup,
         "token_pack": q_token_pack,
         "lookup_filter": q_lookup_filter,
         "clean_corpus": q_clean_corpus,
@@ -5623,6 +5645,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(dup_tokens, 0) / CAST(greatest(len(ws), 1) AS DOUBLE)
                        AS dup_frac
             FROM toks t LEFT JOIN dup USING (doc_id)
+        """,
+        # incremental span dedup: history grams (distinct hashes, no
+        # ids) beat every batch occurrence; the in-batch keep-first
+        # rule applies on top
+        "dedup_spans_incr": """
+            WITH btoks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 3 = 0
+            ),
+            hgrams AS (
+                SELECT DISTINCT
+                       substr(md5(array_to_string(
+                           ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 16) AS h
+                FROM (SELECT ws, unnest(range(1, len(ws) - 6)) AS i
+                      FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                            WHERE doc_id % 3 <> 0)
+                      WHERE len(ws) >= 8)
+            ),
+            bgrams AS (
+                SELECT doc_id, i AS pos,
+                       substr(md5(array_to_string(
+                           ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 16) AS h,
+                       doc_id * 1048576 + i AS okey
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                      FROM btoks WHERE len(ws) >= 8)
+            ),
+            agg AS (SELECT h, count(*) AS occ, min(okey) AS frst
+                    FROM bgrams GROUP BY h),
+            removed AS (
+                SELECT g.* FROM bgrams g JOIN agg a USING (h)
+                LEFT JOIN (SELECT h, TRUE AS hist FROM hgrams) hh USING (h)
+                WHERE hh.hist IS NOT NULL
+                   OR (occ >= 2 AND okey <> frst)
+            ),
+            cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS c
+                    FROM removed),
+            dup AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(len(ws) - coalesce(dup_tokens, 0) AS BIGINT) AS kept_tokens,
+                   coalesce(dup_tokens, 0) / CAST(greatest(len(ws), 1) AS DOUBLE)
+                       AS dup_frac
+            FROM btoks t LEFT JOIN dup USING (doc_id)
         """,
         "domain_cap": """
             SELECT doc_id, source, n_chars FROM (

@@ -785,3 +785,98 @@ def strip_duplicate_spans(
             .alias("kept_tokens"),
         )
     )
+
+
+def span_gram_index(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    sep: str = " ",
+) -> DataFrame:
+    """The persisted side of incremental duplicate-span dedup: the
+    DISTINCT rolling k-gram hashes of a (kept) corpus — one 16-hex
+    string per distinct gram, no ids, no positions. Store this once,
+    append each ingest batch's kept grams, and per-batch span dedup
+    stays O(batch grams + matched index rows) instead of re-hashing
+    history (:func:`duplicate_span_stats_incremental`).
+
+    Size note vs the MinHash band index: gram rows are O(corpus
+    tokens) (~tokens-per-doc × docs), not O(4·docs) — at warehouse
+    scale, bucket the stored table by a hash prefix so the per-batch
+    join co-locates, and expect the index to be the same order of
+    magnitude as the text itself."""
+    grams, _ = _span_occurrences(df, text, id_col, k, sep)
+    return grams.select("__h").distinct().withColumnRenamed("__h", "gram_h")
+
+
+def duplicate_span_stats_incremental(
+    new_docs: DataFrame,
+    gram_index: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    sep: str = " ",
+) -> DataFrame:
+    """Duplicate-SPAN stats of a NEW batch against a persisted gram
+    index (:func:`span_gram_index`) — the production shape of
+    :func:`duplicate_span_stats` at 100 TB: history is gram-hashed
+    ONCE; each ingest batch hashes only itself.
+
+    Removal rule per occurrence: removed iff its k-gram hash exists in
+    the index (history always wins — the id spaces need not be
+    comparable), OR a strictly-smaller (id, position) key inside the
+    batch carries the same gram (the batch-internal keep-first rule of
+    the one-shot operator). Output matches
+    :func:`duplicate_span_stats`: per batch doc — n_tokens,
+    dup_tokens, kept_tokens, dup_frac.
+
+    Scale shape: the batch's gram frame aggregates (occurrences, min
+    key) per hash with map-side combine, LEFT-SEMI-joins the index on
+    the 16-hex hash for the history verdict (hash equi-join — AQE
+    picks broadcast only if the batch gram set is small), and the k×
+    coverage explode stays partitioned by the batch document id. The
+    index is never re-hashed and its ids/positions are never read —
+    it has none."""
+    grams, per_doc = _span_occurrences(new_docs, text, id_col, k, sep)
+    agg = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min("__key").alias("__first"),
+    )
+    hist = (
+        gram_index.select(F.col("gram_h").alias("__h"))
+        .distinct()
+        .withColumn("__in_hist", F.lit(True))
+    )
+    removed = (
+        grams.join(agg, on="__h")
+        .join(hist, on="__h", how="left")
+        .filter(
+            F.col("__in_hist").isNotNull()
+            | ((F.col("__occ") >= 2) & (F.col("__key") != F.col("__first")))
+        )
+    )
+    covered = (
+        removed.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+            ).alias("__cov"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        per_doc.join(covered, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("dup_tokens"), F.lit(0)))
+            .cast("long").alias("kept_tokens"),
+            (F.coalesce(F.col("dup_tokens"), F.lit(0)) /
+             F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+             ).alias("dup_frac"),
+        )
+    )

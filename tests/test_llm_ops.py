@@ -2069,3 +2069,56 @@ class TestRrfFuse:
 
         with pytest.raises(ValueError, match="at least one ranking"):
             rrf_fuse([])
+
+
+class TestIncrementalSpanDedup:
+    def test_matches_one_shot_when_history_precedes_batch(self, spark):
+        # with every history id below every batch id, the one-shot
+        # keep-first rule over history ∪ batch restricted to the batch
+        # equals the incremental verdict against the gram index — the
+        # correctness contract of the production shape
+        from holcstore_spark.operators.dedup import (
+            duplicate_span_stats,
+            duplicate_span_stats_incremental,
+            span_gram_index,
+        )
+
+        rows = [
+            (1, "a b c d e f g h i j"),
+            (2, "p q r s t u v w x y"),
+            (10, "x a b c d e f g h i j y"),    # copies hist doc 1's span
+            (11, "m n o p q r s t u v w x y"),  # copies hist doc 2's span
+            (12, "fresh words only in the batch here now ok fine"),
+            (13, "fresh words only in the batch here now ok fine"),  # batch dup
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        hist = d.filter(F.col("doc_id") < 10)
+        batch = d.filter(F.col("doc_id") >= 10)
+        one_shot = {
+            r["doc_id"]: (r["dup_tokens"], r["kept_tokens"])
+            for r in duplicate_span_stats(d, k=8).collect()
+            if r["doc_id"] >= 10
+        }
+        incr = {
+            r["doc_id"]: (r["dup_tokens"], r["kept_tokens"])
+            for r in duplicate_span_stats_incremental(
+                batch, span_gram_index(hist, k=8), k=8
+            ).collect()
+        }
+        assert incr == one_shot
+        # and the semantics are the intended ones: both copies stripped,
+        # the in-batch dup (13) loses to 12, the fresh doc keeps all
+        assert incr[10][0] == 10 and incr[11][0] == 10
+        assert incr[12] == (0, 10) and incr[13] == (10, 0)
+
+    def test_index_has_no_ids_and_dedups_hashes(self, spark):
+        from holcstore_spark.operators.dedup import span_gram_index
+
+        d = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+            "doc_id long, text string",
+        )
+        idx = span_gram_index(d, k=8)
+        assert idx.columns == ["gram_h"]
+        # identical docs → identical grams → distinct collapses them
+        assert idx.count() == 3
