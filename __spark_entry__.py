@@ -4381,20 +4381,33 @@ def oracle_sql() -> dict[str, str]:
         tfx AS (SELECT doc_id, tok, count(*) AS tf
                 FROM hits GROUP BY doc_id, tok),
         dfq AS (SELECT tok, count(*) AS df FROM tfx GROUP BY tok),
-        contrib AS (
+        raw AS (
             SELECT t.doc_id,
-                   CAST(floor((
-                       ((CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
-                          / (d.df + 0.5))
-                       * ((t.tf * CAST({1.2 + 1.0!r} AS DOUBLE))
-                          / (t.tf + CAST({1.2!r} AS DOUBLE)
-                             * (CAST({1.0 - 0.75!r} AS DOUBLE)
-                             + CAST({0.75!r} AS DOUBLE) * (l.dl
-                               / (CAST(s.total_dl AS DOUBLE)
-                                  / s.n_docs)))))
-                   ) * 1000000.0 + 0.5) AS BIGINT) AS q
+                   CAST(floor(((((CAST(s.n_docs AS DOUBLE) - d.df
+                                  + 0.5) / (d.df + 0.5))
+                                + CAST(1.0 AS DOUBLE))
+                               * CAST(65536.0 AS DOUBLE))) AS BIGINT)
+                       AS m,
+                   ((t.tf * CAST({1.2 + 1.0!r} AS DOUBLE))
+                      / (t.tf + CAST({1.2!r} AS DOUBLE)
+                         * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                         + CAST({0.75!r} AS DOUBLE) * (l.dl
+                           / (CAST(s.total_dl AS DOUBLE)
+                              / s.n_docs))))) AS tff
             FROM tfx t JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
             CROSS JOIN s
+        ),
+        bl AS (SELECT doc_id, m, tff,
+                      CAST(length(bin(m)) - 1 AS INT) AS e FROM raw),
+        contrib AS (
+            SELECT doc_id,
+                   CAST(floor((((e - 16)
+                                + (m - (CAST(1 AS BIGINT) << e))
+                                  / CAST((CAST(1 AS BIGINT) << e)
+                                         AS DOUBLE))
+                               * tff)
+                              * 1000000.0 + 0.5) AS BIGINT) AS q
+            FROM bl
         ),
         bm AS (
             SELECT doc_id,
@@ -5699,11 +5712,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn <= 20
         """,
-        # BM25 with the rational idf core (no ln) and per-term integer
-        # micro-unit quantization (floor(x·1e6+0.5)) so the cross-term
-        # sum is exact; constants repr()'d from the same Python doubles
-        # the Spark plan uses AND cast to DOUBLE explicitly — DuckDB
-        # parses a bare 2.2 as DECIMAL(2,1), and bigint×decimal is exact
+        # BM25 with the log2-domain idf (bit-length + one linear
+        # interpolation step — no transcendental ln, so both engines
+        # compute bit-identical doubles) and per-term integer micro-unit
+        # quantization (floor(x·1e6+0.5)) so the cross-term sum is
+        # exact; constants repr()'d from the same Python doubles the
+        # Spark plan uses AND cast to DOUBLE explicitly — DuckDB parses
+        # a bare 2.2 as DECIMAL(2,1), and bigint×decimal is exact
         # decimal arithmetic whose double conversion differs by ~1 ulp
         # from Spark's double multiply (review r13: a latent floor-flip)
         "bm25_search": f"""
@@ -5724,20 +5739,33 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, tok, count(*) AS tf
                    FROM hits GROUP BY doc_id, tok),
             dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-            contrib AS (
+            raw AS (
                 SELECT t.doc_id,
-                       CAST(floor((
-                           ((CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
-                              / (d.df + 0.5))
-                           * ((t.tf * CAST({1.2 + 1.0!r} AS DOUBLE))
-                              / (t.tf + CAST({1.2!r} AS DOUBLE)
-                                 * (CAST({1.0 - 0.75!r} AS DOUBLE)
-                                 + CAST({0.75!r} AS DOUBLE) * (l.dl
-                                   / (CAST(s.total_dl AS DOUBLE)
-                                      / s.n_docs)))))
-                       ) * 1000000.0 + 0.5) AS BIGINT) AS q
+                       CAST(floor(((((CAST(s.n_docs AS DOUBLE) - d.df
+                                      + 0.5) / (d.df + 0.5))
+                                    + CAST(1.0 AS DOUBLE))
+                                   * CAST(65536.0 AS DOUBLE))) AS BIGINT)
+                           AS m,
+                       ((t.tf * CAST({1.2 + 1.0!r} AS DOUBLE))
+                          / (t.tf + CAST({1.2!r} AS DOUBLE)
+                             * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                             + CAST({0.75!r} AS DOUBLE) * (l.dl
+                               / (CAST(s.total_dl AS DOUBLE)
+                                  / s.n_docs))))) AS tff
                 FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
                 CROSS JOIN s
+            ),
+            bl AS (SELECT doc_id, m, tff,
+                          CAST(length(bin(m)) - 1 AS INT) AS e FROM raw),
+            contrib AS (
+                SELECT doc_id,
+                       CAST(floor((((e - 16)
+                                    + (m - (CAST(1 AS BIGINT) << e))
+                                      / CAST((CAST(1 AS BIGINT) << e)
+                                             AS DOUBLE))
+                                   * tff)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS q
+                FROM bl
             ),
             per AS (SELECT doc_id, count(*) AS n_terms,
                            CAST(sum(q) AS BIGINT) AS score_micro

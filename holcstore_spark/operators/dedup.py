@@ -107,8 +107,10 @@ def _minhash_signature_agg(
     map-side-combined ``min`` aggregate per document. Bit-identical to
     :func:`minhash_signature` over :func:`token_shingles` (same shingle
     construction, same seed-prefixed md5 / first-8-hex / min), so the
-    DuckDB oracles are untouched. Assumes ``id_col`` is unique per
-    document (duplicate ids would merge signatures).
+    DuckDB oracles are untouched — except NULL text, which this path
+    coalesces to '' (empty-shingle signature) where the HOF path yields
+    a NULL signature that joins nothing. Assumes ``id_col`` is unique
+    per document (duplicate ids would merge signatures).
 
     Why this shape and not the alternatives, measured at sf0.1 (fresh
     lineage per run — repeated collects on one DataFrame reuse shuffle
@@ -134,9 +136,17 @@ def _minhash_signature_agg(
     At 100 TB the input has thousands of partitions and the guard never
     fires: the only shuffle is the signature-sized aggregate.
     """
+    # NULL text coalesces to '' BEFORE shingling: F.split(NULL) is a NULL
+    # array and F.explode of it emits no rows, so a NULL-text document
+    # would silently get no signature, no bands, and bypass minhash dedup
+    # entirely. '' yields the single empty shingle — the same signature
+    # the Column-HOF path assigns an empty document — so NULL and empty
+    # text dedup against each other instead of escaping the net.
     src = df.select(
         F.col(id_col),
-        (F.col(text) if isinstance(text, str) else text).alias("__t"),
+        F.coalesce(
+            (F.col(text) if isinstance(text, str) else text), F.lit("")
+        ).alias("__t"),
     )
     target = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < target:

@@ -1077,6 +1077,17 @@ def knn_graph(
     candidate volume. A skewed list is chunked inside the matmul, not
     a driver OOM; no corpus-sized broadcast, no n² cross join.
 
+    Per-list memory bound: the Arrow cogroup materializes each list's
+    member vectors on the Python worker BEFORE the kernel runs —
+    ≈ list_size × dim × 8 B (plus one chunked int64 copy of the
+    candidate side) is the worker floor, and the chunking bounds only
+    the score matrices on top of it. A pathologically skewed IVF list
+    (e.g. a boilerplate-heavy embedding cluster holding half the
+    corpus) therefore needs list_size × dim × ~16 B of worker memory;
+    re-train with more lists (or pre-split hot lists) if a list
+    approaches executor memory — the same locality assumption
+    :func:`semantic_dedup` documents for its per-cluster stage.
+
     ``exact=True`` bypasses the IVF blocking (n² cross join) — the
     recall reference for tests and tiny corpora only.
 
@@ -1140,26 +1151,42 @@ def knn_graph(
                 return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
             s_ids = left["src_id"].to_numpy()
             c_ids = right["neighbor_id"].to_numpy()
-            S = np.stack(left["__qq"].to_numpy()).astype(np.int64)
-            C = np.stack(right["__cq"].to_numpy()).astype(np.int64)
-            sn = np.sqrt((S * S).sum(axis=1).astype(np.float64))
-            cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            s_arrs = left["__qq"].to_numpy()
+            c_arrs = right["__cq"].to_numpy()
             out_sid, out_nid, out_neg = [], [], []
             # BOTH axes chunk, so a skewed list costs s_chunk × c_chunk
-            # memory (≈32 MB), never s_chunk × C; blocks merge through a
-            # running per-row top-k. Zero-norm/self scores become a -inf
-            # sentinel (emitted as NULL) so ranking is NaN-free: every
-            # real cosine is >= -1, so -inf ranks after all real scores
-            # with id tie-break — Spark's desc_nulls_last contract.
+            # score-matrix memory (≈32 MB), never s_chunk × C. The
+            # source side stacks one 512-row int64 block at a time; the
+            # candidate side keeps its chunked int64 blocks (one copy of
+            # C, reused across every source chunk — re-stacking each
+            # pass would cost seconds on a 100k-member list). The
+            # whole-list floor is the Arrow cogroup materialization
+            # itself (list_size × dim × ~8 B on the Python worker) —
+            # inherent to applyInPandas, documented in the docstring.
+            # Blocks merge through a running per-row top-k.
+            # Zero-norm/self scores become a -inf sentinel (emitted as
+            # NULL) so ranking is NaN-free: every real cosine is >= -1,
+            # so -inf ranks after all real scores with id tie-break —
+            # Spark's desc_nulls_last contract.
             s_chunk, c_chunk = 512, 8192
-            for lo in range(0, len(S), s_chunk):
-                hi = min(lo + s_chunk, len(S))
+            c_blocks = {}
+            for clo in range(0, len(c_arrs), c_chunk):
+                chi = min(clo + c_chunk, len(c_arrs))
+                Cb = np.stack(c_arrs[clo:chi]).astype(np.int64)
+                c_blocks[clo] = (
+                    Cb, np.sqrt((Cb * Cb).sum(axis=1).astype(np.float64))
+                )
+            for lo in range(0, len(s_arrs), s_chunk):
+                hi = min(lo + s_chunk, len(s_arrs))
+                Sb = np.stack(s_arrs[lo:hi]).astype(np.int64)
+                snb = np.sqrt((Sb * Sb).sum(axis=1).astype(np.float64))
                 run_neg = [None] * (hi - lo)
                 run_ids = [None] * (hi - lo)
-                for clo in range(0, len(C), c_chunk):
-                    chi = min(clo + c_chunk, len(C))
-                    dots = S[lo:hi] @ C[clo:chi].T       # exact int64
-                    denom = sn[lo:hi, None] * cn[None, clo:chi]
+                for clo in range(0, len(c_arrs), c_chunk):
+                    chi = min(clo + c_chunk, len(c_arrs))
+                    Cb, cnb = c_blocks[clo]
+                    dots = Sb @ Cb.T                     # exact int64
+                    denom = snb[:, None] * cnb[None, :]
                     zero = denom == 0
                     ids_blk = c_ids[clo:chi]
                     self_mask = ids_blk[None, :] == s_ids[lo:hi, None]
@@ -1222,7 +1249,8 @@ def rrf_fuse(
     chain over the N inputs, not an aggregation), so the result is
     bit-reproducible cross-engine — float aggregation order never
     enters. Ties break by id ascending. Items missing from a list
-    contribute 0 for it.
+    contribute 0 for it; an id appearing MORE than once in one list
+    counts once, at its best (minimum) rank.
 
     Scale shape: N-1 full-outer equi-joins on the id over TOP-k' ranked
     lists (each input is already a bounded retrieval result — fusion
@@ -1235,8 +1263,15 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: too many rankings (max 16)")
     fused = None
     for i, r in enumerate(rankings):
-        side = r.select(
-            F.col(id_col), F.col(rank_col).alias(f"__r{i}")
+        # best-rank pre-aggregate: a duplicate id WITHIN one list (real
+        # retrieval backends emit them across shards) would otherwise
+        # fan out multiplicatively through the chained full-outer joins,
+        # double-counting that list's contribution and duplicating
+        # output rows. min(rank) = the standard RRF duplicate policy
+        # (count each list once, at its best position); the aggregate is
+        # over a k'-sized input so the extra exchange is trivial.
+        side = r.groupBy(F.col(id_col)).agg(
+            F.min(F.col(rank_col)).alias(f"__r{i}")
         )
         fused = side if fused is None else fused.join(
             side, on=id_col, how="full_outer"

@@ -726,6 +726,18 @@ def bpe_apply(
     return df.withColumn(out, F.trim(c))
 
 
+def _checked_product(a: Column, b: Column, msg: str) -> Column:
+    """``a * b`` as BIGINT with a loud wrap guard (the span-dedup key
+    discipline): non-ANSI Spark wraps silently past 2^63, so the
+    double-precision magnitude — within ~1 ulp of the exact product —
+    gates at 2^62, firing with a full 2× margin before the true product
+    can wrap. Both inputs must be non-negative counts."""
+    return F.when(
+        a.cast("double") * b.cast("double") < F.lit(float(1 << 62)),
+        a * b,
+    ).otherwise(F.raise_error(F.lit(msg)).cast("long"))
+
+
 def dsir_bits(
     df: DataFrame,
     target_filter: Column,
@@ -748,9 +760,18 @@ def dsir_bits(
     ``bits((ct+1)·(Nc+V)) - bits((cc+1)·(Nt+V))`` with
     ``bits(n) = length(bin(n))``: add-one-smoothed
     ``log2 p_target(tok) - log2 p_corpus(tok)`` in exact integer
-    arithmetic (products stay far below 2^63 for any realistic corpus
-    shard), bit-reproducible in any engine. Positive = more
+    arithmetic, bit-reproducible in any engine. Positive = more
     target-like than corpus-average.
+
+    Overflow contract: the BIGINT products wrap past 2^63 when
+    ``count·(total+vocab)`` does — at ~1e12-token corpora a frequent
+    token reaches ~1e24, and non-ANSI Spark would WRAP silently
+    (``F.bin`` of a negative long is a 64-char two's-complement string,
+    corrupting every score with no error). Each product is therefore
+    guarded by a loud ``raise_error`` when its double-precision
+    magnitude nears 2^62 — shard the corpus (run DSIR per shard and
+    union the selections) when the guard fires; the per-shard ranking
+    is what DSIR's importance-resampling semantics want anyway.
 
     Scale shape: token explode → ONE shuffle on the token for the
     corpus counts; the target counts aggregate shuffles on the same key
@@ -786,8 +807,16 @@ def dsir_bits(
     )
     ct1 = F.coalesce(F.col("__ct"), F.lit(0)) + 1
     cc1 = F.col("__cc") + 1
-    bits_num = F.length(F.bin(ct1 * (F.col("__n_c") + F.col("__v"))))
-    bits_den = F.length(F.bin(cc1 * (F.col("__n_t") + F.col("__v"))))
+    bits_num = F.length(F.bin(_checked_product(
+        ct1, F.col("__n_c") + F.col("__v"),
+        "dsir_bits: count product nears 2^63 and would wrap BIGINT — "
+        "run DSIR per corpus shard and union the selections",
+    )))
+    bits_den = F.length(F.bin(_checked_product(
+        cc1, F.col("__n_t") + F.col("__v"),
+        "dsir_bits: count product nears 2^63 and would wrap BIGINT — "
+        "run DSIR per corpus shard and union the selections",
+    )))
     return (
         joined.groupBy(id_col)
         .agg(
@@ -816,15 +845,32 @@ def bm25_topk(
     :func:`~holcstore_spark.operators.similarity.brute_force_topk` /
     the VectorIndex).
 
-    Engine-portable scoring, two disciplines composed: the idf factor
-    is the RATIONAL BM25 core ``(N - df + 0.5) / (df + 0.5)`` (no
-    ``ln`` — order-isomorphic for fixed N, IEEE-exact everywhere, as in
-    :func:`tfidf_top_terms`), and each term's contribution is quantized
-    to integer MICRO-units (``floor(x·10^6 + 0.5)``) before the
-    cross-term sum — float summation order is engine- and
-    partition-dependent, integer summation is exact. The reported
-    ``score`` is the micro-unit sum divided once by 10^6. Documents
-    matching no query term are absent (their BM25 score is 0).
+    Engine-portable scoring, two disciplines composed. The idf factor
+    is LOG-domain, as real BM25 requires for the cross-term sum (a
+    rational idf is order-isomorphic per term but lets one rare term
+    swamp all others in a multi-term query: df=1 in a 1M-doc corpus
+    would weigh ~666k rational vs ~13.4 under ln) — but computed
+    WITHOUT a transcendental ``log`` call, whose libm rounding differs
+    across engines: ``idf = log2((N - df + 0.5)/(df + 0.5) + 1)``
+    (Lucene's +1 keeps it positive) approximated by integer bit-length
+    plus one linear interpolation step::
+
+        m   = floor(idf2 · 2^16)          -- exact: ·2^16 is a shift
+        e   = length(bin(m)) - 1          -- exact floor(log2 m)
+        idf = (e - 16) + (m - 2^e) / 2^e  -- one IEEE divide + add
+
+    Every step is either exact integer arithmetic or a single
+    correctly-rounded IEEE double op, so the value is bit-identical in
+    any engine; max interpolation error 0.086 bits, monotone in idf2,
+    and — since log2 = ln/ln 2 rescales every term equally — the
+    multi-term ranking matches real BM25 up to that interpolation
+    error. Each term's contribution is then quantized to integer
+    MICRO-units (``floor(x·10^6 + 0.5)``) before the cross-term sum —
+    float summation order is engine- and partition-dependent, integer
+    summation is exact. The reported ``score`` is the micro-unit sum
+    divided once by 10^6 (log2-domain BM25: multiply by ln 2 ≈ 0.693
+    to compare against an ln-based implementation). Documents matching
+    no query term are absent (their BM25 score is 0).
 
     Scale shape: the token explode filters to the (tiny, broadcast
     literal) query-term set BEFORE the per-(doc, term) count, so the
@@ -857,27 +903,49 @@ def bm25_topk(
         tf.join(dfreq, on="__t")
         .join(dl_frame, on=id_col)
         .crossJoin(F.broadcast(stats))
+        # log2 idf via bit-length + linear interpolation (see docstring):
+        # ·65536.0 is a power-of-two scale (exact), floor/bin/shiftleft
+        # are exact integer ops, the frac divide is one IEEE op
+        .withColumn(
+            "__m",
+            F.floor(
+                (
+                    (
+                        (
+                            F.col("__n_docs").cast("double")
+                            - F.col("__df")
+                            + F.lit(0.5)
+                        )
+                        / (F.col("__df") + F.lit(0.5))
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(65536.0)
+            ).cast("long"),
+        )
+        .withColumn("__e", (F.length(F.bin(F.col("__m"))) - F.lit(1)))
+        .withColumn("__p", F.expr("shiftleft(CAST(1 AS BIGINT), __e)"))
+        .withColumn(
+            "__idf",
+            (F.col("__e") - F.lit(16)).cast("double")
+            + (F.col("__m") - F.col("__p")) / F.col("__p").cast("double"),
+        )
         .withColumn(
             "__contrib",
-            (
-                (
-                    (F.col("__n_docs").cast("double") - F.col("__df") + F.lit(0.5))
-                    / (F.col("__df") + F.lit(0.5))
-                )
-                * (
-                    (F.col("__tf") * F.lit(k1p1))
-                    / (
-                        F.col("__tf")
-                        + F.lit(float(k1))
+            F.col("__idf")
+            * (
+                (F.col("__tf") * F.lit(k1p1))
+                / (
+                    F.col("__tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(one_b)
+                        + F.lit(bb)
                         * (
-                            F.lit(one_b)
-                            + F.lit(bb)
-                            * (
-                                F.col("__dl")
-                                / (
-                                    F.col("__total_dl").cast("double")
-                                    / F.col("__n_docs")
-                                )
+                            F.col("__dl")
+                            / (
+                                F.col("__total_dl").cast("double")
+                                / F.col("__n_docs")
                             )
                         )
                     )

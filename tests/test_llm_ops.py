@@ -58,6 +58,20 @@ class TestDedup:
         assert (1, 3) in got           # near dup shares most shingles
         assert (1, 4) not in got and (3, 4) not in got
 
+    def test_minhash_null_text_gets_a_signature_not_a_bypass(self, spark):
+        # r13 advice: F.split(NULL) → NULL array → explode emits no
+        # rows, so NULL-text docs silently escaped minhash dedup. They
+        # now coalesce to '' — NULL and empty docs dedup each other.
+        rows = [(1, None), (2, ""), (3, "")]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+                {"text": "object"}
+            )
+        )
+        pairs = minhash_candidate_pairs(d, n_hashes=16, bands=8, shingle_k=3)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+
     def test_incremental_dedup_against_signature_index(self, spark, docs):
         # round 11: the production incremental shape — history's bands
         # are persisted; a new batch dedups against them + itself
@@ -1929,6 +1943,30 @@ class TestDsirBits:
         out = dsir_bits(d, F.col("dom") == "nope").collect()
         assert {r["doc_id"] for r in out} == {1, 2}
 
+    def test_product_overflow_guard_fires_loudly(self, spark):
+        # the guard itself is testable at any magnitude: two counts
+        # whose product crosses 2^62 must raise, not wrap (r13 advice:
+        # 1e12-token corpora push (ct+1)·(Nc+V) past 2^63 silently)
+        from holcstore_spark.operators.text import _checked_product
+
+        d = spark.range(1).select(
+            F.lit(1 << 40).cast("long").alias("a"),
+            F.lit(1 << 40).cast("long").alias("b"),
+            F.lit(3).cast("long").alias("c"),
+        )
+        ok = d.select(
+            _checked_product(F.col("a"), F.col("c"), "boom").alias("p")
+        ).collect()
+        assert ok[0]["p"] == 3 << 40
+        with pytest.raises(Exception, match="wrap BIGINT"):
+            d.select(
+                _checked_product(
+                    F.col("a"), F.col("b"),
+                    "dsir_bits: count product nears 2^63 and would wrap "
+                    "BIGINT",
+                ).alias("p")
+            ).collect()
+
 
 class TestSpanDedupReviewFindings:
     """Round-13 review pass: edge inputs the first cut got wrong."""
@@ -2069,6 +2107,24 @@ class TestRrfFuse:
 
         with pytest.raises(ValueError, match="at least one ranking"):
             rrf_fuse([])
+
+    def test_duplicate_id_within_one_list_counts_once_at_best_rank(
+        self, spark
+    ):
+        # r13 advice: sharded retrieval backends emit duplicate ids; a
+        # duplicate must not fan out through the full-outer joins
+        # (duplicated output rows, double-counted contribution)
+        from holcstore_spark.operators.similarity import rrf_fuse
+
+        a = self._rank(spark, [(1, 1), (2, 2), (2, 5)])  # dup id 2
+        b = self._rank(spark, [(2, 1)])
+        out = rrf_fuse([a, b], k=10).collect()
+        ids = [r["doc_id"] for r in out]
+        assert sorted(ids) == [1, 2]  # no duplicate output rows
+        got = {r["doc_id"]: r for r in out}
+        # id 2 counts once in list a, at its best rank (2), plus list b
+        assert got[2]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61)
+        assert got[2]["n_lists"] == 2
 
 
 class TestIncrementalSpanDedup:
