@@ -322,80 +322,16 @@ class BandIndex(ForgetMixin):
         contract on the index): every ingest stages one file per band,
         so a long-lived index accretes O(ingests × bands) small files;
         this repacks the bands whose live file count reached
-        ``min_files`` into one file each, as a row-preserving
-        ``compacting=True`` commit (change-feed invisible, commutes
-        with concurrent ingests). Cost is O(fragmentation), never
-        O(index). Returns the number of bands repacked."""
-        from holcstore_spark.sources.txlog import (
-            TxLog,
-            binpack_candidates,
-            exact_rows,
+        ``min_files`` into one file each (dropping tombstone-masked
+        rows — ``optimize(min_files=1)`` is the full erasure pass).
+        The exact row-count proof, the compacting-flag rule and the
+        O(fragmentation) cost bound live in the shared
+        :meth:`~holcstore_spark.sources.index_base.ForgetMixin._optimize_by_chunk`.
+        Returns the number of bands repacked."""
+        return self._optimize_by_chunk(
+            "band_id", ("band_key",), ("band_id", "band_key"),
+            min_files, max_bands,
         )
-
-        snap = self._txlog.snapshot()
-        cands, by_band = binpack_candidates(
-            snap.files["data"], min_files, max_bands
-        )
-        if not cands:
-            return 0
-        # the EXACT erasure invariant: staged rows must equal source
-        # rows minus the tombstone-matched rows, counted independently
-        # (one extra job over the repacked files) — a shortfall beyond
-        # the known-dead rows is a repack bug, not an erasure, and must
-        # still raise (review r13: conditioning the proof on "any
-        # tombstone exists" silently blessed any loss)
-        cand_paths = [os.path.join(self.path, e["path"])
-                      for b in cands for e in by_band[b]]
-        dead = 0
-        if snap.files["meta"]:
-            raw = self.spark.read.schema(self._schema()).parquet(
-                *cand_paths)
-            dead = raw.join(
-                F.broadcast(self.tombstones(snap)),
-                on=self.params["id_col"], how="left_semi",
-            ).count()
-        adds, removes, dropped = [], [], []
-        for b in cands:
-            paths = [os.path.join(self.path, e["path"]) for e in by_band[b]]
-            src = self.spark.read.schema(self._schema()).parquet(*paths)
-            # physical erasure: rows of deleted ids (already masked
-            # from every read) are dropped from the repacked files —
-            # optimize(min_files=1) is the full erasure pass
-            src = self._mask_deleted(src, snap)
-            abs_dir, rel_dir = self._txlog.new_staging_dir()
-            (
-                src.coalesce(1).sortWithinPartitions("band_id", "band_key")
-                .write.mode("overwrite").parquet(abs_dir)
-            )
-            for e in self._txlog.collect_entries(
-                abs_dir, rel_dir, key_cols=("band_key",),
-                chunk_col="band_id",
-            ):
-                if e["rows"]:
-                    adds.append(e)
-                else:
-                    # a fully-erased band stages no live file; note the
-                    # empty staged file so the default sidecar-driven
-                    # vacuum reclaims it (it is referenced nowhere)
-                    dropped.append(e["path"])
-            removes.extend(by_band[b])
-        staged, source = exact_rows(adds), exact_rows(removes)
-        if staged != source - dead:
-            raise RuntimeError(
-                f"optimize repack row mismatch: staged {staged} rows "
-                f"for {source} source rows with {dead} tombstoned "
-                f"across bands {sorted(cands)}"
-            )
-        if dropped:
-            self._txlog.note_orphans(dropped)
-        self._txlog.commit(
-            snap.version, "optimize", TxLog.next_op_id(snap),
-            {"data": adds}, {"data": removes},
-            # a repack that erased rows is a data change, not a pure
-            # layout change — it must not claim compacting
-            touched=set(cands), compacting=dead == 0,
-        )
-        return len(cands)
 
     def vacuum(self, retention_seconds: float = 3600.0,
                deep: bool = False) -> int:

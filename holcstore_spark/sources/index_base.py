@@ -107,6 +107,91 @@ class ForgetMixin:
             on=self.params["id_col"], how="left_anti",
         )
 
+    def _optimize_by_chunk(
+        self,
+        chunk_col: str,
+        key_cols: tuple,
+        sort_cols: tuple,
+        min_files: int,
+        max_chunks: int,
+    ) -> int:
+        """Shared per-chunk small-file binpack + physical-erasure pass
+        for the managed indexes (chunk = band_id for BandIndex, bucket
+        for GramIndex): repacks every chunk whose live file count
+        reached ``min_files`` into one file, dropping tombstone-masked
+        rows, as one commit. Row-count proof: staged rows must equal
+        source rows minus independently-counted tombstoned rows — a
+        shortfall beyond the known-dead rows is a repack bug and
+        raises. A repack that erased rows commits as a data change
+        (``compacting=False``); a pure binpack keeps the
+        row-preservation proof. Cost O(fragmentation), never O(index).
+        Returns the number of chunks repacked."""
+        from holcstore_spark.sources.txlog import (
+            TxLog,
+            binpack_candidates,
+            exact_rows,
+        )
+
+        snap = self._txlog.snapshot()
+        cands, by_chunk = binpack_candidates(
+            snap.files["data"], min_files, max_chunks
+        )
+        if not cands:
+            return 0
+        cand_paths = [os.path.join(self.path, e["path"])
+                      for b in cands for e in by_chunk[b]]
+        dead = 0
+        if snap.files["meta"]:
+            raw = self.spark.read.schema(self._schema()).parquet(
+                *cand_paths)
+            dead = raw.join(
+                F.broadcast(self.tombstones(snap)),
+                on=self.params["id_col"], how="left_semi",
+            ).count()
+        adds, removes, dropped = [], [], []
+        for b in cands:
+            paths = [os.path.join(self.path, e["path"])
+                     for e in by_chunk[b]]
+            src = self.spark.read.schema(self._schema()).parquet(*paths)
+            # physical erasure: rows of deleted ids (already masked
+            # from every read) are dropped from the repacked files —
+            # optimize(min_files=1) is the full erasure pass
+            src = self._mask_deleted(src, snap)
+            abs_dir, rel_dir = self._txlog.new_staging_dir()
+            (
+                src.coalesce(1).sortWithinPartitions(*sort_cols)
+                .write.mode("overwrite").parquet(abs_dir)
+            )
+            for e in self._txlog.collect_entries(
+                abs_dir, rel_dir, key_cols=key_cols,
+                chunk_col=chunk_col,
+            ):
+                if e["rows"]:
+                    adds.append(e)
+                else:
+                    # a fully-erased chunk stages no live file; note the
+                    # empty staged file so the default sidecar-driven
+                    # vacuum reclaims it (it is referenced nowhere)
+                    dropped.append(e["path"])
+            removes.extend(by_chunk[b])
+        staged, source = exact_rows(adds), exact_rows(removes)
+        if staged != source - dead:
+            raise RuntimeError(
+                f"optimize repack row mismatch: staged {staged} rows "
+                f"for {source} source rows with {dead} tombstoned "
+                f"across {chunk_col}s {sorted(cands)}"
+            )
+        if dropped:
+            self._txlog.note_orphans(dropped)
+        self._txlog.commit(
+            snap.version, "optimize", TxLog.next_op_id(snap),
+            {"data": adds}, {"data": removes},
+            # a repack that erased rows is a data change, not a pure
+            # layout change — it must not claim compacting
+            touched=set(cands), compacting=dead == 0,
+        )
+        return len(cands)
+
     def delete(self, ids, txn_app=None, txn_version=None) -> bool:
         """Forget ``ids``: from this commit on they are excluded from
         every read (and therefore from dedup history / search results),
