@@ -896,6 +896,25 @@ def bm25_topk(
     )
     tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    return _bm25_rank(tf, dfreq, dl_frame, stats, id_col, k, k1, b)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl_frame: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared BM25 scoring tail — :func:`bm25_topk` (corpus scan)
+    and :class:`~holcstore_spark.sources.lexical_index.LexicalIndex`
+    (persisted postings) both feed it, so indexed and scanned rankings
+    are bit-identical by construction. Inputs: ``tf``
+    (id, __t, __tf), ``dfreq`` (__t, __df), ``dl_frame`` (id, __dl),
+    ``stats`` (1 row: __n_docs, __total_dl)."""
     # constants as exact Python doubles; the SQL oracle embeds repr() of
     # the SAME values so both engines parse identical doubles
     k1p1, one_b, bb = float(k1) + 1.0, 1.0 - float(b), float(b)

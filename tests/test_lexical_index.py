@@ -1,0 +1,205 @@
+"""LexicalIndex: the managed BM25 postings index (round 14).
+
+The contract under test is VERDICT r13 gap #2: bm25_topk re-tokenized
+the corpus per query; the index must (a) return BIT-IDENTICAL rankings
+to the scan operator (shared scoring tail), (b) read only the query
+terms' bucket files plus the stats stripe (manifest prune — the whole
+point of persisting postings), (c) ingest exactly once under replay,
+and (d) follow the documented Lucene deletion semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from holcstore_spark.sources.lexical_index import (
+    _STATS_BUCKET,
+    LexicalIndex,
+    term_bucket,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+@pytest.fixture()
+def corpus(spark):
+    return docs_df(spark, [
+        (1, "hash join scan hash hash filter"),
+        (2, "join join join order by key"),
+        (3, "scan only here with filler words"),
+        (4, "nothing relevant in this document at all"),
+        (5, "hash once then a very long tail of padding tokens here"),
+    ])
+
+
+def rank_rows(df):
+    return [
+        (r["doc_id"], r["n_terms"], r["score_micro"], r["rank"])
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+class TestIndexedEqualsScan:
+    def test_topk_matches_bm25_operator_exactly(self, spark,
+                                                tmp_store_path, corpus):
+        from holcstore_spark.operators.text import bm25_topk
+
+        idx = LexicalIndex(spark, tmp_store_path)
+        assert idx.ingest(corpus, txn_app="s", txn_version=0)
+        got = rank_rows(idx.topk(["hash", "join", "scan"], k=10))
+        want = rank_rows(bm25_topk(corpus, ["hash", "join", "scan"], k=10))
+        assert got == want
+        # single-term too (different bucket set)
+        assert rank_rows(idx.topk(["join"], k=3)) == rank_rows(
+            bm25_topk(corpus, ["join"], k=3)
+        )
+
+    def test_multi_ingest_stats_accumulate(self, spark, tmp_store_path,
+                                           corpus):
+        from holcstore_spark.operators.text import bm25_topk
+
+        first = corpus.filter(F.col("doc_id") <= 3)
+        second = corpus.filter(F.col("doc_id") > 3)
+        idx = LexicalIndex(spark, tmp_store_path)
+        assert idx.ingest(first, txn_app="s", txn_version=0)
+        assert idx.ingest(second, txn_app="s", txn_version=1)
+        # two commits must equal one-shot indexing of the union
+        got = rank_rows(idx.topk(["hash", "scan"], k=10))
+        want = rank_rows(bm25_topk(corpus, ["hash", "scan"], k=10))
+        assert got == want
+        s = idx.stats().collect()[0]
+        assert s["__n_docs"] == 5
+
+    def test_null_and_empty_text_count_in_n_docs(self, spark,
+                                                 tmp_store_path):
+        from holcstore_spark.operators.text import bm25_topk
+
+        d = docs_df(spark, [(1, "hash join"), (2, None), (3, "")]).withColumn(
+            "text", F.when(F.col("doc_id") == 2, F.lit(None)).otherwise(
+                F.col("text"))
+        )
+        idx = LexicalIndex(spark, tmp_store_path)
+        idx.ingest(d, txn_app="s", txn_version=0)
+        assert idx.stats().collect()[0]["__n_docs"] == 3
+        assert rank_rows(idx.topk(["hash"], k=5)) == rank_rows(
+            bm25_topk(d, ["hash"], k=5)
+        )
+
+
+class TestBucketPruning:
+    def test_query_reads_only_matching_buckets_and_stripe(
+        self, spark, tmp_store_path, corpus
+    ):
+        idx = LexicalIndex(spark, tmp_store_path)
+        idx.ingest(corpus, txn_app="s", txn_version=0)
+        snap = idx._txlog.snapshot()
+        by_path = {
+            os.path.join(idx.path, e["path"]): (e["chunk_min"], e["chunk_max"])
+            for e in snap.files["data"]
+        }
+        # the corpus spreads terms over several buckets; pick one term
+        terms = ["join"]
+        want = {term_bucket(t) for t in terms}
+        read = {
+            "/" + p.split("://", 1)[-1].lstrip("/")
+            for p in idx.postings(terms).inputFiles()
+        }
+        by_path = {
+            "/" + p.split("://", 1)[-1].lstrip("/"): v
+            for p, v in by_path.items()
+        }
+        for p in read:
+            lo, hi = by_path[p]
+            assert any(lo <= b <= hi for b in want), (
+                f"postings read file of bucket [{lo},{hi}] "
+                f"outside query buckets {want}"
+            )
+        # at least one OTHER bucket exists and was NOT read
+        other = [p for p, (lo, hi) in by_path.items()
+                 if not any(lo <= b <= hi for b in want)
+                 and (lo, hi) != (_STATS_BUCKET, _STATS_BUCKET)]
+        assert other, "test corpus must span several buckets"
+        assert not (set(other) & read)
+
+    def test_driver_bucket_matches_engine_bucket(self, spark, corpus):
+        rows = (
+            corpus.select(F.explode(F.split("text", " ")).alias("t"))
+            .distinct()
+            .select(
+                "t",
+                F.conv(F.substring(F.md5("t"), 1, 1), 16, 10)
+                .cast("int").alias("b"),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert term_bucket(r["t"]) == r["b"]
+
+
+class TestExactlyOnce:
+    def test_replayed_ingest_commits_nothing(self, spark, tmp_store_path,
+                                             corpus):
+        idx = LexicalIndex(spark, tmp_store_path)
+        assert idx.ingest(corpus, txn_app="s", txn_version=0)
+        v = idx._txlog.snapshot().version
+        n = idx.stats().collect()[0]["__n_docs"]
+        assert not idx.ingest(corpus, txn_app="s", txn_version=0)
+        assert idx._txlog.snapshot().version == v
+        assert idx.stats().collect()[0]["__n_docs"] == n
+        assert idx.last_txn_version("s") == 0
+
+
+class TestLuceneDeletes:
+    def test_deleted_doc_vanishes_df_updates_stats_hold(
+        self, spark, tmp_store_path, corpus
+    ):
+        idx = LexicalIndex(spark, tmp_store_path)
+        idx.ingest(corpus, txn_app="s", txn_version=0)
+        before = {r["doc_id"] for r in idx.topk(["hash"], k=10).collect()}
+        assert {1, 5} <= before
+        assert idx.delete([1])
+        after = idx.topk(["hash"], k=10).collect()
+        assert 1 not in {r["doc_id"] for r in after}
+        # df now counts live docs only (hash: was 2 docs, now 1)
+        df_hash = idx.postings(["hash"]).groupBy("term").count().collect()
+        assert df_hash[0]["count"] == 1
+        # N keeps the ingested total (documented Lucene semantics)
+        assert idx.stats().collect()[0]["__n_docs"] == 5
+
+    def test_optimize_erases_postings_but_preserves_stripe(
+        self, spark, tmp_store_path, corpus
+    ):
+        idx = LexicalIndex(spark, tmp_store_path)
+        idx.ingest(corpus, txn_app="s", txn_version=0)
+        assert idx.delete([2])
+        assert idx.optimize(min_files=1) > 0
+        snap = idx._txlog.snapshot()
+        raw = spark.read.schema(idx._schema()).parquet(
+            *snap.paths("data", idx.path)
+        )
+        assert raw.filter(F.col("doc_id") == 2).count() == 0
+        stripe = raw.filter(F.col("bucket") == _STATS_BUCKET).collect()
+        assert len(stripe) == 1 and stripe[0]["tf"] == 5
+
+
+class TestGuards:
+    def test_param_mismatch_refused(self, spark, tmp_store_path):
+        LexicalIndex(spark, tmp_store_path, sep=" ")
+        with pytest.raises(ValueError, match="token universe"):
+            LexicalIndex(spark, tmp_store_path, sep=",")
+
+    def test_empty_query_refused(self, spark, tmp_store_path, corpus):
+        idx = LexicalIndex(spark, tmp_store_path)
+        idx.ingest(corpus, txn_app="s", txn_version=0)
+        with pytest.raises(ValueError, match="at least one"):
+            idx.topk([])
+        with pytest.raises(ValueError, match="at least one"):
+            idx.postings([])
