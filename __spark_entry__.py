@@ -3497,6 +3497,27 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 14: the KNN graph built FROM the persisted VectorIndex
+    (VERDICT r13 ask #4): the candidate side consumes the stored list
+    assignment and pre-quantized vectors — no re-assign pass, no
+    quantization, snapshot-pinned (plan-asserted in
+    tests/test_vector_index.py); only the source probes compute. With
+    the whole corpus appended in one batch the space trains exactly
+    like the operator's, so knn_graph's oracle must hash-match — the
+    indexed path can hide no drift."""
+    import shutil
+    from holcstore_spark.sources.vector_index import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="holc_vecidx_")
+    shutil.rmtree(path, ignore_errors=True)
+    vi = VectorIndex(spark, path, n_lists=16, iters=2, dim=64)
+    if not vi.append(e, txn_app="entry", txn_version=0):
+        raise AssertionError("fresh index refused the append")
+    return vi.knn_graph(k=3, n_probe=2)
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style per-domain cap: at most 20 documents per source,
     longest-first (n_chars desc, doc_id tiebreak) — one hash shuffle on
@@ -3728,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "dedup_spans": q_dedup_spans,
         "knn_graph": q_knn_graph,
+        "knn_graph_indexed": q_knn_graph_indexed,
         "domain_cap": q_domain_cap,
         "dsir_select": q_dsir_select,
         "stream_quota": q_stream_quota,
@@ -7075,5 +7097,6 @@ def oracle_sql() -> dict[str, str]:
     # exactly (shared scoring tail / same training), so they share one
     # oracle string — any indexed-path drift hash-mismatches
     out["bm25_indexed"] = out["bm25_search"]
+    out["knn_graph_indexed"] = out["knn_graph"]
     out["hybrid_indexed"] = hybrid_indexed_sql
     return out

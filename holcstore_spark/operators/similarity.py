@@ -1126,104 +1126,133 @@ def knn_graph(
             "__list",
             F.explode(_probe_lists(F.col("__qq"), centroids, n_probe)),
         )
-        id_field = df.schema[id_col]
-        out_schema = T.StructType([
-            T.StructField("src_id", id_field.dataType),
-            T.StructField("neighbor_id", id_field.dataType),
-            T.StructField("score", T.DoubleType()),
-        ])
-        top = int(k)
+        scored = _knn_cogroup_scored(
+            src, cand, df.schema[id_col].dataType, k
+        )
+    return _knn_rank(scored, k)
 
-        def _row_topk(neg, ids, kk):
-            """Exact top-kk of one row by (neg asc, id asc): a vectorized
-            partition finds the kk-th threshold, the (small) candidate
-            set at-or-under it gets the exact lexsort tie-break."""
-            if len(neg) <= kk:
-                order = np.lexsort((ids, neg))
-                return neg[order], ids[order]
-            t = np.partition(neg, kk - 1)[kk - 1]
-            cand = np.flatnonzero(neg <= t)
-            order = cand[np.lexsort((ids[cand], neg[cand]))][:kk]
+
+def _knn_cogroup_scored(
+    src: DataFrame, cand: DataFrame, id_dtype, k: int
+) -> DataFrame:
+    """The KNN-graph family's shared per-list scoring kernel — consumed
+    by :func:`knn_graph` (operator: re-assigns the corpus) and
+    :meth:`VectorIndex.knn_graph` / :meth:`VectorIndex.update_knn_graph`
+    (persisted: stored list assignment). ``src`` is
+    ``(src_id, __qq, __list)`` with one row per probed list; ``cand``
+    is ``(neighbor_id, __cq, __list)`` home-list membership. Emits the
+    LOCAL top-``k`` per (source, probed list); callers finish with
+    :func:`_knn_rank` over n_probe·k rows per source. Both sides
+    shuffle by list ONCE (cogroup) — vectors cross the Arrow boundary
+    once per (probe, list) membership, never once per pair."""
+    out_schema = T.StructType([
+        T.StructField("src_id", id_dtype),
+        T.StructField("neighbor_id", id_dtype),
+        T.StructField("score", T.DoubleType()),
+    ])
+    top = int(k)
+
+    def _row_topk(neg, ids, kk):
+        """Exact top-kk of one row by (neg asc, id asc): a vectorized
+        partition finds the kk-th threshold, the (small) candidate
+        set at-or-under it gets the exact lexsort tie-break."""
+        if len(neg) <= kk:
+            order = np.lexsort((ids, neg))
             return neg[order], ids[order]
+        t = np.partition(neg, kk - 1)[kk - 1]
+        cand = np.flatnonzero(neg <= t)
+        order = cand[np.lexsort((ids[cand], neg[cand]))][:kk]
+        return neg[order], ids[order]
 
-        def list_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0:
-                return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
-            s_ids = left["src_id"].to_numpy()
-            c_ids = right["neighbor_id"].to_numpy()
-            s_arrs = left["__qq"].to_numpy()
-            c_arrs = right["__cq"].to_numpy()
-            out_sid, out_nid, out_neg = [], [], []
-            # BOTH axes chunk, so a skewed list costs s_chunk × c_chunk
-            # score-matrix memory (≈32 MB), never s_chunk × C. The
-            # source side stacks one 512-row int64 block at a time; the
-            # candidate side keeps its chunked int64 blocks (one copy of
-            # C, reused across every source chunk — re-stacking each
-            # pass would cost seconds on a 100k-member list). The
-            # whole-list floor is the Arrow cogroup materialization
-            # itself (list_size × dim × ~8 B on the Python worker) —
-            # inherent to applyInPandas, documented in the docstring.
-            # Blocks merge through a running per-row top-k.
-            # Zero-norm/self scores become a -inf sentinel (emitted as
-            # NULL) so ranking is NaN-free: every real cosine is >= -1,
-            # so -inf ranks after all real scores with id tie-break —
-            # Spark's desc_nulls_last contract.
-            s_chunk, c_chunk = 512, 8192
-            c_blocks = {}
+    def list_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
+        s_ids = left["src_id"].to_numpy()
+        c_ids = right["neighbor_id"].to_numpy()
+        s_arrs = left["__qq"].to_numpy()
+        c_arrs = right["__cq"].to_numpy()
+        out_sid, out_nid, out_neg = [], [], []
+        # BOTH axes chunk, so a skewed list costs s_chunk × c_chunk
+        # score-matrix memory (≈32 MB), never s_chunk × C. The
+        # source side stacks one 512-row int64 block at a time; the
+        # candidate side keeps its chunked int64 blocks (one copy of
+        # C, reused across every source chunk — re-stacking each
+        # pass would cost seconds on a 100k-member list). The
+        # whole-list floor is the Arrow cogroup materialization
+        # itself (list_size × dim × ~8 B on the Python worker) —
+        # inherent to applyInPandas, documented in the docstring.
+        # Blocks merge through a running per-row top-k.
+        # Zero-norm/self scores become a -inf sentinel (emitted as
+        # NULL) so ranking is NaN-free: every real cosine is >= -1,
+        # so -inf ranks after all real scores with id tie-break —
+        # Spark's desc_nulls_last contract.
+        s_chunk, c_chunk = 512, 8192
+        c_blocks = {}
+        for clo in range(0, len(c_arrs), c_chunk):
+            chi = min(clo + c_chunk, len(c_arrs))
+            Cb = np.stack(c_arrs[clo:chi]).astype(np.int64)
+            c_blocks[clo] = (
+                Cb, np.sqrt((Cb * Cb).sum(axis=1).astype(np.float64))
+            )
+        for lo in range(0, len(s_arrs), s_chunk):
+            hi = min(lo + s_chunk, len(s_arrs))
+            Sb = np.stack(s_arrs[lo:hi]).astype(np.int64)
+            snb = np.sqrt((Sb * Sb).sum(axis=1).astype(np.float64))
+            run_neg = [None] * (hi - lo)
+            run_ids = [None] * (hi - lo)
             for clo in range(0, len(c_arrs), c_chunk):
                 chi = min(clo + c_chunk, len(c_arrs))
-                Cb = np.stack(c_arrs[clo:chi]).astype(np.int64)
-                c_blocks[clo] = (
-                    Cb, np.sqrt((Cb * Cb).sum(axis=1).astype(np.float64))
-                )
-            for lo in range(0, len(s_arrs), s_chunk):
-                hi = min(lo + s_chunk, len(s_arrs))
-                Sb = np.stack(s_arrs[lo:hi]).astype(np.int64)
-                snb = np.sqrt((Sb * Sb).sum(axis=1).astype(np.float64))
-                run_neg = [None] * (hi - lo)
-                run_ids = [None] * (hi - lo)
-                for clo in range(0, len(c_arrs), c_chunk):
-                    chi = min(clo + c_chunk, len(c_arrs))
-                    Cb, cnb = c_blocks[clo]
-                    dots = Sb @ Cb.T                     # exact int64
-                    denom = snb[:, None] * cnb[None, :]
-                    zero = denom == 0
-                    ids_blk = c_ids[clo:chi]
-                    self_mask = ids_blk[None, :] == s_ids[lo:hi, None]
-                    scores = dots.astype(np.float64) / np.where(zero, 1.0, denom)
-                    neg = -scores
-                    neg[zero] = np.inf                   # NULL sentinel
-                    for r in range(hi - lo):
-                        keep = ~self_mask[r]
-                        bn, bi = _row_topk(neg[r][keep], ids_blk[keep], top)
-                        if run_neg[r] is not None:
-                            bn = np.concatenate([run_neg[r], bn])
-                            bi = np.concatenate([run_ids[r], bi])
-                            bn, bi = _row_topk(bn, bi, top)
-                        run_neg[r], run_ids[r] = bn, bi
+                Cb, cnb = c_blocks[clo]
+                dots = Sb @ Cb.T                     # exact int64
+                denom = snb[:, None] * cnb[None, :]
+                zero = denom == 0
+                ids_blk = c_ids[clo:chi]
+                self_mask = ids_blk[None, :] == s_ids[lo:hi, None]
+                scores = dots.astype(np.float64) / np.where(zero, 1.0, denom)
+                neg = -scores
+                neg[zero] = np.inf                   # NULL sentinel
                 for r in range(hi - lo):
-                    if run_neg[r] is not None and len(run_neg[r]):
-                        out_sid.append(np.full(len(run_neg[r]), s_ids[lo + r]))
-                        out_nid.append(run_ids[r])
-                        out_neg.append(run_neg[r])
-            if not out_sid:
-                return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
-            neg_all = np.concatenate(out_neg)
-            sc = pd.array(-neg_all, dtype="Float64")
-            sc[np.isinf(neg_all)] = pd.NA
-            return pd.DataFrame({
-                "src_id": np.concatenate(out_sid),
-                "neighbor_id": np.concatenate(out_nid),
-                "score": sc,
-            })
+                    keep = ~self_mask[r]
+                    bn, bi = _row_topk(neg[r][keep], ids_blk[keep], top)
+                    if run_neg[r] is not None:
+                        bn = np.concatenate([run_neg[r], bn])
+                        bi = np.concatenate([run_ids[r], bi])
+                        bn, bi = _row_topk(bn, bi, top)
+                    run_neg[r], run_ids[r] = bn, bi
+            for r in range(hi - lo):
+                if run_neg[r] is not None and len(run_neg[r]):
+                    out_sid.append(np.full(len(run_neg[r]), s_ids[lo + r]))
+                    out_nid.append(run_ids[r])
+                    out_neg.append(run_neg[r])
+        if not out_sid:
+            return pd.DataFrame({"src_id": [], "neighbor_id": [], "score": []})
+        neg_all = np.concatenate(out_neg)
+        sc = pd.array(-neg_all, dtype="Float64")
+        sc[np.isinf(neg_all)] = pd.NA
+        return pd.DataFrame({
+            "src_id": np.concatenate(out_sid),
+            "neighbor_id": np.concatenate(out_nid),
+            "score": sc,
+        })
 
-        scored = (
-            src.groupBy("__list")
-            .cogroup(cand.groupBy("__list"))
-            .applyInPandas(list_topk, schema=out_schema)
-        )
+    return (
+        src.groupBy("__list")
+        .cogroup(cand.groupBy("__list"))
+        .applyInPandas(list_topk, schema=out_schema)
+    )
+
+
+def _knn_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Global per-source top-k over the locally-ranked cogroup
+    output — desc_nulls_last score order, neighbour-id tie-break
+    (the zero-norm NULL contract)."""
     w = Window.partitionBy("src_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("src_id", "neighbor_id", "score")
     )
     return (
         scored.withColumn("__rk", F.row_number().over(w))

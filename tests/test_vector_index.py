@@ -579,3 +579,97 @@ class TestReviewFindingsRound13:
                     on_disk.add(os.path.relpath(
                         os.path.join(root, f), vi.path))
         assert on_disk <= live, f"leaked: {sorted(on_disk - live)}"
+
+
+def _edges(rows):
+    return sorted(
+        (r["src_id"], r["neighbor_id"], r["score"]) for r in rows
+    )
+
+
+class TestIndexedKnnGraph:
+    def test_graph_from_index_equals_operator_with_same_centroids(
+            self, spark, tmp_store_path, emb):
+        from holcstore_spark.operators.similarity import knn_graph
+
+        sub = emb.filter(F.col("vec_id") < 300)
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        assert vi.append(sub, txn_app="b", txn_version=0)
+        got = vi.knn_graph(k=3, n_probe=2).collect()
+        want = knn_graph(sub, k=3, n_lists=4, n_probe=2,
+                         centroids=vi.centroids()).collect()
+        assert _edges(got) == _edges(want)
+
+    def test_candidate_side_has_no_reassign_stage(
+            self, spark, tmp_store_path, emb):
+        # the whole point of the indexed path: the stored list IS the
+        # assignment. The operator computes _assign_to_centroid on the
+        # candidate side (an n_lists-way aggregate over every vector);
+        # the indexed plan must carry probe-assignment expressions for
+        # the SOURCE side only — one aggregate family per plan, not two
+        from holcstore_spark.operators.similarity import knn_graph
+
+        sub = emb.filter(F.col("vec_id") < 300)
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        vi.append(sub, txn_app="b", txn_version=0)
+        idx_plan = vi.knn_graph(k=3, n_probe=2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        op_plan = knn_graph(sub, k=3, n_lists=4, n_probe=2,
+                            centroids=vi.centroids())._jdf \
+            .queryExecution().executedPlan().toString()
+        # assignment/probing are Arrow-batched pandas UDFs
+        # (ArrowEvalPython stages): the operator pays one per side
+        # (_assign_to_centroid on candidates + _probe_lists on
+        # sources), the index exactly ONE (source probes only — the
+        # stored list IS the candidate assignment)
+        assert idx_plan.count("ArrowEvalPython") == 1
+        assert op_plan.count("ArrowEvalPython") == 2
+        # and the operator's quantized() transform never runs on the
+        # indexed path — vec_q is stored pre-quantized
+        assert "transform(" not in idx_plan
+        assert "vec_q" in idx_plan
+
+    def test_filters_restrict_candidates_only(self, spark,
+                                              tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64,
+                         attr_cols={"label": "int"})
+        sub = emb.filter(F.col("vec_id") < 300)
+        vi.append(sub, txn_app="b", txn_version=0)
+        out = vi.knn_graph(k=3, n_probe=2,
+                           filters=F.col("label") != 3).collect()
+        labels = {r["label"] for r in sub.select("vec_id", "label")
+                  .collect() if r["label"] == 3}
+        banned = {r["vec_id"] for r in
+                  sub.filter(F.col("label") == 3).collect()}
+        assert banned, "fixture must contain label-3 vectors"
+        assert not ({r["neighbor_id"] for r in out} & banned)
+        assert {r["src_id"] for r in out} & banned  # sources unfiltered
+
+
+class TestIncrementalKnnGraph:
+    def test_append_then_update_equals_full_rebuild(
+            self, spark, tmp_store_path, emb):
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        base = emb.filter(F.col("vec_id") < 400)
+        batch = emb.filter(
+            (F.col("vec_id") >= 400) & (F.col("vec_id") < 500)
+        )
+        # first append trains the space; the second reuses it, so the
+        # centroids are fixed across the increment — the method contract
+        assert vi.append(base, txn_app="b", txn_version=0)
+        g0 = vi.knn_graph(k=3, n_probe=2)
+        g0_rows = g0.collect()
+        assert vi.append(batch, txn_app="b", txn_version=1)
+        inc = vi.update_knn_graph(
+            spark.createDataFrame(g0_rows, g0.schema), batch,
+            k=3, n_probe=2,
+        ).collect()
+        full = vi.knn_graph(k=3, n_probe=2).collect()
+        assert _edges(inc) == _edges(full)
+        # every indexed vector got its edges
+        assert ({r["src_id"] for r in inc}
+                == {r["vec_id"] for r in vi.df().collect()})
