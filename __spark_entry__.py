@@ -3700,85 +3700,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-13 window: (a) the 26 queries whose last driver
-    # verification was round 10 — the whole store/sync/admin tail the
-    # r12 verdict demanded, plus ffill; (b) queries new or changed-path
-    # this round (index deletion/forget, persisted IVF-PQ, the
-    # version-plumbed persisted IVF, the masked band-index replay, the
-    # ivf entry point whose signature grew min_results=, and the EIGHT
-    # NEW round-13 operators: duplicate-span dedup (one-shot AND
-    # incremental-vs-gram-index), the KNN graph, the per-domain cap,
-    # DSIR selection, the streaming quota, BM25 search
-    # and RRF hybrid search); (c) 11 of
-    # the round-11-verified block, oldest first. The tail is the rest
-    # of the r11 block (rotate round 14) followed by the r12-verified
-    # window.
+    # first. Round-14 window: (a) the whole 33-query round-11-verified
+    # tail block, in registry order (the r13 verdict's ask #1);
+    # (b) the 8 oldest round-12-verified queries; (c) the FIVE NEW
+    # round-14 queries (managed gram-index replay + erasure, persisted
+    # BM25, indexed hybrid search, indexed KNN graph) and the FOUR
+    # whose VALUES or compute path changed this round (bm25_search /
+    # hybrid_search: log2-idf rescoring; dedup_minhash /
+    # dedup_incremental: NULL-text coalesce in the signature path).
+    # The tail is the remaining r12-verified block (rotate round 15)
+    # followed by the r13-verified window.
     return {
-        # -- (a) r10-aged store/sync/admin tail (rotate per VERDICT r12)
-        "ffill": q_ffill,
-        "normalize_minmax": q_normalize_minmax,
-        "min_step": q_min_step,
-        "next_version": q_next_version,
-        "chunk_index": q_chunk_index,
-        "freq_fix": q_freq_fix,
-        "split_at": q_split_at,
-        "store_roundtrip": q_store_roundtrip,
-        "store_set_many": q_store_set_many,
-        "store_update_overlay": q_store_update_overlay,
-        "store_delete_tombstone": q_store_delete_tombstone,
-        "store_meta_aggregates": q_store_meta_aggregates,
-        "store_max_horodate": q_store_max_horodate,
-        "store_get_batch": q_store_get_batch,
-        "store_yield_many": q_store_yield_many,
-        "store_changefeed": q_store_changefeed,
-        "store_acid_ops": q_store_acid_ops,
-        "store_txn": q_store_txn,
-        "kv_find_holes": q_kv_find_holes,
-        "kv_clear": q_kv_clear,
-        "kv_acid_ops": q_kv_acid_ops,
-        "sync_pull": q_sync_pull,
-        "sync_tombstone": q_sync_tombstone,
-        "sync_guards": q_sync_guards,
-        "sync_paged": q_sync_paged,
-        "admin_export": q_admin_export,
-        # -- (b) new or execution path changed this round --------------
-        "dedup_index_forget": q_dedup_index_forget,
-        "ivfpq_persisted": q_ivfpq_persisted,
-        "ivf_persisted": q_ivf_persisted,
-        "dedup_index_replay": q_dedup_index_replay,
-        "similarity_ivf": q_similarity_ivf,
-        "dedup_spans": q_dedup_spans,
-        "knn_graph": q_knn_graph,
-        "knn_graph_indexed": q_knn_graph_indexed,
-        "domain_cap": q_domain_cap,
-        "dsir_select": q_dsir_select,
-        "stream_quota": q_stream_quota,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        "bm25_indexed": q_bm25_indexed,
-        "hybrid_indexed": q_hybrid_indexed,
-        "dedup_spans_incr": q_dedup_spans_incr,
-        "span_index_replay": q_span_index_replay,
-        "span_index_forget": q_span_index_forget,
-        # -- (c) oldest round-11-verified fill --------------------------
-        "rebalance_mix": q_rebalance_mix,
-        "stream_sessions": q_stream_sessions,
-        "stream_dedup": q_stream_dedup,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue": q_top_revenue,
-        "regional_revenue": q_regional_revenue,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        # ====== driver 50-entry window ends here (50 above) ========
-        # -- tail: rest of the round-11-verified block (rotate r14) ----
-        # (segment_dedup / token_pack / lookup_filter / clean_corpus /
-        #  clean_corpus_cc / similarity_bruteforce / semantic_dedup /
-        #  semantic_dedup_capped were displaced from the r13 window by
-        #  the eight NEW round-13 queries above — still r11-verified,
-        #  first in line for r14)
+        # -- (a) r11-verified block (33)
         "segment_dedup": q_segment_dedup,
         "token_pack": q_token_pack,
         "lookup_filter": q_lookup_filter,
@@ -3812,7 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "quality_filter": q_quality_filter,
         "stats_rollup": q_stats_rollup,
-        # -- tail: round-12-verified window ----------------------------
+        # -- (b) oldest r12-verified (8)
         "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
         "value_histogram": q_value_histogram,
@@ -3820,8 +3753,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
-        "stream_sliding": q_stream_sliding,
         "temperature_sample": q_temperature_sample,
+        # -- (c) new-in-r14 + changed-path (9)
+        "span_index_replay": q_span_index_replay,
+        "span_index_forget": q_span_index_forget,
+        "bm25_indexed": q_bm25_indexed,
+        "hybrid_indexed": q_hybrid_indexed,
+        "knn_graph_indexed": q_knn_graph_indexed,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,
+        # -- tail: r12-verified remainder (rotate r15)
+        "stream_sliding": q_stream_sliding,
         "collocations": q_collocations,
         "normalize_text": q_normalize_text,
         "corpus_prep": q_corpus_prep,
@@ -3842,7 +3786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup": q_stream_rollup,
         "similarity_filtered": q_similarity_filtered,
         "pq_filtered": q_pq_filtered,
-        "dedup_incremental": q_dedup_incremental,
         "pq_topk": q_pq_topk,
         "stream_gaps": q_stream_gaps,
         "multimodal_resize": q_multimodal_resize,
@@ -3862,6 +3805,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_optimize": q_store_optimize,
         "cluster_balance": q_cluster_balance,
         "slice_with_delay": q_slice_with_delay,
+        # -- tail: r13-verified window
+        "ffill": q_ffill,
+        "normalize_minmax": q_normalize_minmax,
+        "min_step": q_min_step,
+        "next_version": q_next_version,
+        "chunk_index": q_chunk_index,
+        "freq_fix": q_freq_fix,
+        "split_at": q_split_at,
+        "store_roundtrip": q_store_roundtrip,
+        "store_set_many": q_store_set_many,
+        "store_update_overlay": q_store_update_overlay,
+        "store_delete_tombstone": q_store_delete_tombstone,
+        "store_meta_aggregates": q_store_meta_aggregates,
+        "store_max_horodate": q_store_max_horodate,
+        "store_get_batch": q_store_get_batch,
+        "store_yield_many": q_store_yield_many,
+        "store_changefeed": q_store_changefeed,
+        "store_acid_ops": q_store_acid_ops,
+        "store_txn": q_store_txn,
+        "kv_find_holes": q_kv_find_holes,
+        "kv_clear": q_kv_clear,
+        "kv_acid_ops": q_kv_acid_ops,
+        "sync_pull": q_sync_pull,
+        "sync_tombstone": q_sync_tombstone,
+        "sync_guards": q_sync_guards,
+        "sync_paged": q_sync_paged,
+        "admin_export": q_admin_export,
+        "dedup_index_forget": q_dedup_index_forget,
+        "ivfpq_persisted": q_ivfpq_persisted,
+        "ivf_persisted": q_ivf_persisted,
+        "dedup_index_replay": q_dedup_index_replay,
+        "similarity_ivf": q_similarity_ivf,
+        "dedup_spans": q_dedup_spans,
+        "knn_graph": q_knn_graph,
+        "domain_cap": q_domain_cap,
+        "dsir_select": q_dsir_select,
+        "stream_quota": q_stream_quota,
+        "dedup_spans_incr": q_dedup_spans_incr,
+        "rebalance_mix": q_rebalance_mix,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "regional_revenue": q_regional_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

@@ -101,41 +101,53 @@ def test_registry_source_has_no_duplicate_keys():
 
 #: queries that MUST be inside the driver's first-50 window this round.
 #: Keep this list in sync with the rotation comment in queries():
-#: (a) the 17 queries whose last driver verification was round 8 — the
-#: oldest evidence left in the registry after the round-10 rotation
-#: (the whole dedup family, corpus cleaning, the TPC-H trio, the
-#: streaming dedup/session pair, token_pack, rebalance_mix,
-#: lookup_filter, similarity_bruteforce);
-#: (b) queries whose execution paths change in round 11: semantic_dedup
-#: (mega-cluster exact-dup drop), attr_store_update (AttrStore.delete
-#: key-tuple bound), rest_sync_pull (auth token hook), store_txn
-#: (update/replace-mode idempotent txn), kv_store_overlay (driver-
-#: rewrite row cap).
-ROUND13_WINDOW_MUST = {
-    # (a) last driver-verified r10 — the store/sync/admin tail the r12
-    # verdict demanded rotate in, plus ffill
-    "ffill", "normalize_minmax", "min_step", "next_version",
-    "chunk_index", "freq_fix", "split_at", "store_roundtrip",
-    "store_set_many", "store_update_overlay", "store_delete_tombstone",
-    "store_meta_aggregates", "store_max_horodate", "store_get_batch",
-    "store_yield_many", "store_changefeed", "store_acid_ops",
-    "store_txn", "kv_find_holes", "kv_clear", "kv_acid_ops",
-    "sync_pull", "sync_tombstone", "sync_guards", "sync_paged",
-    "admin_export",
-    # (b) new or changed-path in round 13: index deletion/forget,
-    # persisted IVF-PQ, the version-plumbed persisted IVF, the masked
-    # band-index replay, and the ivf entry point that grew min_results=
-    "dedup_index_forget", "ivfpq_persisted", "ivf_persisted",
-    "dedup_index_replay", "similarity_ivf",
+#: (a) the whole 33-query round-11-verified tail block (the r13
+#: verdict's ask #1); (b) the five NEW round-14 queries (managed
+#: gram-index replay + erasure, persisted BM25, indexed hybrid search,
+#: indexed KNN graph); (c) the four whose values or compute path
+#: changed in round 14 (bm25_search / hybrid_search: log2-idf
+#: rescoring; dedup_minhash / dedup_incremental: NULL-text coalesce in
+#: the JVM signature path).
+ROUND14_WINDOW_MUST = {
+    # (a) r11-verified block
+    "segment_dedup", "token_pack", "lookup_filter", "clean_corpus",
+    "clean_corpus_cc", "similarity_bruteforce", "semantic_dedup",
+    "semantic_dedup_capped", "attr_store_update", "rest_sync_pull",
+    "kv_store_overlay", "blob_interop", "multimodal_meta",
+    "multimodal_decode", "multimodal_jpeg", "multimodal_png",
+    "multimodal_audio", "multimodal_video", "pq_encode",
+    "similarity_lsh", "doc_fingerprints", "similarity_neardup",
+    "text_stats", "lang_quality", "token_bpe", "hash_split",
+    "stratified_sample", "repetition_stats", "pii_redact",
+    "vocab_topk", "dedup_representatives", "quality_filter",
+    "stats_rollup",
+    # (b) new in round 14
+    "span_index_replay", "span_index_forget", "bm25_indexed",
+    "hybrid_indexed", "knn_graph_indexed",
+    # (c) changed values / changed path in round 14
+    "bm25_search", "hybrid_search", "dedup_minhash",
+    "dedup_incremental",
 }
 
 
-def test_driver_window_contains_round13_rotation_set():
-    # every query whose evidence is stale — oldest driver rows, or whose
-    # execution path changed this round — must sit inside the driver's
-    # checked first-50 window
+def test_driver_window_contains_round14_rotation_set():
+    # every query whose evidence is stale — oldest driver rows, new
+    # queries, or changed execution paths — must sit inside the
+    # driver's checked first-50 window
     window = set(list(entry_mod.queries())[:50])
-    missing = ROUND13_WINDOW_MUST - window
+    missing = ROUND14_WINDOW_MUST - window
     assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND13_WINDOW_MUST - set(entry_mod.queries())
+    unknown = ROUND14_WINDOW_MUST - set(entry_mod.queries())
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
+
+
+def test_round14_window_mostly_differs_from_round13():
+    # the rotation contract: >= 45 of the 50 checked queries must be
+    # new evidence vs the round-13 window (which began with ffill and
+    # the store/sync tail)
+    r13_window_head = {"ffill", "normalize_minmax", "min_step",
+                       "store_roundtrip", "sync_pull", "kv_find_holes"}
+    window = set(list(entry_mod.queries())[:50])
+    assert not (r13_window_head & window), (
+        "r13-verified queries re-occupying the window"
+    )
