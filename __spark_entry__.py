@@ -3413,6 +3413,36 @@ def q_dedup_spans_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 14: MATERIALIZED duplicate-span removal — the cleaned
+    corpus under the Lee et al. keep-first rule (every token position
+    covered by a removed 8-gram occurrence dropped, survivors re-joined
+    in order). kept_tokens equals dedup_spans' by construction; the
+    oracle rebuilds the text with an ordered string_agg, so splice
+    points and empty-after-strip documents hash-match too."""
+    from holcstore_spark.operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+def q_span_strip_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 14: incremental strip — the cleaned text of the ingest
+    batch (id % 3 == 0) against the history gram index, the
+    materialization twin of dedup_spans_incr (same removal rule:
+    history hash wins, in-batch keep-first on top)."""
+    from holcstore_spark.operators.dedup import (
+        span_gram_index,
+        strip_duplicate_spans_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return strip_duplicate_spans_incremental(
+        batch, span_gram_index(hist, k=8), k=8
+    )
+
+
 def q_span_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 14: EXACTLY-ONCE managed span-gram index under crash
     replay (sources/gram_index.py GramIndex — VERDICT r13 gap #1
@@ -3702,9 +3732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the oracle each round, so order = least-recently-verified
     # first. Round-14 window: (a) the whole 33-query round-11-verified
     # tail block, in registry order (the r13 verdict's ask #1);
-    # (b) the 8 oldest round-12-verified queries; (c) the FIVE NEW
+    # (b) the 6 oldest round-12-verified queries; (c) the SEVEN NEW
     # round-14 queries (managed gram-index replay + erasure, persisted
-    # BM25, indexed hybrid search, indexed KNN graph) and the FOUR
+    # BM25, indexed hybrid search, indexed KNN graph, one-shot and
+    # incremental span STRIPPING) and the FOUR
     # whose VALUES or compute path changed this round (bm25_search /
     # hybrid_search: log2-idf rescoring; dedup_minhash /
     # dedup_incremental: NULL-text coalesce in the signature path).
@@ -3752,9 +3783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
-        "sliding_rollup": q_sliding_rollup,
-        "temperature_sample": q_temperature_sample,
-        # -- (c) new-in-r14 + changed-path (9)
+        # -- (c) new-in-r14 + changed-path (11)
+        "span_strip": q_span_strip,
+        "span_strip_incr": q_span_strip_incr,
         "span_index_replay": q_span_index_replay,
         "span_index_forget": q_span_index_forget,
         "bm25_indexed": q_bm25_indexed,
@@ -3765,6 +3796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_incremental": q_dedup_incremental,
         # -- tail: r12-verified remainder (rotate r15)
+        "sliding_rollup": q_sliding_rollup,
+        "temperature_sample": q_temperature_sample,
         "stream_sliding": q_stream_sliding,
         "collocations": q_collocations,
         "normalize_text": q_normalize_text,
@@ -5846,6 +5879,96 @@ def oracle_sql() -> dict[str, str]:
                    AS dup_frac
         FROM btoks t LEFT JOIN dup USING (doc_id)
     """
+    # strip oracles: the SAME removal rules materialized — kept token
+    # positions re-joined in document order via ordered string_agg
+    span_strip_sql = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   substr(md5(array_to_string(
+                       ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 16) AS h,
+                   doc_id * 1048576 + i AS okey
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                  FROM toks WHERE len(ws) >= 8)
+        ),
+        agg AS (SELECT h, count(*) AS occ, min(okey) AS frst
+                FROM grams GROUP BY h),
+        removed AS (
+            SELECT g.* FROM grams g JOIN agg a USING (h)
+            WHERE occ >= 2 AND okey <> frst
+        ),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS c
+                FROM removed),
+        pos AS (
+            SELECT doc_id, i AS p, ws[CAST(i AS INT)] AS tok
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                  FROM toks)
+        ),
+        kept AS (
+            SELECT pos.doc_id, pos.p, pos.tok FROM pos
+            LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.c = pos.p
+            WHERE cov.c IS NULL
+        ),
+        reb AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY p) AS text_clean,
+                       count(*) AS kept_tokens FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(reb.text_clean, '') AS text_clean,
+               CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM toks t LEFT JOIN reb USING (doc_id)
+    """
+    span_strip_incr_sql = """
+        WITH btoks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE doc_id % 3 = 0
+        ),
+        hgrams AS (
+            SELECT DISTINCT
+                   substr(md5(array_to_string(
+                       ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 16) AS h
+            FROM (SELECT ws, unnest(range(1, len(ws) - 6)) AS i
+                  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                        WHERE doc_id % 3 <> 0)
+                  WHERE len(ws) >= 8)
+        ),
+        bgrams AS (
+            SELECT doc_id, i AS pos,
+                   substr(md5(array_to_string(
+                       ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 16) AS h,
+                   doc_id * 1048576 + i AS okey
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                  FROM btoks WHERE len(ws) >= 8)
+        ),
+        agg AS (SELECT h, count(*) AS occ, min(okey) AS frst
+                FROM bgrams GROUP BY h),
+        removed AS (
+            SELECT g.* FROM bgrams g JOIN agg a USING (h)
+            LEFT JOIN (SELECT h, TRUE AS hist FROM hgrams) hh USING (h)
+            WHERE hh.hist IS NOT NULL
+               OR (occ >= 2 AND okey <> frst)
+        ),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS c
+                FROM removed),
+        pos AS (
+            SELECT doc_id, i AS p, ws[CAST(i AS INT)] AS tok
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                  FROM btoks)
+        ),
+        kept AS (
+            SELECT pos.doc_id, pos.p, pos.tok FROM pos
+            LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.c = pos.p
+            WHERE cov.c IS NULL
+        ),
+        reb AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY p) AS text_clean,
+                       count(*) AS kept_tokens FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(reb.text_clean, '') AS text_clean,
+               CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM btoks t LEFT JOIN reb USING (doc_id)
+    """
     # forget oracle = the SAME chain with history grams ATTRIBUTED to
     # their first-occurrence doc (min id·2^20+pos key — the GramIndex
     # keeper rule) and every gram owned by a doc_id % 10 == 0 document
@@ -7087,6 +7210,8 @@ def oracle_sql() -> dict[str, str]:
     # derived entries: the indexed paths must equal their scan twins
     # exactly (shared scoring tail / same training), so they share one
     # oracle string — any indexed-path drift hash-mismatches
+    out["span_strip"] = span_strip_sql
+    out["span_strip_incr"] = span_strip_incr_sql
     out["bm25_indexed"] = out["bm25_search"]
     out["knn_graph_indexed"] = out["knn_graph"]
     out["hybrid_indexed"] = hybrid_indexed_sql

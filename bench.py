@@ -45,6 +45,11 @@ LLM_QUERIES = [
     # are); the headline gate is still untouched
     "dedup_spans",
     "knn_graph",
+    # round 14: the persisted-index read paths (each builds its index
+    # in-query from scratch — ingest + search, the honest end-to-end
+    # cost); llm_total again grows, per-query rows stay comparable
+    "bm25_indexed",
+    "knn_graph_indexed",
 ]
 
 

@@ -758,6 +758,66 @@ def strip_duplicate_spans(
         )
         .distinct()
     )
+    return _rebuild_stripped(df, covered, text, id_col, sep)
+
+
+def strip_duplicate_spans_incremental(
+    new_docs: DataFrame,
+    gram_index: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    sep: str = " ",
+) -> DataFrame:
+    """Cleaned text of a NEW batch against a persisted gram index —
+    the strip twin of :func:`duplicate_span_stats_incremental` (same
+    removal rule: history hash always wins, in-batch keep-first on
+    top) and the production materialization path: pair with
+    :class:`~holcstore_spark.sources.gram_index.GramIndex` in a
+    foreachBatch loop — ``idx.ingest(batch, ...)`` for the exactly-
+    once index append, this over ``idx.grams()`` for the cleaned
+    output. Output matches :func:`strip_duplicate_spans`:
+    (id, text_clean, kept_tokens), where kept_tokens equals the stats
+    op's by construction.
+
+    Scale shape: identical to the stats twin (one batch gram shuffle,
+    one hash equi-join against the index, coverage explode doc-
+    partitioned) plus the doc-partitioned rebuild."""
+    grams, _ = _span_occurrences(new_docs, text, id_col, k, sep)
+    agg = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min("__key").alias("__first"),
+    )
+    hist = (
+        gram_index.select(F.col("gram_h").alias("__h"))
+        .distinct()
+        .withColumn("__in_hist", F.lit(True))
+    )
+    covered = (
+        grams.join(agg, on="__h")
+        .join(hist, on="__h", how="left")
+        .filter(
+            F.col("__in_hist").isNotNull()
+            | ((F.col("__occ") >= 2) & (F.col("__key") != F.col("__first")))
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    return _rebuild_stripped(new_docs, covered, text, id_col, sep)
+
+
+def _rebuild_stripped(
+    df: DataFrame, covered: DataFrame, text: str, id_col: str, sep: str
+) -> DataFrame:
+    """Shared doc-partitioned rebuild for the strip family: drop the
+    ``covered`` (id, __pos) token positions, re-join survivors in
+    original order (array_sort over an in-executor struct array —
+    bounded by the per-document token cap, never corpus size)."""
     from holcstore_spark.operators.text import tokens
 
     # same literal-sep tokens() as _span_occurrences: the position space

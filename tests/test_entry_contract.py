@@ -123,7 +123,8 @@ ROUND14_WINDOW_MUST = {
     "stats_rollup",
     # (b) new in round 14
     "span_index_replay", "span_index_forget", "bm25_indexed",
-    "hybrid_indexed", "knn_graph_indexed",
+    "hybrid_indexed", "knn_graph_indexed", "span_strip",
+    "span_strip_incr",
     # (c) changed values / changed path in round 14
     "bm25_search", "hybrid_search", "dedup_minhash",
     "dedup_incremental",

@@ -2167,6 +2167,47 @@ class TestIncrementalSpanDedup:
         assert incr[10][0] == 10 and incr[11][0] == 10
         assert incr[12] == (0, 10) and incr[13] == (10, 0)
 
+    def test_incremental_strip_matches_stats_and_one_shot(self, spark):
+        # round 14: the strip twin — cleaned text against the gram
+        # index, kept_tokens equal to the stats op by construction,
+        # and equal to one-shot strip when history ids precede batch
+        from holcstore_spark.operators.dedup import (
+            duplicate_span_stats_incremental,
+            span_gram_index,
+            strip_duplicate_spans,
+            strip_duplicate_spans_incremental,
+        )
+
+        rows = [
+            (1, "a b c d e f g h i j"),
+            (2, "p q r s t u v w x y"),
+            (10, "x a b c d e f g h i j y"),
+            (12, "fresh words only in the batch here now ok fine"),
+            (13, "fresh words only in the batch here now ok fine"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        hist = d.filter(F.col("doc_id") < 10)
+        batch = d.filter(F.col("doc_id") >= 10)
+        idx = span_gram_index(hist, k=8)
+        stripped = {r["doc_id"]: r for r in
+                    strip_duplicate_spans_incremental(
+                        batch, idx, k=8).collect()}
+        stats = {r["doc_id"]: r for r in
+                 duplicate_span_stats_incremental(
+                     batch, idx, k=8).collect()}
+        for i in stripped:
+            assert stripped[i]["kept_tokens"] == stats[i]["kept_tokens"]
+        one_shot = {r["doc_id"]: r for r in
+                    strip_duplicate_spans(d, k=8).collect()
+                    if r["doc_id"] >= 10}
+        assert {i: (r["text_clean"], r["kept_tokens"])
+                for i, r in stripped.items()} == \
+               {i: (r["text_clean"], r["kept_tokens"])
+                for i, r in one_shot.items()}
+        # the copied 10-token span is gone, the splice points remain
+        assert stripped[10]["text_clean"] == "x y"
+        assert stripped[13]["text_clean"] == ""
+
     def test_index_has_no_ids_and_dedups_hashes(self, spark):
         from holcstore_spark.operators.dedup import span_gram_index
 
