@@ -3776,7 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "quality_filter": q_quality_filter,
         "stats_rollup": q_stats_rollup,
-        # -- (b) oldest r12-verified (8)
+        # -- (b) oldest r12-verified (6)
         "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
         "value_histogram": q_value_histogram,

@@ -909,6 +909,23 @@ def duplicate_span_stats_incremental(
     index is never re-hashed and its ids/positions are never read —
     it has none."""
     grams, per_doc = _span_occurrences(new_docs, text, id_col, k, sep)
+    return _span_stats_from_grams(grams, per_doc, gram_index, id_col, k)
+
+
+def _span_stats_from_grams(
+    grams: DataFrame,
+    per_doc: DataFrame,
+    gram_index: DataFrame,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """The stats tail of :func:`duplicate_span_stats_incremental` over a
+    PRE-BUILT gram-occurrence frame — split out so
+    :class:`~holcstore_spark.sources.gram_index.GramIndex.ingest` can
+    materialize ``_span_occurrences`` ONCE and feed both this and its
+    new-gram append from the same checkpointed frame (the batch's md5
+    explode is the dominant per-batch cost; recomputing it per consumer
+    would double it)."""
     agg = grams.groupBy("__h").agg(
         F.count(F.lit(1)).alias("__occ"),
         F.min("__key").alias("__first"),

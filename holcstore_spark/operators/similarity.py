@@ -1254,11 +1254,6 @@ def _knn_rank(scored: DataFrame, k: int) -> DataFrame:
         .filter(F.col("__rk") <= k)
         .select("src_id", "neighbor_id", "score")
     )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select("src_id", "neighbor_id", "score")
-    )
 
 
 def rrf_fuse(

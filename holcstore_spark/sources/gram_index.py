@@ -295,19 +295,23 @@ class GramIndex(ForgetMixin):
         the watermark, and STILL returns identical stats — the
         exactly-once contract for the whole foreachBatch body.
 
-        Scale shape: ONE gram-hash shuffle for the batch aggregate,
-        one hash equi-join against the index (AQE broadcasts the
-        smaller side), one anti-join for the new-gram set; history is
-        never re-hashed. Concurrency follows the BandIndex contract:
-        batches sequential per stream; concurrent writers commit
-        safely (pure appends commute) but dedup against pre-race
-        snapshots; sequence deletes through the same stream.
+        Scale shape: the batch's gram-occurrence frame (the md5
+        explode — the dominant per-batch cost) is built and
+        MATERIALIZED once (localCheckpoint) and feeds both the stats
+        and the new-gram append; then ONE gram-hash shuffle for the
+        batch aggregate, one hash equi-join against the index (AQE
+        broadcasts the smaller side), one anti-join for the new-gram
+        set; history is never re-hashed. Concurrency follows the
+        BandIndex contract: batches sequential per stream; concurrent
+        writers commit safely (pure appends commute) but dedup against
+        pre-race snapshots; sequence deletes through the same stream.
         """
         from holcstore_spark.operators.dedup import (
             _SPAN_POS_BITS,
             _span_occurrences,
-            duplicate_span_stats_incremental,
+            _span_stats_from_grams,
         )
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
         from holcstore_spark.sources.txlog import TxLog, resolve_txn
 
         p = self.params
@@ -323,17 +327,23 @@ class GramIndex(ForgetMixin):
         hist = self.df(snap).join(
             batch_ids, on=p["id_col"], how="left_anti"
         )
-        stats = duplicate_span_stats_incremental(
-            new_docs, hist.select("gram_h"), text=text,
-            id_col=p["id_col"], k=p["k"], sep=p["sep"],
-        )
-        if txn_id is not None and (
+        replay = txn_id is not None and (
             txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
-        ):
-            return stats  # replay: grams already live, commit skipped
-        grams, _ = _span_occurrences(
+        )
+        grams, per_doc = _span_occurrences(
             new_docs, text, p["id_col"], p["k"], p["sep"]
         )
+        if not replay:
+            # materialized once: the gram explode feeds BOTH the stats
+            # below and the new-gram append — without this the md5
+            # lineage runs twice per batch (review r14). A replay never
+            # appends, so it skips the checkpoint cost too.
+            grams = safe_local_checkpoint(grams)
+        stats = _span_stats_from_grams(
+            grams, per_doc, hist.select("gram_h"), p["id_col"], p["k"]
+        )
+        if replay:
+            return stats  # replay: grams already live, commit skipped
         # the batch's new grams: first in-batch occurrence wins the
         # attribution (keeper id decoded from the min key — arithmetic
         # shiftright, floor semantics for negative ids), history-known

@@ -761,16 +761,21 @@ class VectorIndex(ForgetMixin):
         new_docs: DataFrame,
         k: int = 3,
         n_probe: int = 2,
+        expected_space_version: "int | None" = None,
     ) -> DataFrame:
         """Incremental KNN-graph maintenance (VERDICT r13 ask #6):
         given ``prev_graph`` — the exact :meth:`knn_graph` output over
         the index BEFORE the latest :meth:`append` of ``new_docs`` —
         produce the graph over the post-append index WITHOUT a full
-        rebuild. Call AFTER the append, same ``k``/``n_probe``; caller
-        contract: the space must not have retrained since
-        ``prev_graph`` was built (old-space edges and new-space probes
-        do not compose — rebuild with :meth:`knn_graph` after a
-        retrain).
+        rebuild. Call AFTER the append, same ``k``/``n_probe``; the
+        space must not have retrained since ``prev_graph`` was built
+        (old-space edges and new-space probes do not compose — rebuild
+        with :meth:`knn_graph` after a retrain). Pass
+        ``expected_space_version`` — captured via
+        :meth:`active_space_version` when the previous graph was built
+        — to make a violated contract FAIL LOUDLY instead of returning
+        a plausible-but-wrong graph (review r14); without it the
+        contract is on the caller's honor.
 
         Two bounded passes instead of corpus × corpus:
 
@@ -799,7 +804,17 @@ class VectorIndex(ForgetMixin):
 
         p = self.params
         snap = self._txlog.snapshot()
-        cents = self._cents_for(self.active_space_version(snap))
+        space_v = self.active_space_version(snap)
+        if (expected_space_version is not None
+                and space_v != expected_space_version):
+            raise RuntimeError(
+                f"update_knn_graph: index space retrained (version "
+                f"{space_v}, prev_graph built at "
+                f"{expected_space_version}) — old-space edges and "
+                "new-space probes do not compose; rebuild with "
+                "knn_graph()"
+            )
+        cents = self._cents_for(space_v)
         id_t = self._schema()[p["id_col"]].dataType
         rows = self.df(snap=snap)
         new_ids = new_docs.select(

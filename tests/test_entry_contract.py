@@ -142,13 +142,34 @@ def test_driver_window_contains_round14_rotation_set():
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
 
 
+#: the EXACT round-13 driver window (CORRECTNESS_r13 keys, in order) —
+#: frozen here so the rotation contract below is enforced against the
+#: real set, not a sample
+R13_WINDOW = {
+    "ffill", "normalize_minmax", "min_step", "next_version",
+    "chunk_index", "freq_fix", "split_at", "store_roundtrip",
+    "store_set_many", "store_update_overlay", "store_delete_tombstone",
+    "store_meta_aggregates", "store_max_horodate", "store_get_batch",
+    "store_yield_many", "store_changefeed", "store_acid_ops",
+    "store_txn", "kv_find_holes", "kv_clear", "kv_acid_ops",
+    "sync_pull", "sync_tombstone", "sync_guards", "sync_paged",
+    "admin_export", "dedup_index_forget", "ivfpq_persisted",
+    "ivf_persisted", "dedup_index_replay", "similarity_ivf",
+    "dedup_spans", "knn_graph", "domain_cap", "dsir_select",
+    "stream_quota", "bm25_search", "hybrid_search", "dedup_spans_incr",
+    "rebalance_mix", "stream_sessions", "stream_dedup",
+    "pricing_summary", "top_revenue", "regional_revenue", "dedup_exact",
+    "dedup_minhash", "dedup_jaccard", "dedup_simhash", "dedup_clusters",
+}
+
+
 def test_round14_window_mostly_differs_from_round13():
-    # the rotation contract: >= 45 of the 50 checked queries must be
-    # new evidence vs the round-13 window (which began with ffill and
-    # the store/sync tail)
-    r13_window_head = {"ffill", "normalize_minmax", "min_step",
-                       "store_roundtrip", "sync_pull", "kv_find_holes"}
+    # the rotation contract: >= 45 of the 50 checked queries must carry
+    # NEW evidence vs the round-13 window; only changed-path queries
+    # (bm25_search / hybrid_search / dedup_minhash) legitimately repeat
+    assert len(R13_WINDOW) == 50
     window = set(list(entry_mod.queries())[:50])
-    assert not (r13_window_head & window), (
-        "r13-verified queries re-occupying the window"
+    overlap = window & R13_WINDOW
+    assert len(overlap) <= 5, (
+        f"window re-verifies too many r13 queries: {sorted(overlap)}"
     )

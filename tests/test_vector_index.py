@@ -640,8 +640,6 @@ class TestIndexedKnnGraph:
         vi.append(sub, txn_app="b", txn_version=0)
         out = vi.knn_graph(k=3, n_probe=2,
                            filters=F.col("label") != 3).collect()
-        labels = {r["label"] for r in sub.select("vec_id", "label")
-                  .collect() if r["label"] == 3}
         banned = {r["vec_id"] for r in
                   sub.filter(F.col("label") == 3).collect()}
         assert banned, "fixture must contain label-3 vectors"
