@@ -238,3 +238,63 @@ class TestGuards:
         # replayed bulk load refused, nothing staged
         assert not idx.append_grams(seed, txn_app="seed", txn_version=0)
         assert idx.df().count() == n
+
+
+class TestRealStreamReplay:
+    def test_foreachbatch_survives_checkpoint_loss(self, spark,
+                                                   tmp_store_path):
+        """The documented streaming recipe through a REAL Structured
+        Streaming query: foreachBatch ingests each micro-batch with
+        txn_version=batch_id, the checkpoint is then DELETED
+        (worst-case driver crash) and the query re-run — batch ids
+        restart at 0, every batch replays, and both the index AND the
+        written per-batch stats must end bit-identical to the single
+        application."""
+        import shutil
+
+        src = os.path.join(tmp_store_path, "src")
+        ckpt = os.path.join(tmp_store_path, "ckpt")
+        out = os.path.join(tmp_store_path, "out")
+        os.makedirs(src)
+        pd.DataFrame({
+            "doc_id": [1, 2, 10],
+            "text": [
+                "a b c d e f g h i j",
+                "k l m n o p q r s t",
+                "x1 x2 c d e f g x3 x4",   # repeats doc 1's span
+            ],
+        }).to_parquet(os.path.join(src, "b0.parquet"))
+        idx = GramIndex(spark, os.path.join(tmp_store_path, "idx"), k=K)
+
+        def sink(batch, batch_id):
+            stats = idx.ingest(batch, txn_app="stream",
+                               txn_version=batch_id)
+            stats.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={batch_id}")
+            )
+
+        def run():
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+
+        run()
+        rows_1 = sorted(map(tuple, idx.df().collect()))
+        stats_1 = sorted(map(tuple, spark.read.parquet(
+            os.path.join(out, "batch=0")).collect()))
+        dup = {r["doc_id"]: r["dup_tokens"] for r in spark.read.parquet(
+            os.path.join(out, "batch=0")).collect()}
+        assert dup[10] == 5 and dup[1] == 0  # in-batch keep-first held
+        assert idx.last_txn_version("stream") == 0
+        shutil.rmtree(ckpt)  # driver crash, checkpoint gone
+        run()                # batch 0 replays wholesale
+        assert sorted(map(tuple, idx.df().collect())) == rows_1, \
+            "replayed stream changed the index"
+        assert sorted(map(tuple, spark.read.parquet(
+            os.path.join(out, "batch=0")).collect())) == stats_1
