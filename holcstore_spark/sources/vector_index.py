@@ -777,6 +777,15 @@ class VectorIndex(ForgetMixin):
         a plausible-but-wrong graph (review r14); without it the
         contract is on the caller's honor.
 
+        Deletes do NOT compose either: a :meth:`delete` between graph
+        builds leaves ``prev_graph`` holding edges to (and from) the
+        forgotten vectors, and while those edges could be filtered
+        here, the vacated top-k SLOTS cannot be backfilled without
+        rescoring every affected source — exactly the work the
+        increment exists to avoid. After a delete, rebuild with
+        :meth:`knn_graph` (which reads the tombstone-masked index and
+        is correct by construction).
+
         Two bounded passes instead of corpus × corpus:
 
         - NEW sources: the appended vectors probe their ``n_probe``
