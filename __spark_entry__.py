@@ -3413,6 +3413,25 @@ def q_dedup_spans_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 14: the Gopher quality-filter rules (Rae et al. 2021,
+    appendix A1.1) as per-document flags + metrics — the standard
+    first-pass heuristic gate of a pretraining pipeline, pure per-row
+    whole-stage-codegen projection (no shuffle, no UDF)."""
+    from holcstore_spark.operators.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len", "symbol_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac",
+        F.col("gopher_stop_hits").cast("long").alias("gopher_stop_hits"),
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+        "rule_stopwords", "gopher_pass",
+    )
+
+
 def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 14: MATERIALIZED duplicate-span removal — the cleaned
     corpus under the Lee et al. keep-first rule (every token position
@@ -3782,7 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "doc_chunks": q_doc_chunks,
         "embed_quantize": q_embed_quantize,
-        "lm_surprisal": q_lm_surprisal,
+        "gopher_quality": q_gopher_quality,
         # -- (c) new-in-r14 + changed-path (11)
         "span_strip": q_span_strip,
         "span_strip_incr": q_span_strip_incr,
@@ -3796,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_incremental": q_dedup_incremental,
         # -- tail: r12-verified remainder (rotate r15)
+        "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
         "temperature_sample": q_temperature_sample,
         "stream_sliding": q_stream_sliding,
@@ -5969,6 +5989,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens
         FROM btoks t LEFT JOIN reb USING (doc_id)
     """
+    gopher_quality_sql = """
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(coalesce(text, ''), ' ') AS ws,
+                   string_split(coalesce(text, ''), chr(10)) AS ls,
+                   coalesce(text, '') AS t
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(ws, w -> length(w)))
+                        AS DOUBLE) / len(ws) AS mean_word_len,
+                   CAST((length(t) - length(replace(t, '#', '')))
+                        + (length(t) - length(replace(t, '...', ''))) / 3
+                        AS DOUBLE) / len(ws) AS symbol_ratio,
+                   CAST(len(list_filter(ls, l ->
+                            starts_with(l, '- ') OR starts_with(l, '* ')
+                            OR starts_with(l, chr(8226))))
+                        AS DOUBLE) / len(ls) AS bullet_line_frac,
+                   CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+                        AS DOUBLE) / len(ls) AS ellipsis_line_frac,
+                   CAST(len(list_filter(ws, w ->
+                            regexp_matches(w, '[A-Za-z]')))
+                        AS DOUBLE) / len(ws) AS alpha_word_frac,
+                   CAST(len(list_filter(
+                            ['the','be','to','of','and','that','have',
+                             'with'],
+                            s -> list_contains(ws, s))) AS BIGINT)
+                       AS gopher_stop_hits
+            FROM base
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               gopher_stop_hits,
+               (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AS rule_mean_word_len,
+               (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+               (bullet_line_frac <= 0.9) AS rule_bullet_lines,
+               (ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+               (alpha_word_frac >= 0.8) AS rule_alpha_words,
+               (gopher_stop_hits >= 2) AS rule_stopwords,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AND (symbol_ratio <= 0.1)
+                AND (bullet_line_frac <= 0.9)
+                AND (ellipsis_line_frac <= 0.3)
+                AND (alpha_word_frac >= 0.8)
+                AND (gopher_stop_hits >= 2)) AS gopher_pass
+        FROM m
+    """
     # forget oracle = the SAME chain with history grams ATTRIBUTED to
     # their first-occurrence doc (min id·2^20+pos key — the GramIndex
     # keeper rule) and every gram owned by a doc_id % 10 == 0 document
@@ -7210,6 +7282,7 @@ def oracle_sql() -> dict[str, str]:
     # derived entries: the indexed paths must equal their scan twins
     # exactly (shared scoring tail / same training), so they share one
     # oracle string — any indexed-path drift hash-mismatches
+    out["gopher_quality"] = gopher_quality_sql
     out["span_strip"] = span_strip_sql
     out["span_strip_incr"] = span_strip_incr_sql
     out["bm25_indexed"] = out["bm25_search"]

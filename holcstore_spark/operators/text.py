@@ -127,6 +127,107 @@ def quality_score(df: DataFrame, text: str = "text",
     )
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text: str = "text",
+) -> DataFrame:
+    """The Gopher quality-filter rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1) as per-document
+    boolean flags plus the metrics they test — the standard first-pass
+    heuristic gate of an LLM pretraining pipeline, kept SEPARATE from
+    the pass/fail verdict so a pipeline can tune thresholds or audit
+    which rule rejected a document:
+
+    - ``rule_word_count``: 50 ≤ words ≤ 100,000
+    - ``rule_mean_word_len``: mean word length in [3, 10]
+    - ``rule_symbol_ratio``: (# chars + '...' occurrences) / words
+      ≤ 0.1
+    - ``rule_bullet_lines``: ≤ 90% of lines start with a bullet
+    - ``rule_ellipsis_lines``: ≤ 30% of lines end with '...'
+    - ``rule_alpha_words``: ≥ 80% of words contain an alphabetic char
+    - ``rule_stopwords``: ≥ 2 distinct members of the 8-word Gopher
+      stop set ({the, be, to, of, and, that, have, with}) appear
+    - ``gopher_pass``: every rule holds
+
+    Engine-portable by construction: integer counts (lengths, replace
+    deltas, filtered-array sizes) with one correctly-rounded IEEE
+    divide per ratio — no regex beyond a per-word ``[A-Za-z]`` class,
+    no locale, no tokenizer model. NULL text coalesces to '' (fails
+    the word-count rule, as the paper intends for empty documents).
+
+    Scale shape: pure per-row projection — no shuffle, no UDF, whole-
+    stage codegen; at 100 TB this runs at scan speed inside the same
+    stage as the read."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    toks = tokens(t)
+    n_words = F.size(toks)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    mean_word_len = word_chars.cast("double") / n_words
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    bullet_lines = F.size(F.filter(
+        lines,
+        lambda ln: ln.startswith("- ") | ln.startswith("* ")
+        | ln.startswith("•"),
+    ))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...")
+    ))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(toks, s),
+    ))
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn(
+            "bullet_line_frac",
+            bullet_lines.cast("double") / n_lines,
+        )
+        .withColumn(
+            "ellipsis_line_frac",
+            ellipsis_lines.cast("double") / n_lines,
+        )
+        .withColumn(
+            "alpha_word_frac", alpha_words.cast("double") / n_words
+        )
+        .withColumn("gopher_stop_hits", stop_hits)
+    )
+    rules = {
+        "rule_word_count":
+            (F.col("n_words") >= 50) & (F.col("n_words") <= 100000),
+        "rule_mean_word_len":
+            (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0),
+        "rule_symbol_ratio": F.col("symbol_ratio") <= 0.1,
+        "rule_bullet_lines": F.col("bullet_line_frac") <= 0.9,
+        "rule_ellipsis_lines": F.col("ellipsis_line_frac") <= 0.3,
+        "rule_alpha_words": F.col("alpha_word_frac") >= 0.8,
+        "rule_stopwords": F.col("gopher_stop_hits") >= 2,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    verdict = None
+    for name in rules:
+        c = F.col(name)
+        verdict = c if verdict is None else (verdict & c)
+    return out.withColumn("gopher_pass", verdict)
+
+
 def quality_top_fraction(
     df: DataFrame,
     frac: float,

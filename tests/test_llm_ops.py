@@ -2074,6 +2074,56 @@ class TestBm25:
             bm25_topk(corpus, [])
 
 
+class TestGopherRules:
+    def test_each_rule_fires_on_its_own_pathology(self, spark):
+        from holcstore_spark.operators.text import gopher_rules
+
+        good = ("the quick brown fox likes to be of and that have "
+                "with plenty " * 6).strip()          # 66 words, natural
+        rows = [
+            (1, good),
+            (2, "short doc"),                         # word count
+            (3, " ".join(["a"] * 60)),                # mean len < 3
+            (4, good + " " + "#" * 40),               # symbol ratio
+            (5, "\n".join(["- bullet line"] * 10)),   # bullets (+count)
+            (6, "\n".join([good] + ["trailing..."] * 9)),  # ellipses
+            (7, " ".join(["123"] * 60)),              # alpha words
+            (8, ("zork gronk blorp fleem quux " * 12).strip()),  # stops
+            (9, None),                                # NULL text
+        ]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+                {"text": "object"})
+        )
+        out = {r["doc_id"]: r for r in gopher_rules(d).collect()}
+        assert out[1]["gopher_pass"] is True
+        assert out[2]["rule_word_count"] is False
+        assert out[3]["rule_mean_word_len"] is False
+        assert out[4]["rule_symbol_ratio"] is False
+        assert out[5]["rule_bullet_lines"] is False
+        assert out[6]["rule_ellipsis_lines"] is False
+        assert out[7]["rule_alpha_words"] is False
+        assert out[8]["rule_stopwords"] is False
+        # NULL coalesces to '': fails word count, never crashes
+        assert out[9]["rule_word_count"] is False
+        assert out[9]["gopher_pass"] is False
+        # every pathological doc fails overall
+        assert all(not out[i]["gopher_pass"] for i in range(2, 10))
+
+    def test_metrics_are_sane(self, spark):
+        from holcstore_spark.operators.text import gopher_rules
+
+        d = spark.createDataFrame(
+            pd.DataFrame([(1, "alpha beta gamma")],
+                         columns=["doc_id", "text"])
+        )
+        r = gopher_rules(d).collect()[0]
+        assert r["n_words"] == 3
+        assert r["mean_word_len"] == pytest.approx(14 / 3)
+        assert r["alpha_word_frac"] == 1.0
+        assert r["gopher_stop_hits"] == 0
+
+
 class TestRrfFuse:
     def _rank(self, spark, pairs):
         return spark.createDataFrame(
