@@ -3413,6 +3413,19 @@ def q_dedup_spans_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 14: the C4 cleaning heuristics (Raffel et al. 2020, §2.2)
+    — line-level terminal-punctuation/word-count filtering plus
+    page-level lorem-ipsum / brace / 3-sentence rejection, as a pure
+    per-row projection (no shuffle, no UDF)."""
+    from holcstore_spark.operators.text import c4_rules
+
+    return c4_rules(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_c4", "n_lines", "n_lines_kept", "n_sentences",
+        "has_lorem_ipsum", "has_brace", "c4_keep",
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 14: the Gopher quality-filter rules (Rae et al. 2021,
     appendix A1.1) as per-document flags + metrics — the standard
@@ -3800,8 +3813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_slice": q_time_slice,
         "value_histogram": q_value_histogram,
         "doc_chunks": q_doc_chunks,
-        "embed_quantize": q_embed_quantize,
         "gopher_quality": q_gopher_quality,
+        "c4_quality": q_c4_quality,
         # -- (c) new-in-r14 + changed-path (11)
         "span_strip": q_span_strip,
         "span_strip_incr": q_span_strip_incr,
@@ -3815,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_incremental": q_dedup_incremental,
         # -- tail: r12-verified remainder (rotate r15)
+        "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
         "temperature_sample": q_temperature_sample,
@@ -5989,6 +6003,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens
         FROM btoks t LEFT JOIN reb USING (doc_id)
     """
+    c4_quality_sql = """
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(coalesce(text, ''), chr(10)) AS ls,
+                   coalesce(text, '') AS t
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   coalesce(array_to_string(list_filter(ls, l ->
+                       (ends_with(l, '.') OR ends_with(l, '!')
+                        OR ends_with(l, '?') OR ends_with(l, '"'))
+                       AND len(string_split(l, ' ')) >= 5), chr(10)),
+                       '') AS text_c4,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(ls, l ->
+                       (ends_with(l, '.') OR ends_with(l, '!')
+                        OR ends_with(l, '?') OR ends_with(l, '"'))
+                       AND len(string_split(l, ' ')) >= 5)) AS BIGINT)
+                       AS n_lines_kept,
+                   (lower(t) LIKE '%lorem ipsum%') AS has_lorem_ipsum,
+                   (t LIKE '%{%') AS has_brace
+            FROM base
+        ),
+        s AS (
+            SELECT *,
+                   CAST((length(text_c4)
+                         - length(replace(text_c4, '.', '')))
+                        + (length(text_c4)
+                           - length(replace(text_c4, '!', '')))
+                        + (length(text_c4)
+                           - length(replace(text_c4, '?', '')))
+                        AS BIGINT) AS n_sentences
+            FROM m
+        )
+        SELECT doc_id, text_c4, n_lines, n_lines_kept, n_sentences,
+               has_lorem_ipsum, has_brace,
+               (n_sentences >= 3 AND NOT has_lorem_ipsum
+                AND NOT has_brace) AS c4_keep
+        FROM s
+    """
     gopher_quality_sql = """
         WITH base AS (
             SELECT doc_id,
@@ -7282,6 +7337,7 @@ def oracle_sql() -> dict[str, str]:
     # derived entries: the indexed paths must equal their scan twins
     # exactly (shared scoring tail / same training), so they share one
     # oracle string — any indexed-path drift hash-mismatches
+    out["c4_quality"] = c4_quality_sql
     out["gopher_quality"] = gopher_quality_sql
     out["span_strip"] = span_strip_sql
     out["span_strip_incr"] = span_strip_incr_sql

@@ -228,6 +228,70 @@ def gopher_rules(
     return out.withColumn("gopher_pass", verdict)
 
 
+def c4_rules(
+    df: DataFrame,
+    text: str = "text",
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2) — the
+    other canonical public filter set next to :func:`gopher_rules`,
+    combining LINE-level cleaning with PAGE-level rejection:
+
+    - lines are kept only when they end in terminal punctuation
+      (``. ! ? "``) AND contain ≥ 5 words; ``text_c4`` is the kept
+      lines re-joined (newline-separated), ``n_lines_kept`` the count;
+    - pages are dropped (``c4_keep`` false) when the kept text has
+      fewer than 3 sentences (terminal-punctuation occurrences), when
+      the page contains "lorem ipsum" (case-insensitive), or when it
+      contains a curly brace (code);
+    - the paper's bad-words list is deliberately NOT implemented (a
+      policy list, not an algorithm — supply one via a plain filter);
+      its 3-sentence span dedup is the duplicate-span family
+      (:func:`~holcstore_spark.operators.dedup.strip_duplicate_spans`).
+
+    Same engine-portable discipline as :func:`gopher_rules`: splits,
+    suffix tests and replace-delta counts only — a pure per-row
+    projection, no shuffle, no UDF, scan-speed at 100 TB."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    lines = F.split(t, "\n")
+    is_kept = (
+        lambda ln: (
+            ln.endswith(".") | ln.endswith("!") | ln.endswith("?")
+            | ln.endswith('"')
+        )
+        & (F.size(F.split(ln, " ")) >= 5)
+    )
+    kept_lines = F.filter(lines, is_kept)
+    text_c4 = F.array_join(kept_lines, "\n")
+
+    def occurrences(col: Column, s: str) -> Column:
+        return (
+            F.length(col) - F.length(F.replace(col, F.lit(s), F.lit("")))
+        ) / F.lit(len(s)) if len(s) > 1 else (
+            F.length(col) - F.length(F.replace(col, F.lit(s), F.lit("")))
+        )
+
+    n_sentences = (
+        occurrences(text_c4, ".") + occurrences(text_c4, "!")
+        + occurrences(text_c4, "?")
+    )
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return (
+        df.withColumn("text_c4", text_c4)
+        .withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn(
+            "n_lines_kept", F.size(kept_lines).cast("long")
+        )
+        .withColumn("n_sentences", n_sentences.cast("long"))
+        .withColumn("has_lorem_ipsum", has_lorem)
+        .withColumn("has_brace", has_brace)
+        .withColumn(
+            "c4_keep",
+            (F.col("n_sentences") >= 3) & ~has_lorem & ~has_brace,
+        )
+    )
+
+
 def quality_top_fraction(
     df: DataFrame,
     frac: float,

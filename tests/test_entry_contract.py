@@ -124,7 +124,7 @@ ROUND14_WINDOW_MUST = {
     # (b) new in round 14
     "span_index_replay", "span_index_forget", "bm25_indexed",
     "hybrid_indexed", "knn_graph_indexed", "span_strip",
-    "span_strip_incr",
+    "span_strip_incr", "gopher_quality", "c4_quality",
     # (c) changed values / changed path in round 14
     "bm25_search", "hybrid_search", "dedup_minhash",
     "dedup_incremental",

@@ -2124,6 +2124,46 @@ class TestGopherRules:
         assert r["gopher_stop_hits"] == 0
 
 
+class TestC4Rules:
+    def test_line_filter_and_page_rules(self, spark):
+        from holcstore_spark.operators.text import c4_rules
+
+        rows = [
+            (1, "this line has five words.\nshort one.\n"
+                "no terminal punctuation here at all\n"
+                "another good sentence right here!\n"
+                "and one more question to ask?"),
+            (2, "contains lorem ipsum dolor sit amet today fine.\n"
+                "second sentence is here now.\n"
+                "third sentence also right here."),
+            (3, "function() { return 1; } is code here.\n"
+                "more prose sentences follow this line.\n"
+                "and a third full sentence too."),
+            (4, "only two full sentences are here.\n"
+                "so the page must be dropped now."),
+            (5, None),
+        ]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+                {"text": "object"})
+        )
+        out = {r["doc_id"]: r for r in c4_rules(d).collect()}
+        # doc 1: 5 lines; 'short one.' (<5 words) and the
+        # unterminated line drop; 3 kept lines, 3 sentences -> keep
+        assert out[1]["n_lines"] == 5 and out[1]["n_lines_kept"] == 3
+        assert out[1]["n_sentences"] == 3 and out[1]["c4_keep"] is True
+        assert "short one." not in out[1]["text_c4"]
+        assert "no terminal punctuation" not in out[1]["text_c4"]
+        # lorem ipsum / brace pages rejected despite enough sentences
+        assert out[2]["has_lorem_ipsum"] is True
+        assert out[2]["c4_keep"] is False
+        assert out[3]["has_brace"] is True and out[3]["c4_keep"] is False
+        # < 3 sentences rejected
+        assert out[4]["n_sentences"] == 2 and out[4]["c4_keep"] is False
+        # NULL text: empty everything, rejected, no crash
+        assert out[5]["text_c4"] == "" and out[5]["c4_keep"] is False
+
+
 class TestRrfFuse:
     def _rank(self, spark, pairs):
         return spark.createDataFrame(
