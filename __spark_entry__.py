@@ -2335,7 +2335,7 @@ def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crash-replay must be refused without changing the result
     if vi.append(e, txn_app="entry", txn_version=0):
         raise AssertionError("replayed append was not skipped")
-    return vi.topk(q, k=3, n_probe=2)
+    return _finish_tmp_index(vi.topk(q, k=3, n_probe=2), path)
 
 
 def q_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2364,7 +2364,9 @@ def q_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("fresh index refused the append")
     if vi.append(e, txn_app="entry", txn_version=0):
         raise AssertionError("replayed append was not skipped")
-    return vi.topk(q, k=5, n_probe=2, mode="adc")
+    return _finish_tmp_index(
+        vi.topk(q, k=5, n_probe=2, mode="adc"), path
+    )
 
 
 def q_similarity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2450,7 +2452,7 @@ def q_dedup_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("replay double-appended index bands")
     if replayed.count() != n_first:
         raise AssertionError("replayed kept set differs from first run")
-    return replayed.select("doc_id", "source")
+    return _finish_tmp_index(replayed.select("doc_id", "source"), path)
 
 
 def q_dedup_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2492,7 +2494,7 @@ def q_dedup_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     if idx._txlog.snapshot().version != v:
         raise AssertionError("replayed delete committed something")
     kept = idx.ingest(new, txn_app="entry", txn_version=1)
-    return kept.select("doc_id", "source")
+    return _finish_tmp_index(kept.select("doc_id", "source"), path)
 
 
 def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3445,6 +3447,22 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _finish_tmp_index(result: DataFrame, *paths: str) -> DataFrame:
+    """Materialize a query result that READS from a throwaway temp-dir
+    index, then delete the index directory. The lazy frame would
+    otherwise pin the tmp files forever — and the bench loop leaked one
+    index directory per invocation (review r14). localCheckpoint is
+    eager, so the data is resident before the files vanish."""
+    import shutil
+
+    from holcstore_spark.sources.io_util import safe_local_checkpoint
+
+    out = safe_local_checkpoint(result)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
 def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 14: MATERIALIZED duplicate-span removal — the cleaned
     corpus under the Lee et al. keep-first rule (every token position
@@ -3510,7 +3528,7 @@ def q_span_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("replay committed to the txlog")
     if replayed.count() != n_first:
         raise AssertionError("replayed stats row count drifted")
-    return replayed
+    return _finish_tmp_index(replayed, path)
 
 
 def q_span_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3543,7 +3561,9 @@ def q_span_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("replayed delete was not skipped")
     if idx._txlog.snapshot().version != v:
         raise AssertionError("replayed delete committed to the txlog")
-    return idx.ingest(batch, txn_app="entry", txn_version=1)
+    return _finish_tmp_index(
+        idx.ingest(batch, txn_app="entry", txn_version=1), path
+    )
 
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3577,7 +3597,7 @@ def q_knn_graph_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vi = VectorIndex(spark, path, n_lists=16, iters=2, dim=64)
     if not vi.append(e, txn_app="entry", txn_version=0):
         raise AssertionError("fresh index refused the append")
-    return vi.knn_graph(k=3, n_probe=2)
+    return _finish_tmp_index(vi.knn_graph(k=3, n_probe=2), path)
 
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3690,7 +3710,9 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("fresh index refused the ingest")
     if li.ingest(docs, txn_app="entry", txn_version=0):
         raise AssertionError("replayed ingest was not skipped")
-    return li.topk(["hash", "join", "scan"], k=10)
+    return _finish_tmp_index(
+        li.topk(["hash", "join", "scan"], k=10), path
+    )
 
 
 def q_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3729,7 +3751,9 @@ def q_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.withColumn("rank", F.row_number().over(w))
         .select(F.col("neighbor_id").alias("doc_id"), "rank")
     )
-    return rrf_fuse([bm, vec_rank], id_col="doc_id", k=10)
+    return _finish_tmp_index(
+        rrf_fuse([bm, vec_rank], id_col="doc_id", k=10), lpath, vpath
+    )
 
 
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3764,10 +3788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # against the oracle each round, so order = least-recently-verified
     # first. Round-14 window: (a) the whole 33-query round-11-verified
     # tail block, in registry order (the r13 verdict's ask #1);
-    # (b) the 6 oldest round-12-verified queries; (c) the SEVEN NEW
+    # (b) the 4 oldest round-12-verified queries; (c) the NINE NEW
     # round-14 queries (managed gram-index replay + erasure, persisted
     # BM25, indexed hybrid search, indexed KNN graph, one-shot and
-    # incremental span STRIPPING) and the FOUR
+    # incremental span STRIPPING, the Gopher and C4 quality-rule
+    # gates) and the FOUR
     # whose VALUES or compute path changed this round (bm25_search /
     # hybrid_search: log2-idf rescoring; dedup_minhash /
     # dedup_incremental: NULL-text coalesce in the signature path).
@@ -3808,14 +3833,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "quality_filter": q_quality_filter,
         "stats_rollup": q_stats_rollup,
-        # -- (b) oldest r12-verified (6)
+        # -- (b) oldest r12-verified (4)
         "disaggregate": q_disaggregate,
         "time_slice": q_time_slice,
         "value_histogram": q_value_histogram,
         "doc_chunks": q_doc_chunks,
         "gopher_quality": q_gopher_quality,
         "c4_quality": q_c4_quality,
-        # -- (c) new-in-r14 + changed-path (11)
+        # -- (c) new-in-r14 + changed-path (13)
         "span_strip": q_span_strip,
         "span_strip_incr": q_span_strip_incr,
         "span_index_replay": q_span_index_replay,

@@ -656,6 +656,74 @@ def _span_occurrences(
     return grams, per_doc
 
 
+def _covered_positions(
+    grams: DataFrame,
+    id_col: str,
+    k: int,
+    gram_index: "DataFrame | None" = None,
+) -> DataFrame:
+    """Distinct (id, __pos) token positions covered by a REMOVED gram
+    occurrence — the SINGLE home of the span-dedup removal rule, shared
+    by all four family members (stats / strip × one-shot /
+    incremental) so the rule can never drift between them (review
+    r14): an occurrence is removed when its hash exists in
+    ``gram_index`` (history always wins; ``None`` = one-shot, no
+    history) OR a strictly smaller in-frame (id, position) key carries
+    the same gram (keep-first)."""
+    agg = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min("__key").alias("__first"),
+    )
+    joined = grams.join(agg, on="__h")
+    in_frame_dup = (
+        (F.col("__occ") >= 2) & (F.col("__key") != F.col("__first"))
+    )
+    if gram_index is None:
+        removed = joined.filter(in_frame_dup)
+    else:
+        hist = (
+            gram_index.select(F.col("gram_h").alias("__h"))
+            .distinct()
+            .withColumn("__in_hist", F.lit(True))
+        )
+        removed = joined.join(hist, on="__h", how="left").filter(
+            F.col("__in_hist").isNotNull() | in_frame_dup
+        )
+    return (
+        removed.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+
+
+def _stats_from_covered(
+    per_doc: DataFrame, covered: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared per-document stats tail: covered positions → (id,
+    n_tokens, dup_tokens, kept_tokens, dup_frac)."""
+    dup = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_tokens")
+    )
+    return (
+        per_doc.join(dup, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("dup_tokens"), F.lit(0)))
+            .cast("long").alias("kept_tokens"),
+            (F.coalesce(F.col("dup_tokens"), F.lit(0)) /
+             F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+             ).alias("dup_frac"),
+        )
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     text: str = "text",
@@ -689,37 +757,8 @@ def duplicate_span_stats(
     materialization. Reference scope: beyond-reference (the reference
     engine has no substring dedup; SURVEY.md §2 dedup family D*)."""
     grams, per_doc = _span_occurrences(df, text, id_col, k, sep)
-    agg = grams.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__occ"),
-        F.min("__key").alias("__first"),
-    )
-    removed = (
-        grams.join(agg, on="__h")
-        .filter((F.col("__occ") >= 2) & (F.col("__key") != F.col("__first")))
-    )
-    covered = (
-        removed.select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
-            ).alias("__cov"),
-        )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
-    )
-    return (
-        per_doc.join(covered, on=id_col, how="left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
-            (F.col("n_tokens") - F.coalesce(F.col("dup_tokens"), F.lit(0)))
-            .cast("long").alias("kept_tokens"),
-            (F.coalesce(F.col("dup_tokens"), F.lit(0)) /
-             F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
-             ).alias("dup_frac"),
-        )
+    return _stats_from_covered(
+        per_doc, _covered_positions(grams, id_col, k), id_col
     )
 
 
@@ -743,22 +782,9 @@ def strip_duplicate_spans(
     by the (already enforced) per-document token cap, never by corpus
     size."""
     grams, _ = _span_occurrences(df, text, id_col, k, sep)
-    agg = grams.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__occ"),
-        F.min("__key").alias("__first"),
+    return _rebuild_stripped(
+        df, _covered_positions(grams, id_col, k), text, id_col, sep
     )
-    covered = (
-        grams.join(agg, on="__h")
-        .filter((F.col("__occ") >= 2) & (F.col("__key") != F.col("__first")))
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
-            ).alias("__pos"),
-        )
-        .distinct()
-    )
-    return _rebuild_stripped(df, covered, text, id_col, sep)
 
 
 def strip_duplicate_spans_incremental(
@@ -784,31 +810,11 @@ def strip_duplicate_spans_incremental(
     one hash equi-join against the index, coverage explode doc-
     partitioned) plus the doc-partitioned rebuild."""
     grams, _ = _span_occurrences(new_docs, text, id_col, k, sep)
-    agg = grams.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__occ"),
-        F.min("__key").alias("__first"),
+    return _rebuild_stripped(
+        new_docs,
+        _covered_positions(grams, id_col, k, gram_index),
+        text, id_col, sep,
     )
-    hist = (
-        gram_index.select(F.col("gram_h").alias("__h"))
-        .distinct()
-        .withColumn("__in_hist", F.lit(True))
-    )
-    covered = (
-        grams.join(agg, on="__h")
-        .join(hist, on="__h", how="left")
-        .filter(
-            F.col("__in_hist").isNotNull()
-            | ((F.col("__occ") >= 2) & (F.col("__key") != F.col("__first")))
-        )
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
-            ).alias("__pos"),
-        )
-        .distinct()
-    )
-    return _rebuild_stripped(new_docs, covered, text, id_col, sep)
 
 
 def _rebuild_stripped(
@@ -926,44 +932,8 @@ def _span_stats_from_grams(
     new-gram append from the same checkpointed frame (the batch's md5
     explode is the dominant per-batch cost; recomputing it per consumer
     would double it)."""
-    agg = grams.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__occ"),
-        F.min("__key").alias("__first"),
-    )
-    hist = (
-        gram_index.select(F.col("gram_h").alias("__h"))
-        .distinct()
-        .withColumn("__in_hist", F.lit(True))
-    )
-    removed = (
-        grams.join(agg, on="__h")
-        .join(hist, on="__h", how="left")
-        .filter(
-            F.col("__in_hist").isNotNull()
-            | ((F.col("__occ") >= 2) & (F.col("__key") != F.col("__first")))
-        )
-    )
-    covered = (
-        removed.select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
-            ).alias("__cov"),
-        )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
-    )
-    return (
-        per_doc.join(covered, on=id_col, how="left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
-            (F.col("n_tokens") - F.coalesce(F.col("dup_tokens"), F.lit(0)))
-            .cast("long").alias("kept_tokens"),
-            (F.coalesce(F.col("dup_tokens"), F.lit(0)) /
-             F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
-             ).alias("dup_frac"),
-        )
+    return _stats_from_covered(
+        per_doc,
+        _covered_positions(grams, id_col, k, gram_index),
+        id_col,
     )

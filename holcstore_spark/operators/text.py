@@ -263,11 +263,12 @@ def c4_rules(
     kept_lines = F.filter(lines, is_kept)
     text_c4 = F.array_join(kept_lines, "\n")
 
-    def occurrences(col: Column, s: str) -> Column:
-        return (
-            F.length(col) - F.length(F.replace(col, F.lit(s), F.lit("")))
-        ) / F.lit(len(s)) if len(s) > 1 else (
-            F.length(col) - F.length(F.replace(col, F.lit(s), F.lit("")))
+    def occurrences(col: Column, ch: str) -> Column:
+        # single-char replace delta (terminal punctuation is always one
+        # char here; gopher_rules handles its one multi-char marker
+        # inline with the /len division)
+        return F.length(col) - F.length(
+            F.replace(col, F.lit(ch), F.lit(""))
         )
 
     n_sentences = (
