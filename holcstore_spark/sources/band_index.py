@@ -152,40 +152,21 @@ class BandIndex(ForgetMixin):
         )
 
     def _stage(self, bands_df: DataFrame) -> list:
-        """Write band rows as EXACTLY one file per band_id (band_id is
-        the manifest chunk axis, band_key-sorted for tight key stats).
-        A single range/hash-partitioned write can emit a band-SPANNING
-        file (sampled boundaries / hash collisions at tiny partition
-        counts), which binpack_candidates would then exclude from every
-        future optimize — so the frame is materialized once
-        (localCheckpoint: the minhash UDF lineage must not re-run per
-        band) and each band writes its own file."""
-        from holcstore_spark.sources.io_util import safe_local_checkpoint
+        """One file per band_id, band_key-sorted — the shared
+        concurrent-staging discipline
+        (:meth:`~holcstore_spark.sources.index_base.ForgetMixin._stage_by_chunk`)."""
 
-        bands_df = safe_local_checkpoint(bands_df)
-        # ONE job finds the non-empty bands (a per-band take(1) probe
-        # would scan the checkpointed frame once per band)
-        band_ids = [r["band_id"] for r in
-                    bands_df.select("band_id").distinct().collect()]
-        if any(b is None for b in band_ids):
-            raise ValueError(
-                "band rows with NULL band_id cannot be staged — the "
-                "band id is the index's manifest chunk axis"
-            )
-        non_empty = sorted(band_ids)
-        entries = []
-        for b in non_empty:
-            part = bands_df.filter(F.col("band_id") == b)
-            abs_dir, rel_dir = self._txlog.new_staging_dir()
-            (
-                part.coalesce(1).sortWithinPartitions("band_key")
-                .write.mode("overwrite").parquet(abs_dir)
-            )
-            entries.extend(self._txlog.collect_entries(
-                abs_dir, rel_dir, key_cols=("band_key",),
-                chunk_col="band_id",
-            ))
-        return entries
+        def check(band_ids):
+            if any(b is None for b in band_ids):
+                raise ValueError(
+                    "band rows with NULL band_id cannot be staged — the "
+                    "band id is the index's manifest chunk axis"
+                )
+
+        return self._stage_by_chunk(
+            bands_df, "band_id", ("band_key",), ("band_key",),
+            chunk_check=check,
+        )
 
     def _validate_band_shape(self, bands_df: DataFrame) -> None:
         """Structural guard on pre-computed band rows: band keys hashed

@@ -190,34 +190,23 @@ class GramIndex(ForgetMixin):
         )
 
     def _stage(self, rows_df: DataFrame) -> list:
-        """One staged file per non-empty bucket, gram-sorted for tight
-        key stats (the BandIndex._stage discipline: a range/hash write
-        could emit bucket-spanning files that optimize would then skip
-        forever). The frame is materialized once — the gram lineage
-        (md5 explode over the batch text) must not re-run per bucket."""
-        from holcstore_spark.sources.io_util import safe_local_checkpoint
+        """One staged file per non-empty bucket, gram-sorted — the
+        shared concurrent-staging discipline
+        (:meth:`~holcstore_spark.sources.index_base.ForgetMixin._stage_by_chunk`)."""
 
-        rows_df = safe_local_checkpoint(rows_df)
-        buckets = [r["bucket"] for r in
-                   rows_df.select("bucket").distinct().collect()]
-        if any(b is None or b < 0 or b >= _N_BUCKETS for b in buckets):
-            raise ValueError(
-                "gram rows with NULL or out-of-range bucket cannot be "
-                "staged — gram_h must be a 16-hex md5 prefix"
-            )
-        entries = []
-        for b in sorted(buckets):
-            part = rows_df.filter(F.col("bucket") == b)
-            abs_dir, rel_dir = self._txlog.new_staging_dir()
-            (
-                part.coalesce(1).sortWithinPartitions("gram_h")
-                .write.mode("overwrite").parquet(abs_dir)
-            )
-            entries.extend(self._txlog.collect_entries(
-                abs_dir, rel_dir, key_cols=("gram_h",),
-                chunk_col="bucket",
-            ))
-        return entries
+        def check(buckets):
+            if any(
+                b is None or b < 0 or b >= _N_BUCKETS for b in buckets
+            ):
+                raise ValueError(
+                    "gram rows with NULL or out-of-range bucket cannot "
+                    "be staged — gram_h must be a 16-hex md5 prefix"
+                )
+
+        return self._stage_by_chunk(
+            rows_df, "bucket", ("gram_h",), ("gram_h",),
+            chunk_check=check,
+        )
 
     def _validate_gram_shape(self, rows_df: DataFrame) -> None:
         """Structural guard on pre-computed gram rows, on a bounded

@@ -107,6 +107,61 @@ class ForgetMixin:
             on=self.params["id_col"], how="left_anti",
         )
 
+    def _stage_by_chunk(
+        self,
+        rows_df: DataFrame,
+        chunk_col: str,
+        sort_cols: tuple,
+        key_cols: tuple,
+        chunk_check=None,
+        max_workers: int = 8,
+    ) -> list:
+        """Shared staging for the managed indexes: EXACTLY one file per
+        distinct chunk value (band_id / bucket / list — the manifest
+        chunk axis; a single range/hash-partitioned write could emit a
+        chunk-SPANNING file on sampled boundaries, which
+        binpack_candidates would then exclude from every optimize). The
+        frame is materialized once (localCheckpoint — the gram/minhash/
+        tokenize lineage must not re-run per chunk) and ONE job finds
+        the non-empty chunks; the per-chunk writes are then independent
+        filtered scans of the checkpointed frame, submitted
+        CONCURRENTLY from a bounded driver thread pool — Spark's
+        scheduler interleaves the jobs, so 16 tiny single-task writes
+        cost ~2 sequential ones instead of 16 (review r14: staging
+        dominated the small-scale index-ingest wall time). Entry order
+        stays deterministic (sorted chunk order). ``chunk_check``
+        validates the distinct chunk values before anything writes."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from holcstore_spark.sources.io_util import safe_local_checkpoint
+
+        rows_df = safe_local_checkpoint(rows_df)
+        chunks = [r[chunk_col] for r in
+                  rows_df.select(chunk_col).distinct().collect()]
+        if chunk_check is not None:
+            chunk_check(chunks)
+        non_empty = sorted(chunks)
+
+        def stage_one(c):
+            part = rows_df.filter(F.col(chunk_col) == c)
+            abs_dir, rel_dir = self._txlog.new_staging_dir()
+            (
+                part.coalesce(1).sortWithinPartitions(*sort_cols)
+                .write.mode("overwrite").parquet(abs_dir)
+            )
+            return self._txlog.collect_entries(
+                abs_dir, rel_dir, key_cols=key_cols, chunk_col=chunk_col,
+            )
+
+        entries = []
+        if non_empty:
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(non_empty))
+            ) as ex:
+                for es in ex.map(stage_one, non_empty):
+                    entries.extend(es)
+        return entries
+
     def _optimize_by_chunk(
         self,
         chunk_col: str,

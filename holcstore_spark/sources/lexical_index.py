@@ -242,35 +242,23 @@ class LexicalIndex(ForgetMixin):
     # -- write side ------------------------------------------------------
     def _stage(self, rows_df: DataFrame) -> list:
         """One staged file per non-empty bucket (stats stripe
-        included), term-sorted for tight key stats — the BandIndex
-        staging discipline; the frame is materialized once so the
-        tokenize-explode lineage does not re-run per bucket."""
-        from holcstore_spark.sources.io_util import safe_local_checkpoint
+        included), term-sorted — the shared concurrent-staging
+        discipline
+        (:meth:`~holcstore_spark.sources.index_base.ForgetMixin._stage_by_chunk`)."""
 
-        rows_df = safe_local_checkpoint(rows_df)
-        buckets = [r["bucket"] for r in
-                   rows_df.select("bucket").distinct().collect()]
-        if any(
-            b is None or b < _STATS_BUCKET or b >= _N_BUCKETS
-            for b in buckets
-        ):
-            raise ValueError(
-                "postings rows with NULL or out-of-range bucket cannot "
-                "be staged"
-            )
-        entries = []
-        for bkt in sorted(buckets):
-            part = rows_df.filter(F.col("bucket") == bkt)
-            abs_dir, rel_dir = self._txlog.new_staging_dir()
-            (
-                part.coalesce(1).sortWithinPartitions("term")
-                .write.mode("overwrite").parquet(abs_dir)
-            )
-            entries.extend(self._txlog.collect_entries(
-                abs_dir, rel_dir, key_cols=("term",),
-                chunk_col="bucket",
-            ))
-        return entries
+        def check(buckets):
+            if any(
+                b is None or b < _STATS_BUCKET or b >= _N_BUCKETS
+                for b in buckets
+            ):
+                raise ValueError(
+                    "postings rows with NULL or out-of-range bucket "
+                    "cannot be staged"
+                )
+
+        return self._stage_by_chunk(
+            rows_df, "bucket", ("term",), ("term",), chunk_check=check,
+        )
 
     def ingest(
         self,

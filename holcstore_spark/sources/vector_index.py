@@ -324,33 +324,19 @@ class VectorIndex(ForgetMixin):
         once and write per list, as BandIndex does per band. Every
         entry is stamped with the centroid version that assigned it
         (the mixed-version read guard's evidence)."""
-        from holcstore_spark.sources.io_util import safe_local_checkpoint
+        def check(lists):
+            if any(x is None for x in lists):
+                raise ValueError(
+                    "rows with NULL list assignment cannot be staged — "
+                    "check the vector column for nulls"
+                )
 
-        assigned = safe_local_checkpoint(assigned)
-        # ONE job finds the non-empty lists (a per-list take(1) probe
-        # would scan the checkpointed batch once per list)
-        lists = [r["list"] for r in
-                 assigned.select("list").distinct().collect()]
-        if any(x is None for x in lists):
-            raise ValueError(
-                "rows with NULL list assignment cannot be staged — "
-                "check the vector column for nulls"
-            )
-        non_empty = sorted(lists)
-        entries = []
-        for lst in non_empty:
-            part = assigned.filter(F.col("list") == lst)
-            abs_dir, rel_dir = self._txlog.new_staging_dir()
-            (
-                part.coalesce(1)
-                .sortWithinPartitions(self.params["id_col"])
-                .write.mode("overwrite").parquet(abs_dir)
-            )
-            for e in self._txlog.collect_entries(
-                abs_dir, rel_dir, key_cols=(), chunk_col="list",
-            ):
-                e["space_v"] = int(space_v)
-                entries.append(e)
+        entries = self._stage_by_chunk(
+            assigned, "list", (self.params["id_col"],), (),
+            chunk_check=check,
+        )
+        for e in entries:
+            e["space_v"] = int(space_v)
         return entries
 
     def append(
