@@ -525,3 +525,92 @@ class TestKeyPruningSoundness:
                     self._in_entry(row, stats)
                     and self._satisfies(row, filters)
                 ), (row, filters, stats, kv)
+
+
+class TestSpanDedupProperties:
+    """Round 14: the span-dedup family's internal coherence on random
+    corpora — strip and stats must agree exactly (they share one
+    removal rule by construction; this pins the contract against any
+    future divergence), and the cleaned text must re-tokenize to
+    kept_tokens."""
+
+    docs = st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @SETTINGS
+    @given(token_lists=docs, k=st.integers(min_value=2, max_value=4))
+    def test_strip_and_stats_agree_and_text_reconstructs(
+        self, spark, token_lists, k
+    ):
+        from holcstore_spark.operators.dedup import (
+            duplicate_span_stats,
+            strip_duplicate_spans,
+        )
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = {r["doc_id"]: r for r in
+                 duplicate_span_stats(d, k=k).collect()}
+        stripped = {r["doc_id"]: r for r in
+                    strip_duplicate_spans(d, k=k).collect()}
+        assert stats.keys() == stripped.keys()
+        for i in stats:
+            st_row, sp_row = stats[i], stripped[i]
+            assert sp_row["kept_tokens"] == st_row["kept_tokens"], (
+                i, rows[i], st_row, sp_row
+            )
+            # the cleaned text re-tokenizes to exactly kept_tokens
+            # under the OPERATOR's tokenizer, where '' splits to the
+            # single empty token — so an all-stripped doc reports
+            # kept_tokens=0 with the '' placeholder, while an
+            # empty-text doc reports kept_tokens=1 (its one empty
+            # token survives, and '' re-tokenizes to it)
+            clean = sp_row["text_clean"]
+            if sp_row["kept_tokens"] == 0:
+                assert clean == "", (i, clean, sp_row)
+            else:
+                assert len(clean.split(" ")) == sp_row["kept_tokens"], (
+                    i, clean, sp_row
+                )
+            # dup + kept partition the document
+            assert (st_row["dup_tokens"] + st_row["kept_tokens"]
+                    == st_row["n_tokens"])
+
+    @SETTINGS
+    @given(token_lists=docs, split=st.integers(min_value=0, max_value=7))
+    def test_incremental_equals_one_shot_on_random_splits(
+        self, spark, token_lists, split
+    ):
+        # history ids all precede batch ids -> the one-shot keep-first
+        # rule restricted to the batch equals the incremental verdict
+        from holcstore_spark.operators.dedup import (
+            duplicate_span_stats,
+            duplicate_span_stats_incremental,
+            span_gram_index,
+        )
+
+        k = 3
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        cut = min(split, len(rows))
+        hist = d.filter(F.col("doc_id") < cut)
+        batch = d.filter(F.col("doc_id") >= cut)
+        if batch.rdd.isEmpty():
+            return
+        one_shot = {
+            r["doc_id"]: (r["dup_tokens"], r["kept_tokens"])
+            for r in duplicate_span_stats(d, k=k).collect()
+            if r["doc_id"] >= cut
+        }
+        incr = {
+            r["doc_id"]: (r["dup_tokens"], r["kept_tokens"])
+            for r in duplicate_span_stats_incremental(
+                batch, span_gram_index(hist, k=k), k=k
+            ).collect()
+        }
+        assert incr == one_shot
