@@ -203,8 +203,7 @@ class ForgetMixin:
                 F.broadcast(self.tombstones(snap)),
                 on=self.params["id_col"], how="left_semi",
             ).count()
-        adds, removes, dropped = [], [], []
-        for b in cands:
+        def repack_one(b):
             paths = [os.path.join(self.path, e["path"])
                      for e in by_chunk[b]]
             src = self.spark.read.schema(self._schema()).parquet(*paths)
@@ -217,10 +216,25 @@ class ForgetMixin:
                 src.coalesce(1).sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite").parquet(abs_dir)
             )
-            for e in self._txlog.collect_entries(
-                abs_dir, rel_dir, key_cols=key_cols,
-                chunk_col=chunk_col,
-            ):
+            return self._txlog.collect_entries(
+                abs_dir, rel_dir, key_cols=key_cols, chunk_col=chunk_col,
+            )
+
+        # per-chunk repacks are independent reads+writes: submit them
+        # concurrently (the same bounded fan-out as _stage_by_chunk —
+        # a full erasure pass over 16 buckets costs ~2 sequential
+        # single-task jobs instead of 16); entry order stays
+        # deterministic (sorted candidate order)
+        from concurrent.futures import ThreadPoolExecutor
+
+        adds, removes, dropped = [], [], []
+        ordered = sorted(cands)
+        with ThreadPoolExecutor(
+            max_workers=min(8, len(ordered))
+        ) as ex:
+            staged_per_chunk = list(ex.map(repack_one, ordered))
+        for b, staged in zip(ordered, staged_per_chunk):
+            for e in staged:
                 if e["rows"]:
                     adds.append(e)
                 else:
