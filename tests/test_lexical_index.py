@@ -203,3 +203,39 @@ class TestGuards:
             idx.topk([])
         with pytest.raises(ValueError, match="at least one"):
             idx.postings([])
+
+
+class TestConcurrentWriters:
+    def test_racing_ingests_both_commit_and_stats_sum(
+        self, spark, tmp_store_path, corpus
+    ):
+        """Two writers ingesting DIFFERENT batches at once (each now
+        fans its bucket staging out over driver threads internally):
+        pure appends commute, so both commits must land, the stats
+        stripe must sum both batches' N/Σdl, and every posting must be
+        queryable — the txlog rebase walk under real thread overlap."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        first = corpus.filter(F.col("doc_id") <= 3)
+        second = corpus.filter(F.col("doc_id") > 3)
+        idx = LexicalIndex(spark, tmp_store_path)
+
+        def ingest(args):
+            batch, app = args
+            return idx.ingest(batch, txn_app=app, txn_version=0)
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            results = list(ex.map(ingest, [(first, "w1"), (second, "w2")]))
+        assert results == [True, True]
+        s = idx.stats().collect()[0]
+        assert s["__n_docs"] == 5
+        # both batches' postings are live and consistent
+        from holcstore_spark.operators.text import bm25_topk
+
+        got = [(r["doc_id"], r["score_micro"]) for r in
+               idx.topk(["hash", "join", "scan"], k=10).orderBy("rank")
+               .collect()]
+        want = [(r["doc_id"], r["score_micro"]) for r in
+                bm25_topk(corpus, ["hash", "join", "scan"], k=10)
+                .orderBy("rank").collect()]
+        assert got == want
