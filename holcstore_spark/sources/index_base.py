@@ -107,6 +107,47 @@ class ForgetMixin:
             on=self.params["id_col"], how="left_anti",
         )
 
+    def _map_staged(self, write_one, items, max_workers: int = 8):
+        """Run per-chunk staging writes concurrently with FAILURE-ORPHAN
+        accounting — the shared fan-out for :meth:`_stage_by_chunk` and
+        the :meth:`_optimize_by_chunk` repack. ``write_one(item,
+        abs_dir, rel_dir)`` writes one chunk's file and returns its
+        manifest entries. On ANY failure, every file the attempt
+        managed to stage (this chunk's and its already-written
+        siblings' — in-flight writes run to completion after the first
+        error) is noted as an orphan for the sidecar-driven vacuum
+        before the error re-raises; previously a staging-phase failure
+        leaked its dirs until someone ran the occasional deep vacuum
+        walk (review r14). Results come back in input order."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        attempted = []
+        lock = threading.Lock()
+
+        def one(item):
+            abs_dir, rel_dir = self._txlog.new_staging_dir()
+            with lock:
+                attempted.append((abs_dir, rel_dir))
+            return write_one(item, abs_dir, rel_dir)
+
+        try:
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, max(1, len(items)))
+            ) as ex:
+                return list(ex.map(one, items))
+        except BaseException:
+            rels = []
+            for abs_dir, rel_dir in attempted:
+                if os.path.isdir(abs_dir):
+                    for f in sorted(os.listdir(abs_dir)):
+                        rels.append(os.path.join(rel_dir, f))
+            try:
+                self._txlog.note_orphans(rels)
+            except Exception:
+                pass  # best-effort; the deep vacuum walk is the backstop
+            raise
+
     def _stage_by_chunk(
         self,
         rows_df: DataFrame,
@@ -142,9 +183,8 @@ class ForgetMixin:
             chunk_check(chunks)
         non_empty = sorted(chunks)
 
-        def stage_one(c):
+        def stage_one(c, abs_dir, rel_dir):
             part = rows_df.filter(F.col(chunk_col) == c)
-            abs_dir, rel_dir = self._txlog.new_staging_dir()
             (
                 part.coalesce(1).sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite").parquet(abs_dir)
@@ -153,14 +193,10 @@ class ForgetMixin:
                 abs_dir, rel_dir, key_cols=key_cols, chunk_col=chunk_col,
             )
 
-        entries = []
-        if non_empty:
-            with ThreadPoolExecutor(
-                max_workers=min(max_workers, len(non_empty))
-            ) as ex:
-                for es in ex.map(stage_one, non_empty):
-                    entries.extend(es)
-        return entries
+        if not non_empty:
+            return []
+        return [e for es in self._map_staged(
+            stage_one, non_empty, max_workers) for e in es]
 
     def _optimize_by_chunk(
         self,
@@ -203,7 +239,7 @@ class ForgetMixin:
                 F.broadcast(self.tombstones(snap)),
                 on=self.params["id_col"], how="left_semi",
             ).count()
-        def repack_one(b):
+        def repack_one(b, abs_dir, rel_dir):
             paths = [os.path.join(self.path, e["path"])
                      for e in by_chunk[b]]
             src = self.spark.read.schema(self._schema()).parquet(*paths)
@@ -211,7 +247,6 @@ class ForgetMixin:
             # from every read) are dropped from the repacked files —
             # optimize(min_files=1) is the full erasure pass
             src = self._mask_deleted(src, snap)
-            abs_dir, rel_dir = self._txlog.new_staging_dir()
             (
                 src.coalesce(1).sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite").parquet(abs_dir)
@@ -221,18 +256,12 @@ class ForgetMixin:
             )
 
         # per-chunk repacks are independent reads+writes: submit them
-        # concurrently (the same bounded fan-out as _stage_by_chunk —
-        # a full erasure pass over 16 buckets costs ~2 sequential
-        # single-task jobs instead of 16); entry order stays
-        # deterministic (sorted candidate order)
-        from concurrent.futures import ThreadPoolExecutor
-
+        # through the shared bounded fan-out (a full erasure pass over
+        # 16 buckets costs ~2 sequential single-task jobs instead of
+        # 16); entry order stays deterministic (sorted candidate order)
         adds, removes, dropped = [], [], []
         ordered = sorted(cands)
-        with ThreadPoolExecutor(
-            max_workers=min(8, len(ordered))
-        ) as ex:
-            staged_per_chunk = list(ex.map(repack_one, ordered))
+        staged_per_chunk = self._map_staged(repack_one, ordered)
         for b, staged in zip(ordered, staged_per_chunk):
             for e in staged:
                 if e["rows"]:

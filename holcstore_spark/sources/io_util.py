@@ -7,6 +7,11 @@ import os
 from pyspark.sql import DataFrame
 
 
+#: serializes the constraint-propagation fallback in
+#: safe_local_checkpoint (session-global conf toggle)
+_CKPT_CONF_LOCK = __import__("threading").Lock()
+
+
 def safe_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint`` with a fallback for a Spark 4 analyzer bug.
 
@@ -26,15 +31,22 @@ def safe_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
             raise
         spark = df.sparkSession
         key = "spark.sql.constraintPropagation.enabled"
-        old = spark.conf.get(key, None)
-        spark.conf.set(key, "false")
-        try:
-            return df.localCheckpoint(eager=eager)
-        finally:
-            if old is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, old)
+        # the read-set-restore toggles a SESSION-global conf: two
+        # threads hitting the fallback concurrently (racing ingests are
+        # a supported path since the indexes stage from thread pools)
+        # could otherwise "restore" each other's temporary value and
+        # leave constraint propagation off for the whole session
+        # (review r14) — serialize the rare fallback
+        with _CKPT_CONF_LOCK:
+            old = spark.conf.get(key, None)
+            spark.conf.set(key, "false")
+            try:
+                return df.localCheckpoint(eager=eager)
+            finally:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
 
 
 def has_parquet(path: str) -> bool:

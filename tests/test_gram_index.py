@@ -298,3 +298,53 @@ class TestRealStreamReplay:
             "replayed stream changed the index"
         assert sorted(map(tuple, spark.read.parquet(
             os.path.join(out, "batch=0")).collect())) == stats_1
+
+
+class TestStagingFailureOrphans:
+    def test_failed_ingest_notes_staged_files_for_vacuum(
+        self, spark, tmp_store_path, corpus, monkeypatch
+    ):
+        """A staging-phase failure must not silently leak its staged
+        dirs: every file the attempt wrote (the failing chunk's
+        already-written siblings included) is noted as an orphan so
+        the default sidecar-driven vacuum reclaims it — previously
+        only the occasional deep directory walk would (review r14)."""
+        history, batch1, _ = corpus
+        idx = GramIndex(spark, tmp_store_path, k=K)
+        idx.ingest(history, txn_app="s", txn_version=0).collect()
+        live_before = {e["path"] for e in
+                       idx._txlog.snapshot().files["data"]}
+
+        real = idx._txlog.collect_entries
+        calls = {"n": 0}
+
+        def flaky(abs_dir, rel_dir, **kw):
+            calls["n"] += 1
+            if calls["n"] >= 3:   # fail after some chunks staged
+                raise RuntimeError("injected staging failure")
+            return real(abs_dir, rel_dir, **kw)
+
+        monkeypatch.setattr(idx._txlog, "collect_entries", flaky)
+        with pytest.raises(RuntimeError, match="injected"):
+            idx.ingest(batch1, txn_app="s", txn_version=1)
+        monkeypatch.setattr(idx._txlog, "collect_entries", real)
+        # nothing committed; the orphan sidecar now covers the staged
+        # files, so a plain (non-deep) vacuum reclaims them
+        assert idx._txlog.snapshot().app_versions.get("s") == 0
+        reclaimed = idx.vacuum(retention_seconds=0.0)
+        assert reclaimed > 0
+        # no unreferenced parquet remains anywhere under files/
+        live = {e["path"] for t in ("data", "meta")
+                for e in idx._txlog.snapshot().files[t]}
+        on_disk = set()
+        for root, _dirs, files in os.walk(os.path.join(idx.path, "files")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    on_disk.add(os.path.relpath(
+                        os.path.join(root, f), idx.path))
+        assert on_disk <= live, f"leaked: {sorted(on_disk - live)}"
+        # the index is uncorrupted: the same ingest retries cleanly
+        stats = idx.ingest(batch1, txn_app="s", txn_version=1)
+        assert stats.count() == 4
+        assert live_before < {e["path"] for e in
+                              idx._txlog.snapshot().files["data"]}
