@@ -6084,12 +6084,14 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / len(ws) AS mean_word_len,
                    CAST((length(t) - length(replace(t, '#', '')))
                         + (length(t) - length(replace(t, '...', ''))) / 3
+                        + (length(t) - length(replace(t, chr(8230), '')))
                         AS DOUBLE) / len(ws) AS symbol_ratio,
                    CAST(len(list_filter(ls, l ->
                             starts_with(l, '- ') OR starts_with(l, '* ')
                             OR starts_with(l, chr(8226))))
                         AS DOUBLE) / len(ls) AS bullet_line_frac,
-                   CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+                   CAST(len(list_filter(ls, l -> ends_with(l, '...')
+                            OR ends_with(l, chr(8230))))
                         AS DOUBLE) / len(ls) AS ellipsis_line_frac,
                    CAST(len(list_filter(ws, w ->
                             regexp_matches(w, '[A-Za-z]')))

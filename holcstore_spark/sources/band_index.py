@@ -164,7 +164,8 @@ class BandIndex(ForgetMixin):
                 )
 
         return self._stage_by_chunk(
-            bands_df, "band_id", ("band_key",), ("band_key",),
+            bands_df, "band_id",
+            sort_cols=("band_key",), key_cols=("band_key",),
             chunk_check=check,
         )
 
@@ -310,8 +311,9 @@ class BandIndex(ForgetMixin):
         :meth:`~holcstore_spark.sources.index_base.ForgetMixin._optimize_by_chunk`.
         Returns the number of bands repacked."""
         return self._optimize_by_chunk(
-            "band_id", ("band_key",), ("band_id", "band_key"),
-            min_files, max_bands,
+            "band_id", key_cols=("band_key",),
+            sort_cols=("band_id", "band_key"),
+            min_files=min_files, max_chunks=max_bands,
         )
 
     def vacuum(self, retention_seconds: float = 3600.0,

@@ -204,7 +204,8 @@ class GramIndex(ForgetMixin):
                 )
 
         return self._stage_by_chunk(
-            rows_df, "bucket", ("gram_h",), ("gram_h",),
+            rows_df, "bucket",
+            sort_cols=("gram_h",), key_cols=("gram_h",),
             chunk_check=check,
         )
 
@@ -371,8 +372,9 @@ class GramIndex(ForgetMixin):
         :meth:`~holcstore_spark.sources.index_base.ForgetMixin._optimize_by_chunk`.
         Returns the number of buckets repacked."""
         return self._optimize_by_chunk(
-            "bucket", ("gram_h",), ("bucket", "gram_h"),
-            min_files, max_buckets,
+            "bucket", key_cols=("gram_h",),
+            sort_cols=("bucket", "gram_h"),
+            min_files=min_files, max_chunks=max_buckets,
         )
 
     def vacuum(self, retention_seconds: float = 3600.0,

@@ -112,13 +112,13 @@ class ForgetMixin:
         accounting — the shared fan-out for :meth:`_stage_by_chunk` and
         the :meth:`_optimize_by_chunk` repack. ``write_one(item,
         abs_dir, rel_dir)`` writes one chunk's file and returns its
-        manifest entries. On ANY failure, every file the attempt
-        managed to stage (this chunk's and its already-written
-        siblings' — in-flight writes run to completion after the first
-        error) is noted as an orphan for the sidecar-driven vacuum
-        before the error re-raises; previously a staging-phase failure
-        leaked its dirs until someone ran the occasional deep vacuum
-        walk (review r14). Results come back in input order."""
+        manifest entries. On ANY failure, still-QUEUED chunk writes are
+        cancelled (advisor r14: a 16-chunk stage used to run every
+        queued write to completion after the first error — wasted jobs
+        and a larger orphan set), in-flight ones are awaited, and every
+        file the attempt managed to stage is noted as an orphan for the
+        sidecar-driven vacuum before the error re-raises. Results come
+        back in input order."""
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
@@ -131,12 +131,16 @@ class ForgetMixin:
                 attempted.append((abs_dir, rel_dir))
             return write_one(item, abs_dir, rel_dir)
 
+        ex = ThreadPoolExecutor(
+            max_workers=min(max_workers, max(1, len(items)))
+        )
         try:
-            with ThreadPoolExecutor(
-                max_workers=min(max_workers, max(1, len(items)))
-            ) as ex:
-                return list(ex.map(one, items))
+            futs = [ex.submit(one, item) for item in items]
+            return [f.result() for f in futs]
         except BaseException:
+            # drop queued writes, wait out in-flight ones so the
+            # orphan walk below sees a quiesced staging area
+            ex.shutdown(wait=True, cancel_futures=True)
             rels = []
             for abs_dir, rel_dir in attempted:
                 if os.path.isdir(abs_dir):
@@ -147,11 +151,14 @@ class ForgetMixin:
             except Exception:
                 pass  # best-effort; the deep vacuum walk is the backstop
             raise
+        finally:
+            ex.shutdown(wait=True)
 
     def _stage_by_chunk(
         self,
         rows_df: DataFrame,
         chunk_col: str,
+        *,
         sort_cols: tuple,
         key_cols: tuple,
         chunk_check=None,
@@ -171,36 +178,49 @@ class ForgetMixin:
         cost ~2 sequential ones instead of 16 (review r14: staging
         dominated the small-scale index-ingest wall time). Entry order
         stays deterministic (sorted chunk order). ``chunk_check``
-        validates the distinct chunk values before anything writes."""
-        from concurrent.futures import ThreadPoolExecutor
+        validates the distinct chunk values before anything writes.
+        The checkpointed blocks are released once the last chunk write
+        lands — a long-lived foreachBatch stream must not accumulate
+        one pinned frame per micro-batch (advisor r14).
 
-        from holcstore_spark.sources.io_util import safe_local_checkpoint
+        ``sort_cols``/``key_cols`` are keyword-only: both are tuples of
+        column names, so a positional call site could silently
+        transpose them (advisor r14)."""
+        from holcstore_spark.sources.io_util import (
+            release_local_checkpoint,
+            safe_local_checkpoint,
+        )
 
         rows_df = safe_local_checkpoint(rows_df)
-        chunks = [r[chunk_col] for r in
-                  rows_df.select(chunk_col).distinct().collect()]
-        if chunk_check is not None:
-            chunk_check(chunks)
-        non_empty = sorted(chunks)
+        try:
+            chunks = [r[chunk_col] for r in
+                      rows_df.select(chunk_col).distinct().collect()]
+            if chunk_check is not None:
+                chunk_check(chunks)
+            non_empty = sorted(chunks)
 
-        def stage_one(c, abs_dir, rel_dir):
-            part = rows_df.filter(F.col(chunk_col) == c)
-            (
-                part.coalesce(1).sortWithinPartitions(*sort_cols)
-                .write.mode("overwrite").parquet(abs_dir)
-            )
-            return self._txlog.collect_entries(
-                abs_dir, rel_dir, key_cols=key_cols, chunk_col=chunk_col,
-            )
+            def stage_one(c, abs_dir, rel_dir):
+                part = rows_df.filter(F.col(chunk_col) == c)
+                (
+                    part.coalesce(1).sortWithinPartitions(*sort_cols)
+                    .write.mode("overwrite").parquet(abs_dir)
+                )
+                return self._txlog.collect_entries(
+                    abs_dir, rel_dir, key_cols=key_cols,
+                    chunk_col=chunk_col,
+                )
 
-        if not non_empty:
-            return []
-        return [e for es in self._map_staged(
-            stage_one, non_empty, max_workers) for e in es]
+            if not non_empty:
+                return []
+            return [e for es in self._map_staged(
+                stage_one, non_empty, max_workers) for e in es]
+        finally:
+            release_local_checkpoint(rows_df)
 
     def _optimize_by_chunk(
         self,
         chunk_col: str,
+        *,
         key_cols: tuple,
         sort_cols: tuple,
         min_files: int,

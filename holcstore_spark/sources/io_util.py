@@ -11,6 +11,10 @@ from pyspark.sql import DataFrame
 #: safe_local_checkpoint (session-global conf toggle)
 _CKPT_CONF_LOCK = __import__("threading").Lock()
 
+#: one-time log4j2 mute of the expected unpersist-after-localCheckpoint
+#: warning (see release_local_checkpoint)
+_RELEASE_WARN_MUTED = False
+
 
 def safe_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint`` with a fallback for a Spark 4 analyzer bug.
@@ -47,6 +51,41 @@ def safe_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
                     spark.conf.unset(key)
                 else:
                     spark.conf.set(key, old)
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a ``localCheckpoint``-ed frame's blocks.
+
+    ``Dataset.unpersist`` only covers CacheManager-cached plans; the
+    blocks a local checkpoint pins live on the ``LogicalRDD``'s backing
+    RDD, which nothing releases until the driver GCs the frame. Long-
+    lived ``foreachBatch`` streams that stage through
+    ``_stage_by_chunk`` every micro-batch would otherwise accumulate
+    storage memory on the executors (advisor r14). Reaching the RDD
+    goes through the analyzed plan (``LogicalRDD.rdd`` case-class
+    accessor) — internals, so every failure mode is swallowed: the
+    fallback is the old behavior (blocks released at driver GC).
+
+    Call ONLY when no further reads of ``df`` will happen — after the
+    per-chunk staging scans have all completed."""
+    global _RELEASE_WARN_MUTED
+    try:
+        if not _RELEASE_WARN_MUTED:
+            # unpersisting a locally-checkpointed RDD logs a WARN that
+            # its lineage "cannot be recomputed" — true, intended, and
+            # once-per-micro-batch log spam here; mute that one logger
+            _RELEASE_WARN_MUTED = True
+            try:
+                jvm = df.sparkSession.sparkContext._jvm
+                jvm.org.apache.logging.log4j.core.config.Configurator \
+                    .setLevel("org.apache.spark.rdd.MapPartitionsRDD",
+                              jvm.org.apache.logging.log4j.Level.ERROR)
+            except Exception:
+                pass
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def has_parquet(path: str) -> bool:

@@ -257,7 +257,8 @@ class LexicalIndex(ForgetMixin):
                 )
 
         return self._stage_by_chunk(
-            rows_df, "bucket", ("term",), ("term",), chunk_check=check,
+            rows_df, "bucket", sort_cols=("term",), key_cols=("term",),
+            chunk_check=check,
         )
 
     def ingest(
@@ -336,8 +337,8 @@ class LexicalIndex(ForgetMixin):
         :meth:`~holcstore_spark.sources.index_base.ForgetMixin._optimize_by_chunk`.
         Returns the number of buckets repacked."""
         return self._optimize_by_chunk(
-            "bucket", ("term",), ("bucket", "term"),
-            min_files, max_buckets,
+            "bucket", key_cols=("term",), sort_cols=("bucket", "term"),
+            min_files=min_files, max_chunks=max_buckets,
         )
 
     def vacuum(self, retention_seconds: float = 3600.0,

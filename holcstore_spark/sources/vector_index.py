@@ -332,7 +332,8 @@ class VectorIndex(ForgetMixin):
                 )
 
         entries = self._stage_by_chunk(
-            assigned, "list", (self.params["id_col"],), (),
+            assigned, "list",
+            sort_cols=(self.params["id_col"],), key_cols=(),
             chunk_check=check,
         )
         for e in entries:

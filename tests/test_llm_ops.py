@@ -2090,6 +2090,8 @@ class TestGopherRules:
             (7, " ".join(["123"] * 60)),              # alpha words
             (8, ("zork gronk blorp fleem quux " * 12).strip()),  # stops
             (9, None),                                # NULL text
+            (10, "\n".join([good] + ["trailing…"] * 9)),  # U+2026
+            (11, good + " " + "…" * 12),              # U+2026 symbols
         ]
         d = spark.createDataFrame(
             pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
@@ -2107,8 +2109,11 @@ class TestGopherRules:
         # NULL coalesces to '': fails word count, never crashes
         assert out[9]["rule_word_count"] is False
         assert out[9]["gopher_pass"] is False
+        # the one-char Unicode ellipsis counts like '...' (advisor r14)
+        assert out[10]["rule_ellipsis_lines"] is False
+        assert out[11]["rule_symbol_ratio"] is False
         # every pathological doc fails overall
-        assert all(not out[i]["gopher_pass"] for i in range(2, 10))
+        assert all(not out[i]["gopher_pass"] for i in range(2, 12))
 
     def test_metrics_are_sane(self, spark):
         from holcstore_spark.operators.text import gopher_rules
