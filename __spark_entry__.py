@@ -3715,6 +3715,36 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15: stats-accurate erasure (VERDICT r14 gap #3 closed) —
+    ingest the corpus into a LexicalIndex, DELETE every doc_id % 7 == 0
+    document, then :meth:`recompute_stats` (one commit: physical
+    erasure + N/Σdl stripe rewrite for exactly the erased docs). The
+    post-recompute topk must equal a fresh index built over only the
+    surviving documents, so the oracle is bm25_search's SQL evaluated
+    against the filtered corpus — any stale deleted mass in N, avgdl
+    or df shifts the scores and fails the hash."""
+    import shutil
+    from holcstore_spark.sources.lexical_index import LexicalIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="holc_lexidx_")
+    shutil.rmtree(path, ignore_errors=True)
+    li = LexicalIndex(spark, path)
+    if not li.ingest(docs, txn_app="entry", txn_version=0):
+        raise AssertionError("fresh index refused the ingest")
+    victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    if not li.delete(victims, txn_app="entry", txn_version=1):
+        raise AssertionError("delete did not commit")
+    if not li.recompute_stats():
+        raise AssertionError("recompute_stats found nothing to erase")
+    if li.recompute_stats():
+        raise AssertionError("second recompute_stats was not a no-op")
+    return _finish_tmp_index(
+        li.topk(["hash", "join", "scan"], k=10), path
+    )
+
+
 def q_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 14: hybrid retrieval as a PERSISTED-INDEX pipeline
     (VERDICT r13 ask #5): LexicalIndex BM25 top-10 fused with
@@ -3846,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_index_replay": q_span_index_replay,
         "span_index_forget": q_span_index_forget,
         "bm25_indexed": q_bm25_indexed,
+        "bm25_recompute": q_bm25_recompute,
         "hybrid_indexed": q_hybrid_indexed,
         "knn_graph_indexed": q_knn_graph_indexed,
         "bm25_search": q_bm25_search,
@@ -7369,6 +7400,15 @@ def oracle_sql() -> dict[str, str]:
     out["span_strip"] = span_strip_sql
     out["span_strip_incr"] = span_strip_incr_sql
     out["bm25_indexed"] = out["bm25_search"]
+    # recompute_stats done-gate (r15): bm25 over ONLY the surviving
+    # documents — stale deleted mass in N/avgdl/df fails the hash
+    out["bm25_recompute"] = (
+        "WITH docs_live AS "
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"
+        + out["bm25_search"]
+        .replace("WITH dl AS", ", dl AS", 1)
+        .replace("FROM documents", "FROM docs_live")
+    )
     out["knn_graph_indexed"] = out["knn_graph"]
     out["hybrid_indexed"] = hybrid_indexed_sql
     return out

@@ -225,6 +225,10 @@ class ForgetMixin:
         sort_cols: tuple,
         min_files: int,
         max_chunks: int,
+        exclude_chunks: frozenset = frozenset(),
+        extra_adds: list | None = None,
+        extra_removes: list | None = None,
+        snap=None,
     ) -> int:
         """Shared per-chunk small-file binpack + physical-erasure pass
         for the managed indexes (chunk = band_id for BandIndex, bucket
@@ -236,23 +240,45 @@ class ForgetMixin:
         raises. A repack that erased rows commits as a data change
         (``compacting=False``); a pure binpack keeps the
         row-preservation proof. Cost O(fragmentation), never O(index).
-        Returns the number of chunks repacked."""
+        Returns the number of chunks repacked.
+
+        ``exclude_chunks`` keeps those chunk ids out of the binpack
+        plan, and ``extra_adds``/``extra_removes`` are pre-staged
+        manifest entries swapped IN THE SAME COMMIT as the repack —
+        the hook :meth:`LexicalIndex.recompute_stats` uses to rewrite
+        its stats stripe atomically with the erasure it accounts for
+        (two commits would let a crash between them double-subtract on
+        retry). Extras are excluded from the row-count proof and force
+        the commit to a data change. ``snap`` pins the planning
+        snapshot — a caller that derived the extras from a snapshot
+        must plan the repack against the SAME one, so its erasure mask
+        and the extras describe one consistent state (the optimistic
+        commit rebases over non-conflicting interleavings and raises
+        on genuine conflicts, exactly as for a fresh snapshot)."""
         from holcstore_spark.sources.txlog import (
             TxLog,
             binpack_candidates,
             exact_rows,
         )
 
-        snap = self._txlog.snapshot()
-        cands, by_chunk = binpack_candidates(
-            snap.files["data"], min_files, max_chunks
-        )
-        if not cands:
+        extra_adds = list(extra_adds or [])
+        extra_removes = list(extra_removes or [])
+        snap = snap if snap is not None else self._txlog.snapshot()
+        entries = snap.files["data"]
+        if exclude_chunks:
+            # exclude BEFORE the max_chunks cap — an excluded chunk
+            # must not occupy a candidate slot and starve a real one
+            entries = [
+                e for e in entries
+                if e.get("chunk_min") not in exclude_chunks
+            ]
+        cands, by_chunk = binpack_candidates(entries, min_files, max_chunks)
+        if not cands and not (extra_adds or extra_removes):
             return 0
         cand_paths = [os.path.join(self.path, e["path"])
                       for b in cands for e in by_chunk[b]]
         dead = 0
-        if snap.files["meta"]:
+        if snap.files["meta"] and cand_paths:
             raw = self.spark.read.schema(self._schema()).parquet(
                 *cand_paths)
             dead = raw.join(
@@ -301,12 +327,18 @@ class ForgetMixin:
             )
         if dropped:
             self._txlog.note_orphans(dropped)
+        touched = set(cands)
+        for e in extra_adds + extra_removes:
+            if e.get("chunk_min") is not None:
+                touched.add(int(e["chunk_min"]))
         self._txlog.commit(
             snap.version, "optimize", TxLog.next_op_id(snap),
-            {"data": adds}, {"data": removes},
-            # a repack that erased rows is a data change, not a pure
-            # layout change — it must not claim compacting
-            touched=set(cands), compacting=dead == 0,
+            {"data": adds + extra_adds}, {"data": removes + extra_removes},
+            # a repack that erased rows — or swapped extra entries — is
+            # a data change, not a pure layout change — it must not
+            # claim compacting
+            touched=touched,
+            compacting=dead == 0 and not (extra_adds or extra_removes),
         )
         return len(cands)
 

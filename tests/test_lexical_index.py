@@ -190,6 +190,89 @@ class TestLuceneDeletes:
         assert len(stripe) == 1 and stripe[0]["tf"] == 5
 
 
+class TestRecomputeStats:
+    def test_post_erasure_topk_equals_fresh_build(
+        self, spark, tmp_store_path, corpus
+    ):
+        """The r14 verdict's done-gate: after delete + recompute_stats
+        the index's topk must equal a FRESH index built over only the
+        surviving documents, bit-exactly — N/avgdl no longer carry the
+        deleted mass."""
+        idx = LexicalIndex(spark, os.path.join(tmp_store_path, "a"))
+        idx.ingest(corpus, txn_app="s", txn_version=0)
+        assert idx.delete([2, 5])
+        assert idx.recompute_stats() is True
+        fresh = LexicalIndex(spark, os.path.join(tmp_store_path, "b"))
+        fresh.ingest(
+            corpus.filter(~F.col("doc_id").isin(2, 5)),
+            txn_app="s", txn_version=0,
+        )
+        q = ["hash", "join", "scan"]
+        assert rank_rows(idx.topk(q, k=10)) == rank_rows(fresh.topk(q, k=10))
+        # the stripe now reads the live totals and the tombstoned rows
+        # are physically gone
+        s = idx.stats().collect()[0]
+        fs = fresh.stats().collect()[0]
+        assert (s["__n_docs"], s["__total_dl"]) == (
+            fs["__n_docs"], fs["__total_dl"])
+        snap = idx._txlog.snapshot()
+        raw = spark.read.schema(idx._schema()).parquet(
+            *snap.paths("data", idx.path)
+        )
+        assert raw.filter(F.col("doc_id").isin(2, 5)).count() == 0
+
+    def test_idempotent_and_noop_paths(self, spark, tmp_store_path, corpus):
+        idx = LexicalIndex(spark, tmp_store_path)
+        idx.ingest(corpus, txn_app="s", txn_version=0)
+        # no tombstones: nothing to do, nothing committed
+        v0 = idx._txlog.snapshot().version
+        assert idx.recompute_stats() is False
+        assert idx._txlog.snapshot().version == v0
+        assert idx.delete([1])
+        assert idx.recompute_stats() is True
+        n1 = idx.stats().collect()[0]["__n_docs"]
+        assert n1 == 4
+        # second call: the erased rows are unattributable AND already
+        # subtracted — must find nothing and commit nothing
+        v1 = idx._txlog.snapshot().version
+        assert idx.recompute_stats() is False
+        assert idx._txlog.snapshot().version == v1
+        assert idx.stats().collect()[0]["__n_docs"] == 4
+        # deleting a never-ingested id pre-forgets it; recompute finds
+        # no physical rows for it and stays a no-op
+        assert idx.delete([999])
+        assert idx.recompute_stats() is False
+
+    def test_optimize_flag_delegates(self, spark, tmp_store_path, corpus):
+        idx = LexicalIndex(spark, tmp_store_path)
+        idx.ingest(corpus, txn_app="s", txn_version=0)
+        assert idx.delete([3])
+        idx.optimize(min_files=1, recompute_stats=True)
+        assert idx.stats().collect()[0]["__n_docs"] == 4
+
+    def test_multi_ingest_partial_delete(self, spark, tmp_store_path):
+        """Correction across several ingest commits (several stripe
+        rows collapse into one corrected row) and a delete that spans
+        batches."""
+        idx = LexicalIndex(spark, os.path.join(tmp_store_path, "a"))
+        b1 = docs_df(spark, [(1, "alpha beta"), (2, "beta gamma gamma")])
+        b2 = docs_df(spark, [(3, "alpha alpha"), (4, "delta")])
+        idx.ingest(b1, txn_app="s", txn_version=0)
+        idx.ingest(b2, txn_app="s", txn_version=1)
+        assert idx.delete([2, 3])
+        assert idx.recompute_stats() is True
+        s = idx.stats().collect()[0]
+        # live: doc 1 (2 tokens) + doc 4 (1 token)
+        assert (s["__n_docs"], s["__total_dl"]) == (2, 3)
+        fresh = LexicalIndex(spark, os.path.join(tmp_store_path, "b"))
+        fresh.ingest(
+            docs_df(spark, [(1, "alpha beta"), (4, "delta")]),
+            txn_app="s", txn_version=0,
+        )
+        assert rank_rows(idx.topk(["alpha", "delta"], k=10)) == \
+            rank_rows(fresh.topk(["alpha", "delta"], k=10))
+
+
 class TestGuards:
     def test_param_mismatch_refused(self, spark, tmp_store_path):
         LexicalIndex(spark, tmp_store_path, sep=" ")
