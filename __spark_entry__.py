@@ -3600,6 +3600,41 @@ def q_knn_graph_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_tmp_index(vi.knn_graph(k=3, n_probe=2), path)
 
 
+def q_knn_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15: DELETE-AWARE incremental KNN-graph maintenance
+    (VERDICT r14 ask #2): build the full graph, tombstone every
+    vec_id % 17 == 0 vector, then update_knn_graph — which drops the
+    forgotten edges and rescores ONLY the sources whose top-k lost a
+    member (bounded by the deleted vectors' in-degree) — with no
+    appended batch. The space trained over the FULL corpus (single
+    append), so the oracle is the knn_graph SQL with deleted ids
+    removed from probes and candidates but NOT from training: any
+    stale edge or unbackfilled slot hash-mismatches against the
+    from-scratch rebuild semantics."""
+    import shutil
+    from holcstore_spark.sources.vector_index import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="holc_vecidx_")
+    shutil.rmtree(path, ignore_errors=True)
+    vi = VectorIndex(spark, path, n_lists=16, iters=2, dim=64)
+    if not vi.append(e, txn_app="entry", txn_version=0):
+        raise AssertionError("fresh index refused the append")
+    space_v = vi.active_space_version()
+    g0 = vi.knn_graph(k=3, n_probe=2)
+    if not vi.delete(
+        e.filter(F.col("vec_id") % 17 == 0).select("vec_id"),
+        txn_app="entry", txn_version=1,
+    ):
+        raise AssertionError("delete did not commit")
+    return _finish_tmp_index(
+        vi.update_knn_graph(
+            g0, k=3, n_probe=2, expected_space_version=space_v
+        ),
+        path,
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style per-domain cap: at most 20 documents per source,
     longest-first (n_chars desc, doc_id tiebreak) — one hash shuffle on
@@ -3879,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_recompute": q_bm25_recompute,
         "hybrid_indexed": q_hybrid_indexed,
         "knn_graph_indexed": q_knn_graph_indexed,
+        "knn_graph_delta": q_knn_graph_delta,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "dedup_minhash": q_dedup_minhash,
@@ -7410,5 +7446,15 @@ def oracle_sql() -> dict[str, str]:
         .replace("FROM documents", "FROM docs_live")
     )
     out["knn_graph_indexed"] = out["knn_graph"]
+    # delete-aware increment (r15): deleted ids leave probes and
+    # candidates but NOT the k-means training (the space was trained
+    # before the delete) — exactly update_knn_graph's contract
+    out["knn_graph_delta"] = (
+        out["knn_graph"]
+        .replace("FROM v CROSS JOIN c2 s",
+                 "FROM v CROSS JOIN c2 s WHERE v.vec_id % 17 <> 0")
+        .replace("WHERE c.vec_id <> p.src_id",
+                 "WHERE c.vec_id <> p.src_id AND c.vec_id % 17 <> 0")
+    )
     out["hybrid_indexed"] = hybrid_indexed_sql
     return out

@@ -745,53 +745,62 @@ class VectorIndex(ForgetMixin):
     def update_knn_graph(
         self,
         prev_graph: DataFrame,
-        new_docs: DataFrame,
+        new_docs: "DataFrame | None" = None,
         k: int = 3,
         n_probe: int = 2,
         expected_space_version: "int | None" = None,
     ) -> DataFrame:
-        """Incremental KNN-graph maintenance (VERDICT r13 ask #6):
-        given ``prev_graph`` — the exact :meth:`knn_graph` output over
-        the index BEFORE the latest :meth:`append` of ``new_docs`` —
-        produce the graph over the post-append index WITHOUT a full
-        rebuild. Call AFTER the append, same ``k``/``n_probe``; the
-        space must not have retrained since ``prev_graph`` was built
-        (old-space edges and new-space probes do not compose — rebuild
-        with :meth:`knn_graph` after a retrain). Pass
+        """Incremental KNN-graph maintenance (VERDICT r13 ask #6,
+        delete-aware per VERDICT r14 ask #2): given ``prev_graph`` —
+        the exact :meth:`knn_graph` output over the index at some
+        earlier snapshot — produce the graph over the CURRENT index
+        without a full rebuild, composing with any mix of
+        :meth:`append` (pass the appended batch as ``new_docs``) and
+        :meth:`delete` (detected from the tombstones, no parameter)
+        since. Same ``k``/``n_probe``; the space must not have
+        retrained since ``prev_graph`` was built (old-space edges and
+        new-space probes do not compose — rebuild with
+        :meth:`knn_graph` after a retrain). Pass
         ``expected_space_version`` — captured via
         :meth:`active_space_version` when the previous graph was built
         — to make a violated contract FAIL LOUDLY instead of returning
         a plausible-but-wrong graph (review r14); without it the
         contract is on the caller's honor.
 
-        Deletes do NOT compose either: a :meth:`delete` between graph
-        builds leaves ``prev_graph`` holding edges to (and from) the
-        forgotten vectors, and while those edges could be filtered
-        here, the vacated top-k SLOTS cannot be backfilled without
-        rescoring every affected source — exactly the work the
-        increment exists to avoid. After a delete, rebuild with
-        :meth:`knn_graph` (which reads the tombstone-masked index and
-        is correct by construction).
+        Bounded passes instead of corpus × corpus:
 
-        Two bounded passes instead of corpus × corpus:
-
+        - DELETED vectors (ids in ``prev_graph`` that are tombstoned
+          now — prev was built over a masked read, so any such id was
+          deleted since): their outgoing edges drop, and every LIVE
+          source that held a deleted NEIGHBOR lost a top-k slot that
+          cannot be backfilled from prev alone — the true (k+1)-th
+          candidate was never materialized. Those sources (bounded by
+          the deleted vectors' graph in-degree, NOT the corpus) are
+          fully rescored against the live membership of their probed
+          lists — per-source exactly the work one :meth:`topk` query
+          does. Everyone else's previous edges remain valid: deletes
+          only remove candidates, so an unaffected top-k stays the
+          top-k.
         - NEW sources: the appended vectors probe their ``n_probe``
           lists and score against those lists' stored members (old and
           new) — the same work :meth:`topk` does for a query batch.
-        - OLD sources: only edges that can CHANGE are rescored — an old
-          vector's top-k changes only if a new vector landed in one of
-          its probed lists, so old sources probing an AFFECTED list
-          (home list of ≥1 new vector) score against the NEW vectors
-          only; per-source candidates are batch-sized, never corpus-
-          sized. Merging with ``prev_graph`` and re-ranking per source
-          is exact: the true top-k over (old ∪ new) candidates is the
-          top-k of (previous top-k ∪ new-candidate scores).
+        - OLD sources (not delete-affected): only edges that can
+          CHANGE are rescored — an old vector's top-k changes only if
+          a new vector landed in one of its probed lists, so old
+          sources probing an AFFECTED list (home list of ≥1 new
+          vector) score against the NEW vectors only; per-source
+          candidates are batch-sized, never corpus-sized. Merging with
+          ``prev_graph`` and re-ranking per source is exact: the true
+          top-k over (old ∪ new) candidates is the top-k of (previous
+          top-k ∪ new-candidate scores).
 
         Work scales with |batch| × (members of probed lists) +
-        |old sources probing affected lists| × |batch-per-list| — the
-        full rebuild's corpus × corpus/n_lists term never appears.
+        |old sources probing affected lists| × |batch-per-list| +
+        |delete-affected sources| × (members of their probed lists) —
+        the full rebuild's corpus × corpus/n_lists term never appears.
         Equality with a from-scratch rebuild at fixed centroids is
-        pytest-proven (tests/test_vector_index.py)."""
+        pytest-proven for append-only, delete-only and mixed updates
+        (tests/test_vector_index.py)."""
         from holcstore_spark.operators.similarity import (
             _knn_cogroup_scored,
             _knn_rank,
@@ -813,49 +822,90 @@ class VectorIndex(ForgetMixin):
         cents = self._cents_for(space_v)
         id_t = self._schema()[p["id_col"]].dataType
         rows = self.df(snap=snap)
-        new_ids = new_docs.select(
-            F.col(p["id_col"]).cast(p["id_type"]).alias(p["id_col"])
-        ).distinct()
-        new_rows = rows.join(new_ids, on=p["id_col"], how="left_semi")
-        old_rows = rows.join(new_ids, on=p["id_col"], how="left_anti")
-        # pass 1 — new sources vs full membership of their probed lists
-        new_src = new_rows.select(
-            F.col(p["id_col"]).alias("src_id"),
-            F.col("vec_q").alias("__qq"),
-        ).withColumn(
-            "__list", F.explode(_probe_lists(F.col("__qq"), cents, n_probe))
-        )
+        prev = prev_graph.select("src_id", "neighbor_id", "score")
         cand_all = rows.select(
             F.col(p["id_col"]).alias("neighbor_id"),
             F.col("vec_q").alias("__cq"),
             F.col("list").alias("__list"),
         )
+
+        def probe_src(frame):
+            return frame.select(
+                F.col(p["id_col"]).alias("src_id"),
+                F.col("vec_q").alias("__qq"),
+            ).withColumn(
+                "__list",
+                F.explode(_probe_lists(F.col("__qq"), cents, n_probe)),
+            )
+
+        # -- delete pass: drop dead edges, fully rescore the sources
+        # that lost a neighbor (takedown lists are metadata-sized by
+        # the ForgetMixin contract — broadcast). Skipped entirely when
+        # the index holds no tombstones, so the append-only update
+        # keeps its exact previous plan shape.
+        lost_src = None
+        rescored = None
+        if snap.files["meta"]:
+            tombs = F.broadcast(self.tombstones(snap).select(
+                F.col(p["id_col"]).alias("__dead")
+            ))
+            prev = prev.join(
+                tombs, prev["src_id"] == F.col("__dead"), "left_anti"
+            )
+            lost_src = prev.join(
+                tombs, prev["neighbor_id"] == F.col("__dead"), "left_semi"
+            ).select(F.col("src_id").alias(p["id_col"])).distinct()
+            prev = prev.join(
+                lost_src.select(F.col(p["id_col"]).alias("src_id")),
+                on="src_id", how="left_anti",
+            )
+            rescored = _knn_rank(
+                _knn_cogroup_scored(
+                    probe_src(rows.join(lost_src, on=p["id_col"],
+                                        how="left_semi")),
+                    cand_all, id_t, k,
+                ), k,
+            )
+
+        if new_docs is None:
+            # delete-only update: unaffected edges + rescored sources
+            if rescored is None:
+                return prev  # nothing appended, nothing deleted
+            return prev.unionByName(rescored)
+
+        new_ids = new_docs.select(
+            F.col(p["id_col"]).cast(p["id_type"]).alias(p["id_col"])
+        ).distinct()
+        new_rows = rows.join(new_ids, on=p["id_col"], how="left_semi")
+        # delete-affected sources were rescored against CURRENT rows
+        # (new vectors included) — exclude them from the delta pass or
+        # their new-candidate scores would double up
+        old_rows = rows.join(new_ids, on=p["id_col"], how="left_anti")
+        if lost_src is not None:
+            old_rows = old_rows.join(
+                lost_src, on=p["id_col"], how="left_anti"
+            )
+        # pass 1 — new sources vs full membership of their probed lists
         new_edges = _knn_rank(
-            _knn_cogroup_scored(new_src, cand_all, id_t, k), k
+            _knn_cogroup_scored(probe_src(new_rows), cand_all, id_t, k), k
         )
         # pass 2 — old sources probing an affected list vs NEW vectors
         # only; affected lists are at most n_lists ints (driver-safe)
         affected = [
             r["list"] for r in new_rows.select("list").distinct().collect()
         ]
-        old_src = old_rows.select(
-            F.col(p["id_col"]).alias("src_id"),
-            F.col("vec_q").alias("__qq"),
-        ).withColumn(
-            "__list", F.explode(_probe_lists(F.col("__qq"), cents, n_probe))
-        ).filter(F.col("__list").isin(affected))
+        old_src = probe_src(old_rows).filter(F.col("__list").isin(affected))
         cand_new = new_rows.select(
             F.col(p["id_col"]).alias("neighbor_id"),
             F.col("vec_q").alias("__cq"),
             F.col("list").alias("__list"),
         )
         delta = _knn_cogroup_scored(old_src, cand_new, id_t, k)
-        merged = _knn_rank(
-            prev_graph.select("src_id", "neighbor_id", "score")
-            .unionByName(delta),
-            k,
-        )
-        return merged.unionByName(new_edges)
+        merged = _knn_rank(prev.unionByName(delta), k)
+        out = merged.unionByName(new_edges)
+        if rescored is not None:
+            out = out.unionByName(rescored)
+        return out
 
     # -- maintenance -----------------------------------------------------
     def optimize(self, min_files: int = 4, max_lists: int = 64) -> int:

