@@ -1312,6 +1312,151 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15 (VERDICT r14 ask #4): the END-TO-END streaming
+    training-data ingest — every stage a proven piece, composed into
+    ONE foreachBatch body over two deterministic micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered files; batch 0 = doc_id%3!=0,
+    batch 1 = doc_id%3==0, dup-injected corpus):
+
+    1. near-dup gate vs the persisted BandIndex (dedup_incremental
+       semantics: drop on a band bucket shared with kept history or a
+       lower-id batch doc; kept docs' bands appended exactly once);
+    2. quality gates — the Gopher rules that are non-degenerate on
+       this synthetic corpus (word count, mean word length, symbol
+       ratio, alpha words; the stopword rule would gate out ALL docs —
+       the vocabulary has no English stopwords — and c4_keep's
+       sentence rule likewise passes zero docs, so the C4 page rules
+       used are the lorem-ipsum and brace checks);
+    3. GramIndex ingest (span-dedup history) and LexicalIndex ingest
+       (BM25 postings) of the surviving docs, each committing with
+       (txn_app, txn_version=batch_id);
+    4. per-batch output partition written mode=overwrite (idempotent
+       under replay).
+
+    The query then simulates the WORST crash — the sink checkpoint is
+    DELETED and the whole stream re-run — and asserts all three index
+    logs gained zero commits (the Delta-style txn watermarks skip every
+    replayed batch) before returning the surviving corpus with each
+    doc's token count read back FROM THE LEXICALINDEX STATE, so the
+    oracle (sequential two-batch dedup + the same gates in SQL) checks
+    the pipeline's persisted outcome, not an in-memory intermediate."""
+    import shutil
+    import time
+
+    from holcstore_spark.operators.text import c4_rules, gopher_rules
+    from holcstore_spark.sources.band_index import BandIndex
+    from holcstore_spark.sources.gram_index import GramIndex
+    from holcstore_spark.sources.lexical_index import LexicalIndex
+
+    d = _docs_with_dups(spark, sf_dir).select("doc_id", "source", "text")
+    src = tempfile.mkdtemp(prefix="holc_pipe_src_")
+    ckpt = tempfile.mkdtemp(prefix="holc_pipe_ckpt_")
+    out = tempfile.mkdtemp(prefix="holc_pipe_out_")
+    bpath = tempfile.mkdtemp(prefix="holc_pipe_band_")
+    gpath = tempfile.mkdtemp(prefix="holc_pipe_gram_")
+    lpath = tempfile.mkdtemp(prefix="holc_pipe_lex_")
+    for p in (bpath, gpath, lpath):
+        shutil.rmtree(p, ignore_errors=True)
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema([
+            ("doc_id", pa.int64()), ("source", pa.string()),
+            ("text", pa.string()),
+        ])
+        now = time.time()
+        for i, batch_pdf in enumerate([
+            d.filter(F.col("doc_id") % 3 != 0).toPandas(),
+            d.filter(F.col("doc_id") % 3 == 0).toPandas(),
+        ]):
+            f = os.path.join(src, f"{i:04d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(
+                    batch_pdf, schema=schema, preserve_index=False
+                ), f,
+            )
+            # file-source batch order is (mtime, path): pin both
+            os.utime(f, (now + 100 * i, now + 100 * i))
+
+        bi = BandIndex(spark, bpath)
+        gi = GramIndex(spark, gpath, k=8)
+        li = LexicalIndex(spark, lpath)
+        gate = (
+            "rule_word_count AND rule_mean_word_len AND "
+            "rule_symbol_ratio AND rule_alpha_words"
+        )
+
+        def body(batch: DataFrame, batch_id: int) -> None:
+            kept = bi.ingest(batch, txn_app="pipe", txn_version=batch_id)
+            g = gopher_rules(kept).filter(gate).select(*kept.columns)
+            g = (
+                c4_rules(g)
+                .filter("NOT has_lorem_ipsum AND NOT has_brace")
+                .select(*kept.columns)
+            )
+            from holcstore_spark.sources.io_util import (
+                release_local_checkpoint,
+                safe_local_checkpoint,
+            )
+
+            g = safe_local_checkpoint(g)  # feeds three consumers
+            try:
+                gi.ingest(g, txn_app="pipe", txn_version=batch_id)
+                li.ingest(g, txn_app="pipe", txn_version=batch_id)
+                (
+                    g.select("doc_id", "source")
+                    .withColumn("batch", F.lit(batch_id).cast("long"))
+                    .coalesce(1).write.mode("overwrite")
+                    .parquet(os.path.join(out, f"b{batch_id}"))
+                )
+            finally:
+                release_local_checkpoint(g)
+
+        def run_stream():
+            stream = (
+                spark.readStream
+                .schema("doc_id long, source string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q, 600)
+
+        run_stream()
+        versions = tuple(
+            ix._txlog.snapshot().version for ix in (bi, gi, li)
+        )
+        # worst-case crash: the checkpoint is GONE; every batch replays
+        shutil.rmtree(ckpt)
+        run_stream()
+        replayed = tuple(
+            ix._txlog.snapshot().version for ix in (bi, gi, li)
+        )
+        if replayed != versions:
+            raise AssertionError(
+                f"checkpoint-loss replay committed: {versions} -> "
+                f"{replayed}"
+            )
+        meta = spark.read.parquet(
+            os.path.join(out, "b0"), os.path.join(out, "b1")
+        )
+        res = meta.join(li.doc_lengths(), on="doc_id", how="inner").select(
+            "doc_id", "source", "batch",
+            F.col("dl").alias("n_tokens"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        for p in (src, ckpt, out, bpath, gpath, lpath):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def q_store_set_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: mass insert via set_many_ts (single batched write, one
     existence check for the whole batch) — per-key counts and exact totals
@@ -3912,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_index_forget": q_span_index_forget,
         "bm25_indexed": q_bm25_indexed,
         "bm25_recompute": q_bm25_recompute,
+        "stream_pipeline": q_stream_pipeline,
         "hybrid_indexed": q_hybrid_indexed,
         "knn_graph_indexed": q_knn_graph_indexed,
         "knn_graph_delta": q_knn_graph_delta,
@@ -6190,6 +6336,76 @@ def oracle_sql() -> dict[str, str]:
                 AND (gopher_stop_hits >= 2)) AS gopher_pass
         FROM m
     """
+    # streaming-pipeline oracle (r15): SEQUENTIAL two-batch near-dup
+    # dedup (batch 0 = doc_id%3!=0 vs itself; batch 1 vs KEPT batch-0
+    # bands + itself — dropped batch-0 docs' bands are NOT in the
+    # index, which is what distinguishes the sequential semantics from
+    # a one-shot dedup) + the non-degenerate Gopher/C4 gates; n_tokens
+    # is the whitespace token count the LexicalIndex stores as dl
+    gopher_over_src = gopher_quality_sql.replace(
+        "FROM documents", "FROM src")
+    c4_over_src = c4_quality_sql.replace("FROM documents", "FROM src")
+    stream_pipeline_sql = f"""
+        WITH src AS ({_DOCS_WITH_DUPS_SQL}),
+        shingled AS ({_SHINGLES_SQL}),
+        sigs AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM shingled
+        ),
+        bands AS ({band_rows}),
+        bands0 AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+        bands1 AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+        dropped0 AS (
+            SELECT DISTINCT nb.doc_id FROM bands0 nb
+            WHERE EXISTS (
+                SELECT 1 FROM bands0 p
+                WHERE p.band_id = nb.band_id
+                  AND p.band_key = nb.band_key
+                  AND p.doc_id < nb.doc_id)
+        ),
+        kept0 AS (
+            SELECT doc_id FROM src WHERE doc_id % 3 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM dropped0)
+        ),
+        hist_bands AS (
+            SELECT b.* FROM bands0 b JOIN kept0 k USING (doc_id)
+        ),
+        dropped1 AS (
+            SELECT DISTINCT nb.doc_id FROM bands1 nb
+            WHERE EXISTS (
+                SELECT 1 FROM hist_bands h
+                WHERE h.band_id = nb.band_id
+                  AND h.band_key = nb.band_key)
+               OR EXISTS (
+                SELECT 1 FROM bands1 p
+                WHERE p.band_id = nb.band_id
+                  AND p.band_key = nb.band_key
+                  AND p.doc_id < nb.doc_id)
+        ),
+        kept AS (
+            SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM kept0
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM src
+            WHERE doc_id % 3 = 0
+              AND doc_id NOT IN (SELECT doc_id FROM dropped1)
+        ),
+        gq AS (
+            SELECT doc_id FROM ({gopher_over_src})
+            WHERE rule_word_count AND rule_mean_word_len
+              AND rule_symbol_ratio AND rule_alpha_words
+        ),
+        cq AS (
+            SELECT doc_id FROM ({c4_over_src})
+            WHERE NOT has_lorem_ipsum AND NOT has_brace
+        )
+        SELECT k.doc_id, s.source, k.batch,
+               CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens
+        FROM kept k
+        JOIN src s USING (doc_id)
+        JOIN gq USING (doc_id)
+        JOIN cq USING (doc_id)
+    """
     # forget oracle = the SAME chain with history grams ATTRIBUTED to
     # their first-occurrence doc (min id·2^20+pos key — the GramIndex
     # keeper rule) and every gram owned by a doc_id % 10 == 0 document
@@ -7433,6 +7649,7 @@ def oracle_sql() -> dict[str, str]:
     # oracle string — any indexed-path drift hash-mismatches
     out["c4_quality"] = c4_quality_sql
     out["gopher_quality"] = gopher_quality_sql
+    out["stream_pipeline"] = stream_pipeline_sql
     out["span_strip"] = span_strip_sql
     out["span_strip_incr"] = span_strip_incr_sql
     out["bm25_indexed"] = out["bm25_search"]

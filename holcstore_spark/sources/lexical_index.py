@@ -201,6 +201,29 @@ class LexicalIndex(ForgetMixin):
             F.coalesce(F.sum("dl"), F.lit(0)).alias("__total_dl"),
         )
 
+    def doc_lengths(self, snap=None) -> DataFrame:
+        """Live ``(id, dl)`` pairs — one row per indexed document with
+        ≥ 1 posting (``dl`` rides every posting; ``distinct`` collapses
+        a doc's postings to one row). Deleted ids are masked. This is a
+        corpus-stats read — O(postings scan), all buckets — not a
+        query-path read; zero-token documents are invisible here (they
+        have no postings; only the stats stripe counts them)."""
+        p = self.params
+        snap = snap if snap is not None else self._txlog.snapshot()
+        paths = self._bucket_paths(snap, set(range(_N_BUCKETS)))
+        if not paths:
+            return self.spark.createDataFrame(
+                [], T.StructType([self._schema()[p["id_col"]],
+                                  self._schema()["dl"]])
+            )
+        out = (
+            self.spark.read.schema(self._schema()).parquet(*paths)
+            .filter(F.col("bucket") >= 0)
+            .select(F.col(p["id_col"]), F.col("dl"))
+            .distinct()
+        )
+        return self._mask_deleted(out, snap)
+
     def last_txn_version(self, txn_app) -> int:
         """Highest committed txn_version for an app (-1 = none) — the
         watermark a restarting stream reads to skip replayed batches."""

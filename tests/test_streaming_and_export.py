@@ -814,3 +814,101 @@ class TestStreamDomainCap:
                 spark.readStream.schema("doc_id long, source string")
                 .parquet(empty), cap=0,
             )
+
+
+class TestStreamPipeline:
+    """The composed streaming corpus pipeline (VERDICT r14 ask #4):
+    BandIndex near-dup gate → quality gates → GramIndex + LexicalIndex
+    ingest, all inside one foreachBatch body, exactly-once across a
+    checkpoint-loss replay."""
+
+    def _write_batches(self, src, batches):
+        import time
+        now = time.time()
+        for i, rows in enumerate(batches):
+            f = os.path.join(src, f"{i:04d}.parquet")
+            pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+                {"text": "object"}
+            ).to_parquet(f, index=False)
+            os.utime(f, (now + 100 * i, now + 100 * i))
+
+    def _pipeline(self, spark, root):
+        from holcstore_spark.sources.band_index import BandIndex
+        from holcstore_spark.sources.gram_index import GramIndex
+        from holcstore_spark.sources.lexical_index import LexicalIndex
+
+        bi = BandIndex(spark, os.path.join(root, "band"))
+        gi = GramIndex(spark, os.path.join(root, "gram"), k=4)
+        li = LexicalIndex(spark, os.path.join(root, "lex"))
+
+        def body(batch, batch_id):
+            from holcstore_spark.operators.text import gopher_rules
+
+            kept = bi.ingest(batch, txn_app="t", txn_version=batch_id)
+            g = gopher_rules(kept).filter(
+                "rule_mean_word_len AND rule_alpha_words"
+            ).select(*kept.columns)
+            gi.ingest(g, txn_app="t", txn_version=batch_id)
+            li.ingest(g, txn_app="t", txn_version=batch_id)
+            (
+                g.select("doc_id").coalesce(1).write.mode("overwrite")
+                .parquet(os.path.join(root, "out", f"b{batch_id}"))
+            )
+
+        return bi, gi, li, body
+
+    def test_exactly_once_across_checkpoint_loss(self, spark, tmp_store_path):
+        import shutil
+
+        src = os.path.join(tmp_store_path, "incoming")
+        ckpt = os.path.join(tmp_store_path, "ckpt")
+        os.makedirs(src)
+        # doc 2 exact-dups doc 1 (same batch, lower id wins); doc 11
+        # dups the KEPT doc 1 across the batch boundary; doc 12 dups
+        # the DROPPED doc 2 — still dropped (same content class); doc
+        # 13 is novel; doc 3 fails the quality gate (mean word len)
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        self._write_batches(src, [
+            [(1, base), (2, base), (3, "a b c d e f g h")],
+            [(11, base), (12, base), (13, "totally different words here now")],
+        ])
+        bi, gi, li, body = self._pipeline(spark, tmp_store_path)
+
+        def run():
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            assert q.awaitTermination(300)
+
+        run()
+        kept = sorted(
+            r["doc_id"] for r in spark.read.parquet(
+                os.path.join(tmp_store_path, "out", "b0"),
+                os.path.join(tmp_store_path, "out", "b1"),
+            ).collect()
+        )
+        assert kept == [1, 13]  # 2,11,12 deduped; 3 quality-gated
+        # the lexical index holds exactly the survivors
+        assert sorted(
+            r["doc_id"] for r in li.doc_lengths().collect()
+        ) == [1, 13]
+        versions = tuple(
+            ix._txlog.snapshot().version for ix in (bi, gi, li)
+        )
+        # worst-case crash: checkpoint GONE, every micro-batch replays
+        shutil.rmtree(ckpt)
+        run()
+        assert versions == tuple(
+            ix._txlog.snapshot().version for ix in (bi, gi, li)
+        ), "checkpoint-loss replay committed to an index log"
+        kept2 = sorted(
+            r["doc_id"] for r in spark.read.parquet(
+                os.path.join(tmp_store_path, "out", "b0"),
+                os.path.join(tmp_store_path, "out", "b1"),
+            ).collect()
+        )
+        assert kept2 == kept
