@@ -3,10 +3,10 @@ with typed metadata.
 
 ``decode_strict`` REALLY decodes the dependency-free formats (PPM P6,
 PGM P5, uncompressed 24-bit BMP, PNG via stdlib ``zlib`` + scanline
-unfiltering, baseline JPEG via operators/jpeg.py, WAV PCM audio, and
-uncompressed RIFF/AVI video) with header parsing + numpy pixel math.
-Formats that genuinely need absent codec libraries (progressive JPEG,
-compressed video codecs) stay STUBBED behind ``decode_stub``
+unfiltering, baseline AND progressive JPEG via operators/jpeg.py, WAV
+PCM audio, and uncompressed RIFF/AVI video) with header parsing + numpy
+pixel math. Formats that genuinely need absent codec libraries
+(compressed video codecs) stay STUBBED behind ``decode_stub``
 (deterministic fake with the real Arrow-batched ``mapInPandas``
 plumbing, batch shapes and partitioning).
 
@@ -491,11 +491,11 @@ def decode_strict(
     df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """REAL image decode, no codec libraries: PPM P6, uncompressed 24-bit
-    BMP, PNG (stdlib zlib inflate + unfilter) and baseline sequential
-    JPEG (pure-numpy Huffman + IDCT pipeline, operators/jpeg.py) — header
-    parse plus numpy pixel math. Payloads in any other format (video,
-    progressive JPEG) raise — those need ffmpeg/PIL, absent here; route
-    them through :func:`decode_stub` instead.
+    BMP, PNG (stdlib zlib inflate + unfilter) and baseline sequential OR
+    progressive JPEG (pure-numpy Huffman + IDCT pipeline,
+    operators/jpeg.py). Payloads in any other format (video) raise —
+    those need ffmpeg/PIL, absent here; route them through
+    :func:`decode_stub` instead.
 
     Output per payload: id, codec, width, height, per-channel means
     (mean_r/g/b as exact DOUBLEs) and the md5 digest of the raw RGB

@@ -702,20 +702,127 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="not a RIFF/AVI"):
             parse_avi(b"RIFF\x00\x00\x00\x00WAVE")
 
-    def test_jpeg_rejects_progressive_and_truncated(self):
+    def test_jpeg_rejects_invalid_and_truncated(self):
         import numpy as np
 
-        from holcstore_spark.operators.jpeg import encode_jpeg, parse_jpeg
+        from holcstore_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_progressive,
+            parse_jpeg,
+        )
 
         jp = bytearray(encode_jpeg(np.full((8, 8), 100, dtype=np.uint8)))
+        # SOF0 flipped to SOF2 makes the baseline scan (Ss..Se = 0..63)
+        # an ILLEGAL progressive scan — refused, not mis-decoded
         bad = bytearray(jp)
-        bad[bad.index(b"\xc0", 2)] = 0xC2           # SOF0 -> SOF2
+        bad[bad.index(b"\xc0", 2)] = 0xC2
         with pytest.raises(ValueError, match="progressive|baseline"):
+            parse_jpeg(bytes(bad))
+        # extended/lossless/arithmetic SOFs still refuse
+        bad = bytearray(jp)
+        bad[bad.index(b"\xc0", 2)] = 0xC1
+        with pytest.raises(ValueError, match="extended|arithmetic"):
             parse_jpeg(bytes(bad))
         with pytest.raises((ValueError, IndexError)):
             parse_jpeg(bytes(jp[:40]))
         with pytest.raises(ValueError):
             parse_jpeg(b"\x00\x01\x02\x03")
+        pb = encode_progressive(np.full((8, 8), 100, dtype=np.uint8))
+        with pytest.raises((ValueError, IndexError)):
+            parse_jpeg(pb[:60])
+
+    def test_progressive_equals_baseline_bit_exact(self):
+        """Progressive and baseline encodings carry the SAME quantized
+        coefficients, so both decodes must produce bit-identical pixels
+        — across gray/RGB, 4:4:4/4:2:0 and non-MCU-aligned dims."""
+        import numpy as np
+
+        from holcstore_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_progressive,
+            parse_jpeg,
+        )
+
+        rng = np.random.RandomState(42)
+        cases = [
+            (rng.randint(0, 256, (8, 8)).astype(np.uint8), False),
+            (rng.randint(0, 256, (21, 13)).astype(np.uint8), False),
+            (rng.randint(0, 256, (24, 16, 3)).astype(np.uint8), False),
+            (rng.randint(0, 256, (17, 19, 3)).astype(np.uint8), True),
+            # mostly-flat: long cross-block EOBRUNs in every AC scan
+            ((rng.rand(32, 32) < 0.02).astype(np.uint8) * 255, False),
+        ]
+        for img, sub in cases:
+            wb, hb, base = parse_jpeg(encode_jpeg(img, subsample=sub))
+            wp, hp, prog = parse_jpeg(
+                encode_progressive(img, subsample=sub)
+            )
+            assert (wb, hb) == (wp, hp)
+            assert np.array_equal(base, prog)
+
+    def test_progressive_custom_scan_scripts(self):
+        """Spectral selection is free-form: a no-approximation script
+        and a 3-band split with per-band refinements both reconstruct
+        the baseline pixels exactly."""
+        import numpy as np
+
+        from holcstore_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_progressive,
+            parse_jpeg,
+        )
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (19, 23, 3)).astype(np.uint8)
+        _, _, base = parse_jpeg(encode_jpeg(img))
+        allc = (0, 1, 2)
+        scripts = [
+            [(allc, 0, 0, 0, 0)]
+            + [((c,), 1, 63, 0, 0) for c in range(3)],
+            [(allc, 0, 0, 0, 1),
+             ((0,), 1, 2, 0, 1), ((0,), 3, 9, 0, 1), ((0,), 10, 63, 0, 1),
+             ((1,), 1, 63, 0, 1), ((2,), 1, 63, 0, 1),
+             ((0,), 1, 2, 1, 0), ((0,), 3, 9, 1, 0), ((0,), 10, 63, 1, 0),
+             ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+             (allc, 0, 0, 1, 0)],
+        ]
+        for scans in scripts:
+            _, _, prog = parse_jpeg(encode_progressive(img, scans=scans))
+            assert np.array_equal(base, prog)
+
+    def test_progressive_property_rounds(self):
+        """Randomized round-trips across shapes, color modes and
+        sparsity — any EOBRUN/correction-bit/point-transform bug in
+        either direction breaks pixel equality."""
+        import numpy as np
+
+        from holcstore_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_progressive,
+            parse_jpeg,
+        )
+
+        rng = np.random.RandomState(1234)
+        for trial in range(20):
+            h, w = rng.randint(1, 40), rng.randint(1, 40)
+            kind = trial % 4
+            if kind == 0:
+                img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+                sub = False
+            elif kind == 1:
+                img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                sub = False
+            elif kind == 2:
+                img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                sub = True
+            else:
+                img = np.full((h, w), 128, np.uint8)
+                for _ in range(rng.randint(0, 5)):
+                    img[rng.randint(h), rng.randint(w)] = rng.randint(256)
+                sub = False
+            _, _, base = parse_jpeg(encode_jpeg(img, subsample=sub))
+            _, _, prog = parse_jpeg(encode_progressive(img, subsample=sub))
+            assert np.array_equal(base, prog), (trial, h, w, kind)
 
     def test_parse_png_color_types_and_errors(self):
         # non-RGB colour types map to RGB (gray replicated, alpha
