@@ -108,37 +108,38 @@ def test_registry_source_has_no_duplicate_keys():
 #: changed in round 14 (bm25_search / hybrid_search: log2-idf
 #: rescoring; dedup_minhash / dedup_incremental: NULL-text coalesce in
 #: the JVM signature path).
-ROUND14_WINDOW_MUST = {
-    # (a) r11-verified block
-    "segment_dedup", "token_pack", "lookup_filter", "clean_corpus",
-    "clean_corpus_cc", "similarity_bruteforce", "semantic_dedup",
-    "semantic_dedup_capped", "attr_store_update", "rest_sync_pull",
-    "kv_store_overlay", "blob_interop", "multimodal_meta",
-    "multimodal_decode", "multimodal_jpeg", "multimodal_png",
-    "multimodal_audio", "multimodal_video", "pq_encode",
-    "similarity_lsh", "doc_fingerprints", "similarity_neardup",
-    "text_stats", "lang_quality", "token_bpe", "hash_split",
-    "stratified_sample", "repetition_stats", "pii_redact",
-    "vocab_topk", "dedup_representatives", "quality_filter",
-    "stats_rollup",
-    # (b) new in round 14
-    "span_index_replay", "span_index_forget", "bm25_indexed",
-    "hybrid_indexed", "knn_graph_indexed", "span_strip",
-    "span_strip_incr", "gopher_quality", "c4_quality",
-    # (c) changed values / changed path in round 14
-    "bm25_search", "hybrid_search", "dedup_minhash",
-    "dedup_incremental",
+ROUND15_WINDOW_MUST = {
+    # (a) the whole r12-verified tail block (44)
+    "embed_quantize", "lm_surprisal", "sliding_rollup",
+    "temperature_sample", "stream_sliding", "collocations",
+    "normalize_text", "corpus_prep", "rolling_stats",
+    "forecast_revenue", "order_priority", "large_orders",
+    "cusum_drift", "store_cdf", "stream_cdf", "overlay_merge",
+    "completeness_holes", "merge_intervals", "interval_algebra",
+    "constant_runs", "drop_bounds_na", "combined_delay",
+    "stream_rollup", "similarity_filtered", "pq_filtered", "pq_topk",
+    "stream_gaps", "multimodal_resize", "multimodal_frames",
+    "stream_cusum", "bpe_merges", "seasonal_profile", "stream_join",
+    "contamination", "tfidf_terms", "asof_join", "sessionize",
+    "time_rollup", "range_join", "event_rollup", "store_restore",
+    "store_optimize", "cluster_balance", "slice_with_delay",
+    # (b) new in round 15
+    "bm25_recompute", "knn_graph_delta", "stream_pipeline",
+    "multimodal_progressive",
+    # (c) values changed (Unicode-ellipsis fix) / rank tail rewritten
+    "gopher_quality", "bm25_search",
 }
 
 
-def test_driver_window_contains_round14_rotation_set():
+def test_driver_window_contains_round15_rotation_set():
     # every query whose evidence is stale — oldest driver rows, new
-    # queries, or changed execution paths — must sit inside the
-    # driver's checked first-50 window
+    # queries, or changed-VALUE paths — must sit inside the driver's
+    # checked first-50 window (changed-path-but-bit-identical queries
+    # were re-verified locally at both SFs and rotate behind it)
     window = set(list(entry_mod.queries())[:50])
-    missing = ROUND14_WINDOW_MUST - window
+    missing = ROUND15_WINDOW_MUST - window
     assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND14_WINDOW_MUST - set(entry_mod.queries())
+    unknown = ROUND15_WINDOW_MUST - set(entry_mod.queries())
     assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
 
 

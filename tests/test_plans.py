@@ -587,9 +587,11 @@ class TestBm25Plan:
         }))
         txt = plan_text(bm25_topk(d, ["alpha", "beta"], k=3))
         assert "TakeOrdered" in txt, txt
-        # exactly one Window node, ABOVE the TakeOrdered in the tree
-        # (formatted explain prints root first, so the Window's text
-        # position must precede the TakeOrdered's) — the rank window
-        # runs over the <= k survivors, never the corpus
-        assert n_nodes(txt, "Window") == 1, txt
-        assert txt.index("Window") < txt.index("TakeOrdered"), txt
+        # NO Window node at all (r15): the <= k survivors are ranked by
+        # the bounded_rank sort_array fold (collect_list aggregate +
+        # posexplode Generate), which never triggers WindowExec's
+        # single-partition warning; the Generate sits ABOVE the
+        # TakeOrdered in the tree (formatted explain prints root first)
+        assert n_nodes(txt, "Window") == 0, txt
+        assert "Generate" in txt, txt
+        assert txt.index("Generate") < txt.index("TakeOrdered"), txt
