@@ -654,10 +654,19 @@ def frame_sample(
     return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
 
 
-def encode_avi(frames: "np.ndarray", fps: int = 10) -> bytes:
-    """Minimal uncompressed RIFF/AVI writer for fixtures: one 'vids'
-    stream of BI_RGB DIB frames (bottom-up, BGR, 4-byte row padding) —
-    the same stdlib-only spirit as :func:`encode_wav_pcm8`.
+#: fourcc 'MJPG' as the little-endian uint32 biCompression carries it
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def encode_avi(
+    frames: "np.ndarray", fps: int = 10, codec: str = "DIB"
+) -> bytes:
+    """Minimal RIFF/AVI writer for fixtures: one 'vids' stream of
+    either BI_RGB DIB frames (bottom-up, BGR, 4-byte row padding;
+    ``codec='DIB'``) or Motion-JPEG frames (each frame one baseline
+    JPEG from :func:`holcstore_spark.operators.jpeg.encode_jpeg`;
+    ``codec='MJPG'``) — the same stdlib-only spirit as
+    :func:`encode_wav_pcm8`.
 
     ``frames``: (n, h, w, 3) uint8 RGB.
     """
@@ -666,10 +675,12 @@ def encode_avi(frames: "np.ndarray", fps: int = 10) -> bytes:
     import numpy as np
 
     n, h, w, _ = frames.shape
-    stride = (w * 3 + 3) & ~3
-    frame_size = stride * h
+    codec = codec.upper()
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported AVI codec {codec!r}: DIB or MJPG")
 
     def dib(frame: "np.ndarray") -> bytes:
+        stride = (w * 3 + 3) & ~3
         bgr = frame[::-1, :, ::-1].astype(np.uint8)       # bottom-up, BGR
         if stride == w * 3:
             return bgr.tobytes()
@@ -677,18 +688,30 @@ def encode_avi(frames: "np.ndarray", fps: int = 10) -> bytes:
         rows[:, : w * 3] = bgr.reshape(h, w * 3)
         return rows.tobytes()
 
+    if codec == "DIB":
+        payloads = [dib(f) for f in frames]
+        compression = 0
+        handler = b"DIB "
+    else:
+        from holcstore_spark.operators.jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f) for f in frames]
+        compression = _MJPG_FOURCC
+        handler = b"MJPG"
+    frame_size = max(len(p) for p in payloads)
+
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1, frame_size,
         w, h, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+        b"vids" + handler + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
                                         0, n, frame_size, 0, 0, 0)
         + struct.pack("<hhhh", 0, 0, w, h)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
-                       0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       frame_size, 0, 0, 0, 0)
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -699,17 +722,21 @@ def encode_avi(frames: "np.ndarray", fps: int = 10) -> bytes:
 
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
-    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    fid = b"00db" if codec == "DIB" else b"00dc"
+    movi = lst(b"movi", b"".join(chunk(fid, p) for p in payloads))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def parse_avi(b: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Parse an uncompressed RIFF/AVI (BI_RGB DIB frames) with the stdlib
-    only: chunk walk for avih (dims) and the movi LIST, then per-frame
-    DIB decode (bottom-up BGR, 4-byte row padding → top-down RGB).
-    Returns (w, h, (n, h, w, 3) uint8). Compressed streams ('00dc' with
-    non-DIB data, biCompression != 0) raise — those need ffmpeg.
+    """Parse a RIFF/AVI with the stdlib only: chunk walk for avih
+    (dims) and the movi LIST, then per-frame decode. BI_RGB DIB frames
+    (bottom-up BGR, 4-byte row padding → top-down RGB) and
+    Motion-JPEG frames (biCompression fourcc 'MJPG' — each frame is
+    one baseline or progressive JPEG, decoded by
+    :func:`holcstore_spark.operators.jpeg.parse_jpeg`; r15) decode for
+    real. Returns (w, h, (n, h, w, 3) uint8). Other compressions raise
+    — those need ffmpeg.
     """
     import struct
 
@@ -740,10 +767,22 @@ def parse_avi(b: bytes) -> tuple[int, int, "np.ndarray"]:
     walk(12, len(b))
     if w is None or not frames:
         raise ValueError("AVI missing avih header or frame data")
+    if compression == _MJPG_FOURCC:
+        from holcstore_spark.operators.jpeg import parse_jpeg
+
+        out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+        for i, fr in enumerate(frames):
+            fw, fh, rgb = parse_jpeg(bytes(fr))
+            if (fw, fh) != (w, h):
+                raise ValueError(
+                    f"MJPEG frame {i} is {fw}x{fh}, header says {w}x{h}"
+                )
+            out[i] = rgb
+        return w, h, out
     if compression != 0:
         raise ValueError(
             f"compressed AVI stream (biCompression={compression}) — "
-            "only BI_RGB DIB frames decode without ffmpeg"
+            "only BI_RGB DIB and MJPG frames decode without ffmpeg"
         )
     stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)

@@ -417,6 +417,26 @@ class LexicalIndex(ForgetMixin):
         snap = self._txlog.snapshot()
         if not snap.files["meta"]:
             return False  # no tombstones: the stripe is exact already
+        # every postings file must be erasable by the repack below —
+        # the subtraction is computed from the rows the SAME commit
+        # physically drops. A chunk-spanning or stat-less file (never
+        # produced by our staging) would be counted here but skipped by
+        # binpack_candidates, and a second recompute would subtract its
+        # tombstoned docs AGAIN — refuse loudly instead
+        for e in snap.files["data"]:
+            cmin, cmax, rows = (
+                e.get("chunk_min"), e.get("chunk_max"), e.get("rows")
+            )
+            if (
+                cmin is None or cmax != cmin
+                or not isinstance(rows, int) or isinstance(rows, bool)
+            ):
+                raise RuntimeError(
+                    f"recompute_stats requires single-bucket files with "
+                    f"exact manifest stats; {e.get('path')} spans "
+                    f"chunks {cmin}..{cmax} or lacks a row count — "
+                    "foreign layout, rebuild the index instead"
+                )
         paths = self._bucket_paths(snap, set(range(_N_BUCKETS)))
         if not paths:
             return False  # nothing physically present to attribute

@@ -125,9 +125,9 @@ ROUND15_WINDOW_MUST = {
     "store_optimize", "cluster_balance", "slice_with_delay",
     # (b) new in round 15
     "bm25_recompute", "knn_graph_delta", "stream_pipeline",
-    "multimodal_progressive",
-    # (c) values changed (Unicode-ellipsis fix) / rank tail rewritten
-    "gopher_quality", "bm25_search",
+    "multimodal_progressive", "multimodal_mjpeg",
+    # (c) values changed (Unicode-ellipsis fix)
+    "gopher_quality",
 }
 
 

@@ -702,6 +702,49 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="not a RIFF/AVI"):
             parse_avi(b"RIFF\x00\x00\x00\x00WAVE")
 
+    def test_mjpeg_avi_decode(self, spark):
+        """Motion-JPEG AVI (r15): frames are real JPEGs — uniform even
+        gray frames survive quantization exactly, arbitrary frames
+        decode with bounded quantization error, the sampler walks the
+        compressed container, and non-MJPG compressions still raise."""
+        import hashlib as _hl
+
+        import numpy as np
+
+        from holcstore_spark.operators.multimodal import (
+            encode_avi,
+            frame_sample_strict,
+            parse_avi,
+        )
+
+        vals = [0, 2, 88, 126, 254]
+        frames = np.stack(
+            [np.full((8, 8, 3), v, np.uint8) for v in vals]
+        )
+        avi = encode_avi(frames, codec="MJPG")
+        w, h, back = parse_avi(avi)
+        assert (w, h) == (8, 8) and (back == frames).all()
+        # the compressed container rides the SAME sampler
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytearray(avi)]})
+        )
+        rows = frame_sample_strict(d, every=2).orderBy("frame_idx").collect()
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        for r in rows:
+            v = vals[r["frame_idx"]]
+            assert r["mean_r"] == r["mean_g"] == r["mean_b"] == float(v)
+            assert r["frame_digest"] == _hl.md5(
+                bytes([v]) * 192
+            ).hexdigest()
+        # arbitrary content: lossy but decodable, dims preserved
+        rng = np.random.RandomState(9)
+        rf = rng.randint(0, 256, (3, 16, 24, 3)).astype(np.uint8)
+        w, h, back = parse_avi(encode_avi(rf, codec="MJPG"))
+        assert (w, h) == (24, 16) and back.shape == rf.shape
+        assert np.abs(back.astype(int) - rf.astype(int)).mean() < 40
+        with pytest.raises(ValueError, match="DIB or MJPG"):
+            encode_avi(rf, codec="H264")
+
     def test_jpeg_rejects_invalid_and_truncated(self):
         import numpy as np
 
