@@ -3984,7 +3984,12 @@ def q_bm25_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-recompute topk must equal a fresh index built over only the
     surviving documents, so the oracle is bm25_search's SQL evaluated
     against the filtered corpus — any stale deleted mass in N, avgdl
-    or df shifts the scores and fails the hash."""
+    or df shifts the scores and fails the hash. Victims are restricted
+    to text-bearing docs: a deleted ZERO-token doc is recompute_stats'
+    documented honest boundary (its +1 on N is unattributable), so
+    deleting one would make the query depend on the fixture having no
+    NULL-text rows (review r15) — the restriction makes query and
+    oracle agree for ANY corpus."""
     import shutil
     from holcstore_spark.sources.lexical_index import LexicalIndex
 
@@ -3994,7 +3999,9 @@ def q_bm25_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = LexicalIndex(spark, path)
     if not li.ingest(docs, txn_app="entry", txn_version=0):
         raise AssertionError("fresh index refused the ingest")
-    victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    victims = docs.filter(
+        (F.col("doc_id") % 7 == 0) & F.col("text").isNotNull()
+    ).select("doc_id")
     if not li.delete(victims, txn_app="entry", txn_version=1):
         raise AssertionError("delete did not commit")
     if not li.recompute_stats():
@@ -7772,10 +7779,14 @@ def oracle_sql() -> dict[str, str]:
     out["span_strip_incr"] = span_strip_incr_sql
     out["bm25_indexed"] = out["bm25_search"]
     # recompute_stats done-gate (r15): bm25 over ONLY the surviving
-    # documents — stale deleted mass in N/avgdl/df fails the hash
+    # documents — stale deleted mass in N/avgdl/df fails the hash.
+    # Survivors = everyone except text-bearing doc_id%7==0 docs (the
+    # query's victim set; NULL-text docs are never deleted so the pair
+    # stays exact on any corpus)
     out["bm25_recompute"] = (
         "WITH docs_live AS "
-        "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"
+        "(SELECT * FROM documents "
+        "WHERE NOT (doc_id % 7 = 0 AND text IS NOT NULL))"
         + out["bm25_search"]
         .replace("WITH dl AS", ", dl AS", 1)
         .replace("FROM documents", "FROM docs_live")

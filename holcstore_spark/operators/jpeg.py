@@ -1050,93 +1050,3 @@ def _finish(
     rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:fh, :fw]
     return fw, fh, np.ascontiguousarray(rgb)
 
-
-def _decode_scan(
-    b: bytes,
-    data_pos: int,
-    frame: tuple,
-    sos_body: bytes,
-    qtables: dict,
-    htables: dict,
-    restart: int,
-) -> tuple[int, int, np.ndarray]:
-    fw, fh, comps = frame
-    ns = sos_body[0]
-    scan_tables = {}
-    for i in range(ns):
-        cs, tdta = sos_body[1 + 2 * i : 3 + 2 * i]
-        scan_tables[cs] = (tdta >> 4, tdta & 0xF)
-    if ns != len(comps):
-        raise ValueError("non-interleaved JPEG scans not supported")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise ValueError("JPEG sampling factors above 2 not supported")
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
-
-    planes = []
-    for cid, ch, cv, tq in comps:
-        planes.append(
-            np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
-        )
-
-    br = _BitReader(b, data_pos)
-    preds = [0] * len(comps)
-    nmcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and nmcu and nmcu % restart == 0:
-                br.align_after_rst()
-                preds = [0] * len(comps)
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                dc_lut = htables[(0, scan_tables[cid][0])]
-                ac_lut = htables[(1, scan_tables[cid][1])]
-                qt = qtables[tq]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _huff_decode(br, dc_lut)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, ac_lut)
-                            r, sz = rs >> 4, rs & 0xF
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break                  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(br.bits(sz), sz)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
-                        blk = _M.T @ coef.reshape(8, 8) @ _M + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            nmcu += 1
-
-    # upsample subsampled planes to full MCU-grid resolution, crop, convert
-    full_h, full_w = mcuy * vmax * 8, mcux * hmax * 8
-    up = []
-    for (cid, ch, cv, tq), plane in zip(comps, planes):
-        p = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
-        up.append(p[:full_h, :full_w])
-    if len(up) == 1:
-        ych = np.clip(np.round(up[0]), 0, 255).astype(np.uint8)[:fh, :fw]
-        rgb = np.repeat(ych[..., None], 3, axis=2)
-        return fw, fh, np.ascontiguousarray(rgb)
-    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bl = y + 1.772 * cb
-    rgb = np.stack([r, g, bl], axis=2)
-    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:fh, :fw]
-    return fw, fh, np.ascontiguousarray(rgb)

@@ -678,6 +678,8 @@ def encode_avi(
     codec = codec.upper()
     if codec not in ("DIB", "MJPG"):
         raise ValueError(f"unsupported AVI codec {codec!r}: DIB or MJPG")
+    if n == 0:
+        raise ValueError("encode_avi requires at least one frame")
 
     def dib(frame: "np.ndarray") -> bytes:
         stride = (w * 3 + 3) & ~3

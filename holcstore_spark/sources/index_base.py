@@ -131,11 +131,21 @@ class ForgetMixin:
                 attempted.append((abs_dir, rel_dir))
             return write_one(item, abs_dir, rel_dir)
 
+        from concurrent.futures import FIRST_EXCEPTION, wait
+
         ex = ThreadPoolExecutor(
             max_workers=min(max_workers, max(1, len(items)))
         )
         try:
             futs = [ex.submit(one, item) for item in items]
+            # wait on FIRST_EXCEPTION, not result() in submission order:
+            # blocking on futs[0] would let workers drain the whole
+            # queue before a later chunk's failure ever propagated,
+            # defeating the cancellation (review r15)
+            wait(futs, return_when=FIRST_EXCEPTION)
+            failed = [f for f in futs if f.done() and f.exception()]
+            if failed:
+                raise failed[0].exception()
             return [f.result() for f in futs]
         except BaseException:
             # drop queued writes, wait out in-flight ones so the

@@ -8,12 +8,9 @@ from pyspark.sql import DataFrame
 
 
 #: serializes the constraint-propagation fallback in
-#: safe_local_checkpoint (session-global conf toggle)
+#: safe_local_checkpoint AND the scoped unpersist-warning mute in
+#: release_local_checkpoint (both toggle JVM-global state)
 _CKPT_CONF_LOCK = __import__("threading").Lock()
-
-#: one-time log4j2 mute of the expected unpersist-after-localCheckpoint
-#: warning (see release_local_checkpoint)
-_RELEASE_WARN_MUTED = False
 
 
 def safe_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -68,22 +65,30 @@ def release_local_checkpoint(df: DataFrame) -> None:
 
     Call ONLY when no further reads of ``df`` will happen — after the
     per-chunk staging scans have all completed."""
-    global _RELEASE_WARN_MUTED
     try:
-        if not _RELEASE_WARN_MUTED:
-            # unpersisting a locally-checkpointed RDD logs a WARN that
-            # its lineage "cannot be recomputed" — true, intended, and
-            # once-per-micro-batch log spam here; mute that one logger
-            _RELEASE_WARN_MUTED = True
+        plan = df._jdf.queryExecution().analyzed()
+        rdd = plan.rdd()
+        # unpersisting a locally-checkpointed RDD logs a WARN that its
+        # lineage "cannot be recomputed" — true, intended, and
+        # once-per-micro-batch log spam here. Mute the logger ONLY for
+        # the duration of this unpersist (set/restore under a lock —
+        # a permanent ERROR level would hide every future legitimate
+        # MapPartitionsRDD warning in the JVM, review r15)
+        with _CKPT_CONF_LOCK:
             try:
                 jvm = df.sparkSession.sparkContext._jvm
-                jvm.org.apache.logging.log4j.core.config.Configurator \
-                    .setLevel("org.apache.spark.rdd.MapPartitionsRDD",
-                              jvm.org.apache.logging.log4j.Level.ERROR)
+                mgr = jvm.org.apache.logging.log4j.LogManager
+                cfg = jvm.org.apache.logging.log4j.core.config.Configurator
+                name = "org.apache.spark.rdd.MapPartitionsRDD"
+                old = mgr.getLogger(name).getLevel()
+                cfg.setLevel(name, jvm.org.apache.logging.log4j.Level.ERROR)
+                try:
+                    rdd.unpersist(False)
+                finally:
+                    cfg.setLevel(name, old)
             except Exception:
-                pass
-        plan = df._jdf.queryExecution().analyzed()
-        plan.rdd().unpersist(False)
+                # logging plumbing unavailable: release without the mute
+                rdd.unpersist(False)
     except Exception:
         pass
 

@@ -201,6 +201,23 @@ class LexicalIndex(ForgetMixin):
             F.coalesce(F.sum("dl"), F.lit(0)).alias("__total_dl"),
         )
 
+    def _doc_dl_unmasked(self, snap) -> "DataFrame | None":
+        """UNMASKED distinct ``(id, dl)`` pairs from every postings
+        bucket (one row per physically-present document — dl rides
+        every posting), or None when no postings files exist. Shared by
+        :meth:`doc_lengths` (masked read) and :meth:`recompute_stats`
+        (tombstone-side correction)."""
+        p = self.params
+        paths = self._bucket_paths(snap, set(range(_N_BUCKETS)))
+        if not paths:
+            return None
+        return (
+            self.spark.read.schema(self._schema()).parquet(*paths)
+            .filter(F.col("bucket") >= 0)
+            .select(F.col(p["id_col"]), F.col("dl"))
+            .distinct()
+        )
+
     def doc_lengths(self, snap=None) -> DataFrame:
         """Live ``(id, dl)`` pairs — one row per indexed document with
         ≥ 1 posting (``dl`` rides every posting; ``distinct`` collapses
@@ -210,18 +227,12 @@ class LexicalIndex(ForgetMixin):
         have no postings; only the stats stripe counts them)."""
         p = self.params
         snap = snap if snap is not None else self._txlog.snapshot()
-        paths = self._bucket_paths(snap, set(range(_N_BUCKETS)))
-        if not paths:
+        out = self._doc_dl_unmasked(snap)
+        if out is None:
             return self.spark.createDataFrame(
                 [], T.StructType([self._schema()[p["id_col"]],
                                   self._schema()["dl"]])
             )
-        out = (
-            self.spark.read.schema(self._schema()).parquet(*paths)
-            .filter(F.col("bucket") >= 0)
-            .select(F.col(p["id_col"]), F.col("dl"))
-            .distinct()
-        )
         return self._mask_deleted(out, snap)
 
     def last_txn_version(self, txn_app) -> int:
@@ -437,15 +448,9 @@ class LexicalIndex(ForgetMixin):
                     f"chunks {cmin}..{cmax} or lacks a row count — "
                     "foreign layout, rebuild the index instead"
                 )
-        paths = self._bucket_paths(snap, set(range(_N_BUCKETS)))
-        if not paths:
+        doc_dl = self._doc_dl_unmasked(snap)
+        if doc_dl is None:
             return False  # nothing physically present to attribute
-        doc_dl = (
-            self.spark.read.schema(self._schema()).parquet(*paths)
-            .filter(F.col("bucket") >= 0)
-            .select(F.col(p["id_col"]), F.col("dl"))
-            .distinct()
-        )
         corr = (
             doc_dl.join(
                 F.broadcast(self.tombstones(snap)),

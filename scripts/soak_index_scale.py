@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from holcstore_spark.sources.io_util import release_local_checkpoint
+
 
 def synth_docs(spark, n: int, tokens_per_doc: int = 20):
     """n docs of ~20 pseudo-random tokens from a 10k-token universe,
@@ -106,7 +108,7 @@ def lexical_soak(spark, n: int) -> dict:
         "topk_scan_s": round(t_scan, 2),
         "files_opened": opened, "files_total": total_files,
     }
-    docs.unpersist()
+    release_local_checkpoint(docs)
     shutil.rmtree(path, ignore_errors=True)
     return out
 
@@ -135,7 +137,7 @@ def vector_soak(spark, n: int) -> dict:
         "topk_brute_s": round(t_brute, 2),
         "files_opened": opened, "files_total": total_files,
     }
-    emb.unpersist()
+    release_local_checkpoint(emb)
     shutil.rmtree(path, ignore_errors=True)
     return out
 

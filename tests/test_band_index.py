@@ -405,3 +405,46 @@ class TestForget:
         assert not idx._txlog.snapshot().files["meta"]
         # the mask path stays inactive: df() plan is unchanged
         assert idx.df().count() == minhash_bands(history).count()
+
+
+class TestStagingCancellation:
+    def test_queued_writes_cancelled_on_first_failure(
+        self, spark, tmp_store_path
+    ):
+        """review r15: _map_staged must CANCEL still-queued chunk
+        writes once one fails — waiting on futures in submission order
+        would let workers drain the whole queue first (the orphan set
+        the cancellation exists to shrink)."""
+        import threading
+        import time
+
+        import pytest
+
+        idx = BandIndex(spark, tmp_store_path)
+        started = []
+        gate = threading.Event()
+
+        def write_one(item, abs_dir, rel_dir):
+            started.append(item)
+            if item == "slow":
+                gate.wait(20)       # holds a worker until failure lands
+                return []
+            if item == "boom":
+                time.sleep(0.2)     # let 'slow' start first
+                raise RuntimeError("chunk write failed")
+            time.sleep(0.5)
+            return []
+
+        items = ["slow", "boom"] + [f"queued{i}" for i in range(12)]
+        try:
+            with pytest.raises(RuntimeError, match="chunk write failed"):
+                # max_workers=2: 'slow' and 'boom' occupy both workers;
+                # every 'queuedN' is still queued when 'boom' raises and
+                # must be cancelled, not drained
+                idx._map_staged(write_one, items, max_workers=2)
+        finally:
+            gate.set()
+        ran = [s for s in started if s.startswith("queued")]
+        assert len(ran) <= 2, (
+            f"queued writes ran to completion after the failure: {ran}"
+        )

@@ -595,3 +595,47 @@ class TestBm25Plan:
         assert n_nodes(txt, "Window") == 0, txt
         assert "Generate" in txt, txt
         assert txt.index("Generate") < txt.index("TakeOrdered"), txt
+
+    def test_collocations_and_rrf_are_window_free(self, spark):
+        # the other two r15 bounded_rank sites: same contract — a
+        # distributed TakeOrdered cut, zero Window nodes anywhere
+        from holcstore_spark.operators.similarity import rrf_fuse
+        from holcstore_spark.operators.text import bigram_collocations
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(10),
+            "text": [f"alpha beta gamma w{i}" for i in range(10)],
+        }))
+        txt = plan_text(bigram_collocations(d, k=5))
+        assert "TakeOrdered" in txt, txt
+        assert n_nodes(txt, "Window") == 0, txt
+        r1 = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "rank": [1, 2, 3]})
+        )
+        r2 = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [3, 1, 2], "rank": [1, 2, 3]})
+        )
+        txt = plan_text(rrf_fuse([r1, r2], k=3))
+        assert "TakeOrdered" in txt, txt
+        assert n_nodes(txt, "Window") == 0, txt
+
+    def test_pack_manifest_has_no_unpartitioned_window(self, spark):
+        # every Window in the prefix-sum pipeline is PARTITIONED (the
+        # bucket / super-bucket cumsums); the only global step is the
+        # sorted-array fold over super-bucket totals
+        from holcstore_spark.operators.packing import pack_manifest
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(30),
+            "text": ["tok " * (i % 5 + 1) for i in range(30)],
+        }))
+        txt = plan_text(pack_manifest(d, block_tokens=8, bucket_size=4))
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", txt):
+            spec = m.group(1)
+            # a partitioned spec lists partition cols before the sort
+            # spec; an empty partition starts with the order column's
+            # ASC/DESC marker only — assert the partition column is
+            # present (the spec must reference __bucket or __sbucket)
+            assert "__bucket" in spec or "__sbucket" in spec, txt
