@@ -36,11 +36,12 @@ exact-recovery path. Storing every (doc, gram) containment pair would
 make erasure exact but costs O(corpus tokens × duplication factor)
 rows; the keeper attribution costs exactly one row per distinct gram.
 
-Files are staged one-per-bucket (bucket = first hex nibble of the gram
-hash, 16 buckets) — the bucket plays the chunk role in the manifest,
-giving tight per-file key stats, making :meth:`optimize` a per-bucket
-binpack O(fragmentation), and keeping the per-batch dedup join
-co-locatable by hash prefix at warehouse scale (the layout
+Files are staged one-per-bucket (bucket = gram hash mod the frozen
+``n_buckets`` fan-out, default 16 — raise it at index creation for
+warehouse-sized corpora, r15) — the bucket plays the chunk role in the
+manifest, giving tight per-file key stats, making :meth:`optimize` a
+per-bucket binpack O(fragmentation), and keeping the per-batch dedup
+join co-locatable by hash prefix at warehouse scale (the layout
 ``span_gram_index``'s docstring tells callers to hand-build).
 """
 
@@ -55,8 +56,8 @@ from pyspark.sql import types as T
 
 from holcstore_spark.sources.index_base import ForgetMixin
 
-#: bucket = first hex nibble of the 16-hex gram hash → 16 chunks; one
-#: staged file per non-empty bucket per ingest (the band_id role)
+#: default bucket fan-out (a frozen per-index parameter since r15);
+#: one staged file per non-empty bucket per ingest (the band_id role)
 _N_BUCKETS = 16
 
 
@@ -97,6 +98,7 @@ class GramIndex(ForgetMixin):
         id_type: str = "long",
         k: int = 8,
         sep: str = " ",
+        n_buckets: int = _N_BUCKETS,
     ):
         from holcstore_spark.session import ensure_engine_conf
         from holcstore_spark.sources.txlog import TxLog
@@ -110,6 +112,11 @@ class GramIndex(ForgetMixin):
                 f"unsupported id_type {id_type!r}; one of long/int "
                 "(span dedup encodes the keep-first key as id*2^20+pos)"
             )
+        if not isinstance(n_buckets, int) or isinstance(n_buckets, bool) \
+                or not 1 <= n_buckets <= 65536:
+            raise ValueError(
+                f"n_buckets must be an int in [1, 65536], got {n_buckets!r}"
+            )
         self.spark = spark
         self.path = path
         self.params = {
@@ -117,6 +124,7 @@ class GramIndex(ForgetMixin):
             "id_type": id_type,
             "k": int(k),
             "sep": sep,
+            "n_buckets": n_buckets,
         }
         self._check_or_save_params()
         self._txlog = TxLog(path)
@@ -129,6 +137,9 @@ class GramIndex(ForgetMixin):
         payload = json.dumps(self.params, indent=1, sort_keys=True)
         os.makedirs(self.path, exist_ok=True)
         existing = json.loads(claim_file_first_wins(target, payload))
+        # a pre-r15 config predates the n_buckets knob; those indexes
+        # were built at the old fixed fan-out
+        existing.setdefault("n_buckets", _N_BUCKETS)
         if existing != self.params:
             raise ValueError(
                 f"gram index at {self.path} was created with "
@@ -180,12 +191,15 @@ class GramIndex(ForgetMixin):
     def _typed(self, rows_df: DataFrame) -> DataFrame:
         """Project ``(id, gram_h)`` rows to the index schema: id CAST
         to the frozen id_type (commit-time, not read-time — ADVICE
-        r12), bucket derived from the hash's first hex nibble."""
+        r12), bucket = the hash's first 8 hex chars mod the frozen
+        ``n_buckets`` fan-out (r15)."""
         p = self.params
         return rows_df.select(
             F.col(p["id_col"]).cast(p["id_type"]).alias(p["id_col"]),
-            F.conv(F.substring(F.col("gram_h"), 1, 1), 16, 10)
-            .cast("int").alias("bucket"),
+            (
+                F.conv(F.substring(F.col("gram_h"), 1, 8), 16, 10)
+                .cast("long") % F.lit(p["n_buckets"])
+            ).cast("int").alias("bucket"),
             F.col("gram_h").cast("string").alias("gram_h"),
         )
 
@@ -196,7 +210,8 @@ class GramIndex(ForgetMixin):
 
         def check(buckets):
             if any(
-                b is None or b < 0 or b >= _N_BUCKETS for b in buckets
+                b is None or b < 0 or b >= self.params["n_buckets"]
+                for b in buckets
             ):
                 raise ValueError(
                     "gram rows with NULL or out-of-range bucket cannot "

@@ -10,13 +10,16 @@ O(postings of its terms), not O(corpus tokens) (VERDICT r13 gap #2).
 
 Layout: one postings row per (document, term) —
 ``(id_col, bucket int, term string, tf long, dl long)`` — staged one
-file per BUCKET (bucket = first hex nibble of md5(term), 16 buckets;
-the manifest chunk axis). A query computes its terms' buckets
-DRIVER-side from the same md5 nibble and opens only those files — the
-manifest prune the stores use for time slices, applied to terms
-(plan-asserted in tests: non-matching buckets are never read). The
-document length ``dl`` is denormalized onto every posting so scoring
-never joins a corpus-sized doc-length table.
+file per BUCKET (bucket = md5(term) mod ``n_buckets``; the manifest
+chunk axis). A query computes its terms' buckets DRIVER-side from the
+same hash and opens only those files — the manifest prune the stores
+use for time slices, applied to terms (plan-asserted in tests:
+non-matching buckets are never read). ``n_buckets`` is a FROZEN
+index parameter (default 16): the prune ratio scales with it, so a
+warehouse-sized corpus creates its index with hundreds of buckets and
+a q-term query still opens ~q files — O(query), not O(corpus) (r15).
+The document length ``dl`` is denormalized onto every posting so
+scoring never joins a corpus-sized doc-length table.
 
 Corpus scalars (N, Σdl) ride an IN-BAND STATS STRIPE: bucket −1 holds
 one row per ingest commit with ``tf = n_docs`` and ``dl = total_dl``
@@ -59,17 +62,22 @@ from pyspark.sql import types as T
 
 from holcstore_spark.sources.index_base import ForgetMixin
 
-#: postings buckets 0..15 (first hex nibble of md5(term)); the stats
-#: stripe lives at bucket -1
+#: default postings bucket count (a frozen per-index parameter since
+#: r15 — raise it for warehouse-sized corpora); the stats stripe lives
+#: at bucket -1
 _N_BUCKETS = 16
 _STATS_BUCKET = -1
 
 
-def term_bucket(term: str) -> int:
+def term_bucket(term: str, n_buckets: int = _N_BUCKETS) -> int:
     """Driver-side twin of the ingest-side bucket expression — MUST
-    match ``conv(substring(md5(term), 1, 1), 16, 10)`` exactly, or a
-    query would prune away the very files its terms live in."""
-    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[0], 16)
+    match ``conv(substring(md5(term), 1, 8), 16, 10) % n_buckets``
+    exactly, or a query would prune away the very files its terms live
+    in."""
+    return (
+        int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16)
+        % n_buckets
+    )
 
 
 class LexicalIndex(ForgetMixin):
@@ -100,6 +108,7 @@ class LexicalIndex(ForgetMixin):
         id_col: str = "doc_id",
         id_type: str = "long",
         sep: str = " ",
+        n_buckets: int = _N_BUCKETS,
     ):
         from holcstore_spark.session import ensure_engine_conf
         from holcstore_spark.sources.txlog import TxLog
@@ -109,12 +118,18 @@ class LexicalIndex(ForgetMixin):
             raise ValueError(
                 f"unsupported id_type {id_type!r}; one of long/int/string"
             )
+        if not isinstance(n_buckets, int) or isinstance(n_buckets, bool) \
+                or not 1 <= n_buckets <= 65536:
+            raise ValueError(
+                f"n_buckets must be an int in [1, 65536], got {n_buckets!r}"
+            )
         self.spark = spark
         self.path = path
         self.params = {
             "id_col": id_col,
             "id_type": id_type,
             "sep": sep,
+            "n_buckets": n_buckets,
         }
         self._check_or_save_params()
         self._txlog = TxLog(path)
@@ -127,6 +142,9 @@ class LexicalIndex(ForgetMixin):
         payload = json.dumps(self.params, indent=1, sort_keys=True)
         os.makedirs(self.path, exist_ok=True)
         existing = json.loads(claim_file_first_wins(target, payload))
+        # a pre-r15 config predates the n_buckets knob; those indexes
+        # were built at the old fixed fan-out
+        existing.setdefault("n_buckets", _N_BUCKETS)
         if existing != self.params:
             raise ValueError(
                 f"lexical index at {self.path} was created with "
@@ -172,7 +190,10 @@ class LexicalIndex(ForgetMixin):
         if not terms:
             raise ValueError("postings requires at least one term")
         snap = snap if snap is not None else self._txlog.snapshot()
-        paths = self._bucket_paths(snap, {term_bucket(t) for t in terms})
+        nb = self.params["n_buckets"]
+        paths = self._bucket_paths(
+            snap, {term_bucket(t, nb) for t in terms}
+        )
         if not paths:
             return self.spark.createDataFrame([], self._schema())
         out = (
@@ -208,7 +229,9 @@ class LexicalIndex(ForgetMixin):
         :meth:`doc_lengths` (masked read) and :meth:`recompute_stats`
         (tombstone-side correction)."""
         p = self.params
-        paths = self._bucket_paths(snap, set(range(_N_BUCKETS)))
+        paths = self._bucket_paths(
+            snap, set(range(self.params["n_buckets"]))
+        )
         if not paths:
             return None
         return (
@@ -286,7 +309,8 @@ class LexicalIndex(ForgetMixin):
 
         def check(buckets):
             if any(
-                b is None or b < _STATS_BUCKET or b >= _N_BUCKETS
+                b is None or b < _STATS_BUCKET
+                or b >= self.params["n_buckets"]
                 for b in buckets
             ):
                 raise ValueError(
@@ -342,8 +366,10 @@ class LexicalIndex(ForgetMixin):
         )
         postings = tf.join(dl_frame, on=p["id_col"]).select(
             F.col(p["id_col"]),
-            F.conv(F.substring(F.md5(F.col("term")), 1, 1), 16, 10)
-            .cast("int").alias("bucket"),
+            (
+                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+                .cast("long") % F.lit(p["n_buckets"])
+            ).cast("int").alias("bucket"),
             "term", "tf", "dl",
         )
         stripe = dl_frame.agg(
@@ -490,7 +516,7 @@ class LexicalIndex(ForgetMixin):
         try:
             self._optimize_by_chunk(
                 "bucket", key_cols=("term",), sort_cols=("bucket", "term"),
-                min_files=1, max_chunks=_N_BUCKETS,
+                min_files=1, max_chunks=p["n_buckets"],
                 exclude_chunks=frozenset({_STATS_BUCKET}),
                 extra_adds=new_adds, extra_removes=stripe_entries,
                 snap=snap,

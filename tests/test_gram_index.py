@@ -137,10 +137,13 @@ class TestExactlyOnceIngest:
         owned = {r["gram_h"]: r["doc_id"] for r in live.collect()}
         assert all(owned[h] == 12 for h in shared_h)
         assert sum(1 for d in owned.values() if d == 13) == 2
-        # bucket column matches the hash prefix contract
+        # bucket column matches the hash-mod-fanout contract (r15)
+        nb = idx.params["n_buckets"]
         bad = live.filter(
-            F.conv(F.substring("gram_h", 1, 1), 16, 10).cast("int")
-            != F.col("bucket")
+            (
+                F.conv(F.substring("gram_h", 1, 8), 16, 10)
+                .cast("long") % F.lit(nb)
+            ).cast("int") != F.col("bucket")
         ).count()
         assert bad == 0
 
@@ -348,3 +351,39 @@ class TestStagingFailureOrphans:
         assert stats.count() == 4
         assert live_before < {e["path"] for e in
                               idx._txlog.snapshot().files["data"]}
+
+
+class TestBucketFanout:
+    def test_n_buckets_is_layout_only_and_frozen(
+        self, spark, tmp_store_path, corpus
+    ):
+        """r15: n_buckets is a frozen per-index knob — a 64-bucket
+        index returns the IDENTICAL span stats (layout-only change),
+        stages at most one file per bucket, and refuses a re-open at a
+        different fan-out."""
+        history, batch1, _ = corpus
+        K = 5
+        a = GramIndex(spark, os.path.join(tmp_store_path, "b16"), k=K)
+        b = GramIndex(
+            spark, os.path.join(tmp_store_path, "b64"), k=K, n_buckets=64
+        )
+        for idx in (a, b):
+            assert idx.ingest(
+                history, txn_app="s", txn_version=0
+            ).count() == 2
+        sa = stats_map(a.ingest(batch1, txn_app="s", txn_version=1))
+        sb = stats_map(b.ingest(batch1, txn_app="s", txn_version=1))
+        assert sa == sb
+        # buckets stay inside the frozen fan-out
+        rows = b.df().select("bucket").distinct().collect()
+        assert all(0 <= r["bucket"] < 64 for r in rows)
+        assert len(rows) > 16  # the wider fan-out is actually used
+        with pytest.raises(ValueError, match="incompatible"):
+            GramIndex(
+                spark, os.path.join(tmp_store_path, "b64"), k=K,
+                n_buckets=16,
+            )
+        with pytest.raises(ValueError, match="n_buckets"):
+            GramIndex(
+                spark, os.path.join(tmp_store_path, "bad"), n_buckets=-1
+            )

@@ -130,18 +130,52 @@ class TestBucketPruning:
         assert not (set(other) & read)
 
     def test_driver_bucket_matches_engine_bucket(self, spark, corpus):
-        rows = (
-            corpus.select(F.explode(F.split("text", " ")).alias("t"))
-            .distinct()
-            .select(
-                "t",
-                F.conv(F.substring(F.md5("t"), 1, 1), 16, 10)
-                .cast("int").alias("b"),
+        for nb in (16, 64, 257):
+            rows = (
+                corpus.select(F.explode(F.split("text", " ")).alias("t"))
+                .distinct()
+                .select(
+                    "t",
+                    (
+                        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+                        .cast("long") % F.lit(nb)
+                    ).cast("int").alias("b"),
+                )
+                .collect()
             )
-            .collect()
+            for r in rows:
+                assert term_bucket(r["t"], nb) == r["b"], (nb, r["t"])
+
+    def test_configurable_bucket_fanout(self, spark, tmp_store_path,
+                                        corpus):
+        """r15: n_buckets is a frozen per-index knob — a 64-bucket
+        index returns the identical ranking (layout-only change) and a
+        query still opens only its terms' buckets + the stripe."""
+        from holcstore_spark.operators.text import bm25_topk
+
+        idx = LexicalIndex(
+            spark, os.path.join(tmp_store_path, "b64"), n_buckets=64
         )
-        for r in rows:
-            assert term_bucket(r["t"]) == r["b"]
+        assert idx.ingest(corpus, txn_app="s", txn_version=0)
+        q = ["hash", "join", "scan"]
+        assert rank_rows(idx.topk(q, k=10)) == rank_rows(
+            bm25_topk(corpus, q, k=10)
+        )
+        opened = len(idx.topk(q, k=10).inputFiles())
+        assert opened <= len(q) + 1  # term buckets + stats stripe
+        # the fan-out is frozen: re-opening at another count refuses
+        with pytest.raises(ValueError, match="incompatible"):
+            LexicalIndex(
+                spark, os.path.join(tmp_store_path, "b64"), n_buckets=16
+            )
+        with pytest.raises(ValueError, match="n_buckets"):
+            LexicalIndex(
+                spark, os.path.join(tmp_store_path, "bad"), n_buckets=0
+            )
+        # recompute_stats composes with the wider fan-out
+        assert idx.delete([1])
+        assert idx.recompute_stats() is True
+        assert idx.stats().collect()[0]["__n_docs"] == 4
 
 
 class TestExactlyOnce:
