@@ -614,3 +614,62 @@ class TestSpanDedupProperties:
             ).collect()
         }
         assert incr == one_shot
+
+
+class TestProgressiveJpegProperties:
+    """Random scan-script round-trips (r15): any contiguous partition
+    of the AC band with any valid successive-approximation ladder must
+    reconstruct the baseline decode bit-exactly — the annex-G algebra
+    holds for scripts far weirder than the default encoder's."""
+
+    @staticmethod
+    def _random_script(rng, ncomp):
+        # random contiguous partition of 1..63 into 1-4 bands
+        cuts = sorted(rng.choice(range(2, 63), size=rng.randint(0, 3),
+                                 replace=False).tolist())
+        bounds = [1] + cuts + [64]
+        bands = [(bounds[i], bounds[i + 1] - 1)
+                 for i in range(len(bounds) - 1)]
+        allc = tuple(range(ncomp))
+        dc_al = rng.randint(0, 3)
+        scans = [(allc, 0, 0, 0, dc_al)]
+        for lo, hi in bands:
+            al0 = rng.randint(0, 3)      # per-band approximation depth
+            for c in range(ncomp):
+                scans.append(((c,), lo, hi, 0, al0))
+            for al in range(al0 - 1, -1, -1):
+                for c in range(ncomp):
+                    scans.append(((c,), lo, hi, al + 1, al))
+        for al in range(dc_al - 1, -1, -1):
+            scans.append((allc, 0, 0, al + 1, al))
+        return scans
+
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_random_scan_scripts_reconstruct_baseline(self, seed):
+        import numpy as np
+
+        from holcstore_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_progressive,
+            parse_jpeg,
+        )
+
+        rng = np.random.RandomState(seed)
+        h, w = rng.randint(1, 33), rng.randint(1, 33)
+        if seed % 3 == 0:
+            img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            sub, ncomp = False, 1
+        elif seed % 3 == 1:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            sub, ncomp = False, 3
+        else:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            sub, ncomp = True, 3
+        scans = self._random_script(rng, ncomp)
+        _, _, base = parse_jpeg(encode_jpeg(img, subsample=sub))
+        _, _, prog = parse_jpeg(
+            encode_progressive(img, subsample=sub, scans=scans)
+        )
+        assert np.array_equal(base, prog), (seed, h, w, scans)
