@@ -445,6 +445,10 @@ class TestStagingCancellation:
         finally:
             gate.set()
         ran = [s for s in started if s.startswith("queued")]
-        assert len(ran) <= 2, (
+        # the worker freed by 'boom' may drain a couple of queued items
+        # before the FIRST_EXCEPTION wakeup cancels the rest (each takes
+        # 0.5 s, so even a slow wakeup admits only a few) — the old
+        # result()-in-order collection drained ALL 12
+        assert len(ran) <= 4, (
             f"queued writes ran to completion after the failure: {ran}"
         )
