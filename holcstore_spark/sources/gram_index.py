@@ -60,6 +60,14 @@ from holcstore_spark.sources.index_base import ForgetMixin
 #: one staged file per non-empty bucket per ingest (the band_id role)
 _N_BUCKETS = 16
 
+#: the gram→bucket mapping is versioned and FROZEN per index: ``md5h8``
+#: (since r15) is ``int(gram_h[:8], 16) % n_buckets``; ``nibble``
+#: (pre-r15, always 16 buckets) is the hash's first hex digit. Legacy
+#: configs (predating the knob) are inferred as ``nibble`` so new
+#: ingests keep landing in the buckets the on-disk layout uses (r16 fix
+#: of the silent-upgrade bug the r15 advisor flagged).
+_BUCKET_SCHEME = "md5h8"
+
 
 class GramIndex(ForgetMixin):
     """A transactional rolling-gram table + the exactly-once span-dedup
@@ -125,6 +133,7 @@ class GramIndex(ForgetMixin):
             "k": int(k),
             "sep": sep,
             "n_buckets": n_buckets,
+            "bucket_scheme": _BUCKET_SCHEME,
         }
         self._check_or_save_params()
         self._txlog = TxLog(path)
@@ -137,9 +146,20 @@ class GramIndex(ForgetMixin):
         payload = json.dumps(self.params, indent=1, sort_keys=True)
         os.makedirs(self.path, exist_ok=True)
         existing = json.loads(claim_file_first_wins(target, payload))
-        # a pre-r15 config predates the n_buckets knob; those indexes
-        # were built at the old fixed fan-out
-        existing.setdefault("n_buckets", _N_BUCKETS)
+        if "bucket_scheme" not in existing:
+            if "n_buckets" in existing:
+                # r15-era config: the md5h8 scheme, knob already present
+                existing["bucket_scheme"] = _BUCKET_SCHEME
+            else:
+                # pre-r15 config: fixed 16-bucket first-nibble fan-out —
+                # ADOPT it (the on-disk layout uses it); silently
+                # re-mapping to md5h8 would split the same gram across
+                # two buckets and rot the per-file key stats
+                existing["bucket_scheme"] = "nibble"
+                existing["n_buckets"] = _N_BUCKETS
+        # the scheme is derived, never user-requested: inherit the
+        # index's own before the compatibility compare
+        self.params["bucket_scheme"] = existing["bucket_scheme"]
         if existing != self.params:
             raise ValueError(
                 f"gram index at {self.path} was created with "
@@ -191,15 +211,21 @@ class GramIndex(ForgetMixin):
     def _typed(self, rows_df: DataFrame) -> DataFrame:
         """Project ``(id, gram_h)`` rows to the index schema: id CAST
         to the frozen id_type (commit-time, not read-time — ADVICE
-        r12), bucket = the hash's first 8 hex chars mod the frozen
-        ``n_buckets`` fan-out (r15)."""
+        r12), bucket = the index's frozen ``bucket_scheme`` over the
+        hash (md5h8 since r15; first-nibble on pre-r15 indexes)."""
         p = self.params
-        return rows_df.select(
-            F.col(p["id_col"]).cast(p["id_type"]).alias(p["id_col"]),
-            (
+        if p["bucket_scheme"] == "nibble":
+            bucket = F.conv(
+                F.substring(F.col("gram_h"), 1, 1), 16, 10
+            ).cast("int")
+        else:
+            bucket = (
                 F.conv(F.substring(F.col("gram_h"), 1, 8), 16, 10)
                 .cast("long") % F.lit(p["n_buckets"])
-            ).cast("int").alias("bucket"),
+            ).cast("int")
+        return rows_df.select(
+            F.col(p["id_col"]).cast(p["id_type"]).alias(p["id_col"]),
+            bucket.alias("bucket"),
             F.col("gram_h").cast("string").alias("gram_h"),
         )
 

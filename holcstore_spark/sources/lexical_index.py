@@ -68,16 +68,36 @@ from holcstore_spark.sources.index_base import ForgetMixin
 _N_BUCKETS = 16
 _STATS_BUCKET = -1
 
+#: the term→bucket mapping is versioned and FROZEN per index: ``md5h8``
+#: (since r15) is ``int(md5[:8], 16) % n_buckets``; ``nibble`` (pre-r15,
+#: always 16 buckets) is the first hex digit of md5. The two disagree
+#: even at n_buckets=16 (1st vs 8th hex digit), so an index must keep
+#: the scheme it was built with — the config records it, and legacy
+#: configs (predating the knob) are inferred as ``nibble`` (r16 fix of
+#: the silent-upgrade bug the r15 advisor flagged).
+_BUCKET_SCHEME = "md5h8"
 
-def term_bucket(term: str, n_buckets: int = _N_BUCKETS) -> int:
+
+def term_bucket(
+    term: str, n_buckets: int = _N_BUCKETS, scheme: str = _BUCKET_SCHEME
+) -> int:
     """Driver-side twin of the ingest-side bucket expression — MUST
-    match ``conv(substring(md5(term), 1, 8), 16, 10) % n_buckets``
-    exactly, or a query would prune away the very files its terms live
-    in."""
+    match :func:`_bucket_expr` exactly, or a query would prune away the
+    very files its terms live in."""
+    h = hashlib.md5(term.encode("utf-8")).hexdigest()
+    if scheme == "nibble":
+        return int(h[0], 16)
+    return int(h[:8], 16) % n_buckets
+
+
+def _bucket_expr(col, n_buckets: int, scheme: str):
+    """Ingest-side bucket expression (int column) for ``scheme``."""
+    if scheme == "nibble":
+        return F.conv(F.substring(F.md5(col), 1, 1), 16, 10).cast("int")
     return (
-        int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16)
-        % n_buckets
-    )
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+        .cast("long") % F.lit(n_buckets)
+    ).cast("int")
 
 
 class LexicalIndex(ForgetMixin):
@@ -130,6 +150,7 @@ class LexicalIndex(ForgetMixin):
             "id_type": id_type,
             "sep": sep,
             "n_buckets": n_buckets,
+            "bucket_scheme": _BUCKET_SCHEME,
         }
         self._check_or_save_params()
         self._txlog = TxLog(path)
@@ -142,9 +163,20 @@ class LexicalIndex(ForgetMixin):
         payload = json.dumps(self.params, indent=1, sort_keys=True)
         os.makedirs(self.path, exist_ok=True)
         existing = json.loads(claim_file_first_wins(target, payload))
-        # a pre-r15 config predates the n_buckets knob; those indexes
-        # were built at the old fixed fan-out
-        existing.setdefault("n_buckets", _N_BUCKETS)
+        if "bucket_scheme" not in existing:
+            if "n_buckets" in existing:
+                # r15-era config: the md5h8 scheme, knob already present
+                existing["bucket_scheme"] = _BUCKET_SCHEME
+            else:
+                # pre-r15 config: fixed 16-bucket first-nibble fan-out —
+                # ADOPT it (the files on disk are laid out under it);
+                # silently re-mapping to md5h8 would prune reads to
+                # buckets that don't hold the term's postings
+                existing["bucket_scheme"] = "nibble"
+                existing["n_buckets"] = _N_BUCKETS
+        # the scheme is derived, never user-requested: inherit the
+        # index's own before the compatibility compare
+        self.params["bucket_scheme"] = existing["bucket_scheme"]
         if existing != self.params:
             raise ValueError(
                 f"lexical index at {self.path} was created with "
@@ -191,8 +223,9 @@ class LexicalIndex(ForgetMixin):
             raise ValueError("postings requires at least one term")
         snap = snap if snap is not None else self._txlog.snapshot()
         nb = self.params["n_buckets"]
+        scheme = self.params["bucket_scheme"]
         paths = self._bucket_paths(
-            snap, {term_bucket(t, nb) for t in terms}
+            snap, {term_bucket(t, nb, scheme) for t in terms}
         )
         if not paths:
             return self.spark.createDataFrame([], self._schema())
@@ -366,10 +399,9 @@ class LexicalIndex(ForgetMixin):
         )
         postings = tf.join(dl_frame, on=p["id_col"]).select(
             F.col(p["id_col"]),
-            (
-                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
-                .cast("long") % F.lit(p["n_buckets"])
-            ).cast("int").alias("bucket"),
+            _bucket_expr(
+                F.col("term"), p["n_buckets"], p["bucket_scheme"]
+            ).alias("bucket"),
             "term", "tf", "dl",
         )
         stripe = dl_frame.agg(
