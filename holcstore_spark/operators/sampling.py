@@ -20,6 +20,8 @@ are first-class).
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,6 +34,8 @@ __all__ = [
 ]
 
 _HEX_SPAN = 16 ** 8  # 8 hex digits = 32 bits of the md5 prefix
+
+_DEC_2_64 = Decimal(2 ** 64)  # the h^2 span: h < 2^32 ⇒ h^2 < 2^64
 
 
 def _frac_to_hex(frac: float) -> str:
@@ -111,42 +115,116 @@ def rebalance_mix(
     re-partitions and other engines select the SAME rows). Groups not in
     ``weights`` are dropped.
 
-    All threshold arithmetic is EXACT (``fractions.Fraction``): the
-    resulting 8-hex-digit cut equals
-    ``floor(w_g·M·16^8 / (W·count_g))`` with ``M = min_u count_u·W/w_u``
-    — an integer formula any SQL engine reproduces with wide-integer
-    ops, with no float-rounding drift.
+    All threshold arithmetic is EXACT: each group's keep rule equals
+    ``h < floor(share_g·M·16^8 / count_g)`` with
+    ``M = min_u count_u / share_u``, restated as the cross-multiplied
+    integer inequality ``(h+1)·q_g·L·n_g ≤ p_g·K·2^32`` (keep-all when
+    ``p_g·K ≥ q_g·L·n_g``), where ``share_g = p_g/q_g`` reduced,
+    ``L = lcm(p_u)`` and ``K = min_u n_u·q_u·(L/p_u) = L·M`` — pure
+    wide-integer arithmetic any SQL engine reproduces bit-for-bit
+    (HUGEINT / DECIMAL(38,0)), no float-rounding drift anywhere.
 
-    One metadata-sized aggregate (group counts) plus a zero-shuffle
-    filter; the filter is a pushdown-friendly predicate on the hash.
+    Scale shape (r16 — ADVICE r15 perf-weak fix): the group counts STAY
+    a DataFrame — one count aggregate, a one-row exact-integer min
+    (``K``) cross-joined in, and a broadcast join back on ``group_col``
+    (the threshold frame has one row per *target* group, bounded by the
+    user's own ``weights`` dict, so broadcasting is parameter-sized by
+    construction). Nothing data-sized ever reaches the driver. A target
+    group with zero rows raises at ACTION time (the counts are no
+    longer collected eagerly): ``raise_error`` fires from inside the
+    min-aggregate, so any action on the result surfaces
+    "no rows for target group <g>".
+
+    Float weights are interpreted via their decimal string
+    (``Fraction(str(w))``: 0.1 → 1/10, not the 2^-55-denominator binary
+    float), keeping the cross-multiplied integers inside the exact
+    DECIMAL(38,0) budget; weights whose reduced shares are still too
+    wide (q_g·lcm(p) ≥ 10^9 or p_g·c_g ≥ 10^10) are refused with a
+    ValueError rather than silently rounded. Exact for group counts
+    < 10^16 rows (beyond any 100 TB corpus).
     """
     from fractions import Fraction
+    from math import lcm
+
+    from pyspark.sql import types as T
 
     if not weights:
         raise ValueError("rebalance_mix: weights must be non-empty")
-    counts = {
-        r[0]: r[1]
-        for r in df.filter(F.col(group_col).isin(list(weights)))
-        .groupBy(group_col).count().collect()
+    wfr = {
+        g: Fraction(str(w)) if isinstance(w, float) else Fraction(w)
+        for g, w in weights.items()
     }
-    missing = set(weights) - set(counts)
-    if missing:
-        raise ValueError(f"rebalance_mix: no rows for target groups {sorted(missing)}")
-    wfr = {g: Fraction(w) for g, w in weights.items()}
+    if any(w <= 0 for w in wfr.values()):
+        raise ValueError("rebalance_mix: weights must all be > 0")
     total_w = sum(wfr.values())
-    if total_w <= 0:
-        raise ValueError("rebalance_mix: weights must sum to > 0")
-    m = min(Fraction(counts[g]) * total_w / wfr[g] for g in wfr)
+    shares = {g: w / total_w for g, w in wfr.items()}  # p_g/q_g reduced
+    big_l = lcm(*[s.numerator for s in shares.values()])
+    # per-group driver constants (from the weights dict ONLY, no data):
+    #   __c = q_g·L/p_g   (count multiplier whose min over groups is K)
+    #   __a = q_g·L       (denominator side of the keep inequality)
+    #   __b = p_g·2^32    (numerator side)
+    #   __p = p_g         (keep-all test)
+    consts = {
+        g: (
+            s.denominator * (big_l // s.numerator),
+            s.denominator * big_l,
+            s.numerator << 32,
+            s.numerator,
+        )
+        for g, s in shares.items()
+    }
+    pc = max(len(str(c[0])) for c in consts.values())
+    pa = max(len(str(c[1])) for c in consts.values())
+    pb = max(len(str(c[2])) for c in consts.values())
+    pp = max(len(str(c[3])) for c in consts.values())
+    # DECIMAL(38,0) exactness budget at n_g < 10^16: (h+1)·A·n_g needs
+    # 11 + (pa+17) + 1 digits; B·K needs pb + (pc+17) + 1
+    if pa > 9 or pb + pc > 20:
+        raise ValueError(
+            "rebalance_mix: weights reduce to rationals too wide for "
+            "exact DECIMAL(38,0) threshold arithmetic — use simpler "
+            f"ratios (got share denominators·lcm up to 10^{pa}, "
+            f"numerator budget 10^{pb + pc})"
+        )
+    gfield = df.schema[group_col]
+    wdf = df.sparkSession.createDataFrame(
+        [(g, Decimal(c), Decimal(a), Decimal(b), Decimal(p))
+         for g, (c, a, b, p) in consts.items()],
+        T.StructType([
+            gfield,
+            T.StructField("__c", T.DecimalType(pc, 0)),
+            T.StructField("__a", T.DecimalType(pa, 0)),
+            T.StructField("__b", T.DecimalType(pb, 0)),
+            T.StructField("__p", T.DecimalType(pp, 0)),
+        ]),
+    )
+    counts = (
+        df.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("decimal(16,0)").alias("__n_g"))
+    )
+    joined = wdf.join(counts, on=group_col, how="left")
+    v = F.when(
+        F.col("__n_g").isNull(),
+        F.raise_error(F.concat(
+            F.lit("rebalance_mix: no rows for target group "),
+            F.col(group_col).cast("string"),
+        )).cast("decimal(38,0)"),
+    ).otherwise(F.col("__n_g") * F.col("__c"))
+    kmin = joined.agg(F.min(v).alias("__k"))
+    thr = joined.crossJoin(F.broadcast(kmin))
     h = hash_hex8(list(id_cols), salt)
-    keep: Column | None = None
-    for g in wfr:
-        frac = wfr[g] * m / (total_w * counts[g])
-        cond = F.col(group_col) == g
-        if frac < 1:
-            thr = format(int(frac * _HEX_SPAN), "08x")
-            cond = cond & (h < F.lit(thr))
-        keep = cond if keep is None else keep | cond
-    return df.filter(keep)
+    hv = F.conv(h, 16, 10).cast("decimal(10,0)")
+    keep_all = F.col("__p") * F.col("__k") >= F.col("__a") * F.col("__n_g")
+    keep_hash = (
+        (hv + F.lit(1)) * (F.col("__a") * F.col("__n_g"))
+        <= F.col("__b") * F.col("__k")
+    )
+    return (
+        df.join(F.broadcast(thr), on=group_col, how="inner")
+        .filter(keep_all | keep_hash)
+        .drop("__c", "__a", "__b", "__p", "__n_g", "__k")
+    )
 
 
 def stratified_sample(
@@ -189,48 +267,35 @@ def temperature_sample(
     square root anywhere: keep iff ``h^2 * n_g < n_min * 2^64`` for the
     32-bit integer ``h`` of the md5-hex8 prefix — algebraically
     ``u < sqrt(n_min/n_g)`` for ``u = h/2^32``, but decided in pure
-    (wide-)integer arithmetic any engine reproduces bit-for-bit. The
-    engine precomputes each group's hex threshold with Python's exact
-    ``isqrt``; a SQL twin states the quadratic inequality directly
-    (HUGEINT / DECIMAL(38)).
+    wide-integer arithmetic any engine reproduces bit-for-bit. Both the
+    engine (DECIMAL(38,0): 21 + 16 + 1 digits, never rounded) and the
+    SQL twin (HUGEINT) state the quadratic inequality directly.
 
-    One metadata-sized aggregate (group counts, one row per domain) and
-    a zero-shuffle pushdown-friendly hash filter — same scale shape as
-    :func:`rebalance_mix`.
+    Scale shape (r16 — ADVICE r15 perf-weak fix): the per-group counts
+    STAY a DataFrame — nothing is ever collected to the driver, so a
+    10^8-domain web corpus derives its thresholds with the same plan a
+    10-domain one does. One count aggregate per group, a one-row global
+    min cross-joined in, then an equi-join back on ``group_col`` that
+    AQE broadcasts when the group cardinality is small and
+    shuffle-joins when it is not. Exact for group counts < 10^16 rows
+    (beyond any 100 TB corpus; a larger count overflows DECIMAL(16,0)
+    to NULL and the inner filter drops the group — loudly visible, not
+    silently wrong).
     """
-    from math import isqrt
-
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(group_col).count().collect()
-        if r[0] is not None  # null-domain rows are dropped
-    }
-    if not counts:
-        return df.filter(F.lit(False))
-    n_min = min(counts.values())
-    x = n_min << 64
-    h = hash_hex8(list(id_cols), salt)
-    # thresholds travel as a broadcast (group, hex-cut) frame rather than
-    # an OR-chain with one branch per domain: per-row cost stays O(1) and
-    # a high-cardinality domain column can never blow the codegen limit.
-    # NULL cut = keep the whole group (the n_min group).
-    rows = []
-    for g, n_g in counts.items():
-        # valid h: h^2 < x/n_g  ⇔  h <= isqrt(ceil(x/n_g) - 1)
-        t = isqrt((x + n_g - 1) // n_g - 1) + 1
-        rows.append((g, format(t, "08x") if t < _HEX_SPAN else None))
-    spark = df.sparkSession
-    gfield = df.schema[group_col]
-    from pyspark.sql import types as T
-
-    thr = spark.createDataFrame(
-        rows,
-        T.StructType([gfield, T.StructField("__thr", T.StringType())]),
+    counts = (
+        df.filter(F.col(group_col).isNotNull())  # null domains dropped
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("decimal(16,0)").alias("__n_g"))
     )
+    n_min = counts.agg(F.min("__n_g").alias("__n_min"))
+    thr = counts.crossJoin(F.broadcast(n_min))
+    h = hash_hex8(list(id_cols), salt)
+    hv = F.conv(h, 16, 10).cast("decimal(10,0)")
+    two64 = F.lit(_DEC_2_64).cast("decimal(20,0)")
     return (
-        df.join(F.broadcast(thr), on=group_col, how="inner")
-        .filter(F.col("__thr").isNull() | (h < F.col("__thr")))
-        .drop("__thr")
+        df.join(thr, on=group_col, how="inner")
+        .filter((hv * hv) * F.col("__n_g") < F.col("__n_min") * two64)
+        .drop("__n_g", "__n_min")
     )
 
 

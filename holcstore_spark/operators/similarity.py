@@ -834,10 +834,12 @@ def cluster_balanced_sample(
     tail, the smallest kept whole, selection by exact content hash).
     Returns the kept ``(id_col, cluster)`` rows.
 
-    Scale shape: centroid training + one narrow assignment pass, one
-    metadata-sized cluster-count aggregate, then a zero-shuffle
-    broadcast-threshold hash filter (see
-    :func:`~holcstore_spark.operators.sampling.temperature_sample`)."""
+    Scale shape: centroid training (bounded n_clusters×dim driver
+    traffic) + one narrow assignment pass, then the fully-distributed
+    temperature threshold derivation — per-cluster counts stay a
+    DataFrame, nothing data-sized reaches the driver (see
+    :func:`~holcstore_spark.operators.sampling.temperature_sample`,
+    r16)."""
     from holcstore_spark.operators.sampling import temperature_sample
 
     d = _assign_clusters(df, n_clusters, iters, id_col, vec_col,

@@ -196,8 +196,11 @@ class TestRebalanceMix:
         )
         kept = rebalance_mix(d, "grp", {"x": 1}, ["doc_id"])
         assert {r["grp"] for r in kept.select("grp").distinct().collect()} == {"x"}
-        with pytest.raises(ValueError, match="no rows"):
-            rebalance_mix(d, "grp", {"x": 1, "absent": 1}, ["doc_id"])
+        # r16: counts are no longer collected eagerly, so the
+        # missing-group guard fires from inside the plan (raise_error)
+        # at ACTION time rather than as a driver-side ValueError
+        with pytest.raises(Exception, match="no rows for target group"):
+            rebalance_mix(d, "grp", {"x": 1, "absent": 1}, ["doc_id"]).collect()
 
 
 class TestTemperatureSample:
