@@ -305,6 +305,7 @@ def cap_per_group(
     cap: int = 100,
     order_by: "list[Column] | None" = None,
     id_col: str = "doc_id",
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Per-group document cap — the RefinedWeb/C4 per-DOMAIN cap that
     stops one crawl domain from dominating the training mix: keep at
@@ -315,19 +316,43 @@ def cap_per_group(
     tiebreak — the ordering must be total or the cap is
     non-deterministic). Returns the surviving rows with all columns.
 
-    Scale shape: one hash shuffle on the group key + a bounded
-    row_number window — no global sort, no collect. A mega-domain is
-    one hot partition: AQE's skew handling does not split window
-    partitions, so for web-scale domain skew pre-aggregate candidates
-    per domain (filter obvious rejects first) or raise
-    spark.sql.shuffle.partitions; the window itself streams rows and
-    spills, it does not buffer the domain in memory.
+    Scale shape (r16 — salted two-phase, VERDICT r15 ask #4): a
+    mega-domain would be ONE hot window partition (AQE's skew handling
+    does not split window partitions), so with ``salt_buckets > 1`` the
+    cap runs in two EXACT phases: (1) a partial row_number per
+    ``(group, salt)`` — the domain's rows spread over ``salt_buckets``
+    partitions, each keeping its own top-``cap`` (any row in the global
+    top-``cap`` necessarily ranks ≤ cap inside its salt bucket, so
+    phase 1 never discards a survivor); (2) the exact global
+    row_number per group over the ≤ ``salt_buckets·cap`` phase-1
+    survivors — a metadata-sized window. Identical output to the
+    single-pass form (``salt_buckets=1``) for any total ``order_by``;
+    the result is hash-stable because the salt only prunes, never
+    selects. Cost: the phase-2 shuffle moves only survivors.
     """
     groups = [group] if isinstance(group, str) else list(group)
+    if not isinstance(salt_buckets, int) or isinstance(salt_buckets, bool) \
+            or salt_buckets < 1:
+        raise ValueError(
+            f"cap_per_group: salt_buckets must be an int >= 1, "
+            f"got {salt_buckets!r}"
+        )
     if order_by is None:
         order_by = (
             [F.col("n_chars").desc()] if "n_chars" in df.columns else []
         ) + [F.col(id_col).asc()]
+    if salt_buckets > 1:
+        w1 = Window.partitionBy(*groups, "__salt").orderBy(*order_by)
+        df = (
+            df.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                       F.lit(salt_buckets)),
+            )
+            .withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= cap)
+            .drop("__salt", "__rn1")
+        )
     w = Window.partitionBy(*groups).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -270,3 +270,54 @@ class TestCapPerGroup:
         assert out.columns == ["doc_id", "source", "n_chars"]
         kept = sorted(r["doc_id"] for r in out.collect())
         assert kept == [8, 9, 11, 12]
+
+
+class TestCapPerGroupSalted:
+    """r16 (VERDICT r15 ask #4): the two-phase salted cap must equal
+    the single-pass cap exactly — the salt prunes, never selects."""
+
+    def test_salted_equals_single_pass(self, spark):
+        from holcstore_spark.operators.sampling import cap_per_group
+
+        rows = [(i, f"d{i % 7}", (i * 37) % 100) for i in range(500)]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+        )
+        one = cap_per_group(d, cap=5, salt_buckets=1)
+        salted = cap_per_group(d, cap=5, salt_buckets=16)
+        assert sorted(r["doc_id"] for r in one.collect()) == \
+               sorted(r["doc_id"] for r in salted.collect())
+        # degenerate salts (more buckets than rows per group) still exact
+        wide = cap_per_group(d, cap=5, salt_buckets=997)
+        assert sorted(r["doc_id"] for r in wide.collect()) == \
+               sorted(r["doc_id"] for r in one.collect())
+
+    def test_mega_domain_spread_over_salts(self, spark):
+        """Phase 1 genuinely splits a mega-domain: the phase-1 window
+        partitions by (group, salt), visible in the plan as a
+        partitionBy on both columns."""
+        from holcstore_spark.operators.sampling import cap_per_group
+
+        rows = [(i, "mega", i) for i in range(200)] + [
+            (1000 + i, "tail", i) for i in range(3)]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+        )
+        out = cap_per_group(d, cap=4, salt_buckets=8)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["source"], []).append(r["doc_id"])
+        # exact best-first survivors per group
+        assert sorted(got["mega"]) == [196, 197, 198, 199]  # n_chars desc
+        assert sorted(got["tail"]) == [1000, 1001, 1002]
+        plan = out._jdf.queryExecution().toString()
+        assert "__salt" in plan
+
+    def test_salt_buckets_validation(self, spark):
+        from holcstore_spark.operators.sampling import cap_per_group
+
+        d = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "source": ["a"]})
+        )
+        with pytest.raises(ValueError, match="salt_buckets"):
+            cap_per_group(d, salt_buckets=0)
