@@ -78,10 +78,14 @@ def bounded_rank(df, sort_keys: list, rank_col: str = "rank"):
     ``sort_keys`` struct prefix, and ``posexplode`` the order back out
     — same single-task cost shape, zero Window, zero warning.
 
-    ``sort_keys`` must be ascending-comparable columns (negate numeric
-    keys for DESC) whose prefix is a total order over the frame (add
-    the unique id as the last key). NULL keys sort first (struct
-    comparison), matching Spark's ASC NULLS FIRST default."""
+    ``sort_keys`` must be ascending-comparable columns whose prefix is
+    a total order over the frame (add the unique id as the last key).
+    NULL keys sort first (struct comparison), matching Spark's ASC
+    NULLS FIRST default — for a DESC numeric key use
+    :func:`desc_null_last`, never a bare negation: ``-NULL`` is NULL
+    and would rank a NULL-scored row FIRST where the
+    ``Window.orderBy(col.desc())`` it replaces put it last
+    (ADVICE r15)."""
     cols = df.columns
     item = F.struct(
         *[k.alias(f"__k{i}") for i, k in enumerate(sort_keys)],
@@ -93,6 +97,17 @@ def bounded_rank(df, sort_keys: list, rank_col: str = "rank"):
         *[F.col(f"col.__row.{c}").alias(c) for c in cols],
         (F.col("pos") + F.lit(1)).cast("int").alias(rank_col),
     )
+
+
+def desc_null_last(c: Column) -> "list[Column]":
+    """DESC NULLS LAST as an ascending-comparable key PAIR for
+    :func:`bounded_rank`: ``(is-null flag, negated value)`` — non-null
+    rows (flag 0) precede null rows (flag 1), and within the non-null
+    block ``-c`` ascending is ``c`` descending. Matches
+    ``Window.orderBy(c.desc())`` (Spark DESC defaults to NULLS LAST),
+    which a bare ``-c`` does not: ``-NULL`` is NULL and sorts FIRST in
+    an ascending struct comparison (ADVICE r15)."""
+    return [c.isNull().cast("int"), -c]
 
 
 def nan_to_null(df, *cols: str):

@@ -1325,8 +1325,9 @@ def rrf_fuse(
     ).limit(int(k))
     # Window-free rank over the <= k surviving rows (see bounded_rank:
     # avoids the WindowExec single-partition warning flood, judge r14)
-    from holcstore_spark.functions.scalar import bounded_rank
+    from holcstore_spark.functions.scalar import bounded_rank, desc_null_last
 
     return bounded_rank(
-        top, [-F.col("rrf_score"), F.col(id_col)], "fused_rank"
+        top, [*desc_null_last(F.col("rrf_score")), F.col(id_col)],
+        "fused_rank",
     ).select(id_col, "n_lists", "rrf_score", "fused_rank")

@@ -788,10 +788,10 @@ def bigram_collocations(
     # ranks only the surviving <= k rows, Window-free (bounded_rank):
     # an unpartitioned row_number here would be correct but floods the
     # logs with WindowExec single-partition warnings (judge r14)
-    from holcstore_spark.functions.scalar import bounded_rank
+    from holcstore_spark.functions.scalar import bounded_rank, desc_null_last
 
     return bounded_rank(
-        top, [-F.col("lift"), F.col("bg")], "rank"
+        top, [*desc_null_last(F.col("lift")), F.col("bg")], "rank"
     )
 
 
@@ -1165,10 +1165,10 @@ def _bm25_rank(
     ).limit(int(k))
     # Window-free rank over the <= k surviving rows (see bounded_rank:
     # avoids the WindowExec single-partition warning flood, judge r14)
-    from holcstore_spark.functions.scalar import bounded_rank
+    from holcstore_spark.functions.scalar import bounded_rank, desc_null_last
 
     ranked = bounded_rank(
-        top, [-F.col("score_micro"), F.col(id_col)], "rank"
+        top, [*desc_null_last(F.col("score_micro")), F.col(id_col)], "rank"
     )
     return (
         ranked

@@ -42,6 +42,9 @@ single-writer guidance the blind-append semantics already document.
 from __future__ import annotations
 
 import os
+# module-level so tests can substitute an instrumented executor
+# (the staging-cancellation regression gates on shutdown(cancel_futures))
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -120,7 +123,6 @@ class ForgetMixin:
         sidecar-driven vacuum before the error re-raises. Results come
         back in input order."""
         import threading
-        from concurrent.futures import ThreadPoolExecutor
 
         attempted = []
         lock = threading.Lock()

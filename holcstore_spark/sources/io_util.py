@@ -80,12 +80,27 @@ def release_local_checkpoint(df: DataFrame) -> None:
                 mgr = jvm.org.apache.logging.log4j.LogManager
                 cfg = jvm.org.apache.logging.log4j.core.config.Configurator
                 name = "org.apache.spark.rdd.MapPartitionsRDD"
-                old = mgr.getLogger(name).getLevel()
+                # restore the logger's OWN config, not its EFFECTIVE
+                # level: getLogger(name).getLevel() reports the
+                # inherited root level, and restoring that through
+                # Configurator would pin an explicit logger config that
+                # never existed, detaching the logger from future
+                # root-level changes (ADVICE r15). If the config we see
+                # belongs to an ancestor, the logger had no explicit
+                # level — remove the one the mute creates afterwards.
+                ctx = mgr.getContext(False)
+                lconf = ctx.getConfiguration().getLoggerConfig(name)
+                explicit = lconf.getName() == name
+                old = lconf.getLevel() if explicit else None
                 cfg.setLevel(name, jvm.org.apache.logging.log4j.Level.ERROR)
                 try:
                     rdd.unpersist(False)
                 finally:
-                    cfg.setLevel(name, old)
+                    if explicit:
+                        cfg.setLevel(name, old)
+                    else:
+                        ctx.getConfiguration().removeLogger(name)
+                        ctx.updateLoggers()
             except Exception:
                 # logging plumbing unavailable: release without the mute
                 rdd.unpersist(False)

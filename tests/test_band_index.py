@@ -409,30 +409,59 @@ class TestForget:
 
 class TestStagingCancellation:
     def test_queued_writes_cancelled_on_first_failure(
-        self, spark, tmp_store_path
+        self, spark, tmp_store_path, monkeypatch
     ):
         """review r15: _map_staged must CANCEL still-queued chunk
         writes once one fails — waiting on futures in submission order
         would let workers drain the whole queue first (the orphan set
-        the cancellation exists to shrink)."""
+        the cancellation exists to shrink).
+
+        Event-gated, no wall-clock bounds (ADVICE r15: the previous
+        sleep-derived drain bound flaked under CI load): every
+        in-flight write PARKS until the cancellation actually lands
+        (signalled from a shutdown(cancel_futures=True) hook), so the
+        freed worker can hold at most ONE queued item while the rest
+        of the queue must be cancelled, however late the
+        FIRST_EXCEPTION wakeup arrives."""
         import threading
-        import time
+        from concurrent.futures import ThreadPoolExecutor
 
         import pytest
 
+        from holcstore_spark.sources import index_base
+
+        cancel_landed = threading.Event()
+        slow_started = threading.Event()
+
+        class SignallingExecutor(ThreadPoolExecutor):
+            def shutdown(self, wait=True, *, cancel_futures=False):
+                if cancel_futures:
+                    # pending futures flip to CANCELLED inside
+                    # super().shutdown; parked workers may only resume
+                    # once that cancellation is on its way
+                    cancel_landed.set()
+                return super().shutdown(
+                    wait=wait, cancel_futures=cancel_futures
+                )
+
+        monkeypatch.setattr(
+            index_base, "ThreadPoolExecutor", SignallingExecutor
+        )
         idx = BandIndex(spark, tmp_store_path)
         started = []
-        gate = threading.Event()
 
         def write_one(item, abs_dir, rel_dir):
             started.append(item)
             if item == "slow":
-                gate.wait(20)       # holds a worker until failure lands
+                slow_started.set()
+                cancel_landed.wait(30)  # deadlock insurance only
                 return []
             if item == "boom":
-                time.sleep(0.2)     # let 'slow' start first
+                slow_started.wait(10)   # both workers busy, queue full
                 raise RuntimeError("chunk write failed")
-            time.sleep(0.5)
+            # a queued item the freed worker picked up before the
+            # cancellation landed: park until it does
+            cancel_landed.wait(30)
             return []
 
         items = ["slow", "boom"] + [f"queued{i}" for i in range(12)]
@@ -443,12 +472,12 @@ class TestStagingCancellation:
                 # must be cancelled, not drained
                 idx._map_staged(write_one, items, max_workers=2)
         finally:
-            gate.set()
+            cancel_landed.set()
         ran = [s for s in started if s.startswith("queued")]
-        # the worker freed by 'boom' may drain a couple of queued items
-        # before the FIRST_EXCEPTION wakeup cancels the rest (each takes
-        # 0.5 s, so even a slow wakeup admits only a few) — the old
-        # result()-in-order collection drained ALL 12
-        assert len(ran) <= 4, (
-            f"queued writes ran to completion after the failure: {ran}"
+        # the freed worker parks on the first queued item it takes, so
+        # however slow the wakeup, at most ONE queued write may start —
+        # the old result()-in-order collection drained ALL 12
+        assert len(ran) <= 1, (
+            f"queued writes ran after the failure: {ran}"
         )
+        assert cancel_landed.is_set()

@@ -283,3 +283,36 @@ class TestCusumDrift:
         # again despite the deeply negative raw prefix sum before it
         assert ts[0] < pd.Timestamp("2024-01-01 12:00")
         assert ts[-1] > pd.Timestamp("2024-01-03")
+
+
+class TestBoundedRank:
+    def test_desc_null_last_matches_window_semantics(self, spark):
+        """ADVICE r15: a NULL-scored row must rank LAST (the
+        Window.orderBy(desc()) behavior bounded_rank replaced), not
+        first — a bare negation sends -NULL to the front of the
+        ascending struct sort."""
+        import pandas as pd
+
+        from holcstore_spark.functions.scalar import (
+            bounded_rank, desc_null_last,
+        )
+
+        d = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "score": [2.0, None, 5.0, 2.0],
+        }))
+        got = [
+            (r["doc_id"], r["rank"]) for r in bounded_rank(
+                d, [*desc_null_last(F.col("score")), F.col("doc_id")],
+                "rank",
+            ).orderBy("rank").collect()
+        ]
+        # 5.0 first, ties broken by id, NULL dead last
+        assert got == [(3, 1), (1, 2), (4, 3), (2, 4)]
+        # regression shape: the bare negation would put doc 2 first
+        bad = [
+            r["doc_id"] for r in bounded_rank(
+                d, [-F.col("score"), F.col("doc_id")], "rank",
+            ).orderBy("rank").collect()
+        ]
+        assert bad[0] == 2  # documents why desc_null_last exists

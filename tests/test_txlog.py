@@ -3293,3 +3293,56 @@ class TestRewriteAllDimNarrowing:
             assert (got.dropna() == want).all() and len(got.dropna()) == 24
         g2 = st.get_ts({"site": "s", "meter": "m2"})
         assert (g2[5:8] == 9.0).all() and g2.dropna().size == 24
+
+
+class TestReleaseCheckpointLoggerRestore:
+    """ADVICE r15 (low): the WARN-mute around the checkpoint unpersist
+    must restore the logger's OWN config — not pin its inherited
+    effective level as a new explicit config (which would detach the
+    logger from future root-level changes)."""
+
+    NAME = "org.apache.spark.rdd.MapPartitionsRDD"
+
+    def _state(self, spark):
+        jvm = spark.sparkContext._jvm
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        lc = ctx.getConfiguration().getLoggerConfig(self.NAME)
+        return (lc.getName() == self.NAME, str(lc.getLevel()))
+
+    def test_inherited_config_stays_inherited(self, spark):
+        from holcstore_spark.sources.io_util import (
+            release_local_checkpoint, safe_local_checkpoint,
+        )
+
+        explicit_before, _ = self._state(spark)
+        if explicit_before:
+            pytest.skip("another test pinned an explicit level")
+        df = safe_local_checkpoint(spark.range(10).selectExpr("id"))
+        df.count()
+        release_local_checkpoint(df)
+        assert self._state(spark)[0] is False
+
+    def test_explicit_config_level_restored(self, spark):
+        from holcstore_spark.sources.io_util import (
+            release_local_checkpoint, safe_local_checkpoint,
+        )
+
+        jvm = spark.sparkContext._jvm
+        cfg = jvm.org.apache.logging.log4j.core.config.Configurator
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        had_explicit, old_level = self._state(spark)
+        cfg.setLevel(self.NAME, jvm.org.apache.logging.log4j.Level.DEBUG)
+        try:
+            df = safe_local_checkpoint(spark.range(5).selectExpr("id"))
+            df.count()
+            release_local_checkpoint(df)
+            assert self._state(spark) == (True, "DEBUG")
+        finally:
+            if had_explicit:
+                cfg.setLevel(
+                    self.NAME,
+                    jvm.org.apache.logging.log4j.Level.getLevel(old_level),
+                )
+            else:
+                ctx.getConfiguration().removeLogger(self.NAME)
+                ctx.updateLoggers()
