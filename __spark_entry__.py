@@ -3085,6 +3085,55 @@ def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_strict(enc, every=2)
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 16: image near-dup via perceptual hash (VERDICT r15 ask
+    #7). Every even/odd doc pair renders the SAME base document text as
+    a binary PPM, the odd one with its last pixel byte perturbed — a
+    controlled near-duplicate. ``image_neardup_pairs`` dHashes every
+    payload through the real decoder, LSH-bands the 64-bit hashes into
+    four 16-bit buckets (the shared band_candidate_pairs explosion; at
+    most ~2 bits differ within a pair, so at least one band always
+    collides) and verifies by exact Hamming distance. The oracle
+    reconstructs the full dHash (deterministic nearest-neighbour grid,
+    integer grayscale) from the pixel-string construction — a grid,
+    packing or banding bug fails the hash."""
+    from holcstore_spark.operators.multimodal import image_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base_text = docs.select(
+        F.col("doc_id").alias("base_id"),
+        F.regexp_replace("text", "[^ -~]", "").alias("ascii_t"),
+    )
+    d = (
+        docs.select("doc_id")
+        .withColumn("base_id", F.col("doc_id") - F.col("doc_id") % 2)
+        .join(base_text, on="base_id")
+        .withColumn("w", (F.lit(4) + F.col("base_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("base_id") % 4).cast("int"))
+        .withColumn("pix0", F.expr("rpad(ascii_t, 3*w*h, 'x')"))
+        .withColumn(
+            "pix",
+            F.when(F.col("doc_id") % 2 == 0, F.col("pix0")).otherwise(
+                F.expr("concat(substring(pix0, 1, length(pix0)-1), '~')")
+            ),
+        )
+        .withColumn(
+            "payload",
+            F.encode(
+                F.concat(
+                    F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+                    F.col("h").cast("string"), F.lit("\n255\n"), F.col("pix"),
+                ),
+                "UTF-8",
+            ),
+        )
+        .select("doc_id", "payload")
+    )
+    return image_neardup_pairs(d, max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (no stub): each document's printable-ASCII text
     becomes the 8-bit PCM payload of a mono WAV; ``decode_audio_strict``
@@ -4084,23 +4133,121 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STANDING ROTATION: the driver checks only the FIRST 50 entries
     # against the oracle each round, so order = least-recently-verified
-    # first. Round-15 window (the r14 verdict's ask #1): (a) the WHOLE
-    # 44-query round-12-verified tail block (embed_quantize …
-    # slice_with_delay), in registry order — after this round no
-    # registry entry's last green run is older than r13; (b) the FIVE
-    # NEW round-15 queries (stats-accurate LexicalIndex erasure,
-    # delete-aware incremental KNN graph, the composed streaming corpus
-    # pipeline, progressive-JPEG decode, Motion-JPEG video decode);
-    # (c) gopher_quality (VALUES changed: the Unicode-ellipsis fix,
-    # advisor r14). The queries whose compute path changed this round
-    # but whose values are bit-identical (bm25_search, token_pack,
-    # collocations, tfidf_terms, hybrid_search, bm25_indexed,
-    # hybrid_indexed — all re-verified against their oracles locally at
-    # sf0.001+sf0.01 this round) are r13/r14-green and rotate behind
-    # the window. The tail is the r13-verified window followed by the
-    # r14-verified window.
+    # first. Round-16 window (the r15 verdict's ask #3): (a) the WHOLE
+    # 47-query round-13-verified tail block (ffill … dedup_clusters),
+    # in registry order — after this round no registry entry's last
+    # green run is older than r14; (b) the NEW round-16 query
+    # image_neardup (perceptual-hash image dedup, verdict ask #7);
+    # the window closes with the head of the r14-verified block.
+    # temperature_sample, rebalance_mix, cluster_balance and domain_cap
+    # changed code paths this round but their VALUES are bit-identical
+    # (A/B-verified against the old thresholds and against their
+    # oracles at sf0.01+sf0.1 locally); rebalance_mix and domain_cap
+    # sit inside this window anyway, the other two are r15-green and
+    # rotate behind it. The tail is the rest of the r14-verified
+    # window followed by the r15-verified block.
     return {
-        # -- (a) the r12-verified tail block (44)
+        # -- (a) the r13-verified window (47)
+        "ffill": q_ffill,
+        "normalize_minmax": q_normalize_minmax,
+        "min_step": q_min_step,
+        "next_version": q_next_version,
+        "chunk_index": q_chunk_index,
+        "freq_fix": q_freq_fix,
+        "split_at": q_split_at,
+        "store_roundtrip": q_store_roundtrip,
+        "store_set_many": q_store_set_many,
+        "store_update_overlay": q_store_update_overlay,
+        "store_delete_tombstone": q_store_delete_tombstone,
+        "store_meta_aggregates": q_store_meta_aggregates,
+        "store_max_horodate": q_store_max_horodate,
+        "store_get_batch": q_store_get_batch,
+        "store_yield_many": q_store_yield_many,
+        "store_changefeed": q_store_changefeed,
+        "store_acid_ops": q_store_acid_ops,
+        "store_txn": q_store_txn,
+        "kv_find_holes": q_kv_find_holes,
+        "kv_clear": q_kv_clear,
+        "kv_acid_ops": q_kv_acid_ops,
+        "sync_pull": q_sync_pull,
+        "sync_tombstone": q_sync_tombstone,
+        "sync_guards": q_sync_guards,
+        "sync_paged": q_sync_paged,
+        "admin_export": q_admin_export,
+        "dedup_index_forget": q_dedup_index_forget,
+        "ivfpq_persisted": q_ivfpq_persisted,
+        "ivf_persisted": q_ivf_persisted,
+        "dedup_index_replay": q_dedup_index_replay,
+        "similarity_ivf": q_similarity_ivf,
+        "dedup_spans": q_dedup_spans,
+        "knn_graph": q_knn_graph,
+        "domain_cap": q_domain_cap,
+        "dsir_select": q_dsir_select,
+        "stream_quota": q_stream_quota,
+        "dedup_spans_incr": q_dedup_spans_incr,
+        "rebalance_mix": q_rebalance_mix,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "regional_revenue": q_regional_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        # -- (b) new in r16 (1)
+        "image_neardup": q_image_neardup,
+        # -- tail: r14-verified window
+        "segment_dedup": q_segment_dedup,
+        "token_pack": q_token_pack,
+        "lookup_filter": q_lookup_filter,
+        "clean_corpus": q_clean_corpus,
+        "clean_corpus_cc": q_clean_corpus_cc,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
+        "attr_store_update": q_attr_store_update,
+        "rest_sync_pull": q_rest_sync_pull,
+        "kv_store_overlay": q_kv_store_overlay,
+        "blob_interop": q_blob_interop,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "pq_encode": q_pq_encode,
+        "similarity_lsh": q_similarity_lsh,
+        "doc_fingerprints": q_doc_fingerprints,
+        "similarity_neardup": q_similarity_neardup,
+        "text_stats": q_text_stats,
+        "lang_quality": q_lang_quality,
+        "token_bpe": q_token_bpe,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "vocab_topk": q_vocab_topk,
+        "dedup_representatives": q_dedup_representatives,
+        "quality_filter": q_quality_filter,
+        "stats_rollup": q_stats_rollup,
+        "disaggregate": q_disaggregate,
+        "time_slice": q_time_slice,
+        "value_histogram": q_value_histogram,
+        "doc_chunks": q_doc_chunks,
+        "c4_quality": q_c4_quality,
+        "span_strip": q_span_strip,
+        "span_strip_incr": q_span_strip_incr,
+        "span_index_replay": q_span_index_replay,
+        "span_index_forget": q_span_index_forget,
+        "bm25_indexed": q_bm25_indexed,
+        "hybrid_indexed": q_hybrid_indexed,
+        "knn_graph_indexed": q_knn_graph_indexed,
+        "hybrid_search": q_hybrid_search,
+        "bm25_search": q_bm25_search,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,        # -- tail: r15-verified block (the old 44-query window, the 5
+        # -- r15 debuts and the value-changed gopher_quality)
         "embed_quantize": q_embed_quantize,
         "lm_surprisal": q_lm_surprisal,
         "sliding_rollup": q_sliding_rollup,
@@ -4153,104 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mjpeg": q_multimodal_mjpeg,
         # -- (c) values changed in r15 (1)
         "gopher_quality": q_gopher_quality,
-        # -- tail: r13-verified window
-        "ffill": q_ffill,
-        "normalize_minmax": q_normalize_minmax,
-        "min_step": q_min_step,
-        "next_version": q_next_version,
-        "chunk_index": q_chunk_index,
-        "freq_fix": q_freq_fix,
-        "split_at": q_split_at,
-        "store_roundtrip": q_store_roundtrip,
-        "store_set_many": q_store_set_many,
-        "store_update_overlay": q_store_update_overlay,
-        "store_delete_tombstone": q_store_delete_tombstone,
-        "store_meta_aggregates": q_store_meta_aggregates,
-        "store_max_horodate": q_store_max_horodate,
-        "store_get_batch": q_store_get_batch,
-        "store_yield_many": q_store_yield_many,
-        "store_changefeed": q_store_changefeed,
-        "store_acid_ops": q_store_acid_ops,
-        "store_txn": q_store_txn,
-        "kv_find_holes": q_kv_find_holes,
-        "kv_clear": q_kv_clear,
-        "kv_acid_ops": q_kv_acid_ops,
-        "sync_pull": q_sync_pull,
-        "sync_tombstone": q_sync_tombstone,
-        "sync_guards": q_sync_guards,
-        "sync_paged": q_sync_paged,
-        "admin_export": q_admin_export,
-        "dedup_index_forget": q_dedup_index_forget,
-        "ivfpq_persisted": q_ivfpq_persisted,
-        "ivf_persisted": q_ivf_persisted,
-        "dedup_index_replay": q_dedup_index_replay,
-        "similarity_ivf": q_similarity_ivf,
-        "dedup_spans": q_dedup_spans,
-        "knn_graph": q_knn_graph,
-        "domain_cap": q_domain_cap,
-        "dsir_select": q_dsir_select,
-        "stream_quota": q_stream_quota,
-        "dedup_spans_incr": q_dedup_spans_incr,
-        "rebalance_mix": q_rebalance_mix,
-        "stream_sessions": q_stream_sessions,
-        "stream_dedup": q_stream_dedup,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue": q_top_revenue,
-        "regional_revenue": q_regional_revenue,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        # -- tail: r14-verified window
-        "segment_dedup": q_segment_dedup,
-        "token_pack": q_token_pack,
-        "lookup_filter": q_lookup_filter,
-        "clean_corpus": q_clean_corpus,
-        "clean_corpus_cc": q_clean_corpus_cc,
-        "similarity_bruteforce": q_similarity_bruteforce,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_capped": q_semantic_dedup_capped,
-        "attr_store_update": q_attr_store_update,
-        "rest_sync_pull": q_rest_sync_pull,
-        "kv_store_overlay": q_kv_store_overlay,
-        "blob_interop": q_blob_interop,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        "pq_encode": q_pq_encode,
-        "similarity_lsh": q_similarity_lsh,
-        "doc_fingerprints": q_doc_fingerprints,
-        "similarity_neardup": q_similarity_neardup,
-        "text_stats": q_text_stats,
-        "lang_quality": q_lang_quality,
-        "token_bpe": q_token_bpe,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "repetition_stats": q_repetition_stats,
-        "pii_redact": q_pii_redact,
-        "vocab_topk": q_vocab_topk,
-        "dedup_representatives": q_dedup_representatives,
-        "quality_filter": q_quality_filter,
-        "stats_rollup": q_stats_rollup,
-        "disaggregate": q_disaggregate,
-        "time_slice": q_time_slice,
-        "value_histogram": q_value_histogram,
-        "doc_chunks": q_doc_chunks,
-        "c4_quality": q_c4_quality,
-        "span_strip": q_span_strip,
-        "span_strip_incr": q_span_strip_incr,
-        "span_index_replay": q_span_index_replay,
-        "span_index_forget": q_span_index_forget,
-        "bm25_indexed": q_bm25_indexed,
-        "hybrid_indexed": q_hybrid_indexed,
-        "knn_graph_indexed": q_knn_graph_indexed,
-        "hybrid_search": q_hybrid_search,
-        "bm25_search": q_bm25_search,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_incremental": q_dedup_incremental,
+
     }
 
 
@@ -6897,6 +6947,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(val AS DOUBLE) AS mean_b,
                    md5(repeat(chr(CAST(val AS INT)), 192)) AS frame_digest
             FROM v
+        """,
+        # dHash reconstruction: deterministic nearest-neighbour grid
+        # x_i = i*w//9, y_j = j*h//8, integer grayscale (r+g+b)//3,
+        # bit k = j*8+i set iff left cell darker than right, packed
+        # MSB-first into two 32-bit halves; four 16-bit LSH bands give
+        # the candidate pairs, exact Hamming <= 6 confirms
+        "image_neardup": """
+            WITH d0 AS (
+                SELECT doc_id, doc_id - doc_id % 2 AS base_id
+                FROM documents
+            ),
+            bt AS (
+                SELECT doc_id AS base_id,
+                       regexp_replace(text, '[^ -~]', '', 'g') AS ascii_t
+                FROM documents
+            ),
+            base AS (
+                SELECT d0.doc_id, d0.base_id,
+                       CAST(4 + base_id % 5 AS INT) AS w,
+                       CAST(3 + base_id % 4 AS INT) AS h,
+                       rpad(ascii_t,
+                            CAST(3 * (4 + base_id % 5)
+                                   * (3 + base_id % 4) AS INT),
+                            'x') AS pix0
+                FROM d0 JOIN bt USING (base_id)
+            ),
+            imgs AS (
+                SELECT doc_id, w, h,
+                       CASE WHEN doc_id % 2 = 0 THEN pix0
+                            ELSE substr(pix0, 1, length(pix0) - 1) || '~'
+                       END AS pix
+                FROM base
+            ),
+            grid AS (
+                SELECT doc_id, CAST(jj.j AS INT) AS j, CAST(ii.i AS INT) AS i,
+                       pix,
+                       3 * (((CAST(jj.j AS INT) * h) // 8) * w
+                            + (CAST(ii.i AS INT) * w) // 9) AS pl,
+                       3 * (((CAST(jj.j AS INT) * h) // 8) * w
+                            + ((CAST(ii.i AS INT) + 1) * w) // 9) AS pr
+                FROM imgs
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+            ),
+            bits AS (
+                SELECT doc_id, j * 8 + i AS k,
+                       CASE WHEN
+                           (ascii(substr(pix, pl + 1, 1))
+                            + ascii(substr(pix, pl + 2, 1))
+                            + ascii(substr(pix, pl + 3, 1))) // 3
+                           <
+                           (ascii(substr(pix, pr + 1, 1))
+                            + ascii(substr(pix, pr + 2, 1))
+                            + ascii(substr(pix, pr + 3, 1))) // 3
+                       THEN 1 ELSE 0 END AS bit
+                FROM grid
+            ),
+            hashes AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN k < 32
+                                THEN bit * (1::BIGINT << (31 - k))
+                                ELSE 0 END) AS BIGINT) AS hi,
+                       CAST(sum(CASE WHEN k >= 32
+                                THEN bit * (1::BIGINT << (63 - k))
+                                ELSE 0 END) AS BIGINT) AS lo
+                FROM bits GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, v.band_id,
+                       CASE v.band_id
+                           WHEN 0 THEN (hi >> 16) & 65535
+                           WHEN 1 THEN hi & 65535
+                           WHEN 2 THEN (lo >> 16) & 65535
+                           ELSE lo & 65535
+                       END AS bv
+                FROM hashes, (VALUES (0), (1), (2), (3)) v(band_id)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.bv = b.bv
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(bit_count(xor(ha.hi, hb.hi))
+                        + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+            FROM cand c
+            JOIN hashes ha ON ha.doc_id = c.id_a
+            JOIN hashes hb ON hb.doc_id = c.id_b
+            WHERE bit_count(xor(ha.hi, hb.hi))
+                  + bit_count(xor(ha.lo, hb.lo)) <= 6
         """,
         "multimodal_video": """
             WITH base AS (

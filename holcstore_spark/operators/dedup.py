@@ -238,13 +238,29 @@ def minhash_candidate_pairs(
     every bucket (exact parity with the SQL oracle).
     """
     b = minhash_bands(df, text, id_col, n_hashes, bands, shingle_k)
-    # pairs via per-bucket collect_list, NOT a band self-join: a self-join
-    # evaluates the signature lineage on BOTH sides (2× the dominant cost)
-    # and shuffles the band rows twice. One groupBy shuffles once, and the
-    # in-bucket pair explosion is over tiny id lists (bucket sizes, which
-    # the LSH construction keeps small by design).
+    return band_candidate_pairs(b, id_col, max_bucket)
+
+
+def band_candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from generic
+    ``(id, band_id, band_key)`` rows — the shared bucket-explosion tail
+    of :func:`minhash_candidate_pairs` and the image-dHash near-dup
+    path (:func:`~holcstore_spark.operators.multimodal.image_neardup_pairs`,
+    r16).
+
+    Pairs come from a per-bucket collect_list, NOT a band self-join: a
+    self-join evaluates the band lineage on BOTH sides (2× the dominant
+    cost) and shuffles the band rows twice. One groupBy shuffles once,
+    and the in-bucket pair explosion is over tiny id lists (bucket
+    sizes, which the banding construction keeps small by design).
+    ``max_bucket`` drops pathological buckets (see
+    :func:`minhash_candidate_pairs`)."""
     buckets = (
-        b.groupBy("band_id", "band_key")
+        bands_df.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
@@ -519,7 +535,29 @@ def dedup_incremental(
     the kept set, breaking the exactly-once contract.
     """
     nb = minhash_bands(new_docs, text, id_col, n_hashes, bands, shingle_k)
-    u = nb.withColumn("__new", F.lit(True)).unionByName(
+    return band_dedup_incremental(
+        new_docs, nb, index, id_col, max_bucket, exclude_self
+    )
+
+
+def band_dedup_incremental(
+    new_docs: DataFrame,
+    new_bands: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Generic incremental band-bucket dedup tail shared by
+    :func:`dedup_incremental` (MinHash text bands) and the image
+    perceptual-hash path
+    (:func:`~holcstore_spark.operators.multimodal.image_dedup_incremental`,
+    r16): drop any new doc sharing a band bucket with the index or
+    with a lower-id new doc, then anti-join the survivors back to
+    ``new_docs``. ``new_bands``/``index`` are ``(id, band_id,
+    band_key)`` rows; semantics, valve and plan shape are exactly
+    :func:`dedup_incremental`'s (see its docstring)."""
+    u = new_bands.withColumn("__new", F.lit(True)).unionByName(
         index.select(F.col(id_col), "band_id", "band_key")
         .withColumn("__new", F.lit(False))
     )

@@ -897,3 +897,198 @@ def resize_stub(
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing / image near-dup (r16 — VERDICT r15 ask #7)
+# ---------------------------------------------------------------------------
+
+def dhash_strict(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Difference-hash (dHash) over the REAL decoders — the perceptual
+    fingerprint that makes near-identical images (re-encodes, small
+    edits, thumbnails) collide where byte digests cannot.
+
+    Per image: decode (any ``decode_strict`` codec), integer grayscale
+    ``(r+g+b)//3``, sample a ``(hash_w+1)×hash_h`` grid at the
+    DETERMINISTIC nearest-neighbour positions ``x_i = i·W//(hash_w+1)``,
+    ``y_j = j·H//hash_h`` (no area interpolation — the grid is exact
+    integer arithmetic any engine reproduces, unlike PIL's resampling),
+    then bit ``k = j·hash_w + i`` is 1 iff ``g[y_j][x_i] <
+    g[y_j][x_{i+1}]`` (left-darker-than-right). The 64 bits pack
+    MSB-first into two 32-bit halves ``dhash_hi`` (bits 0..31) and
+    ``dhash_lo`` (bits 32..63) so both Spark and SQL oracles stay in
+    signed-BIGINT-safe territory.
+
+    Output: (id, codec, width, height, dhash_hi, dhash_lo). Arrow
+    batches throughout; pixel math is vectorized numpy.
+    """
+    import numpy as np
+
+    if hash_w * hash_h != 64:
+        raise ValueError(
+            f"dhash_strict: hash_w*hash_h must be 64 (two 32-bit "
+            f"halves), got {hash_w}x{hash_h}"
+        )
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ])
+    half = 32
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w_hi = (1 << np.arange(half - 1, -1, -1, dtype=np.int64))
+        for pdf in it:
+            cods, ws, hs, his, los = [], [], [], [], []
+            for b in pdf[payload]:
+                b = bytes(b)
+                for codec, magic, parse in _DECODERS:
+                    if b[: len(magic)] == magic:
+                        w, h, arr = parse(b)
+                        break
+                else:
+                    raise NotImplementedError(
+                        f"no pure-python decoder for payload starting "
+                        f"{b[:4]!r}; compressed formats need PIL/ffmpeg "
+                        f"(absent here) — use decode_stub"
+                    )
+                gray = arr.astype(np.int32).sum(axis=2) // 3
+                ys = (np.arange(hash_h) * h) // hash_h
+                xs = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64).ravel()
+                cods.append(codec)
+                ws.append(w)
+                hs.append(h)
+                his.append(int((bits[:half] * w_hi).sum()))
+                los.append(int((bits[half:] * w_hi).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codec": cods,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "dhash_hi": pd.array(his, dtype="int64"),
+                    "dhash_lo": pd.array(los, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=out_schema)
+
+
+def dhash_bands(
+    hashes: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding of a 64-bit dHash: four 16-bit bands as the generic
+    ``(id, band_id, band_key)`` shape — images sharing any band value
+    are near-dup candidates (≤ ~16 flipped bits cannot touch all four
+    bands... pigeonhole: ≤3 flipped bits leave ≥1 band intact, and
+    empirically near-dups flip few, clustered bits).
+
+    band_key is the band value as 8 lowercase hex digits — the exact
+    key shape :class:`~holcstore_spark.sources.band_index.BandIndex`
+    freezes for ``(n_hashes=4, bands=4)``, so image bands feed the SAME
+    managed exactly-once index (and
+    :func:`~holcstore_spark.operators.dedup.dedup_incremental`) that
+    text MinHash bands do. Pure JVM bit arithmetic, zero Python."""
+    mask = F.lit(0xFFFF)
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.lpad(F.lower(F.hex(
+                F.shiftright(F.col(src), sh).bitwiseAND(mask)
+            )), 8, "0").alias("band_key"),
+        )
+        for i, (src, sh) in enumerate([
+            ("dhash_hi", 16), ("dhash_hi", 0),
+            ("dhash_lo", 16), ("dhash_lo", 0),
+        ])
+    ])
+    return hashes.select(
+        F.col(id_col), F.explode(bands_arr).alias("__band")
+    ).select(
+        id_col,
+        F.col("__band.band_id").alias("band_id"),
+        F.col("__band.band_key").alias("band_key"),
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 10,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: dHash every
+    payload (real decode), LSH-band the hashes, explode candidate
+    pairs per bucket (shared
+    :func:`~holcstore_spark.operators.dedup.band_candidate_pairs` —
+    cost Σ bucket², never n²), then verify candidates by exact Hamming
+    distance ``bit_count(hi_a^hi_b) + bit_count(lo_a^lo_b)`` — all
+    JVM-side after the one decode pass.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤
+    ``max_hamming``. ``max_bucket`` is the same boilerplate valve as
+    the MinHash path (flat-colour images collapse into one bucket).
+    """
+    from holcstore_spark.operators.dedup import band_candidate_pairs
+
+    h = dhash_strict(df, payload, id_col).select(
+        id_col, "dhash_hi", "dhash_lo"
+    )
+    pairs = band_candidate_pairs(dhash_bands(h, id_col), id_col, max_bucket)
+    a = h.select(
+        F.col(id_col).alias("id_a"),
+        F.col("dhash_hi").alias("__ha"), F.col("dhash_lo").alias("__la"),
+    )
+    b = h.select(
+        F.col(id_col).alias("id_b"),
+        F.col("dhash_hi").alias("__hb"), F.col("dhash_lo").alias("__lb"),
+    )
+    ham = (
+        F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        + F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+    ).cast("int")
+    return (
+        pairs.join(a, on="id_a").join(b, on="id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def image_dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Incremental image near-dup against a persisted dHash band index
+    — the image twin of
+    :func:`~holcstore_spark.operators.dedup.dedup_incremental`: the
+    historical corpus is dHashed ONCE and its bands stored (a
+    :class:`~holcstore_spark.sources.band_index.BandIndex` created
+    with ``n_hashes=4, bands=4`` accepts them verbatim — the 8-hex
+    band_key shape matches its frozen-params contract); each ingest
+    batch decodes+hashes only itself. Keep rule, valve, exclude_self
+    replay semantics and plan shape are the shared
+    :func:`~holcstore_spark.operators.dedup.band_dedup_incremental`
+    tail. Returns the kept new rows with all their columns."""
+    from holcstore_spark.operators.dedup import band_dedup_incremental
+
+    nb = dhash_bands(dhash_strict(new_docs, payload, id_col), id_col)
+    return band_dedup_incremental(
+        new_docs, nb, index, id_col, max_bucket, exclude_self
+    )
