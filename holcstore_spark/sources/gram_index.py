@@ -38,7 +38,11 @@ rows; the keeper attribution costs exactly one row per distinct gram.
 
 Files are staged one-per-bucket (bucket = gram hash mod the frozen
 ``n_buckets`` fan-out, default 16 — raise it at index creation for
-warehouse-sized corpora, r15) — the bucket plays the chunk role in the
+warehouse-sized corpora, r15; size with
+:func:`holcstore_spark.sources.lexical_index.suggest_n_buckets` over
+the expected gram count — same ~2^24-rows-per-bucket rule, same
+freeze-for-the-corpus-it-grows-into caveat, r16) — the bucket plays
+the chunk role in the
 manifest, giving tight per-file key stats, making :meth:`optimize` a
 per-bucket binpack O(fragmentation), and keeping the per-batch dedup
 join co-locatable by hash prefix at warehouse scale (the layout

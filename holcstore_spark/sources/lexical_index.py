@@ -18,6 +18,12 @@ non-matching buckets are never read). ``n_buckets`` is a FROZEN
 index parameter (default 16): the prune ratio scales with it, so a
 warehouse-sized corpus creates its index with hundreds of buckets and
 a q-term query still opens ~q files — O(query), not O(corpus) (r15).
+SIZING RULE (r16, measured in BASELINE.md: 256 buckets were 2.4×
+faster than 16 at 500k docs): aim for ~16M tokens (2^24) of postings
+per bucket — :func:`suggest_n_buckets` computes it; ingest pays the
+fan-out once (one staged file per bucket per commit, amortized by the
+concurrent staging pool + per-bucket optimize), every query pays the
+prune ratio forever, so err wide.
 The document length ``dl`` is denormalized onto every posting so
 scoring never joins a corpus-sized doc-length table.
 
@@ -88,6 +94,24 @@ def term_bucket(
     if scheme == "nibble":
         return int(h[0], 16)
     return int(h[:8], 16) % n_buckets
+
+
+def suggest_n_buckets(corpus_tokens: int) -> int:
+    """Bucket fan-out for an expected corpus size: the next power of
+    two holding ~2^24 (16M) postings-tokens per bucket, clamped to
+    [16, 65536]. Rationale: a bucket is the prune unit (a q-term query
+    opens ~q buckets) AND the staging/binpack unit (one file per bucket
+    per ingest) — 16M tokens ≈ tens of MB of postings per bucket keeps
+    single files scan-efficient while the measured prune ratio keeps
+    scaling (BASELINE.md r15: 16 → 256 buckets = 2.4× faster topk at
+    500k docs). The knob is FROZEN at index creation, so size it for
+    the corpus the index will GROW INTO, not the first batch."""
+    if corpus_tokens < 0:
+        raise ValueError("corpus_tokens must be >= 0")
+    n = 16
+    while n < 65536 and corpus_tokens > (n << 24):
+        n <<= 1
+    return n
 
 
 def _bucket_expr(col, n_buckets: int, scheme: str):

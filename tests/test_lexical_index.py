@@ -444,3 +444,29 @@ class TestLegacyBucketScheme:
             term_bucket(r["t"], 16, "nibble") != term_bucket(r["t"], 16)
             for r in rows
         )
+
+
+class TestSuggestNBuckets:
+    def test_sizing_rule(self):
+        from holcstore_spark.sources.lexical_index import suggest_n_buckets
+
+        # floor at the default fan-out
+        assert suggest_n_buckets(0) == 16
+        assert suggest_n_buckets(16 << 24) == 16      # exactly full: stay
+        assert suggest_n_buckets((16 << 24) + 1) == 32
+        # ~2^24 tokens per bucket at scale
+        assert suggest_n_buckets(10**9) == 64         # 1G/64 ≈ 15.6M
+        assert suggest_n_buckets(10**11) == 8192      # 100G/8192 ≈ 12.2M
+        # hard cap matches the constructor's validation ceiling
+        assert suggest_n_buckets(10**15) == 65536
+        with pytest.raises(ValueError):
+            suggest_n_buckets(-1)
+
+    def test_suggestion_is_constructible(self, spark, tmp_store_path):
+        from holcstore_spark.sources.lexical_index import (
+            LexicalIndex, suggest_n_buckets,
+        )
+
+        nb = suggest_n_buckets(10**9)
+        idx = LexicalIndex(spark, tmp_store_path, n_buckets=nb)
+        assert idx.params["n_buckets"] == nb
