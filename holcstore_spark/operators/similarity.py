@@ -248,10 +248,21 @@ def lsh_topk(
 
 
 def _dist_matrix(vs, centroids):
-    """(batch × n_lists) exact int64 squared-euclidean distance matrix."""
+    """(batch × n_lists) exact int64 squared-euclidean distance matrix.
+
+    Expansion form ``||v||² - 2v·C + ||c||²`` (one n×k matmul plus two
+    norm vectors), NOT the broadcast ``((V[:,None,:]-C)**2).sum``: the
+    broadcast materializes an n×k×dim int64 temporary (~300 MB per 10k
+    Arrow batch at k=dim=64) whose allocation churn across 32 workers
+    measurably stalls under memory compaction (r16: the same 200k
+    assignment pass swung 1.8 s → 55 s between runs). All-integer
+    arithmetic, so the result is BIT-IDENTICAL to the broadcast form
+    (|q| ≤ ~500·√dim keeps every term far inside int64)."""
     C = np.asarray(centroids, dtype=np.int64)
     V = np.stack([np.asarray(v, dtype=np.int64) for v in vs.to_numpy()])
-    return ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    nv = (V * V).sum(axis=1)
+    nc = (C * C).sum(axis=1)
+    return nv[:, None] - 2 * (V @ C.T) + nc[None, :]
 
 
 def _assign_to_centroid(vec_q: Column, centroids: list[list[int]]) -> Column:

@@ -68,6 +68,7 @@ class VectorIndex(ForgetMixin):
         attr_cols: "tuple[str, ...] | dict[str, str]" = (),
         pq_m: "int | None" = None,
         pq_centroids: int = 16,
+        train_sample: int = 0,
     ):
         from holcstore_spark.session import ensure_engine_conf
         from holcstore_spark.sources.centroid_store import CentroidStore
@@ -93,6 +94,12 @@ class VectorIndex(ForgetMixin):
         # would make numeric filters run through an implicit cast that
         # BLOCKS parquet pushdown — the whole point of storing attrs in
         # the index
+        if not isinstance(train_sample, int) or isinstance(train_sample, bool) \
+                or train_sample < 0:
+            raise ValueError(
+                f"train_sample must be an int >= 0 (0 = train on the "
+                f"full first batch), got {train_sample!r}"
+            )
         attrs = (dict(attr_cols) if isinstance(attr_cols, dict)
                  else {c: "string" for c in attr_cols})
         for c, t in attrs.items():
@@ -113,6 +120,7 @@ class VectorIndex(ForgetMixin):
             "attr_cols": attrs,
             "pq_m": None if pq_m is None else int(pq_m),
             "pq_centroids": int(pq_centroids),
+            "train_sample": int(train_sample),
         }
         self._check_or_save_params()
         self._txlog = TxLog(path)
@@ -143,6 +151,8 @@ class VectorIndex(ForgetMixin):
         # configs written before PQ support lack these keys (= no PQ)
         existing.setdefault("pq_m", None)
         existing.setdefault("pq_centroids", 16)
+        # configs written before r16 always trained on the full frame
+        existing.setdefault("train_sample", 0)
         if existing != self.params:
             raise ValueError(
                 f"vector index at {self.path} was created with "
@@ -284,6 +294,38 @@ class VectorIndex(ForgetMixin):
         return self._txlog.snapshot().app_versions.get(str(txn_app), -1)
 
     # -- write -------------------------------------------------------------
+    def _training_frame(self, df: DataFrame) -> DataFrame:
+        """The k-means training input under the frozen ``train_sample``
+        knob: 0 trains on the FULL frame (bit-parity with the
+        in-memory operators — the oracle contract); N > 0 trains on a
+        DETERMINISTIC content-hash sample of ~N rows — the standard
+        IVF practice at corpus scale: training cost stops scaling with
+        the corpus while assignment still covers every row. Sampling
+        trades centroid optimality, never correctness — any partition
+        is a valid space; recall comes from n_probe.
+
+        The sample is a zero-shuffle hash-threshold FILTER (one count
+        to size the cut, then ``md5-hex8 < cut`` — stable under
+        re-partitioning and re-runs), NOT an ``orderBy(hash).limit``:
+        a TakeOrdered at k=65536 keeps a 65k-row heap per partition
+        and merges in ONE task, re-executed by every training pass —
+        measured pathological (the r16 first cut hung a 2M ingest)."""
+        ts = self.params["train_sample"]
+        if not ts:
+            return df
+        n = df.count()  # bounded driver action: one scalar
+        if n <= ts:
+            return df
+        from holcstore_spark.operators.sampling import (
+            _frac_to_hex, hash_hex8,
+        )
+
+        p = self.params
+        cut = _frac_to_hex(ts / n)
+        return df.filter(
+            hash_hex8([p["id_col"]], "ivftrain") < F.lit(cut)
+        )
+
     def _assigned(self, df: DataFrame, cents: list) -> DataFrame:
         from holcstore_spark.operators.similarity import (
             _assign_to_centroid,
@@ -361,8 +403,9 @@ class VectorIndex(ForgetMixin):
         ):
             return False
         if self._centroids.latest_version() is None:
+            tf = self._training_frame(df)
             cents = train_ivf_centroids(
-                df, n_lists=p["n_lists"], iters=p["iters"],
+                tf, n_lists=p["n_lists"], iters=p["iters"],
                 id_col=p["id_col"], vec_col=p["vec_col"], dim=p["dim"],
             )
             self._centroids.save(cents, self._space_params())
@@ -373,8 +416,9 @@ class VectorIndex(ForgetMixin):
             # first appends both train, v1 wins first (same pinning
             # rationale as the IVF space)
             sub = p["dim"] // p["pq_m"]
+            pq_base = self._training_frame(df)
             for j, store in enumerate(self._pq_stores):
-                sub_df = df.select(
+                sub_df = pq_base.select(
                     F.col(p["id_col"]),
                     F.slice(F.col(p["vec_col"]), j * sub + 1, sub)
                     .alias("__sub"),
@@ -456,7 +500,8 @@ class VectorIndex(ForgetMixin):
                 "deleted) — nothing to retrain"
             )
         cents = train_ivf_centroids(
-            rows, n_lists=p["n_lists"], iters=p["iters"],
+            self._training_frame(rows),
+            n_lists=p["n_lists"], iters=p["iters"],
             id_col=p["id_col"], vec_col="vec_q", dim=p["dim"],
             pre_quantized=True,
         )

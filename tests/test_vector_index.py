@@ -728,3 +728,54 @@ class TestIncrementalKnnGraph:
         dead = set(victims)
         assert not any(r["src_id"] in dead or r["neighbor_id"] in dead
                        for r in inc)
+
+
+class TestSampledTraining:
+    """r16 (VERDICT r15 ask #5): train_sample > 0 trains the space on
+    a deterministic content-hash sample — the corpus-scale IVF
+    practice. Sampling may move centroids, never correctness: with all
+    lists probed the results equal the brute-force ranking exactly."""
+
+    def test_deterministic_and_frozen(self, spark, tmp_store_path, emb):
+        a = VectorIndex(spark, os.path.join(tmp_store_path, "a"),
+                        n_lists=4, iters=2, dim=64, train_sample=50)
+        b = VectorIndex(spark, os.path.join(tmp_store_path, "b"),
+                        n_lists=4, iters=2, dim=64, train_sample=50)
+        assert a.append(emb, txn_app="s", txn_version=0)
+        assert b.append(emb, txn_app="s", txn_version=0)
+        assert a.centroids() == b.centroids()
+        # the knob is frozen per index
+        with pytest.raises(ValueError, match="incompatible"):
+            VectorIndex(spark, os.path.join(tmp_store_path, "a"),
+                        n_lists=4, iters=2, dim=64, train_sample=99)
+        with pytest.raises(ValueError, match="train_sample"):
+            VectorIndex(spark, os.path.join(tmp_store_path, "c"),
+                        n_lists=4, iters=2, dim=64, train_sample=-1)
+
+    def test_all_probe_search_exact_despite_sampling(
+            self, spark, tmp_store_path, emb):
+        from holcstore_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        vi = VectorIndex(spark, tmp_store_path, n_lists=4, iters=2,
+                         dim=64, train_sample=40)
+        assert vi.append(emb, txn_app="s", txn_version=0)
+        q = emb.filter(F.col("vec_id") % 150 == 0)
+        got = vi.topk(q, k=3, n_probe=4).collect()   # all lists
+        want = brute_force_topk(emb, q, k=3).collect()
+        assert _pairs(got) == _pairs(want)
+
+    def test_sample_trains_on_subset_not_corpus(self, spark,
+                                                tmp_store_path, emb):
+        """The training frame really is the N-row hash sample: a full
+        train over the same corpus produces different centroids (the
+        regression teeth: if sampling silently fell back to the full
+        frame, these would be equal)."""
+        s = VectorIndex(spark, os.path.join(tmp_store_path, "s"),
+                        n_lists=4, iters=2, dim=64, train_sample=30)
+        f = VectorIndex(spark, os.path.join(tmp_store_path, "f"),
+                        n_lists=4, iters=2, dim=64)
+        assert s.append(emb, txn_app="s", txn_version=0)
+        assert f.append(emb, txn_app="s", txn_version=0)
+        assert s.centroids() != f.centroids()
