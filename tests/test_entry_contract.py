@@ -101,52 +101,15 @@ def test_registry_source_has_no_duplicate_keys():
 
 #: queries that MUST be inside the driver's first-50 window this round.
 #: Keep this list in sync with the rotation comment in queries():
-#: (a) the whole 33-query round-11-verified tail block (the r13
-#: verdict's ask #1); (b) the five NEW round-14 queries (managed
-#: gram-index replay + erasure, persisted BM25, indexed hybrid search,
-#: indexed KNN graph); (c) the four whose values or compute path
-#: changed in round 14 (bm25_search / hybrid_search: log2-idf
-#: rescoring; dedup_minhash / dedup_incremental: NULL-text coalesce in
-#: the JVM signature path).
-ROUND15_WINDOW_MUST = {
-    # (a) the whole r12-verified tail block (44)
-    "embed_quantize", "lm_surprisal", "sliding_rollup",
-    "temperature_sample", "stream_sliding", "collocations",
-    "normalize_text", "corpus_prep", "rolling_stats",
-    "forecast_revenue", "order_priority", "large_orders",
-    "cusum_drift", "store_cdf", "stream_cdf", "overlay_merge",
-    "completeness_holes", "merge_intervals", "interval_algebra",
-    "constant_runs", "drop_bounds_na", "combined_delay",
-    "stream_rollup", "similarity_filtered", "pq_filtered", "pq_topk",
-    "stream_gaps", "multimodal_resize", "multimodal_frames",
-    "stream_cusum", "bpe_merges", "seasonal_profile", "stream_join",
-    "contamination", "tfidf_terms", "asof_join", "sessionize",
-    "time_rollup", "range_join", "event_rollup", "store_restore",
-    "store_optimize", "cluster_balance", "slice_with_delay",
-    # (b) new in round 15
-    "bm25_recompute", "knn_graph_delta", "stream_pipeline",
-    "multimodal_progressive", "multimodal_mjpeg",
-    # (c) values changed (Unicode-ellipsis fix)
-    "gopher_quality",
-}
-
-
-def test_driver_window_contains_round15_rotation_set():
-    # every query whose evidence is stale — oldest driver rows, new
-    # queries, or changed-VALUE paths — must sit inside the driver's
-    # checked first-50 window (changed-path-but-bit-identical queries
-    # were re-verified locally at both SFs and rotate behind it)
-    window = set(list(entry_mod.queries())[:50])
-    missing = ROUND15_WINDOW_MUST - window
-    assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
-    unknown = ROUND15_WINDOW_MUST - set(entry_mod.queries())
-    assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
-
-
-#: the EXACT round-13 driver window (CORRECTNESS_r13 keys, in order) —
-#: frozen here so the rotation contract below is enforced against the
-#: real set, not a sample
-R13_WINDOW = {
+#: (a) the WHOLE 47-query round-13-verified tail block (the r15
+#: verdict's ask #3 — after r16 no registry entry's last green run is
+#: older than r14); (b) the new round-16 query (perceptual-hash image
+#: dedup). temperature_sample / rebalance_mix / cluster_balance /
+#: domain_cap changed code paths in r16 but are value-bit-identical
+#: (A/B-verified + oracle-green locally at both SFs); rebalance_mix
+#: and domain_cap sit inside this window anyway.
+ROUND16_WINDOW_MUST = {
+    # (a) the whole r13-verified tail block (47)
     "ffill", "normalize_minmax", "min_step", "next_version",
     "chunk_index", "freq_fix", "split_at", "store_roundtrip",
     "store_set_many", "store_update_overlay", "store_delete_tombstone",
@@ -157,20 +120,55 @@ R13_WINDOW = {
     "admin_export", "dedup_index_forget", "ivfpq_persisted",
     "ivf_persisted", "dedup_index_replay", "similarity_ivf",
     "dedup_spans", "knn_graph", "domain_cap", "dsir_select",
-    "stream_quota", "bm25_search", "hybrid_search", "dedup_spans_incr",
-    "rebalance_mix", "stream_sessions", "stream_dedup",
-    "pricing_summary", "top_revenue", "regional_revenue", "dedup_exact",
-    "dedup_minhash", "dedup_jaccard", "dedup_simhash", "dedup_clusters",
+    "stream_quota", "dedup_spans_incr", "rebalance_mix",
+    "stream_sessions", "stream_dedup", "pricing_summary",
+    "top_revenue", "regional_revenue", "dedup_exact", "dedup_jaccard",
+    "dedup_simhash", "dedup_clusters",
+    # (b) new in round 16
+    "image_neardup",
 }
 
 
-def test_round14_window_mostly_differs_from_round13():
-    # the rotation contract: >= 45 of the 50 checked queries must carry
-    # NEW evidence vs the round-13 window; only changed-path queries
-    # (bm25_search / hybrid_search / dedup_minhash) legitimately repeat
-    assert len(R13_WINDOW) == 50
+def test_driver_window_contains_round16_rotation_set():
+    # every query whose evidence is stale — oldest driver rows or new
+    # queries — must sit inside the driver's checked first-50 window
+    # (changed-path-but-bit-identical queries were re-verified locally
+    # at both SFs and rotate behind it)
     window = set(list(entry_mod.queries())[:50])
-    overlap = window & R13_WINDOW
+    missing = ROUND16_WINDOW_MUST - window
+    assert not missing, f"rotation queries outside driver window: {sorted(missing)}"
+    unknown = ROUND16_WINDOW_MUST - set(entry_mod.queries())
+    assert not unknown, f"rotation list names unknown queries: {sorted(unknown)}"
+
+
+#: the EXACT round-15 driver window (CORRECTNESS_r15 keys) — frozen so
+#: the rotation contract below is enforced against the real set
+R15_WINDOW = {
+    "embed_quantize", "lm_surprisal", "sliding_rollup",
+    "temperature_sample", "stream_sliding", "collocations",
+    "normalize_text", "corpus_prep", "rolling_stats",
+    "forecast_revenue", "order_priority", "large_orders", "cusum_drift",
+    "store_cdf", "stream_cdf", "overlay_merge", "completeness_holes",
+    "merge_intervals", "interval_algebra", "constant_runs",
+    "drop_bounds_na", "combined_delay", "stream_rollup",
+    "similarity_filtered", "pq_filtered", "pq_topk", "stream_gaps",
+    "multimodal_resize", "multimodal_frames", "stream_cusum",
+    "bpe_merges", "seasonal_profile", "stream_join", "contamination",
+    "tfidf_terms", "asof_join", "sessionize", "time_rollup",
+    "range_join", "event_rollup", "store_restore", "store_optimize",
+    "cluster_balance", "slice_with_delay", "bm25_recompute",
+    "knn_graph_delta", "stream_pipeline", "multimodal_progressive",
+    "multimodal_mjpeg", "gopher_quality",
+}
+
+
+def test_round16_window_mostly_differs_from_round15():
+    # the rotation contract: the 50 checked queries must carry NEW
+    # evidence vs the round-15 window (the r13-verified tail plus the
+    # r16 debut are disjoint from it by construction)
+    assert len(R15_WINDOW) == 50
+    window = set(list(entry_mod.queries())[:50])
+    overlap = window & R15_WINDOW
     assert len(overlap) <= 5, (
-        f"window re-verifies too many r13 queries: {sorted(overlap)}"
+        f"window re-verifies too many r15 queries: {sorted(overlap)}"
     )
