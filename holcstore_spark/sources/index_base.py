@@ -174,7 +174,6 @@ class ForgetMixin:
         sort_cols: tuple,
         key_cols: tuple,
         chunk_check=None,
-        max_workers: int = 8,
     ) -> list:
         """Shared staging for the managed indexes: EXACTLY one file per
         distinct chunk value (band_id / bucket / list — the manifest
@@ -197,37 +196,102 @@ class ForgetMixin:
 
         ``sort_cols``/``key_cols`` are keyword-only: both are tuples of
         column names, so a positional call site could silently
-        transpose them (advisor r14)."""
-        from holcstore_spark.sources.io_util import (
-            release_local_checkpoint,
-            safe_local_checkpoint,
-        )
+        transpose them (advisor r14).
 
-        rows_df = safe_local_checkpoint(rows_df)
+        Scale shape (r16 rewrite): ONE hash-repartition on the chunk
+        value + ONE ``partitionBy`` write — the whole stage is a single
+        job running the producing lineage exactly once (so the former
+        localCheckpoint materialization is gone too). The previous
+        shape (checkpoint, then one filtered scan of the WHOLE frame
+        per chunk from a driver thread pool) re-read the corpus
+        ``n_chunks`` times — O(chunks × corpus), which at the
+        recommended 256-bucket fan-out means 256 corpus scans per
+        ingest. Per-chunk single files still hold: hash-repartitioning
+        ON the chunk value lands every row of a chunk in exactly one
+        task, and the partition-dir split keeps files chunk-pure (a
+        chunk-SPANNING file remains impossible; a huge chunk split by
+        ``maxRecordsPerFile`` yields several chunk-pure files, which
+        optimize() can binpack). ``partitionBy`` drops its column from
+        the data files, so the write partitions on a DUPLICATE of the
+        chunk column and the real one stays in-file for the read
+        schema. ``chunk_check`` now validates the chunk values
+        enumerated from the written partition dirs — staged files are
+        transactionally invisible until commit, so refusing after the
+        write is equivalent to refusing before it (the orphan notes
+        cover the abandoned files either way)."""
+        import shutil
+
+        tmp_abs, tmp_rel = self._txlog.new_staging_dir()
+        chunk_dirs: list = []  # (chunk value, partition dir abs path)
+        moved: list = []       # (abs_dir, rel_dir) per chunk
         try:
-            chunks = [r[chunk_col] for r in
-                      rows_df.select(chunk_col).distinct().collect()]
+            (
+                rows_df.withColumn("__stage_chunk", F.col(chunk_col))
+                .repartition(
+                    max(1, min(4096, self.spark.sparkContext.defaultParallelism * 4)),
+                    F.col("__stage_chunk"),
+                )
+                .sortWithinPartitions("__stage_chunk", *sort_cols)
+                .write.mode("overwrite")
+                .partitionBy("__stage_chunk")
+                .parquet(tmp_abs)
+            )
+            chunks = []
+            for d in os.listdir(tmp_abs):
+                full = os.path.join(tmp_abs, d)
+                if not os.path.isdir(full) or "=" not in d:
+                    continue
+                raw = d.split("=", 1)[1]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    c = None
+                else:
+                    try:
+                        c = int(raw)
+                    except ValueError:
+                        c = raw
+                chunks.append(c)
+                chunk_dirs.append((c, full))
             if chunk_check is not None:
                 chunk_check(chunks)
-            non_empty = sorted(chunks)
-
-            def stage_one(c, abs_dir, rel_dir):
-                part = rows_df.filter(F.col(chunk_col) == c)
-                (
-                    part.coalesce(1).sortWithinPartitions(*sort_cols)
-                    .write.mode("overwrite").parquet(abs_dir)
-                )
-                return self._txlog.collect_entries(
+            entries = []
+            # None sorts first defensively; every index's chunk_check
+            # raises on NULL chunks before this point
+            for c, src in sorted(
+                chunk_dirs, key=lambda t: (t[0] is None, t[0] or 0)
+            ):
+                abs_dir, rel_dir = self._txlog.new_staging_dir()
+                os.makedirs(abs_dir, exist_ok=True)
+                for f in sorted(os.listdir(src)):
+                    if f.endswith(".parquet"):
+                        os.rename(os.path.join(src, f),
+                                  os.path.join(abs_dir, f))
+                moved.append((abs_dir, rel_dir))
+                entries.extend(self._txlog.collect_entries(
                     abs_dir, rel_dir, key_cols=key_cols,
                     chunk_col=chunk_col,
-                )
-
-            if not non_empty:
-                return []
-            return [e for es in self._map_staged(
-                stage_one, non_empty, max_workers) for e in es]
-        finally:
-            release_local_checkpoint(rows_df)
+                ))
+            shutil.rmtree(tmp_abs, ignore_errors=True)
+            return entries
+        except BaseException:
+            # note every file this attempt staged (the scratch root and
+            # any already-moved chunk dirs) for the sidecar vacuum
+            rels = []
+            for base_abs, base_rel in (
+                [(tmp_abs, tmp_rel)] + list(moved)
+            ):
+                if os.path.isdir(base_abs):
+                    for root, _dirs, files in os.walk(base_abs):
+                        for f in files:
+                            rels.append(os.path.join(
+                                base_rel,
+                                os.path.relpath(os.path.join(root, f),
+                                                base_abs),
+                            ))
+            try:
+                self._txlog.note_orphans(rels)
+            except Exception:
+                pass  # best-effort; the deep vacuum walk is the backstop
+            raise
 
     def _optimize_by_chunk(
         self,
