@@ -79,6 +79,82 @@ _EVENTS_VERSIONED_SQL = """
     FROM events
 """
 
+#: shared dHash reconstruction CTEs (documents → per-doc 64-bit hash
+#: halves + four 16-bit LSH bands) for the image near-dup oracles
+_DHASH_CTE_SQL = """
+            WITH d0 AS (
+                SELECT doc_id, doc_id - doc_id % 2 AS base_id
+                FROM documents
+            ),
+            bt AS (
+                SELECT doc_id AS base_id,
+                       regexp_replace(text, '[^ -~]', '', 'g') AS ascii_t
+                FROM documents
+            ),
+            base AS (
+                SELECT d0.doc_id, d0.base_id,
+                       CAST(9 + base_id % 5 AS INT) AS w,
+                       CAST(8 + base_id % 4 AS INT) AS h,
+                       substr(md5(ascii_t || '|0') || md5(ascii_t || '|1') || md5(ascii_t || '|2') || md5(ascii_t || '|3') || md5(ascii_t || '|4') || md5(ascii_t || '|5') || md5(ascii_t || '|6') || md5(ascii_t || '|7') || md5(ascii_t || '|8') || md5(ascii_t || '|9') || md5(ascii_t || '|10') || md5(ascii_t || '|11') || md5(ascii_t || '|12') || md5(ascii_t || '|13'),
+                              1,
+                              CAST(3 * (9 + base_id % 5)
+                                     * (8 + base_id % 4) AS INT)) AS pix0
+                FROM d0 JOIN bt USING (base_id)
+            ),
+            imgs AS (
+                SELECT doc_id, w, h,
+                       CASE WHEN doc_id % 2 = 0 THEN pix0
+                            ELSE substr(pix0, 1, length(pix0) - 1) || '~'
+                       END AS pix
+                FROM base
+            ),
+            grid AS (
+                SELECT doc_id, CAST(jj.j AS INT) AS j, CAST(ii.i AS INT) AS i,
+                       pix,
+                       3 * (((CAST(jj.j AS INT) * h) // 8) * w
+                            + (CAST(ii.i AS INT) * w) // 9) AS pl,
+                       3 * (((CAST(jj.j AS INT) * h) // 8) * w
+                            + ((CAST(ii.i AS INT) + 1) * w) // 9) AS pr
+                FROM imgs
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+            ),
+            bits AS (
+                SELECT doc_id, j * 8 + i AS k,
+                       CASE WHEN
+                           (ascii(substr(pix, pl + 1, 1))
+                            + ascii(substr(pix, pl + 2, 1))
+                            + ascii(substr(pix, pl + 3, 1))) // 3
+                           <
+                           (ascii(substr(pix, pr + 1, 1))
+                            + ascii(substr(pix, pr + 2, 1))
+                            + ascii(substr(pix, pr + 3, 1))) // 3
+                       THEN 1 ELSE 0 END AS bit
+                FROM grid
+            ),
+            hashes AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN k < 32
+                                THEN bit * (1::BIGINT << (31 - k))
+                                ELSE 0 END) AS BIGINT) AS hi,
+                       CAST(sum(CASE WHEN k >= 32
+                                THEN bit * (1::BIGINT << (63 - k))
+                                ELSE 0 END) AS BIGINT) AS lo
+                FROM bits GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, v.band_id,
+                       CASE v.band_id
+                           WHEN 0 THEN (hi >> 16) & 65535
+                           WHEN 1 THEN hi & 65535
+                           WHEN 2 THEN (lo >> 16) & 65535
+                           ELSE lo & 65535
+                       END AS bv
+                FROM hashes, (VALUES (0), (1), (2), (3)) v(band_id)
+            ),
+"""
+
+
 _FMT = "yyyy-MM-dd HH:mm:ss"          # Spark date_format pattern
 _FMT_DUCK = "%Y-%m-%d %H:%M:%S"       # DuckDB strftime pattern
 
@@ -3099,18 +3175,43 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing or banding bug fails the hash."""
     from holcstore_spark.operators.multimodal import image_neardup_pairs
 
+    d = _neardup_images(spark, sf_dir)
+    return image_neardup_pairs(d, max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared even/odd perturbed-PPM image fixture of
+    q_image_neardup / q_image_dedup_incr: every doc renders its BASE
+    (even) partner's text as a P6 payload, odd docs with the last
+    pixel byte perturbed."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base_text = docs.select(
         F.col("doc_id").alias("base_id"),
         F.regexp_replace("text", "[^ -~]", "").alias("ascii_t"),
     )
-    d = (
+    # pixels come from an md5 chain over the BASE text, not the text
+    # itself: ASCII prose renders into heavily-correlated dHashes (the
+    # first fixture collided ~everything with ~everything at sf0.1,
+    # making the incremental keep-set empty — weak evidence); five
+    # fourteen md5s give 448 entropy-rich hex chars >= the 429-byte max
+    # image, reproducible in any engine. Dims start at 9x8 so the 9x8
+    # dHash sampling grid never repeats a source pixel — smaller images
+    # force the repeated-sample bits to 0, which collapses hash entropy
+    # and collides everything with everything (first fixture attempt)
+    return (
         docs.select("doc_id")
         .withColumn("base_id", F.col("doc_id") - F.col("doc_id") % 2)
         .join(base_text, on="base_id")
-        .withColumn("w", (F.lit(4) + F.col("base_id") % 5).cast("int"))
-        .withColumn("h", (F.lit(3) + F.col("base_id") % 4).cast("int"))
-        .withColumn("pix0", F.expr("rpad(ascii_t, 3*w*h, 'x')"))
+        .withColumn("w", (F.lit(9) + F.col("base_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(8) + F.col("base_id") % 4).cast("int"))
+        .withColumn(
+            "pix0",
+            F.expr("substring(" + " || ".join(
+                f"md5(concat(ascii_t, '|{i}'))" for i in range(14)
+            ) + ", 1, 3*w*h)"),
+        )
         .withColumn(
             "pix",
             F.when(F.col("doc_id") % 2 == 0, F.col("pix0")).otherwise(
@@ -3129,9 +3230,28 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "payload")
     )
-    return image_neardup_pairs(d, max_hamming=6).select(
-        "id_a", "id_b", "hamming"
+
+
+def q_image_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 16: INCREMENTAL image near-dup against stored dHash bands
+    — the production O(batch) shape. History = every doc_id % 4 == 0
+    image (hashed once, bands persisted); the batch is everything else.
+    A batch doc is dropped iff it shares a band bucket with history
+    (doc 4k+1 always collides with its base 4k) or with a LOWER-id
+    batch doc (4k+3 loses to its pair 4k+2 — keep-first). The oracle
+    restates hash construction, banding and both drop rules in SQL;
+    output carries each survivor's dHash halves so a hash bug cannot
+    hide behind a correct keep-set."""
+    from holcstore_spark.operators.multimodal import (
+        dhash_bands, dhash_strict, image_dedup_incremental,
     )
+
+    imgs = _neardup_images(spark, sf_dir)
+    hist = imgs.filter(F.col("doc_id") % 4 == 0)
+    batch = imgs.filter(F.col("doc_id") % 4 != 0)
+    index_bands = dhash_bands(dhash_strict(hist))
+    kept = image_dedup_incremental(batch, index_bands)
+    return dhash_strict(kept).select("doc_id", "dhash_hi", "dhash_lo")
 
 
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4195,8 +4315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        # -- (b) new in r16 (1)
+        # -- (b) new in r16 (2)
         "image_neardup": q_image_neardup,
+        "image_dedup_incr": q_image_dedup_incr,
         # -- tail: r14-verified window
         "segment_dedup": q_segment_dedup,
         "token_pack": q_token_pack,
@@ -6954,76 +7075,7 @@ def oracle_sql() -> dict[str, str]:
         # MSB-first into two 32-bit halves; four 16-bit LSH bands give
         # the candidate pairs, exact Hamming <= 6 confirms
         "image_neardup": """
-            WITH d0 AS (
-                SELECT doc_id, doc_id - doc_id % 2 AS base_id
-                FROM documents
-            ),
-            bt AS (
-                SELECT doc_id AS base_id,
-                       regexp_replace(text, '[^ -~]', '', 'g') AS ascii_t
-                FROM documents
-            ),
-            base AS (
-                SELECT d0.doc_id, d0.base_id,
-                       CAST(4 + base_id % 5 AS INT) AS w,
-                       CAST(3 + base_id % 4 AS INT) AS h,
-                       rpad(ascii_t,
-                            CAST(3 * (4 + base_id % 5)
-                                   * (3 + base_id % 4) AS INT),
-                            'x') AS pix0
-                FROM d0 JOIN bt USING (base_id)
-            ),
-            imgs AS (
-                SELECT doc_id, w, h,
-                       CASE WHEN doc_id % 2 = 0 THEN pix0
-                            ELSE substr(pix0, 1, length(pix0) - 1) || '~'
-                       END AS pix
-                FROM base
-            ),
-            grid AS (
-                SELECT doc_id, CAST(jj.j AS INT) AS j, CAST(ii.i AS INT) AS i,
-                       pix,
-                       3 * (((CAST(jj.j AS INT) * h) // 8) * w
-                            + (CAST(ii.i AS INT) * w) // 9) AS pl,
-                       3 * (((CAST(jj.j AS INT) * h) // 8) * w
-                            + ((CAST(ii.i AS INT) + 1) * w) // 9) AS pr
-                FROM imgs
-                CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
-                CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
-            ),
-            bits AS (
-                SELECT doc_id, j * 8 + i AS k,
-                       CASE WHEN
-                           (ascii(substr(pix, pl + 1, 1))
-                            + ascii(substr(pix, pl + 2, 1))
-                            + ascii(substr(pix, pl + 3, 1))) // 3
-                           <
-                           (ascii(substr(pix, pr + 1, 1))
-                            + ascii(substr(pix, pr + 2, 1))
-                            + ascii(substr(pix, pr + 3, 1))) // 3
-                       THEN 1 ELSE 0 END AS bit
-                FROM grid
-            ),
-            hashes AS (
-                SELECT doc_id,
-                       CAST(sum(CASE WHEN k < 32
-                                THEN bit * (1::BIGINT << (31 - k))
-                                ELSE 0 END) AS BIGINT) AS hi,
-                       CAST(sum(CASE WHEN k >= 32
-                                THEN bit * (1::BIGINT << (63 - k))
-                                ELSE 0 END) AS BIGINT) AS lo
-                FROM bits GROUP BY doc_id
-            ),
-            bands AS (
-                SELECT doc_id, v.band_id,
-                       CASE v.band_id
-                           WHEN 0 THEN (hi >> 16) & 65535
-                           WHEN 1 THEN hi & 65535
-                           WHEN 2 THEN (lo >> 16) & 65535
-                           ELSE lo & 65535
-                       END AS bv
-                FROM hashes, (VALUES (0), (1), (2), (3)) v(band_id)
-            ),
+            {dhash_cte}
             cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bands a JOIN bands b
@@ -7038,7 +7090,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN hashes hb ON hb.doc_id = c.id_b
             WHERE bit_count(xor(ha.hi, hb.hi))
                   + bit_count(xor(ha.lo, hb.lo)) <= 6
-        """,
+        """.format(dhash_cte=_DHASH_CTE_SQL),
+        # incremental image dedup: history = doc_id % 4 == 0 bands; a
+        # batch doc is dropped on ANY band shared with history or with
+        # a lower-id batch doc (keep-first); survivors carry their hash
+        "image_dedup_incr": """
+            {dhash_cte}
+            dropped AS (
+                SELECT DISTINCT nb.doc_id
+                FROM bands nb JOIN bands ob
+                  ON ob.band_id = nb.band_id AND ob.bv = nb.bv
+                WHERE nb.doc_id % 4 <> 0
+                  AND (ob.doc_id % 4 = 0
+                       OR (ob.doc_id % 4 <> 0 AND ob.doc_id < nb.doc_id))
+            )
+            SELECT h.doc_id, h.hi AS dhash_hi, h.lo AS dhash_lo
+            FROM hashes h
+            WHERE h.doc_id % 4 <> 0
+              AND h.doc_id NOT IN (SELECT doc_id FROM dropped)
+        """.format(dhash_cte=_DHASH_CTE_SQL),
         "multimodal_video": """
             WITH base AS (
                 SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n,

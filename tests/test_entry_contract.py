@@ -125,7 +125,7 @@ ROUND16_WINDOW_MUST = {
     "top_revenue", "regional_revenue", "dedup_exact", "dedup_jaccard",
     "dedup_simhash", "dedup_clusters",
     # (b) new in round 16
-    "image_neardup",
+    "image_neardup", "image_dedup_incr",
 }
 
 
