@@ -1042,9 +1042,15 @@ def image_neardup_pairs(
     the MinHash path (flat-colour images collapse into one bucket).
     """
     from holcstore_spark.operators.dedup import band_candidate_pairs
+    from holcstore_spark.sources.io_util import safe_local_checkpoint
 
-    h = dhash_strict(df, payload, id_col).select(
-        id_col, "dhash_hi", "dhash_lo"
+    # the decode+hash lineage feeds THREE plan branches (banding and
+    # both hash-join sides) — materialize it once or the dominant
+    # decode cost runs three times (review r16)
+    h = safe_local_checkpoint(
+        dhash_strict(df, payload, id_col).select(
+            id_col, "dhash_hi", "dhash_lo"
+        )
     )
     pairs = band_candidate_pairs(dhash_bands(h, id_col), id_col, max_bucket)
     a = h.select(

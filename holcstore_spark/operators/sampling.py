@@ -118,8 +118,10 @@ def rebalance_mix(
     All threshold arithmetic is EXACT: each group's keep rule equals
     ``h < floor(share_g·M·16^8 / count_g)`` with
     ``M = min_u count_u / share_u``, restated as the cross-multiplied
-    integer inequality ``(h+1)·q_g·L·n_g ≤ p_g·K·2^32`` (keep-all when
-    ``p_g·K ≥ q_g·L·n_g``), where ``share_g = p_g/q_g`` reduced,
+    integer inequality ``(h+1)·q_g·L·n_g ≤ p_g·K·2^32`` (which also
+    subsumes the keep-all case: frac_g ≥ 1 makes the right side ≥
+    2^32·q_g·L·n_g, above every hash), where ``share_g = p_g/q_g``
+    reduced,
     ``L = lcm(p_u)`` and ``K = min_u n_u·q_u·(L/p_u) = L·M`` — pure
     wide-integer arithmetic any SQL engine reproduces bit-for-bit
     (HUGEINT / DECIMAL(38,0)), no float-rounding drift anywhere.
@@ -163,20 +165,17 @@ def rebalance_mix(
     #   __c = q_g·L/p_g   (count multiplier whose min over groups is K)
     #   __a = q_g·L       (denominator side of the keep inequality)
     #   __b = p_g·2^32    (numerator side)
-    #   __p = p_g         (keep-all test)
     consts = {
         g: (
             s.denominator * (big_l // s.numerator),
             s.denominator * big_l,
             s.numerator << 32,
-            s.numerator,
         )
         for g, s in shares.items()
     }
     pc = max(len(str(c[0])) for c in consts.values())
     pa = max(len(str(c[1])) for c in consts.values())
     pb = max(len(str(c[2])) for c in consts.values())
-    pp = max(len(str(c[3])) for c in consts.values())
     # DECIMAL(38,0) exactness budget at n_g < 10^16: (h+1)·A·n_g needs
     # 11 + (pa+17) + 1 digits; B·K needs pb + (pc+17) + 1
     if pa > 9 or pb + pc > 20:
@@ -188,14 +187,13 @@ def rebalance_mix(
         )
     gfield = df.schema[group_col]
     wdf = df.sparkSession.createDataFrame(
-        [(g, Decimal(c), Decimal(a), Decimal(b), Decimal(p))
-         for g, (c, a, b, p) in consts.items()],
+        [(g, Decimal(c), Decimal(a), Decimal(b))
+         for g, (c, a, b) in consts.items()],
         T.StructType([
             gfield,
             T.StructField("__c", T.DecimalType(pc, 0)),
             T.StructField("__a", T.DecimalType(pa, 0)),
             T.StructField("__b", T.DecimalType(pb, 0)),
-            T.StructField("__p", T.DecimalType(pp, 0)),
         ]),
     )
     counts = (
@@ -215,15 +213,18 @@ def rebalance_mix(
     thr = joined.crossJoin(F.broadcast(kmin))
     h = hash_hex8(list(id_cols), salt)
     hv = F.conv(h, 16, 10).cast("decimal(10,0)")
-    keep_all = F.col("__p") * F.col("__k") >= F.col("__a") * F.col("__n_g")
+    # ONE predicate covers the keep-all case too: frac_g >= 1 means
+    # B·K = p_g·2³²·K >= 2³²·A·n_g, and (hv+1) <= 2³² always, so every
+    # hash passes — a separate p_g·K >= A·n_g test would be redundant
+    # (review r16)
     keep_hash = (
         (hv + F.lit(1)) * (F.col("__a") * F.col("__n_g"))
         <= F.col("__b") * F.col("__k")
     )
     return (
         df.join(F.broadcast(thr), on=group_col, how="inner")
-        .filter(keep_all | keep_hash)
-        .drop("__c", "__a", "__b", "__p", "__n_g", "__k")
+        .filter(keep_hash)
+        .drop("__c", "__a", "__b", "__n_g", "__k")
     )
 
 

@@ -175,52 +175,55 @@ class ForgetMixin:
         key_cols: tuple,
         chunk_check=None,
     ) -> list:
-        """Shared staging for the managed indexes: EXACTLY one file per
-        distinct chunk value (band_id / bucket / list — the manifest
-        chunk axis; a single range/hash-partitioned write could emit a
-        chunk-SPANNING file on sampled boundaries, which
-        binpack_candidates would then exclude from every optimize). The
-        frame is materialized once (localCheckpoint — the gram/minhash/
-        tokenize lineage must not re-run per chunk) and ONE job finds
-        the non-empty chunks; the per-chunk writes are then independent
-        filtered scans of the checkpointed frame, submitted
-        CONCURRENTLY from a bounded driver thread pool — Spark's
-        scheduler interleaves the jobs, so 16 tiny single-task writes
-        cost ~2 sequential ones instead of 16 (review r14: staging
-        dominated the small-scale index-ingest wall time). Entry order
-        stays deterministic (sorted chunk order). ``chunk_check``
-        validates the distinct chunk values before anything writes.
-        The checkpointed blocks are released once the last chunk write
-        lands — a long-lived foreachBatch stream must not accumulate
-        one pinned frame per micro-batch (advisor r14).
+        """Shared staging for the managed indexes: chunk-PURE files,
+        one (or, if ``maxRecordsPerFile`` splits a huge chunk, a few)
+        per distinct chunk value (band_id / bucket / list — the
+        manifest chunk axis), staged as ONE hash-repartition on the
+        chunk value + ONE ``partitionBy`` write. The whole stage is a
+        single job running the producing lineage (gram/minhash/
+        tokenize/assign) exactly once — no checkpoint pin, no
+        per-chunk re-scan. The r15 shape (localCheckpoint, then one
+        filtered scan of the WHOLE frame per chunk from a driver
+        thread pool) re-read the corpus ``n_chunks`` times —
+        O(chunks × corpus), 256 corpus scans per ingest at the
+        recommended 256-bucket fan-out; measured 28 → 4.2 s on the
+        500k-doc lexical ingest (r16, BASELINE.md).
 
-        ``sort_cols``/``key_cols`` are keyword-only: both are tuples of
-        column names, so a positional call site could silently
-        transpose them (advisor r14).
+        Chunk purity holds structurally: hash-repartitioning ON the
+        chunk value lands every row of a chunk in exactly one task,
+        and the partition-dir split keeps each output file
+        single-chunk — a chunk-SPANNING file (which
+        binpack_candidates would exclude from every optimize) is
+        impossible. ``partitionBy`` drops its column from the data
+        files, so the write partitions on a DUPLICATE of the chunk
+        column and the real one stays in-file for the read schema.
+        ``chunk_check`` validates the chunk values enumerated from the
+        written partition dirs — staged files are transactionally
+        invisible until commit, so refusing after the write is
+        equivalent to refusing before it (the orphan notes cover the
+        abandoned files either way). Entry order stays deterministic
+        (sorted chunk order).
 
-        Scale shape (r16 rewrite): ONE hash-repartition on the chunk
-        value + ONE ``partitionBy`` write — the whole stage is a single
-        job running the producing lineage exactly once (so the former
-        localCheckpoint materialization is gone too). The previous
-        shape (checkpoint, then one filtered scan of the WHOLE frame
-        per chunk from a driver thread pool) re-read the corpus
-        ``n_chunks`` times — O(chunks × corpus), which at the
-        recommended 256-bucket fan-out means 256 corpus scans per
-        ingest. Per-chunk single files still hold: hash-repartitioning
-        ON the chunk value lands every row of a chunk in exactly one
-        task, and the partition-dir split keeps files chunk-pure (a
-        chunk-SPANNING file remains impossible; a huge chunk split by
-        ``maxRecordsPerFile`` yields several chunk-pure files, which
-        optimize() can binpack). ``partitionBy`` drops its column from
-        the data files, so the write partitions on a DUPLICATE of the
-        chunk column and the real one stays in-file for the read
-        schema. ``chunk_check`` now validates the chunk values
-        enumerated from the written partition dirs — staged files are
-        transactionally invisible until commit, so refusing after the
-        write is equivalent to refusing before it (the orphan notes
-        cover the abandoned files either way)."""
+        The chunk column must be INTEGRAL (all four indexes' chunk
+        axes are): chunk values round-trip through Hive partition dir
+        names, which is type-lossy for strings (escaping, ''-vs-NULL,
+        numeric-looking coercion) — refused loudly rather than parsed
+        wrongly.
+
+        ``sort_cols``/``key_cols`` are keyword-only: both are tuples
+        of column names, so a positional call site could silently
+        transpose them (advisor r14)."""
         import shutil
 
+        ctype = rows_df.schema[chunk_col].dataType
+        if not isinstance(ctype, (T.ByteType, T.ShortType,
+                                  T.IntegerType, T.LongType)):
+            raise ValueError(
+                f"_stage_by_chunk: chunk column {chunk_col!r} must be "
+                f"an integral type (got {ctype.simpleString()}) — "
+                "chunk values round-trip through partition dir names, "
+                "which is only lossless for integers"
+            )
         tmp_abs, tmp_rel = self._txlog.new_staging_dir()
         chunk_dirs: list = []  # (chunk value, partition dir abs path)
         moved: list = []       # (abs_dir, rel_dir) per chunk
@@ -242,20 +245,18 @@ class ForgetMixin:
                 if not os.path.isdir(full) or "=" not in d:
                     continue
                 raw = d.split("=", 1)[1]
-                if raw == "__HIVE_DEFAULT_PARTITION__":
-                    c = None
-                else:
-                    try:
-                        c = int(raw)
-                    except ValueError:
-                        c = raw
+                # integral-only chunk axis (validated above), so the
+                # dir-name round-trip is exact; NULL chunks surface as
+                # the Hive default partition
+                c = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                     else int(raw))
                 chunks.append(c)
                 chunk_dirs.append((c, full))
             if chunk_check is not None:
                 chunk_check(chunks)
             entries = []
-            # None sorts first defensively; every index's chunk_check
-            # raises on NULL chunks before this point
+            # None sorts LAST defensively; every index's chunk_check
+            # raises on NULL chunks before this point anyway
             for c, src in sorted(
                 chunk_dirs, key=lambda t: (t[0] is None, t[0] or 0)
             ):

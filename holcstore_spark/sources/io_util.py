@@ -55,10 +55,12 @@ def release_local_checkpoint(df: DataFrame) -> None:
 
     ``Dataset.unpersist`` only covers CacheManager-cached plans; the
     blocks a local checkpoint pins live on the ``LogicalRDD``'s backing
-    RDD, which nothing releases until the driver GCs the frame. Long-
-    lived ``foreachBatch`` streams that stage through
-    ``_stage_by_chunk`` every micro-batch would otherwise accumulate
-    storage memory on the executors (advisor r14). Reaching the RDD
+    RDD, which nothing releases until the driver GCs the frame. A
+    long-lived loop that checkpoints per iteration (the sync feed, the
+    soak harnesses; ``_stage_by_chunk`` was the original r14 case
+    until its r16 rewrite dropped the checkpoint entirely) would
+    otherwise accumulate storage memory on the executors (advisor
+    r14). Reaching the RDD
     goes through the analyzed plan (``LogicalRDD.rdd`` case-class
     accessor) — internals, so every failure mode is swallowed: the
     fallback is the old behavior (blocks released at driver GC).

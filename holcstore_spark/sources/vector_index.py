@@ -402,23 +402,28 @@ class VectorIndex(ForgetMixin):
             txn_id[1] <= snap.app_versions.get(txn_id[0], -1)
         ):
             return False
-        if self._centroids.latest_version() is None:
-            tf = self._training_frame(df)
+        need_space = self._centroids.latest_version() is None
+        need_pq = bool(p["pq_m"]) and \
+            self._pq_stores[0].latest_version() is None
+        # the training frame is shared: building it runs one bounded
+        # count job under train_sample, so compute it at most ONCE per
+        # first append (review r16: the PQ block re-ran the count)
+        tf = self._training_frame(df) if (need_space or need_pq) else None
+        if need_space:
             cents = train_ivf_centroids(
                 tf, n_lists=p["n_lists"], iters=p["iters"],
                 id_col=p["id_col"], vec_col=p["vec_col"], dim=p["dim"],
             )
             self._centroids.save(cents, self._space_params())
-        if p["pq_m"] and self._pq_stores[0].latest_version() is None:
+        if need_pq:
             # one deterministic codebook per subspace, trained on the
             # raw slices exactly like pq_encode/pq_topk (so a
             # full-corpus first append shares their oracle); racing
             # first appends both train, v1 wins first (same pinning
             # rationale as the IVF space)
             sub = p["dim"] // p["pq_m"]
-            pq_base = self._training_frame(df)
             for j, store in enumerate(self._pq_stores):
-                sub_df = pq_base.select(
+                sub_df = tf.select(
                     F.col(p["id_col"]),
                     F.slice(F.col(p["vec_col"]), j * sub + 1, sub)
                     .alias("__sub"),

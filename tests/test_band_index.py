@@ -435,10 +435,13 @@ class TestStagingCancellation:
 
         class SignallingExecutor(ThreadPoolExecutor):
             def shutdown(self, wait=True, *, cancel_futures=False):
-                if cancel_futures:
-                    # pending futures flip to CANCELLED inside
-                    # super().shutdown; parked workers may only resume
-                    # once that cancellation is on its way
+                if cancel_futures and not cancel_landed.is_set():
+                    # drain+cancel the queue FIRST (non-blocking), and
+                    # only then release the parked workers: waking them
+                    # before the queue is cancelled would let the freed
+                    # worker dequeue another item in the race window
+                    # (the flake this event-gating exists to close)
+                    super().shutdown(wait=False, cancel_futures=True)
                     cancel_landed.set()
                 return super().shutdown(
                     wait=wait, cancel_futures=cancel_futures
