@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from holcstore_spark.sources.io_util import safe_local_checkpoint
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -160,17 +162,36 @@ def _minhash_signature_agg(
             F.array_distinct(token_shingles("__t", shingle_k, sep))
         ).alias("__s"),
     )
+    # the per-seed hash is aggregated as a BIGINT, not the 8-hex-char
+    # string: min(string) has no mutable UnsafeRow buffer, so the string
+    # form demotes the whole aggregate to Sort + SortAggregate (a full
+    # sort of the exploded shingle-hash frame — the largest intermediate
+    # of the minhash family). conv(hex,16,10) is order-preserving for
+    # fixed-width hex, so min over the longs picks the identical hash,
+    # and %08x formats it back to the exact lowercase-hex band key the
+    # SQL oracles replay (guide §2: keep the big aggregate in
+    # whole-stage-codegen HashAggregate with map-side partial min).
     hashed = sh.select(
         id_col,
         *[
-            F.substring(
-                F.md5(F.concat(F.lit(f"{j}|"), F.col("__s"))), 1, 8
-            ).alias(f"mh_{j}")
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}|"), F.col("__s"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long").alias(f"mh_{j}")
             for j in range(n_hashes)
         ],
     )
-    return hashed.groupBy(id_col).agg(
+    agg = hashed.groupBy(id_col).agg(
         *[F.min(f"mh_{j}").alias(f"mh_{j}") for j in range(n_hashes)]
+    )
+    return agg.select(
+        id_col,
+        *[
+            F.format_string("%08x", F.col(f"mh_{j}")).alias(f"mh_{j}")
+            for j in range(n_hashes)
+        ],
     )
 
 
@@ -605,6 +626,18 @@ def band_dedup_incremental(
         # F.broadcast here would instead risk driver OOM on a batch
         # with a large dropped fraction)
     )
+    # r16 (guide §2.4/§7.2): when new_docs is a multi-branch Union the
+    # optimizer pushes this anti-join below the union, duplicating the
+    # WHOLE dropped-id lineage (the dominant minhash/band compute) once
+    # per branch — and AQE's ReuseExchange measurably does NOT dedupe
+    # the copies (0 ReusedExchange on the 3-branch entry fixture: the
+    # band pipeline ran 3×). A LAZY local checkpoint turns the dropped
+    # frame into one shared, persisted RDD: no upfront job, and however
+    # many anti-join copies the planner makes, the band pipeline
+    # computes exactly once. The pinned blocks are id-column-sized
+    # (bounded by the batch) and are freed by the context cleaner with
+    # the DataFrame.
+    dropped = safe_local_checkpoint(dropped, eager=False)
     return new_docs.join(dropped, on=id_col, how="left_anti")
 
 

@@ -6,20 +6,22 @@ and detects holes by scanning null runs on that grid
 (``check_ts_completeness``, hostore/utils/timeseries.py:11-65, driven by
 ``Store.find_holes`` hostore.py:162-216).
 
-Spark realization: the grid is ``sequence(start, end, interval)`` +
-``explode`` — generated *per key from that key's own bounds*, so grid size is
-O(span/freq) per key and never materialized globally; values land on it via
-a single left join shuffled on ``(keys…, ts)``. Holes are then null runs
-(islands idiom). No driver loops — scales to millions of keys.
+Spark realization: for REINDEXING (the write path needs the dense rows)
+the grid is ``sequence(start, end, interval)`` + ``explode`` — generated
+*per key from that key's own bounds*, so grid size is O(span/freq) per key
+and never materialized globally; values land on it via a single left join
+shuffled on ``(keys…, ts)``. HOLE DETECTION (r16) never materializes the
+grid at all: holes are derived from consecutive *present* grid points
+(lag/lead gaps vs the requested bounds), so its shuffles are bounded by
+the data, not the span. No driver loops — scales to millions of keys.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from holcstore_spark.operators.islands import null_runs
 
 
 def _interval(seconds: int) -> str:
@@ -91,9 +93,88 @@ def completeness_holes(
     null values; fully-absent keys are handled by the store wrapper
     (left-anti join against the requested key list, hostore.py:120-124).
     """
-    on_grid = reindex_to_grid(df, keys, freq_seconds, start=start, end=end,
-                              ts=ts, value=value)
-    holes = null_runs(on_grid, keys, order=(ts,), value=value)
+    # r16 (guide §1.1/§2.4): holes are derived from CONSECUTIVE PRESENT
+    # grid points, not from a dense sequence+explode grid left-joined to
+    # the values. The old shape materialized O(span/freq) grid rows per
+    # key and shuffled them twice (the (keys, ts) join exchange plus the
+    # (keys) window exchange feeding null_runs); this shape shuffles only
+    # the PRESENT rows (≤ data size, never span size) once for the
+    # window. Equivalent for unique (keys…, ts) inputs — both production
+    # callers (the entry query's .distinct() frame and find_holes'
+    # overlay_merge output, unique per (prm, ts) by construction)
+    # guarantee that: a present on-grid point = a df row with non-null
+    # value on a grid instant; every maximal gap between consecutive
+    # present points (plus the leading/trailing gaps against the
+    # requested bounds, plus a full-range hole for keys with no present
+    # point at all) is exactly a null run of the dense grid.
+    from holcstore_spark.functions.scalar import epoch_us
+
+    if pd.Timestamp(start) > pd.Timestamp(end):
+        # the grid formulation raised from sequence() at runtime; keep an
+        # explicit refusal rather than emitting inverted holes
+        raise ValueError(
+            f"completeness_holes: start {start!r} is after end {end!r}"
+        )
+    start_l = F.lit(start).cast("timestamp")
+    end_l = F.lit(end).cast("timestamp")
+    freq_us = int(freq_seconds) * 1_000_000
+    # last grid point ≤ end (the dense grid stops there, so trailing and
+    # full-range holes must too)
+    span_us = epoch_us(end_l) - epoch_us(start_l)
+    g_end = F.timestamp_micros(
+        epoch_us(start_l) + (span_us - span_us % freq_us)
+    )
+    f = _interval(freq_seconds)
+    src = df.select(*keys, F.col(ts).alias("__ts"), F.col(value).alias("__v"))
+    # the present set is deduplicated with a plain distinct (map-side
+    # partial dedup before its exchange); the window then re-clusters by
+    # the keys alone over PRESENT rows only — both shuffles are bounded
+    # by the data, never by the grid span
+    pres = src.filter(
+        F.col("__v").isNotNull()
+        & (F.col("__ts") >= start_l)
+        & (F.col("__ts") <= end_l)
+        & ((epoch_us(F.col("__ts")) - epoch_us(start_l)) % freq_us == 0)
+    ).select(*keys, "__ts").distinct()
+    w = Window.partitionBy(*keys).orderBy("__ts")
+    p2 = (
+        pres.withColumn("__prev", F.lag("__ts").over(w))
+        .withColumn("__lead", F.lead("__ts").over(w))
+    )
+    hole = F.struct(
+        F.col("__h.s").alias("run_start"), F.col("__h.e").alias("run_end")
+    )
+    head_hole = F.when(
+        F.col("__prev").isNull() & (F.col("__ts") > start_l),
+        F.struct(start_l.alias("s"), (F.col("__ts") - F.expr(f)).alias("e")),
+    ).when(
+        F.col("__prev").isNotNull()
+        & (epoch_us(F.col("__ts")) - epoch_us(F.col("__prev")) > freq_us),
+        F.struct(
+            (F.col("__prev") + F.expr(f)).alias("s"),
+            (F.col("__ts") - F.expr(f)).alias("e"),
+        ),
+    )
+    tail_hole = F.when(
+        F.col("__lead").isNull() & (F.col("__ts") < g_end),
+        F.struct((F.col("__ts") + F.expr(f)).alias("s"), g_end.alias("e")),
+    )
+    gap_holes = (
+        p2.select(*keys, F.explode(F.array(head_hole, tail_hole)).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .select(*keys, hole.alias("__hh"))
+    )
+    # keys present in df but with zero present grid points → one hole
+    # spanning the whole grid (the all-null-grid case of the old shape)
+    all_keys = src.select(*keys).distinct()
+    empty_keys = all_keys.join(
+        pres.select(*keys).distinct(), on=list(keys), how="left_anti"
+    )
+    full_holes = empty_keys.select(
+        *keys,
+        F.struct(start_l.alias("run_start"), g_end.alias("run_end")).alias("__hh"),
+    )
+    holes = gap_holes.unionByName(full_holes).select(*keys, "__hh.*")
     m = _interval(margin_seconds)
     return holes.select(
         *keys,

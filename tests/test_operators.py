@@ -86,6 +86,43 @@ class TestGrid:
         assert holes[0]["hole_start"] == _ts(0).tz_localize(None)
         assert holes[0]["hole_end"] == _ts(5).tz_localize(None)
 
+    def test_holes_gap_based_edges(self, spark):
+        # r16 internals change: holes come from consecutive PRESENT grid
+        # points (no dense-grid explode). Pin the edge semantics the old
+        # grid+null_runs formulation defined:
+        #  - off-grid timestamps never count as present
+        #  - a key with only NULL values gets one full-grid hole
+        #  - a non-aligned `end` truncates to the last grid point
+        rows = [
+            ("a", _ts(0), 1.0),
+            ("a", _ts(1) + pd.Timedelta(minutes=30), 9.0),  # off-grid
+            ("a", _ts(3), 2.0),
+            ("b", _ts(1), None),                            # all-null key
+        ]
+        holes = completeness_holes(
+            _long(spark, rows), ("k",), 3600,
+            start=_ts(0), end=_ts(4) + pd.Timedelta(minutes=45),
+        ).orderBy("k", "hole_start").collect()
+        got = [(r["k"], r["hole_start"], r["hole_end"]) for r in holes]
+        assert got == [
+            ("a", _ts(1).tz_localize(None), _ts(2).tz_localize(None)),
+            ("a", _ts(4).tz_localize(None), _ts(4).tz_localize(None)),
+            ("b", _ts(0).tz_localize(None), _ts(4).tz_localize(None)),
+        ], got
+
+    def test_holes_single_point_key(self, spark):
+        # one present point mid-range → leading AND trailing holes from
+        # the same window row
+        rows = [("a", _ts(2), 1.0)]
+        holes = completeness_holes(
+            _long(spark, rows), ("k",), 3600, start=_ts(0), end=_ts(4)
+        ).orderBy("hole_start").collect()
+        got = [(r["hole_start"], r["hole_end"]) for r in holes]
+        assert got == [
+            (_ts(0).tz_localize(None), _ts(1).tz_localize(None)),
+            (_ts(3).tz_localize(None), _ts(4).tz_localize(None)),
+        ], got
+
     def test_reindex_bounds_default_per_key(self, spark):
         rows = [("a", _ts(0), 1.0), ("a", _ts(3), 2.0), ("b", _ts(1), 3.0)]
         grid = reindex_to_grid(_long(spark, rows), ("k",), 3600)

@@ -598,14 +598,68 @@ class TestIncrementalDedupPlan:
         history = docs.filter(F.col("doc_id") % 3 != 0)
         new = docs.filter(F.col("doc_id") % 3 == 0)
         index = minhash_bands(history, "text", "doc_id", 16, 4, 3)
-        txt = plan_text(dedup_incremental(new, index))
-        # bucket groupBy + 2 live signature aggregates — and no more
-        # (a distinct on the dropped ids would add a fourth)
-        assert n_nodes(txt, "Exchange") == 3, txt
+        kept = dedup_incremental(new, index)
+        txt = plan_text(kept)
+        # r16: the dropped-id side is a LAZY local checkpoint (one
+        # shared RDD), so the band pipeline appears in the outer plan
+        # as a single ExistingRDD scan — the optimizer can duplicate
+        # the anti-join below a Union-shaped batch without re-running
+        # the minhash compute (measured 3× duplicated pre-fix, with
+        # ZERO ReusedExchange rescuing it). The raw batch rows still
+        # never shuffle: the outer plan must keep NO Exchange at all,
+        # and the join stays a size-chosen broadcast anti-join.
+        assert n_nodes(txt, "Exchange") == 0, txt
         assert "BroadcastHashJoin LeftAnti" in txt, txt
-        # the signature aggregates are map-side combined: partial
-        # HashAggregates appear below their Exchanges
-        assert txt.count("partial_min") >= 1 or "partial" in txt.lower(), txt
+        assert n_nodes(txt, "Scan ExistingRDD") == 1, txt
+
+    def test_signature_aggregate_is_hash_not_sort(self, spark):
+        # r16: the per-document min-signature aggregate runs on BIGINT
+        # hash values (order-preserving conv of the fixed-width hex), so
+        # it stays a codegen HashAggregate — min(string) has no mutable
+        # UnsafeRow buffer and demoted the whole aggregate to
+        # Sort + SortAggregate over the exploded shingle-hash frame
+        # (the largest intermediate of the minhash family).
+        from holcstore_spark.operators.dedup import minhash_bands
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        txt = plan_text(minhash_bands(docs, "text", "doc_id", 16, 4, 3))
+        assert n_nodes(txt, "SortAggregate") == 0, txt
+        assert n_nodes(txt, "HashAggregate") >= 1, txt
+
+    def test_dropped_pipeline_shared_across_union_branches(self, spark):
+        # the entry fixture's _docs_with_dups shape: a 3-branch Union
+        # batch. The pushed-down anti-join may appear per branch, but
+        # every copy must reference the SAME checkpointed dropped-id
+        # RDD (compute-once), never a re-derived band pipeline.
+        from pyspark.sql import functions as F
+
+        from holcstore_spark.operators.dedup import (
+            dedup_incremental,
+            minhash_bands,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        batch = (
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .unionByName(
+                docs.filter(F.col("doc_id") % 3 == 1)
+                .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 3 == 2)
+                .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+            )
+        )
+        index = minhash_bands(
+            docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id", 16, 4, 3
+        )
+        kept = dedup_incremental(batch, index)
+        kept.count()
+        executed = kept._jdf.queryExecution().executedPlan().toString()
+        # each union branch scans the SAME existing RDD; no band
+        # pipeline (Generate/explode of shingles) in the executed plan
+        assert executed.count("Scan ExistingRDD") >= 1, executed
+        assert "Generate explode" not in executed, executed
 
 
 class TestKnnGraphPlan:
