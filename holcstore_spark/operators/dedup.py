@@ -630,14 +630,23 @@ def band_dedup_incremental(
     # optimizer pushes this anti-join below the union, duplicating the
     # WHOLE dropped-id lineage (the dominant minhash/band compute) once
     # per branch — and AQE's ReuseExchange measurably does NOT dedupe
-    # the copies (0 ReusedExchange on the 3-branch entry fixture: the
-    # band pipeline ran 3×). A LAZY local checkpoint turns the dropped
-    # frame into one shared, persisted RDD: no upfront job, and however
-    # many anti-join copies the planner makes, the band pipeline
-    # computes exactly once. The pinned blocks are id-column-sized
-    # (bounded by the batch) and are freed by the context cleaner with
-    # the DataFrame.
-    dropped = safe_local_checkpoint(dropped, eager=False)
+    # the copies (0 ReusedExchange on the 3-branch entry fixture at
+    # sf0.001 AND sf0.1: the band pipeline ran 3×). A LAZY local
+    # checkpoint turns the dropped frame into one shared, persisted
+    # RDD: no upfront job, and however many anti-join copies the
+    # planner makes, the band pipeline computes exactly once. The
+    # pinned blocks are id-column-sized (bounded by the batch) and are
+    # freed by the context cleaner with the DataFrame.
+    #
+    # The pin is CONDITIONAL on a Union actually being present in the
+    # batch lineage (the only trigger of the pushdown duplication):
+    # localCheckpoint forces a full catalyst pass over the dropped
+    # subtree at build time (measured 0.5-2 s of driver planning for
+    # the 16-hash expression tree), which single-frame callers — the
+    # streaming dedup gate's per-micro-batch frames, BandIndex.ingest,
+    # plain user batches — should never pay.
+    if "Union" in new_docs._jdf.queryExecution().analyzed().toString():
+        dropped = safe_local_checkpoint(dropped, eager=False)
     return new_docs.join(dropped, on=id_col, how="left_anti")
 
 

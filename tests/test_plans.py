@@ -600,17 +600,17 @@ class TestIncrementalDedupPlan:
         index = minhash_bands(history, "text", "doc_id", 16, 4, 3)
         kept = dedup_incremental(new, index)
         txt = plan_text(kept)
-        # r16: the dropped-id side is a LAZY local checkpoint (one
-        # shared RDD), so the band pipeline appears in the outer plan
-        # as a single ExistingRDD scan — the optimizer can duplicate
-        # the anti-join below a Union-shaped batch without re-running
-        # the minhash compute (measured 3× duplicated pre-fix, with
-        # ZERO ReusedExchange rescuing it). The raw batch rows still
-        # never shuffle: the outer plan must keep NO Exchange at all,
-        # and the join stays a size-chosen broadcast anti-join.
-        assert n_nodes(txt, "Exchange") == 0, txt
+        # non-Union batch: the dropped-id pin must NOT engage (it costs
+        # a full catalyst pass at build time) — the classic r15 shape
+        # holds: bucket groupBy + 2 live signature aggregates and no
+        # more (a distinct on the dropped ids would add a fourth), the
+        # batch rows never shuffle, broadcast anti-join.
+        assert n_nodes(txt, "Exchange") == 3, txt
         assert "BroadcastHashJoin LeftAnti" in txt, txt
-        assert n_nodes(txt, "Scan ExistingRDD") == 1, txt
+        assert n_nodes(txt, "Scan ExistingRDD") == 0, txt
+        # the signature aggregates are map-side combined: partial
+        # HashAggregates appear below their Exchanges
+        assert txt.count("partial_min") >= 1 or "partial" in txt.lower(), txt
 
     def test_signature_aggregate_is_hash_not_sort(self, spark):
         # r16: the per-document min-signature aggregate runs on BIGINT
@@ -628,7 +628,8 @@ class TestIncrementalDedupPlan:
 
     def test_dropped_pipeline_shared_across_union_branches(self, spark):
         # the entry fixture's _docs_with_dups shape: a 3-branch Union
-        # batch. The pushed-down anti-join may appear per branch, but
+        # batch — the case that DOES engage the conditional dropped-id
+        # pin. The pushed-down anti-join may appear per branch, but
         # every copy must reference the SAME checkpointed dropped-id
         # RDD (compute-once), never a re-derived band pipeline.
         from pyspark.sql import functions as F
