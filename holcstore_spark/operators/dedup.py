@@ -626,27 +626,24 @@ def band_dedup_incremental(
         # F.broadcast here would instead risk driver OOM on a batch
         # with a large dropped fraction)
     )
-    # r16 (guide §2.4/§7.2): when new_docs is a multi-branch Union the
-    # optimizer pushes this anti-join below the union, duplicating the
-    # WHOLE dropped-id lineage (the dominant minhash/band compute) once
-    # per branch — and AQE's ReuseExchange measurably does NOT dedupe
-    # the copies (0 ReusedExchange on the 3-branch entry fixture at
-    # sf0.001 AND sf0.1: the band pipeline ran 3×). A LAZY local
-    # checkpoint turns the dropped frame into one shared, persisted
-    # RDD: no upfront job, and however many anti-join copies the
-    # planner makes, the band pipeline computes exactly once. The
-    # pinned blocks are id-column-sized (bounded by the batch) and are
-    # freed by the context cleaner with the DataFrame.
-    #
-    # The pin is CONDITIONAL on a Union actually being present in the
-    # batch lineage (the only trigger of the pushdown duplication):
-    # localCheckpoint forces a full catalyst pass over the dropped
-    # subtree at build time (measured 0.5-2 s of driver planning for
-    # the 16-hash expression tree), which single-frame callers — the
-    # streaming dedup gate's per-micro-batch frames, BandIndex.ingest,
-    # plain user batches — should never pay.
-    if "Union" in new_docs._jdf.queryExecution().analyzed().toString():
-        dropped = safe_local_checkpoint(dropped, eager=False)
+    # When new_docs is a multi-branch Union the optimizer pushes this
+    # anti-join below the union, and the LAZY plan then carries one full
+    # copy of the dropped-id lineage per branch. That duplication is
+    # plan-deep only: the copies are canonically identical, so exchange
+    # reuse dedupes them AT RUNTIME and the band pipeline computes once
+    # (verified on the ACTUALLY-EXECUTED plan — collect() on the frame,
+    # then queryExecution().executedPlan() shows isFinalPlan=true with
+    # ReusedExchange nodes for every duplicate copy; wall-clock is flat
+    # between the Union and single-frame shapes even at 4 cores where a
+    # genuine 3× could not hide; asserted in tests/test_plans.py).
+    # NOTE the measurement trap that once motivated a localCheckpoint
+    # pin here: inspecting queryExecution() of a frame whose ACTION ran
+    # through .count()/.write() shows the un-executed initial plan
+    # (those actions build their own QueryExecution), where the copies
+    # look un-reused. The pin was runtime-neutral in every interleaved
+    # A/B and was removed: it cost a per-batch analyzed-plan render and
+    # a catalyst pass for Union batches, and a localCheckpoint breaks
+    # lineage (executor loss kills the query instead of recomputing).
     return new_docs.join(dropped, on=id_col, how="left_anti")
 
 

@@ -600,11 +600,11 @@ class TestIncrementalDedupPlan:
         index = minhash_bands(history, "text", "doc_id", 16, 4, 3)
         kept = dedup_incremental(new, index)
         txt = plan_text(kept)
-        # non-Union batch: the dropped-id pin must NOT engage (it costs
-        # a full catalyst pass at build time) — the classic r15 shape
-        # holds: bucket groupBy + 2 live signature aggregates and no
-        # more (a distinct on the dropped ids would add a fourth), the
-        # batch rows never shuffle, broadcast anti-join.
+        # single-frame batch — the classic shape: bucket groupBy + 2
+        # live signature aggregates and no more (a distinct on the
+        # dropped ids would add a fourth), the batch rows never
+        # shuffle, broadcast anti-join, and no driver-built frame
+        # (Scan ExistingRDD) anywhere in the lineage.
         assert n_nodes(txt, "Exchange") == 3, txt
         assert "BroadcastHashJoin LeftAnti" in txt, txt
         assert n_nodes(txt, "Scan ExistingRDD") == 0, txt
@@ -628,10 +628,16 @@ class TestIncrementalDedupPlan:
 
     def test_dropped_pipeline_shared_across_union_branches(self, spark):
         # the entry fixture's _docs_with_dups shape: a 3-branch Union
-        # batch — the case that DOES engage the conditional dropped-id
-        # pin. The pushed-down anti-join may appear per branch, but
-        # every copy must reference the SAME checkpointed dropped-id
-        # RDD (compute-once), never a re-derived band pipeline.
+        # batch. The optimizer pushes the dropped-id anti-join below
+        # the union, so the LAZY plan carries one copy of the dropped
+        # lineage per branch — but the copies are canonically
+        # identical, and the ACTUALLY-EXECUTED plan must dedupe them
+        # via exchange reuse so the band pipeline computes once.
+        # Measurement trap this test pins against: .count()/.write()
+        # build their OWN QueryExecution, so the executed plan must be
+        # read after an action on THIS frame (collect), where
+        # isFinalPlan=true and the reused copies show as
+        # ReusedExchange.
         from pyspark.sql import functions as F
 
         from holcstore_spark.operators.dedup import (
@@ -655,12 +661,15 @@ class TestIncrementalDedupPlan:
             docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id", 16, 4, 3
         )
         kept = dedup_incremental(batch, index)
-        kept.count()
+        kept.collect()
         executed = kept._jdf.queryExecution().executedPlan().toString()
-        # each union branch scans the SAME existing RDD; no band
-        # pipeline (Generate/explode of shingles) in the executed plan
-        assert executed.count("Scan ExistingRDD") >= 1, executed
-        assert "Generate explode" not in executed, executed
+        assert "isFinalPlan=true" in executed, executed
+        # the duplicated dropped-lineage copies must be runtime-reused,
+        # not recomputed per branch: with 3 branches, at least 2 of the
+        # 3 pushed-down anti-join build sides are ReusedExchange
+        assert executed.count("ReusedExchange") >= 2, executed
+        # and nothing got pinned into a driver-built frame to do it
+        assert "Scan ExistingRDD" not in executed, executed
 
 
 class TestKnnGraphPlan:
