@@ -171,27 +171,24 @@ def _minhash_signature_agg(
     # and %08x formats it back to the exact lowercase-hex band key the
     # SQL oracles replay (guide §2: keep the big aggregate in
     # whole-stage-codegen HashAggregate with map-side partial min).
-    hashed = sh.select(
-        id_col,
+    #
+    # The three steps (hash projection → min agg → hex format) are fused
+    # into ONE agg() of SQL-string expressions: per-seed that is one
+    # JVM-side parse instead of ~10 py4j Column round-trips, and one
+    # analyzer pass over the 16-wide tree instead of three. The physical
+    # plan is unchanged (partial_min below the exchange, format_string a
+    # result expression of the final HashAggregate) — this trims
+    # DRIVER-side plan-construction latency, which every foreachBatch
+    # micro-batch carrying this gate re-pays (measured ~0.5 s/build at
+    # n_hashes=16 for the unfused form).
+    return sh.groupBy(id_col).agg(
         *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}|"), F.col("__s"))), 1, 8
-                ),
-                16, 10,
-            ).cast("long").alias(f"mh_{j}")
+            F.expr(
+                "format_string('%08x', min(cast(conv(substring("
+                f"md5(concat('{j}|', __s)), 1, 8), 16, 10) as bigint)))"
+            ).alias(f"mh_{j}")
             for j in range(n_hashes)
-        ],
-    )
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"mh_{j}").alias(f"mh_{j}") for j in range(n_hashes)]
-    )
-    return agg.select(
-        id_col,
-        *[
-            F.format_string("%08x", F.col(f"mh_{j}")).alias(f"mh_{j}")
-            for j in range(n_hashes)
-        ],
+        ]
     )
 
 

@@ -58,6 +58,42 @@ class TestDedup:
         assert (1, 3) in got           # near dup shares most shingles
         assert (1, 4) not in got and (3, 4) not in got
 
+    def test_fused_signature_agg_matches_hof_reference(self, spark):
+        # r16: the signature aggregate fuses hash projection + min +
+        # hex format into ONE agg() of parsed SQL expressions (driver
+        # plan-construction cost); this pins its documented contract —
+        # bit-identical signatures to the Column-HOF reference
+        # formulation (minhash_signature over token_shingles) for
+        # non-null text, including short docs (single-shingle) and
+        # boilerplate-heavy docs (duplicate shingles).
+        from holcstore_spark.operators.dedup import (
+            _minhash_signature_agg,
+            minhash_signature,
+            token_shingles,
+        )
+
+        rows = [
+            (1, DOC),
+            (2, "xy"),                       # shorter than shingle_k
+            (3, ("dup dup dup dup " * 8).strip()),  # duplicate shingles
+            (4, ""),                         # empty → single '' shingle
+            (5, DOC + " tail"),
+        ]
+        d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        fused = _minhash_signature_agg(d, "text", "doc_id", 16, 3)
+        ref = d.select(
+            "doc_id", *minhash_signature(token_shingles("text", 3), 16)
+        )
+        assert fused.exceptAll(ref).count() == 0
+        assert ref.exceptAll(fused).count() == 0
+        assert [f.name for f in fused.schema.fields] == (
+            ["doc_id"] + [f"mh_{j}" for j in range(16)]
+        )
+        assert all(
+            f.dataType.simpleString() == "string"
+            for f in fused.schema.fields[1:]
+        )
+
     def test_minhash_null_text_gets_a_signature_not_a_bypass(self, spark):
         # r13 advice: F.split(NULL) → NULL array → explode emits no
         # rows, so NULL-text docs silently escaped minhash dedup. They
