@@ -335,17 +335,43 @@ def jaccard_verify(
 def simhash64(text: Column | str, sep: str = " ") -> Column:
     """64-bit SimHash from token md5s: per bit, sign of Σ±1 across tokens.
 
-    Pure Column expressions: token → 16-hex md5 prefix → long; bit b of
-    the simhash is 1 when Σ_tokens ((h >> b) & 1 ? 1 : -1) > 0.
-    Near-duplicates differ in few bits; grouping on the full value (or a
-    prefix band) gives an equi-join candidate structure like MinHash.
+    Token → 15-hex md5 prefix → long; bit b of the simhash is 1 when
+    Σ_tokens ((h >> b) & 1 ? 1 : -1) > 0. Near-duplicates differ in few
+    bits; grouping on the full value (or a prefix band) gives an equi-join
+    candidate structure like MinHash.
+
+    When ``text`` is a column NAME the 60 per-bit vote expressions are
+    built as ONE parsed SQL string — the per-bit Column formulation costs
+    ~1.4 s of py4j round-trips per call (60 bits × aggregate/when chains),
+    pure driver latency that batch pipelines re-pay per plan build (same
+    fix as :func:`_minhash_signature_agg`; same expression tree, so plans
+    and results are unchanged). A ``Column`` argument takes the
+    structurally identical Column path.
     """
     import re
 
-    c = F.col(text) if isinstance(text, str) else text
-    # F.split takes a regex — escape so sep='.' or '|' splits literally,
-    # consistent with tokens()/token_shingles() and the SQL oracle
-    toks = F.split(c, re.escape(sep))
+    if isinstance(text, str):
+        qcol = "`" + text.replace("`", "``") + "`"
+        # F.split takes a regex — escape so sep='.' or '|' splits
+        # literally (consistent with tokens()/token_shingles() and the
+        # SQL oracle), then escape for the SQL string literal
+        pat = re.escape(sep).replace("\\", "\\\\").replace("'", "\\'")
+        hashes_sql = (
+            f"transform(split({qcol}, '{pat}'), "
+            "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        )
+        bit_terms = [
+            f"(CASE WHEN aggregate({hashes_sql}, 0, (acc, h) -> acc + "
+            f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f") > 0 THEN {1 << b} ELSE 0 END)"
+            # 15 hex chars = 60 bits, keeps conv() exact
+            for b in range(60)
+        ]
+        return F.expr(
+            "CAST((" + " + ".join(bit_terms) + ") AS BIGINT)"
+        )
+
+    toks = F.split(text, re.escape(sep))
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
@@ -358,7 +384,6 @@ def simhash64(text: Column | str, sep: str = " ") -> Column:
         )
         return F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0))
 
-    # 15 hex chars = 60 bits, keeps conv() exact
     bits = [vote_bit(b) for b in range(60)]
     out = bits[0]
     for x in bits[1:]:

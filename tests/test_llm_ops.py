@@ -94,6 +94,28 @@ class TestDedup:
             for f in fused.schema.fields[1:]
         )
 
+    def test_simhash_sql_path_matches_column_path(self, spark):
+        # r16: simhash64 builds its 60 per-bit votes as one parsed SQL
+        # expression when given a column NAME (driver plan-construction
+        # cost); a Column argument keeps the original formulation. The
+        # two paths must be bit-identical — including a regex-special
+        # separator (escaped into both split() calls) and empty text.
+        from pyspark.sql import functions as F
+
+        from holcstore_spark.operators.dedup import simhash64
+
+        rows = [(1, DOC), (2, DOC + " extra"), (3, ""),
+                (4, "a.b.c.dots.as.separators")]
+        d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        for sep in (" ", "."):
+            sql_path = d.select("doc_id", simhash64("text", sep).alias("s"))
+            col_path = d.select(
+                "doc_id", simhash64(F.col("text"), sep).alias("s")
+            )
+            assert sql_path.exceptAll(col_path).count() == 0, sep
+            assert col_path.exceptAll(sql_path).count() == 0, sep
+            assert sql_path.schema["s"].dataType.simpleString() == "bigint"
+
     def test_minhash_null_text_gets_a_signature_not_a_bypass(self, spark):
         # r13 advice: F.split(NULL) → NULL array → explode emits no
         # rows, so NULL-text docs silently escaped minhash dedup. They
