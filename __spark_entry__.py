@@ -29,12 +29,28 @@ from pyspark.sql import functions as F
 # shared helpers
 # ---------------------------------------------------------------------------
 
+#: session-scoped resolved-reader memo — the catalog role for path-based
+#: tables. ``spark.read.parquet`` eagerly lists the path and reads footers
+#: for schema on EVERY call (~100-200 ms warm), and the bench queries
+#: collectively re-resolve the same ten tables dozens of times. Caching the
+#: resolved DataFrame HANDLE (a logical plan node — no data, no results;
+#: Spark's own SessionCatalog does exactly this for catalog tables) makes
+#: later builds skip the redundant footer reads. Keyed by applicationId so
+#: a fresh session (whose stopped predecessor's plans are unusable) never
+#: sees stale handles; every execution still scans the parquet itself.
+_T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver may hand us a session with different defaults: pin the two
     # runtime confs result determinism depends on (UTC rendering must match
     # DuckDB's naive timestamps; events.parquet needs the nanos fallback)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    cached = _T_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.parquet stores TIMESTAMP(NANOS). Depending on the PySpark
     # build, that surfaces as one of three dtypes — branch on what we
@@ -53,6 +69,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_dtype == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _T_CACHE[key] = df
     return df
 
 
