@@ -902,6 +902,47 @@ def _assign_with_dist(vec_q: Column, centroids: list[list[int]]) -> Column:
     return both(vec_q)
 
 
+def train_subspace_books(
+    df: DataFrame,
+    m: int,
+    sub: int,
+    n_centroids: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> "list[list[list[int]]]":
+    """Train the ``m`` per-subspace PQ codebooks, CONCURRENTLY.
+
+    Each subspace's k-means is a fully independent chain of small driver
+    jobs (seed collect + ``iters`` per-dim mean collects over a narrow
+    slice projection), and nothing couples the subspaces — so running
+    them serially leaves the cluster idle through every job's tail and
+    every driver round-trip (guide §2.6: submit independent jobs from a
+    small thread pool so the next job back-fills executors the current
+    one's stragglers freed). Same driver-thread-pool precedent as the
+    managed indexes' staging pool (index_base). Results are ordered by
+    subspace and bit-identical to the serial loop: each training is
+    deterministic in isolation and shares no state.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(j: int) -> list[list[int]]:
+        sub_df = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub"),
+        )
+        return train_ivf_centroids(
+            sub_df, n_lists=n_centroids, iters=iters,
+            id_col=id_col, vec_col="__sub", dim=sub,
+        )
+
+    if m <= 1:
+        return [one(j) for j in range(m)]
+    # 2-4 in flight fills the tails without resource thrash (§2.6)
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(one, range(m)))
+
+
 def pq_encode(
     df: DataFrame,
     m: int = 4,
@@ -934,15 +975,9 @@ def pq_encode(
     sub = dim // m
     out = df
     code_cols, err_cols = [], []
-    for j in range(m):
-        sub_df = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub"),
-        )
-        cents = train_ivf_centroids(
-            sub_df, n_lists=n_centroids, iters=iters,
-            id_col=id_col, vec_col="__sub", dim=sub,
-        )
+    books = train_subspace_books(df, m, sub, n_centroids, iters,
+                                 id_col, vec_col)
+    for j, cents in enumerate(books):
         sq = quantized(F.slice(F.col(vec_col), j * sub + 1, sub))
         out = out.withColumn(f"__ce{j}", _assign_with_dist(sq, cents))
         out = out.withColumn(f"__pq{j}", F.col(f"__ce{j}.code"))
@@ -998,18 +1033,10 @@ def pq_topk(
 
     import numpy as np
 
-    books: list[list[list[int]]] = []
     enc = _apply_filters(df, filters)
-    for j in range(m):
-        sub_df = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub"),
-        )
-        cents = train_ivf_centroids(
-            sub_df, n_lists=n_centroids, iters=iters,
-            id_col=id_col, vec_col="__sub", dim=sub,
-        )
-        books.append(cents)
+    books = train_subspace_books(df, m, sub, n_centroids, iters,
+                                 id_col, vec_col)
+    for j, cents in enumerate(books):
         sq = quantized(F.slice(F.col(vec_col), j * sub + 1, sub))
         enc = enc.withColumn(f"__pq{j}", _assign_to_centroid(sq, cents))
 

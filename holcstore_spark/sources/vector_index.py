@@ -420,18 +420,18 @@ class VectorIndex(ForgetMixin):
             # raw slices exactly like pq_encode/pq_topk (so a
             # full-corpus first append shares their oracle); racing
             # first appends both train, v1 wins first (same pinning
-            # rationale as the IVF space)
+            # rationale as the IVF space). Trainings run concurrently
+            # (train_subspace_books, §2.6) — the saves stay serial.
+            from holcstore_spark.operators.similarity import (
+                train_subspace_books,
+            )
+
             sub = p["dim"] // p["pq_m"]
-            for j, store in enumerate(self._pq_stores):
-                sub_df = tf.select(
-                    F.col(p["id_col"]),
-                    F.slice(F.col(p["vec_col"]), j * sub + 1, sub)
-                    .alias("__sub"),
-                )
-                book = train_ivf_centroids(
-                    sub_df, n_lists=p["pq_centroids"], iters=p["iters"],
-                    id_col=p["id_col"], vec_col="__sub", dim=sub,
-                )
+            books = train_subspace_books(
+                tf, p["pq_m"], sub, p["pq_centroids"], p["iters"],
+                p["id_col"], p["vec_col"],
+            )
+            for book, store in zip(books, self._pq_stores):
                 store.save(book, self._pq_space_params())
         # assign under the ACTIVE space (v1 until a retrain swaps it);
         # an interleaved retrain turns this append into a mixed-version

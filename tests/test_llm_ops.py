@@ -316,6 +316,33 @@ def vectors(spark):
 
 
 class TestSimilarity:
+    def test_concurrent_subspace_books_match_serial(self, vectors):
+        # r16: pq_encode/pq_topk/VectorIndex train their m per-subspace
+        # codebooks from a driver thread pool (guide §2.6); each training
+        # is deterministic and independent, so the concurrent result must
+        # be BIT-identical to the serial loop it replaced, in order.
+        from holcstore_spark.operators.similarity import (
+            train_ivf_centroids,
+            train_subspace_books,
+        )
+
+        m, sub = 2, 2
+        conc = train_subspace_books(
+            vectors, m, sub, n_centroids=2, iters=2,
+            id_col="vec_id", vec_col="embedding",
+        )
+        serial = []
+        for j in range(m):
+            sub_df = vectors.select(
+                F.col("vec_id"),
+                F.slice(F.col("embedding"), j * sub + 1, sub).alias("__sub"),
+            )
+            serial.append(train_ivf_centroids(
+                sub_df, n_lists=2, iters=2,
+                id_col="vec_id", vec_col="__sub", dim=sub,
+            ))
+        assert conc == serial
+
     def test_brute_force_topk_ordering(self, vectors):
         q = vectors.filter(F.col("vec_id") == 0)
         out = brute_force_topk(vectors, q, k=2).collect()
