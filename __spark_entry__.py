@@ -38,7 +38,13 @@ from pyspark.sql import functions as F
 #: later builds skip the redundant footer reads. Keyed by applicationId so
 #: a fresh session (whose stopped predecessor's plans are unusable) never
 #: sees stale handles; every execution still scans the parquet itself.
-_T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: The key also carries the parquet path's mtime as a freshness token:
+#: the cached handle pins the InMemoryFileIndex listing from first
+#: resolution, so if a caller regenerates or appends to <name>.parquet
+#: within the same application the listing would otherwise go stale
+#: (testdata is read-only by driver contract, but the invariant should
+#: not be implicit). A regenerated file/dir bumps its mtime and misses.
+_T_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,11 +53,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB's naive timestamps; events.parquet needs the nanos fallback)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0  # non-local / missing path: key on path alone
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir),
+           name, mtime)
     cached = _T_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     # events.parquet stores TIMESTAMP(NANOS). Depending on the PySpark
     # build, that surfaces as one of three dtypes — branch on what we
     # actually got, never on which conf we *asked* for (some builds accept

@@ -347,15 +347,29 @@ def simhash64(text: Column | str, sep: str = " ") -> Column:
     fix as :func:`_minhash_signature_agg`; same expression tree, so plans
     and results are unchanged). A ``Column`` argument takes the
     structurally identical Column path.
+
+    The SQL fast path is taken only when it is provably equivalent to
+    the Column path: the name must be a plain top-level identifier
+    (a dotted name like ``'meta.text'`` is a struct-field / multipart
+    reference under ``F.col``, which backtick-quoting would break), and
+    the escaped separator pattern must contain no backslash or quote —
+    a literal with neither parses identically whether or not the
+    session runs with ``spark.sql.parser.escapedStringLiterals``, so
+    the embedded regex cannot silently diverge from the Column path.
+    Anything else falls through to the Column formulation.
     """
     import re
 
-    if isinstance(text, str):
-        qcol = "`" + text.replace("`", "``") + "`"
-        # F.split takes a regex — escape so sep='.' or '|' splits
+    if isinstance(text, str) and "." not in text and "`" not in text:
+        pat = re.escape(sep)
+        if "\\" in pat or "'" in pat:
+            text = F.col(text)  # literal-unsafe separator: Column path
+            return simhash64(text, sep)
+        qcol = "`" + text + "`"
+        # F.split takes a regex — re.escape so the separator splits
         # literally (consistent with tokens()/token_shingles() and the
-        # SQL oracle), then escape for the SQL string literal
-        pat = re.escape(sep).replace("\\", "\\\\").replace("'", "\\'")
+        # SQL oracle); the guard above ensures the escaped pattern
+        # embeds verbatim in the SQL string literal
         hashes_sql = (
             f"transform(split({qcol}, '{pat}'), "
             "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"

@@ -926,6 +926,8 @@ def train_subspace_books(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     def one(j: int) -> list[list[int]]:
         sub_df = df.select(
             F.col(id_col),
@@ -938,9 +940,16 @@ def train_subspace_books(
 
     if m <= 1:
         return [one(j) for j in range(m)]
-    # 2-4 in flight fills the tails without resource thrash (§2.6)
+    # 2-4 in flight fills the tails without resource thrash (§2.6).
+    # inheritable_thread_target copies the caller thread's JVM-local
+    # properties (setJobGroup / setJobDescription / scheduler pool) into
+    # each pool thread, so a caller's cancellation group and UI labels
+    # cover the concurrent trainings too (guide §2.6's documented idiom).
     with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
-        return list(pool.map(one, range(m)))
+        return list(
+            pool.map(inheritable_thread_target(df.sparkSession)(one),
+                     range(m))
+        )
 
 
 def pq_encode(

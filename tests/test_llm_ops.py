@@ -116,6 +116,49 @@ class TestDedup:
             assert col_path.exceptAll(sql_path).count() == 0, sep
             assert sql_path.schema["s"].dataType.simpleString() == "bigint"
 
+    def test_simhash_name_guards_dotted_and_unsafe_separators(self, spark):
+        # r17 (ADVICE r16): the SQL fast path must only fire for plain
+        # top-level identifiers with literal-safe separators. A dotted
+        # NAME is a struct-field reference under F.col — it must keep
+        # resolving (the r16 backtick-quoting broke it); a separator
+        # whose re.escape carries a backslash (e.g. '.') must route to
+        # the Column path so spark.sql.parser.escapedStringLiterals
+        # cannot change the split regex.
+        from pyspark.sql import functions as F
+
+        from holcstore_spark.operators.dedup import simhash64
+
+        rows = [(1, DOC), (2, DOC + " more")]
+        d = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        ).select("doc_id", F.struct("text").alias("meta"))
+        dotted = d.select("doc_id", simhash64("meta.text").alias("s"))
+        flat = d.select(
+            "doc_id", simhash64(F.col("meta.text")).alias("s")
+        )
+        assert dotted.exceptAll(flat).count() == 0
+        assert flat.exceptAll(dotted).count() == 0
+        # literal-unsafe separator: both conf values of
+        # escapedStringLiterals must yield the Column-path result
+        d2 = spark.createDataFrame(
+            pd.DataFrame([(1, "x.y.z"), (2, "x.y")],
+                         columns=["doc_id", "text"])
+        )
+        want = d2.select(
+            "doc_id", simhash64(F.col("text"), ".").alias("s")
+        ).collect()
+        conf = "spark.sql.parser.escapedStringLiterals"
+        old = spark.conf.get(conf, "false")
+        try:
+            for v in ("true", "false"):
+                spark.conf.set(conf, v)
+                got = d2.select(
+                    "doc_id", simhash64("text", ".").alias("s")
+                ).collect()
+                assert got == want, v
+        finally:
+            spark.conf.set(conf, old)
+
     def test_minhash_null_text_gets_a_signature_not_a_bypass(self, spark):
         # r13 advice: F.split(NULL) → NULL array → explode emits no
         # rows, so NULL-text docs silently escaped minhash dedup. They
