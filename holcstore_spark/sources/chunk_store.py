@@ -1202,6 +1202,36 @@ class ChunkStore:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
 
+    def _overlap_staged_writes(self, big, small) -> None:
+        """Run the large data-staging job and the small meta-staging job
+        CONCURRENTLY (guide §2.6: independent jobs submitted from a
+        driver thread back-fill each other's stragglers — the meta job's
+        tasks run on cores the data write's task tail leaves idle, and
+        the meta frame's driver-side plan construction overlaps the data
+        job instead of serially following it).
+
+        ACID-ONLY by contract: staged files are invisible until the
+        transaction commits, so ordering between the two stagings is
+        immaterial — a failure of either aborts the txn and the staged
+        orphans are vacuum-collected. The non-ACID append path must KEEP
+        its serial data-before-meta order: a crash between the two must
+        leave an invisible data orphan, never phantom meta rows pointing
+        at missing data. Callers guard on ``self._acid``.
+
+        ``small`` runs in the pool thread (plan construction included);
+        ``big`` runs on the caller thread. If both fail, ``big``'s error
+        propagates (the txn aborts either way)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(
+                inheritable_thread_target(self.spark)(small)
+            )
+            big()
+            fut.result()
+
     def _append_data(self, sdf: DataFrame) -> None:
         if self._acid:
             self._stage_into_txn(sdf, "data")
@@ -1781,10 +1811,21 @@ class ChunkStore:
             if self._acid:
                 kt_rows = new_keys.limit(self.APPEND_KEYS_CAP + 1).collect()
                 self._note_append_keys(tuple(r) for r in kt_rows)
-            self._append_data(dense)
-            self._append_meta_sdf(
-                self._meta_sdf_from_bounds(bounds, updated_at, op_id)
-            )
+
+            def _stage_meta() -> None:
+                # built from the CHECKPOINTED bounds frame — independent
+                # of the data write, so it can overlap it (§2.6)
+                self._append_meta_sdf(
+                    self._meta_sdf_from_bounds(bounds, updated_at, op_id)
+                )
+
+            if self._acid:
+                self._overlap_staged_writes(
+                    lambda: self._append_data(dense), _stage_meta
+                )
+            else:
+                self._append_data(dense)
+                _stage_meta()
             return
 
         if mode == "update" and n_existing:
@@ -1817,11 +1858,22 @@ class ChunkStore:
             # frame — no extra data scan
             kt_rows = new_keys.limit(self.APPEND_KEYS_CAP + 1).collect()
             self._note_dropped_keys(tuple(r) for r in kt_rows)
-        self._rewrite_partitions_multi(dense)
-        meta_sdf = self._meta_sdf_for(dense, updated_at, op_id)
-        if stale_sdf is not None:
-            meta_sdf = meta_sdf.unionByName(stale_sdf)
-        self._append_meta_sdf(meta_sdf)
+        def _stage_meta_rw() -> None:
+            # aggregates the CHECKPOINTED dense frame (and the
+            # checkpointed stale tombstones) — never the files the
+            # rewrite touches, so it can overlap the rewrite (§2.6)
+            meta_sdf = self._meta_sdf_for(dense, updated_at, op_id)
+            if stale_sdf is not None:
+                meta_sdf = meta_sdf.unionByName(stale_sdf)
+            self._append_meta_sdf(meta_sdf)
+
+        if self._acid:
+            self._overlap_staged_writes(
+                lambda: self._rewrite_partitions_multi(dense), _stage_meta_rw
+            )
+        else:
+            self._rewrite_partitions_multi(dense)
+            _stage_meta_rw()
 
     # ------------------------------------------------------------------
     # read paths

@@ -509,6 +509,39 @@ class TestDistributedMeta:
         assert n == 60_000
         assert st.count_keys() == 60_000
 
+    def test_overlapped_acid_staging_failure_aborts_cleanly(self, spark, tmpdir):
+        """r17: ACID ingest_long stages the data write and the meta
+        write CONCURRENTLY (guide §2.6 — the tiny meta job back-fills
+        the data write's task tail). The new risk surface is a failure
+        in the overlapped meta thread: it must abort the transaction
+        (no visible rows, no phantom meta), and the store must accept
+        the retried ingest afterwards."""
+        path = os.path.join(tmpdir, "ovfail")
+        cfg = ChunkStoreConfig(
+            keys=("k",), freq="1h", tz="UTC", chunk_axis=("year", "month"),
+            key_types={"k": "int"}, acid=True,
+        )
+        st = ChunkStore(spark, path, cfg)
+        idx = pd.date_range("2024-01-10", periods=12, freq="1h", tz="UTC")
+        src = spark.createDataFrame(
+            [(1, t.to_pydatetime(), float(i)) for i, t in enumerate(idx)],
+            schema="k long, ts timestamp, value double",
+        )
+        orig = ChunkStore._meta_sdf_from_bounds
+        def boom(self, *a, **k):
+            raise RuntimeError("injected meta failure")
+        ChunkStore._meta_sdf_from_bounds = boom
+        try:
+            with pytest.raises(Exception, match="injected meta failure"):
+                st.ingest_long(src, mode="insert")
+        finally:
+            ChunkStore._meta_sdf_from_bounds = orig
+        assert st.alive_data().count() == 0      # nothing leaked visible
+        assert st.latest_meta().count() == 0     # no phantom meta
+        st.ingest_long(src, mode="insert")       # retry lands
+        assert st.alive_data().filter(
+            F.col("value").isNotNull()).count() == 12
+
     def test_ingest_narrow_key_dtype_casts_to_canonical(self, spark, tmpdir):
         """A caller frame with int32 keys must not poison the parquet logs:
         the declared key type is LongType, and parquet refuses mixed
