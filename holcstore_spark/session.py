@@ -48,6 +48,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §9/§3.1: let the planner pick shuffled-hash join when its
+        # size conditions are met — removes both sort passes of a
+        # sort-merge join. Size-conditioned, not forced: SMJ remains the
+        # fallback when a build side could not fit (the planner decides
+        # per join from stats, AQE can still re-plan at runtime). At the
+        # local bench SF every join is broadcast so this is plan-neutral
+        # there; where SMJs exist it rewrites them (hybrid_search:
+        # SortMergeJoin 2 -> ShuffledHashJoin 2, plans/r17) with
+        # identical results (full-registry oracle sweeps green under it).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # dynamic mode: `INSERT OVERWRITE` / mode("overwrite") with

@@ -1667,17 +1667,33 @@ class ChunkStore:
             .limit(1)
             .count()
         )
+        def _stage_meta_sm() -> None:
+            # aggregates the driver-built (ExistingRDD) frame — never
+            # the files the data write touches, so it can overlap (§2.6)
+            self._append_meta_sdf(self._meta_sdf_for(sdf, updated_at, op_id))
+
         if physical_any:
             self._note_dropped_keys(
                 kt if isinstance(kt, tuple) else (kt,) for kt in mapping
             )
-            self._rewrite_partitions_multi(sdf)
+            if self._acid:
+                self._overlap_staged_writes(
+                    lambda: self._rewrite_partitions_multi(sdf), _stage_meta_sm
+                )
+            else:
+                self._rewrite_partitions_multi(sdf)
+                _stage_meta_sm()
         else:
             self._note_append_keys(
                 kt if isinstance(kt, tuple) else (kt,) for kt in mapping
             )
-            self._append_data(sdf)
-        self._append_meta_sdf(self._meta_sdf_for(sdf, updated_at, op_id))
+            if self._acid:
+                self._overlap_staged_writes(
+                    lambda: self._append_data(sdf), _stage_meta_sm
+                )
+            else:
+                self._append_data(sdf)
+                _stage_meta_sm()
 
     def _rewrite_partitions_multi(self, sdf_new: DataFrame) -> None:
         """Partition rewrite where the dropped rows are every (key-tuple,
@@ -1808,13 +1824,17 @@ class ChunkStore:
             # lineage cut is needed, and the meta rows come arithmetically
             # from the (checkpointed, metadata-sized) bounds frame — the
             # dense grid is scanned exactly once, by the write itself
-            if self._acid:
-                kt_rows = new_keys.limit(self.APPEND_KEYS_CAP + 1).collect()
-                self._note_append_keys(tuple(r) for r in kt_rows)
-
             def _stage_meta() -> None:
                 # built from the CHECKPOINTED bounds frame — independent
-                # of the data write, so it can overlap it (§2.6)
+                # of the data write, so it can overlap it (§2.6). The
+                # append-key digests ride along: they are only READ at
+                # commit time (after the overlap joins), never by the
+                # data staging, so their small collect job overlaps too.
+                if self._acid:
+                    kt_rows = new_keys.limit(
+                        self.APPEND_KEYS_CAP + 1
+                    ).collect()
+                    self._note_append_keys(tuple(r) for r in kt_rows)
                 self._append_meta_sdf(
                     self._meta_sdf_from_bounds(bounds, updated_at, op_id)
                 )

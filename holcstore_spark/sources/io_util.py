@@ -178,3 +178,32 @@ def claim_file_first_wins(target: str, payload: str) -> str:
         os.unlink(tmp)
         with open(target) as f:
             return f.read()
+
+
+def overlap_jobs(spark, *thunks):
+    """Run independent Spark-job-launching thunks CONCURRENTLY from a
+    small driver thread pool and return their results in order (guide
+    §2.6: actions are only sequential because driver code calls them
+    sequentially — overlapping lets each job's tasks back-fill executor
+    cores the others' task tails leave idle, so the wall-clock cost is
+    ~max of the thunks instead of their sum).
+
+    Callers must guarantee the thunks are independent: no shared
+    mutable state beyond thread-safe accumulators, and no thunk reads
+    files another writes. JVM-thread-local properties (job group /
+    description / scheduler pool) are inherited into the pool threads
+    via ``inheritable_thread_target``, so cancellation and UI labels
+    keep covering the concurrent jobs. The first thunk's exception
+    propagates after all thunks have finished (results of the others
+    are discarded)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 4)) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(spark)(t)) for t in thunks
+        ]
+        return [f.result() for f in futs]
