@@ -1062,14 +1062,40 @@ class ChunkStore:
         self._invalidate_meta_cache()
 
     def _any_tombstones(self) -> bool:
-        """Whether ANY chunk is currently tombstoned — one cheap aggregate
-        over the cached latest_meta, remembered until the next write. The
-        common store has none, and every keyed read can then skip its
-        tombstone semi-join entirely."""
+        """Whether any tombstone row exists in the meta log — a DRIVER-side
+        pyarrow scan of the metadata-sized log's ``is_deleted`` column
+        (row-group stats skip clean files), remembered until the next
+        write. The common store has none, and every keyed read can then
+        skip its tombstone semi-join entirely.
+
+        r17 (§5 — the driver gate was a whole Spark job): this replaces a
+        ``latest_meta().filter(is_deleted).limit(1).count()`` job — 1.6 to
+        3.5 s of fixed latency paid once per store instance, i.e. once per
+        bench run on the fresh-store queries. The pyarrow answer is a
+        sound OVER-approximation of the old latest-state answer: a
+        deleted-then-rewritten chunk keeps the gate True, which merely
+        re-enables the alive-chunks semi-join — the join itself is the
+        exact mechanism, so results are identical either way; a False is
+        exact (no tombstone row at all ⇒ no deleted latest state)."""
         if self._has_tombstones is None:
-            self._has_tombstones = bool(
-                self.latest_meta().filter(F.col("is_deleted")).limit(1).count()
-            )
+            import pyarrow.dataset as pads
+
+            if self._acid:
+                files = self._snapshot().paths("meta", self.path)
+                ds = pads.dataset(files) if files else None
+            else:
+                ds = (
+                    pads.dataset(self._meta_path)
+                    if has_parquet(self._meta_path) else None
+                )
+            if ds is None:
+                self._has_tombstones = False
+            else:
+                tbl = ds.to_table(
+                    columns=["is_deleted"],
+                    filter=pads.field("is_deleted") == True,  # noqa: E712
+                )
+                self._has_tombstones = tbl.num_rows > 0
         return self._has_tombstones
 
     def alive_chunks(self, filters: dict | None = None) -> DataFrame:
